@@ -1,0 +1,124 @@
+"""Event-stream queries (batch view of the streaming surface).
+
+The reference has no streaming engine (SURVEY.md §2.11) — incrementality is
+file/flag-based — so the events table exercises the batch forms of the
+windowed/sessionized operators that streaming/ re-runs with readStream +
+watermarks. Timestamps are handled as timestamp_ntz end-to-end (io.read_table)
+so values compare exactly against DuckDB regardless of session timezone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biocache_store_spark.io import read_table
+from biocache_store_spark.queries import register
+
+
+@register(
+    "event_facet_counts",
+    doc=(
+        "Facet over the stream table — pageOverFacet shape "
+        "(index/SolrIndexDAO.scala:299-329) on event_type."
+    ),
+    oracle="""
+        SELECT event_type AS facet_value, COUNT(*) AS facet_count,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events GROUP BY event_type
+    """,
+)
+def event_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("facet_value"))
+        .agg(
+            F.count(F.lit(1)).alias("facet_count"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "event_hourly_histogram",
+    doc=(
+        "Tumbling-window aggregate in batch form — occurrence_year/decade "
+        "bucketing (index/IndexDAO.scala:578-585) generalized to a time "
+        "histogram; the streaming twin is a window('1 hour') aggregation."
+    ),
+    bench=True,
+    oracle="""
+        SELECT date_trunc('hour', ts) AS hour_bucket,
+               event_type,
+               COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+)
+def event_hourly_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_bucket"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "event_json_extract",
+    doc=(
+        "JSON-in-string property extraction — the reference stores maps as "
+        "JSON strings (util/Json.scala, miscProperties); get_json_object is "
+        "the typed projection."
+    ),
+    oracle="""
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events GROUP BY 1
+    """,
+)
+def event_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "events")
+        .withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "event_user_sessions",
+    doc=(
+        "Per-user activity roll-up with event-time ordering: first/last/count "
+        "per user — the deleted-record-log / lastModified bookkeeping shape "
+        "(Store.getDeletedRecords) as a grouped min/max."
+    ),
+    oracle="""
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               MIN(ts) AS first_ts,
+               MAX(ts) AS last_ts,
+               COUNT(DISTINCT event_type) AS n_types
+        FROM events GROUP BY user_id
+    """,
+)
+def event_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+    )

@@ -1,0 +1,476 @@
+"""Relational query surface over the TPC-H-ish driver tables.
+
+Each query re-expresses one operator family from SURVEY.md §2 (scan,
+projection, predicate filter, broadcast-dim enrichment join, facet
+aggregation, distinct, multiget, set ops, window representative, top-k)
+with the plan shape we want at 100 TB: filters and projections pushed
+into the parquet scan, dimension joins broadcast, aggregations with
+map-side partials, and no driver-side collection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from biocache_store_spark.io import read_table
+from biocache_store_spark.queries import register
+
+_Q1_CUTOFF = "1998-09-02"
+
+
+@register(
+    "pricing_summary",
+    doc=(
+        "Flagship aggregation: groupBy + sums/avgs over the fact table with a "
+        "pushed-down timestamp predicate. Reference analog: the index-time "
+        "assertion/statistics roll-ups (index/SolrIndexDAO.scala:609-629) and "
+        "facet statistics; shape is TPC-H Q1."
+    ),
+    bench=True,
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               ROUND(AVG(l_quantity), 4)                                    AS avg_qty,
+               ROUND(AVG(l_extendedprice), 4)                               AS avg_price,
+               ROUND(AVG(l_discount), 4)                                    AS avg_disc,
+               COUNT(*)                                                     AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF}'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.expr(f"TIMESTAMP_NTZ '{_Q1_CUTOFF}'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "facet_counts",
+    doc=(
+        "Facet counts = groupBy().count() — the reference's single most common "
+        "query shape (SolrIndexDAO.pageOverFacet, index/SolrIndexDAO.scala:299-329)."
+    ),
+    bench=True,
+    oracle="""
+        SELECT o_orderpriority AS facet_value, COUNT(*) AS facet_count
+        FROM orders GROUP BY o_orderpriority
+    """,
+)
+def facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("facet_value"))
+        .agg(F.count(F.lit(1)).alias("facet_count"))
+    )
+
+
+@register(
+    "distinct_values",
+    doc=(
+        "Distinct values of a field under a filter "
+        "(SolrIndexDAO.getDistinctValues, index/SolrIndexDAO.scala:1500-1532)."
+    ),
+    oracle="""
+        SELECT DISTINCT c_mktsegment AS value
+        FROM customer WHERE c_acctbal > 0
+    """,
+)
+def distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select(F.col("c_mktsegment").alias("value"))
+        .distinct()
+    )
+
+
+@register(
+    "projected_scan",
+    doc=(
+        "Projected scan with predicate — pageOverSelect "
+        "(persistence/PersistenceManager.scala:106): column pruning + filter "
+        "pushdown reach the parquet reader."
+    ),
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem WHERE l_quantity >= 45
+    """,
+)
+def projected_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+@register(
+    "indexed_field_scan",
+    doc=(
+        "Equality scan on an indexed field — pageOverIndexedField "
+        "(persistence/PersistenceManager.scala:119); at scale this is "
+        "partition pruning on the partition column."
+    ),
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def indexed_field_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    )
+
+
+@register(
+    "multiget",
+    doc=(
+        "Multiget of selected columns for a key list — selectRows "
+        "(Cassandra3PersistenceManager.scala:1143). Small literal key sets "
+        "stay an IN filter (pushed down); large ones become a broadcast "
+        "left-semi join."
+    ),
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+        FROM lineitem WHERE l_orderkey IN (1, 5, 32, 67, 97)
+    """,
+)
+def multiget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey").isin(1, 5, 32, 67, 97))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+    )
+
+
+@register(
+    "point_lookup",
+    doc="Point lookup by key — getByRowKey (dao/OccurrenceDAO.scala:35-45).",
+    oracle="SELECT * FROM customer WHERE c_custkey = 42",
+)
+def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "customer").filter(F.col("c_custkey") == 42)
+
+
+@register(
+    "range_filter_facet",
+    doc=(
+        "Timestamp-range predicate + facet — the start-date incremental filter "
+        "(SolrIndexDAO.shouldIndex, index/SolrIndexDAO.scala:580-607) combined "
+        "with a facet count."
+    ),
+    oracle="""
+        SELECT o_orderstatus AS facet_value, COUNT(*) AS facet_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY o_orderstatus
+    """,
+)
+def range_filter_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1995-01-01'"))
+            & (F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1997-01-01'"))
+        )
+        .groupBy(F.col("o_orderstatus").alias("facet_value"))
+        .agg(F.count(F.lit(1)).alias("facet_count"))
+    )
+
+
+@register(
+    "broadcast_enrich_revenue",
+    doc=(
+        "Dimension-enrichment join chain — the reference's attribution/taxon "
+        "lookup pattern (caches/AttributionDAO.scala, LRU cache over a small "
+        "dim) becomes broadcast hash joins; fact-fact join (orders-lineitem) "
+        "shuffles on the key. Shape is TPC-H Q5-lite."
+    ),
+    bench=True,
+    oracle="""
+        SELECT n_name AS nation, r_name AS region,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS line_count
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY n_name, r_name
+    """,
+)
+def broadcast_enrich_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+@register(
+    "part_enrich_agg",
+    doc=(
+        "Single broadcast-dim enrichment + facet — taxon-profile lookup shape "
+        "(caches/TaxonProfileDAO.scala → broadcast join)."
+    ),
+    bench=True,
+    oracle="""
+        SELECT p_brand AS brand,
+               ROUND(SUM(l_quantity), 2) AS total_qty,
+               COUNT(*) AS line_count
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """,
+)
+def part_enrich_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+@register(
+    "semi_join_incremental",
+    doc=(
+        "Row-key-file incremental scoping (cmd/IncrementalTool.scala:34-50) = "
+        "left-semi join of the fact table against a keys set."
+    ),
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    """,
+)
+def semi_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    keys = (
+        read_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select("c_custkey")
+    )
+    return orders.join(
+        F.broadcast(keys), orders.o_custkey == keys.c_custkey, "left_semi"
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register(
+    "anti_join_obsolete",
+    doc=(
+        "Obsolete-set subtraction (DuplicationDetection.revertNonDuplicateRecords, "
+        "tool/DuplicationDetection.scala:754-768) = left-anti join."
+    ),
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+    """,
+)
+def anti_join_obsolete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select("o_custkey")
+    )
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "grouped_stats",
+    doc=(
+        "Per-group summary statistics — the jackknife pre-pass "
+        "(outliers/JackKnife.scala:101-106: n/min/max/mean/stddev per "
+        "species × layer) as built-in partial-aggregating functions."
+    ),
+    oracle="""
+        SELECT l_returnflag AS grp,
+               COUNT(*) AS n,
+               ROUND(MIN(l_quantity), 2) AS min_qty,
+               ROUND(MAX(l_quantity), 2) AS max_qty,
+               ROUND(AVG(l_quantity), 4) AS mean_qty,
+               ROUND(STDDEV_POP(l_quantity), 4) AS sd_qty
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_returnflag").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_quantity"), 2).alias("min_qty"),
+            F.round(F.max("l_quantity"), 2).alias("max_qty"),
+            F.round(F.avg("l_quantity"), 4).alias("mean_qty"),
+            F.round(F.stddev_pop("l_quantity"), 4).alias("sd_qty"),
+        )
+    )
+
+
+@register(
+    "window_representative",
+    doc=(
+        "Representative-record selection — argmax within group with a "
+        "deterministic tiebreak (DuplicationDetection.scala:874-926 picks max "
+        "coordinate precision, first-wins; we add the key tiebreak the "
+        "reference leaves to iteration order)."
+    ),
+    bench=True,
+    oracle="""
+        SELECT o_custkey, o_orderkey AS latest_orderkey,
+               o_totalprice AS latest_totalprice, o_orderdate AS latest_orderdate
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn
+            FROM orders
+        ) WHERE rn = 1
+    """,
+)
+def window_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.col("o_totalprice").alias("latest_totalprice"),
+            F.col("o_orderdate").alias("latest_orderdate"),
+        )
+    )
+
+
+@register(
+    "top_k",
+    doc=(
+        "Top-k with deterministic tiebreak — SOLR sort+limit exports "
+        "(SolrIndexDAO.scala:1439; ExportFromIndexStream). Spark plans this "
+        "as TakeOrderedAndProject (no full sort at scale)."
+    ),
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "set_except",
+    doc=(
+        "Set subtraction on id sets — validation-rule apply/unapply "
+        "(qa/ValidationRuleRunner.scala:151-260: new−old / old−new)."
+    ),
+    oracle="""
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    f_keys = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_keys = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f_keys.subtract(o_keys)
+
+
+@register(
+    "set_union",
+    doc=(
+        "Union of loader outputs (DwcCSVLoader.loadDirectory "
+        "load/DwcCSVLoader.scala:133) = unionByName + distinct."
+    ),
+    oracle="""
+        SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+        UNION
+        SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 400000
+    """,
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    b = orders.filter(F.col("o_totalprice") > 400000).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    return a.unionByName(b).distinct()
+
+
+@register(
+    "rounding_ladder",
+    doc=(
+        "Multi-precision rounding ladder — the point-1/point-0.1/… blocking "
+        "keys (index/IndexDAO.scala:170-210 getLatLongStringStep) applied to "
+        "a numeric column; pure expressions, reused downstream as dedup "
+        "blocking keys."
+    ),
+    oracle="""
+        SELECT c_custkey,
+               ROUND(c_acctbal, 2) AS bal_p2,
+               ROUND(c_acctbal, 1) AS bal_p1,
+               ROUND(c_acctbal, 0) AS bal_p0
+        FROM customer
+    """,
+)
+def rounding_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("bal_p2"),
+        F.round("c_acctbal", 1).alias("bal_p1"),
+        F.round("c_acctbal", 0).alias("bal_p0"),
+    )

@@ -1,0 +1,88 @@
+"""Similarity-search queries over the embeddings table.
+
+Brute-force cosine scoring as Column expressions (functions/vectors.py) —
+the correctness baseline for the ANN variants in operators/similarity.py.
+The query vector is joined in via a broadcast of a 1-row DataFrame, so the
+same plan shape works for a batch of query vectors at scale (broadcast the
+query set, score in one pass over the fact table).
+
+Float32 embeddings are cast to double before any arithmetic so both engines
+do the identical double-precision computation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biocache_store_spark.functions.vectors import cosine_similarity
+from biocache_store_spark.io import read_table
+from biocache_store_spark.queries import register
+
+_QUERY_VEC_ID = 0
+_SIM_THRESHOLD = 0.2
+
+
+@register(
+    "embedding_cosine_neighbors",
+    doc=(
+        "Threshold similarity search: all vectors with cosine >= 0.2 to the "
+        "query vector (vec_id=0). One broadcast + one scan; at 100 TB the "
+        "broadcast carries the whole query batch."
+    ),
+    bench=True,
+    oracle=f"""
+        WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = {_QUERY_VEC_ID})
+        SELECT e.vec_id, e.label,
+               ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 4) AS cos_sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> {_QUERY_VEC_ID}
+          AND list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb::DOUBLE[]) >= {_SIM_THRESHOLD}
+    """,
+)
+def embedding_cosine_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select(F.col("embedding").alias("q_emb"))
+    )
+    sim = cosine_similarity(F.col("embedding"), F.col("q_emb"))
+    return (
+        emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .withColumn("cos_sim_raw", sim)
+        .filter(F.col("cos_sim_raw") >= _SIM_THRESHOLD)
+        .select(
+            "vec_id",
+            "label",
+            F.round(F.col("cos_sim_raw"), 4).alias("cos_sim"),
+        )
+    )
+
+
+@register(
+    "embedding_label_centroid_norms",
+    doc=(
+        "Per-label vector statistics: count and mean L2 norm — the grouped "
+        "statistics shape (jackknife pre-pass) over vector data; norm is "
+        "computed with F.aggregate, JVM-side."
+    ),
+    oracle="""
+        SELECT label,
+               COUNT(*) AS n,
+               ROUND(AVG(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm
+        FROM embeddings GROUP BY label
+    """,
+)
+def embedding_label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.functions.vectors import norm
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return (
+        emb.withColumn("nrm", norm(F.col("embedding")))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+        )
+    )

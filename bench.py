@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Headline benchmark: times the bench-flagged registry queries.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <scale factor>}
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver-side collect — the same discipline the operators keep at scale).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from biocache_store_spark.io import sf_dir
+from biocache_store_spark.queries import load_all
+from biocache_store_spark.session import get_spark
+
+
+def _force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> int:
+    data_dir = sf_dir()
+    sf = data_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="biocache-store-spark-bench")
+    registry = load_all()
+    bench_queries = {n: q for n, q in sorted(registry.items()) if q.bench}
+
+    # warm the JVM + parquet footers once so per-query timings measure the
+    # plan, not first-touch session costs
+    _force(spark.read.parquet(os.path.join(data_dir, "lineitem.parquet")))
+
+    timings: dict[str, float] = {}
+    for name, q in bench_queries.items():
+        start = time.perf_counter()
+        _force(q.spark_fn(spark, data_dir))
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    result = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

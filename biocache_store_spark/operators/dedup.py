@@ -1,0 +1,351 @@
+"""Occurrence duplicate detection (grouped fuzzy dedup).
+
+Port of tool/DuplicationDetection.scala:
+  * grouping by (taxonConceptID, year, month, day) — :428-455, :809-860;
+  * per-group pairwise matching — findDuplicates :966-1006: spatial
+    sameness over the multi-precision point ladder (isSpatialDuplicate
+    :1122-1152) AND one of collector-Levenshtein<=3 (:1074-1113), exact
+    recordNumber (:1037), exact catalogNumber (:1015);
+  * representative selection = max coordinate-decimal precision,
+    first-wins on ties (markRecordsAsDuplicatesAndSetTypes :874-925); the
+    reference's "first" depends on iteration order, so records are
+    processed in row-key order here to make it deterministic (documented
+    refinement);
+  * statuses: R (representative), D1 (duplicate from the same data
+    resource), D2 (from another resource); dup types from
+    model/DupType.scala:9-20.
+
+Spark shape: point-ladder blocking keys are precomputed as built-in
+expressions (shared with the index projection, cf. IndexDAO.scala:170-210),
+then one applyInPandas pass per (taxon, year, month, day) group — groups
+are small (a species on a day), so the pairwise scan is bounded; skewed
+giant groups are the AQE-skew risk called out in SURVEY §7.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+COLLECTOR_LEVENSHTEIN_THRESHOLD = 3
+
+# model/DupType.scala:9-20
+MISSING_YEAR = 1
+MISSING_MONTH = 2
+MISSING_DAY = 3
+EXACT_COORD = 4
+DIFFERENT_PRECISION = 5
+EXACT_COLLECTOR = 6
+FUZZY_COLLECTOR = 7
+MISSING_COLLECTOR = 8
+EXACT_FIELD_NUMBER = 9
+EXACT_CATALOGUE_NUMBER = 10
+
+_UNKNOWN = re.compile(r"(null|UNKNOWN OR ANONYMOUS)")
+_NON_ALNUM = re.compile(r"[\W_]", re.UNICODE)  # ref keeps only \p{L}\p{N}
+
+
+def levenshtein(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    if not b:
+        return len(a)
+    previous = list(range(len(b) + 1))
+    for i, ca in enumerate(a):
+        current = [i + 1]
+        for j, cb in enumerate(b):
+            current.append(
+                min(previous[j + 1] + 1, current[j] + 1, previous[j] + (ca != cb))
+            )
+        previous = current
+    return previous[-1]
+
+
+def lat_long_rounded(value: str | float | None, decimals: int) -> str | None:
+    """One rung of the point ladder (IndexDAO.getLatLongString semantics:
+    DecimalFormat '#.#...' — HALF_EVEN rounding, trailing zeros dropped)."""
+    if value is None or value == "":
+        return None
+    try:
+        v = float(value)
+    except (TypeError, ValueError):
+        return None
+    s = f"{round(v, decimals):.{decimals}f}"
+    if "." in s:
+        s = s.rstrip("0").rstrip(".")
+    return s
+
+
+def point_ladder(lat, lon) -> list[str | None]:
+    """point1, point0_1, point0_01, point0_001, point0_0001, latLong."""
+    out = []
+    for d in (0, 1, 2, 3, 4):
+        la = lat_long_rounded(lat, d)
+        lo = lat_long_rounded(lon, d)
+        out.append(f"{la},{lo}" if la is not None and lo is not None else None)
+    out.append(f"{lat},{lon}" if lat not in (None, "") and lon not in (None, "") else None)
+    return out
+
+
+def determine_precision(lat_long: str | None) -> int:
+    """Max decimal places in 'lat,long' (DuplicationDetection.scala:928-941)."""
+    if not lat_long:
+        return 0
+    m = re.fullmatch(r"(-?\d+(?:\.\d+)?),\s*(-?\d+(?:\.\d+)?)", lat_long)
+    if not m:
+        return 0
+    latp = len(m.group(1).split(".")[1]) if "." in m.group(1) else 0
+    lonp = len(m.group(2).split(".")[1]) if "." in m.group(2) else 0
+    return max(latp, lonp)
+
+
+def is_empty_unknown(s: str | None) -> bool:
+    return s is None or s == "" or bool(_UNKNOWN.fullmatch(s))
+
+
+def is_spatial_duplicate(points_a: list, points_b: list) -> bool:
+    """isSpatialDuplicate (DuplicationDetection.scala:1122-1152), exact port
+    including the precision-difference walk."""
+    if len(points_a) != len(points_b):
+        raise ValueError("Points supplied with a differing number of precisions")
+    n = len(points_a)
+    for i in range(n):
+        if points_a[i] != points_b[i]:
+            if i > 0:
+                if points_a[i] == points_a[i - 1] or points_b[i] == points_b[i - 1]:
+                    if i < n - 1:
+                        if points_a[i] == points_a[i + 1] or points_b[i] == points_a[i + 1]:
+                            return True
+                    else:
+                        return True
+                return False
+            return False
+    return True
+
+
+@dataclass
+class DupRecord:
+    row_key: str
+    druid: str | None = None
+    year: str | None = None
+    month: str | None = None
+    day: str | None = None
+    lat: str | None = None
+    lon: str | None = None
+    collector: str | None = None
+    record_number: str | None = None
+    catalogue_number: str | None = None
+    points: list = field(default_factory=list)
+    duplicate_of: str | None = None
+    duplicates: list = field(default_factory=list)
+    dup_types: list = field(default_factory=list)
+    precision: int = 0
+    status: str = "U"
+
+    def __post_init__(self):
+        if not self.points:
+            self.points = point_ladder(self.lat, self.lon)
+
+    @property
+    def lat_long(self):
+        return self.points[-1]
+
+
+def _prepare_collectors(c1: str, c2: str) -> tuple[str, str]:
+    c11 = _NON_ALNUM.sub("", c1)
+    c21 = _NON_ALNUM.sub("", c2)
+    length = min(len(c11), len(c21))
+    return c11[:length], c21[:length]
+
+
+def _is_collector_duplicate(r1: DupRecord, r2: DupRecord) -> bool:
+    if is_empty_unknown(r1.collector) or is_empty_unknown(r2.collector):
+        if is_empty_unknown(r2.collector):
+            r2.dup_types.append(MISSING_COLLECTOR)
+        return True
+    c1, c2 = _prepare_collectors(r1.collector, r2.collector)
+    distance = levenshtein(c1, c2)
+    if distance <= COLLECTOR_LEVENSHTEIN_THRESHOLD:
+        r2.dup_types.append(FUZZY_COLLECTOR if distance > 0 else EXACT_COLLECTOR)
+        return True
+    return False
+
+
+def _exact_field_dup(v1, v2, r2: DupRecord, dup_type: int) -> bool:
+    if v1 is None or v2 is None:
+        return False
+    if is_empty_unknown(v1) or is_empty_unknown(v2):
+        return False
+    if v1.strip().lower() == v2.strip().lower():
+        r2.dup_types.append(dup_type)
+        return True
+    return False
+
+
+def _set_date_types(r: DupRecord, has_year, has_month, has_day):
+    if has_year and has_month and not has_day:
+        r.dup_types.append(MISSING_DAY)
+    elif has_year and not has_month:
+        r.dup_types.append(MISSING_MONTH)
+    elif not has_year:
+        r.dup_types.append(MISSING_YEAR)
+
+
+def find_group_duplicates(records: list[DupRecord]) -> list[DupRecord]:
+    """checkDuplicates + markRecordsAsDuplicatesAndSetTypes over one
+    (taxon, year, month, day) group. Returns all records with statuses set."""
+    records = sorted(records, key=lambda r: r.row_key)
+    for record in records:
+        if record.duplicate_of is not None:
+            continue
+        for other in records:
+            if other.duplicate_of is not None or other.row_key == record.row_key:
+                continue
+            if is_spatial_duplicate(record.points, other.points):
+                collector_dup = _is_collector_duplicate(record, other)
+                record_number_dup = _exact_field_dup(
+                    record.record_number, other.record_number, other, EXACT_FIELD_NUMBER
+                )
+                catalogue_dup = _exact_field_dup(
+                    record.catalogue_number, other.catalogue_number, other,
+                    EXACT_CATALOGUE_NUMBER,
+                )
+                if collector_dup or record_number_dup or catalogue_dup:
+                    other.duplicate_of = record.row_key
+                    record.duplicates.append(other)
+
+    for record in records:
+        if record.duplicate_of is not None or not record.duplicates:
+            continue
+        highest = determine_precision(record.lat_long)
+        record.precision = highest
+        representative = record
+        has_year = bool(record.year)
+        has_month = bool(record.month)
+        has_day = bool(record.day)
+        _set_date_types(record, has_year, has_month, has_day)
+        duplicates = list(record.duplicates)
+        for r in duplicates:
+            _set_date_types(r, has_year, has_month, has_day)
+            r.precision = determine_precision(r.lat_long)
+            if r.precision > highest:
+                highest = r.precision
+                representative = r
+        representative.status = "R"
+        if representative is not record:
+            record.duplicates = []
+            duplicates.append(record)
+            duplicates.remove(representative)
+            representative.duplicates = duplicates
+            record.dup_types = representative.dup_types
+        # realign duplicate_of with the final representative (the reference
+        # leaves the find-phase pointers stale; we emit coherent pointers)
+        representative.duplicate_of = None
+        for d in duplicates:
+            d.duplicate_of = representative.row_key
+            d.status = "D1" if d.druid == representative.druid else "D2"
+            d.dup_types.append(
+                EXACT_COORD if d.precision == representative.precision else DIFFERENT_PRECISION
+            )
+    return records
+
+
+_OUT_FIELDS = [
+    T.StructField("row_key", T.StringType()),
+    T.StructField("status", T.StringType()),
+    T.StructField("duplicate_of", T.StringType()),
+    T.StructField("dup_types", T.ArrayType(T.IntegerType())),
+    T.StructField("precision", T.IntegerType()),
+]
+
+
+def detect_duplicates(
+    df: DataFrame,
+    taxon_col: str = "taxonConceptID",
+    year_col: str = "year",
+    month_col: str = "month",
+    day_col: str = "day",
+    lat_col: str = "decimalLatitude",
+    lon_col: str = "decimalLongitude",
+    collector_col: str = "recordedBy",
+    record_number_col: str = "recordNumber",
+    catalogue_col: str = "catalogNumber",
+    id_col: str = "occurrenceID",
+    druid_col: str = "dataResourceUid",
+) -> DataFrame:
+    """Grouped duplicate detection. Output: group keys + per-record status.
+
+    Records with status 'U' had no duplicates; 'R' is the representative of
+    a duplicate cluster; 'D1'/'D2' are its duplicates (same/other resource).
+    """
+    from biocache_store_spark.util import ensure_package_on_workers
+
+    ensure_package_on_workers(df.sparkSession)
+
+    group_cols = [taxon_col, year_col, month_col, day_col]
+    selected = df.select(
+        F.coalesce(F.col(taxon_col).cast("string"), F.lit("")).alias("g_taxon"),
+        F.coalesce(F.col(year_col).cast("string"), F.lit("")).alias("g_year"),
+        F.coalesce(F.col(month_col).cast("string"), F.lit("")).alias("g_month"),
+        F.coalesce(F.col(day_col).cast("string"), F.lit("")).alias("g_day"),
+        F.col(id_col).cast("string").alias("row_key"),
+        F.col(druid_col).cast("string").alias("druid"),
+        F.col(lat_col).cast("string").alias("lat"),
+        F.col(lon_col).cast("string").alias("lon"),
+        F.col(collector_col).cast("string").alias("collector"),
+        F.col(record_number_col).cast("string").alias("record_number"),
+        F.col(catalogue_col).cast("string").alias("catalogue_number"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("taxon", T.StringType()),
+            T.StructField("year", T.StringType()),
+            T.StructField("month", T.StringType()),
+            T.StructField("day", T.StringType()),
+        ]
+        + list(_OUT_FIELDS)
+    )
+
+    def run(pdf):
+        import pandas as pd
+
+        records = [
+            DupRecord(
+                row_key=row.row_key,
+                druid=row.druid,
+                year=row.g_year or None,
+                month=row.g_month or None,
+                day=row.g_day or None,
+                lat=row.lat,
+                lon=row.lon,
+                collector=row.collector,
+                record_number=row.record_number,
+                catalogue_number=row.catalogue_number,
+            )
+            for row in pdf.itertuples()
+        ]
+        out = find_group_duplicates(records)
+        return pd.DataFrame(
+            [
+                {
+                    "taxon": pdf["g_taxon"].iloc[0],
+                    "year": pdf["g_year"].iloc[0],
+                    "month": pdf["g_month"].iloc[0],
+                    "day": pdf["g_day"].iloc[0],
+                    "row_key": r.row_key,
+                    "status": r.status,
+                    "duplicate_of": r.duplicate_of,
+                    "dup_types": sorted(set(r.dup_types)),
+                    "precision": r.precision,
+                }
+                for r in out
+            ]
+        )
+
+    return selected.groupBy("g_taxon", "g_year", "g_month", "g_day").applyInPandas(
+        run, schema=schema
+    )

@@ -1,0 +1,180 @@
+"""SOLR-query-string -> Spark Column translator.
+
+The reference's only general predicate language is the SOLR q/fq string
+(index/SolrIndexDAO.scala:299-392); stored queries (model/Qid.scala:8-27)
+and validation rules (qa/ValidationRuleRunner.scala:151-260) persist such
+strings and replay them. This module gives those strings a Spark meaning: a
+small recursive-descent parser producing a Column predicate, so
+`df.filter(translate(q))` replays any stored query against the index table.
+
+Supported grammar (the subset the reference actually stores):
+    clause   := term (("AND"|"OR") term)* ; bare juxtaposition = AND
+    term     := ["-"|"NOT "] field ":" value | "(" clause ")" | "*:*"
+    value    := bare | "quoted phrase" | [a TO b] | {a TO b} | wildcard*
+
+Field names are translated through an optional mapping (SOLR field ->
+DataFrame column, from the headerAttributes table IndexDAO.scala:212-403).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+class SolrQueryError(ValueError):
+    pass
+
+
+_TOKEN = re.compile(
+    r"""\s*(
+        \(|\)
+        |"(?:[^"\\]|\\.)*"          # quoted phrase
+        |\[[^\]]*\]|\{[^}]*\}       # range
+        |AND\b|OR\b|NOT\b
+        |-
+        |[^\s():]+                   # bare word / field
+        |:
+    )""",
+    re.VERBOSE,
+)
+
+
+def _tokenize(q: str) -> list[str]:
+    tokens = []
+    pos = 0
+    while pos < len(q):
+        m = _TOKEN.match(q, pos)
+        if not m:
+            raise SolrQueryError(f"Cannot tokenize query at: {q[pos:]!r}")
+        tokens.append(m.group(1))
+        pos = m.end()
+        if q[pos:].strip() == "":
+            break
+    return tokens
+
+
+def _parse_value(col: Column, value: str) -> Column:
+    if value.startswith('"') and value.endswith('"'):
+        return col == value[1:-1].replace('\\"', '"')
+    if (value.startswith("[") and value.endswith("]")) or (
+        value.startswith("{") and value.endswith("}")
+    ):
+        inclusive = value.startswith("[")
+        inner = value[1:-1]
+        parts = re.split(r"\s+TO\s+", inner.strip(), flags=re.IGNORECASE)
+        if len(parts) != 2:
+            raise SolrQueryError(f"Bad range: {value}")
+        lo, hi = (p.strip() for p in parts)
+        conds = []
+        if lo != "*":
+            conds.append(col >= lo if inclusive else col > lo)
+        if hi != "*":
+            conds.append(col <= hi if inclusive else col < hi)
+        if not conds:
+            return col.isNotNull()
+        result = conds[0]
+        for c in conds[1:]:
+            result = result & c
+        return result
+    if value == "*":
+        return col.isNotNull()
+    if "*" in value or "?" in value:
+        pattern = re.escape(value).replace(r"\*", ".*").replace(r"\?", ".")
+        return col.rlike(f"^{pattern}$")
+    return col == value
+
+
+class _Parser:
+    def __init__(self, tokens: list[str], field_mapping: dict[str, str] | None):
+        self.tokens = tokens
+        self.pos = 0
+        self.mapping = field_mapping or {}
+
+    def peek(self):
+        return self.tokens[self.pos] if self.pos < len(self.tokens) else None
+
+    def next(self):
+        tok = self.peek()
+        self.pos += 1
+        return tok
+
+    def parse_clause(self) -> Column:
+        result = self.parse_term()
+        while True:
+            tok = self.peek()
+            if tok is None or tok == ")":
+                return result
+            if tok in ("AND", "OR"):
+                self.next()
+                rhs = self.parse_term()
+                result = (result & rhs) if tok == "AND" else (result | rhs)
+            else:
+                # bare juxtaposition = AND (SOLR default op used by the ref)
+                rhs = self.parse_term()
+                result = result & rhs
+
+    def parse_term(self) -> Column:
+        tok = self.next()
+        if tok is None:
+            raise SolrQueryError("Unexpected end of query")
+        negate = False
+        if tok in ("-", "NOT"):
+            negate = True
+            tok = self.next()
+        if tok == "(":
+            inner = self.parse_clause()
+            if self.next() != ")":
+                raise SolrQueryError("Unbalanced parentheses")
+            return ~inner if negate else inner
+        field = tok
+        if self.peek() == ":":
+            self.next()
+            value = self.next()
+            if value is None or value in (")", ":"):
+                raise SolrQueryError(f"Missing value for field {field!r}")
+            if value == "(":
+                # field:(a OR b) — distribute field over inner values
+                values = []
+                op_or = True
+                while True:
+                    v = self.next()
+                    if v is None:
+                        raise SolrQueryError("Unbalanced parentheses in value list")
+                    if v == ")":
+                        break
+                    if v in ("OR",):
+                        continue
+                    if v in ("AND",):
+                        op_or = False
+                        continue
+                    values.append(v)
+                col = self._column(field)
+                conds = [_parse_value(col, v) for v in values]
+                result = conds[0]
+                for c in conds[1:]:
+                    result = (result | c) if op_or else (result & c)
+                return ~result if negate else result
+            if field == "*" and value == "*":
+                result = F.lit(True)
+            else:
+                result = _parse_value(self._column(field), value)
+            return ~result if negate else result
+        raise SolrQueryError(f"Expected 'field:value', got {field!r}")
+
+    def _column(self, field: str) -> Column:
+        return F.col(self.mapping.get(field, field))
+
+
+def translate(q: str, field_mapping: dict[str, str] | None = None) -> Column:
+    """Translate a SOLR q/fq string into a Spark Column predicate."""
+    if q is None or q.strip() == "" or q.strip() == "*:*":
+        return F.lit(True)
+    tokens = _tokenize(q)
+    parser = _Parser(tokens, field_mapping)
+    result = parser.parse_clause()
+    if parser.pos != len(parser.tokens):
+        raise SolrQueryError(f"Trailing tokens: {parser.tokens[parser.pos:]}")
+    return result

@@ -55,6 +55,7 @@ def register(
 def load_all() -> dict[str, Query]:
     """Import every query module so REGISTRY is fully populated."""
     from biocache_store_spark.queries import (  # noqa: F401
+        analytics,
         events,
         relational,
         text,

@@ -1,0 +1,205 @@
+"""Offline-analytics queries: fuzzy dedup pairs, jackknife outlier stats,
+stored-query replay — the SURVEY §2.4/§2.5 analytics operators exercised on
+the driver tables with DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biocache_store_spark.io import read_table
+from biocache_store_spark.queries import register
+
+_LEV_THRESHOLD = 2
+
+
+@register(
+    "fuzzy_name_pairs",
+    doc=(
+        "Blocked fuzzy-duplicate pairs — the collector-Levenshtein core of "
+        "duplicate detection (DuplicationDetection.isCollectorDuplicate, "
+        "tool/DuplicationDetection.scala:1074-1113) as a blocking-key "
+        "self-join: block on (nation, segment) — the analog of the "
+        "(taxon, date) group — then levenshtein(name) <= 2 pairwise inside "
+        "the block only. Built-in levenshtein, no UDF."
+    ),
+    bench=True,
+    oracle=f"""
+        SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+               levenshtein(a.c_name, b.c_name) AS name_distance
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.c_mktsegment = b.c_mktsegment
+         AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= {_LEV_THRESHOLD}
+    """,
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    a = customer.alias("a")
+    b = customer.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .filter(dist <= _LEV_THRESHOLD)
+        .select(
+            F.col("a.c_custkey").alias("cust_a"),
+            F.col("b.c_custkey").alias("cust_b"),
+            dist.alias("name_distance"),
+        )
+    )
+
+
+@register(
+    "jackknife_outlier_stats",
+    doc=(
+        "Per-group reverse-jackknife outlier statistics "
+        "(outliers/JackKnife.scala:14-99) over l_extendedprice by "
+        "l_returnflag, via applyInPandas (needs the full sorted group). The "
+        "oracle reproduces the algorithm in SQL: the outlier cascade "
+        "collapses to a low/high cutoff on the sorted index."
+    ),
+    oracle="""
+        WITH s AS (
+            SELECT l_returnflag AS grp, l_extendedprice AS v,
+                   ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS idx,
+                   COUNT(*) OVER (PARTITION BY l_returnflag) AS n,
+                   AVG(l_extendedprice) OVER (PARTITION BY l_returnflag) AS mean_v,
+                   MIN(l_extendedprice) OVER (PARTITION BY l_returnflag) AS min_v,
+                   MAX(l_extendedprice) OVER (PARTITION BY l_returnflag) AS max_v,
+                   STDDEV_POP(l_extendedprice) OVER (PARTITION BY l_returnflag) AS sd_v
+            FROM lineitem
+        ),
+        y AS (
+            SELECT *,
+                   (0.95 * sqrt(n) + 0.2) * ((max_v - min_v) / 50.0) AS threshold,
+                   CASE
+                     WHEN v < mean_v THEN
+                       (LEAD(v) OVER (PARTITION BY grp ORDER BY idx) - v) * (mean_v - v)
+                     WHEN v > mean_v THEN
+                       (v - LAG(v) OVER (PARTITION BY grp ORDER BY idx)) * (v - mean_v)
+                     ELSE 0.0
+                   END / sd_v AS c
+            FROM s
+        ),
+        cuts AS (
+            SELECT grp,
+                   MAX(n) AS n, MAX(min_v) AS min_v, MAX(max_v) AS max_v,
+                   MAX(mean_v) AS mean_v, MAX(sd_v) AS sd_v, MAX(threshold) AS threshold,
+                   MAX(CASE WHEN v < mean_v AND c > threshold THEN idx END) AS lo_cut,
+                   MIN(CASE WHEN v > mean_v AND c > threshold THEN idx END) AS hi_cut
+            FROM y GROUP BY grp
+        ),
+        counted AS (
+            SELECT c.grp, c.n, c.min_v, c.max_v, c.mean_v, c.sd_v, c.threshold,
+                   (SELECT COUNT(*) FROM y
+                    WHERE y.grp = c.grp
+                      AND (
+                        (c.lo_cut IS NOT NULL AND y.idx <= c.lo_cut)
+                        OR (c.hi_cut IS NOT NULL AND y.idx >= c.hi_cut)
+                      )) AS n_flagged
+            FROM cuts c
+        )
+        SELECT grp,
+               n AS sample_size,
+               ROUND(min_v, 4) AS min_value,
+               ROUND(max_v, 4) AS max_value,
+               ROUND(mean_v, 4) AS mean_value,
+               ROUND(sd_v, 4) AS std_dev,
+               ROUND(threshold, 4) AS threshold,
+               CASE WHEN n_flagged > n // 2 THEN 0 ELSE n_flagged END AS n_outliers,
+               (n_flagged > n // 2) AS trigger_failsafe
+        FROM counted
+        WHERE n >= 20
+    """,
+)
+def jackknife_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.jackknife import jackknife_stats
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"), F.col("l_extendedprice").alias("v")
+    )
+    stats = jackknife_stats(li, ["grp"], "v")
+    return stats.select(
+        "grp",
+        F.col("sample_size").cast("long").alias("sample_size"),
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"),
+        F.round("mean_value", 4).alias("mean_value"),
+        F.round("std_dev", 4).alias("std_dev"),
+        F.round("threshold", 4).alias("threshold"),
+        F.col("n_outliers").cast("long").alias("n_outliers"),
+        "trigger_failsafe",
+    )
+
+
+_QID_QUERY = "o_orderpriority:1-URGENT AND o_totalprice:[100000 TO *]"
+
+
+@register(
+    "stored_query_replay",
+    doc=(
+        "Stored-query (qid) replay: a persisted SOLR q string "
+        "(model/Qid.scala:8-27) translated to a Column predicate by "
+        "plans/solr_query.py and applied as a filter — the validation-rule "
+        "application path (qa/ValidationRuleRunner.scala:151-260)."
+    ),
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_totalprice >= 100000
+    """,
+)
+def stored_query_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.plans.solr_query import translate
+
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.filter(translate(_QID_QUERY)).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+
+
+@register(
+    "dedup_occurrence_clusters",
+    doc=(
+        "Full grouped duplicate detection (tool/DuplicationDetection.scala: "
+        "blocking group -> pairwise spatial+collector match -> "
+        "representative by precision) run on occurrence-shaped records "
+        "synthesized from customer (block = (nation, segment), collector = "
+        "c_name, coordinates derived from the account balance). "
+        "Non-SQL-expressible (iterative pairwise marking) -> rows-only "
+        "check; the algorithm's unit oracle lives in "
+        "tests/test_operators_offline.py."
+    ),
+    oracle=None,
+)
+def dedup_occurrence_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.dedup import detect_duplicates
+
+    customer = read_table(spark, sf_dir, "customer")
+    occ = customer.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("occurrenceID"),
+        F.col("c_mktsegment").alias("dataResourceUid"),
+        F.col("c_nationkey").cast("string").alias("taxonConceptID"),
+        F.lit("2000").alias("year"),
+        F.lit("01").alias("month"),
+        F.lit("05").alias("day"),
+        F.round(F.pmod(F.col("c_acctbal"), F.lit(80.0)) - 40.0, 2)
+        .cast("string")
+        .alias("decimalLatitude"),
+        F.round(F.pmod(F.col("c_acctbal") * 1.7, F.lit(160.0)) - 80.0, 2)
+        .cast("string")
+        .alias("decimalLongitude"),
+        F.col("c_name").alias("recordedBy"),
+        F.lit(None).cast("string").alias("recordNumber"),
+        F.lit(None).cast("string").alias("catalogNumber"),
+    )
+    return detect_duplicates(occ)

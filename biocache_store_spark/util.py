@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 import zipfile
@@ -9,6 +10,27 @@ import zipfile
 from pyspark.sql import SparkSession
 
 _SHIPPED_FLAG = "spark.biocache.pyfilesShipped"
+
+
+def _package_fingerprint(pkg_dir: str) -> tuple[str, list[str]]:
+    """Hash of (path, size, mtime) over all package sources — the zip is
+    rebuilt whenever any source changes (a stale cached zip once shipped a
+    version without newer submodules)."""
+    files = []
+    h = hashlib.sha1()
+    for root, _dirs, names in os.walk(pkg_dir):
+        if "__pycache__" in root:
+            continue
+        for name in sorted(names):
+            if not name.endswith(".py"):
+                continue
+            full = os.path.join(root, name)
+            st = os.stat(full)
+            h.update(
+                f"{os.path.relpath(full, pkg_dir)}:{st.st_size}:{st.st_mtime_ns}".encode()
+            )
+            files.append(full)
+    return h.hexdigest()[:12], files
 
 
 def ensure_package_on_workers(spark: SparkSession) -> None:
@@ -27,23 +49,18 @@ def ensure_package_on_workers(spark: SparkSession) -> None:
     except Exception:
         pass
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    fingerprint, files = _package_fingerprint(pkg_dir)
     zip_path = os.path.join(
-        tempfile.gettempdir(), "biocache_store_spark_pyfiles.zip"
+        tempfile.gettempdir(), f"biocache_store_spark_pyfiles_{fingerprint}.zip"
     )
     if not os.path.exists(zip_path):
-        tmp = zip_path + ".tmp"
+        tmp = zip_path + f".tmp{os.getpid()}"
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                if "__pycache__" in root:
-                    continue
-                for name in files:
-                    if not name.endswith(".py"):
-                        continue
-                    full = os.path.join(root, name)
-                    rel = os.path.join(
-                        "biocache_store_spark", os.path.relpath(full, pkg_dir)
-                    )
-                    zf.write(full, rel)
+            for full in files:
+                rel = os.path.join(
+                    "biocache_store_spark", os.path.relpath(full, pkg_dir)
+                )
+                zf.write(full, rel)
         os.replace(tmp, zip_path)
     spark.sparkContext.addPyFile(zip_path)
     try:

@@ -1,0 +1,275 @@
+"""Offline analytics: jackknife, duplicate detection, index projection,
+SOLR query translation."""
+
+from __future__ import annotations
+
+import pytest
+
+from biocache_store_spark.operators.dedup import (
+    DupRecord,
+    determine_precision,
+    find_group_duplicates,
+    is_spatial_duplicate,
+    levenshtein,
+    point_ladder,
+)
+from biocache_store_spark.operators.jackknife import jackknife
+
+# --- jackknife (pure math, JackKnife.scala:14-99) ---------------------------
+
+
+def test_jackknife_too_few_samples():
+    assert jackknife([1.0] * 19) is None
+    assert jackknife([]) is None
+    assert jackknife(None) is None
+
+
+def test_jackknife_no_range():
+    assert jackknife([5.0] * 30) is None  # threshold 0
+
+
+def test_jackknife_no_outliers_uniform():
+    stats = jackknife(list(range(100)))
+    assert stats is not None
+    assert stats.sample_size == 100
+    assert stats.min == 0 and stats.max == 99
+    assert stats.outlier_values == ()
+    assert not stats.trigger_failsafe
+
+
+def test_jackknife_detects_extreme_outlier():
+    # bulk straddles the mean so the cascade flags only the upper tail
+    values = [float(v) for v in range(100)] + [200.0]
+    stats = jackknife(values)
+    assert stats is not None
+    assert 200.0 in stats.outlier_values
+    assert not stats.trigger_failsafe
+    assert len(stats.outlier_values) <= 3
+
+
+def test_jackknife_gap_failsafe():
+    # a huge gap above a tight below-mean bulk co-flags the whole bulk via
+    # the cascade (JackKnife.scala:50-56) -> failsafe clears the set
+    values = [float(v) for v in range(30)] + [9999.0]
+    stats = jackknife(values)
+    assert stats is not None
+    assert stats.trigger_failsafe
+    assert stats.outlier_values == ()
+
+
+def test_jackknife_low_outlier_cascade():
+    values = [-500.0] + [float(v) for v in range(100, 200)]
+    stats = jackknife(values)
+    assert stats is not None
+    assert -500.0 in stats.outlier_values
+
+
+def test_jackknife_failsafe():
+    # two extreme half-clusters: everything gets flagged -> failsafe clears
+    values = [0.0] * 15 + [1000.0] * 15
+    stats = jackknife(values)
+    assert stats is not None
+    if stats.trigger_failsafe:
+        assert stats.outlier_values == ()
+
+
+def test_jackknife_stats_values():
+    stats = jackknife([float(v) for v in range(20)])
+    assert stats.mean == pytest.approx(9.5)
+    assert stats.range == pytest.approx(19.0)
+    assert stats.threshold == pytest.approx((0.95 * (20**0.5) + 0.2) * 19 / 50)
+
+
+# --- dedup primitives (DuplicationDetection.scala) --------------------------
+
+
+def test_levenshtein():
+    assert levenshtein("kitten", "sitting") == 3
+    assert levenshtein("", "abc") == 3
+    assert levenshtein("same", "same") == 0
+
+
+def test_point_ladder():
+    pts = point_ladder("-35.21667", "144.81060")
+    assert pts[0] == "-35,145"
+    assert pts[1] == "-35.2,144.8"
+    assert pts[2] == "-35.22,144.81"
+    assert pts[5] == "-35.21667,144.81060"
+
+
+def test_determine_precision():
+    assert determine_precision("-35.21667,144.8106") == 5
+    assert determine_precision("-35,144") == 0
+    assert determine_precision(None) == 0
+
+
+def test_spatial_duplicate_exact():
+    a = point_ladder("-35.2166", "144.8106")
+    assert is_spatial_duplicate(a, list(a))
+
+
+def test_spatial_duplicate_different():
+    a = point_ladder("-35.2166", "144.8106")
+    b = point_ladder("-36.2166", "145.8106")
+    assert not is_spatial_duplicate(a, b)
+
+
+def test_spatial_duplicate_precision_difference():
+    # same location, one record reported at lower precision
+    a = point_ladder("-35.2", "144.8")
+    b = point_ladder("-35.21667", "144.81060")
+    assert is_spatial_duplicate(a, b)
+
+
+def _rec(key, lat, lon, collector, druid="dr1", catalogue=None):
+    return DupRecord(
+        row_key=key,
+        druid=druid,
+        year="2000",
+        month="01",
+        day="05",
+        lat=lat,
+        lon=lon,
+        collector=collector,
+        catalogue_number=catalogue,
+    )
+
+
+def test_group_duplicates_fuzzy_collector():
+    records = [
+        _rec("r1", "-35.21667", "144.81060", "Smith, J."),
+        _rec("r2", "-35.2", "144.8", "Smyth, J."),  # lev <= 3, lower precision
+        _rec("r3", "-20.0", "140.0", "Jones, K."),  # different place
+    ]
+    out = {r.row_key: r for r in find_group_duplicates(records)}
+    assert out["r1"].status == "R"  # higher precision representative
+    assert out["r2"].status == "D1"
+    assert out["r2"].duplicate_of == "r1"
+    assert out["r3"].status == "U"
+
+
+def test_group_duplicates_representative_by_precision():
+    records = [
+        _rec("a_low", "-35.2", "144.8", "Smith, J."),
+        _rec("b_high", "-35.21667", "144.81060", "Smith, J.", druid="dr2"),
+    ]
+    out = {r.row_key: r for r in find_group_duplicates(records)}
+    assert out["b_high"].status == "R"
+    assert out["a_low"].status == "D2"  # different resource from representative
+
+
+def test_group_duplicates_catalogue_number():
+    records = [
+        _rec("r1", "-35.2", "144.8", "Smith, J.", catalogue="CAT42"),
+        _rec("r2", "-35.2", "144.8", "Completely Different", catalogue="cat42 "),
+    ]
+    out = {r.row_key: r for r in find_group_duplicates(records)}
+    assert out["r2"].duplicate_of == "r1"
+
+
+# --- Spark integration ------------------------------------------------------
+
+
+def test_detect_duplicates_spark(spark):
+    from biocache_store_spark.operators.dedup import detect_duplicates
+
+    rows = [
+        ("o1", "dr1", "lsid:1", "2000", "01", "05", "-35.21667", "144.81060", "Smith, J.", None, None),
+        ("o2", "dr1", "lsid:1", "2000", "01", "05", "-35.2", "144.8", "Smyth, J.", None, None),
+        ("o3", "dr1", "lsid:1", "2001", "02", "06", "-35.2", "144.8", "Smith, J.", None, None),
+        ("o4", "dr2", "lsid:2", "2000", "01", "05", "-35.2", "144.8", "Smith, J.", None, None),
+    ]
+    schema = (
+        "occurrenceID string, dataResourceUid string, taxonConceptID string, "
+        "year string, month string, day string, decimalLatitude string, "
+        "decimalLongitude string, recordedBy string, recordNumber string, "
+        "catalogNumber string"
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = {r["row_key"]: r for r in detect_duplicates(df).collect()}
+    assert out["o1"]["status"] == "R"
+    assert out["o2"]["status"] == "D1"
+    assert out["o3"]["status"] == "U"  # different group (date)
+    assert out["o4"]["status"] == "U"  # different group (taxon)
+
+
+def test_jackknife_spark(spark):
+    from biocache_store_spark.operators.jackknife import jackknife_stats
+
+    rows = [("g1", float(v)) for v in range(100)] + [("g1", 200.0)]
+    rows += [("g2", 1.0)] * 5  # below sample threshold -> dropped
+    df = spark.createDataFrame(rows, ["grp", "value"])
+    out = jackknife_stats(df, ["grp"], "value").collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["grp"] == "g1"
+    assert row["sample_size"] == 101
+    assert 200.0 in row["outlier_values"]
+    assert not row["trigger_failsafe"]
+
+
+def test_index_projection(spark):
+    import datetime as dt
+
+    from biocache_store_spark.operators.index_projection import (
+        build_index,
+        facet_counts,
+    )
+    from biocache_store_spark.processors.chain import process_records
+
+    rows = [
+        ("occ1", "dr1", "PreservedSpecimen", "1978-12-31", "-35.21667",
+         "144.81060", "WGS84", "Australia", "Victoria"),
+        ("occ2", "dr1", "HumanObservation", "2001-05-05", "-30.1", "150.5",
+         "WGS84", "Australia", "New South Wales"),
+    ]
+    cols = ["occurrenceID", "dataResourceUid", "basisOfRecord", "eventDate",
+            "decimalLatitude", "decimalLongitude", "geodeticDatum", "country",
+            "stateProvince"]
+    df = spark.createDataFrame(rows, cols)
+    index = build_index(process_records(df, today=dt.date(2026, 8, 13)))
+    data = {r["id"]: r for r in index.collect()}
+    r1 = data["occ1"]
+    assert r1["occurrence_year"] == 1978
+    assert r1["occurrence_decade"] == 1970
+    assert r1["point_1"] == "-35,145"
+    assert r1["point_0_1"] == "-35.2,144.8"
+    assert r1["latitude"] == pytest.approx(-35.21667)
+    assert r1["geospatial_kosher"] is True
+    assert "invalidCollectionDate" in r1["assertions_passed"]
+    facets = {r["facet_value"]: r["facet_count"] for r in facet_counts(index, "state").collect()}
+    assert facets == {"Victoria": 1, "New South Wales": 1}
+
+
+def test_solr_query_translator(spark):
+    from biocache_store_spark.plans.solr_query import translate
+
+    df = spark.createDataFrame(
+        [("Victoria", 2005, "dr1"), ("Tasmania", 1999, "dr2"),
+         ("Victoria", 1998, "dr2"), (None, 2010, "dr3")],
+        ["state", "year", "data_resource_uid"],
+    )
+    q = translate("state:Victoria AND year:[2000 TO *]")
+    assert [r["data_resource_uid"] for r in df.filter(q).collect()] == ["dr1"]
+
+    q2 = translate("state:Victoria OR state:Tasmania")
+    assert df.filter(q2).count() == 3
+
+    q3 = translate("-state:Victoria AND year:[* TO 2005]")
+    assert df.filter(q3).count() == 1
+
+    q4 = translate('state:"Victoria"')
+    assert df.filter(q4).count() == 2
+
+    q5 = translate("data_resource_uid:dr*")
+    assert df.filter(q5).count() == 4
+
+    q6 = translate("*:*")
+    assert df.filter(q6).count() == 4
+
+    q7 = translate("state:(Victoria OR Tasmania) AND year:{1998 TO 2006}")
+    assert df.filter(q7).count() == 2
+
+    # field mapping (SOLR name -> column)
+    q8 = translate("data_resource_uid:dr2", {"data_resource_uid": "data_resource_uid"})
+    assert df.filter(q8).count() == 2

@@ -1,0 +1,134 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Generalizes the reference's media pipeline (load/MediaStore.scala:34-171:
+validate/download/dedupe media per record; load/Thumbnailer.scala: resize)
+to the columns a training-data pipeline carries: media as opaque `binary`
+content plus a typed metadata struct, with decode / feature-extract /
+resize / frame-sample as Arrow-batched mapInPandas stages.
+
+The Spark-side plumbing (schema, batch shape, partitioning, UDF signatures,
+content hashing / dedup) is real and tested. The actual byte decoding needs
+image/audio libraries that are not in this environment, so `decode_media`
+uses a deterministic fake decoder by default and raises NotImplementedError
+if a real decode is requested — swap `_decode_bytes` for a Pillow/ffmpeg
+implementation in an environment that has them.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("record_id", T.StringType()),
+        T.StructField("media_type", T.StringType()),  # image | audio | video
+        T.StructField("mime_type", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField(
+            "metadata",
+            T.StructType(
+                [
+                    T.StructField("url", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                    T.StructField("creator", T.StringType()),
+                    T.StructField("license", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+_FEATURE_DIM = 8
+
+
+def _decode_bytes(content: bytes, media_type: str, real_decode: bool):
+    """Deterministic fake decode: an _FEATURE_DIM-float feature vector from
+    the content digest. Replace with a real decoder (Pillow / torchaudio /
+    ffmpeg) where those libraries exist."""
+    if real_decode:
+        raise NotImplementedError(
+            "real media decoding requires image/audio libraries not present "
+            "in this environment; only the deterministic fake decoder is "
+            "available"
+        )
+    digest = hashlib.sha256(content or b"").digest()
+    return [b / 255.0 for b in digest[:_FEATURE_DIM]]
+
+
+def add_content_hash(media_df: DataFrame) -> DataFrame:
+    """MD5 content dedup key (MediaStore.scala:234-285)."""
+    return media_df.withColumn("content_hash", F.md5(F.col("content")))
+
+
+def dedup_media(media_df: DataFrame) -> DataFrame:
+    """Keep one row per distinct content hash (min media_id wins —
+    deterministic first-wins, as in the dedup representative rule)."""
+    from pyspark.sql.window import Window
+
+    hashed = add_content_hash(media_df)
+    w = Window.partitionBy("content_hash").orderBy("media_id")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def decode_media(
+    media_df: DataFrame, real_decode: bool = False, batch_check: bool = False
+) -> DataFrame:
+    """Arrow-batched decode stage: adds `features array<double>` and
+    `content_length`. One mapInPandas pass; rows never leave the executor."""
+    from biocache_store_spark.util import ensure_package_on_workers
+
+    ensure_package_on_workers(media_df.sparkSession)
+    schema = T.StructType(
+        list(media_df.schema.fields)
+        + [
+            T.StructField("content_length", T.IntegerType()),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+            T.StructField("batch_size", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["content_length"] = [
+                len(c) if c is not None else 0 for c in pdf["content"]
+            ]
+            out["features"] = [
+                _decode_bytes(c, t, real_decode)
+                for c, t in zip(pdf["content"], pdf["media_type"])
+            ]
+            out["batch_size"] = len(pdf)
+            yield out
+
+    return media_df.mapInPandas(run, schema=schema)
+
+
+def frame_sample_plan(media_df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plumbing for video rows: expands each video into
+    (media_id, frame_ts_ms) rows from metadata duration — the explode shape
+    a real frame extractor plugs into."""
+    videos = media_df.filter(F.col("media_type") == "video")
+    return videos.select(
+        "media_id",
+        "record_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("metadata.duration_ms") - 1, F.lit(0)),
+                F.lit(every_ms),
+            )
+        ).alias("frame_ts_ms"),
+    )

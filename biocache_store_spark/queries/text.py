@@ -194,6 +194,268 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "minhash_near_duplicates",
+    doc=(
+        "MinHash+LSH near-dup detection (operators/minhash.py): shingle -> "
+        "12 md5-family minhashes -> 4 bands -> band-bucket join -> exact "
+        "Jaccard verification >= 0.5. The md5 hash family makes the whole "
+        "pipeline deterministic, so the oracle reproduces signatures, "
+        "banding, candidates and verification exactly in SQL."
+    ),
+    bench=True,
+    oracle=r"""
+        WITH w AS (
+            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+            FROM documents
+        ),
+        idx AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i
+            FROM w
+        ),
+        shingles AS (
+            SELECT DISTINCT doc_id,
+                   toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+            FROM idx
+        ),
+        counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+        hashes AS (
+            SELECT s.doc_id, g.k, MIN(md5(g.k::VARCHAR || '|' || s.sh)) AS mh
+            FROM shingles s, generate_series(0, 11) g(k)
+            GROUP BY s.doc_id, g.k
+        ),
+        bands AS (
+            SELECT doc_id, k // 3 AS band,
+                   string_agg(mh, '|' ORDER BY k) AS band_sig
+            FROM hashes GROUP BY doc_id, k // 3
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_sig = b.band_sig
+             AND a.doc_id < b.doc_id
+        ),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+            FROM cand c
+            JOIN shingles sa ON sa.doc_id = c.doc_a
+            JOIN shingles sb ON sb.doc_id = c.doc_b AND sa.sh = sb.sh
+            GROUP BY 1, 2
+        )
+        SELECT i.doc_a, i.doc_b,
+               ROUND(i.n_common * 1.0 / (ca.n_sh + cb.n_sh - i.n_common), 4) AS jaccard
+        FROM inter i
+        JOIN counts ca ON ca.doc_id = i.doc_a
+        JOIN counts cb ON cb.doc_id = i.doc_b
+        WHERE i.n_common * 1.0 / (ca.n_sh + cb.n_sh - i.n_common) >= 0.5
+    """,
+)
+def minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.minhash import near_duplicates
+
+    docs = read_table(spark, sf_dir, "documents")
+    return near_duplicates(docs, threshold=0.5)
+
+
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "in"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "es": ("el", "la", "los", "las", "es"),
+    "fr": ("le", "les", "et", "est", "une"),
+}
+
+
+def _marker_list_sql(lang: str) -> str:
+    return ", ".join(f"'{m}'" for m in _LANG_MARKERS[lang])
+
+
+@register(
+    "text_language_id",
+    doc=(
+        "N-gram/stopword language-ID heuristic: count marker-word hits per "
+        "language over the token stream, argmax with a fixed priority "
+        "(en>de>es>fr) on ties. Pure array expressions on both sides."
+    ),
+    oracle=rf"""
+        WITH t AS (
+            SELECT doc_id, lang AS labelled_lang,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, labelled_lang,
+                   len(toks) AS n_tokens,
+                   len(list_filter(toks, x -> x IN ({_marker_list_sql('en')}))) AS s_en,
+                   len(list_filter(toks, x -> x IN ({_marker_list_sql('de')}))) AS s_de,
+                   len(list_filter(toks, x -> x IN ({_marker_list_sql('es')}))) AS s_es,
+                   len(list_filter(toks, x -> x IN ({_marker_list_sql('fr')}))) AS s_fr
+            FROM t
+        )
+        SELECT doc_id, labelled_lang,
+               CASE
+                 WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                 WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                 WHEN s_es >= s_fr THEN 'es'
+                 ELSE 'fr'
+               END AS predicted_lang,
+               ROUND(GREATEST(s_en, s_de, s_es, s_fr) * 1.0
+                     / GREATEST(n_tokens, 1), 4) AS marker_ratio
+        FROM scored
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.functions.text import words
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.col("lang").alias("labelled_lang"), words(F.col("text")).alias("toks")
+    )
+    def marker_count(markers):
+        return F.size(F.filter(F.col("toks"), lambda x: x.isin(*markers)))
+
+    scores = {
+        lang: marker_count(markers).alias(f"s_{lang}")
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    scored = toks.select(
+        "doc_id",
+        "labelled_lang",
+        F.size("toks").alias("n_tokens"),
+        *scores.values(),
+    )
+    s = {lang: F.col(f"s_{lang}") for lang in _LANG_MARKERS}
+    predicted = (
+        F.when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]), "en"
+        )
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when(s["es"] >= s["fr"], "es")
+        .otherwise("fr")
+    )
+    return scored.select(
+        "doc_id",
+        "labelled_lang",
+        predicted.alias("predicted_lang"),
+        F.round(
+            F.greatest(*s.values()) / F.greatest(F.col("n_tokens"), F.lit(1)), 4
+        ).alias("marker_ratio"),
+    )
+
+
+@register(
+    "text_quality_score",
+    doc=(
+        "Per-document quality scoring: token count, mean token length, "
+        "punctuation ratio, stopword ratio, and a weighted score — the "
+        "corpus-filtering operator of a training-data pipeline, all "
+        "built-in expressions."
+    ),
+    oracle=rf"""
+        WITH t AS (
+            SELECT doc_id,
+                   lower(trim(text)) AS lt,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   ROUND(length(list_aggregate(toks, 'string_agg', ''))
+                         * 1.0 / GREATEST(len(toks), 1), 4) AS mean_token_len,
+                   ROUND(length(regexp_replace(lt, '[a-z0-9\s]', '', 'g'))
+                         * 1.0 / GREATEST(length(lt), 1), 4) AS punct_ratio,
+                   ROUND(len(list_filter(toks, x -> x IN ({_marker_list_sql('en')})))
+                         * 1.0 / GREATEST(len(toks), 1), 4) AS stopword_ratio
+            FROM t
+        )
+        SELECT doc_id, n_tokens, mean_token_len, punct_ratio, stopword_ratio,
+               ROUND(LEAST(n_tokens / 100.0, 1.0) * 0.5
+                     + (1.0 - punct_ratio) * 0.3
+                     + LEAST(stopword_ratio * 5.0, 1.0) * 0.2, 4) AS quality_score
+        FROM m
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.functions.text import words
+
+    docs = read_table(spark, sf_dir, "documents")
+    lt = F.lower(F.trim(F.col("text")))
+    t = docs.select("doc_id", lt.alias("lt"), words(F.col("text")).alias("toks"))
+    n_tokens = F.size("toks")
+    safe_tokens = F.greatest(n_tokens, F.lit(1))
+    mean_token_len = F.round(
+        F.length(F.concat_ws("", F.col("toks"))) / safe_tokens, 4
+    )
+    punct_ratio = F.round(
+        F.length(F.regexp_replace(F.col("lt"), r"[a-z0-9\s]", ""))
+        / F.greatest(F.length("lt"), F.lit(1)),
+        4,
+    )
+    stopword_ratio = F.round(
+        F.size(F.filter(F.col("toks"), lambda x: x.isin(*_LANG_MARKERS["en"])))
+        / safe_tokens,
+        4,
+    )
+    m = t.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        mean_token_len.alias("mean_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        stopword_ratio.alias("stopword_ratio"),
+    )
+    score = F.round(
+        F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.5
+        + (1.0 - F.col("punct_ratio")) * 0.3
+        + F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0)) * 0.2,
+        4,
+    )
+    return m.withColumn("quality_score", score)
+
+
+@register(
+    "text_simhash",
+    doc=(
+        "SimHash fingerprint per document (operators/simhash.py): shingles "
+        "vote +-1 per bit, bits derived from md5 hex nibbles so the "
+        "fingerprint is engine-neutral and exactly SQL-verifiable."
+    ),
+    oracle=r"""
+        WITH w AS (
+            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+            FROM documents
+        ),
+        idx AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i
+            FROM w
+        ),
+        shingles AS (
+            SELECT DISTINCT doc_id,
+                   toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+            FROM idx
+        ),
+        counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+        bits AS (
+            SELECT s.doc_id, g.b,
+                   CASE WHEN SUM(CASE WHEN substr(md5(s.sh), g.b + 1, 1) >= '8'
+                                      THEN 1 ELSE -1 END) > 0
+                        THEN '1' ELSE '0' END AS bit
+            FROM shingles s, generate_series(0, 31) g(b)
+            GROUP BY s.doc_id, g.b
+        )
+        SELECT b.doc_id, c.n_sh, string_agg(b.bit, '' ORDER BY b.b) AS simhash
+        FROM bits b JOIN counts c ON c.doc_id = b.doc_id
+        GROUP BY b.doc_id, c.n_sh
+    """,
+)
+def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.simhash import simhash
+
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash(docs)
+
+
+@register(
     "text_fingerprint",
     doc=(
         "Deterministic 64-bit document fingerprint over normalized text "

@@ -61,6 +61,42 @@ def embedding_cosine_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_knn_topk",
+    doc=(
+        "Brute-force cosine top-k: the correctness baseline for ANN. One "
+        "broadcast of the query vector, one scan, TakeOrderedAndProject "
+        "for the top-k (no full sort). Deterministic tiebreak on vec_id."
+    ),
+    bench=True,
+    oracle=f"""
+        WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = {_QUERY_VEC_ID})
+        SELECT e.vec_id, e.label,
+               ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 4) AS cos_sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> {_QUERY_VEC_ID}
+        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb::DOUBLE[]) DESC,
+                 e.vec_id ASC
+        LIMIT 10
+    """,
+)
+def embedding_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select(F.col("embedding").alias("q_emb"))
+    )
+    sim = cosine_similarity(F.col("embedding"), F.col("q_emb"))
+    return (
+        emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .withColumn("cos_sim_raw", sim)
+        .orderBy(F.col("cos_sim_raw").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", "label", F.round("cos_sim_raw", 4).alias("cos_sim"))
+    )
+
+
+@register(
     "embedding_label_centroid_norms",
     doc=(
         "Per-label vector statistics: count and mean L2 norm — the grouped "

@@ -1,0 +1,107 @@
+"""DwC CSV/TSV loader with header mapping and key minting.
+
+Port of load/DwcCSVLoader.scala:158-343: read a delimited file with DwC
+headers, map headers to canonical terms, attach the data resource uid, and
+mint the record identity: rowkey = dr|uniqueTerm1|uniqueTerm2... (
+dao/OccurrenceDAOImpl.scala:163 createUniqueID) plus a deterministic UUIDv5
+over that key — replacing the occ_uuid read-or-mint side table
+(OccurrenceDAOImpl.scala:142 createOrRetrieveUuid) with a pure function, so
+re-loading the same record yields the same uuid with no coordination.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biocache_store_spark.sources.dwc_terms import match_term
+
+# fixed namespace for uuid5 minting (generated once for this engine)
+UUID_NAMESPACE = uuid.UUID("5d1a6d40-7b21-5a68-9c4f-2f3a8e1b6c77")
+
+
+def mint_uuid(unique_key: str) -> str:
+    return str(uuid.uuid5(UUID_NAMESPACE, unique_key))
+
+
+def map_headers(df: DataFrame, strict: bool = False) -> DataFrame:
+    """Rename recognisable DwC headers to canonical terms; unmatched columns
+    are kept as-is (strict=False) or dropped (strict=True)."""
+    renames = {}
+    keep = []
+    for col in df.columns:
+        term = match_term(col)
+        if term is not None and term not in renames.values():
+            renames[col] = term
+            keep.append(F.col(col).alias(term))
+        elif not strict:
+            keep.append(F.col(col))
+    return df.select(*keep)
+
+
+def add_record_identity(
+    df: DataFrame, data_resource_uid: str, unique_terms: list[str]
+) -> DataFrame:
+    """Adds dataResourceUid, rowKey (dr|terms...) and a deterministic uuid.
+
+    The uuid is uuid5(namespace, rowKey) as a column expression: Spark has
+    no uuid5 builtin, but sha1 is the same construction (uuid5 = SHA-1 of
+    namespace+name with version bits), computed here JVM-side.
+    """
+    key = F.concat_ws(
+        "|",
+        F.lit(data_resource_uid),
+        *[F.coalesce(F.col(t).cast("string"), F.lit("")) for t in unique_terms],
+    )
+    ns = UUID_NAMESPACE.bytes.hex()
+    digest = F.sha1(F.concat(F.to_binary(F.lit(ns), F.lit("hex")), F.encode(key, "UTF-8")))
+    # assemble RFC-4122 v5: time_hi version nibble = 5, clock_seq high bits = 10
+    uuid_col = F.concat_ws(
+        "-",
+        F.substring(digest, 1, 8),
+        F.substring(digest, 9, 4),
+        F.concat(F.lit("5"), F.substring(digest, 14, 3)),
+        F.concat(
+            F.lower(
+                F.conv(
+                    (
+                        F.conv(F.substring(digest, 17, 1), 16, 10).cast("int")
+                        % 4
+                        + 8
+                    ).cast("string"),
+                    10,
+                    16,
+                )
+            ),
+            F.substring(digest, 18, 3),
+        ),
+        F.substring(digest, 21, 12),
+    )
+    return (
+        df.withColumn("dataResourceUid", F.lit(data_resource_uid))
+        .withColumn("rowKey", key)
+        .withColumn("uuid", uuid_col)
+    )
+
+
+def load_csv(
+    spark: SparkSession,
+    path: str,
+    data_resource_uid: str,
+    unique_terms: list[str],
+    delimiter: str = ",",
+    strict: bool = False,
+) -> DataFrame:
+    """DwcCSVLoader.loadFile as a reader: csv -> header mapping -> identity."""
+    df = (
+        spark.read.option("header", True)
+        .option("delimiter", delimiter)
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("multiLine", True)
+        .csv(path)
+    )
+    mapped = map_headers(df, strict=strict)
+    return add_record_identity(mapped, data_resource_uid, unique_terms)

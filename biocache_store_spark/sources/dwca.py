@@ -1,0 +1,136 @@
+"""Darwin Core Archive loader.
+
+Port of load/DwCALoader.scala:174-363: an extracted DwC-A directory holds
+`meta.xml` describing a star schema — a core file (occurrence or event) and
+extension files keyed by coreid — with per-file delimiters, header lines and
+term-URI column mappings. The loader parses meta.xml (driver-side; it is a
+small descriptor), reads each data file with spark.read.csv using the
+declared geometry, names columns by their mapped DwC terms, and star-joins
+extensions onto the core (the reference's EventCore/OccurrenceCore
+extractors' fan-out becomes a plain join).
+"""
+
+from __future__ import annotations
+
+import os
+import xml.etree.ElementTree as ET
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biocache_store_spark.sources.csv_loader import add_record_identity
+from biocache_store_spark.sources.dwc_terms import match_term
+
+_NS = "{http://rs.tdwg.org/dwc/text/}"
+
+
+@dataclass
+class FileDescriptor:
+    row_type: str
+    location: str
+    delimiter: str = ","
+    quote: str = '"'
+    ignore_header_lines: int = 0
+    id_index: int | None = None  # core: <id index>; extension: <coreid index>
+    fields: dict[int, str] = field(default_factory=dict)  # column index -> term
+
+
+def _decode_delim(s: str | None) -> str:
+    if not s:
+        return ","
+    return s.encode().decode("unicode_escape")
+
+
+def _parse_file_element(el) -> FileDescriptor:
+    files = el.find(f"{_NS}files")
+    location = files.find(f"{_NS}location").text.strip()
+    fd = FileDescriptor(
+        row_type=el.get("rowType", ""),
+        location=location,
+        delimiter=_decode_delim(el.get("fieldsTerminatedBy")),
+        quote=el.get("fieldsEnclosedBy") or '"',
+        ignore_header_lines=int(el.get("ignoreHeaderLines", "0")),
+    )
+    id_el = el.find(f"{_NS}id")
+    if id_el is None:
+        id_el = el.find(f"{_NS}coreid")
+    if id_el is not None:
+        fd.id_index = int(id_el.get("index"))
+    for field_el in el.findall(f"{_NS}field"):
+        idx = field_el.get("index")
+        term_uri = field_el.get("term", "")
+        if idx is None:
+            continue  # default-value fields not yet supported
+        term = match_term(term_uri) or term_uri.rsplit("/", 1)[-1]
+        fd.fields[int(idx)] = term
+    return fd
+
+
+@dataclass
+class ArchiveDescriptor:
+    core: FileDescriptor
+    extensions: list[FileDescriptor]
+
+
+def parse_meta(archive_dir: str) -> ArchiveDescriptor:
+    tree = ET.parse(os.path.join(archive_dir, "meta.xml"))
+    root = tree.getroot()
+    core = _parse_file_element(root.find(f"{_NS}core"))
+    extensions = [
+        _parse_file_element(el) for el in root.findall(f"{_NS}extension")
+    ]
+    return ArchiveDescriptor(core=core, extensions=extensions)
+
+
+def _read_file(
+    spark: SparkSession, archive_dir: str, fd: FileDescriptor, id_alias: str
+) -> DataFrame:
+    df = (
+        spark.read.option("header", fd.ignore_header_lines > 0)
+        .option("delimiter", fd.delimiter)
+        .option("quote", fd.quote or '"')
+        .option("escape", fd.quote or '"')
+        .csv(os.path.join(archive_dir, fd.location))
+    )
+    # positional selection: meta.xml indexes are authoritative, headers not
+    cols = []
+    seen = set()
+    raw_cols = df.columns
+    if fd.id_index is not None and fd.id_index < len(raw_cols):
+        cols.append(F.col(raw_cols[fd.id_index]).alias(id_alias))
+        seen.add(id_alias)
+    for idx, term in sorted(fd.fields.items()):
+        if idx < len(raw_cols) and term not in seen:
+            cols.append(F.col(raw_cols[idx]).alias(term))
+            seen.add(term)
+    return df.select(*cols)
+
+
+def load_archive(
+    spark: SparkSession,
+    archive_dir: str,
+    data_resource_uid: str,
+    unique_terms: list[str] | None = None,
+    collect_extensions: bool = True,
+) -> DataFrame:
+    """Extracted DwC-A directory -> occurrence DataFrame with identity.
+
+    Extension rows (e.g. multimedia) are aggregated per core record into
+    array<struct> columns named by the extension row type's simple name —
+    the fan-out join the reference does row-by-row (DwCALoader.scala:522-648).
+    """
+    desc = parse_meta(archive_dir)
+    core = _read_file(spark, archive_dir, desc.core, "coreID")
+    if collect_extensions:
+        for ext in desc.extensions:
+            ext_df = _read_file(spark, archive_dir, ext, "coreID")
+            name = ext.row_type.rstrip("/").rsplit("/", 1)[-1].lower() or "extension"
+            value_cols = [c for c in ext_df.columns if c != "coreID"]
+            grouped = ext_df.groupBy("coreID").agg(
+                F.collect_list(F.struct(*value_cols)).alias(name)
+            )
+            core = core.join(grouped, "coreID", "left")
+    if unique_terms is None:
+        unique_terms = ["occurrenceID"] if "occurrenceID" in core.columns else ["coreID"]
+    return add_record_identity(core, data_resource_uid, unique_terms)

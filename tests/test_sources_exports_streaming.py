@@ -1,0 +1,192 @@
+"""Loaders (CSV + DwC-A), exporters, and the streaming surface."""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+FIXTURE_DWCA = os.path.join(os.path.dirname(__file__), "fixtures", "test-dwca")
+
+
+def test_dwc_term_matching():
+    from biocache_store_spark.sources.dwc_terms import match_term
+
+    assert match_term("Decimal Latitude") == "decimalLatitude"
+    assert match_term("decimal_latitude") == "decimalLatitude"
+    assert match_term("http://rs.tdwg.org/dwc/terms/decimalLatitude") == "decimalLatitude"
+    assert match_term("lat") == "decimalLatitude"
+    assert match_term("class") == "classs"  # reference's classs remap
+    assert match_term("no such header") is None
+
+
+def test_csv_loader(spark, tmp_path):
+    from biocache_store_spark.sources.csv_loader import load_csv, mint_uuid
+
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "Occurrence ID,Scientific Name,LAT,Long,Event Date\n"
+        "o1,Macropus rufus,-35.2,144.8,1981-10-17\n"
+        "o2,Emu,-30.0,150.0,2001-01-01\n"
+    )
+    df = load_csv(spark, str(p), "dr1", ["occurrenceID"])
+    rows = {r["occurrenceID"]: r for r in df.collect()}
+    assert set(rows) == {"o1", "o2"}
+    assert rows["o1"]["scientificName"] == "Macropus rufus"
+    assert rows["o1"]["decimalLatitude"] == "-35.2"
+    assert rows["o1"]["rowKey"] == "dr1|o1"
+    # JVM-side uuid column == python uuid5 reference implementation
+    assert rows["o1"]["uuid"] == mint_uuid("dr1|o1")
+    assert rows["o2"]["uuid"] == mint_uuid("dr1|o2")
+
+
+def test_dwca_loader(spark):
+    from biocache_store_spark.sources.dwca import load_archive, parse_meta
+
+    desc = parse_meta(FIXTURE_DWCA)
+    assert desc.core.delimiter == "\t"
+    assert desc.core.fields[2] == "scientificName"
+    assert len(desc.extensions) == 1
+
+    df = load_archive(spark, FIXTURE_DWCA, "dr0", ["occurrenceID"])
+    rows = {r["occurrenceID"]: r for r in df.collect()}
+    assert set(rows) == {"urn:occ:1", "urn:occ:2", "urn:occ:3"}
+    r1 = rows["urn:occ:1"]
+    assert r1["scientificName"] == "Macropus rufus"
+    assert r1["classs"] == "Mammalia"
+    assert r1["rowKey"] == "dr0|urn:occ:1"
+    media = sorted(m["identifier"] for m in r1["multimedia"])
+    assert media == ["http://images.example/1.jpg", "http://images.example/2.jpg"]
+    assert rows["urn:occ:2"]["multimedia"] is None
+
+
+def test_dwca_end_to_end_process_and_index(spark):
+    """Golden slice: DwC-A -> process -> index -> facet (SURVEY §7 minimum
+    slice)."""
+    import datetime as dt
+
+    from biocache_store_spark.operators.index_projection import build_index, facet_counts
+    from biocache_store_spark.processors.chain import process_records
+    from biocache_store_spark.sources.dwca import load_archive
+
+    raw = load_archive(spark, FIXTURE_DWCA, "dr0", ["occurrenceID"])
+    processed = process_records(raw, today=dt.date(2026, 8, 13))
+    index = build_index(processed)
+    rows = {r["id"]: r for r in index.collect()}
+    assert rows["urn:occ:1"]["occurrence_year"] == 1981
+    assert rows["urn:occ:2"]["occurrence_date"] == "1981-10-17"  # day-first parsed
+    assert rows["urn:occ:2"]["basis_of_record"] == "HumanObservation"
+    assert rows["urn:occ:3"]["basis_of_record"] == "PreservedSpecimen"  # "S"
+    kosher = index.filter(F.col("geospatial_kosher"))
+    facets = {
+        r["facet_value"]: r["facet_count"]
+        for r in facet_counts(kosher, "basis_of_record").collect()
+    }
+    assert facets == {"PreservedSpecimen": 2, "HumanObservation": 1}
+
+
+def test_exports(spark, tmp_path):
+    from biocache_store_spark.exports.exporters import (
+        create_dwca,
+        export_by_facet,
+        export_csv,
+        export_facet,
+        stream_records,
+    )
+
+    df = spark.createDataFrame(
+        [("o1", "Victoria", "A"), ("o2", "Victoria", "B"), ("o3", "Tasmania", "C")],
+        "occurrenceID string, stateProvince string, scientificName string",
+    )
+    out1 = str(tmp_path / "csv")
+    export_csv(df, ["occurrenceID", "scientificName"], out1)
+    back = spark.read.option("header", True).csv(out1)
+    assert back.count() == 3 and back.columns == ["occurrenceID", "scientificName"]
+
+    out2 = str(tmp_path / "facet")
+    export_facet(df, "stateProvince", out2)
+    facets = {
+        r["stateProvince"]: int(r["count"])
+        for r in spark.read.option("header", True).csv(out2).collect()
+    }
+    assert facets == {"Victoria": 2, "Tasmania": 1}
+
+    out3 = str(tmp_path / "byfacet")
+    export_by_facet(df, "stateProvince", ["occurrenceID"], out3)
+    assert os.path.isdir(os.path.join(out3, "stateProvince=Victoria"))
+
+    streamed = list(stream_records(df, ["occurrenceID"]))
+    assert sorted(v[0] for v in streamed) == ["o1", "o2", "o3"]
+
+    zip_path = str(tmp_path / "archive.zip")
+    create_dwca(df, ["occurrenceID", "stateProvince", "scientificName"], zip_path)
+    with zipfile.ZipFile(zip_path) as zf:
+        assert set(zf.namelist()) == {"meta.xml", "eml.xml", "occurrence.csv"}
+        body = zf.read("occurrence.csv").decode()
+        assert "Victoria" in body and body.startswith("id,occurrenceID")
+    # round-trip: the archive we write is readable by our own DwC-A loader
+    import shutil
+
+    extract_dir = str(tmp_path / "extracted")
+    with zipfile.ZipFile(zip_path) as zf:
+        zf.extractall(extract_dir)
+    from biocache_store_spark.sources.dwca import load_archive
+
+    back_df = load_archive(spark, extract_dir, "dr9", ["occurrenceID"])
+    assert back_df.count() == 3
+    shutil.rmtree(extract_dir)
+
+
+def test_streaming_incremental(spark, tmp_path):
+    from biocache_store_spark.streaming.incremental import process_staging_stream
+
+    staging = tmp_path / "staging"
+    staging.mkdir()
+    (staging / "batch1.csv").write_text(
+        "occurrenceID,dataResourceUid,basisOfRecord,eventDate,year,month,day,"
+        "decimalLatitude,decimalLongitude,geodeticDatum,country,stateProvince,"
+        "scientificName,recordedBy\n"
+        "s1,dr1,PreservedSpecimen,2001-05-05,,,,-35.2,144.8,WGS84,Australia,,Xus yus,Smith J\n"
+    )
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = process_staging_stream(spark, str(staging), out, ckpt)
+    q.awaitTermination(120)
+    first = spark.read.parquet(out)
+    assert first.count() == 1
+    assert first.collect()[0]["processed"]["eventDate"] == "2001-05-05"
+
+    # drop a second file: only the new file is processed on the next run
+    (staging / "batch2.csv").write_text(
+        "occurrenceID,dataResourceUid,basisOfRecord,eventDate,year,month,day,"
+        "decimalLatitude,decimalLongitude,geodeticDatum,country,stateProvince,"
+        "scientificName,recordedBy\n"
+        "s2,dr1,HumanObservation,2002-06-06,,,,-30.0,150.0,WGS84,Australia,,Aus bus,Doe K\n"
+    )
+    q2 = process_staging_stream(spark, str(staging), out, ckpt)
+    q2.awaitTermination(120)
+    ids = sorted(
+        r["occurrenceID"] for r in spark.read.parquet(out).select("occurrenceID").collect()
+    )
+    assert ids == ["s1", "s2"]
+
+
+def test_streaming_windowed_counts(spark):
+    import datetime as dt
+
+    from biocache_store_spark.streaming.incremental import windowed_event_counts
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 10), "click", 1.0),
+        (dt.datetime(2024, 1, 1, 0, 50), "click", 2.0),
+        (dt.datetime(2024, 1, 1, 1, 10), "view", 3.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    out = {
+        (r["win"]["start"].hour, r["event_type"]): (r["n"], r["total_value"])
+        for r in windowed_event_counts(df).collect()
+    }
+    assert out[(0, "click")] == (2, 3.0)
+    assert out[(1, "view")] == (1, 3.0)

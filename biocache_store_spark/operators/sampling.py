@@ -1,0 +1,188 @@
+"""Spatial sampling: intersect occurrence points with environmental (el)
+and contextual (cl) layers.
+
+Port of tool/Sampling.scala:371-676 + caches/SpatialLayerDAO.scala with the
+reference's key optimization kept explicit: points are DISTINCT-ed before
+the expensive intersection (Sampling.scala:371-444 collects distinct
+coordinates; caches/LocationDAO.scala:94 memoizes results in the `loc`
+table) — here `distinct_points` -> `sample_points` -> broadcast-join back
+to records on (lat, lon). At 100 TB the distinct-points relation is orders
+of magnitude smaller than the record table, so the geometry work is bounded
+by unique locations, not records.
+
+Layer forms (FIXTURES.md F3):
+  * contextual `cl` layers: (layerID, name, wkt) polygons — point-in-polygon
+    via a pure ray-casting test over broadcast-parsed polygons (an
+    Arrow-batched mapInPandas stage; no geo library needed for the
+    polygon/rectangle WKTs the reference samples);
+  * environmental `el` layers: (layerID, lon_bin, lat_bin, value) grids at a
+    fixed resolution — a plain equi-join on the binned coordinates, fully
+    JVM-side.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_WKT_POLYGON = re.compile(r"POLYGON\s*\(\(\s*(.*?)\s*\)\)", re.IGNORECASE | re.DOTALL)
+
+
+def parse_wkt_polygon(wkt: str) -> list[tuple[float, float]]:
+    """Parse a simple (no-holes) WKT POLYGON into a ring of (lon, lat)."""
+    m = _WKT_POLYGON.match(wkt.strip())
+    if not m:
+        raise ValueError(f"Unsupported WKT (simple POLYGON only): {wkt[:60]}")
+    ring = []
+    for pair in m.group(1).split(","):
+        lon, lat = pair.split()
+        ring.append((float(lon), float(lat)))
+    return ring
+
+
+def point_in_polygon(lon: float, lat: float, ring: list[tuple[float, float]]) -> bool:
+    """Ray casting; boundary points count as inside (sufficient for
+    sampling semantics)."""
+    inside = False
+    n = len(ring)
+    j = n - 1
+    for i in range(n):
+        xi, yi = ring[i]
+        xj, yj = ring[j]
+        if (yi > lat) != (yj > lat):
+            x_cross = (xj - xi) * (lat - yi) / (yj - yi) + xi
+            if lon < x_cross:
+                inside = not inside
+            elif lon == x_cross:
+                return True
+        j = i
+    return inside
+
+
+def distinct_points(
+    records: DataFrame, lat_col: str = "decimalLatitude", lon_col: str = "decimalLongitude"
+) -> DataFrame:
+    """The pre-join dedup the reference insists on (Sampling.scala:371-444)."""
+    return (
+        records.select(
+            F.col(lat_col).cast("double").alias("lat"),
+            F.col(lon_col).cast("double").alias("lon"),
+        )
+        .filter(F.col("lat").isNotNull() & F.col("lon").isNotNull())
+        .distinct()
+    )
+
+
+def sample_cl_layers(points: DataFrame, cl_layers: DataFrame) -> DataFrame:
+    """points(lat, lon) x contextual polygon layers -> + cl map<layer, name>."""
+    from biocache_store_spark.util import ensure_package_on_workers
+
+    ensure_package_on_workers(points.sparkSession)
+    layers = [
+        (r["layerID"], r["name"], parse_wkt_polygon(r["wkt"]))
+        for r in cl_layers.select("layerID", "name", "wkt").collect()
+    ]
+    bc = points.sparkSession.sparkContext.broadcast(layers)
+    schema = T.StructType(
+        list(points.schema.fields)
+        + [T.StructField("cl", T.MapType(T.StringType(), T.StringType()))]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local_layers = bc.value
+        for pdf in batches:
+            cl_col = []
+            for lat, lon in zip(pdf["lat"], pdf["lon"]):
+                hits = {
+                    layer_id: name
+                    for layer_id, name, ring in local_layers
+                    if point_in_polygon(float(lon), float(lat), ring)
+                }
+                cl_col.append(hits)
+            out = pdf.copy()
+            out["cl"] = cl_col
+            yield out
+
+    return points.mapInPandas(run, schema=schema)
+
+
+def sample_el_layers(
+    points: DataFrame, el_layers: DataFrame, resolution: float = 0.1
+) -> DataFrame:
+    """points(lat, lon) x gridded layers -> + el map<layer, value>.
+
+    Grid rows: (layerID, lon_bin, lat_bin, value); the join key is the
+    INTEGER bin index (floor(coord/res) vs round(bin/res)) — comparing
+    floored-and-rescaled doubles would miss on float representation, and
+    integer keys also join/broadcast cheaper."""
+    binned = points.withColumn(
+        "__lat_idx", F.floor(F.col("lat") / resolution).cast("long")
+    ).withColumn("__lon_idx", F.floor(F.col("lon") / resolution).cast("long"))
+    grid = el_layers.select(
+        "layerID",
+        "value",
+        F.round(F.col("lat_bin") / resolution, 0).cast("long").alias("__lat_idx"),
+        F.round(F.col("lon_bin") / resolution, 0).cast("long").alias("__lon_idx"),
+    )
+    joined = binned.join(F.broadcast(grid), ["__lat_idx", "__lon_idx"], "left")
+    return (
+        joined.groupBy("lat", "lon")
+        .agg(
+            F.map_filter(
+                F.map_from_entries(
+                    F.collect_list(
+                        F.when(
+                            F.col("layerID").isNotNull(),
+                            F.struct(F.col("layerID"), F.col("value")),
+                        )
+                    )
+                ),
+                lambda k, v: v.isNotNull(),
+            ).alias("el")
+        )
+    )
+
+
+def sample_points(
+    points: DataFrame,
+    cl_layers: DataFrame | None = None,
+    el_layers: DataFrame | None = None,
+    resolution: float = 0.1,
+) -> DataFrame:
+    """Full sampling pass over distinct points -> (lat, lon, cl, el)."""
+    out = points
+    if cl_layers is not None:
+        out = sample_cl_layers(out, cl_layers)
+    else:
+        out = out.withColumn("cl", F.lit(None).cast("map<string,string>"))
+    if el_layers is not None:
+        el = sample_el_layers(points, el_layers, resolution)
+        out = out.join(el, ["lat", "lon"], "left")
+    else:
+        out = out.withColumn("el", F.lit(None).cast("map<string,double>"))
+    return out
+
+
+def enrich_records(
+    records: DataFrame,
+    samples: DataFrame,
+    lat_col: str = "decimalLatitude",
+    lon_col: str = "decimalLongitude",
+) -> DataFrame:
+    """Join sampled cl/el maps back onto records on rounded coordinates —
+    the read path of the reference's `loc` table
+    (caches/LocationDAO.scala:130-176)."""
+    keyed = samples.select(
+        F.col("lat").alias("__s_lat"), F.col("lon").alias("__s_lon"), "cl", "el"
+    )
+    return records.join(
+        F.broadcast(keyed),
+        (F.col(lat_col).cast("double") == F.col("__s_lat"))
+        & (F.col(lon_col).cast("double") == F.col("__s_lon")),
+        "left",
+    ).drop("__s_lat", "__s_lon")

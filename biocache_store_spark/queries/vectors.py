@@ -97,6 +97,28 @@ def embedding_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_ann_topk",
+    doc=(
+        "LSH-bucketed approximate top-k (operators/similarity.py): "
+        "random-hyperplane buckets (deterministic md5-seeded planes), "
+        "multi-probe candidate generation, exact-cosine re-rank. The scale "
+        "path for similarity search; recall vs the brute-force baseline is "
+        "asserted in tests, so the driver check is rows-only."
+    ),
+    oracle=None,
+)
+def embedding_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.similarity import ann_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return ann_topk(emb, queries, dim=64, k=10)
+
+
+@register(
     "embedding_label_centroid_norms",
     doc=(
         "Per-label vector statistics: count and mean L2 norm — the grouped "

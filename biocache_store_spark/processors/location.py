@@ -13,9 +13,10 @@ Datum handling: a small datum->EPSG registry recognizes the common datums;
 GDA94/GDA2020 are treated as coincident with WGS84 at the engine's precision
 (their offset is <2 m). True reprojection of legacy datums (AGD66/AGD84,
 grids) requires a proj library that is not available in this environment;
-those datums are recognized but conversion is marked failed. Easting/
-northing and OSGB grid references are likewise recognized-but-stubbed
-(DECIMAL_LAT_LONG_CALCULATION_FROM_EASTING_NORTHING_FAILED).
+those datums are recognized but conversion is marked failed. OSGB/Irish
+grid references ARE fully converted (parsers/gridref.py implements the
+published transverse-Mercator + Helmert math); bare easting/northing+zone
+triples remain stubbed pending a UTM zone registry.
 """
 
 from __future__ import annotations
@@ -122,10 +123,21 @@ def process_lat_long(raw: dict, assertions: list) -> dict | None:
         )
         return None
     if raw.get("gridReference") is not None:
+        from biocache_store_spark.parsers.gridref import process_grid_reference
+
+        point = process_grid_reference(str(raw["gridReference"]))
+        if point is not None:
+            assertions.append(QA.failed(C.DECIMAL_LAT_LONG_CALCULATED_FROM_GRID_REF))
+            return {
+                "latitude": str(point.latitude),
+                "longitude": str(point.longitude),
+                "datum": point.datum,
+                "uncertainty": point.coordinate_uncertainty,
+            }
         assertions.append(
             QA.failed(
                 C.DECIMAL_LAT_LONG_CALCULATION_FROM_EASTING_NORTHING_FAILED,
-                "Grid reference conversion not available",
+                "Invalid grid reference",
             )
         )
         return None
@@ -356,6 +368,9 @@ def process_location(raw: dict) -> tuple[dict, list]:
         processed["decimalLatitude"] = point["latitude"]
         processed["decimalLongitude"] = point["longitude"]
         processed["geodeticDatum"] = point["datum"]
+        # grid references carry their own uncertainty (grid cell size)
+        if point.get("uncertainty") and not raw.get("coordinateUncertaintyInMeters"):
+            processed["coordinateUncertaintyInMeters"] = f"{float(point['uncertainty']):.1f}"
         validate_coordinates(raw, processed, assertions)
         check_coordinate_uncertainty(raw, processed, assertions)
     else:

@@ -157,3 +157,13 @@ def test_kosher_flag():
         {"decimalLatitude": "0", "decimalLongitude": "0", "geodeticDatum": "WGS84"}
     )
     assert not geospatially_kosher(bad)
+
+
+def test_grid_reference_resolution():
+    p, a = process_location({"gridReference": "NM39"})
+    assert p["decimalLatitude"] == "56.97001"
+    assert p["decimalLongitude"] == "-6.36199"
+    assert p["geodeticDatum"] == "EPSG:4326"
+    assert p["coordinateUncertaintyInMeters"] == "10000.0"
+    assert qa_status(a, C.DECIMAL_LAT_LONG_CALCULATED_FROM_GRID_REF.code) == FAILED
+    assert qa_status(a, C.UNCERTAINTY_NOT_SPECIFIED.code) == PASSED

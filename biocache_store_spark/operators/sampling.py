@@ -129,7 +129,12 @@ def sample_el_layers(
         F.round(F.col("lat_bin") / resolution, 0).cast("long").alias("__lat_idx"),
         F.round(F.col("lon_bin") / resolution, 0).cast("long").alias("__lon_idx"),
     )
-    joined = binned.join(F.broadcast(grid), ["__lat_idx", "__lon_idx"], "left")
+    # No broadcast hint: a multi-layer global grid scales with resolution
+    # (GBs at realistic resolutions), so a forced broadcast OOMs at the
+    # design scale. AQE promotes the join to broadcast at runtime when the
+    # grid side actually is small; otherwise this is a shuffle equi-join on
+    # the integer bin key.
+    joined = binned.join(grid, ["__lat_idx", "__lon_idx"], "left")
     return (
         joined.groupBy("lat", "lon")
         .agg(
@@ -176,12 +181,19 @@ def enrich_records(
 ) -> DataFrame:
     """Join sampled cl/el maps back onto records on rounded coordinates —
     the read path of the reference's `loc` table
-    (caches/LocationDAO.scala:130-176)."""
+    (caches/LocationDAO.scala:130-176).
+
+    Distinct coordinates scale with the data (~1e8 rows carrying cl/el maps
+    at 100 TB), so the samples side is NOT broadcast: this is a shuffle
+    equi-join on the coordinate key (AQE still promotes it to broadcast at
+    runtime if the sample relation happens to be small). At scale, persist
+    `samples` bucketed by (lat, lon) — the reference's `loc`-table pattern —
+    so repeated enrichment runs reuse the partitioning."""
     keyed = samples.select(
         F.col("lat").alias("__s_lat"), F.col("lon").alias("__s_lon"), "cl", "el"
     )
     return records.join(
-        F.broadcast(keyed),
+        keyed,
         (F.col(lat_col).cast("double") == F.col("__s_lat"))
         & (F.col(lon_col).cast("double") == F.col("__s_lon")),
         "left",

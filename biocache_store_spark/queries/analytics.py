@@ -174,34 +174,105 @@ def stored_query_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "Full grouped duplicate detection (tool/DuplicationDetection.scala: "
         "blocking group -> pairwise spatial+collector match -> "
-        "representative by precision) run on occurrence-shaped records "
-        "synthesized from customer (block = (nation, segment), collector = "
-        "c_name, coordinates derived from the account balance). "
-        "Non-SQL-expressible (iterative pairwise marking) -> rows-only "
-        "check; the algorithm's unit oracle lives in "
-        "tests/test_operators_offline.py."
+        "representative by precision, findDuplicates :966-1013, "
+        "markRecordsAsDuplicatesAndSetTypes :874-926) run through the real "
+        "applyInPandas operator on occurrence-shaped records synthesized "
+        "from customer. The synthesis is designed so the pairwise match "
+        "relation is an equivalence (cluster-constant collector; integer "
+        "coordinates whose 2-decimal variant matches via the precision "
+        "ladder walk of isSpatialDuplicate :1122-1158), which makes the "
+        "greedy iterative outcome exactly reproducible with window "
+        "functions in the DuckDB oracle: representative = min row_key "
+        "(ties) unless a higher-precision member exists (it is the min-key "
+        "member by construction), D1/D2 split on the representative's "
+        "resource, dup types 6+5 (exact collector + different precision) "
+        "or 6+4 (exact coord). Cluster coordinates are globally unique "
+        "(lon = cluster id), so cross-cluster pairs always fail the spatial "
+        "gate at rung 0 regardless of scale factor. The fuzzy paths "
+        "(Levenshtein collector, record/catalogue numbers, missing dates) "
+        "are covered by the unit matrix in tests/test_operators_offline.py."
     ),
-    oracle=None,
+    oracle="""
+        WITH occ AS (
+            SELECT printf('c%09d', c_custkey) AS row_key,
+                   c_mktsegment AS druid,
+                   c_custkey // 4 AS cid,
+                   c_custkey % 4 AS m
+            FROM customer
+        ),
+        rec AS (
+            SELECT row_key, druid, cid,
+                   CAST(cid % 25 AS VARCHAR) AS taxon,
+                   CASE WHEN m = 0 THEN 2 ELSE 0 END AS prec0
+            FROM occ
+        ),
+        cl AS (
+            SELECT *,
+                   COUNT(*) OVER (PARTITION BY cid) AS n,
+                   MIN(row_key) OVER (PARTITION BY cid) AS rep_key,
+                   MAX(prec0) OVER (PARTITION BY cid) AS max_prec,
+                   FIRST_VALUE(druid) OVER (
+                       PARTITION BY cid ORDER BY row_key
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                   ) AS rep_druid
+            FROM rec
+        )
+        SELECT taxon,
+               '2000' AS year, '01' AS month, '05' AS day,
+               row_key,
+               CASE WHEN n = 1 THEN 'U'
+                    WHEN row_key = rep_key THEN 'R'
+                    WHEN druid = rep_druid THEN 'D1'
+                    ELSE 'D2' END AS status,
+               CASE WHEN n > 1 AND row_key <> rep_key THEN rep_key END AS duplicate_of,
+               CASE WHEN n = 1 OR row_key = rep_key THEN ''
+                    WHEN max_prec = 2 THEN '5,6'
+                    ELSE '4,6' END AS dup_types,
+               CAST(CASE WHEN n > 1 AND row_key = rep_key THEN max_prec
+                         ELSE 0 END AS INTEGER) AS precision
+        FROM cl
+    """,
 )
 def dedup_occurrence_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biocache_store_spark.operators.dedup import detect_duplicates
 
     customer = read_table(spark, sf_dir, "customer")
+    cid = F.expr("c_custkey DIV 4")
+    member = F.expr("c_custkey % 4")
+    # cluster coordinates are globally unique (lon = cid), so the spatial
+    # gate always rejects cross-cluster pairs at rung 0 at ANY scale factor —
+    # fuzzy-collector near-misses between "Collector-25"/"Collector-50" can
+    # never merge clusters
+    lat_int = F.expr("(c_custkey DIV 4) DIV 25").cast("int")
+    lon_int = cid.cast("int")
     occ = customer.select(
-        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("occurrenceID"),
+        F.format_string("c%09d", F.col("c_custkey")).alias("occurrenceID"),
         F.col("c_mktsegment").alias("dataResourceUid"),
-        F.col("c_nationkey").cast("string").alias("taxonConceptID"),
+        F.pmod(cid, F.lit(25)).cast("string").alias("taxonConceptID"),
         F.lit("2000").alias("year"),
         F.lit("01").alias("month"),
         F.lit("05").alias("day"),
-        F.round(F.pmod(F.col("c_acctbal"), F.lit(80.0)) - 40.0, 2)
-        .cast("string")
+        F.when(member == 0, F.concat(lat_int.cast("string"), F.lit(".01")))
+        .otherwise(lat_int.cast("string"))
         .alias("decimalLatitude"),
-        F.round(F.pmod(F.col("c_acctbal") * 1.7, F.lit(160.0)) - 80.0, 2)
-        .cast("string")
+        F.when(member == 0, F.concat(lon_int.cast("string"), F.lit(".01")))
+        .otherwise(lon_int.cast("string"))
         .alias("decimalLongitude"),
-        F.col("c_name").alias("recordedBy"),
+        F.concat(F.lit("Collector-"), cid.cast("string")).alias("recordedBy"),
         F.lit(None).cast("string").alias("recordNumber"),
         F.lit(None).cast("string").alias("catalogNumber"),
     )
-    return detect_duplicates(occ)
+    res = detect_duplicates(occ)
+    # the driver's canonicalizer cannot hash array cells: emit dup_types as a
+    # sorted comma-joined string (the library API keeps the typed array)
+    return res.select(
+        "taxon",
+        "year",
+        "month",
+        "day",
+        "row_key",
+        "status",
+        "duplicate_of",
+        F.array_join(F.col("dup_types").cast("array<string>"), ",").alias("dup_types"),
+        "precision",
+    )

@@ -229,7 +229,10 @@ def broadcast_enrich_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = read_table(spark, sf_dir, "region")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
+        # customer is sf-scaled (a fact, not a dim): no broadcast hint — AQE
+        # picks broadcast at small SFs and shuffle join once it outgrows the
+        # threshold. Hints stay only on the true fixed-size dims below.
+        .join(customer, F.col("o_custkey") == customer.c_custkey)
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
@@ -261,7 +264,9 @@ def part_enrich_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     part = read_table(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # part is sf-scaled: leave the join strategy to AQE (broadcast at
+        # small SFs, shuffle join at scale)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("total_qty"),

@@ -96,16 +96,67 @@ def embedding_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_oracle(dim: int = 64, n_planes: int = 8, k: int = 10) -> str:
+    """Exact DuckDB replay of the LSH pipeline: the hyperplanes are
+    md5-deterministic Python literals baked into the Spark plan, so the same
+    literals are baked into the SQL; buckets, 1-bit-flip probes, and the
+    cosine re-rank are then ordinary SQL."""
+    from biocache_store_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes)
+    bits = "\n            || ".join(
+        "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
+        + ",".join(repr(v) for v in plane)
+        + "]::DOUBLE[]) > 0 THEN '1' ELSE '0' END)"
+        for plane in planes
+    )
+    return f"""
+        WITH b AS (
+            SELECT vec_id, embedding,
+                   {bits} AS bucket
+            FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id AS query_id, embedding AS q_emb, bucket AS qbucket
+            FROM b WHERE vec_id < 5
+        ),
+        probes AS (
+            SELECT query_id, q_emb,
+                   CASE WHEN i = 0 THEN qbucket
+                        ELSE substr(qbucket, 1, i - 1)
+                             || (CASE WHEN substr(qbucket, i, 1) = '1'
+                                 THEN '0' ELSE '1' END)
+                             || substr(qbucket, i + 1)
+                   END AS bucket
+            FROM q, generate_series(0, {n_planes}) t(i)
+        ),
+        cand AS (
+            SELECT p.query_id, b.vec_id,
+                   list_cosine_similarity(b.embedding::DOUBLE[], p.q_emb::DOUBLE[]) AS cs
+            FROM b JOIN probes p USING (bucket)
+            WHERE b.vec_id <> p.query_id
+        )
+        SELECT query_id, vec_id, ROUND(cs, 4) AS cos_sim,
+               CAST(rnk AS INTEGER) AS "rank"
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY query_id ORDER BY cs DESC, vec_id ASC) AS rnk
+              FROM cand)
+        WHERE rnk <= {k}
+    """
+
+
 @register(
     "embedding_ann_topk",
     doc=(
         "LSH-bucketed approximate top-k (operators/similarity.py): "
         "random-hyperplane buckets (deterministic md5-seeded planes), "
         "multi-probe candidate generation, exact-cosine re-rank. The scale "
-        "path for similarity search; recall vs the brute-force baseline is "
-        "asserted in tests, so the driver check is rows-only."
+        "path for similarity search; the md5-seeded planes make the whole "
+        "pipeline exactly reproducible in the DuckDB oracle (plane literals "
+        "baked into the SQL), and recall vs the brute-force baseline is "
+        "additionally asserted in tests."
     ),
-    oracle=None,
+    oracle=_ann_oracle(),
 )
 def embedding_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biocache_store_spark.operators.similarity import ann_topk

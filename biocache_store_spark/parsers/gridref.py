@@ -59,74 +59,186 @@ class GridPoint:
     max_longitude: float
 
 
-_REF_RE = re.compile(r"^([A-Z]{1,2})\s*((?:\d\d?)*)\s*([A-NP-Z])?$", re.IGNORECASE)
+# case ladder mirrors GridUtil.scala:346-356 (OSGB) / :236-245 (Irish):
+# 1-number, easting+northing, 2km tetrad suffix, quadrant suffix, letters-only
+_OS_1NUM = re.compile(r"([A-Z]{2})\s*([0-9]+)")
+_OS_EN = re.compile(r"([A-Z]{2})\s*([0-9]+)\s*([0-9]+)")
+_OS_2K = re.compile(r"([A-Z]{2})\s*([0-9]+)\s*([0-9]+)\s*([A-Z])")
+_OS_QUAD = re.compile(r"([A-Z]{2})\s*([0-9]+)\s*([0-9]+)\s*(NW|NE|SW|SE)")
+_OS_LETTERS = re.compile(r"([A-Z]{2})")
+_IR_1NUM = re.compile(r"(I?[A-Z])\s*([0-9]+)")
+_IR_EN = re.compile(r"(I?[A-Z])\s*([0-9]+)\s*([0-9]+)")
+_IR_2K = re.compile(r"(I?[A-Z])\s*([0-9]+)\s*([0-9]+)\s*([A-Z])")
+_IR_QUAD = re.compile(r"(I?[A-Z])\s*([0-9]+)\s*([0-9]+)\s*(NW|NE|SW|SE)")
+# letters-only Irish refs accept only the reference's 20-letter alphabet
+# (GridUtil.scala:38-40)
+_IR_LETTERS = re.compile(r"(I?[ABCDFGHJLMNOQRSTVWXY])")
+
+# accuracy per digit count, halved for quadrants, /5 for tetrads
+# (GridUtil.getCoordinateUncertaintyFromGridRef, GridUtil.scala:75-90)
+_ACCURACY = {10: 1, 8: 10, 6: 100, 4: 1000, 2: 10000, 0: 100000}
+# tetrad / quadrant cell size per easting-digit count (GridUtil.scala:424/446)
+_TETRAD_CELL = {1: 2000, 2: 200, 3: 20, 4: 2}
+_QUAD_CELL = {1: 5000, 2: 500, 3: 50, 4: 5}
+
+
+def _uncertainty(n_digits: int, n_alpha: int) -> int | None:
+    acc = _ACCURACY.get(n_digits)
+    if acc is None:
+        return None
+    if n_alpha == 2:
+        return acc // 2
+    if n_alpha == 1:
+        return acc // 5
+    return acc
+
+
+def _parse_cases(s: str, pats) -> tuple[str, str, str, str, str, int | None] | None:
+    """Run the reference's ordered regex case ladder; returns
+    (letters, easting, northing, tetrad, quad, uncertainty)."""
+    p_1num, p_en, p_2k, p_quad, p_letters = pats
+    if m := p_1num.fullmatch(s):
+        digits = m.group(2)
+        half = len(digits) // 2
+        return m.group(1), digits[:half], digits[half:], "", "", _uncertainty(len(digits), 0)
+    if m := p_en.fullmatch(s):
+        return m.group(1), m.group(2), m.group(3), "", "", _uncertainty(len(m.group(2)) * 2, 0)
+    if m := p_2k.fullmatch(s):
+        return m.group(1), m.group(2), m.group(3), m.group(4), "", _uncertainty(len(m.group(2)) * 2, 1)
+    if m := p_quad.fullmatch(s):
+        return m.group(1), m.group(2), m.group(3), "", m.group(4), _uncertainty(len(m.group(2)) * 2, 2)
+    if m := p_letters.fullmatch(s):
+        return m.group(1), "0", "0", "", "", _uncertainty(0, 0)
+    return None
+
+
+def _apply_subcell(
+    e: int, n: int, easting_str: str, tetrad: str, quad: str
+) -> tuple[int | None, int]:
+    """Tetrad (DINTY) and quadrant repositioning (GridUtil.scala:420-476).
+
+    NOTE on quadrants: the reference's quadRef branch pattern-matches on the
+    `twoKRef` variable — empty in that branch — so as *written* it rejects
+    every quadrant ref its own regex just accepted (GridUtil.scala:446-476,
+    both the OSGB and Irish copies). We implement the evident intent of the
+    branch body: reposition to the quadrant centre."""
+    if tetrad:
+        cell = _TETRAD_CELL.get(len(easting_str), 0)
+        code = ord(tetrad)
+        if code <= ord("N"):
+            idx = code - 65
+        elif code >= ord("P"):
+            idx = code - 66
+        else:  # 'O' is not a DINTY letter
+            return None, 0
+        e += (idx // 5) * cell
+        n += (idx % 5) * cell
+    elif quad:
+        cell = _QUAD_CELL.get(len(easting_str), 0)
+        if cell > 0:
+            if quad == "NW":
+                e, n = e + cell // 2, n + cell + cell // 2
+            elif quad == "NE":
+                e, n = e + cell + cell // 2, n + cell + cell // 2
+            elif quad == "SW":
+                e, n = e + cell // 2, n + cell // 2
+            elif quad == "SE":
+                e, n = e + cell + cell // 2, n + cell // 2
+    return e, n
+
+
+def _jmod(a: int, b: int) -> int:
+    """Java/Scala % (sign of the dividend), used by the 500km-letter math."""
+    return a - int(a / b) * b
+
+
+def os_grid_reference_to_easting_northing(ref: str) -> GridRef | None:
+    """GridUtil.osGridReferenceToEastingNorthing (GridUtil.scala:346-480)."""
+    parsed = _parse_cases(
+        ref.strip().upper(), (_OS_1NUM, _OS_EN, _OS_2K, _OS_QUAD, _OS_LETTERS)
+    )
+    if parsed is None:
+        return None
+    letters, easting, northing, tetrad, quad, unc = parsed
+    # 25-letter (no I) index == the reference's skip-I adjustment
+    # (GridUtil.scala:379-395); 'I' itself is rejected rather than aliased
+    try:
+        l1 = _GRID_LETTERS.index(letters[0])
+        l2 = _GRID_LETTERS.index(letters[1])
+    except ValueError:
+        return None
+    e100k = _jmod(l1 - 2, 5) * 5 + _jmod(l2, 5)
+    n100k = (19 - (l1 // 5) * 5) - (l2 // 5)
+    if not (0 <= e100k <= 6 and 0 <= n100k <= 12):
+        return None
+    if len(easting) != len(northing):
+        return None
+    e = e100k * 100000 + int((easting + "00000")[:5])
+    n = n100k * 100000 + int((northing + "00000")[:5])
+    e, n = _apply_subcell(e, n, easting, tetrad, quad)
+    if e is None:
+        return None
+    return GridRef(
+        grid_letters=letters,
+        easting=e,
+        northing=n,
+        coordinate_uncertainty=unc,
+        min_easting=e,
+        min_northing=n,
+        max_easting=e + (unc or 0),
+        max_northing=n + (unc or 0),
+        datum=OSGB_DATUM,
+    )
+
+
+def irish_grid_reference_to_easting_northing(ref: str) -> GridRef | None:
+    """GridUtil.irishGridReferenceToEastingNorthing (GridUtil.scala:236-335).
+
+    The reference indexes a 20-letter/4-column array that agrees with the
+    standard 25-letter (no I) 5x5 Irish grid on every letter it contains;
+    we use the full 5x5 mapping, so the eastern-column letters the
+    reference array omits (E, K, P, U, Z) resolve to their true squares
+    instead of arithmetic garbage. Unlike OSGB, the reference performs no
+    easting/northing length validation on the Irish path — odd-digit refs
+    are accepted with a null uncertainty — and that laxness is kept."""
+    parsed = _parse_cases(
+        ref.strip().upper(), (_IR_1NUM, _IR_EN, _IR_2K, _IR_QUAD, _IR_LETTERS)
+    )
+    if parsed is None:
+        return None
+    letters, easting, northing, tetrad, quad, unc = parsed
+    letter = letters[-1]  # optional redundant 'I' prefix
+    try:
+        li = _GRID_LETTERS.index(letter)
+    except ValueError:
+        return None
+    e = (li % 5) * 100000 + int((easting + "00000")[:5])
+    n = (4 - li // 5) * 100000 + int((northing + "00000")[:5])
+    e, n = _apply_subcell(e, n, easting, tetrad, quad)
+    if e is None:
+        return None
+    return GridRef(
+        grid_letters=letters,
+        easting=e,
+        northing=n,
+        coordinate_uncertainty=unc,
+        min_easting=e,
+        min_northing=n,
+        max_easting=e + (unc or 0),
+        max_northing=n + (unc or 0),
+        datum=IRISH_DATUM,
+    )
 
 
 def grid_reference_to_easting_northing(ref: str | None) -> GridRef | None:
-    """GridUtil.gridReferenceToEastingNorthing (GridUtil.scala:211-345)."""
+    """GridUtil.gridReferenceToEastingNorthing (GridUtil.scala:211-222):
+    OSGB first, falling back to the Irish grid."""
     if not ref:
         return None
-    m = _REF_RE.match(ref.strip().replace(" ", ""))
-    if not m:
-        return None
-    letters, digits, tetrad = m.group(1).upper(), m.group(2) or "", m.group(3)
-    if len(digits) % 2 != 0:
-        return None
-
-    if len(letters) == 2 and not letters.startswith("I"):
-        # OSGB: first letter 500km square, second 100km within
-        try:
-            l1 = _GRID_LETTERS.index(letters[0])
-            l2 = _GRID_LETTERS.index(letters[1])
-        except ValueError:
-            return None
-        e100k = (((l1 - 2) % 5) * 5 + (l2 % 5)) * 100000
-        n100k = ((19 - (l1 // 5) * 5) - (l2 // 5)) * 100000
-        datum = OSGB_DATUM
-    else:
-        # Irish: single letter (or redundant 'I' prefix): 5x5 of 100km
-        letter = letters[-1]
-        try:
-            li = _GRID_LETTERS.index(letter)
-        except ValueError:
-            return None
-        e100k = (li % 5) * 100000
-        n100k = (4 - li // 5) * 100000
-        datum = IRISH_DATUM
-
-    if e100k < 0 or n100k < 0:
-        return None
-
-    half = len(digits) // 2
-    cell = 10 ** (5 - half)  # 10km for 1 digit pair, 1km for 2, ...
-    e_digits = int(digits[:half]) if half else 0
-    n_digits = int(digits[half:]) if half else 0
-    easting = e100k + e_digits * cell
-    northing = n100k + n_digits * cell
-    uncertainty = cell if half else 100000
-
-    if tetrad is not None:
-        if cell != 10000:
-            return None  # tetrads qualify 10km squares only
-        try:
-            t = _TETRAD_LETTERS.index(tetrad.upper())
-        except ValueError:
-            return None
-        easting += (t // 5) * 2000
-        northing += (t % 5) * 2000
-        uncertainty = 2000
-
-    return GridRef(
-        grid_letters=letters,
-        easting=easting,
-        northing=northing,
-        coordinate_uncertainty=uncertainty,
-        min_easting=easting,
-        min_northing=northing,
-        max_easting=easting + uncertainty,
-        max_northing=northing + uncertainty,
-        datum=datum,
-    )
+    result = os_grid_reference_to_easting_northing(ref)
+    if result is not None:
+        return result
+    return irish_grid_reference_to_easting_northing(ref)
 
 
 # --- transverse Mercator inverse + Helmert (OS "Guide to coordinate
@@ -199,9 +311,39 @@ def _inverse_tm(easting: float, northing: float, datum: str) -> tuple[float, flo
     return lat_out, lon_out
 
 
-def _helmert_to_wgs84(lat: float, lon: float, datum: str) -> tuple[float, float]:
-    """Geodetic (radians, source ellipsoid) -> WGS84 geodetic (radians)."""
-    a, b = _PROJECTIONS[datum][0], _PROJECTIONS[datum][1]
+# Geographic legacy datums: EPSG -> (ellipsoid a, b, Helmert-to-WGS84 params
+# in position-vector convention, or None when the datum is GRS80-based and
+# coincident with WGS84 at this engine's precision). Parameters are the
+# published ICSM (AGD66 "A66 National", AGD84) and OS/EPSG values —
+# GISUtil.reprojectCoordinatesToWGS84 (util/GISUtil.scala:27-60) does the
+# same transform through geotools.
+_GRS80_B = 6356752.314140
+_GEOGRAPHIC_DATUMS: dict[str, tuple[float, float, tuple | None]] = {
+    # AGD66 / AGD84 on the Australian National Spheroid (1/f = 298.25)
+    "EPSG:4202": (6378160.0, 6356774.719, (-117.808, -51.536, 137.784, -0.303, -0.446, -0.234, -0.290)),
+    "EPSG:4203": (6378160.0, 6356774.719, (-117.763, -51.510, 139.061, -0.292, -0.443, -0.277, -0.191)),
+    # OSGB36 geographic (Airy 1830)
+    "EPSG:4277": (6377563.396, 6356256.909, (446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894)),
+    # ED50 (International 1924), NAD27 (Clarke 1866), Tokyo (Bessel 1841):
+    # standard 3-parameter shifts
+    "EPSG:4230": (6378388.0, 6356911.946, (-87.0, -98.0, -121.0, 0.0, 0.0, 0.0, 0.0)),
+    "EPSG:4267": (6378206.4, 6356583.8, (-8.0, 160.0, 176.0, 0.0, 0.0, 0.0, 0.0)),
+    "EPSG:4301": (6377397.155, 6356078.963, (-146.414, 507.337, 680.507, 0.0, 0.0, 0.0, 0.0)),
+    # NZGD49 (International 1924), standard 3-parameter shift
+    "EPSG:4272": (6378388.0, 6356911.946, (54.4, -20.1, 183.1, 0.0, 0.0, 0.0, 0.0)),
+    # GRS80-based: GDA94, GDA2020, NAD83, ETRS89 — null transform
+    "EPSG:4283": (6378137.0, _GRS80_B, None),
+    "EPSG:7844": (6378137.0, _GRS80_B, None),
+    "EPSG:4269": (6378137.0, _GRS80_B, None),
+    "EPSG:4258": (6378137.0, _GRS80_B, None),
+}
+
+
+def _helmert_core(
+    lat: float, lon: float, a: float, b: float, params: tuple
+) -> tuple[float, float]:
+    """Geodetic (radians, source ellipsoid a/b) -> WGS84 geodetic (radians)
+    via cartesian 7-parameter Helmert (position-vector convention)."""
     e2 = (a * a - b * b) / (a * a)
     sin_lat, cos_lat = math.sin(lat), math.cos(lat)
     nu = a / math.sqrt(1 - e2 * sin_lat * sin_lat)
@@ -209,7 +351,7 @@ def _helmert_to_wgs84(lat: float, lon: float, datum: str) -> tuple[float, float]
     y = nu * cos_lat * math.sin(lon)
     z = nu * (1 - e2) * sin_lat
 
-    tx, ty, tz, rx_s, ry_s, rz_s, s_ppm = _HELMERT_TO_WGS84[datum]
+    tx, ty, tz, rx_s, ry_s, rz_s, s_ppm = params
     rx = math.radians(rx_s / 3600)
     ry = math.radians(ry_s / 3600)
     rz = math.radians(rz_s / 3600)
@@ -227,6 +369,30 @@ def _helmert_to_wgs84(lat: float, lon: float, datum: str) -> tuple[float, float]
         lat_w = math.atan2(z2 + e2w * nu_w * math.sin(lat_w), p)
     lon_w = math.atan2(y2, x2)
     return lat_w, lon_w
+
+
+def reproject_geographic_to_wgs84(
+    lat_deg: float, lon_deg: float, epsg: str, decimals: int
+) -> tuple[float, float] | None:
+    """GISUtil.reprojectCoordinatesToWGS84 (util/GISUtil.scala:27-60) for
+    geographic (lat/lon) source CRSs: Helmert datum shift to WGS84, rounded
+    to the requested decimals. Returns None for unknown EPSG codes."""
+    entry = _GEOGRAPHIC_DATUMS.get(epsg.upper())
+    if entry is None:
+        return None
+    a, b, params = entry
+    if params is None:
+        return round(lat_deg, decimals), round(lon_deg, decimals)
+    lat_w, lon_w = _helmert_core(
+        math.radians(lat_deg), math.radians(lon_deg), a, b, params
+    )
+    return round(math.degrees(lat_w), decimals), round(math.degrees(lon_w), decimals)
+
+
+def _helmert_to_wgs84(lat: float, lon: float, datum: str) -> tuple[float, float]:
+    """Geodetic (radians, grid-datum ellipsoid) -> WGS84 geodetic (radians)."""
+    a, b = _PROJECTIONS[datum][0], _PROJECTIONS[datum][1]
+    return _helmert_core(lat, lon, a, b, _HELMERT_TO_WGS84[datum])
 
 
 def easting_northing_to_wgs84(
@@ -265,36 +431,30 @@ def process_grid_reference(ref: str | None) -> GridPoint | None:
 
 
 def grid_ref_as_resolutions(ref: str | None) -> dict[str, str]:
-    """GridUtil.getGridRefAsResolutions (GridUtil.scala:166-210)."""
+    """GridUtil.getGridRefAsResolutions (GridUtil.scala:166-207): re-express
+    the reference at the coarser standard resolutions, gated on the parsed
+    uncertainty — grid_ref_2000 whenever uncertainty <= 2000 m (so tetrad,
+    1km, 100m, 10m and 1m inputs all carry it), 1000 at <= 1000, 100 at
+    <= 100; the parsed easting/northing (tetrad/quadrant offsets included)
+    drive the digits, not the raw input string."""
+    if not ref:
+        return {}
     gr = grid_reference_to_easting_northing(ref)
     if gr is None:
         return {}
-    m = _REF_RE.match(ref.strip().replace(" ", ""))
-    letters, digits = m.group(1).upper(), m.group(2) or ""
-    half = len(digits) // 2
-    e_digits, n_digits = digits[:half], digits[half:]
-    out = {"grid_ref_100000": letters}
-    if half >= 1:
-        out["grid_ref_10000"] = letters + e_digits[0] + n_digits[0]
-    if half >= 2:
-        out["grid_ref_1000"] = letters + e_digits[:2] + n_digits[:2]
-        # tetrad letter for the containing 2km square
-        e_in_10k = int(e_digits[1:].ljust(4, "0")[:4]) * 10 ** (5 - half)
-        n_in_10k = int(n_digits[1:].ljust(4, "0")[:4]) * 10 ** (5 - half)
-    if half >= 3:
-        out["grid_ref_100"] = letters + e_digits[:3] + n_digits[:3]
-    if half >= 2 and half != 3:
-        # 2km tetrad expressed only when the input is finer than 1km but
-        # not exactly 100m (reference emits it for 10m/1m inputs and 1km+)
-        pass
-    # tetrad from full easting/northing relative to the 10km square
-    if half >= 4 or (half >= 2 and half != 3):
-        cell = 10 ** (5 - half)
-        e_rem = (int(e_digits) * cell) % 10000
-        n_rem = (int(n_digits) * cell) % 10000
-        if half >= 4:
-            t = (e_rem // 2000) * 5 + (n_rem // 2000)
-            out["grid_ref_2000"] = (
-                letters + e_digits[0] + n_digits[0] + _TETRAD_LETTERS[t]
-            )
+    grid_size = (
+        gr.coordinate_uncertainty if gr.coordinate_uncertainty is not None else -1
+    )
+    out = {"grid_ref_100000": gr.grid_letters}
+    if len(ref.strip()) > 2:
+        e_str = str(gr.easting % 100000).zfill(5)
+        n_str = str(gr.northing % 100000).zfill(5)
+        out["grid_ref_10000"] = gr.grid_letters + e_str[0] + n_str[0]
+        tetrad = _TETRAD_LETTERS[(int(e_str[1]) // 2) * 5 + (int(n_str[1]) // 2)]
+        if 0 <= grid_size <= 2000:
+            out["grid_ref_2000"] = gr.grid_letters + e_str[0] + n_str[0] + tetrad
+        if 0 <= grid_size <= 1000:
+            out["grid_ref_1000"] = gr.grid_letters + e_str[:2] + n_str[:2]
+        if 0 <= grid_size <= 100:
+            out["grid_ref_100"] = gr.grid_letters + e_str[:3] + n_str[:3]
     return out

@@ -9,14 +9,15 @@ Port of processor/LocationProcessor.scala:
   * checkCoordinateUncertainty (uncertainty parse, precision/uncertainty
     swap) — :570-643
 
-Datum handling: a small datum->EPSG registry recognizes the common datums;
-GDA94/GDA2020 are treated as coincident with WGS84 at the engine's precision
-(their offset is <2 m). True reprojection of legacy datums (AGD66/AGD84,
-grids) requires a proj library that is not available in this environment;
-those datums are recognized but conversion is marked failed. OSGB/Irish
-grid references ARE fully converted (parsers/gridref.py implements the
-published transverse-Mercator + Helmert math); bare easting/northing+zone
-triples remain stubbed pending a UTM zone registry.
+Datum handling: a datum->EPSG registry recognizes the common datums and
+parsers/gridref.py reprojects them to WGS84 with the published Helmert
+parameters (GISUtil.reprojectCoordinatesToWGS84 semantics,
+util/GISUtil.scala:27-60): AGD66/AGD84 (ICSM national parameters), OSGB36,
+ED50, NAD27, Tokyo; GRS80-based datums (GDA94/GDA2020/NAD83/ETRS89) are a
+null transform. Results are rounded to min(dp(lat), dp(lon)) like the
+reference (LocationProcessor.scala:459-466). OSGB/Irish grid references are
+fully converted; bare easting/northing+zone triples remain stubbed pending
+a UTM zone registry.
 """
 
 from __future__ import annotations
@@ -31,15 +32,35 @@ from biocache_store_spark.processors.assertions import QualityAssertion as QA
 
 WGS84_EPSG = "EPSG:4326"
 
+# variant lists mirror the reference's datums.txt vocabulary
+# (src/main/resources/datums.txt; vocab/GeodeticDatum)
 GEODETIC_DATUM = Vocab.of(
     {
-        "WGS84": ["wgs 84", "wgs-84", "world geodetic system 1984", "epsg 4326", "4326"],
-        "GDA94": ["gda 94", "geocentric datum of australia 1994", "epsg 4283", "4283"],
+        "WGS84": [
+            "wgs 84", "wgs-84", "world geodetic system", "world geodetic system 1984",
+            "wgs84/gda94", "ws84", "wsg84", "wgsa84", "wgss84", "wgs1984",
+            "epsg 4326", "epsg4326", "4326",
+        ],
+        "GDA94": [
+            "gda 94", "gd94", "gda", "dga94", "agd94",
+            "geocentric datum of australia 1994", "epsg 4283", "4283",
+        ],
         "GDA2020": ["gda 2020", "epsg 7844", "7844"],
-        "AGD66": ["agd 66", "australian geodetic datum 1966", "epsg 4202", "4202"],
-        "AGD84": ["agd 84", "australian geodetic datum 1984", "epsg 4203", "4203"],
+        "AGD66": [
+            "agd 66", "amg", "agm", "add66", "adg66", "ags1966", "ags66",
+            "agm66", "amg66", "australian geodetic datum 1966", "epsg 4202", "4202",
+        ],
+        "AGD84": [
+            "agd 84", "agd 1984", "agd84/66", "adg84", "augs84", "aus84",
+            "australian geodetic datum 1984", "epsg 4203", "4203",
+        ],
+        "NAD27": ["nad 27", "north american datum 1927", "epsg 4267", "4267"],
         "NAD83": ["nad 83", "epsg 4269", "4269"],
+        "NZGD49": ["nzgd1949", "nzmg", "nzgd 49", "epsg 4272", "4272"],
         "ETRS89": ["etrs 89", "epsg 4258", "4258"],
+        "ED50": ["european 1950", "european datum 1950", "epsg 4230", "4230"],
+        "TOKYO": ["tokyo datum", "epsg 4301", "4301"],
+        "OSGB36": ["osgb 36", "osgb 1936", "epsg 4277", "4277"],
     }
 )
 
@@ -49,12 +70,19 @@ _EPSG_CODES = {
     "GDA2020": "EPSG:7844",
     "AGD66": "EPSG:4202",
     "AGD84": "EPSG:4203",
+    "NAD27": "EPSG:4267",
     "NAD83": "EPSG:4269",
+    "NZGD49": "EPSG:4272",
     "ETRS89": "EPSG:4258",
+    "ED50": "EPSG:4230",
+    "TOKYO": "EPSG:4301",
+    "OSGB36": "EPSG:4277",
 }
 
-# datums whose difference from WGS84 is below this engine's precision
-_WGS84_COINCIDENT = {"EPSG:4326", "EPSG:4283", "EPSG:7844", "EPSG:4269", "EPSG:4258"}
+def _decimal_places(s) -> int:
+    """getNumberOfDecimalPlacesInDouble (LocationProcessor.scala:561-568)."""
+    tokens = str(s).split(".")
+    return len(tokens[1]) if len(tokens) == 2 else 0
 
 # country -> ((centre_lat, centre_lon), (min_lat, min_lon, max_lat, max_lon))
 # public approximate bounds; extendable via external dim table
@@ -158,23 +186,36 @@ def _process_decimal(lat, lon, datum, verbatim_srs, assertions):
                 epsg = _EPSG_CODES.get(vterm.canonical)
         if epsg is not None:
             assertions.append(QA.passed(C.UNRECOGNIZED_GEODETIC_DATUM))
-            if epsg in _WGS84_COINCIDENT:
-                if epsg != WGS84_EPSG:
-                    assertions.append(QA.passed(C.DECIMAL_LAT_LONG_CONVERSION_FAILED))
-                    assertions.append(
-                        QA.failed(
-                            C.DECIMAL_LAT_LONG_CONVERTED,
-                            "Decimal latitude and longitude were converted to WGS84 (EPSG:4326)",
-                        )
-                    )
+            if epsg == WGS84_EPSG:
                 return {"latitude": str(lat), "longitude": str(lon), "datum": WGS84_EPSG}
+            from biocache_store_spark.parsers.gridref import (
+                reproject_geographic_to_wgs84,
+            )
+
+            decimals = min(_decimal_places(lat), _decimal_places(lon))
+            reprojected = reproject_geographic_to_wgs84(
+                _to_float(lat), _to_float(lon), epsg, decimals
+            )
+            if reprojected is None:
+                assertions.append(
+                    QA.failed(
+                        C.DECIMAL_LAT_LONG_CONVERSION_FAILED,
+                        "Transformation of decimal latitude and longitude to WGS84 failed",
+                    )
+                )
+                return None
+            assertions.append(QA.passed(C.DECIMAL_LAT_LONG_CONVERSION_FAILED))
             assertions.append(
                 QA.failed(
-                    C.DECIMAL_LAT_LONG_CONVERSION_FAILED,
-                    "Transformation of decimal latitude and longitude to WGS84 failed",
+                    C.DECIMAL_LAT_LONG_CONVERTED,
+                    "Decimal latitude and longitude were converted to WGS84 (EPSG:4326)",
                 )
             )
-            return None
+            return {
+                "latitude": str(reprojected[0]),
+                "longitude": str(reprojected[1]),
+                "datum": WGS84_EPSG,
+            }
         assertions.append(
             QA.failed(C.UNRECOGNIZED_GEODETIC_DATUM, f"Geodetic datum {datum} not recognized.")
         )

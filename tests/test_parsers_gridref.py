@@ -82,3 +82,80 @@ def test_resolutions_with_tetrad():
 @pytest.mark.parametrize("bad", ["", "1234", "NM3", "II99", None, "NM39O"])
 def test_invalid_refs(bad):
     assert grid_reference_to_easting_northing(bad) is None
+
+
+QUAD_CASES = {
+    # quadrant = centre of the 5km quarter-square, uncertainty 5000
+    # (GridUtil.scala:446-476 branch body; see _apply_subcell note)
+    "NM39NW": (132500, 797500, 5000),
+    "NM39NE": (137500, 797500, 5000),
+    "NM39SW": (132500, 792500, 5000),
+    "NM39SE": (137500, 792500, 5000),
+    # 2-digit-pair quadrant: 500m cell, uncertainty 500. NOTE the digit
+    # groups must be space-separated — greedy regex backtracking otherwise
+    # splits "4099" into "409"/"9" and the length check rejects it, in the
+    # reference exactly as here
+    "NM 40 99 NE": (140750, 799750, 500),
+}
+
+
+@pytest.mark.parametrize("ref", QUAD_CASES)
+def test_quadrant_refs(ref):
+    e, n, u = QUAD_CASES[ref]
+    g = grid_reference_to_easting_northing(ref)
+    assert g is not None
+    assert (g.easting, g.northing, g.coordinate_uncertainty) == (e, n, u)
+
+
+def test_tetrad_on_finer_refs():
+    # tetrads qualify any precision, with cell = accuracy/5
+    # (GridUtil.scala:420-444): 2-digit pairs -> 200 m cells (digit groups
+    # spaced, as in the reference — see the quadrant note above)
+    g = grid_reference_to_easting_northing("NM 40 99 A")
+    assert (g.easting, g.northing, g.coordinate_uncertainty) == (140000, 799000, 200)
+    g = grid_reference_to_easting_northing("NM 40 99 Z")
+    assert (g.easting, g.northing, g.coordinate_uncertainty) == (140800, 799800, 200)
+    # unspaced multi-pair tetrad/quad refs are rejected (regex backtracking
+    # yields unequal digit groups), faithfully to the reference
+    assert grid_reference_to_easting_northing("NM4099A") is None
+    assert grid_reference_to_easting_northing("NM4099NE") is None
+
+
+@pytest.mark.parametrize("ref,tetrad_key", [("J43G", "J43G"), ("C12Q", "C12Q"), ("NH12Q", "NH12Q")])
+def test_dogfood_resolutions(ref, tetrad_key):
+    # GridReferenceTest.scala "Dogfood at different resolutions": rebuild the
+    # full-precision ref from the parsed easting/northing, re-derive the
+    # tetrad at 2km resolution
+    g = grid_reference_to_easting_northing(ref)
+    rebuilt = g.grid_letters + str(g.easting)[1:] + str(g.northing)[1:]
+    out = grid_ref_as_resolutions(rebuilt)
+    assert out["grid_ref_100000"] == ref[: len(g.grid_letters)]
+    assert out["grid_ref_2000"] == tetrad_key
+
+
+def test_resolutions_gated_on_uncertainty():
+    # 10m ref: all resolutions incl. tetrad (GridUtil.scala:186-200)
+    out = grid_ref_as_resolutions("HY489020")
+    assert out["grid_ref_10000"] == "HY40"
+    assert out["grid_ref_2000"] == "HY40W"
+    assert out["grid_ref_1000"] == "HY4802"
+    assert out["grid_ref_100"] == "HY489020"
+    # 10km ref: no finer resolutions
+    out = grid_ref_as_resolutions("HU35")
+    assert out["grid_ref_10000"] == "HU35"
+    assert "grid_ref_1000" not in out and "grid_ref_2000" not in out
+    # tetrad ref: down to 2km only
+    out = grid_ref_as_resolutions("NM39G")
+    assert out["grid_ref_2000"] == "NM39G"
+    assert "grid_ref_1000" not in out
+    # letters only
+    assert grid_ref_as_resolutions("NH") == {"grid_ref_100000": "NH"}
+
+
+def test_irish_lax_odd_digits():
+    # the Irish path performs no easting/northing length validation
+    # (GridUtil.scala:236-335); odd-digit refs parse with null uncertainty
+    g = grid_reference_to_easting_northing("A123")
+    assert g is not None
+    assert g.coordinate_uncertainty is None
+    assert (g.easting, g.northing) == (10000, 423000)

@@ -167,3 +167,40 @@ def test_grid_reference_resolution():
     assert p["coordinateUncertaintyInMeters"] == "10000.0"
     assert qa_status(a, C.DECIMAL_LAT_LONG_CALCULATED_FROM_GRID_REF.code) == FAILED
     assert qa_status(a, C.UNCERTAINTY_NOT_SPECIFIED.code) == PASSED
+
+
+def test_agd66_reprojection():
+    # DatumTest.scala "AGD66 re-projection": coordinates must actually move
+    # (~160 m NE for south-east Queensland) and the datum become WGS84
+    raw = {"decimalLatitude": "-27.5623432", "decimalLongitude": "152.28342342",
+           "geodeticDatum": "AGD66"}
+    p, a = process_location(raw)
+    assert p["geodeticDatum"] == "EPSG:4326"
+    assert p["decimalLatitude"] != raw["decimalLatitude"]
+    assert p["decimalLongitude"] != raw["decimalLongitude"]
+    assert qa_status(a, C.DECIMAL_LAT_LONG_CONVERTED.code) == FAILED
+    assert qa_status(a, C.DECIMAL_LAT_LONG_CONVERSION_FAILED.code) == PASSED
+    # shift magnitude sanity: 100-250 m NE
+    dlat = float(p["decimalLatitude"]) - float(raw["decimalLatitude"])
+    dlon = float(p["decimalLongitude"]) - float(raw["decimalLongitude"])
+    assert 0.0005 < dlat < 0.0025 and 0.0005 < dlon < 0.0025
+
+
+def test_agd84_66_variant_reprojection():
+    # DatumTest.scala "AGD84/66 re-projection" (datums.txt maps the combined
+    # form to AGD84)
+    raw = {"decimalLatitude": "-27.5623432", "decimalLongitude": "152.28342342",
+           "geodeticDatum": "AGD84/66"}
+    p, a = process_location(raw)
+    assert p["geodeticDatum"] == "EPSG:4326"
+    assert p["decimalLatitude"] != raw["decimalLatitude"]
+
+
+def test_reprojection_rounds_to_input_precision():
+    # LocationProcessor.scala:459-466: min(dp(lat), dp(lon)) decimals
+    p, _ = process_location(
+        {"decimalLatitude": "-27.56", "decimalLongitude": "152.2834",
+         "geodeticDatum": "AGD66"}
+    )
+    assert len(p["decimalLatitude"].split(".")[1]) <= 2
+    assert len(p["decimalLongitude"].split(".")[1]) <= 2

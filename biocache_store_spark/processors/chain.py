@@ -219,25 +219,42 @@ def process_records(
 
 
 def enrich_classification(df: DataFrame, taxa: DataFrame) -> DataFrame:
-    """ClassificationProcessor as a broadcast dimension join
-    (caches/ClassificationDAO.scala -> broadcast name-keyed lookup).
+    """ClassificationProcessor as the staged broadcast name-match ladder
+    (caches/ClassificationDAO.scala; ladder + homonym handling in
+    processors/taxonomy.py match_names_spark: exact normalized name, then
+    canonical genus+epithet, kingdom-disambiguated homonyms).
 
     taxa columns: scientificName, taxonConceptID, taxonRank, lft, rgt,
-    vernacularName (FIXTURES.md F2). Join key: normalized scientificName.
-    Adds matched columns + a NAME_NOTRECOGNISED assertion when unmatched.
-    """
-    key = F.lower(F.trim(F.col("scientificName")))
-    taxa_keyed = taxa.select(
-        F.lower(F.trim(F.col("scientificName"))).alias("__taxon_key"),
-        F.col("taxonConceptID").alias("matched_taxonConceptID"),
+    vernacularName, optionally kingdom (FIXTURES.md F2). Adds matched_*
+    columns, match_type/is_homonym, + a NAME_NOTRECOGNISED assertion when
+    unmatched."""
+    from biocache_store_spark.processors.taxonomy import match_names_spark
+
+    names = taxa.withColumn(
+        "lsid", F.col("taxonConceptID")
+    )
+    if "kingdom" not in names.columns:
+        names = names.withColumn("kingdom", F.lit(None).cast("string"))
+    for col in ("genus", "specificEpithet", "kingdom"):
+        if col not in df.columns:
+            df = df.withColumn(col, F.lit(None).cast("string"))
+    matched = match_names_spark(df, names)
+    attrs = taxa.select(
+        F.col("taxonConceptID").alias("__attr_lsid"),
         F.col("taxonRank").alias("matched_taxonRank"),
         F.col("lft").alias("matched_lft"),
         F.col("rgt").alias("matched_rgt"),
         F.col("vernacularName").alias("matched_vernacularName"),
     )
-    joined = df.join(
-        F.broadcast(taxa_keyed), key == taxa_keyed.__taxon_key, "left"
-    ).drop("__taxon_key")
+    joined = (
+        matched.join(
+            F.broadcast(attrs),
+            F.col("matched_lsid") == F.col("__attr_lsid"),
+            "left",
+        )
+        .drop("__attr_lsid")
+        .withColumnRenamed("matched_lsid", "matched_taxonConceptID")
+    )
     name_missing = F.col("matched_taxonConceptID").isNull() & F.col(
         "scientificName"
     ).isNotNull()

@@ -170,6 +170,101 @@ def stored_query_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "taxon_name_match",
+    doc=(
+        "Taxonomic name-match ladder (processors/taxonomy.py "
+        "match_names_spark — the ClassificationProcessor/ClassificationDAO "
+        "semantics, ClassificationProcessor.scala:152-305): staged "
+        "broadcast joins on exact-normalized-name then canonical "
+        "genus+epithet keys, with homonym keys resolved through the "
+        "record's kingdom. Names dimension synthesized from part (first "
+        "two words of p_name; p_brand plays kingdom, so names spanning "
+        "brands are homonyms); records query in three modes: exact "
+        "name, case-folded name, genus+epithet only."
+    ),
+    oracle="""
+        WITH words AS (
+            SELECT p_partkey, p_brand,
+                   string_split(p_name, ' ')[1] || ' ' || string_split(p_name, ' ')[2] AS nm
+            FROM part
+        ),
+        dim AS (
+            SELECT nm, p_brand AS kingdom, MIN(p_partkey) AS lsid
+            FROM words GROUP BY nm, p_brand
+        ),
+        keyagg AS (
+            SELECT nm, COUNT(*) AS n_candidates, MIN(lsid) AS any_lsid
+            FROM dim GROUP BY nm
+        ),
+        rec AS (
+            SELECT p_partkey, nm,
+                   CASE WHEN p_partkey % 2 = 0 THEN p_brand END AS kingdom,
+                   CASE WHEN p_partkey % 3 = 2 THEN 'canonicalMatch'
+                        ELSE 'exactMatch' END AS tier
+            FROM words
+        ),
+        resolved AS (
+            SELECT r.p_partkey, r.tier, r.nm, k.n_candidates, k.any_lsid,
+                   d.lsid AS kingdom_lsid
+            FROM rec r
+            LEFT JOIN keyagg k ON r.nm = k.nm
+            LEFT JOIN dim d ON r.nm = d.nm AND r.kingdom = d.kingdom
+        )
+        SELECT p_partkey,
+               CASE WHEN n_candidates = 1 THEN any_lsid
+                    WHEN n_candidates > 1 THEN kingdom_lsid END AS matched_lsid,
+               CASE WHEN n_candidates = 1 OR kingdom_lsid IS NOT NULL
+                    THEN nm END AS matched_name,
+               CASE WHEN n_candidates = 1 OR kingdom_lsid IS NOT NULL
+                    THEN tier END AS match_type,
+               COALESCE(n_candidates > 1 AND kingdom_lsid IS NULL, FALSE) AS is_homonym
+        FROM resolved
+    """,
+)
+def taxon_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.processors.taxonomy import match_names_spark
+
+    part = read_table(spark, sf_dir, "part")
+    nm = F.concat_ws(
+        " ",
+        F.element_at(F.split(F.col("p_name"), " "), 1),
+        F.element_at(F.split(F.col("p_name"), " "), 2),
+    )
+    words = part.select("p_partkey", "p_brand", nm.alias("nm"))
+    names = (
+        words.groupBy("nm", "p_brand")
+        .agg(F.min("p_partkey").alias("lsid"))
+        .select(
+            "lsid",
+            F.col("nm").alias("scientificName"),
+            F.col("p_brand").alias("kingdom"),
+        )
+    )
+    mode = F.pmod(F.col("p_partkey"), F.lit(3))
+    records = words.select(
+        "p_partkey",
+        F.when(mode == 0, F.col("nm"))
+        .when(mode == 1, F.upper(F.col("nm")))
+        .alias("scientificName"),
+        F.when(mode == 2, F.element_at(F.split(F.col("nm"), " "), 1)).alias("genus"),
+        F.when(mode == 2, F.element_at(F.split(F.col("nm"), " "), 2)).alias(
+            "specificEpithet"
+        ),
+        F.when(F.pmod(F.col("p_partkey"), F.lit(2)) == 0, F.col("p_brand")).alias(
+            "kingdom"
+        ),
+    )
+    out = match_names_spark(records, names)
+    return out.select(
+        "p_partkey",
+        "matched_lsid",
+        F.col("matched_scientificName").alias("matched_name"),
+        "match_type",
+        "is_homonym",
+    )
+
+
+@register(
     "dedup_occurrence_clusters",
     doc=(
         "Full grouped duplicate detection (tool/DuplicationDetection.scala: "

@@ -73,8 +73,21 @@ RAW_FIELDS = (
     "coordinateUncertaintyInMeters",
     "coordinatePrecision",
     "country",
+    "countryCode",
     "stateProvince",
     "locality",
+    "habitat",
+    "verbatimDepth",
+    "verbatimElevation",
+    "minimumDepthInMeters",
+    "maximumDepthInMeters",
+    "minimumElevationInMeters",
+    "maximumElevationInMeters",
+    "georeferencedBy",
+    "georeferenceProtocol",
+    "georeferenceRemarks",
+    "georeferenceSources",
+    "georeferenceVerificationStatus",
     "scientificName",
     "kingdom",
     "phylum",
@@ -83,6 +96,11 @@ RAW_FIELDS = (
     "family",
     "genus",
     "vernacularName",
+    "identificationQualifier",
+    "identifiedBy",
+    "identificationReferences",
+    "associatedTaxa",
+    "dataGeneralizations",
 )
 
 PROCESSED_FIELDS = (
@@ -104,6 +122,18 @@ PROCESSED_FIELDS = (
     "decimalLongitude",
     "geodeticDatum",
     "coordinateUncertaintyInMeters",
+    "stateProvince",
+    "country",
+    "lga",
+    "biome",
+    "habitat",
+    "verbatimDepth",
+    "verbatimElevation",
+    "minimumDepthInMeters",
+    "maximumDepthInMeters",
+    "minimumElevationInMeters",
+    "maximumElevationInMeters",
+    "identificationQualifier",
 )
 
 ASSERTION_TYPE = T.ArrayType(
@@ -126,8 +156,29 @@ def process_record(
     raw: dict,
     default_values: dict | None = None,
     today: _dt.date | None = None,
+    intersect=None,
+    species_habitats: list[str] | None = None,
+    default_country: str | None = None,
+    last_processed: dict | None = None,
+    last_assertions: list | None = None,
 ) -> tuple[dict, list]:
-    """Run the per-record stages in reference order for one raw record."""
+    """Run the per-record stages in reference order for one raw record.
+
+    `intersect`: optional (lat, lon) -> {stateProvince, country, lga,
+    biome} callable (the SpatialLayerDAO analog) for the per-record layer
+    path; the Spark pipeline normally supplies layers via the sampling
+    join instead. `last_processed`/`last_assertions`: the previous
+    processed version, consumed by the OfflineTestProcessor carry-forward
+    (reprocessing keeps offline dedup/outlier results)."""
+    from biocache_store_spark.processors.identification import (
+        process_identification_checks,
+        process_identification_qualifier,
+        process_images,
+        process_interactions,
+        process_misc_occurrence,
+        process_offline_tests,
+    )
+
     processed: dict = {}
     assertions: list = []
 
@@ -136,10 +187,18 @@ def process_record(
         for key, value in default_values.items():
             processed.setdefault(key, value)
 
-    # 2. MiscellaneousProcessor (occurrenceStatus / establishmentMeans / recordedBy)
+    # 2. MiscellaneousProcessor (media / interactions / occurrenceStatus /
+    #    establishmentMeans / recordedBy / identification + misc QAs)
+    assertions += process_images(raw, processed)
+    assertions += process_interactions(raw, processed)
     assertions += process_occurrence_status(raw, processed)
     assertions += process_establishment_means(raw, processed)
     assertions += process_recorded_by(raw, processed)
+    assertions += process_identification_checks(raw)
+    assertions += process_misc_occurrence(raw)
+
+    # 3. OfflineTestProcessor (carry forward dedup/outlier results)
+    assertions += process_offline_tests(processed, last_processed, last_assertions)
 
     # 6. BasisOfRecordProcessor
     assertions += process_basis_of_record(raw, processed)
@@ -150,12 +209,25 @@ def process_record(
     assertions += event_assertions
 
     # 8. LocationProcessor
-    loc_processed, loc_assertions = process_location(raw)
+    loc_processed, loc_assertions = process_location(
+        raw,
+        intersect=intersect,
+        species_habitats=species_habitats,
+        default_country=default_country,
+    )
     processed.update(loc_processed)
     assertions += loc_assertions
 
     # 10. TypeStatusProcessor
     assertions += process_type_status(raw, processed)
+
+    # 11. IdentificationQualifierProcessor
+    assertions += process_identification_qualifier(raw, processed)
+
+    # 12. ReprocessingProcessor (retain prior sampling when coords unchanged)
+    from biocache_store_spark.processors.identification import process_reprocessing
+
+    assertions += process_reprocessing(processed, last_processed)
 
     return processed, assertions
 

@@ -93,6 +93,89 @@ COUNTRY_CENTRES = {
     "united states": ((39.7837304, -100.445882), (24.4, -125.0, 49.4, -66.9)),
 }
 
+# state/territory centre points + bbox (stateProvinceCentrePoints.txt:
+# name, centre lat, centre lon, ne lat, ne lon, sw lat, sw lon)
+STATE_CENTRES = {
+    "australian capital territory": (-35.4734679, 149.0123679),
+    "new south wales": (-31.2532183, 146.921099),
+    "victoria": (-37.4713077, 144.7851531),
+    "tasmania": (-41.3650419, 146.6284905),
+    "western australia": (-27.6728168, 121.6283098),
+    "queensland": (-20.9175738, 142.7027956),
+    "south australia": (-30.0002315, 136.2091547),
+    "northern territory": (-19.4914108, 132.5509603),
+}
+
+# country centres for the centre-point test (countryCentrePoints.txt subset —
+# the countries this engine's vocab recognises)
+COUNTRY_CENTRE_POINTS = {
+    "australia": (-25.274398, 133.775136),
+    "new zealand": (-40.900557, 174.885971),
+    "united kingdom": (55.378051, -3.435973),
+    "united states": (37.09024, -95.712891),
+    "mongolia": (46.862496, 103.846656),
+    "indonesia": (-0.789275, 113.921327),
+    "papua new guinea": (-6.314993, 143.95555),
+}
+
+# stateProvinces.txt vocabulary
+STATE_PROVINCES = Vocab.of(
+    {
+        "Australian Capital Territory": [
+            "austcapitalterritory", "austcapitalterrit", "auscap", "auscapterrit",
+            "act", "jervis bay territory", "australian captial territory",
+        ],
+        "New South Wales": ["nswales", "nsw", "new south wales (including coastal waters)"],
+        "Northern Territory": ["nterritory", "nterrit", "nt", "northern territory (including coastal waters)"],
+        "Queensland": ["qland", "qld", "queensland (including coastal waters)"],
+        "South Australia": ["sthaustralia", "saustralia", "saust", "sa", "south australia (including coastal waters)"],
+        "Tasmania": ["tassie", "tas", "tasmania (including coastal waters)"],
+        "Victoria": ["vic", "vict", "victoria (including coastal waters)"],
+        "Western Australia": ["waustralia", "westaustralia", "westaust", "wa", "western australia (including coastal waters)"],
+    }
+)
+
+# stateProvince2Countries.txt
+STATE_TO_COUNTRY = {
+    "Australian Capital Territory": "Australia",
+    "New South Wales": "Australia",
+    "Northern Territory": "Australia",
+    "Queensland": "Australia",
+    "South Australia": "Australia",
+    "Tasmania": "Australia",
+    "Victoria": "Australia",
+    "Western Australia": "Australia",
+}
+
+# vocab/HabitatMap.scala termMap
+HABITAT_MAP = {
+    "MARINE": ["MARINE", "MARINE AND NON-MARINE"],
+    "NON-MARINE": ["NON-MARINE", "TERRESTRIAL", "LIMNETIC", "MARINE AND NON-MARINE"],
+    "TERRESTRIAL": ["NON-MARINE", "TERRESTRIAL", "LIMNETIC", "MARINE AND NON-MARINE"],
+    "LIMNETIC": ["NON-MARINE", "TERRESTRIAL", "LIMNETIC", "MARINE AND NON-MARINE"],
+}
+
+
+def habitats_compatible(term: str | None, terms: list[str] | None) -> bool | None:
+    """VocabMaps.areTermsCompatible (vocab/VocabMaps.scala:26-69): None if
+    the biome term is unrecognised, else whether any species habitat is
+    compatible."""
+    if term is None or not terms:
+        return None
+    tested = None
+    for other in terms:
+        if other is None:
+            continue
+        if term.upper() == other.upper():
+            return True
+        mapped = HABITAT_MAP.get(term.upper())
+        if mapped is None:
+            continue
+        if other.upper() in mapped:
+            return True
+        tested = False
+    return tested
+
 COUNTRIES = Vocab.of(
     {
         "Australia": ["aus", "au", "commonwealth of australia"],
@@ -399,12 +482,277 @@ def check_coordinate_uncertainty(raw: dict, processed: dict, assertions: list) -
         assertions.append(QA.passed(C.UNCERTAINTY_NOT_SPECIFIED))
 
 
-def process_location(raw: dict) -> tuple[dict, list]:
-    """Full location stage for one record. Returns (processed, assertions)."""
+def _float32_decimal_places(value: float) -> int:
+    """CentrePoints.noOfDecimalPlace (vocab/CentrePoints.scala:89-97):
+    decimal places of the FLOAT's string form (float32 shortest repr)."""
+    import numpy as np
+
+    s = str(np.float32(value))
+    return len(s.split(".")[1]) if "." in s else 0
+
+
+def _centre_round(value: float, decimals: int) -> float:
+    """CentrePoints.round (vocab/CentrePoints.scala:79-87): float32
+    TRUNCATION at dp>0 (toInt), half-up rounding at dp=0."""
+    import numpy as np
+
+    v = np.float32(value)
+    if decimals > 0:
+        x = 10**decimals
+        return float(np.float32(np.float32(int(np.float32(v * x))) / x))
+    return float(np.floor(v + 0.5))
+
+
+def coordinates_match_centre(
+    centre: tuple[float, float] | None, lat_s, lon_s
+) -> bool:
+    """CentrePoints.coordinatesMatchCentre (vocab/CentrePoints.scala:19-53):
+    the centre point, truncated to the supplied coordinates' decimal
+    places, equals the supplied coordinates."""
+    if centre is None or lat_s is None or lon_s is None:
+        return False
+    import numpy as np
+
+    try:
+        lat = float(np.float32(str(lat_s)))
+        lon = float(np.float32(str(lon_s)))
+    except ValueError:
+        return False
+    lat_dp = _float32_decimal_places(lat)
+    lon_dp = _float32_decimal_places(lon)
+    return (
+        _centre_round(centre[0], lat_dp) == np.float32(lat)
+        and _centre_round(centre[1], lon_dp) == np.float32(lon)
+    )
+
+
+def process_state_country_values(raw: dict, processed: dict) -> None:
+    """processStateCountryValues (LocationProcessor.scala:137-165): only
+    when no coordinates were supplied, canonicalize the raw state (and
+    infer its country via StateProvinceToCountry) and the raw country /
+    countryCode."""
+    no_coords = raw.get("decimalLatitude") is None and raw.get("decimalLongitude") is None
+    if processed.get("stateProvince") is None and no_coords:
+        term = STATE_PROVINCES.match_term(str(raw.get("stateProvince") or ""))
+        if term:
+            processed["stateProvince"] = term.canonical
+            processed["country"] = STATE_TO_COUNTRY.get(term.canonical, "")
+    if processed.get("country") is None and no_coords:
+        term = COUNTRIES.match_term(str(raw.get("country") or ""))
+        if term:
+            processed["country"] = term.canonical
+    if processed.get("country") is None and raw.get("countryCode") is not None:
+        term = COUNTRIES.match_term(str(raw["countryCode"]))
+        if term:
+            processed["country"] = term.canonical
+
+
+def validate_centre_points(raw: dict, processed: dict, assertions: list) -> None:
+    """validateCoordinates (LocationProcessor.scala:192-212): country
+    inferred from coordinates + state/country centre-point tests."""
+    if raw.get("country") is None and processed.get("country") is not None:
+        assertions.append(QA.failed(C.COUNTRY_INFERRED_FROM_COORDINATES))
+    else:
+        assertions.append(QA.passed(C.COUNTRY_INFERRED_FROM_COORDINATES))
+
+    state = processed.get("stateProvince")
+    state_term = STATE_PROVINCES.match_term(str(state)) if state else None
+    centre = STATE_CENTRES.get(state_term.canonical.lower()) if state_term else None
+    if coordinates_match_centre(centre, raw.get("decimalLatitude"), raw.get("decimalLongitude")):
+        assertions.append(
+            QA.failed(
+                C.COORDINATES_CENTRE_OF_STATEPROVINCE,
+                f"Coordinates are centre point of {state}",
+            )
+        )
+    else:
+        assertions.append(QA.passed(C.COORDINATES_CENTRE_OF_STATEPROVINCE))
+
+    country = processed.get("country")
+    country_term = COUNTRIES.match_term(str(country)) if country else None
+    ccentre = (
+        COUNTRY_CENTRE_POINTS.get(country_term.canonical.lower()) if country_term else None
+    )
+    if coordinates_match_centre(ccentre, raw.get("decimalLatitude"), raw.get("decimalLongitude")):
+        assertions.append(
+            QA.failed(
+                C.COORDINATES_CENTRE_OF_COUNTRY,
+                f"Coordinates are centre point of {country}",
+            )
+        )
+    else:
+        assertions.append(QA.passed(C.COORDINATES_CENTRE_OF_COUNTRY))
+
+
+def check_state_mismatch(raw: dict, processed: dict, assertions: list) -> None:
+    """checkForStateMismatch (LocationProcessor.scala:727-748)."""
+    if processed.get("stateProvince") is not None and raw.get("stateProvince") is not None:
+        term = STATE_PROVINCES.match_term(str(raw["stateProvince"]))
+        if term and processed["stateProvince"].lower() != term.canonical.lower():
+            assertions.append(
+                QA.failed(
+                    C.STATE_COORDINATE_MISMATCH,
+                    f"Supplied: {term.canonical}, calculated: {processed['stateProvince']}",
+                )
+            )
+        else:
+            assertions.append(QA.passed(C.STATE_COORDINATE_MISMATCH))
+    else:
+        assertions.append(QA.unchecked(C.STATE_COORDINATE_MISMATCH))
+
+
+def check_biome_mismatch(
+    processed: dict, species_habitats: list[str] | None, assertions: list
+) -> None:
+    """checkForBiomeMismatch (LocationProcessor.scala:652-696): the biome
+    derived from the point's layers vs the taxon-profile habitats."""
+    biome = processed.get("biome")
+    if biome is None:
+        assertions.append(QA.unchecked(C.COORDINATE_HABITAT_MISMATCH))
+        return
+    if species_habitats:
+        compatible = habitats_compatible(biome, species_habitats)
+        if compatible is not None:
+            if not compatible:
+                assertions.append(
+                    QA.failed(
+                        C.COORDINATE_HABITAT_MISMATCH,
+                        "Recognised habitats for species: "
+                        + ",".join(species_habitats)
+                        + f", Value determined from coordinates: {biome}",
+                    )
+                )
+            else:
+                assertions.append(QA.passed(C.COORDINATE_HABITAT_MISMATCH))
+    else:
+        assertions.append(QA.unchecked(C.COORDINATE_HABITAT_MISMATCH))
+
+
+def process_altitude_depth(raw: dict, processed: dict, assertions: list) -> None:
+    """processAltitudeAndDepth (LocationProcessor.scala:216-310): verbatim
+    depth/elevation parsing + range/unit QAs + min/max reversal."""
+    if raw.get("verbatimDepth") is not None:
+        parsed = distance_parser.parse(str(raw["verbatimDepth"]))
+        if parsed is not None:
+            depth, unit = parsed
+            processed["verbatimDepth"] = str(depth)
+            if depth > 10000:
+                assertions.append(
+                    QA.failed(C.DEPTH_OUT_OF_RANGE, f"Depth {depth} is greater than 10,000 metres")
+                )
+            else:
+                assertions.append(QA.passed(C.DEPTH_OUT_OF_RANGE))
+            assertions.append(QA.passed(C.DEPTH_NON_NUMERIC))
+            if unit == "feet":
+                assertions.append(
+                    QA.failed(
+                        C.DEPTH_IN_FEET,
+                        "The supplied depth was in feet it has been converted to metres",
+                    )
+                )
+            else:
+                assertions.append(QA.passed(C.DEPTH_IN_FEET))
+        else:
+            assertions.append(
+                QA.failed(C.DEPTH_NON_NUMERIC, f"Can't parse verbatimDepth {raw['verbatimDepth']}")
+            )
+    if raw.get("verbatimElevation") is not None:
+        parsed = distance_parser.parse(str(raw["verbatimElevation"]))
+        if parsed is not None:
+            elevation, unit = parsed
+            processed["verbatimElevation"] = str(elevation)
+            if elevation > 10000 or elevation < -100:
+                assertions.append(
+                    QA.failed(
+                        C.ALTITUDE_OUT_OF_RANGE,
+                        f"Elevation {elevation} is greater than 10,000 metres or less than -100 metres.",
+                    )
+                )
+            else:
+                assertions.append(QA.passed(C.ALTITUDE_OUT_OF_RANGE))
+            assertions.append(QA.passed(C.ALTITUDE_NON_NUMERIC))
+            if unit == "feet":
+                assertions.append(
+                    QA.failed(
+                        C.ALTITUDE_IN_FEET,
+                        "The supplied altitude was in feet it has been converted to metres",
+                    )
+                )
+            else:
+                assertions.append(QA.passed(C.ALTITUDE_IN_FEET))
+        else:
+            assertions.append(
+                QA.failed(
+                    C.ALTITUDE_NON_NUMERIC,
+                    f"Can't parse verbatimElevation {raw['verbatimElevation']}",
+                )
+            )
+
+    for min_key, max_key, code in (
+        ("minimumDepthInMeters", "maximumDepthInMeters", C.MIN_MAX_DEPTH_REVERSED),
+        ("minimumElevationInMeters", "maximumElevationInMeters", C.MIN_MAX_ALTITUDE_REVERSED),
+    ):
+        if raw.get(min_key) is not None and raw.get(max_key) is not None:
+            lo, hi = _to_float(raw[min_key]), _to_float(raw[max_key])
+            if lo is None or hi is None:
+                continue
+            kind = "depths" if "Depth" in min_key else "elevations"
+            if lo > hi:
+                processed[min_key], processed[max_key] = str(hi), str(lo)
+                assertions.append(
+                    QA.failed(
+                        code,
+                        f"The minimum, {lo} and maximum, {hi} {kind} have been transposed.",
+                    )
+                )
+            else:
+                processed[min_key], processed[max_key] = str(lo), str(hi)
+                assertions.append(QA.passed(code))
+
+
+def validate_georeference_values(raw: dict, processed: dict, assertions: list) -> None:
+    """validateGeoreferenceValues (LocationProcessor.scala:755-787)."""
+    checks = (
+        ("geodeticDatum", C.MISSING_GEODETICDATUM, "Missing geodeticDatum"),
+        ("georeferencedBy", C.MISSING_GEOREFERENCEDBY, "Missing georeferencedBy"),
+        ("georeferenceProtocol", C.MISSING_GEOREFERENCEPROTOCOL, "Missing georeferenceProtocol"),
+        ("georeferenceSources", C.MISSING_GEOREFERENCESOURCES, "Missing georeferenceSources"),
+        (
+            "georeferenceVerificationStatus",
+            C.MISSING_GEOREFERENCEVERIFICATIONSTATUS,
+            "Missing georeferenceVerificationStatus",
+        ),
+    )
+    for key, code, comment in checks:
+        if raw.get(key) is None and processed.get(key) is None:
+            assertions.append(QA.failed(code, comment))
+        else:
+            assertions.append(QA.passed(code))
+    if not str(raw.get("georeferencedDate") or "").strip():
+        assertions.append(QA.failed(C.MISSING_GEOREFERENCE_DATE))
+    else:
+        assertions.append(QA.passed(C.MISSING_GEOREFERENCE_DATE))
+
+
+def process_location(
+    raw: dict,
+    intersect=None,
+    species_habitats: list[str] | None = None,
+    default_country: str | None = None,
+) -> tuple[dict, list]:
+    """Full location stage for one record (LocationProcessor.process,
+    LocationProcessor.scala:30-110). Returns (processed, assertions).
+
+    `intersect`: optional callable (lat: float, lon: float) -> dict with
+    keys stateProvince / country / lga / biome — the SpatialLayerDAO
+    analog; in the Spark chain this is served by the sampling join
+    (operators/sampling.py), here it enables the per-record path.
+    `species_habitats`: taxon-profile habitats for the biome test."""
     assertions: list[QA] = []
     processed: dict = {}
 
     point = process_lat_long(raw, assertions)
+    process_altitude_depth(raw, processed, assertions)
     if point is not None:
         processed["decimalLatitude"] = point["latitude"]
         processed["decimalLongitude"] = point["longitude"]
@@ -414,6 +762,21 @@ def process_location(raw: dict) -> tuple[dict, list]:
             processed["coordinateUncertaintyInMeters"] = f"{float(point['uncertainty']):.1f}"
         validate_coordinates(raw, processed, assertions)
         check_coordinate_uncertainty(raw, processed, assertions)
+        if intersect is not None and processed.get("decimalLatitude") is not None:
+            values = intersect(
+                _to_float(processed["decimalLatitude"]),
+                _to_float(processed["decimalLongitude"]),
+            ) or {}
+            processed["stateProvince"] = values.get("stateProvince")
+            processed["lga"] = values.get("lga")
+            processed["country"] = values.get("country")
+            # state layer outranks the country layer under a default country
+            # (LocationProcessor.scala:66-69)
+            if processed.get("stateProvince") is not None and default_country:
+                processed["country"] = default_country
+            processed["biome"] = values.get("biome")
+        if raw.get("habitat") is not None:
+            processed["habitat"] = raw["habitat"]
     else:
         no_location = all(
             not raw.get(k)
@@ -434,4 +797,18 @@ def process_location(raw: dict) -> tuple[dict, list]:
             assertions.append(
                 QA.failed(C.LOCATION_NOT_SUPPLIED, "No location information has been provided")
             )
+    process_state_country_values(raw, processed)
+    for key in (
+        "georeferencedBy",
+        "georeferenceProtocol",
+        "georeferenceRemarks",
+        "georeferenceSources",
+        "georeferenceVerificationStatus",
+    ):
+        if raw.get(key) is not None:
+            processed[key] = raw[key]
+    validate_centre_points(raw, processed, assertions)
+    validate_georeference_values(raw, processed, assertions)
+    check_state_mismatch(raw, processed, assertions)
+    check_biome_mismatch(processed, species_habitats, assertions)
     return processed, assertions

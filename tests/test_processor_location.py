@@ -204,3 +204,124 @@ def test_reprojection_rounds_to_input_precision():
     )
     assert len(p["decimalLatitude"].split(".")[1]) <= 2
     assert len(p["decimalLongitude"].split(".")[1]) <= 2
+
+
+def test_state_inferred_from_raw_when_no_coords():
+    # processStateCountryValues (LocationProcessor.scala:137-165)
+    p, _ = process_location({"stateProvince": "NSW"})
+    assert p["stateProvince"] == "New South Wales"
+    assert p["country"] == "Australia"
+
+
+def test_country_from_country_code():
+    p, _ = process_location({"countryCode": "AU"})
+    assert p["country"] == "Australia"
+
+
+def test_state_not_inferred_when_coords_present():
+    p, _ = process_location(
+        {"decimalLatitude": "-35.2", "decimalLongitude": "144.8",
+         "geodeticDatum": "WGS84", "stateProvince": "NSW"}
+    )
+    # no intersect callback -> no processed state; raw state must NOT be
+    # canonicalized when coordinates were supplied
+    assert "stateProvince" not in p or p["stateProvince"] is None
+
+
+def test_state_centre_point_detected():
+    # ProcessLocationTest "state centre": exact NSW centre at full precision
+    from biocache_store_spark.processors.location import (
+        STATE_CENTRES,
+        coordinates_match_centre,
+    )
+
+    centre = STATE_CENTRES["new south wales"]
+    assert coordinates_match_centre(centre, "-31.2532183", "146.921099")
+    # truncated-precision variants still match (CentrePoints.round truncation)
+    assert coordinates_match_centre(centre, "-31.25", "146.92")
+    assert not coordinates_match_centre(centre, "-31.26", "146.92")
+    assert not coordinates_match_centre(centre, "-31.2", "150.0")
+
+
+def test_centre_of_state_assertion_via_intersect():
+    p, a = process_location(
+        {"decimalLatitude": "-31.2532183", "decimalLongitude": "146.921099",
+         "geodeticDatum": "WGS84"},
+        intersect=lambda lat, lon: {"stateProvince": "New South Wales",
+                                    "country": "Australia", "biome": "Terrestrial"},
+    )
+    assert p["stateProvince"] == "New South Wales"
+    assert qa_status(a, C.COORDINATES_CENTRE_OF_STATEPROVINCE.code) == FAILED
+    # country came from the layers, not the record
+    assert qa_status(a, C.COUNTRY_INFERRED_FROM_COORDINATES.code) == FAILED
+
+
+def test_state_mismatch():
+    # checkForStateMismatch (LocationProcessor.scala:727-748)
+    p, a = process_location(
+        {"decimalLatitude": "-31.25", "decimalLongitude": "146.92",
+         "geodeticDatum": "WGS84", "stateProvince": "Victoria"},
+        intersect=lambda lat, lon: {"stateProvince": "New South Wales"},
+    )
+    assert qa_status(a, C.STATE_COORDINATE_MISMATCH.code) == FAILED
+    p, a = process_location(
+        {"decimalLatitude": "-31.25", "decimalLongitude": "146.92",
+         "geodeticDatum": "WGS84", "stateProvince": "nsw"},
+        intersect=lambda lat, lon: {"stateProvince": "New South Wales"},
+    )
+    assert qa_status(a, C.STATE_COORDINATE_MISMATCH.code) == PASSED
+
+
+def test_biome_mismatch():
+    # checkForBiomeMismatch (LocationProcessor.scala:652-696)
+    _, a = process_location(
+        {"decimalLatitude": "-31.25", "decimalLongitude": "146.92",
+         "geodeticDatum": "WGS84"},
+        intersect=lambda lat, lon: {"biome": "Marine"},
+        species_habitats=["Terrestrial"],
+    )
+    assert qa_status(a, C.COORDINATE_HABITAT_MISMATCH.code) == FAILED
+    _, a = process_location(
+        {"decimalLatitude": "-31.25", "decimalLongitude": "146.92",
+         "geodeticDatum": "WGS84"},
+        intersect=lambda lat, lon: {"biome": "Terrestrial"},
+        species_habitats=["Non-marine"],
+    )
+    assert qa_status(a, C.COORDINATE_HABITAT_MISMATCH.code) == PASSED
+
+
+def test_depth_elevation_parsing():
+    # processAltitudeAndDepth (LocationProcessor.scala:216-310)
+    p, a = process_location(
+        {"verbatimDepth": "10m", "verbatimElevation": "100ft"}
+    )
+    assert p["verbatimDepth"] == "10.0"
+    assert qa_status(a, C.DEPTH_OUT_OF_RANGE.code) == PASSED
+    assert qa_status(a, C.ALTITUDE_IN_FEET.code) == FAILED
+    p, a = process_location({"verbatimDepth": "20000m"})
+    assert qa_status(a, C.DEPTH_OUT_OF_RANGE.code) == FAILED
+    _, a = process_location({"verbatimElevation": "sealevel"})
+    assert qa_status(a, C.ALTITUDE_NON_NUMERIC.code) == FAILED
+
+
+def test_min_max_reversal():
+    p, a = process_location(
+        {"minimumDepthInMeters": "20", "maximumDepthInMeters": "10"}
+    )
+    assert p["minimumDepthInMeters"] == "10.0"
+    assert p["maximumDepthInMeters"] == "20.0"
+    assert qa_status(a, C.MIN_MAX_DEPTH_REVERSED.code) == FAILED
+    p, a = process_location(
+        {"minimumElevationInMeters": "100", "maximumElevationInMeters": "200"}
+    )
+    assert qa_status(a, C.MIN_MAX_ALTITUDE_REVERSED.code) == PASSED
+
+
+def test_georeference_missing_checks():
+    _, a = process_location(
+        {"decimalLatitude": "-35.2", "decimalLongitude": "144.8",
+         "geodeticDatum": "WGS84", "georeferencedBy": "A Person"}
+    )
+    assert qa_status(a, C.MISSING_GEOREFERENCEDBY.code) == PASSED
+    assert qa_status(a, C.MISSING_GEOREFERENCEPROTOCOL.code) == FAILED
+    assert qa_status(a, C.MISSING_GEOREFERENCE_DATE.code) == FAILED

@@ -33,6 +33,22 @@ def _rounded_point(lat: Column, lon: Column, decimals: int) -> Column:
     )
 
 
+def _stepped_point(lat: Column, lon: Column, step: float) -> Column:
+    """getLatLongStringStep (IndexDAO.scala:181-196): round to the nearest
+    step (e.g. 0.02), formatted with trailing zeros stripped."""
+
+    def fmt(c: Column) -> Column:
+        stepped = F.round(c / step) * step
+        s = F.format_number(F.round(stepped, 2), 2)
+        s = F.regexp_replace(s, ",", "")
+        s = F.regexp_replace(s, r"\.?0+$", "")
+        return s
+
+    return F.when(
+        lat.isNotNull() & lon.isNotNull(), F.concat(fmt(lat), F.lit(","), fmt(lon))
+    )
+
+
 def _qa_names(assertions: Column, status: int) -> Column:
     return F.transform(
         F.filter(assertions, lambda a: a["qa_status"] == status),
@@ -40,41 +56,133 @@ def _qa_names(assertions: Column, status: int) -> Column:
     )
 
 
-def build_index(processed_df: DataFrame) -> DataFrame:
+# classification fields served by the enrich_classification join columns
+_MATCHED_PARSED = {
+    "scientificName": "matched_scientificName",
+    "taxonConceptID": "matched_taxonConceptID",
+    "taxonRank": "matched_taxonRank",
+    "left": "matched_lft",
+    "right": "matched_rgt",
+    "vernacularName": "matched_vernacularName",
+}
+
+# cassandra-field aliases onto this engine's raw column names
+_RAW_ALIASES = {
+    "rowkey": "occurrenceID",
+    "uuid": "occurrenceID",
+    "lastModifiedTime": "modified",
+}
+
+
+def build_index(processed_df: DataFrame, include_deleted: bool = False) -> DataFrame:
     """processed occurrences (output of processors.chain.process_records,
-    optionally enriched) -> flat index table."""
+    optionally enriched) -> the flat index table.
+
+    The column set is DATA-driven: operators/index_schema.py ports the
+    reference's headerAttributes mapping table (IndexDAO.scala:212-466,
+    cassandraField -> solrField with RAW/PARSED/RAW_AND_PARSED precedence,
+    date/multivalue arity), and this function generates one typed
+    expression per entry — ~160 columns; sources missing from the input
+    produce typed nulls so the index schema is stable. The reference's
+    IGNORE entries (computed fields: point ladder, lat_long,
+    occurrence_year/decade, multimedia, assertion roll-ups,
+    sensitive-value overlay, kosher gate) are emitted below as
+    expressions. Deleted rows are dropped (IndexDAO.scala:520-523) unless
+    include_deleted."""
+    from biocache_store_spark.operators.index_schema import (
+        ALL_ATTRIBUTES,
+        DATE,
+        MULTI,
+        PARSED,
+        RAW,
+        RAW_AND_PARSED,
+        sanitize,
+    )
+    from pyspark.sql import types as T
+
     df = processed_df
     p = F.col("processed")
+    processed_fields = {
+        f.name for f in df.schema["processed"].dataType.fields
+    } if "processed" in df.columns else set()
 
-    def parsed_or_raw(field: str) -> Column:
-        # getParsedValueIfAvailable (IndexDAO.scala:135)
-        raw = F.col(field) if field in df.columns else F.lit(None).cast("string")
-        return F.coalesce(p[field], raw)
+    def raw_col(field: str) -> Column | None:
+        name = _RAW_ALIASES.get(field, field)
+        return F.col(name) if name in df.columns else None
 
+    def parsed_col(field: str) -> Column | None:
+        if field in processed_fields:
+            return p[field]
+        matched = _MATCHED_PARSED.get(field)
+        if matched and matched in df.columns:
+            return F.col(matched).cast("string")
+        return None
+
+    def source(field: str, mode: str) -> Column:
+        raw = raw_col(field)
+        parsed = parsed_col(field)
+        if mode == RAW:
+            out = raw
+        elif mode == PARSED:
+            out = parsed
+        else:  # RAW_AND_PARSED: raw value, parsed fallback
+            if raw is not None and parsed is not None:
+                out = F.coalesce(raw.cast("string"), parsed)
+            else:
+                out = raw if raw is not None else parsed
+        return (out.cast("string") if out is not None else F.lit(None).cast("string"))
+
+    # numeric SOLR field types (the reference's schema types these as
+    # tdouble/tint dynamic fields)
+    double_fields = {
+        "latitude", "longitude", "coordinate_uncertainty", "depth",
+        "elevation", "min_depth_d", "max_depth_d", "min_elevation_d",
+        "max_elevation_d", "distance_outside_expert_range",
+    }
+    int_fields = {"lft", "rgt", "rank_id"}
+
+    def typed(col: Column, arity: int, field: str) -> Column:
+        if arity == DATE:
+            return col.try_cast("date")
+        if arity == MULTI:
+            # multivalue columns may arrive as arrays (chain output) or as
+            # '|'/';'-delimited strings (reference storage form)
+            name = _RAW_ALIASES.get(field, field)
+            if name in df.columns and isinstance(
+                df.schema[name].dataType, T.ArrayType
+            ):
+                return F.col(name).cast("array<string>")
+            return F.filter(
+                F.split(col, r"\s*[|;]\s*"), lambda x: (x != "") & x.isNotNull()
+            )
+        return col
+
+    cols: list[Column] = []
+    seen: set[str] = set()
+    for field, solr_field, arity, mode in ALL_ATTRIBUTES:
+        name = sanitize(solr_field)
+        if name in seen:
+            continue
+        seen.add(name)
+        col = typed(source(field, mode), arity, field)
+        if name in double_fields:
+            col = col.try_cast("double")
+        elif name in int_fields:
+            col = col.try_cast("int")
+        cols.append(col.alias(name))
+
+    # --- computed fields (the reference's IGNORE list) -------------------
     lat = p["decimalLatitude"].cast("double")
     lon = p["decimalLongitude"].cast("double")
     year = p["year"].cast("int")
-
-    cols = [
-        F.col("occurrenceID").alias("id"),
-        F.col("dataResourceUid").alias("data_resource_uid"),
-        parsed_or_raw("basisOfRecord").alias("basis_of_record"),
-        parsed_or_raw("recordedBy").alias("collector"),
-        p["occurrenceStatus"].alias("occurrence_status"),
-        p["typeStatus"].alias("type_status"),
-        p["establishmentMeans"].alias("establishment_means"),
-        # event
-        p["eventDate"].alias("occurrence_date"),
-        p["eventDateEnd"].alias("occurrence_date_end"),
+    cols += [
+        # occurrence_year/decade (IndexDAO.scala:578-585)
         year.alias("occurrence_year"),
+        (F.floor(year / 10) * 10).cast("int").alias("occurrence_decade_i"),
         p["month"].cast("int").alias("occurrence_month"),
         p["day"].cast("int").alias("occurrence_day"),
-        # occurrence_decade (IndexDAO.scala:578-585)
-        (F.floor(year / 10) * 10).cast("int").alias("occurrence_decade"),
-        p["datePrecision"].alias("date_precision"),
-        # location (typed)
-        lat.alias("latitude"),
-        lon.alias("longitude"),
+        # lat_long + the point ladder (IndexDAO.scala:170-210), incl. the
+        # 0.02-step rung
         F.when(
             lat.isNotNull() & lon.isNotNull(),
             F.concat(p["decimalLatitude"], F.lit(","), p["decimalLongitude"]),
@@ -82,36 +190,70 @@ def build_index(processed_df: DataFrame) -> DataFrame:
         _rounded_point(lat, lon, 0).alias("point_1"),
         _rounded_point(lat, lon, 1).alias("point_0_1"),
         _rounded_point(lat, lon, 2).alias("point_0_01"),
+        _stepped_point(lat, lon, 0.02).alias("point_0_02"),
         _rounded_point(lat, lon, 3).alias("point_0_001"),
         _rounded_point(lat, lon, 4).alias("point_0_0001"),
-        p["geodeticDatum"].alias("geodetic_datum"),
-        p["coordinateUncertaintyInMeters"].cast("double").alias(
-            "coordinate_uncertainty"
-        ),
         F.col("geospatially_kosher").alias("geospatial_kosher"),
         # assertion roll-ups (SolrIndexDAO.extractPassAndFailed :609-629)
         _qa_names(F.col("assertions"), 0).alias("assertions_failed"),
         _qa_names(F.col("assertions"), 1).alias("assertions_passed"),
+        _qa_names(F.col("assertions"), 2).alias("assertions_unchecked"),
         F.size(_qa_names(F.col("assertions"), 0)).alias("n_assertions_failed"),
         F.col("assertions").alias("system_assertions"),
     ]
-    # optional classification enrichment columns
-    for src, dst in (
-        ("matched_taxonConceptID", "taxon_concept_lsid"),
-        ("matched_taxonRank", "rank"),
-        ("matched_lft", "lft"),
-        ("matched_rgt", "rgt"),
-        ("matched_vernacularName", "common_name"),
-    ):
-        if src in df.columns:
-            cols.append(F.col(src).alias(dst))
-    if "scientificName" in df.columns:
-        cols.append(F.col("scientificName").alias("taxon_name"))
-    if "stateProvince" in df.columns:
-        cols.append(F.col("stateProvince").alias("state"))
-    if "country" in df.columns:
-        cols.append(F.col("country").alias("country"))
-    return df.select(*cols)
+    # multimedia presence (IndexDAO.scala:539-553)
+    media_exprs = []
+    for media_col, label in (("images", "Image"), ("sounds", "Sound"), ("videos", "Video")):
+        if media_col in df.columns:
+            media_exprs.append(
+                F.when(F.size(F.col(media_col).cast("array<string>")) > 0, F.lit(label))
+            )
+    if media_exprs:
+        present = F.filter(F.array(*media_exprs), lambda x: x.isNotNull())
+        cols.append(
+            F.when(F.size(present) > 0, present)
+            .otherwise(F.array(F.lit("None")))
+            .alias("multimedia")
+        )
+    else:
+        cols.append(F.array(F.lit("None")).alias("multimedia"))
+    # names_and_lsid / common_name_and_lsid composites (SolrIndexDAO)
+    sci = parsed_col("scientificName")
+    lsid = parsed_col("taxonConceptID")
+    vern = parsed_col("vernacularName")
+    if sci is not None and lsid is not None:
+        cols.append(
+            F.when(
+                lsid.isNotNull(),
+                F.concat_ws("|", sci, lsid, F.coalesce(vern, F.lit(""))),
+            ).alias("names_and_lsid")
+        )
+        if vern is not None:
+            cols.append(
+                F.when(
+                    vern.isNotNull() & lsid.isNotNull(),
+                    F.concat_ws("|", vern, lsid),
+                ).alias("common_name_and_lsid")
+            )
+    # sensitive-value overlay (SolrIndexDAO.scala:615-628): original values
+    # recorded by the sensitivity generalization are exposed as sensitive_*
+    if "originalSensitiveValues" in df.columns:
+        osv = F.col("originalSensitiveValues")
+        cols += [
+            osv.getItem("decimalLatitude").alias("sensitive_latitude"),
+            osv.getItem("decimalLongitude").alias("sensitive_longitude"),
+            osv.getItem("coordinateUncertaintyInMeters").alias(
+                "sensitive_coordinate_uncertainty"
+            ),
+            osv.getItem("locality").alias("sensitive_locality"),
+        ]
+    out = df.select(*cols)
+    if not include_deleted and "deleted" in df.columns:
+        # deleted/blank-row filter at index time (IndexDAO.scala:520-523)
+        out = df.filter(
+            F.coalesce(F.col("deleted").cast("boolean"), F.lit(False)) == False  # noqa: E712
+        ).select(*cols)
+    return out
 
 
 def facet_counts(index_df: DataFrame, field: str, limit: int | None = None) -> DataFrame:

@@ -170,6 +170,68 @@ def stored_query_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "index_projection_facet",
+    doc=(
+        "End-to-end process+index facet: occurrence-shaped records "
+        "synthesized from customer run through the REAL 12-stage chain "
+        "(processors/chain.process_records, one Arrow-batched mapInPandas "
+        "pass) and the data-driven ~160-column index projection "
+        "(operators/index_projection.build_index over the "
+        "headerAttributes table, IndexDAO.scala:212-466), then the "
+        "reference's most common production query: facet counts over "
+        "basis_of_record gated on geospatial_kosher "
+        "(SolrIndexDAO.pageOverFacet). The oracle replays the vocabulary "
+        "canonicalization and the out-of-range kosher rule in SQL."
+    ),
+    oracle="""
+        SELECT CASE c_custkey % 4
+                 WHEN 0 THEN 'PreservedSpecimen'
+                 WHEN 1 THEN 'HumanObservation'
+                 WHEN 2 THEN 'PreservedSpecimen'
+                 ELSE 'MachineObservation' END AS facet_value,
+               COUNT(*) AS facet_count
+        FROM customer
+        WHERE c_custkey % 10 <> 0  -- lat -200.5: out of range, not invertible -> not kosher
+        GROUP BY 1
+    """,
+)
+def index_projection_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.index_projection import (
+        build_index,
+        facet_counts,
+    )
+    from biocache_store_spark.processors.chain import process_records
+
+    customer = read_table(spark, sf_dir, "customer")
+    occ = customer.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("occurrenceID"),
+        F.col("c_mktsegment").alias("dataResourceUid"),
+        # 'S' exercises the single-letter vocabulary variant -> PreservedSpecimen
+        F.element_at(
+            F.array(
+                F.lit("PreservedSpecimen"),
+                F.lit("HumanObservation"),
+                F.lit("S"),
+                F.lit("MachineObservation"),
+            ),
+            (F.pmod(F.col("c_custkey"), F.lit(4)) + 1).cast("int"),
+        ).alias("basisOfRecord"),
+        F.when(F.pmod(F.col("c_custkey"), F.lit(10)) == 0, F.lit("-200.5"))
+        .otherwise(
+            F.concat(F.lit("-"), F.pmod(F.col("c_custkey"), F.lit(80)).cast("string"), F.lit(".5"))
+        )
+        .alias("decimalLatitude"),
+        F.concat(F.pmod(F.col("c_custkey"), F.lit(160)).cast("string"), F.lit(".25")).alias(
+            "decimalLongitude"
+        ),
+        F.lit("WGS84").alias("geodeticDatum"),
+    )
+    index = build_index(process_records(occ))
+    kosher = index.filter(F.col("geospatial_kosher"))
+    return facet_counts(kosher, "basis_of_record").select("facet_value", "facet_count")
+
+
+@register(
     "taxon_name_match",
     doc=(
         "Taxonomic name-match ladder (processors/taxonomy.py "

@@ -231,13 +231,15 @@ def test_index_projection(spark):
     data = {r["id"]: r for r in index.collect()}
     r1 = data["occ1"]
     assert r1["occurrence_year"] == 1978
-    assert r1["occurrence_decade"] == 1970
+    assert r1["occurrence_decade_i"] == 1970
     assert r1["point_1"] == "-35,145"
     assert r1["point_0_1"] == "-35.2,144.8"
     assert r1["latitude"] == pytest.approx(-35.21667)
     assert r1["geospatial_kosher"] is True
     assert "invalidCollectionDate" in r1["assertions_passed"]
-    facets = {r["facet_value"]: r["facet_count"] for r in facet_counts(index, "state").collect()}
+    # "state" is PARSED (layer-derived); with no intersect layers the raw
+    # value appears only in raw_state (headerAttributesFix parity)
+    facets = {r["facet_value"]: r["facet_count"] for r in facet_counts(index, "raw_state").collect()}
     assert facets == {"Victoria": 1, "New South Wales": 1}
 
 

@@ -76,7 +76,7 @@ def test_dwca_end_to_end_process_and_index(spark):
     index = build_index(processed)
     rows = {r["id"]: r for r in index.collect()}
     assert rows["urn:occ:1"]["occurrence_year"] == 1981
-    assert rows["urn:occ:2"]["occurrence_date"] == "1981-10-17"  # day-first parsed
+    assert str(rows["urn:occ:2"]["occurrence_date"]) == "1981-10-17"  # day-first parsed, DATE-typed
     assert rows["urn:occ:2"]["basis_of_record"] == "HumanObservation"
     assert rows["urn:occ:3"]["basis_of_record"] == "PreservedSpecimen"  # "S"
     kosher = index.filter(F.col("geospatial_kosher"))

@@ -74,8 +74,18 @@ def lsh_candidates(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Distinct candidate pairs (a < b) sharing at least one band signature."""
+    """Distinct candidate pairs (a < b) sharing at least one band signature.
+
+    `max_bucket_size` is the hot-band guard for corpus scale: a band
+    signature shared by B documents contributes B^2/2 candidate pairs, so
+    one viral bucket (boilerplate, empty strings) turns the join quadratic.
+    Buckets larger than the cap are dropped from candidate generation — the
+    standard LSH trade (documents connected ONLY through a viral bucket are
+    missed; everything else is unaffected). The bucket-size aggregation
+    shuffles on the same (band, band_sig) key as the join itself, so AQE
+    reuses the exchange."""
     rows_per_band = num_hashes // bands
     banded = sig_df.select(
         id_col,
@@ -91,6 +101,18 @@ def lsh_candidates(
             )
         ).alias("bs"),
     ).select(id_col, F.col("bs.band"), F.col("bs.band_sig"))
+    if max_bucket_size is not None:
+        from pyspark.sql.window import Window
+
+        # window count over the join key itself: one shuffle, no extra join
+        banded = (
+            banded.withColumn(
+                "__bn",
+                F.count(F.lit(1)).over(Window.partitionBy("band", "band_sig")),
+            )
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -115,16 +137,18 @@ def near_duplicates(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidates verified with exact shingle-set Jaccard >= threshold.
 
     Returns (doc_a, doc_b, jaccard). Output is a SUBSET of the exact
     all-pairs result (LSH recall < 1 by design); with the default 4 bands x
     3 rows the candidate recall at 0.5 similarity is ~1-(1-0.5^3)^4 = 0.41
-    per band formula — raise bands for higher recall.
+    per band formula — raise bands for higher recall. `max_bucket_size`
+    caps hot band-buckets (see lsh_candidates).
     """
     sig = signatures(docs, num_hashes, n, id_col, text_col)
-    cand = lsh_candidates(sig, num_hashes, bands, id_col)
+    cand = lsh_candidates(sig, num_hashes, bands, id_col, max_bucket_size)
     sets_a = sig.select(
         F.col(id_col).alias("doc_a"),
         F.col("shs").alias("shs_a"),

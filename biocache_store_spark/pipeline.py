@@ -62,7 +62,25 @@ def run_pipeline(
     dims = dims or Dimensions()
     df = raw
     if dims.sensitive_species is not None:
-        df = apply_sensitivity(df, dims.sensitive_species)
+        if "generalisation" in dims.sensitive_species.columns:
+            # full SDS rule shape (zone-scoped conservation instances,
+            # WITHHOLD, originalSensitiveValues round-trip)
+            from pyspark.sql import functions as F
+
+            from biocache_store_spark.processors.sds import apply_sds
+
+            id_col = next(
+                (c for c in ("rowKey", "occurrenceID") if c in df.columns), None
+            )
+            if id_col is None:
+                df = df.withColumn("__sds_id", F.monotonically_increasing_id())
+                df = apply_sds(df, dims.sensitive_species, id_col="__sds_id").drop(
+                    "__sds_id"
+                )
+            else:
+                df = apply_sds(df, dims.sensitive_species, id_col=id_col)
+        else:
+            df = apply_sensitivity(df, dims.sensitive_species)
     # the chain emits its own assertions column; stash any pre-chain
     # assertions (e.g. sensitivity) and concat afterwards
     pre_assertions = "assertions" in df.columns

@@ -433,3 +433,114 @@ def dedup_occurrence_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.col("dup_types").cast("array<string>"), ",").alias("dup_types"),
         "precision",
     )
+
+
+@register(
+    "sds_generalization",
+    doc=(
+        "Full SDS outcome application (processors/sds.py apply_sds — "
+        "SensitivityProcessor.scala:37-302 semantics): rules synthesized "
+        "over 40 species with WITHHOLD / zone-scoped / everywhere "
+        "conservation instances; records from customer with zone, "
+        "coordinates and uncertainty derived from c_custkey/c_acctbal. "
+        "Exercises the zone filter, most-restrictive-instance pick, the "
+        "coordinate grid ladder, uncertainty addition "
+        "(SensitivityProcessor.scala:181-201) and coordinate withholding."
+    ),
+    oracle="""
+        WITH rec AS (
+            SELECT c_custkey,
+                   (c_custkey % 40) % 4 AS m,
+                   (c_custkey % 7) = ((c_custkey % 40) % 7) AS in_zone,
+                   -10 - (c_custkey % 60) - c_acctbal / 100000 AS lat,
+                   110 + (c_custkey % 50) + c_acctbal / 100000 AS lon,
+                   (c_custkey % 4) * 10 AS unc
+            FROM customer
+        ),
+        matched AS (
+            SELECT c_custkey, lat, lon, unc,
+                   CASE WHEN m = 0 AND in_zone THEN 'WITHHOLD'
+                        WHEN m = 1 THEN '10km'
+                        WHEN m = 2 AND in_zone THEN '10km'
+                        WHEN m = 2 THEN '1km' END AS gen
+            FROM rec
+        )
+        SELECT c_custkey,
+               gen IS NOT NULL AS sensitive,
+               gen,
+               CASE WHEN gen = 'WITHHOLD' THEN NULL
+                    WHEN gen = '10km' THEN round(lat, 1)
+                    WHEN gen = '1km' THEN round(lat, 2)
+                    ELSE lat END AS lat_g,
+               CASE WHEN gen = 'WITHHOLD' THEN NULL
+                    WHEN gen = '10km' THEN round(lon, 1)
+                    WHEN gen = '1km' THEN round(lon, 2)
+                    ELSE lon END AS lon_g,
+               CASE WHEN gen = 'WITHHOLD' THEN NULL
+                    WHEN gen = '10km' THEN unc + 10000
+                    WHEN gen = '1km' THEN unc + 1000
+                    ELSE unc END AS unc_g,
+               CASE WHEN gen = 'WITHHOLD'
+                    THEN 'Record is WITHHOLD: location withheld' END
+                   AS info_withheld,
+               CASE WHEN gen IN ('10km', '1km') THEN
+                    'Coordinates generalised to ' ||
+                    CASE gen WHEN '10km' THEN '10000' ELSE '1000' END ||
+                    'm (' || gen || ')' END AS data_generalizations
+        FROM matched
+    """,
+)
+def sds_generalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.processors.sds import apply_sds
+
+    customer = read_table(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    records = customer.select(
+        ck.alias("rowKey"),
+        F.concat(F.lit("Species "), (ck % 40).cast("string")).alias("scientificName"),
+        F.concat(F.lit("ZONE"), (ck % 7).cast("string")).alias("stateProvince"),
+        (F.lit(-10) - (ck % 60) - F.col("c_acctbal") / 100000)
+        .cast("string")
+        .alias("decimalLatitude"),
+        (F.lit(110) + (ck % 50) + F.col("c_acctbal") / 100000)
+        .cast("string")
+        .alias("decimalLongitude"),
+        ((ck % 4) * 10).cast("string").alias("coordinateUncertaintyInMeters"),
+    )
+    s = F.col("id")
+    species = F.concat(F.lit("Species "), s.cast("string"))
+    zone_s = F.concat(F.lit("ZONE"), (s % 7).cast("string"))
+    base = spark.range(40)
+    withhold_rules = base.filter(s % 4 == 0).select(
+        species.alias("scientificName"), zone_s.alias("zone"),
+        F.lit("WITHHOLD").alias("generalisation"),
+    )
+    everywhere_rules = base.filter(s % 4 == 1).select(
+        species.alias("scientificName"), F.lit(None).cast("string").alias("zone"),
+        F.lit("10km").alias("generalisation"),
+    )
+    zoned_rules = base.filter(s % 4 == 2).select(
+        species.alias("scientificName"), zone_s.alias("zone"),
+        F.lit("10km").alias("generalisation"),
+    )
+    fallback_rules = base.filter(s % 4 == 2).select(
+        species.alias("scientificName"), F.lit(None).cast("string").alias("zone"),
+        F.lit("1km").alias("generalisation"),
+    )
+    rules = (
+        withhold_rules.unionByName(everywhere_rules)
+        .unionByName(zoned_rules)
+        .unionByName(fallback_rules)
+        .withColumn("category", F.col("generalisation"))
+    )
+    out = apply_sds(records, rules, id_col="rowKey")
+    return out.select(
+        F.col("rowKey").alias("c_custkey"),
+        "sensitive",
+        F.col("sds_generalisation").alias("gen"),
+        F.col("decimalLatitude").cast("double").alias("lat_g"),
+        F.col("decimalLongitude").cast("double").alias("lon_g"),
+        F.col("coordinateUncertaintyInMeters").cast("double").alias("unc_g"),
+        F.col("informationWithheld").alias("info_withheld"),
+        F.col("dataGeneralizations").alias("data_generalizations"),
+    )

@@ -1,0 +1,208 @@
+"""Full SDS processing (processors/sds.py) vs the reference's
+SensitivityProcessor.scala semantics — rule cases modelled on
+src/test/resources/test-sensitive-species-data.xml (zone-scoped
+generalisation instances and a WITHHOLD instance)."""
+
+from __future__ import annotations
+
+import pytest
+
+from biocache_store_spark.processors.sds import (
+    apply_sds,
+    exact_sci_name,
+    overlay_sensitive_index_fields,
+    unprocess_non_sensitive,
+)
+
+
+@pytest.fixture(scope="module")
+def rules(spark):
+    # (scientificName, taxonConceptID, zone, category, authority, generalisation)
+    return spark.createDataFrame(
+        [
+            # test-sensitive-species-data.xml: Hericium cirrhatum 10km in England
+            ("Hericium cirrhatum", "lsid:8012", "England", "NE", "Natural England", "10km"),
+            # Lutra lutra: 10km in Scotland only
+            ("Lutra lutra", "lsid:5133", "Scotland", "NE", "Natural England", "10km"),
+            # Diuris disposita: WITHHOLD in New South Wales
+            ("Diuris disposita", "lsid:167966", "New South Wales", "NSW", "Natural NSW", "WITHHOLD"),
+            # everywhere-rule (zone null) + a competing finer instance
+            ("Thryptomene stenophylla", "lsid:771", None, "WA", "DEC", "1km"),
+            ("Thryptomene stenophylla", "lsid:771", "Western Australia", "WA", "DEC", "100m"),
+        ],
+        "scientificName string, taxonConceptID string, zone string, "
+        "category string, authority string, generalisation string",
+    )
+
+
+def _records(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "rowKey string, scientificName string, taxonConceptID string, "
+        "stateProvince string, country string, decimalLatitude string, "
+        "decimalLongitude string, coordinateUncertaintyInMeters string, "
+        "eventDate string, day string, month string",
+    )
+
+
+def test_generalisation_and_zone_scoping(spark, rules):
+    records = _records(
+        spark,
+        [
+            # in-zone: 10km generalisation applies
+            ("r1", "Hericium cirrhatum", None, "England", "United Kingdom",
+             "52.91456", "-1.23765", "10", "2020-04-01", "1", "4"),
+            # out-of-zone for the Scotland-only rule: untouched
+            ("r2", "Lutra lutra", None, "England", "United Kingdom",
+             "52.5", "-1.9", "10", "2020-04-01", "1", "4"),
+            # non-sensitive name
+            ("r3", "Macropus rufus", None, "England", None,
+             "52.5", "-1.9", "5", "2020-04-01", "1", "4"),
+        ],
+    )
+    out = {r["rowKey"]: r for r in apply_sds(records, rules).collect()}
+
+    r1 = out["r1"]
+    assert r1["sensitive"]
+    assert r1["decimalLatitude"] == "52.9"  # 10km -> 0.1 degree grid
+    assert r1["decimalLongitude"] == "-1.2"
+    assert r1["coordinateUncertaintyInMeters"] == "10010.0"  # 10 + 10000
+    assert "generalised to 10000m" in r1["dataGeneralizations"]
+    # event withholding: SensitivityProcessor.scala:229-258
+    assert r1["eventDate"] is None and r1["day"] is None and r1["month"] is None
+    osv = r1["originalSensitiveValues"]
+    assert osv["decimalLatitude"] == "52.91456"
+    assert osv["eventDate"] == "2020-04-01"
+    assert osv["coordinateUncertaintyInMeters.p"] == "10"
+
+    r2 = out["r2"]
+    assert not r2["sensitive"]
+    assert r2["decimalLatitude"] == "52.5" and r2["eventDate"] == "2020-04-01"
+    assert r2["originalSensitiveValues"] is None
+
+    assert not out["r3"]["sensitive"]
+
+
+def test_withhold_blanks_coordinates(spark, rules):
+    records = _records(
+        spark,
+        [("r1", "Diuris disposita", None, "New South Wales", "Australia",
+          "-29.04", "152.1", "100", "2019-09-09", "9", "9")],
+    )
+    r = apply_sds(records, rules).collect()[0]
+    assert r["sensitive"]
+    assert r["decimalLatitude"] is None and r["decimalLongitude"] is None
+    assert r["coordinateUncertaintyInMeters"] is None
+    assert "withheld" in r["informationWithheld"]
+    assert r["originalSensitiveValues"]["decimalLatitude"] == "-29.04"
+
+
+def test_lsid_match_and_most_restrictive_instance(spark, rules):
+    records = _records(
+        spark,
+        [
+            # matched via taxonConceptID, name unknown; in WA both the
+            # null-zone 1km and the WA 100m instances apply -> 1km wins
+            ("r1", "Misspelt name", "lsid:771", "Western Australia", "Australia",
+             "-31.95224", "115.85712", None, None, None, None),
+            # outside WA only the null-zone 1km instance applies
+            ("r2", "Thryptomene stenophylla", None, "Queensland", "Australia",
+             "-27.46844", "153.02351", None, None, None, None),
+        ],
+    )
+    out = {r["rowKey"]: r for r in apply_sds(records, rules).collect()}
+    assert out["r1"]["sensitive"]
+    assert out["r1"]["decimalLatitude"] == "-31.95"  # 1km -> 0.01
+    assert out["r2"]["decimalLatitude"] == "-27.47"
+    assert out["r2"]["coordinateUncertaintyInMeters"] == "1000.0"
+
+
+def test_exact_sci_name_ladder(spark):
+    df = spark.createDataFrame(
+        [
+            ("full", "Aus bus", None, None, None, None, None),
+            ("genus+ep", None, None, "Aus", "bus", None, None),
+            ("genus+ep+infra", None, None, "Aus", "bus", "cus", None),
+            ("genus only", None, None, "Aus", None, None, None),
+            ("species fallback", None, "Aus bus", None, None, None, None),
+            ("vernacular", None, None, None, None, None, "Red Kangaroo"),
+        ],
+        "rowKey string, scientificName string, species string, genus string, "
+        "specificEpithet string, infraspecificEpithet string, vernacularName string",
+    )
+    out = {
+        r["rowKey"]: r["nm"]
+        for r in df.select("rowKey", exact_sci_name(df).alias("nm")).collect()
+    }
+    assert out == {
+        "full": "Aus bus",
+        "genus+ep": "Aus bus",
+        "genus+ep+infra": "Aus bus cus",
+        "genus only": "Aus",
+        "species fallback": "Aus bus",
+        "vernacular": "Red Kangaroo",
+    }
+
+
+def test_unprocess_restores_raw_values(spark, rules):
+    # a record that WAS sensitive (carries the map) but no longer matches
+    records = _records(
+        spark,
+        [("r1", "Macropus rufus", None, "England", None,
+          "52.9", "-1.2", "10010", None, None, None)],
+    )
+    processed = apply_sds(records, rules)  # not sensitive now
+    from pyspark.sql import functions as F
+
+    with_osv = processed.withColumn(
+        "originalSensitiveValues",
+        F.create_map(
+            F.lit("decimalLatitude"), F.lit("52.91456"),
+            F.lit("eventDate"), F.lit("2020-04-01"),
+        ),
+    )
+    r = unprocess_non_sensitive(with_osv).collect()[0]
+    assert r["decimalLatitude"] == "52.91456"
+    assert r["eventDate"] == "2020-04-01"
+    assert r["originalSensitiveValues"] is None
+
+
+def test_index_overlay_respects_exclusion_list(spark, rules):
+    records = _records(
+        spark,
+        [
+            ("r1", "Hericium cirrhatum", None, "England", None,
+             "52.91456", "-1.23765", "10", "2020-04-01", "1", "4"),
+            ("r2", "Hericium cirrhatum", None, "England", None,
+             "53.11111", "-1.44444", "10", "2020-05-01", "1", "5"),
+        ],
+    )
+    from pyspark.sql import functions as F
+
+    indexed = apply_sds(records, rules).withColumn(
+        "dataResourceUid", F.when(F.col("rowKey") == "r1", "dr1").otherwise("dr2")
+    )
+    out = {
+        r["rowKey"]: r
+        for r in overlay_sensitive_index_fields(
+            indexed, excluded_data_resources=["dr2"]
+        ).collect()
+    }
+    assert out["r1"]["sensitive_latitude"] == "52.91456"
+    assert out["r1"]["sensitive_coordinate_uncertainty"] == "10"
+    assert out["r1"]["sensitive_event_date"] == "2020-04-01"
+    assert out["r2"]["sensitive_latitude"] is None  # excluded resource
+
+
+def test_grid_reference_degraded(spark, rules):
+    records = spark.createDataFrame(
+        [("r1", "Hericium cirrhatum", "England", "NM3945", "56.9", "-6.4"),
+         ("r2", "Macropus rufus", "England", "NM3945", "56.9", "-6.4")],
+        "rowKey string, scientificName string, stateProvince string, "
+        "gridReference string, decimalLatitude string, decimalLongitude string",
+    )
+    out = {r["rowKey"]: r for r in apply_sds(records, rules).collect()}
+    # 10km generalisation -> 10km grid letter pair + single digits (NM34)
+    assert out["r1"]["gridReference"] == "NM34"
+    assert out["r1"]["originalSensitiveValues"]["gridReference"] == "NM3945"
+    assert out["r2"]["gridReference"] == "NM3945"  # untouched

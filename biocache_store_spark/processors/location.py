@@ -225,13 +225,39 @@ def process_lat_long(raw: dict, assertions: list) -> dict | None:
         )
         return None
     if raw.get("easting") is not None and raw.get("northing") is not None and raw.get("zone") is not None:
-        # stub: UTM conversion needs a proj library (see module docstring)
-        assertions.append(
-            QA.failed(
-                C.DECIMAL_LAT_LONG_CALCULATION_FROM_EASTING_NORTHING_FAILED,
-                "Easting/northing conversion not available",
+        # GridUtil.processNorthingEastingZone (GridUtil.scala:573-620):
+        # verbatimSRS|zone -> projected CRS (default GDA94/MGA), inverse
+        # transverse Mercator + Helmert, rounded to 5 decimals
+        from biocache_store_spark.parsers.utm import easting_northing_zone_to_wgs84
+
+        easting = _to_float(raw.get("easting"))
+        northing = _to_float(raw.get("northing"))
+        if easting is not None and northing is not None:
+            point = easting_northing_zone_to_wgs84(
+                easting, northing, str(raw["zone"]), raw.get("verbatimSRS")
             )
-        )
+            if point is not None:
+                assertions.append(QA.passed(C.DECIMAL_LAT_LONG_CALCULATION_FROM_EASTING_NORTHING_FAILED))
+                assertions.append(
+                    QA.failed(
+                        C.DECIMAL_LAT_LONG_CALCULATED_FROM_EASTING_NORTHING,
+                        "Decimal latitude and longitude were calculated using easting, northing and zone.",
+                    )
+                )
+                return {
+                    "latitude": str(point[0]),
+                    "longitude": str(point[1]),
+                    "datum": WGS84_EPSG,
+                }
+            srs = raw.get("verbatimSRS")
+            assertions.append(
+                QA.failed(
+                    C.DECIMAL_LAT_LONG_CALCULATION_FROM_EASTING_NORTHING_FAILED,
+                    "Unrecognized zone GDA94 / MGA zone " + str(raw["zone"])
+                    if srs is None
+                    else "Unrecognized zone " + str(srs) + " / zone " + str(raw["zone"]),
+                )
+            )
         return None
     if raw.get("gridReference") is not None:
         from biocache_store_spark.parsers.gridref import process_grid_reference

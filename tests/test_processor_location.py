@@ -325,3 +325,45 @@ def test_georeference_missing_checks():
     assert qa_status(a, C.MISSING_GEOREFERENCEDBY.code) == PASSED
     assert qa_status(a, C.MISSING_GEOREFERENCEPROTOCOL.code) == FAILED
     assert qa_status(a, C.MISSING_GEOREFERENCE_DATE.code) == FAILED
+
+
+def test_easting_northing_zone_gda94():
+    # GA Buninyong MGA94 test point: zone 54 E=758173.797 N=5828674.340
+    # -> GDA94 (-37.65282113, 143.92649554), rounded to 5 decimals
+    p, a = process_location(
+        {"easting": "758173.797", "northing": "5828674.340", "zone": "54"}
+    )
+    assert p["decimalLatitude"] == "-37.65282"
+    assert p["decimalLongitude"] == "143.9265"
+    assert qa_status(a, C.DECIMAL_LAT_LONG_CALCULATED_FROM_EASTING_NORTHING.code) == FAILED
+    assert qa_status(a, C.DECIMAL_LAT_LONG_CALCULATION_FROM_EASTING_NORTHING_FAILED.code) == PASSED
+
+
+def test_easting_northing_zone_agd66():
+    # AGD66/AMG falls ~150-200m SW of the GDA94 result for the same grid coords
+    p66, _ = process_location(
+        {"easting": "334000", "northing": "6252000", "zone": "56",
+         "verbatimSRS": "AGD66"}
+    )
+    p94, _ = process_location(
+        {"easting": "334000", "northing": "6252000", "zone": "56"}
+    )
+    assert abs(float(p66["decimalLatitude"]) - float(p94["decimalLatitude"])) > 0.0005
+    assert abs(float(p66["decimalLatitude"]) + 33.85786) < 1e-5
+
+
+def test_easting_northing_unknown_zone():
+    p, a = process_location(
+        {"easting": "334000", "northing": "6252000", "zone": "99"}
+    )
+    assert p.get("decimalLatitude") is None
+    assert qa_status(a, C.DECIMAL_LAT_LONG_CALCULATION_FROM_EASTING_NORTHING_FAILED.code) == FAILED
+
+
+def test_wgs84_utm_northern_hemisphere():
+    p, _ = process_location(
+        {"easting": "448251.795", "northing": "5411932.678", "zone": "31N",
+         "verbatimSRS": "WGS84"}
+    )
+    assert abs(float(p["decimalLatitude"]) - 48.8582) < 1e-4
+    assert abs(float(p["decimalLongitude"]) - 2.2945) < 1e-4

@@ -18,6 +18,7 @@ from __future__ import annotations
 import csv
 import io
 import os
+import re
 import zipfile
 from collections.abc import Iterator
 
@@ -175,3 +176,47 @@ def export_avro(df: DataFrame, path: str, fields: list[str] | None = None) -> bo
             raise
         out.write.mode("overwrite").parquet(path)
         return False
+
+
+_EL_CL_RE = re.compile(r"^(el|cl)[0-9]+$")
+
+
+def export_local_node(
+    df: DataFrame,
+    path: str,
+    fields: list[str],
+    key_col: str = "rowKey",
+    separator: str = "\t",
+    quote: str = "|",
+    escape: str = "$",
+) -> None:
+    """Local-node sorted export (util/ExportLocalNode.scala:32-105): dump
+    the requested fields sorted by row key, resolving elNNN/clNNN fields
+    out of the sampled-layer map columns (the reference parses the el_p /
+    cl_p JSON per row; here it's a map getItem projection).
+
+    The reference pages the LOCAL Cassandra token ranges on one node; the
+    Spark analogue is sortWithinPartitions — each output partition is a
+    sorted run, no global shuffle, which preserves the tool's contract
+    (per-node sorted files) at any scale."""
+    cols = []
+    for f in fields:
+        m = _EL_CL_RE.fullmatch(f)
+        if m and f not in df.columns:
+            layer_map = m.group(1) + "_p"
+            if layer_map in df.columns:
+                cols.append(
+                    F.col(layer_map).getItem(f).cast("string").alias(f)
+                )
+                continue
+        cols.append(F.col(f).cast("string").alias(f))
+    (
+        df.select(F.col(key_col).cast("string").alias(key_col), *cols)
+        .sortWithinPartitions(key_col)
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("delimiter", separator)
+        .option("quote", quote)
+        .option("escape", escape)
+        .csv(path)
+    )

@@ -275,3 +275,64 @@ def distinct_values(index_df: DataFrame, field: str, max_values: int = 1000) -> 
         .distinct()
         .limit(max_values)
     )
+
+
+def normalise_custom_index_fields(fields: list[str]) -> list[str]:
+    """Store.storeCustomIndexFields (Store.scala:695-705): user-nominated
+    custom fields default to string dynamic fields — append `_s` unless the
+    name already carries a numeric `_i`/`_d` suffix."""
+    return [
+        f if f.endswith("_i") or f.endswith("_d") else f + "_s" for f in fields
+    ]
+
+
+def add_custom_index_fields(
+    index_df: DataFrame,
+    fields: list[str],
+    misc_col: str = "miscProperties",
+    keys_include_suffix: bool = False,
+) -> DataFrame:
+    """Dynamic misc-map index fields (SolrIndexDAO.scala:682-768): each
+    requested field pulls its value from the record's misc-properties map
+    and is typed by suffix — `_i` int, `_d` double, `_dt` date, `_s` (or no
+    suffix) string.
+
+    The sandbox path strips the type suffix to find the map key
+    (keys_include_suffix=False, SolrIndexDAO.scala:689-692); the
+    user-provided-type path looks up the full field name
+    (keys_include_suffix=True, :731-734). The misc column may be a
+    map<string,string> or a JSON string (the reference stores JSON).
+    All typed casts are try_cast so unparseable values drop to null instead
+    of failing the job (the reference logs and skips)."""
+    from pyspark.sql import types as T
+
+    src = F.col(misc_col)
+    if dict(index_df.dtypes)[misc_col] == "string":
+        src = F.from_json(src, T.MapType(T.StringType(), T.StringType()))
+
+    out = index_df
+    for field in fields:
+        if field.endswith("_dt"):
+            key = field if keys_include_suffix else field[:-3]
+            raw = src.getItem(key)
+            value = F.coalesce(
+                F.try_to_timestamp(raw, F.lit("yyyy-MM-dd")),
+                F.try_to_timestamp(raw, F.lit("dd/MM/yyyy")),
+                F.try_to_timestamp(raw, F.lit("yyyy-MM-dd HH:mm:ss")),
+                F.try_to_timestamp(raw, F.lit("yyyy")),
+            ).cast("date").cast("string")
+        elif field.endswith("_i") or field.endswith("_d") or field.endswith("_s"):
+            key = field if keys_include_suffix else field[:-2]
+            raw = src.getItem(key)
+            if field.endswith("_i"):
+                value = raw.try_cast("int").cast("string")
+            elif field.endswith("_d"):
+                value = raw.try_cast("double").cast("string")
+            else:
+                value = raw
+        else:
+            # bare name -> string dynamic field `name_s` (SolrIndexDAO:714-719)
+            value = src.getItem(field)
+            field = field + "_s"
+        out = out.withColumn(field, value)
+    return out

@@ -88,3 +88,45 @@ def test_from_file(tmp_path):
     assert v.canonical("var_one") == "CanonA"
     assert v.canonical("OTHER") == "CanonB"
     assert v.canonical("canona") == "CanonA"
+
+
+# --- ad-hoc CSV column guessing (parser/AdHocParser.scala:182-280) ---
+
+def test_adhoc_guess_headers_from_dwc_row():
+    from biocache_store_spark.parsers.adhoc import guess_column_headers
+
+    assert guess_column_headers(
+        ["occurrenceID", "scientificName", "decimalLatitude", "country"]
+    ) == ["occurrenceID", "scientificName", "decimalLatitude", "country"]
+
+
+def test_adhoc_guess_headers_from_data_row():
+    from biocache_store_spark.parsers.adhoc import guess_column_headers
+
+    assert guess_column_headers(
+        ["-35.25", "144.75", "Macropus rufus", "2019-04-01",
+         "PreservedSpecimen", "Australia"]
+    ) == ["decimalLatitude", "decimalLongitude", "scientificName",
+          "eventDate", "basisOfRecord", "country"]
+
+
+def test_adhoc_sequential_lat_pair_resolved():
+    from biocache_store_spark.parsers.adhoc import guess_column_headers
+
+    # two in-range decimals -> parseHead forces (lat, long) on the lead pair
+    out = guess_column_headers(["-35.25", "-36.5", "x!!", "?"])
+    assert out[:2] == ["decimalLatitude", "decimalLongitude"]
+
+
+def test_adhoc_value_extractor_ladder():
+    from biocache_store_spark.parsers.adhoc import guess_value_term
+
+    assert guess_value_term("WGS84") == "geodeticDatum"
+    assert guess_value_term("http://a.org/img/x.jpg") == "associatedMedia"
+    assert guess_value_term("holotype") == "typeStatus"
+    assert guess_value_term("NM39") == "gridReference"
+    assert guess_value_term('35°14\'S') == "verbatimLatitude"
+    assert guess_value_term("urn:lsid:x") == "occurrenceID"
+    assert guess_value_term("AB-1234") == "catalogNumber"
+    assert guess_value_term("100 m") == "coordinateUncertaintyInMeters"
+    assert guess_value_term("") == ""

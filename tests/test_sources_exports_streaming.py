@@ -268,3 +268,78 @@ def test_export_avro_or_fallback(spark, tmp_path):
     else:
         back = spark.read.parquet(path)
     assert back.count() == 2
+
+
+def test_map_loader(spark):
+    # MapDataLoader.scala:23-38 — property maps keyed by arbitrary headers,
+    # canonicalised to DwC terms, identity minted from unique terms
+    from biocache_store_spark.sources.map_loader import load_map_records
+
+    values = [
+        {"occurrence id": "o1", "latitude": "-35.2", "scientific name": "Aus bus"},
+        {"occurrenceID": "o2", "decimalLatitude": "-30.0"},
+    ]
+    df = load_map_records(spark, values, "dr9", ["occurrenceID"])
+    rows = {r["occurrenceID"]: r for r in df.collect()}
+    assert set(rows) == {"o1", "o2"}
+    assert rows["o1"]["decimalLatitude"] == "-35.2"
+    assert rows["o1"]["scientificName"] == "Aus bus"
+    assert rows["o1"]["rowKey"] == "dr9|o1"
+    assert rows["o1"]["uuid"] != rows["o2"]["uuid"]
+    # deterministic uuid5: reload mints identical uuids
+    again = load_map_records(spark, values, "dr9", ["occurrenceID"])
+    assert {r["uuid"] for r in again.collect()} == {r["uuid"] for r in df.collect()}
+
+
+def test_export_local_node(spark, tmp_path):
+    # ExportLocalNode.scala:32-105 — sorted runs + el/cl map resolution
+    import glob
+
+    from biocache_store_spark.exports.exporters import export_local_node
+
+    df = spark.createDataFrame(
+        [
+            ("k2", "B", {"el882": "1.5"}, {"cl22": "NSW"}),
+            ("k1", "A", {"el882": "2.5"}, {"cl22": "VIC"}),
+        ],
+        "rowKey string, name string, el_p map<string,string>, cl_p map<string,string>",
+    ).coalesce(1)
+    out = tmp_path / "local_node"
+    export_local_node(df, str(out), ["name", "el882", "cl22"])
+    files = glob.glob(str(out / "*.csv"))
+    lines = open(files[0]).read().strip().splitlines()
+    assert lines[0] == "rowKey\tname\tel882\tcl22"
+    assert lines[1].startswith("k1\tA\t2.5\tVIC")  # sorted by rowKey
+    assert lines[2].startswith("k2\tB\t1.5\tNSW")
+
+
+def test_custom_index_fields(spark):
+    # SolrIndexDAO.scala:682-768 + Store.scala:695-705
+    from biocache_store_spark.operators.index_projection import (
+        add_custom_index_fields,
+        normalise_custom_index_fields,
+    )
+
+    assert normalise_custom_index_fields(["a", "b_i", "c_d"]) == ["a_s", "b_i", "c_d"]
+
+    df = spark.createDataFrame(
+        [("r1", '{"count": "7", "score": "1.25", "seen": "2020-04-01", "note": "hi", "bad": "x"}')],
+        "id string, miscProperties string",
+    )
+    out = add_custom_index_fields(
+        df, ["count_i", "score_d", "seen_dt", "note", "bad_i"]
+    ).collect()[0]
+    assert out["count_i"] == "7"
+    assert out["score_d"] == "1.25"
+    assert out["seen_dt"] == "2020-04-01"
+    assert out["note_s"] == "hi"
+    assert out["bad_i"] is None  # unparseable -> null, job survives
+
+    # user-provided-type path: the full field name IS the map key
+    df2 = spark.createDataFrame(
+        [("r1", {"count_i": "9"})], "id string, miscProperties map<string,string>"
+    )
+    out2 = add_custom_index_fields(
+        df2, ["count_i"], keys_include_suffix=True
+    ).collect()[0]
+    assert out2["count_i"] == "9"

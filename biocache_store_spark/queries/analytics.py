@@ -20,9 +20,13 @@ _LEV_THRESHOLD = 2
         "Blocked fuzzy-duplicate pairs — the collector-Levenshtein core of "
         "duplicate detection (DuplicationDetection.isCollectorDuplicate, "
         "tool/DuplicationDetection.scala:1074-1113) as a blocking-key "
-        "self-join: block on (nation, segment) — the analog of the "
-        "(taxon, date) group — then levenshtein(name) <= 2 pairwise inside "
-        "the block only. Built-in levenshtein, no UDF."
+        "self-join: block on (nation, segment, name-prefix) — the analog "
+        "of the (taxon, date) group — then levenshtein(name) <= 2 pairwise "
+        "inside the block only. The 15-char prefix component makes the "
+        "block count data-proportional (a fixed (nation, segment) key is "
+        "125 blocks forever, so within-block pair work grows quadratically "
+        "with scale; with the prefix each block stays O(1000) rows at any "
+        "sf). Built-in levenshtein, no UDF."
     ),
     bench=True,
     oracle=f"""
@@ -31,6 +35,7 @@ _LEV_THRESHOLD = 2
         FROM customer a JOIN customer b
           ON a.c_nationkey = b.c_nationkey
          AND a.c_mktsegment = b.c_mktsegment
+         AND substring(a.c_name, 1, 15) = substring(b.c_name, 1, 15)
          AND a.c_custkey < b.c_custkey
         WHERE levenshtein(a.c_name, b.c_name) <= {_LEV_THRESHOLD}
     """,
@@ -49,6 +54,10 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             b.hint("shuffle_hash"),
             (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
             & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            & (
+                F.substring(F.col("a.c_name"), 1, 15)
+                == F.substring(F.col("b.c_name"), 1, 15)
+            )
             & (F.col("a.c_custkey") < F.col("b.c_custkey")),
         )
         .filter(dist >= 0)

@@ -56,6 +56,7 @@ def load_all() -> dict[str, Query]:
     """Import every query module so REGISTRY is fully populated."""
     from biocache_store_spark.queries import (  # noqa: F401
         analytics,
+        coverage,
         events,
         relational,
         text,

@@ -1,0 +1,860 @@
+"""Driver-contract coverage queries for operators previously verified only
+by unit tests: the sampling joins, attribution/classification enrichment,
+expert-distribution outliers, maintenance rewrites, the parser families
+(DMS coordinates, distances, fuzzy dates, grid references), the vocabulary
+processor stages, the raw-vs-processed comparison, and the multimodal
+decode plumbing.
+
+Each query exercises the REAL operator/parser code path on inputs
+synthesized deterministically from the driver tables, with a DuckDB oracle
+that replays the expected semantics in ANSI SQL. Where a parser uses
+fixed-point or hash arithmetic the oracle reproduces it exactly (integer
+scaling for DMS, sha256 nibbles for the fake media decoder), so every
+query is hash-checkable, not just row-count-checkable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from biocache_store_spark.io import read_table
+from biocache_store_spark.queries import register
+
+
+def _apply_parser(df: DataFrame, in_col: str, out_fields: list, fn) -> DataFrame:
+    """Run a Python parser over one string column in an Arrow-batched
+    mapInPandas pass. `fn(value) -> tuple` must return one value per
+    entry of `out_fields` ([(name, DataType), ...])."""
+    from biocache_store_spark.util import ensure_package_on_workers
+
+    ensure_package_on_workers(df.sparkSession)
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(n, t) for n, t in out_fields]
+    )
+    names = [n for n, _ in out_fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            results = [fn(v) for v in pdf[in_col]]
+            out = pdf.copy()
+            for i, name in enumerate(names):
+                out[name] = [r[i] for r in results]
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Spatial sampling + loc-table enrichment
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_layers_enrich",
+    doc=(
+        "Full spatial-sampling pass (operators/sampling.py — "
+        "tool/Sampling.scala:371-676 + caches/LocationDAO.scala): distinct "
+        "points from customer-synthesized coordinates, intersected with two "
+        "gridded el layers (integer-bin equi-join; el2 has coverage gaps to "
+        "exercise the left join) and two polygon cl layers (broadcast "
+        "ray-casting mapInPandas), then joined back onto records via "
+        "enrich_records — the loc-table read path. Shuffle join on the "
+        "coordinate key, no forced broadcast of the samples relation."
+    ),
+    oracle="""
+        SELECT c_custkey AS record_id,
+               CAST((-(c_custkey % 70) - 1) * 1000 + (c_custkey % 140) AS DOUBLE)
+                 AS el1,
+               CAST(CASE WHEN (c_custkey % 140) % 5 <> 0
+                         THEN (-(c_custkey % 70) - 1) - (c_custkey % 140)
+                    END AS DOUBLE) AS el2,
+               CASE WHEN (c_custkey % 70) >= 35 THEN 'Southern band' END AS cl1,
+               CASE WHEN (c_custkey % 140) >= 70 THEN 'East box' END AS cl2
+        FROM customer
+    """,
+)
+def sample_layers_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.sampling import (
+        distinct_points,
+        enrich_records,
+        sample_points,
+    )
+
+    customer = read_table(spark, sf_dir, "customer")
+    records = customer.select(
+        F.col("c_custkey").alias("record_id"),
+        (-F.pmod(F.col("c_custkey"), F.lit(70)).cast("double") - F.lit(0.5)).alias(
+            "decimalLatitude"
+        ),
+        (F.pmod(F.col("c_custkey"), F.lit(140)).cast("double") + F.lit(0.5)).alias(
+            "decimalLongitude"
+        ),
+    )
+    bins = (
+        records.select(
+            F.floor(F.col("decimalLatitude")).cast("long").alias("lat_idx"),
+            F.floor(F.col("decimalLongitude")).cast("long").alias("lon_idx"),
+        )
+        .distinct()
+    )
+    el1 = bins.select(
+        F.lit("el1").alias("layerID"),
+        (F.col("lat_idx") * 1000 + F.col("lon_idx")).cast("double").alias("value"),
+        F.col("lat_idx").cast("double").alias("lat_bin"),
+        F.col("lon_idx").cast("double").alias("lon_bin"),
+    )
+    el2 = bins.filter(F.pmod(F.col("lon_idx"), F.lit(5)) != 0).select(
+        F.lit("el2").alias("layerID"),
+        (F.col("lat_idx") - F.col("lon_idx")).cast("double").alias("value"),
+        F.col("lat_idx").cast("double").alias("lat_bin"),
+        F.col("lon_idx").cast("double").alias("lon_bin"),
+    )
+    cl_layers = spark.createDataFrame(
+        [
+            ("cl1", "Southern band", "POLYGON((0 -71, 140 -71, 140 -35, 0 -35, 0 -71))"),
+            ("cl2", "East box", "POLYGON((70 -71, 140 -71, 140 0, 70 0, 70 -71))"),
+        ],
+        "layerID string, name string, wkt string",
+    )
+    pts = distinct_points(records)
+    samples = sample_points(
+        pts, cl_layers=cl_layers, el_layers=el1.unionByName(el2), resolution=1.0
+    )
+    enriched = enrich_records(records, samples)
+    return enriched.select(
+        "record_id",
+        F.element_at(F.col("el"), "el1").alias("el1"),
+        F.element_at(F.col("el"), "el2").alias("el2"),
+        F.element_at(F.col("cl"), "cl1").alias("cl1"),
+        F.element_at(F.col("cl"), "cl2").alias("cl2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Attribution enrichment
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "attribution_lookup",
+    doc=(
+        "Attribution broadcast-dim join (processors/enrichment.py "
+        "enrich_attribution — processor/AttributionProcessor.scala:23-86 "
+        "over caches/AttributionDAO.scala): orders-synthesized records "
+        "against a nation-synthesized collectory dim; unknown "
+        "dataResourceUids get the UNRECOGNISED assertion."
+    ),
+    oracle="""
+        SELECT o_orderkey,
+               n_name AS attr_dataResourceName,
+               CASE WHEN n_name IS NOT NULL
+                    THEN 'dp' || CAST(n_regionkey AS VARCHAR)
+               END AS attr_dataProviderUid,
+               n_name IS NULL AS unrecognised
+        FROM orders LEFT JOIN nation ON n_nationkey = o_orderkey % 40
+    """,
+)
+def attribution_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.processors.enrichment import enrich_attribution
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.concat(
+            F.lit("dr"), F.pmod(F.col("o_orderkey"), F.lit(40)).cast("string")
+        ).alias("dataResourceUid"),
+    )
+    nation = read_table(spark, sf_dir, "nation")
+    dim = nation.select(
+        F.concat(F.lit("dr"), F.col("n_nationkey").cast("string")).alias(
+            "dataResourceUid"
+        ),
+        F.col("n_name").alias("dataResourceName"),
+        F.concat(F.lit("dp"), F.col("n_regionkey").cast("string")).alias(
+            "dataProviderUid"
+        ),
+        F.concat(F.lit("provider-"), F.col("n_regionkey").cast("string")).alias(
+            "dataProviderName"
+        ),
+        F.array().cast("array<string>").alias("dataHubUid"),
+    )
+    out = enrich_attribution(orders, dim)
+    return out.select(
+        "o_orderkey",
+        "attr_dataResourceName",
+        F.when(
+            F.col("attr_dataResourceName").isNotNull(), F.col("attr_dataProviderUid")
+        ).alias("attr_dataProviderUid"),
+        (F.element_at(F.col("assertions"), -1)["qa_status"] == 0).alias(
+            "unrecognised"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classification enrichment (name match + taxon-profile attrs + common name)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "classification_enrich",
+    doc=(
+        "ClassificationProcessor as enrich_classification "
+        "(processors/chain.py:293 — ClassificationProcessor.scala:152-305 + "
+        "the vernacular/common-name lookup of caches/CommonNameDAO): the "
+        "name-match ladder followed by the broadcast taxon-profile join "
+        "pulling rank, lft/rgt intervals, and the vernacular name."
+    ),
+    oracle="""
+        WITH words AS (
+            SELECT p_partkey, p_brand,
+                   string_split(p_name, ' ')[1] || ' ' ||
+                   string_split(p_name, ' ')[2] AS nm
+            FROM part
+        ),
+        dim AS (
+            SELECT nm, p_brand AS kingdom, MIN(p_partkey) AS lsid
+            FROM words GROUP BY nm, p_brand
+        )
+        SELECT w.p_partkey,
+               't' || CAST(d.lsid AS VARCHAR) AS matched_taxonConceptID,
+               'vn-' || CAST(d.lsid AS VARCHAR) AS matched_vernacularName,
+               'species' AS matched_taxonRank,
+               d.lsid AS matched_lft
+        FROM words w JOIN dim d ON w.nm = d.nm AND w.p_brand = d.kingdom
+    """,
+)
+def classification_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.processors.chain import enrich_classification
+
+    part = read_table(spark, sf_dir, "part")
+    nm = F.concat_ws(
+        " ",
+        F.element_at(F.split(F.col("p_name"), " "), 1),
+        F.element_at(F.split(F.col("p_name"), " "), 2),
+    )
+    words = part.select("p_partkey", "p_brand", nm.alias("nm"))
+    taxa = (
+        words.groupBy("nm", "p_brand")
+        .agg(F.min("p_partkey").alias("lsid"))
+        .select(
+            F.concat(F.lit("t"), F.col("lsid").cast("string")).alias(
+                "taxonConceptID"
+            ),
+            F.col("nm").alias("scientificName"),
+            F.col("p_brand").alias("kingdom"),
+            F.lit("species").alias("taxonRank"),
+            F.col("lsid").alias("lft"),
+            (F.col("lsid") + 1).alias("rgt"),
+            F.concat(F.lit("vn-"), F.col("lsid").cast("string")).alias(
+                "vernacularName"
+            ),
+        )
+    )
+    records = words.select(
+        "p_partkey",
+        F.col("nm").alias("scientificName"),
+        F.col("p_brand").alias("kingdom"),
+    )
+    out = enrich_classification(records, taxa)
+    return out.select(
+        "p_partkey",
+        "matched_taxonConceptID",
+        "matched_vernacularName",
+        "matched_taxonRank",
+        "matched_lft",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Expert-distribution outliers
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "expert_outlier_flags",
+    doc=(
+        "Expert-distribution outlier join (operators/outlier_distribution.py "
+        "find_outliers — tool/ExpertDistributionOutlierTool.scala:106-575): "
+        "customer-synthesized occurrences against per-taxon rectangular "
+        "expert ranges; records of taxa without a range are not tested. The "
+        "oracle reproduces the equirectangular clamped-boundary distance "
+        "with the operator's exact multiply order (the scaled rectangle is "
+        "axis-aligned, so min segment distance = distance to the clamped "
+        "boundary point)."
+    ),
+    oracle="""
+        WITH rec AS (
+            SELECT 'c' || CAST(c_custkey AS VARCHAR) AS occurrence_id,
+                   'taxon:' || CAST(c_custkey % 5 AS VARCHAR) AS taxon,
+                   -CAST(c_custkey % 60 AS DOUBLE) - 0.5 AS lat,
+                   CAST(c_custkey % 40 AS DOUBLE) + 110.25 AS lon,
+                   -10.0 * ((c_custkey % 5) + 1) AS y1
+            FROM customer
+            WHERE c_custkey % 5 <> 4
+        ),
+        clamped AS (
+            SELECT *,
+                   LEAST(GREATEST(lon, 110.0), 135.0) AS cx,
+                   LEAST(GREATEST(lat, y1), 0.0) AS cy,
+                   cos(radians(lat)) AS cos_lat
+            FROM rec
+        )
+        SELECT occurrence_id, taxon,
+               (lon > 110.0 AND lon < 135.0 AND lat > y1 AND lat < 0.0)
+                 AS in_range,
+               CASE WHEN lon > 110.0 AND lon < 135.0 AND lat > y1 AND lat < 0.0
+                    THEN 0.0
+                    ELSE round(sqrt(pow(lon*111320.0*cos_lat
+                                        - cx*111320.0*cos_lat, 2)
+                                    + pow(lat*110540.0 - cy*110540.0, 2)), 1)
+               END AS distance_outside_m
+        FROM clamped
+    """,
+)
+def expert_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.outlier_distribution import find_outliers
+
+    customer = read_table(spark, sf_dir, "customer")
+    records = customer.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("occurrenceID"),
+        F.concat(
+            F.lit("taxon:"), F.pmod(F.col("c_custkey"), F.lit(5)).cast("string")
+        ).alias("taxonConceptID"),
+        (-F.pmod(F.col("c_custkey"), F.lit(60)).cast("double") - F.lit(0.5)).alias(
+            "decimalLatitude"
+        ),
+        (F.pmod(F.col("c_custkey"), F.lit(40)).cast("double") + F.lit(110.25)).alias(
+            "decimalLongitude"
+        ),
+    )
+    dists = spark.createDataFrame(
+        [
+            (
+                f"taxon:{t}",
+                f"POLYGON((110 {-10 * (t + 1)}, 135 {-10 * (t + 1)},"
+                f" 135 0, 110 0, 110 {-10 * (t + 1)}))",
+            )
+            for t in range(4)
+        ],
+        "taxonConceptID string, wkt string",
+    )
+    return find_outliers(records, dists).select(
+        "occurrence_id", "taxon", "in_range", "distance_outside_m"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Maintenance: delete by keys, delete by query, upsert
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "maintenance_delete_upsert",
+    doc=(
+        "Maintenance rewrites chained (operators/maintenance.py — "
+        "tool/DeleteRecords.scala / tool/QueryDelete.scala / "
+        "Store.upsertRecord): delete-by-key-list (broadcast anti-join), "
+        "delete-by-stored-query (SOLR q-string translator), then an upsert "
+        "whose updates win via the window-dedup rewrite."
+    ),
+    oracle="""
+        SELECT 'c' || CAST(c_custkey AS VARCHAR) AS rowKey,
+               round(CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100
+                          ELSE c_acctbal END, 2) AS bal
+        FROM customer
+        WHERE c_custkey % 97 <> 0 AND c_mktsegment <> 'BUILDING'
+    """,
+)
+def maintenance_delete_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.maintenance import (
+        delete_by_keys,
+        delete_by_query,
+        upsert,
+    )
+
+    customer = read_table(spark, sf_dir, "customer")
+    table = customer.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("rowKey"),
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+    )
+    keys = customer.filter(F.pmod(F.col("c_custkey"), F.lit(97)) == 0).select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+    )
+    remaining, _dellog = delete_by_keys(table, keys, key_col="rowKey")
+    remaining, _dellog2 = delete_by_query(
+        remaining, "c_mktsegment:BUILDING", key_col="rowKey"
+    )
+    updates = remaining.filter(F.pmod(F.col("c_custkey"), F.lit(7)) == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 100
+    )
+    final = upsert(remaining, updates, key_col="rowKey")
+    return final.select("rowKey", F.round(F.col("c_acctbal"), 2).alias("bal"))
+
+
+# ---------------------------------------------------------------------------
+# Parser families over mapInPandas
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "verbatim_coord_parse",
+    doc=(
+        "Verbatim DMS coordinate parsing (parsers/latlon.py — "
+        "parser/VerbatimLatLongParser.scala:8-97) over four verbatim shapes "
+        "(DMS with denominators, d/m tokens, bare triple, degrees+minutes). "
+        "The oracle replays the reference's fixed-point integer conversion "
+        "(scale by 1e7, integer-divide) so the doubles match exactly."
+    ),
+    oracle="""
+        WITH src AS (
+            SELECT c_custkey AS record_id,
+                   c_custkey % 90 AS deg,
+                   (c_custkey * 7) % 60 AS mn,
+                   (c_custkey * 13) % 60 AS sec,
+                   c_custkey % 4 AS shape
+            FROM customer
+        )
+        SELECT record_id,
+               CASE WHEN shape IN (0, 3) THEN -1.0 ELSE 1.0 END *
+               (deg * 10000000
+                + (mn * 10000000) // 60
+                + CASE WHEN shape = 3 THEN 0
+                       ELSE (sec * 10000000) // 3600 END) / 10000000.0
+                 AS decimal_coord
+        FROM src
+    """,
+)
+def verbatim_coord_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.parsers.latlon import parse as parse_latlon
+
+    customer = read_table(spark, sf_dir, "customer")
+    deg = F.pmod(F.col("c_custkey"), F.lit(90)).cast("string")
+    mn = F.pmod(F.col("c_custkey") * 7, F.lit(60)).cast("string")
+    sec = F.pmod(F.col("c_custkey") * 13, F.lit(60)).cast("string")
+    shape = F.pmod(F.col("c_custkey"), F.lit(4))
+    verbatim = (
+        F.when(shape == 0, F.concat(deg, F.lit("° "), mn, F.lit("' "), sec, F.lit('" S')))
+        .when(shape == 1, F.concat(deg, F.lit("d "), mn, F.lit("m "), sec, F.lit('" N')))
+        .when(shape == 2, F.concat(deg, F.lit(" "), mn, F.lit(" "), sec, F.lit(" e")))
+        .otherwise(F.concat(deg, F.lit("° "), mn, F.lit("' w")))
+    )
+    src = customer.select(
+        F.col("c_custkey").alias("record_id"), verbatim.alias("verbatim")
+    )
+    parsed = _apply_parser(
+        src,
+        "verbatim",
+        [("decimal_coord", T.DoubleType())],
+        lambda s: (parse_latlon(s),),
+    )
+    return parsed.select("record_id", "decimal_coord")
+
+
+@register(
+    "distance_parse",
+    doc=(
+        "Distance/depth/elevation string parsing (parsers/distance.py — "
+        "parser/DistanceRangeParser.scala:5-58) over five verbatim shapes: "
+        "bare number, unit suffix, decimal km, feet (0.3048 with the "
+        "reference's 6dp rounding), and a range taking the upper bound."
+    ),
+    oracle="""
+        WITH src AS (
+            SELECT p_partkey, p_partkey % 3000 AS v, p_partkey % 5 AS shape
+            FROM part
+        )
+        SELECT p_partkey,
+               CASE shape
+                 WHEN 0 THEN CAST(v AS DOUBLE)
+                 WHEN 1 THEN CAST(v AS DOUBLE)
+                 WHEN 2 THEN (v + 0.5) * 1000.0
+                 WHEN 3 THEN round(v * 0.3048, 6)
+                 ELSE CAST(v AS DOUBLE)
+               END AS metres,
+               CASE shape
+                 WHEN 2 THEN 'kilometres'
+                 WHEN 3 THEN 'feet'
+                 ELSE 'metres'
+               END AS unit
+        FROM src
+    """,
+)
+def distance_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.parsers.distance import parse as parse_distance
+
+    part = read_table(spark, sf_dir, "part")
+    v = F.pmod(F.col("p_partkey"), F.lit(3000)).cast("string")
+    shape = F.pmod(F.col("p_partkey"), F.lit(5))
+    verbatim = (
+        F.when(shape == 0, v)
+        .when(shape == 1, F.concat(v, F.lit(" m")))
+        .when(shape == 2, F.concat(v, F.lit(".5km")))
+        .when(shape == 3, F.concat(v, F.lit("ft")))
+        .otherwise(F.concat(F.lit("10m-"), v, F.lit("m")))
+    )
+    src = part.select("p_partkey", verbatim.alias("verbatim"))
+
+    def run(s):
+        r = parse_distance(s)
+        return (None, None) if r is None else r
+
+    parsed = _apply_parser(
+        src,
+        "verbatim",
+        [("metres", T.DoubleType()), ("unit", T.StringType())],
+        run,
+    )
+    return parsed.select("p_partkey", "metres", "unit")
+
+
+@register(
+    "fuzzy_date_parse",
+    doc=(
+        "Fuzzy event-date parsing (parsers/dates.py parse_date — "
+        "parser/DateParser.scala format ladder) over five verbatim format "
+        "families: ISO, dd/MM/yyyy, dd-MM-yyyy, 'dd MMM yyyy', and "
+        "month-precision yyyy-MM. Outputs the EventDate components the "
+        "EventProcessor stores (date string + day/month/year strings)."
+    ),
+    oracle="""
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 4 THEN strftime(o_orderdate, '%Y-%m')
+                    ELSE strftime(o_orderdate, '%Y-%m-%d') END AS event_date,
+               CASE WHEN o_orderkey % 5 = 4 THEN ''
+                    ELSE strftime(o_orderdate, '%d') END AS day,
+               strftime(o_orderdate, '%m') AS month,
+               strftime(o_orderdate, '%Y') AS year
+        FROM orders
+    """,
+)
+def fuzzy_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.parsers.dates import parse_date
+
+    orders = read_table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate")
+    shape = F.pmod(F.col("o_orderkey"), F.lit(5))
+    verbatim = (
+        F.when(shape == 0, F.date_format(od, "yyyy-MM-dd"))
+        .when(shape == 1, F.date_format(od, "dd/MM/yyyy"))
+        .when(shape == 2, F.date_format(od, "dd-MM-yyyy"))
+        .when(shape == 3, F.date_format(od, "dd MMM yyyy"))
+        .otherwise(F.date_format(od, "yyyy-MM"))
+    )
+    src = orders.select("o_orderkey", verbatim.alias("verbatim"))
+
+    def run(s):
+        ev = parse_date(s)
+        if ev is None:
+            return (None, None, None, None)
+        return (ev.start_date, ev.start_day, ev.start_month, ev.start_year)
+
+    parsed = _apply_parser(
+        src,
+        "verbatim",
+        [
+            ("event_date", T.StringType()),
+            ("day", T.StringType()),
+            ("month", T.StringType()),
+            ("year", T.StringType()),
+        ],
+        run,
+    )
+    return parsed.select("o_orderkey", "event_date", "day", "month", "year")
+
+
+@register(
+    "gridref_parse",
+    doc=(
+        "OSGB grid-reference parsing (parsers/gridref.py "
+        "grid_reference_to_easting_northing — "
+        "util/GridUtil.scala:211-480): 100km letter squares + digit pairs, "
+        "the 1-number split form, DINTY tetrad letters (2km subcells), and "
+        "quadrant refs (NW/NE/SW/SE 5km subcells). The oracle encodes the "
+        "six squares' 100km origins and the subcell arithmetic."
+    ),
+    oracle="""
+        WITH src AS (
+            SELECT p_partkey,
+                   ['NM','NH','SK','TL','NO','SU'][(p_partkey % 6) + 1] AS sq,
+                   ['A','F','K','P','Z'][(p_partkey % 5) + 1] AS tet,
+                   p_partkey % 1000 AS e3,
+                   (p_partkey * 7) % 1000 AS n3,
+                   p_partkey % 4 AS shape
+            FROM part
+        ),
+        origins AS (
+            SELECT *,
+                   CASE sq WHEN 'NM' THEN 100000 WHEN 'NH' THEN 200000
+                           WHEN 'SK' THEN 400000 WHEN 'TL' THEN 500000
+                           WHEN 'NO' THEN 300000 WHEN 'SU' THEN 400000
+                   END AS e0,
+                   CASE sq WHEN 'NM' THEN 700000 WHEN 'NH' THEN 800000
+                           WHEN 'SK' THEN 300000 WHEN 'TL' THEN 200000
+                           WHEN 'NO' THEN 700000 WHEN 'SU' THEN 100000
+                   END AS n0,
+                   CASE tet WHEN 'A' THEN 0 WHEN 'F' THEN 5 WHEN 'K' THEN 10
+                            WHEN 'P' THEN 14 WHEN 'Z' THEN 24
+                   END AS tet_idx
+            FROM src
+        )
+        SELECT p_partkey,
+               CASE shape
+                 WHEN 0 THEN e0 + e3 * 100
+                 WHEN 1 THEN e0 + (e3 // 10) * 1000
+                 WHEN 2 THEN e0 + (e3 // 100) * 10000 + (tet_idx // 5) * 2000
+                 ELSE e0 + (e3 // 10) * 1000 + 250
+               END AS easting,
+               CASE shape
+                 WHEN 0 THEN n0 + n3 * 100
+                 WHEN 1 THEN n0 + (n3 // 10) * 1000
+                 WHEN 2 THEN n0 + (n3 // 100) * 10000 + (tet_idx % 5) * 2000
+                 ELSE n0 + (n3 // 10) * 1000 + 750
+               END AS northing,
+               CASE shape WHEN 0 THEN 100 WHEN 1 THEN 1000
+                          WHEN 2 THEN 2000 ELSE 500 END AS uncertainty
+        FROM origins
+    """,
+)
+def gridref_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.parsers.gridref import (
+        grid_reference_to_easting_northing,
+    )
+
+    part = read_table(spark, sf_dir, "part")
+    sq = F.element_at(
+        F.array(*[F.lit(s) for s in ("NM", "NH", "SK", "TL", "NO", "SU")]),
+        (F.pmod(F.col("p_partkey"), F.lit(6)) + 1).cast("int"),
+    )
+    tet = F.element_at(
+        F.array(*[F.lit(s) for s in ("A", "F", "K", "P", "Z")]),
+        (F.pmod(F.col("p_partkey"), F.lit(5)) + 1).cast("int"),
+    )
+    e3 = F.lpad(F.pmod(F.col("p_partkey"), F.lit(1000)).cast("string"), 3, "0")
+    n3 = F.lpad(F.pmod(F.col("p_partkey") * 7, F.lit(1000)).cast("string"), 3, "0")
+    e2 = F.substring(e3, 1, 2)
+    n2 = F.substring(n3, 1, 2)
+    e1 = F.substring(e3, 1, 1)
+    n1 = F.substring(n3, 1, 1)
+    shape = F.pmod(F.col("p_partkey"), F.lit(4))
+    ref = (
+        F.when(shape == 0, F.concat(sq, F.lit(" "), e3, F.lit(" "), n3))
+        .when(shape == 1, F.concat(sq, e2, n2))
+        .when(shape == 2, F.concat(sq, F.lit(" "), e1, F.lit(" "), n1, F.lit(" "), tet))
+        .otherwise(F.concat(sq, F.lit(" "), e2, F.lit(" "), n2, F.lit(" NW")))
+    )
+    src = part.select("p_partkey", ref.alias("gridref"))
+
+    def run(s):
+        g = grid_reference_to_easting_northing(s)
+        if g is None:
+            return (None, None, None)
+        return (g.easting, g.northing, g.coordinate_uncertainty)
+
+    parsed = _apply_parser(
+        src,
+        "gridref",
+        [
+            ("easting", T.LongType()),
+            ("northing", T.LongType()),
+            ("uncertainty", T.LongType()),
+        ],
+        run,
+    )
+    return parsed.select("p_partkey", "easting", "northing", "uncertainty")
+
+
+# ---------------------------------------------------------------------------
+# Processor-chain vocabulary stages + raw/processed comparison
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chain_vocab_fields",
+    doc=(
+        "Vocabulary processor stages through the REAL 12-stage chain "
+        "(processors/chain.process_records): typeStatus word-scan "
+        "(TypeStatusProcessor.scala:26-47, >=4-letter words, '|'-joined "
+        "distinct canonicals), establishmentMeans list canonicalization and "
+        "occurrenceStatus defaulting (MiscellaneousProcessor.scala:21-178)."
+    ),
+    oracle="""
+        SELECT p_partkey,
+               CASE p_partkey % 4
+                 WHEN 0 THEN 'holotype'
+                 WHEN 1 THEN 'holotype'
+                 WHEN 2 THEN 'paratype|syntype'
+               END AS type_status,
+               CASE p_partkey % 3
+                 WHEN 0 THEN 'native'
+                 WHEN 1 THEN 'introduced; native'
+               END AS establishment_means,
+               CASE p_partkey % 4
+                 WHEN 1 THEN 'absent'
+                 ELSE 'present'
+               END AS occurrence_status
+        FROM part
+    """,
+)
+def chain_vocab_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.processors.chain import process_records
+
+    part = read_table(spark, sf_dir, "part")
+    ts = F.pmod(F.col("p_partkey"), F.lit(4))
+    em = F.pmod(F.col("p_partkey"), F.lit(3))
+    occ = part.select(
+        "p_partkey",
+        F.when(ts == 0, F.lit("holotype"))
+        .when(ts == 1, F.lit("HOLOTYPUS material"))
+        .when(ts == 2, F.lit("paratype and syntype"))
+        .otherwise(F.lit(""))
+        .alias("typeStatus"),
+        F.when(em == 0, F.lit("native"))
+        .when(em == 1, F.lit("naturalised; indigenous"))
+        .otherwise(F.lit("garbage"))
+        .alias("establishmentMeans"),
+        F.when(ts == 0, F.lit("present"))
+        .when(ts == 1, F.lit("absent"))
+        .when(ts == 2, F.lit(""))
+        .otherwise(F.lit("irregular"))
+        .alias("occurrenceStatus"),
+    )
+    out = process_records(occ)
+    return out.select(
+        "p_partkey",
+        F.col("processed")["typeStatus"].alias("type_status"),
+        F.col("processed")["establishmentMeans"].alias("establishment_means"),
+        F.col("processed")["occurrenceStatus"].alias("occurrence_status"),
+    )
+
+
+@register(
+    "raw_processed_comparison",
+    doc=(
+        "Raw-vs-processed long-format comparison (store.get_comparison — "
+        "Store.scala:92-125) over chain output: per record, one row per "
+        "compared field with the verbatim and processed values side by "
+        "side; filtered here to the basisOfRecord/occurrenceStatus fields "
+        "whose canonicalization the oracle replays."
+    ),
+    oracle="""
+        SELECT 'c' || CAST(c_custkey AS VARCHAR) AS rowKey,
+               'basisOfRecord' AS field,
+               CASE c_custkey % 4
+                 WHEN 0 THEN 'PreservedSpecimen' WHEN 1 THEN 'HumanObservation'
+                 WHEN 2 THEN 'S' ELSE 'MachineObservation' END AS raw,
+               CASE c_custkey % 4
+                 WHEN 0 THEN 'PreservedSpecimen' WHEN 1 THEN 'HumanObservation'
+                 WHEN 2 THEN 'PreservedSpecimen'
+                 ELSE 'MachineObservation' END AS processed
+        FROM customer
+        UNION ALL
+        SELECT 'c' || CAST(c_custkey AS VARCHAR),
+               'occurrenceStatus',
+               CASE c_custkey % 3
+                 WHEN 0 THEN 'present' WHEN 1 THEN 'absent' ELSE '' END,
+               CASE c_custkey % 3
+                 WHEN 1 THEN 'absent' ELSE 'present' END
+        FROM customer
+    """,
+)
+def raw_processed_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.processors.chain import process_records
+    from biocache_store_spark.store import get_comparison
+
+    customer = read_table(spark, sf_dir, "customer")
+    bor = F.pmod(F.col("c_custkey"), F.lit(4))
+    ost = F.pmod(F.col("c_custkey"), F.lit(3))
+    occ = customer.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("rowKey"),
+        F.when(bor == 0, F.lit("PreservedSpecimen"))
+        .when(bor == 1, F.lit("HumanObservation"))
+        .when(bor == 2, F.lit("S"))
+        .otherwise(F.lit("MachineObservation"))
+        .alias("basisOfRecord"),
+        F.when(ost == 0, F.lit("present"))
+        .when(ost == 1, F.lit("absent"))
+        .otherwise(F.lit(""))
+        .alias("occurrenceStatus"),
+    )
+    cmp_df = get_comparison(process_records(occ), key_col="rowKey")
+    return cmp_df.filter(
+        F.col("field").isin("basisOfRecord", "occurrenceStatus")
+    ).select("rowKey", "field", "raw", "processed")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal decode plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "media_decode_meta",
+    doc=(
+        "Multimodal media plumbing (operators/multimodal.py — "
+        "load/MediaStore.scala:34-171 generalized): documents' text bytes "
+        "as binary content, MD5 content-hash dedup (min media_id "
+        "representative), then the Arrow-batched decode stage producing "
+        "content_length and the deterministic sha256-derived feature "
+        "vector. The oracle recomputes md5/sha256 and the nibble "
+        "arithmetic in SQL."
+    ),
+    oracle="""
+        WITH media AS (
+            SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+                   md5(text) AS content_hash,
+                   octet_length(encode(text)) AS content_length,
+                   sha256(text) AS h
+            FROM documents
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY md5(text) ORDER BY 'm' || CAST(doc_id AS VARCHAR)
+            ) = 1
+        )
+        SELECT media_id, content_hash, content_length,
+               ((strpos('0123456789abcdef', h[1:1]) - 1) * 16
+                + strpos('0123456789abcdef', h[2:2]) - 1) / 255.0 AS f0,
+               ((strpos('0123456789abcdef', h[3:3]) - 1) * 16
+                + strpos('0123456789abcdef', h[4:4]) - 1) / 255.0 AS f1,
+               ((strpos('0123456789abcdef', h[5:5]) - 1) * 16
+                + strpos('0123456789abcdef', h[6:6]) - 1) / 255.0 AS f2,
+               ((strpos('0123456789abcdef', h[7:7]) - 1) * 16
+                + strpos('0123456789abcdef', h[8:8]) - 1) / 255.0 AS f3
+        FROM media
+    """,
+)
+def media_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.multimodal import decode_media, dedup_media
+
+    docs = read_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.concat(F.lit("r"), F.col("doc_id").cast("string")).alias("record_id"),
+        F.lit("image").alias("media_type"),
+        F.lit("image/png").alias("mime_type"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.struct(
+            F.lit(None).cast("string").alias("url"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit(None).cast("string").alias("creator"),
+            F.lit(None).cast("string").alias("license"),
+        ).alias("metadata"),
+    )
+    decoded = decode_media(dedup_media(media))
+    return decoded.select(
+        "media_id",
+        "content_hash",
+        "content_length",
+        F.element_at(F.col("features"), 1).alias("f0"),
+        F.element_at(F.col("features"), 2).alias("f1"),
+        F.element_at(F.col("features"), 3).alias("f2"),
+        F.element_at(F.col("features"), 4).alias("f3"),
+    )

@@ -88,9 +88,13 @@ def decode_media(
 ) -> DataFrame:
     """Arrow-batched decode stage: adds `features array<double>` and
     `content_length`. One mapInPandas pass; rows never leave the executor."""
-    from biocache_store_spark.util import ensure_package_on_workers
+    from biocache_store_spark.util import (
+        ensure_min_parallelism,
+        ensure_package_on_workers,
+    )
 
     ensure_package_on_workers(media_df.sparkSession)
+    media_df = ensure_min_parallelism(media_df)
     schema = T.StructType(
         list(media_df.schema.fields)
         + [

@@ -69,9 +69,13 @@ def find_outliers(
     """records x broadcast expert ranges -> (id, taxon, in_range,
     distance_outside_m). Records of taxa without an expert range are not
     tested (reference: only taxa with distributions are checked)."""
-    from biocache_store_spark.util import ensure_package_on_workers
+    from biocache_store_spark.util import (
+        ensure_min_parallelism,
+        ensure_package_on_workers,
+    )
 
     ensure_package_on_workers(records.sparkSession)
+    records = ensure_min_parallelism(records)
     rings = {
         r["taxonConceptID"]: parse_wkt_polygon(r["wkt"])
         for r in distributions.select("taxonConceptID", "wkt").collect()

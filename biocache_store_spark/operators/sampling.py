@@ -80,9 +80,13 @@ def distinct_points(
 
 def sample_cl_layers(points: DataFrame, cl_layers: DataFrame) -> DataFrame:
     """points(lat, lon) x contextual polygon layers -> + cl map<layer, name>."""
-    from biocache_store_spark.util import ensure_package_on_workers
+    from biocache_store_spark.util import (
+        ensure_min_parallelism,
+        ensure_package_on_workers,
+    )
 
     ensure_package_on_workers(points.sparkSession)
+    points = ensure_min_parallelism(points)
     layers = [
         (r["layerID"], r["name"], parse_wkt_polygon(r["wkt"]))
         for r in cl_layers.select("layerID", "name", "wkt").collect()

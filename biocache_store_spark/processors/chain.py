@@ -238,10 +238,16 @@ def process_records(
     today: _dt.date | None = None,
 ) -> DataFrame:
     """raw occurrences DataFrame -> + processed struct, assertions array,
-    geospatially_kosher flag. One mapInPandas pass, no shuffle."""
-    from biocache_store_spark.util import ensure_package_on_workers
+    geospatially_kosher flag. One mapInPandas pass; no shuffle at scale
+    (the min-parallelism repartition only fires when the input has fewer
+    splits than cores)."""
+    from biocache_store_spark.util import (
+        ensure_min_parallelism,
+        ensure_package_on_workers,
+    )
 
     ensure_package_on_workers(df.sparkSession)
+    df = ensure_min_parallelism(df)
     defaults = default_values_by_resource or {}
     input_cols = df.columns
     schema = T.StructType(

@@ -30,9 +30,13 @@ def _apply_parser(df: DataFrame, in_col: str, out_fields: list, fn) -> DataFrame
     """Run a Python parser over one string column in an Arrow-batched
     mapInPandas pass. `fn(value) -> tuple` must return one value per
     entry of `out_fields` ([(name, DataType), ...])."""
-    from biocache_store_spark.util import ensure_package_on_workers
+    from biocache_store_spark.util import (
+        ensure_min_parallelism,
+        ensure_package_on_workers,
+    )
 
     ensure_package_on_workers(df.sparkSession)
+    df = ensure_min_parallelism(df)
     schema = T.StructType(
         list(df.schema.fields)
         + [T.StructField(n, t) for n, t in out_fields]
@@ -788,6 +792,63 @@ def raw_processed_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cmp_df.filter(
         F.col("field").isin("basisOfRecord", "occurrenceStatus")
     ).select("rowKey", "field", "raw", "processed")
+
+
+@register(
+    "assertion_rollup",
+    doc=(
+        "System-assertion roll-up (store.get_all_system_assertions — "
+        "Store.scala:301-317 over the chain's assertion array): records in "
+        "three quality classes run through process_records, assertions "
+        "exploded and failed counts rolled up per code for the vocabulary "
+        "QA family (missing/badly-formed basisOfRecord, unrecognised "
+        "type/occurrence status, assumed-present)."
+    ),
+    oracle="""
+        SELECT 20001 AS code, 'missingBasisOfRecord' AS name,
+               COUNT(*) AS failed_count
+        FROM customer WHERE c_custkey % 3 = 1
+        UNION ALL
+        SELECT 20018, 'assumedPresentOccurrenceStatus', COUNT(*)
+        FROM customer WHERE c_custkey % 3 = 1
+        UNION ALL
+        SELECT 20002, 'badlyFormedBasisOfRecord', COUNT(*)
+        FROM customer WHERE c_custkey % 3 = 2
+        UNION ALL
+        SELECT 20004, 'unrecognisedTypeStatus', COUNT(*)
+        FROM customer WHERE c_custkey % 3 = 2
+        UNION ALL
+        SELECT 20017, 'unrecognisedOccurrenceStatus', COUNT(*)
+        FROM customer WHERE c_custkey % 3 = 2
+    """,
+)
+def assertion_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.processors.chain import process_records
+    from biocache_store_spark.store import get_all_system_assertions
+
+    customer = read_table(spark, sf_dir, "customer")
+    cls = F.pmod(F.col("c_custkey"), F.lit(3))
+    occ = customer.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("rowKey"),
+        F.when(cls == 0, F.lit("PreservedSpecimen")).otherwise(
+            F.when(cls == 1, F.lit("")).otherwise(F.lit("junkbor"))
+        ).alias("basisOfRecord"),
+        F.when(cls == 0, F.lit("holotype")).otherwise(
+            F.when(cls == 1, F.lit("")).otherwise(F.lit("junkts"))
+        ).alias("typeStatus"),
+        F.when(cls == 0, F.lit("present")).otherwise(
+            F.when(cls == 1, F.lit("")).otherwise(F.lit("junkost"))
+        ).alias("occurrenceStatus"),
+    )
+    exploded = get_all_system_assertions(process_records(occ), key_col="rowKey")
+    return (
+        exploded.filter(
+            F.col("code").isin(20001, 20002, 20004, 20017, 20018)
+            & (F.col("qa_status") == 0)
+        )
+        .groupBy("code", "name")
+        .agg(F.count(F.lit(1)).alias("failed_count"))
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -7,7 +7,7 @@ import os
 import tempfile
 import zipfile
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 _SHIPPED_FLAG = "spark.biocache.pyfilesShipped"
 
@@ -67,3 +67,22 @@ def ensure_package_on_workers(spark: SparkSession) -> None:
         spark.conf.set(_SHIPPED_FLAG, "true")
     except Exception:
         pass
+
+
+def ensure_min_parallelism(df: "DataFrame") -> "DataFrame":
+    """Repartition up to the cluster's default parallelism when the input
+    has fewer partitions — typically a small parquet table read as one
+    split — so Arrow-batched Python stages (mapInPandas) actually fan out.
+
+    Scale-safe by construction: at real data volumes the scan already has
+    far more splits than cores and this is a no-op (no shuffle added); it
+    only pays the shuffle when the input is too small for the shuffle to
+    matter.
+    """
+    if df.isStreaming:
+        return df  # micro-batch sizing is the trigger's job, and .rdd
+        # is undefined on a streaming DataFrame
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -343,3 +343,69 @@ def test_custom_index_fields(spark):
         df2, ["count_i"], keys_include_suffix=True
     ).collect()[0]
     assert out2["count_i"] == "9"
+
+
+# ---------------------------------------------------------------------------
+# Archive fetch (load/DataLoader.scala:373-470, util/SFTPTools.scala)
+# ---------------------------------------------------------------------------
+
+
+def test_fetch_archive_zip(tmp_path):
+    import zipfile
+
+    from biocache_store_spark.sources.archive import fetch_archive
+
+    src = tmp_path / "src" / "dr123.zip"
+    src.parent.mkdir()
+    with zipfile.ZipFile(src, "w") as zf:
+        zf.writestr("occurrence.csv", "occurrenceID,scientificName\n1,Aus bus\n")
+    dest = tmp_path / "work"
+    extracted, modified = fetch_archive(str(src), "dr123", str(dest))
+    assert extracted == str(dest / "dr123")
+    assert (dest / "dr123" / "occurrence.csv").read_text().startswith("occurrenceID")
+    assert modified is not None
+
+
+def test_fetch_archive_gzip_and_plain(tmp_path):
+    import gzip as _gzip
+
+    from biocache_store_spark.sources.archive import fetch_archive
+
+    gz = tmp_path / "feed.csv.gz"
+    gz.write_bytes(_gzip.compress(b"a,b\n1,2\n"))
+    dest = tmp_path / "work"
+    extracted, _ = fetch_archive("file://" + str(gz), "dr9", str(dest))
+    # gz: gunzipped sibling, archive removed, parent dir returned
+    assert extracted == str(dest)
+    assert (dest / "dr9.csv").read_bytes() == b"a,b\n1,2\n"
+    assert not (dest / "dr9.csv.gz").exists()
+
+    plain = tmp_path / "plain.csv"
+    plain.write_text("x,y\n")
+    extracted2, _ = fetch_archive(str(plain), "dr10", str(dest))
+    assert extracted2 == str(dest)
+    assert (dest / "dr10.csv").read_text() == "x,y\n"
+
+
+def test_fetch_archive_not_newer_skips(tmp_path):
+    import datetime as dt
+
+    from biocache_store_spark.sources.archive import fetch_archive
+
+    src = tmp_path / "dr1.csv"
+    src.write_text("a\n")
+    dest = tmp_path / "work"
+    future = dt.datetime.now() + dt.timedelta(days=1)
+    assert fetch_archive(str(src), "dr1", str(dest), last_checked=future) == (
+        None,
+        None,
+    )
+
+
+def test_fetch_archive_sftp_unsupported(tmp_path):
+    import pytest
+
+    from biocache_store_spark.sources.archive import fetch_archive
+
+    with pytest.raises(NotImplementedError):
+        fetch_archive("sftp://host/data.zip", "dr2", str(tmp_path))

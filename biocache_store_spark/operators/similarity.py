@@ -133,3 +133,58 @@ def ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, F.round("cos_sim", 4).alias("cos_sim"), "rank")
     )
+
+
+def cosine_near_duplicates(
+    vectors: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 4,
+    max_bucket: int = 100_000,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed.
+
+    The dedup companion to `ann_topk`: same-bucket pairs (id_a < id_b)
+    whose exact cosine clears `threshold`. Candidate generation never goes
+    all-pairs — only within random-hyperplane buckets — and buckets larger
+    than `max_bucket` are dropped entirely (the hot-key guard the rest of
+    the dedup family uses: a degenerate embedding cluster would otherwise
+    make one bucket quadratic at scale; dropped buckets are the caller's
+    signal to re-bucket with more planes).
+
+    Returns (id_a, id_b, cos_sim) with cos_sim rounded to 4dp. The
+    md5-seeded planes make the bucketing — and therefore the full result —
+    exactly reproducible in SQL.
+    """
+    planes = hyperplanes(dim, n_planes)
+    bucketed = vectors.select(
+        F.col(id_col), F.col(embedding_col)
+    ).withColumn("bucket", _bucket_expr(F.col(embedding_col), planes))
+    sizes = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("__n"))
+    # <= 2^n_planes rows: broadcastable at any data scale
+    capped = bucketed.join(
+        F.broadcast(sizes.filter(F.col("__n") <= max_bucket)), "bucket"
+    ).drop("__n")
+    a = capped.select(
+        F.col("bucket"),
+        F.col(id_col).alias("id_a"),
+        F.col(embedding_col).alias("__emb_a"),
+    )
+    b = capped.select(
+        F.col("bucket"),
+        F.col(id_col).alias("id_b"),
+        F.col(embedding_col).alias("__emb_b"),
+    )
+    sim = cosine_similarity(F.col("__emb_a"), F.col("__emb_b"))
+    # coalesce keeps the threshold filter null-tolerant so Catalyst doesn't
+    # re-inline the (interpreted) cosine lambda into an inferred notnull
+    # filter below the join
+    return (
+        a.join(b.hint("shuffle_hash"), ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.coalesce(sim, F.lit(-2.0)))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+    )

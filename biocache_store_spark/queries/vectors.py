@@ -195,3 +195,59 @@ def embedding_label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.avg("nrm"), 4).alias("avg_norm"),
         )
     )
+
+
+def _near_dup_oracle(dim: int = 64, n_planes: int = 4, threshold: float = 0.25) -> str:
+    """Exact DuckDB replay of the LSH near-dup pipeline (same technique as
+    _ann_oracle: the md5-derived plane literals are baked into the SQL)."""
+    from biocache_store_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes)
+    bits = "\n            || ".join(
+        "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
+        + ",".join(repr(v) for v in plane)
+        + "]::DOUBLE[]) > 0 THEN '1' ELSE '0' END)"
+        for plane in planes
+    )
+    return f"""
+        WITH b AS (
+            SELECT vec_id, embedding,
+                   {bits} AS bucket
+            FROM embeddings
+        ),
+        capped AS (
+            SELECT * FROM (
+                SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS n
+                FROM b
+            ) WHERE n <= 100000
+        )
+        SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+               ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            c.embedding::DOUBLE[]), 4)
+                 AS cos_sim
+        FROM capped a JOIN capped c
+          ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                     c.embedding::DOUBLE[]) >= {threshold}
+    """
+
+
+@register(
+    "embedding_cosine_near_dup",
+    doc=(
+        "Embedding-cosine near-duplicate pairs "
+        "(operators/similarity.py cosine_near_duplicates): the dedup-family "
+        "member for embedding columns — random-hyperplane LSH buckets bound "
+        "candidate generation (never all-pairs), a bucket-size cap guards "
+        "hot clusters, exact cosine filters within buckets. md5-seeded "
+        "planes make the result exactly SQL-reproducible. Threshold 0.25 "
+        "because the synthetic embeddings' max pairwise cosine is ~0.51 — "
+        "on a real near-dup corpus this would be ~0.95."
+    ),
+    oracle=_near_dup_oracle(),
+)
+def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.similarity import cosine_near_duplicates
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cosine_near_duplicates(emb, dim=64, threshold=0.25, n_planes=4)

@@ -15,6 +15,7 @@ classes are approximated with Latin-1 ranges.
 
 from __future__ import annotations
 
+import functools as _functools
 import re
 
 UNKNOWN = "UNKNOWN OR ANONYMOUS"
@@ -164,7 +165,17 @@ def parse(s: str | None) -> str | None:
 
 
 def parse_for_list(s: str | None) -> list[str] | None:
-    """Multi-collector parse — CollectorNameParser.scala:41-119."""
+    """Multi-collector parse — CollectorNameParser.scala:41-119. Memoized
+    through a tuple-returning inner (collector strings repeat heavily);
+    callers get a fresh list each time."""
+    if s is None:
+        return None
+    cached = _parse_for_list_cached(s)
+    return None if cached is None else list(cached)
+
+
+@_functools.lru_cache(maxsize=65536)
+def _parse_for_list_cached(s: str) -> tuple[str, ...] | None:
     if s is None:
         return None
     result: list[str] | None = None

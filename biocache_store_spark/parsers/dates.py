@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import calendar
 import datetime as _dt
+import functools as _functools
 import re
 from dataclasses import dataclass, replace
 
@@ -485,8 +486,13 @@ def parse_non_iso_date(s: str) -> EventDate | None:
     return _non_iso_single_date(s) or _non_iso_date_range(s)
 
 
+@_functools.lru_cache(maxsize=65536)
 def parse_date(s: str | None, current_year: int | None = None) -> EventDate | None:
-    """DateParser.parseDate: ISO chain, validity-gated non-ISO fallbacks."""
+    """DateParser.parseDate: ISO chain, validity-gated non-ISO fallbacks.
+
+    Memoized (EventDate is frozen): archive date strings are massively
+    repetitive, and the reference fronts parsing with LRU caches too.
+    """
     if s is None:
         return None
     s = s.strip()

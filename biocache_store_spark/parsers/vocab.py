@@ -38,6 +38,10 @@ class Vocab:
         self.all = terms
         self._by_variant: dict[str, Term] = {}
         self._by_stem: dict[str, Term] = {}
+        # raw-string -> Term memo: the chain calls match_term per record and
+        # real-world vocab inputs are massively repetitive (the reference
+        # fronts every vocabulary with an LRU — caches/*DAO.scala)
+        self._match_cache: dict[str | None, Term | None] = {}
         for t in terms:
             for v in (normalize(t.canonical), *t.variants):
                 self._by_variant.setdefault(v, t)
@@ -71,13 +75,18 @@ class Vocab:
     def match_term(self, s: str | None) -> Term | None:
         if s is None:
             return None
+        if s in self._match_cache:
+            return self._match_cache[s]
         key = normalize(s)
         if not key:
-            return None
-        t = self._by_variant.get(key)
-        if t is not None:
-            return t
-        return self._by_stem.get(stem(key))
+            t = None
+        else:
+            t = self._by_variant.get(key)
+            if t is None:
+                t = self._by_stem.get(stem(key))
+        if len(self._match_cache) < 100_000:
+            self._match_cache[s] = t
+        return t
 
     def canonical(self, s: str | None) -> str | None:
         t = self.match_term(s)

@@ -168,6 +168,9 @@ class AssertionCodes:
     )
 
 
+_QA_INTERN: dict = {}
+
+
 @dataclass(frozen=True)
 class QualityAssertion:
     code: int
@@ -175,17 +178,29 @@ class QualityAssertion:
     qa_status: int = FAILED
     comment: str = ""
 
+    # commentless assertions are interned: they are frozen constants and the
+    # chain allocates tens per record (hot in the mapInPandas profile)
+    @classmethod
+    def _interned(cls, ec: ErrorCode, status: int) -> "QualityAssertion":
+        key = (ec.code, status)
+        qa = _QA_INTERN.get(key)
+        if qa is None:
+            qa = _QA_INTERN[key] = cls(ec.code, ec.name, status, "")
+        return qa
+
     @classmethod
     def failed(cls, ec: ErrorCode, comment: str = "") -> "QualityAssertion":
+        if not comment:
+            return cls._interned(ec, FAILED)
         return cls(ec.code, ec.name, FAILED, comment)
 
     @classmethod
     def passed(cls, ec: ErrorCode) -> "QualityAssertion":
-        return cls(ec.code, ec.name, PASSED, "")
+        return cls._interned(ec, PASSED)
 
     @classmethod
     def unchecked(cls, ec: ErrorCode) -> "QualityAssertion":
-        return cls(ec.code, ec.name, UNCHECKED, "")
+        return cls._interned(ec, UNCHECKED)
 
     def as_tuple(self) -> tuple[int, str, int, str]:
         return (self.code, self.name, self.qa_status, self.comment)

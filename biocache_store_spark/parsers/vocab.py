@@ -172,14 +172,15 @@ ESTABLISHMENT_MEANS = Vocab.of(
     }
 )
 
+# mirrors the reference's datePrecision.txt exactly (canonical + variants;
+# case folds through normalize, so 'day'/'YEAR' still match the canonicals)
 DATE_PRECISION = Vocab.of(
     {
-        "Day": ["day", "d", "date", "daily", "exact date"],
-        "Month": ["month", "m", "mo", "monthly"],
-        "Year": ["year", "y", "yr", "annual", "yearly"],
-        "Decade": ["decade"],
-        "Century": ["century"],
-        "Date Range": ["range", "date range", "between dates"],
-        "Unknown": ["unknown", "not recorded", "uncertain"],
+        "Day": ["d"],
+        "Day Range": ["dd"],
+        "Year": ["y", "yr"],
+        "Year Range": ["yy"],
+        "Month Range": ["oo"],
+        "Month": ["o", "m", "mon", "mnth"],
     }
 )

@@ -316,31 +316,151 @@ def _process_first_dates(processed, assertions):
         assertions.append(QA.passed(C.FIRST_OF_MONTH))
 
 
-def _check_precision(raw, processed, assertions):
-    """EventProcessor.checkPrecision (EventProcessor.scala:479-650), with
-    reformat-to-precision truncation of the processed date components."""
-    raw_precision = raw.get("datePrecision")
-    if not raw_precision or not str(raw_precision).strip():
-        return
-    if not processed.get("eventDate"):
-        return
-    term = DATE_PRECISION.match_term(str(raw_precision))
-    if term is None:
-        assertions.append(
-            QA.failed(C.DATE_PRECISION_MISMATCH, f"Unrecognised date precision {raw_precision}")
-        )
-        return
-    processed["datePrecision"] = term.canonical
-    if term.canonical == "Month":
-        if processed.get("eventDate") and len(processed["eventDate"]) >= 7:
-            processed["eventDate"] = processed["eventDate"][:7]
+_DAY_P, _MONTH_P, _YEAR_P = "Day", "Month", "Year"
+_DAY_RANGE_P, _MONTH_RANGE_P, _YEAR_RANGE_P = "Day Range", "Month Range", "Year Range"
+_NOT_SUPPLIED_P = "Not Supplied"
+
+
+def _format_component_date(ev, fmt: str) -> str:
+    """DateFormatUtils.format(parsedStartDate, fmt) analog: rebuild from the
+    EventDate's components (missing month/day default to 01, as the
+    reference's parsed java.util.Date does)."""
+    y = int(ev.start_year)
+    m = int(ev.start_month) if ev.start_month else 1
+    d = int(ev.start_day) if ev.start_day else 1
+    if fmt == "yyyy":
+        return f"{y:04d}"
+    if fmt == "yyyy-MM":
+        return f"{y:04d}-{m:02d}"
+    return f"{y:04d}-{m:02d}-{d:02d}"
+
+
+def _reformat_to_precision(
+    processed, fmt: str, nullify_day: bool, nullify_month: bool, nullify_year: bool
+):
+    """EventProcessor.reformatToPrecision (EventProcessor.scala:534-645):
+    reformat single dates to the precision's format, force-nullify
+    components, nullify components that differ across a range, then infer
+    datePrecision when none was supplied."""
+    from biocache_store_spark.parsers.dates import parse_date
+
+    start = parse_date(processed.get("eventDate"))
+    end = parse_date(processed.get("eventDateEnd"))
+    if start is not None and start.single_date and start.start_year:
+        processed["eventDate"] = _format_component_date(start, fmt)
+    if end is not None and end.single_date and end.start_year:
+        processed["eventDateEnd"] = _format_component_date(end, fmt)
+    if nullify_day:
         processed["day"] = None
-        if processed.get("eventDateEnd"):
-            processed["eventDateEnd"] = processed["eventDateEnd"][:7]
-    elif term.canonical in ("Year", "Decade", "Century"):
-        if processed.get("eventDate") and len(processed["eventDate"]) >= 4:
-            processed["eventDate"] = processed["eventDate"][:4]
-        processed["day"] = None
+    if nullify_month:
         processed["month"] = None
-        if processed.get("eventDateEnd"):
-            processed["eventDateEnd"] = processed["eventDateEnd"][:4]
+    if nullify_year:
+        processed["year"] = None
+    # the reference's FullRecord leaves unset components null, never ""
+    for k in ("day", "month", "year"):
+        if processed.get(k) == "":
+            processed[k] = None
+    if start is not None and end is not None:
+        # ranges — nullify what differs (EventProcessor.scala:573-588)
+        if start.start_day and end.start_day and start.start_day != end.start_day:
+            processed["day"] = None
+        if (
+            start.start_month
+            and end.start_month
+            and start.start_month != end.start_month
+        ):
+            processed["month"] = None
+            processed["day"] = None
+        if start.start_year and end.start_year and start.start_year != end.start_year:
+            processed["year"] = None
+            processed["month"] = None
+            processed["day"] = None
+
+    if processed.get("datePrecision"):
+        return
+    # determine a precision from the values (EventProcessor.scala:591-643,
+    # including the quirky downgrade cascade, ported condition for condition)
+    if start is not None and end is not None:
+        determined = _DAY_RANGE_P
+        if (
+            start.start_day == end.start_day
+            and start.start_day
+            and start.start_month == end.start_month
+            and start.start_month
+            and start.start_year == end.start_year
+            and start.start_year
+        ):
+            determined = _DAY_P
+        if (
+            (start.start_day != end.start_day or (not start.start_day and not end.start_day))
+            and start.start_month == end.start_month
+            and start.start_month
+            and start.start_year == end.start_year
+            and start.start_year
+        ):
+            determined = _MONTH_P
+        elif not start.start_day and not end.start_day:
+            determined = _MONTH_RANGE_P
+        if (
+            (start.start_day != end.start_day or (not start.start_day and not end.start_day))
+            and (
+                start.start_month != end.start_month
+                or (not start.start_month and not end.start_month)
+            )
+            and start.start_year == end.start_year
+            and start.start_year
+        ):
+            determined = _YEAR_P
+        elif not start.start_month and not end.start_month:
+            determined = _YEAR_RANGE_P
+        processed["datePrecision"] = determined
+    elif start is not None:
+        determined = _DAY_P
+        if not processed.get("day") and processed.get("month") and processed.get("year"):
+            determined = _MONTH_P
+        if (
+            not processed.get("day")
+            and not processed.get("month")
+            and processed.get("year")
+        ):
+            determined = _YEAR_P
+        processed["datePrecision"] = determined
+    else:
+        processed["datePrecision"] = _NOT_SUPPLIED_P
+
+
+def _check_precision(raw, processed, assertions):
+    """EventProcessor.checkPrecision (EventProcessor.scala:479-521): map the
+    raw datePrecision through the vocabulary and reformat; with no (or an
+    unmatched) precision, reformat at day precision — which also runs the
+    range-nullify rules and infers datePrecision from the date shape."""
+    raw_precision = raw.get("datePrecision")
+    has_precision = raw_precision is not None and str(raw_precision).strip() != ""
+    if has_precision and processed.get("eventDate"):
+        term = DATE_PRECISION.match_term(str(raw_precision))
+        if term is None:
+            assertions.append(
+                QA.failed(
+                    C.DATE_PRECISION_MISMATCH,
+                    f"Unrecognised date precision {raw_precision}",
+                )
+            )
+            _reformat_to_precision(processed, "yyyy-MM-dd", False, False, False)
+            return
+        processed["datePrecision"] = term.canonical
+        if term.canonical == _DAY_P:
+            _reformat_to_precision(processed, "yyyy-MM-dd", False, False, False)
+        elif term.canonical == _MONTH_P:
+            _reformat_to_precision(processed, "yyyy-MM", True, False, False)
+        elif term.canonical == _YEAR_P:
+            _reformat_to_precision(processed, "yyyy", True, True, False)
+        elif term.canonical == _DAY_RANGE_P:
+            _reformat_to_precision(processed, "yyyy-MM", False, False, False)
+        elif term.canonical == _MONTH_RANGE_P:
+            _reformat_to_precision(processed, "yyyy-MM", True, False, False)
+        elif term.canonical == _YEAR_RANGE_P:
+            _reformat_to_precision(processed, "yyyy", True, True, True)
+        else:
+            _reformat_to_precision(processed, "yyyy-MM-dd", False, False, False)
+    else:
+        _reformat_to_precision(processed, "yyyy-MM-dd", False, False, False)

@@ -77,7 +77,14 @@ def test_occurrence_status():
 def test_sex_and_precision():
     assert SEX.canonical("Male") == "male"
     assert SEX.canonical("females") == "female"
-    assert DATE_PRECISION.canonical("daily") == "Day"
+    # mirrors the reference datePrecision.txt variants exactly
+    assert DATE_PRECISION.canonical("D") == "Day"
+    assert DATE_PRECISION.canonical("day") == "Day"
+    assert DATE_PRECISION.canonical("O") == "Month"
+    assert DATE_PRECISION.canonical("Mnth") == "Month"
+    assert DATE_PRECISION.canonical("YY") == "Year Range"
+    assert DATE_PRECISION.canonical("OO") == "Month Range"
+    assert DATE_PRECISION.canonical("DD") == "Day Range"
     assert DATE_PRECISION.canonical("YR") == "Year"
 
 

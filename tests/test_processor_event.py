@@ -198,3 +198,68 @@ def test_date_precision_year():
     assert p["eventDate"] == "2000"
     assert p.get("month") is None
     assert p["datePrecision"] == "Year"
+
+
+# --- DatePrecisionTest.scala matrix (checkPrecision/reformatToPrecision) ---
+
+import pytest as _pytest
+
+_PRECISION_CASES = [
+    # explicit precision: (raw datePrecision, eventDate) -> processed eventDate
+    ("", "2000-01-01", {"eventDate": "2000-01-01"}),
+    ("D", "2000-01-01", {"eventDate": "2000-01-01"}),
+    ("d", "2000-01-01", {"eventDate": "2000-01-01"}),
+    ("day", "2000-01-01", {"eventDate": "2000-01-01"}),
+    ("Day", "2000-01-01", {"eventDate": "2000-01-01"}),
+    ("O", "2000-01-01", {"eventDate": "2000-01"}),
+    ("Month", "2000-01-01", {"eventDate": "2000-01"}),
+    ("M", "2000-01-01", {"eventDate": "2000-01"}),
+    ("Y", "2000-01-01", {"eventDate": "2000"}),
+    ("y", "2000-01-01", {"eventDate": "2000"}),
+    ("year", "2000-01-01", {"eventDate": "2000"}),
+    ("YEAR", "2000-01-01", {"eventDate": "2000"}),
+]
+
+
+@_pytest.mark.parametrize("precision,event_date,want", _PRECISION_CASES)
+def test_precision_matrix_explicit(precision, event_date, want):
+    raw = {"eventDate": event_date}
+    if precision:
+        raw["datePrecision"] = precision
+    p, _ = process_event(raw, TODAY)
+    for k, v in want.items():
+        assert p.get(k) == v, (precision, event_date, k, p.get(k))
+
+
+_DETERMINED_CASES = [
+    # (eventDate, eventDateEnd, rawPrecision, expected processed fields)
+    ("2000-01-01", "2003-01-01", "YY",
+     {"year": None, "month": None, "day": None, "datePrecision": "Year Range"}),
+    ("2010-01-01", "2010-12-31", None,
+     {"year": "2010", "month": None, "day": None, "datePrecision": "Year"}),
+    ("2000", "2001", None, {"year": None, "datePrecision": "Year Range"}),
+    ("2000-01", "2001-02", None,
+     {"year": None, "month": None, "day": None, "datePrecision": "Month Range"}),
+    ("2000-01-01", "", None,
+     {"datePrecision": "Day", "year": "2000", "month": "01", "day": "01"}),
+    ("2000-01-01", "2000-01-01", None,
+     {"datePrecision": "Day", "year": "2000", "month": "01", "day": "01"}),
+    ("2000-01", "", None,
+     {"datePrecision": "Month", "year": "2000", "month": "01", "day": None}),
+    ("2000-01", "2000-01", None,
+     {"datePrecision": "Month", "year": "2000", "month": "01", "day": None}),
+    ("2000", "", None,
+     {"datePrecision": "Year", "year": "2000", "month": None, "day": None}),
+    ("2000", "2000", None,
+     {"datePrecision": "Year", "year": "2000", "month": None, "day": None}),
+]
+
+
+@_pytest.mark.parametrize("start,end,precision,want", _DETERMINED_CASES)
+def test_precision_matrix_determined(start, end, precision, want):
+    raw = {"eventDate": start, "eventDateEnd": end}
+    if precision:
+        raw["datePrecision"] = precision
+    p, _ = process_event(raw, TODAY)
+    for k, v in want.items():
+        assert p.get(k) == v, (start, end, precision, k, p.get(k))

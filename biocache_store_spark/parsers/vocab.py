@@ -107,9 +107,22 @@ BASIS_OF_RECORD = Vocab.of(
             "human observation", "observation", "obs", "o", "sighting",
             "field observation",
         ],
-        "MachineObservation": ["machine observation", "m"],
+        "MachineObservation": ["machine observation", "machine", "m"],
         "MaterialSample": ["material sample", "tissue sample", "dna sample"],
-        "MaterialCitation": ["material citation", "literature", "publication"],
+        "MaterialCitation": ["material citation", "publication"],
+        # canonicals from the reference's basisOfRecord.txt
+        "Image": ["i", "img", "jpg", "png", "still image", "stillimage"],
+        "Literature": [
+            "literature", "literaturerecord", "published report",
+            "unpublished report",
+        ],
+        "Sound": ["snd", "digitisedtrack", "digitizedtrack", "track", "wav"],
+        "Video": ["mov", "mp4", "mpg", "avi", "v", "vid", "video recording"],
+        "Germplasm": ["germplasm/seed"],
+        "NomenclaturalChecklist": ["names checklist"],
+        "RegionalChecklist": ["checklist"],
+        "GenomicDNA": ["genomic dna"],
+        "EnvironmentalDNA": ["edna", "environmental dna", "environmentaldna"],
         "Occurrence": ["occurrence", "occurrence record"],
         "Event": ["event"],
         "Taxon": ["taxon"],

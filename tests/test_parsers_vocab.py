@@ -137,3 +137,22 @@ def test_adhoc_value_extractor_ladder():
     assert guess_value_term("AB-1234") == "catalogNumber"
     assert guess_value_term("100 m") == "coordinateUncertaintyInMeters"
     assert guess_value_term("") == ""
+
+
+def test_basis_of_record_reference_vocab_parity():
+    # VocabTest.scala expectations against the reference basisOfRecord.txt
+    assert BASIS_OF_RECORD.canonical("S") == "PreservedSpecimen"
+    assert BASIS_OF_RECORD.canonical("DigitisedTrack") == "Sound"
+    assert BASIS_OF_RECORD.canonical("Observation") == "HumanObservation"
+    assert BASIS_OF_RECORD.canonical("Observations") == "HumanObservation"
+    assert BASIS_OF_RECORD.canonical("eDNA") == "EnvironmentalDNA"
+    assert BASIS_OF_RECORD.canonical("MaterialSample") == "MaterialSample"
+    assert BASIS_OF_RECORD.canonical("mp4") == "Video"
+    assert BASIS_OF_RECORD.canonical("jpg") == "Image"
+
+
+def test_type_status_junk_and_plurals():
+    # VocabTest.scala:29,73-80
+    assert TYPE_STATUS.canonical("Syntype ?") == "syntype"
+    assert TYPE_STATUS.canonical("PARATYPE") == "paratype"
+    assert TYPE_STATUS.canonical("Paratypes") == "paratype"

@@ -134,6 +134,10 @@ PROCESSED_FIELDS = (
     "minimumElevationInMeters",
     "maximumElevationInMeters",
     "identificationQualifier",
+    "images",
+    "sounds",
+    "videos",
+    "interactions",
 )
 
 ASSERTION_TYPE = T.ArrayType(
@@ -273,7 +277,17 @@ def process_records(
                 dv = defaults.get(raw.get("dataResourceUid") or "", None)
                 processed, assertions = process_record(raw, dv, today)
                 processed_col.append(
-                    {f: processed.get(f) for f in PROCESSED_FIELDS}
+                    {
+                        # multivalue fields (interactions, media lists) use
+                        # the reference's '|' multivalue convention in the
+                        # all-string struct
+                        f: (
+                            "|".join(v)
+                            if isinstance(v := processed.get(f), (list, tuple))
+                            else v
+                        )
+                        for f in PROCESSED_FIELDS
+                    }
                 )
                 assertions_col.append(
                     [

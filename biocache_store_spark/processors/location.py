@@ -16,8 +16,9 @@ util/GISUtil.scala:27-60): AGD66/AGD84 (ICSM national parameters), OSGB36,
 ED50, NAD27, Tokyo; GRS80-based datums (GDA94/GDA2020/NAD83/ETRS89) are a
 null transform. Results are rounded to min(dp(lat), dp(lon)) like the
 reference (LocationProcessor.scala:459-466). OSGB/Irish grid references are
-fully converted; bare easting/northing+zone triples remain stubbed pending
-a UTM zone registry.
+fully converted, and easting/northing+zone triples go through the UTM/MGA
+inverse transverse Mercator in parsers/utm.py
+(GridUtil.processNorthingEastingZone, GridUtil.scala:573-620).
 """
 
 from __future__ import annotations
@@ -198,6 +199,17 @@ def _to_float(s):
         return None
 
 
+def _float32_repr(value: float) -> str:
+    """Scala Float.toString analog: the shortest decimal string that
+    round-trips through float32 (verbatim-derived coordinates pass through
+    Float in the reference)."""
+    import numpy as _np
+
+    return _np.format_float_positional(
+        _np.float32(value), unique=True, trim="-"
+    )
+
+
 def process_lat_long(raw: dict, assertions: list) -> dict | None:
     """processLatLong (LocationProcessor.scala:369-407). Returns
     {latitude, longitude, datum} (strings) or None."""
@@ -216,7 +228,15 @@ def process_lat_long(raw: dict, assertions: list) -> dict | None:
             dlon = latlon_parser.parse(str(vlon))
         if dlat is not None and dlon is not None:
             assertions.append(QA.failed(C.DECIMAL_LAT_LONG_CALCULATED_FROM_VERBATIM))
-            return {"latitude": str(dlat), "longitude": str(dlon), "datum": WGS84_EPSG}
+            # the reference parses verbatim coordinates into Float
+            # (LocationProcessor.scala:497-545 — Option[Float]), so the
+            # stored string is the shortest float32 representation
+            # ("22.04889", not "22.0488888")
+            return {
+                "latitude": _float32_repr(dlat),
+                "longitude": _float32_repr(dlon),
+                "datum": WGS84_EPSG,
+            }
         assertions.append(
             QA.failed(
                 C.DECIMAL_LAT_LONG_CALCULATION_FROM_VERBATIM_FAILED,

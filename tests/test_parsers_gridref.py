@@ -159,3 +159,35 @@ def test_irish_lax_odd_digits():
     assert g is not None
     assert g.coordinate_uncertainty is None
     assert (g.easting, g.northing) == (10000, 423000)
+
+
+def test_grid_ref_as_resolutions_reference_matrix():
+    # GridReferenceTest.scala:83-205 — every asserted key/value
+    from biocache_store_spark.parsers.gridref import grid_ref_as_resolutions as g
+
+    cases = [
+        ("NH123123", {"grid_ref_100000": "NH", "grid_ref_10000": "NH11",
+                      "grid_ref_1000": "NH1212", "grid_ref_100": "NH123123"}),
+        ("NH12341234", {"grid_ref_100000": "NH", "grid_ref_10000": "NH11",
+                        "grid_ref_1000": "NH1212", "grid_ref_100": "NH123123"}),
+        ("NH1234512345", {"grid_ref_100000": "NH", "grid_ref_10000": "NH11",
+                          "grid_ref_2000": "NH11G", "grid_ref_1000": "NH1212",
+                          "grid_ref_100": "NH123123"}),
+        ("J12341234", {"grid_ref_100000": "J", "grid_ref_10000": "J11",
+                       "grid_ref_1000": "J1212", "grid_ref_100": "J123123"}),
+        ("J43214321", {"grid_ref_100000": "J", "grid_ref_10000": "J44",
+                       "grid_ref_2000": "J44G", "grid_ref_1000": "J4343",
+                       "grid_ref_100": "J432432"}),
+        ("J11", {"grid_ref_100000": "J", "grid_ref_10000": "J11"}),
+        ("J", {"grid_ref_100000": "J"}),
+        ("NH", {"grid_ref_100000": "NH"}),
+        ("NF8359", {"grid_ref_100000": "NF", "grid_ref_10000": "NF85",
+                    "grid_ref_1000": "NF8359"}),
+        ("HU35", {"grid_ref_100000": "HU", "grid_ref_10000": "HU35"}),
+        ("HY489020", {"grid_ref_100000": "HY", "grid_ref_10000": "HY40",
+                      "grid_ref_1000": "HY4802", "grid_ref_100": "HY489020"}),
+    ]
+    for ref, want in cases:
+        got = g(ref)
+        for k, v in want.items():
+            assert got.get(k) == v, (ref, k, got)

@@ -367,3 +367,36 @@ def test_wgs84_utm_northern_hemisphere():
     )
     assert abs(float(p["decimalLatitude"]) - 48.8582) < 1e-4
     assert abs(float(p["decimalLongitude"]) - 2.2945) < 1e-4
+
+
+def test_easting_northing_zone_reference_values():
+    # ProcessLocationTest.scala:546-577
+    p, a = process_location({"easting": "539514.0", "northing": "5362674.0", "zone": "55"})
+    assert p["decimalLatitude"] == "-41.88688"
+    assert p["decimalLongitude"] == "147.47628"
+    assert any(
+        x.name == "decimalLatLongCalculatedFromEastingNorthing" and x.qa_status == 0
+        for x in a
+    )
+
+
+def test_verbatim_dms_float32_string():
+    # ProcessLocationTest.scala:579-603 — verbatim coordinates pass through
+    # Float, so the stored string is the shortest float32 repr
+    p, a = process_location(
+        {"verbatimLatitude": "22° 2' 56\" N", "verbatimLongitude": "92° 25' 11\" E"}
+    )
+    assert p["decimalLatitude"] == "22.04889"
+    assert p["decimalLongitude"] == "92.41972"
+    assert p["geodeticDatum"] == "EPSG:4326"
+
+
+def test_agd66_epsg_code_reprojection():
+    # ProcessLocationTest.scala:605-637 — EPSG:4202 recognised as AGD66
+    p, a = process_location(
+        {"decimalLatitude": "-35.126", "decimalLongitude": "150.681",
+         "geodeticDatum": "EPSG:4202"}
+    )
+    assert p["decimalLatitude"] == "-35.125"
+    assert p["decimalLongitude"] == "150.682"
+    assert p["geodeticDatum"] == "EPSG:4326"

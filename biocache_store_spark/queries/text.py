@@ -224,10 +224,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "minhash_near_duplicates",
     doc=(
         "MinHash+LSH near-dup detection (operators/minhash.py): shingle -> "
-        "12 md5-family minhashes -> 4 bands -> band-bucket join -> exact "
-        "Jaccard verification >= 0.5. The md5 hash family makes the whole "
-        "pipeline deterministic, so the oracle reproduces signatures, "
-        "banding, candidates and verification exactly in SQL."
+        "12 minhashes (8-hex-char substrings of 3 md5 digests) -> 4 bands "
+        "-> band-bucket join -> exact Jaccard verification >= 0.5. The md5 "
+        "hash family makes the whole pipeline deterministic, so the oracle "
+        "reproduces signatures, banding, candidates and verification "
+        "exactly in SQL."
     ),
     bench=True,
     oracle=r"""
@@ -247,7 +248,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
         hashes AS (
-            SELECT s.doc_id, g.k, MIN(md5(g.k::VARCHAR || '|' || s.sh)) AS mh
+            SELECT s.doc_id, g.k,
+                   MIN(substr(md5((g.k // 4)::VARCHAR || '|' || s.sh),
+                              (g.k % 4) * 8 + 1, 8)) AS mh
             FROM shingles s, generate_series(0, 11) g(k)
             GROUP BY s.doc_id, g.k
         ),

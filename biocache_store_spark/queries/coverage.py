@@ -415,7 +415,9 @@ def maintenance_delete_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "parser/VerbatimLatLongParser.scala:8-97) over four verbatim shapes "
         "(DMS with denominators, d/m tokens, bare triple, degrees+minutes). "
         "The oracle replays the reference's fixed-point integer conversion "
-        "(scale by 1e7, integer-divide) so the doubles match exactly."
+        "(scale by 1e7, integer-divide). Both sides quantize to 6dp and "
+        "normalize -0.0 (+0.0) so the driver's value-hash canonicalization "
+        "sees identical doubles."
     ),
     oracle="""
         WITH src AS (
@@ -427,11 +429,13 @@ def maintenance_delete_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM customer
         )
         SELECT record_id,
-               CASE WHEN shape IN (0, 3) THEN -1.0 ELSE 1.0 END *
-               (deg * 10000000
-                + (mn * 10000000) // 60
-                + CASE WHEN shape = 3 THEN 0
-                       ELSE (sec * 10000000) // 3600 END) / 10000000.0
+               ROUND(
+                 CASE WHEN shape IN (0, 3) THEN -1.0 ELSE 1.0 END *
+                 (deg * 10000000
+                  + (mn * 10000000) // 60
+                  + CASE WHEN shape = 3 THEN 0
+                         ELSE (sec * 10000000) // 3600 END) / 10000000.0,
+                 6) + 0.0
                  AS decimal_coord
         FROM src
     """,
@@ -459,7 +463,10 @@ def verbatim_coord_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("decimal_coord", T.DoubleType())],
         lambda s: (parse_latlon(s),),
     )
-    return parsed.select("record_id", "decimal_coord")
+    return parsed.select(
+        "record_id",
+        (F.round(F.col("decimal_coord"), 6) + F.lit(0.0)).alias("decimal_coord"),
+    )
 
 
 @register(

@@ -52,8 +52,36 @@ def register(
     return wrap
 
 
+# The external driver oracle-checks a prefix of the registry (50 names in
+# rounds 2-3). These shapes are trivially re-derivable from other green rows
+# (simple scans/facets/set-ops, all green in CORRECTNESS_r02+r03), so they
+# yield their driver slots to operators that would otherwise go unchecked
+# (embedding/text family, new coverage queries).
+DEPRIORITIZED: tuple[str, ...] = (
+    "projected_scan",
+    "indexed_field_scan",
+    "multiget",
+    "point_lookup",
+    "range_filter_facet",
+    "facet_counts",
+    "distinct_values",
+    "top_k",
+    "set_union",
+    "set_except",
+    "anti_join_obsolete",
+    "grouped_stats",
+    "event_facet_counts",
+    "event_json_extract",
+    "event_hourly_histogram",
+)
+
+
 def load_all() -> dict[str, Query]:
-    """Import every query module so REGISTRY is fully populated."""
+    """Import every query module so REGISTRY is fully populated.
+
+    Returns the registry ordered head-first: every query not in
+    DEPRIORITIZED in registration order, then the deprioritized tail.
+    """
     from biocache_store_spark.queries import (  # noqa: F401
         analytics,
         coverage,
@@ -63,7 +91,12 @@ def load_all() -> dict[str, Query]:
         vectors,
     )
 
-    return REGISTRY
+    tail = set(DEPRIORITIZED)
+    ordered = {n: q for n, q in REGISTRY.items() if n not in tail}
+    for n in DEPRIORITIZED:
+        if n in REGISTRY:
+            ordered[n] = REGISTRY[n]
+    return ordered
 
 
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -165,6 +165,7 @@ def process_record(
     default_country: str | None = None,
     last_processed: dict | None = None,
     last_assertions: list | None = None,
+    skip_catalyst_vocab: bool = False,
 ) -> tuple[dict, list]:
     """Run the per-record stages in reference order for one raw record.
 
@@ -195,8 +196,9 @@ def process_record(
     #    establishmentMeans / recordedBy / identification + misc QAs)
     assertions += process_images(raw, processed)
     assertions += process_interactions(raw, processed)
-    assertions += process_occurrence_status(raw, processed)
-    assertions += process_establishment_means(raw, processed)
+    if not skip_catalyst_vocab:
+        assertions += process_occurrence_status(raw, processed)
+        assertions += process_establishment_means(raw, processed)
     assertions += process_recorded_by(raw, processed)
     assertions += process_identification_checks(raw)
     assertions += process_misc_occurrence(raw)
@@ -205,7 +207,8 @@ def process_record(
     assertions += process_offline_tests(processed, last_processed, last_assertions)
 
     # 6. BasisOfRecordProcessor
-    assertions += process_basis_of_record(raw, processed)
+    if not skip_catalyst_vocab:
+        assertions += process_basis_of_record(raw, processed)
 
     # 7. EventProcessor
     event_processed, event_assertions = process_event(raw, today)
@@ -223,7 +226,8 @@ def process_record(
     assertions += loc_assertions
 
     # 10. TypeStatusProcessor
-    assertions += process_type_status(raw, processed)
+    if not skip_catalyst_vocab:
+        assertions += process_type_status(raw, processed)
 
     # 11. IdentificationQualifierProcessor
     assertions += process_identification_qualifier(raw, processed)
@@ -240,6 +244,7 @@ def process_records(
     df: DataFrame,
     default_values_by_resource: dict[str, dict] | None = None,
     today: _dt.date | None = None,
+    skip_catalyst_vocab: bool = False,
 ) -> DataFrame:
     """raw occurrences DataFrame -> + processed struct, assertions array,
     geospatially_kosher flag. One mapInPandas pass; no shuffle at scale
@@ -275,7 +280,9 @@ def process_records(
                     for k, v in rec.items()
                 }
                 dv = defaults.get(raw.get("dataResourceUid") or "", None)
-                processed, assertions = process_record(raw, dv, today)
+                processed, assertions = process_record(
+                    raw, dv, today, skip_catalyst_vocab=skip_catalyst_vocab
+                )
                 processed_col.append(
                     {
                         # multivalue fields (interactions, media lists) use
@@ -308,6 +315,142 @@ def process_records(
             yield out
 
     return df.mapInPandas(run, schema=schema)
+
+
+# Vocabulary stages liftable out of the per-record pass: each is a pure
+# function of ONE raw column, so it can run once per distinct value instead
+# of once per record (the Spark-native form of the reference's LRU caches,
+# caches/*DAO.scala). Order here is the reference stage order
+# (Processors.scala:16-29: misc occStatus/estMeans ... bor ... typeStatus).
+_CATALYST_VOCAB_STAGES: tuple[tuple[str, object], ...] = (
+    ("occurrenceStatus", process_occurrence_status),
+    ("establishmentMeans", process_establishment_means),
+    ("basisOfRecord", process_basis_of_record),
+    ("typeStatus", process_type_status),
+)
+
+
+def _vocab_stage_map(df: DataFrame, col: str, runner) -> DataFrame:
+    """distinct(df[col]) -> (value, canonical, assertions) relation.
+
+    The stage function runs once per DISTINCT value in a tiny Arrow batch —
+    vocabulary columns are low-cardinality by nature, so this is a cheap
+    partial-agg distinct followed by a broadcastable dimension, however many
+    records the fact side has."""
+    out_schema = T.StructType(
+        [
+            T.StructField("v", T.StringType()),
+            T.StructField("canonical", T.StringType()),
+            T.StructField("asserts", ASSERTION_TYPE),
+        ]
+    )
+    vals = df.select(F.col(col).cast("string").alias("v")).distinct()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            canon, asst = [], []
+            for v in pdf["v"]:
+                v = None if v is None or (isinstance(v, float) and pd.isna(v)) else v
+                processed: dict = {}
+                qas = runner({col: v}, processed)
+                value = processed.get(col)
+                canon.append(
+                    "|".join(value) if isinstance(value, (list, tuple)) else value
+                )
+                asst.append(
+                    [
+                        {
+                            "code": a.code,
+                            "name": a.name,
+                            "qa_status": a.qa_status,
+                            "comment": a.comment,
+                        }
+                        for a in qas
+                    ]
+                )
+            yield pd.DataFrame({"v": pdf["v"], "canonical": canon, "asserts": asst})
+
+    return vals.mapInPandas(run, out_schema)
+
+
+def process_records_hybrid(
+    df: DataFrame,
+    default_values_by_resource: dict[str, dict] | None = None,
+    today: _dt.date | None = None,
+) -> DataFrame:
+    """The chain split Catalyst-side where semantics allow.
+
+    Same contract as process_records (processed struct, assertions array,
+    geospatially_kosher), but the four vocabulary stages — basisOfRecord
+    (BasisOfRecordProcessor.scala:22-41), typeStatus
+    (TypeStatusProcessor.scala:26-47), occurrenceStatus and
+    establishmentMeans (MiscellaneousProcessor.scala:21-178) — run as
+    per-distinct-value broadcast map joins instead of inside the per-record
+    Python loop. The Arrow pass keeps only the stages that are genuinely
+    per-record (dates, coordinates/gridref, media, identification).
+
+    Assertion MULTISET matches process_records exactly; array order differs
+    (per-record assertions first, then the vocab stages in reference order).
+    geospatially_kosher is unaffected: vocabulary stages never emit
+    geospatial codes.
+    """
+    added_cols = []
+    for col, _ in _CATALYST_VOCAB_STAGES:
+        if col not in df.columns:
+            df = df.withColumn(col, F.lit(None).cast("string"))
+            added_cols.append(col)
+
+    base = process_records(
+        df, default_values_by_resource, today, skip_catalyst_vocab=True
+    )
+
+    out = base
+    for col, runner in _CATALYST_VOCAB_STAGES:
+        mapping = _vocab_stage_map(df, col, runner).select(
+            F.col("v").alias(f"__{col}_v"),
+            F.col("canonical").alias(f"__{col}_canonical"),
+            F.col("asserts").alias(f"__{col}_asserts"),
+        )
+        out = out.join(
+            F.broadcast(mapping),
+            F.col(col).cast("string").eqNullSafe(F.col(f"__{col}_v")),
+            "left",
+        ).drop(f"__{col}_v")
+
+    # basisOfRecord only: an already-defaulted processed value suppresses
+    # the missing-BoR assertion (BasisOfRecordProcessor.scala:25-29).
+    bor_blank = F.col("basisOfRecord").isNull() | (
+        F.trim(F.col("basisOfRecord").cast("string")) == ""
+    )
+    empty_asserts = F.array().cast(ASSERTION_TYPE)
+    bor_asserts = F.when(
+        bor_blank & F.col("processed")["basisOfRecord"].isNotNull(), empty_asserts
+    ).otherwise(F.col("__basisOfRecord_asserts"))
+
+    vocab_fields = {c for c, _ in _CATALYST_VOCAB_STAGES}
+    merged = F.struct(
+        *[
+            (
+                F.coalesce(F.col(f"__{f}_canonical"), F.col("processed")[f])
+                if f in vocab_fields
+                else F.col("processed")[f]
+            ).alias(f)
+            for f in PROCESSED_FIELDS
+        ]
+    )
+    merged_asserts = F.concat(
+        F.col("assertions"),
+        F.coalesce(F.col("__occurrenceStatus_asserts"), empty_asserts),
+        F.coalesce(F.col("__establishmentMeans_asserts"), empty_asserts),
+        F.coalesce(bor_asserts, empty_asserts),
+        F.coalesce(F.col("__typeStatus_asserts"), empty_asserts),
+    )
+    out = out.withColumn("processed", merged).withColumn(
+        "assertions", merged_asserts
+    )
+    drop = [f"__{c}_canonical" for c in vocab_fields]
+    drop += [f"__{c}_asserts" for c in vocab_fields]
+    return out.drop(*drop, *added_cols)
 
 
 def enrich_classification(df: DataFrame, taxa: DataFrame) -> DataFrame:

@@ -747,6 +747,106 @@ def chain_vocab_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "chain_hybrid",
+    doc=(
+        "Hybrid chain split (processors/chain.process_records_hybrid): the "
+        "four vocabulary stages — basisOfRecord "
+        "(BasisOfRecordProcessor.scala:22-41), typeStatus "
+        "(TypeStatusProcessor.scala:26-47), occurrenceStatus and "
+        "establishmentMeans (MiscellaneousProcessor.scala:21-178) — run as "
+        "per-distinct-value broadcast map joins (the Spark-native form of "
+        "the reference's LRU caches) while the Arrow pass keeps only the "
+        "per-record stages. Exercises the default-value suppression path "
+        "(blank basisOfRecord + per-resource default) plus all four vocab "
+        "merges; the oracle replays the canonicalization in SQL."
+    ),
+    oracle="""
+        SELECT p_partkey,
+               CASE
+                 WHEN p_partkey % 5 = 4 THEN 'HumanObservation'  -- default applied
+                 WHEN p_partkey % 5 = 3 THEN NULL                -- unrecognised
+                 WHEN p_partkey % 5 = 2 THEN 'PreservedSpecimen' -- 'S' variant
+                 WHEN p_partkey % 5 = 1 THEN 'MachineObservation'
+                 ELSE 'PreservedSpecimen'
+               END AS basis_of_record,
+               CASE p_partkey % 4
+                 WHEN 0 THEN 'holotype'
+                 WHEN 1 THEN 'holotype'
+                 WHEN 2 THEN 'paratype|syntype'
+               END AS type_status,
+               CASE p_partkey % 3
+                 WHEN 0 THEN 'native'
+                 WHEN 1 THEN 'introduced; native'
+               END AS establishment_means,
+               CASE p_partkey % 4
+                 WHEN 1 THEN 'absent'
+                 WHEN 3 THEN 'unknown'
+                 ELSE 'present'
+               END AS occurrence_status,
+               CASE WHEN p_partkey % 5 = 3 THEN 1 ELSE 0 END
+                 AS n_bor_failed
+        FROM part
+    """,
+)
+def chain_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.processors.chain import process_records_hybrid
+
+    part = read_table(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    bor = F.pmod(k, F.lit(5))
+    ts = F.pmod(k, F.lit(4))
+    em = F.pmod(k, F.lit(3))
+    occ = part.select(
+        "p_partkey",
+        # %5==4 blank with a default resource; %5==3 unrecognised junk
+        F.when(bor == 0, F.lit("PreservedSpecimen"))
+        .when(bor == 1, F.lit("machine observation"))
+        .when(bor == 2, F.lit("S"))
+        .when(bor == 3, F.lit("garbage-bor"))
+        .otherwise(F.lit(""))
+        .alias("basisOfRecord"),
+        F.when(bor == 4, F.lit("drDefault")).otherwise(F.lit("drPlain")).alias(
+            "dataResourceUid"
+        ),
+        F.when(ts == 0, F.lit("holotype"))
+        .when(ts == 1, F.lit("HOLOTYPUS material"))
+        .when(ts == 2, F.lit("paratype and syntype"))
+        .otherwise(F.lit(""))
+        .alias("typeStatus"),
+        F.when(em == 0, F.lit("native"))
+        .when(em == 1, F.lit("naturalised; indigenous"))
+        .otherwise(F.lit("garbage"))
+        .alias("establishmentMeans"),
+        F.when(ts == 0, F.lit("present"))
+        .when(ts == 1, F.lit("absent"))
+        .when(ts == 2, F.lit(""))
+        .otherwise(F.lit("zzz-no-such-status"))
+        .alias("occurrenceStatus"),
+    )
+    out = process_records_hybrid(
+        occ,
+        default_values_by_resource={"drDefault": {"basisOfRecord": "HumanObservation"}},
+    )
+    # failed (qa_status=0) missing/badly-formed BoR assertions: the blank
+    # basisOfRecord with a resource default must NOT produce one
+    bor_failed = F.size(
+        F.filter(
+            F.col("assertions"),
+            lambda a: F.array_contains(F.array(F.lit(20001), F.lit(20002)), a["code"])
+            & (a["qa_status"] == 0),
+        )
+    )
+    return out.select(
+        "p_partkey",
+        F.col("processed")["basisOfRecord"].alias("basis_of_record"),
+        F.col("processed")["typeStatus"].alias("type_status"),
+        F.col("processed")["establishmentMeans"].alias("establishment_means"),
+        F.col("processed")["occurrenceStatus"].alias("occurrence_status"),
+        bor_failed.cast("int").alias("n_bor_failed"),
+    )
+
+
+@register(
     "raw_processed_comparison",
     doc=(
         "Raw-vs-processed long-format comparison (store.get_comparison — "

@@ -109,3 +109,67 @@ def test_assertion_rollups(spark, occurrences):
     by_id = {r["occurrenceID"]: r for r in rolled}
     assert by_id["occ1"]["n_failed"] >= 1  # missing uncertainty etc.
     assert by_id["occ1"]["n_passed"] >= 5
+
+
+def test_hybrid_chain_equivalent(spark):
+    """process_records_hybrid (vocab stages as per-distinct broadcast map
+    joins) must produce the same processed struct, the same assertion
+    MULTISET, and the same kosher flag as the full per-record pass."""
+    from biocache_store_spark.processors.chain import process_records_hybrid
+
+    rows = [
+        ("h1", "dr1", "PreservedSpecimen", "holotype material", "native",
+         "present", "1978-12-31", "-35.2", "144.8", "WGS84"),
+        ("h2", "dr1", "preserved_specimen", "HOLOTYPUS", "naturalised; indigenous",
+         "absent", None, None, None, None),
+        ("h3", "dr2", "garbage-bor", "junk", "garbage", "", "2000-01-01",
+         "0", "0", "WGS84"),
+        ("h4", "dr2", None, None, None, None, None, None, None, None),
+        ("h5", "dr3", "", "paratype and syntype", None, "zzz-no-such", None,
+         "10", "20", "WGS84"),
+    ]
+    cols = [
+        "occurrenceID", "dataResourceUid", "basisOfRecord", "typeStatus",
+        "establishmentMeans", "occurrenceStatus", "eventDate",
+        "decimalLatitude", "decimalLongitude", "geodeticDatum",
+    ]
+    df = spark.createDataFrame(rows, cols)
+    defaults = {
+        "dr2": {"basisOfRecord": "HumanObservation"},
+        "dr3": {"typeStatus": "neotype"},
+    }
+    full = {r["occurrenceID"]: r
+            for r in process_records(df, defaults, today=TODAY).collect()}
+    hyb = {r["occurrenceID"]: r
+           for r in process_records_hybrid(df, defaults, today=TODAY).collect()}
+    assert full.keys() == hyb.keys()
+    for k in full:
+        assert full[k]["processed"].asDict() == hyb[k]["processed"].asDict(), k
+        assert sorted(map(tuple, full[k]["assertions"])) == sorted(
+            map(tuple, hyb[k]["assertions"])
+        ), k
+        assert full[k]["geospatially_kosher"] == hyb[k]["geospatially_kosher"], k
+
+
+def test_hybrid_chain_missing_vocab_columns(spark):
+    """Hybrid path with none of the vocab columns present in the input:
+    occurrenceStatus defaults to present (assumed), others stay null, and
+    the output schema matches the full pass (no helper columns leak)."""
+    from biocache_store_spark.processors.chain import process_records_hybrid
+
+    df = spark.createDataFrame(
+        [("m1", "dr1", "-35.2", "144.8", "WGS84")],
+        ["occurrenceID", "dataResourceUid", "decimalLatitude",
+         "decimalLongitude", "geodeticDatum"],
+    )
+    full = process_records(df, today=TODAY)
+    hyb = process_records_hybrid(df, today=TODAY)
+    assert [f.name for f in full.schema.fields] == [
+        f.name for f in hyb.schema.fields
+    ]
+    fr, hr = full.collect()[0], hyb.collect()[0]
+    assert hr["processed"]["occurrenceStatus"] == "present"
+    assert fr["processed"].asDict() == hr["processed"].asDict()
+    assert sorted(map(tuple, fr["assertions"])) == sorted(
+        map(tuple, hr["assertions"])
+    )

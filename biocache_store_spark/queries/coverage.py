@@ -747,6 +747,141 @@ def chain_vocab_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_assertion_lifecycle",
+    doc=(
+        "User-assertion workflow (operators/user_assertions.py — "
+        "Store.scala:332-412, dao/OccurrenceDAOImpl.scala:892-1160): add a "
+        "user assertion per record (+ a second for odd keys), admin "
+        "verifications (VERIFIED for key%3==0, a later OPEN_ISSUE "
+        "verification for key%5==0), delete the primary assertion for "
+        "key%7==0, then recompute the combined per-record status "
+        "(getCombinedUserStatus 5-state machine incl. the open-issue "
+        "reopen) and overlay it on the records table (QA_NONE default). "
+        "The oracle replays the state machine arithmetically."
+    ),
+    oracle="""
+        WITH f AS (
+            SELECT c_custkey AS k,
+                   (c_custkey % 7 <> 0) AS hasA,
+                   (c_custkey % 2 = 1) AS hasB,
+                   (c_custkey % 3 = 0) AS v1,
+                   (c_custkey % 5 = 0) AS v2
+            FROM customer
+        ),
+        calc AS (
+            SELECT k, hasA,
+                   (CASE WHEN hasA AND NOT (v1 OR v2) THEN 1 ELSE 0 END
+                    + CASE WHEN hasB THEN 1 ELSE 0 END) AS base,
+                   CASE WHEN v2 THEN 50001
+                        WHEN v1 THEN 50002 END AS latest,
+                   v2 AS any_open
+            FROM f
+        )
+        SELECT 'c' || CAST(k AS VARCHAR) AS rowKey,
+               CASE WHEN base > 0 THEN 50005
+                    WHEN any_open THEN 50001
+                    WHEN latest IS NOT NULL THEN latest
+                    ELSE 50004 END AS user_assertion_status,
+               CASE WHEN base > 0 THEN base
+                    WHEN any_open AND hasA THEN 1
+                    ELSE 0 END AS outstanding_count,
+               CASE WHEN base = 0 AND NOT any_open AND latest = 50002
+                    THEN 1 ELSE 0 END AS user_verified
+        FROM calc
+    """,
+)
+def user_assertion_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.user_assertions import (
+        QA_OPEN_ISSUE,
+        QA_VERIFIED,
+        add_user_assertions,
+        delete_user_assertions,
+        empty_store,
+        overlay_user_status,
+    )
+
+    customer = read_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    row_key = F.concat(F.lit("c"), k.cast("string"))
+
+    def qa(uuid, code, status, related, rec_num):
+        return F.struct(
+            row_key.alias("rowKey"),
+            uuid.alias("uuid"),
+            F.lit(code).cast("int").alias("code"),
+            status.cast("int").alias("qa_status"),
+            F.lit("").alias("comment"),
+            F.lit("user1").alias("user_id"),
+            related.alias("related_uuid"),
+            F.lit(rec_num).cast("int").alias("record_num"),
+        )
+
+    a_uuid = F.concat(F.lit("a"), k.cast("string"))
+    base_rows = customer.select(
+        F.when(
+            F.pmod(k, F.lit(2)) == 1,
+            F.array(
+                qa(a_uuid, 10, F.lit(0), F.lit(None).cast("string"), 0),
+                qa(F.concat(F.lit("b"), k.cast("string")), 11, F.lit(0),
+                   F.lit(None).cast("string"), 0),
+            ),
+        )
+        .otherwise(
+            F.array(qa(a_uuid, 10, F.lit(0), F.lit(None).cast("string"), 0))
+        )
+        .alias("qas")
+    ).select(F.explode("qas").alias("qa")).select("qa.*")
+
+    verif_rows = (
+        customer.select(
+            F.when(
+                (F.pmod(k, F.lit(3)) == 0) & (F.pmod(k, F.lit(5)) == 0),
+                F.array(
+                    qa(F.concat(F.lit("v1-"), k.cast("string")), 50000,
+                       F.lit(QA_VERIFIED), a_uuid, 1),
+                    qa(F.concat(F.lit("v2-"), k.cast("string")), 50000,
+                       F.lit(QA_OPEN_ISSUE), a_uuid, 2),
+                ),
+            )
+            .when(
+                F.pmod(k, F.lit(3)) == 0,
+                F.array(qa(F.concat(F.lit("v1-"), k.cast("string")), 50000,
+                           F.lit(QA_VERIFIED), a_uuid, 1)),
+            )
+            .when(
+                F.pmod(k, F.lit(5)) == 0,
+                F.array(qa(F.concat(F.lit("v2-"), k.cast("string")), 50000,
+                           F.lit(QA_OPEN_ISSUE), a_uuid, 2)),
+            )
+            .otherwise(F.array().cast(
+                "array<struct<rowKey:string,uuid:string,code:int,"
+                "qa_status:int,comment:string,user_id:string,"
+                "related_uuid:string,record_num:int>>"
+            ))
+            .alias("qas")
+        )
+        .select(F.explode("qas").alias("qa"))
+        .select("qa.*")
+    )
+
+    store = add_user_assertions(empty_store(spark), base_rows)
+    store = add_user_assertions(store, verif_rows)
+    deletes = customer.filter(F.pmod(k, F.lit(7)) == 0).select(
+        row_key.alias("rowKey"), a_uuid.alias("uuid")
+    )
+    store = delete_user_assertions(store, deletes)
+
+    records = customer.select(row_key.alias("rowKey"))
+    out = overlay_user_status(records, store)
+    return out.select(
+        "rowKey",
+        "user_assertion_status",
+        F.col("outstanding_count").cast("long").alias("outstanding_count"),
+        F.col("user_verified").cast("int").alias("user_verified"),
+    )
+
+
+@register(
     "chain_hybrid",
     doc=(
         "Hybrid chain split (processors/chain.process_records_hybrid): the "

@@ -14,24 +14,46 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from biocache_store_spark.plans.solr_query import translate
+from biocache_store_spark.plans.solr_query import qid_predicate
 
 
 @dataclass(frozen=True)
 class ValidationRule:
+    """A stored query + assertion. Like the reference's Qid/ValidationRule
+    (model/Qid.scala:9, model/ValidationRule.scala) the scope may carry a
+    WKT polygon and/or a [minX, minY, maxX, maxY] bbox alongside the q
+    string; both become static Column predicates over the coordinate
+    columns (plans/solr_query.wkt_predicate / bbox_predicate)."""
+
     rule_id: str
     query: str  # SOLR q string over index-table columns
     assertion_code: int
     assertion_name: str
     comment: str = ""
+    wkt: str | None = None
+    bbox: tuple[float, float, float, float] | None = None
+    lat_col: str = "decimalLatitude"
+    lon_col: str = "decimalLongitude"
+
+
+def _rule_predicate(rule: ValidationRule, field_mapping: dict[str, str] | None):
+    return qid_predicate(
+        rule.query,
+        wkt=rule.wkt,
+        bbox=list(rule.bbox) if rule.bbox is not None else None,
+        lat_col=rule.lat_col,
+        lon_col=rule.lon_col,
+        field_mapping=field_mapping,
+    )
 
 
 def matching_ids(
     df: DataFrame, rule: ValidationRule, id_col: str = "id",
     field_mapping: dict[str, str] | None = None,
 ) -> DataFrame:
-    """Record ids currently matching the rule's stored query."""
-    return df.filter(translate(rule.query, field_mapping)).select(
+    """Record ids currently matching the rule's stored query (q AND the
+    optional wkt/bbox area)."""
+    return df.filter(_rule_predicate(rule, field_mapping)).select(
         F.col(id_col).alias("record_id")
     )
 
@@ -66,7 +88,7 @@ def annotate_with_rule(
 ) -> DataFrame:
     """Append the rule's assertion to each record's assertions array:
     failed (qa_status 0) for matches, passed (1) otherwise."""
-    matches = translate(rule.query, field_mapping)
+    matches = _rule_predicate(rule, field_mapping)
     assertion = F.struct(
         F.lit(rule.assertion_code).alias("code"),
         F.lit(rule.assertion_name).alias("name"),

@@ -178,3 +178,103 @@ def translate(q: str, field_mapping: dict[str, str] | None = None) -> Column:
     if parser.pos != len(parser.tokens):
         raise SolrQueryError(f"Trailing tokens: {parser.tokens[parser.pos:]}")
     return result
+
+
+# ---------------------------------------------------------------------------
+# Qid spatial predicates (model/Qid.scala:9: a stored query carries `wkt`
+# and `bbox` alongside q/fqs; qa/ValidationRuleRunner.scala applies the WKT
+# area when replaying). Both compile to static Column expressions over the
+# coordinate columns: the polygon vertices are literals, so the ray-cast
+# unrolls into a fixed sum of per-edge crossing indicators — whole-stage
+# codegen, no UDF, pushdown-friendly.
+# ---------------------------------------------------------------------------
+
+
+def bbox_predicate(
+    bbox: list[float],
+    lat_col: str = "decimalLatitude",
+    lon_col: str = "decimalLongitude",
+) -> Column:
+    """bbox = [minX, minY, maxX, maxY] (lon/lat order, Qid.scala:9) -> four
+    range predicates."""
+    min_x, min_y, max_x, max_y = (float(v) for v in bbox)
+    lon = F.col(lon_col).cast("double")
+    lat = F.col(lat_col).cast("double")
+    return (lon >= min_x) & (lon <= max_x) & (lat >= min_y) & (lat <= max_y)
+
+
+def _ring_edges(ring: list[tuple[float, float]]):
+    """Non-horizontal edges as (xi, yi, yj, slope) with slope precomputed
+    driver-side; horizontal edges can never satisfy the crossing test."""
+    edges = []
+    n = len(ring)
+    j = n - 1
+    for i in range(n):
+        xi, yi = ring[i]
+        xj, yj = ring[j]
+        if yi != yj:
+            edges.append((xi, yi, yj, (xj - xi) / (yj - yi)))
+        j = i
+    return edges
+
+
+def wkt_predicate(
+    wkt: str,
+    lat_col: str = "decimalLatitude",
+    lon_col: str = "decimalLongitude",
+) -> Column:
+    """Point-in-polygon as a static expression: odd number of edge
+    crossings (the same ray-cast as operators/sampling.point_in_polygon,
+    unrolled over the literal vertices)."""
+    from biocache_store_spark.operators.sampling import parse_wkt_polygon
+
+    ring = parse_wkt_polygon(wkt)
+    lon = F.col(lon_col).cast("double")
+    lat = F.col(lat_col).cast("double")
+    crossings: Column = F.lit(0)
+    for xi, yi, yj, slope in _ring_edges(ring):
+        straddles = (F.lit(yi) > lat) != (F.lit(yj) > lat)
+        x_cross = F.lit(slope) * (lat - F.lit(yi)) + F.lit(xi)
+        crossings = crossings + (straddles & (lon < x_cross)).cast("int")
+    return F.pmod(crossings, F.lit(2)) == 1
+
+
+def wkt_predicate_sql(
+    wkt: str,
+    lat_col: str = "decimalLatitude",
+    lon_col: str = "decimalLongitude",
+) -> str:
+    """The identical ray-cast as ANSI SQL (for DuckDB oracles): both sides
+    evaluate the same arithmetic over the same literals, so results match
+    exactly."""
+    from biocache_store_spark.operators.sampling import parse_wkt_polygon
+
+    ring = parse_wkt_polygon(wkt)
+    terms = [
+        f"(CASE WHEN (({yi!r} > {lat_col}) <> ({yj!r} > {lat_col}))"
+        f" AND ({lon_col} < {slope!r} * ({lat_col} - {yi!r}) + {xi!r})"
+        " THEN 1 ELSE 0 END)"
+        for xi, yi, yj, slope in _ring_edges(ring)
+    ]
+    return "(" + (" + ".join(terms) or "0") + ") % 2 = 1"
+
+
+def qid_predicate(
+    q: str | None = None,
+    fqs: list[str] | None = None,
+    wkt: str | None = None,
+    bbox: list[float] | None = None,
+    lat_col: str = "decimalLatitude",
+    lon_col: str = "decimalLongitude",
+    field_mapping: dict[str, str] | None = None,
+) -> Column:
+    """Full stored-query replay: q AND every fq AND the spatial area
+    (model/Qid.scala:8-27)."""
+    pred = translate(q, field_mapping)
+    for fq in fqs or []:
+        pred = pred & translate(fq, field_mapping)
+    if bbox is not None:
+        pred = pred & bbox_predicate(bbox, lat_col, lon_col)
+    if wkt is not None:
+        pred = pred & wkt_predicate(wkt, lat_col, lon_col)
+    return pred

@@ -746,6 +746,124 @@ def chain_vocab_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WKT_RULE_POLY = (
+    "POLYGON((-50 -30, 30 -30, 30 0, 0 0, 0 25, -50 25, -50 -30))"
+)
+
+
+def _wkt_oracle_sql() -> str:
+    from biocache_store_spark.plans.solr_query import wkt_predicate_sql
+
+    in_poly = wkt_predicate_sql(_WKT_RULE_POLY, lat_col="lat", lon_col="lon")
+    return f"""
+        WITH recs AS (
+            SELECT 'c' || CAST(c_custkey AS VARCHAR) AS record_id,
+                   c_mktsegment AS segment,
+                   (c_custkey % 80) - 40 + 0.3 AS lat,
+                   (c_custkey % 160) - 80 + 0.7 AS lon,
+                   c_custkey AS k
+            FROM customer
+        ),
+        current_match AS (
+            SELECT record_id FROM recs
+            WHERE segment = 'BUILDING' AND {in_poly}
+        ),
+        prev AS (
+            SELECT record_id FROM recs WHERE k % 4 = 0
+        )
+        SELECT record_id, 'assert' AS action
+        FROM current_match WHERE record_id NOT IN (SELECT record_id FROM prev)
+        UNION ALL
+        SELECT record_id, 'unassert' AS action
+        FROM prev WHERE record_id NOT IN (SELECT record_id FROM current_match)
+    """
+
+
+@register(
+    "stored_query_bbox",
+    doc=(
+        "Stored-query replay with the Qid's spatial bbox "
+        "(model/Qid.scala:9: bbox = [minX, minY, maxX, maxY] persisted "
+        "alongside q/fqs): plans/solr_query.qid_predicate compiles "
+        "q + fq + bbox into one Column predicate — the bbox is four range "
+        "predicates over the coordinate columns, pushdown-friendly."
+    ),
+    oracle="""
+        WITH recs AS (
+            SELECT o_orderkey, o_orderpriority, o_totalprice,
+                   (o_orderkey % 180) - 90 + 0.5 AS lat,
+                   (o_orderkey % 360) - 180 + 0.25 AS lon
+            FROM orders
+        )
+        SELECT o_orderkey, o_orderpriority, lat, lon
+        FROM recs
+        WHERE o_orderpriority = '2-HIGH' AND o_totalprice >= 50000
+          AND lon >= -60.0 AND lon <= 60.0 AND lat >= -45.0 AND lat <= 45.0
+    """,
+)
+def stored_query_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.plans.solr_query import qid_predicate
+
+    orders = read_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    recs = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        (F.pmod(k, F.lit(180)) - 90 + 0.5).alias("lat"),
+        (F.pmod(k, F.lit(360)) - 180 + 0.25).alias("lon"),
+    )
+    pred = qid_predicate(
+        q="o_orderpriority:2-HIGH",
+        fqs=["o_totalprice:[50000 TO *]"],
+        bbox=[-60.0, -45.0, 60.0, 45.0],
+        lat_col="lat",
+        lon_col="lon",
+    )
+    return recs.filter(pred).select("o_orderkey", "o_orderpriority", "lat", "lon")
+
+
+@register(
+    "validation_rule_wkt",
+    doc=(
+        "WKT-scoped validation rule (qa/ValidationRuleRunner.scala:151-260 "
+        "applyCommon/modifyList with model/Qid.scala:9's wkt): an L-shaped "
+        "polygon rule applied as assert/unassert delta against a previous "
+        "application. The polygon ray-cast unrolls into a static "
+        "sum-of-crossings Column expression (plans/solr_query."
+        "wkt_predicate) and the oracle evaluates the IDENTICAL arithmetic "
+        "via wkt_predicate_sql — no geometry library on either side."
+    ),
+    oracle=_wkt_oracle_sql(),
+)
+def validation_rule_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.validation_rules import (
+        ValidationRule,
+        apply_rule_delta,
+    )
+
+    customer = read_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    recs = customer.select(
+        F.concat(F.lit("c"), k.cast("string")).alias("record_id"),
+        F.col("c_mktsegment").alias("segment"),
+        (F.pmod(k, F.lit(80)) - 40 + 0.3).alias("lat"),
+        (F.pmod(k, F.lit(160)) - 80 + 0.7).alias("lon"),
+        k.alias("k"),
+    )
+    rule = ValidationRule(
+        rule_id="vr-wkt-1",
+        query="segment:BUILDING",
+        assertion_code=20050,
+        assertion_name="userAssertionOther",
+        wkt=_WKT_RULE_POLY,
+        lat_col="lat",
+        lon_col="lon",
+    )
+    prev = recs.filter(F.pmod(F.col("k"), F.lit(4)) == 0).select("record_id")
+    return apply_rule_delta(recs, rule, previously_asserted=prev, id_col="record_id")
+
+
 @register(
     "user_assertion_lifecycle",
     doc=(

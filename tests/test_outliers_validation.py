@@ -83,3 +83,67 @@ def test_validation_rule_apply_unapply(spark):
     a1 = annotated["r1"]["assertions"][0]
     assert (a1["code"], a1["qa_status"], a1["comment"]) == (20019, 0, "suspect region")
     assert annotated["r2"]["assertions"][0]["qa_status"] == 1
+
+
+def test_wkt_predicate_matches_python_kernel(spark):
+    """The unrolled sum-of-crossings Column expression must agree with the
+    per-point ray-cast kernel (operators/sampling.point_in_polygon) on a
+    grid spanning inside/outside/concave regions of an L-shaped polygon."""
+    from biocache_store_spark.operators.sampling import (
+        parse_wkt_polygon,
+        point_in_polygon,
+    )
+    from biocache_store_spark.plans.solr_query import wkt_predicate
+
+    wkt = "POLYGON((-50 -30, 30 -30, 30 0, 0 0, 0 25, -50 25, -50 -30))"
+    ring = parse_wkt_polygon(wkt)
+    pts = [
+        (float(lon) + 0.3, float(lat) + 0.7)
+        for lon in range(-60, 41, 10)
+        for lat in range(-40, 31, 10)
+    ]
+    df = spark.createDataFrame(pts, ["lon", "lat"])
+    got = {
+        (r["lon"], r["lat"]): r["inside"]
+        for r in df.withColumn(
+            "inside", wkt_predicate(wkt, lat_col="lat", lon_col="lon")
+        ).collect()
+    }
+    for lon, lat in pts:
+        assert got[(lon, lat)] == point_in_polygon(lon, lat, ring), (lon, lat)
+
+
+def test_qid_bbox_predicate(spark):
+    from biocache_store_spark.plans.solr_query import qid_predicate
+
+    df = spark.createDataFrame(
+        [(1, "x", 10.0, 10.0), (2, "x", 50.0, 10.0), (3, "y", 10.0, 10.0)],
+        ["id", "tag", "lat", "lon"],
+    )
+    pred = qid_predicate(q="tag:x", bbox=[0.0, 0.0, 20.0, 20.0],
+                         lat_col="lat", lon_col="lon")
+    assert [r["id"] for r in df.filter(pred).collect()] == [1]
+
+
+def test_validation_rule_wkt_scope(spark):
+    """A WKT-scoped rule only asserts records inside the polygon
+    (ValidationRuleRunner with Qid.wkt)."""
+    from biocache_store_spark.operators.validation_rules import (
+        ValidationRule,
+        matching_ids,
+    )
+
+    df = spark.createDataFrame(
+        [("r1", "BUILDING", -10.0, -10.0),   # inside
+         ("r2", "BUILDING", 20.0, 20.0),     # outside (concave notch)
+         ("r3", "AUTOMOBILE", -10.0, -10.0)],  # inside but q mismatch
+        ["record_id", "segment", "lat", "lon"],
+    )
+    rule = ValidationRule(
+        rule_id="vr1", query="segment:BUILDING", assertion_code=1,
+        assertion_name="x",
+        wkt="POLYGON((-50 -30, 30 -30, 30 0, 0 0, 0 25, -50 25, -50 -30))",
+        lat_col="lat", lon_col="lon",
+    )
+    got = sorted(r["record_id"] for r in matching_ids(df, rule, "record_id").collect())
+    assert got == ["r1"]

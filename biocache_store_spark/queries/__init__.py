@@ -58,6 +58,7 @@ def register(
 # yield their driver slots to operators that would otherwise go unchecked
 # (embedding/text family, new coverage queries).
 DEPRIORITIZED: tuple[str, ...] = (
+    "event_user_sessions",  # same stateful-sessionization operator as event_sessionization
     "projected_scan",
     "indexed_field_scan",
     "multiget",

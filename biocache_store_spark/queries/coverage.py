@@ -15,6 +15,7 @@ query is hash-checkable, not just row-count-checkable.
 
 from __future__ import annotations
 
+import datetime as _dt
 from collections.abc import Iterator
 
 import pandas as pd
@@ -46,6 +47,36 @@ def _apply_parser(df: DataFrame, in_col: str, out_fields: list, fn) -> DataFrame
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             results = [fn(v) for v in pdf[in_col]]
+            out = pdf.copy()
+            for i, name in enumerate(names):
+                out[name] = [r[i] for r in results]
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def _apply_record_parser(df: DataFrame, in_cols: list[str], out_fields: list, fn) -> DataFrame:
+    """Like _apply_parser but the callable receives a dict of the input
+    columns (for parser families that consume several raw fields, e.g. the
+    event-date processor)."""
+    from biocache_store_spark.util import (
+        ensure_min_parallelism,
+        ensure_package_on_workers,
+    )
+
+    ensure_package_on_workers(df.sparkSession)
+    df = ensure_min_parallelism(df)
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(n, t) for n, t in out_fields]
+    )
+    names = [n for n, _ in out_fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            results = [
+                fn({c: (None if pd.isna(v) else v) for c, v in zip(in_cols, row)})
+                for row in zip(*[pdf[c] for c in in_cols])
+            ]
             out = pdf.copy()
             for i, name in enumerate(names):
                 out[name] = [r[i] for r in results]
@@ -743,6 +774,251 @@ def chain_vocab_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("processed")["typeStatus"].alias("type_status"),
         F.col("processed")["establishmentMeans"].alias("establishment_means"),
         F.col("processed")["occurrenceStatus"].alias("occurrence_status"),
+    )
+
+
+def _datum_oracle():
+    from biocache_store_spark.queries._geo_sql import datum_reprojection_oracle_sql
+
+    return datum_reprojection_oracle_sql()
+
+
+def _utm_oracle():
+    from biocache_store_spark.queries._geo_sql import utm_inverse_oracle_sql
+
+    return utm_inverse_oracle_sql()
+
+
+@register(
+    "datum_reprojection",
+    doc=(
+        "Geographic datum reprojection to WGS84 (parsers/gridref."
+        "reproject_geographic_to_wgs84 — util/GISUtil.scala:27-60 "
+        "reprojectCoordinatesToWGS84): AGD66 (7-param Helmert), OSGB36 "
+        "(full rotation+scale), NAD27 (3-param shift), GDA94 (GRS80 "
+        "identity). The oracle replays the cartesian Helmert transform and "
+        "the fixed 8-iteration latitude solve in generated DuckDB SQL "
+        "(queries/_geo_sql.py); a margin test proves every value in the "
+        "k%200-bounded input space is far from a 6dp rounding boundary."
+    ),
+    oracle=_datum_oracle(),
+)
+def datum_reprojection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.parsers.gridref import reproject_geographic_to_wgs84
+    from biocache_store_spark.queries._geo_sql import DATUM_QUERY_DATUMS
+
+    customer = read_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    src = customer.select(
+        k.alias("k"),
+        (F.pmod(k, F.lit(50)) * 1.37 - 40.123).alias("lat"),
+        (F.pmod(k, F.lit(40)) * 3.1 + 100.456).alias("lon"),
+        F.element_at(
+            F.array(*[F.lit(d) for d in DATUM_QUERY_DATUMS]),
+            (F.pmod(k, F.lit(4)) + 1).cast("int"),
+        ).alias("epsg"),
+    )
+
+    def run(raw: dict):
+        out = reproject_geographic_to_wgs84(
+            float(raw["lat"]), float(raw["lon"]), raw["epsg"], 6
+        )
+        return (None, None) if out is None else out
+
+    parsed = _apply_record_parser(
+        src,
+        ["lat", "lon", "epsg"],
+        [("lat_wgs84", T.DoubleType()), ("lon_wgs84", T.DoubleType())],
+        run,
+    )
+    return parsed.select("k", "epsg", "lat_wgs84", "lon_wgs84")
+
+
+@register(
+    "utm_inverse",
+    doc=(
+        "Easting/northing+zone -> WGS84 (parsers/utm."
+        "easting_northing_zone_to_wgs84 — util/GridUtil.scala:573-620 "
+        "processNorthingEastingZone): zone->EPSG key lookup (AMG/MGA "
+        "southern zones, UTM N/S, invalid-zone None), inverse transverse "
+        "Mercator (meridional-arc iteration), and the AGD66/84 Helmert leg. "
+        "The oracle unrolls the same iteration + series in generated "
+        "DuckDB SQL (queries/_geo_sql.py); the k%120-bounded input space "
+        "is margin-tested against 5dp rounding boundaries."
+    ),
+    oracle=_utm_oracle(),
+)
+def utm_inverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.parsers.utm import (
+        easting_northing_zone_to_wgs84,
+        zone_epsg_code,
+    )
+
+    customer = read_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    cls = F.pmod(k, F.lit(5))
+    src = customer.select(
+        k.alias("k"),
+        (F.lit(300000.0) + F.pmod(k, F.lit(60)) * 6000).alias("easting"),
+        (F.lit(6000000.0) + F.pmod(k, F.lit(40)) * 50000).alias("northing"),
+        F.element_at(
+            F.array(
+                F.lit(None).cast("string"),  # missing srs -> GDA94 default
+                F.lit("AGD66"),
+                F.lit("AGD84"),
+                F.lit("WGS84"),
+                F.lit("GDA94"),
+            ),
+            (cls + 1).cast("int"),
+        ).alias("srs"),
+        F.element_at(
+            F.array(F.lit("50"), F.lit("51"), F.lit("52"), F.lit("55N"), F.lit("99")),
+            (cls + 1).cast("int"),
+        ).alias("zone"),
+    )
+
+    def run(raw: dict):
+        epsg = zone_epsg_code(raw["srs"], raw["zone"])
+        out = easting_northing_zone_to_wgs84(
+            float(raw["easting"]), float(raw["northing"]), raw["zone"], raw["srs"]
+        )
+        lat, lon = out if out is not None else (None, None)
+        return (epsg, lat, lon)
+
+    parsed = _apply_record_parser(
+        src,
+        ["easting", "northing", "srs", "zone"],
+        [
+            ("epsg_code", T.StringType()),
+            ("lat_wgs84", T.DoubleType()),
+            ("lon_wgs84", T.DoubleType()),
+        ],
+        run,
+    )
+    return parsed.select("k", "epsg_code", "lat_wgs84", "lon_wgs84")
+
+
+@register(
+    "date_precision_reformat",
+    doc=(
+        "Date-precision vocabulary + reformatToPrecision "
+        "(processors/event.py _check_precision/_reformat_to_precision — "
+        "EventProcessor.scala:479-645): raw day/month/year assembled to an "
+        "ISO eventDate, then truncated per the datePrecision term (Day / "
+        "Month / Year / Day Range / Month Range-style nullification), the "
+        "unrecognised-precision assertion path, and the determined-precision "
+        "cascade for dates without a precision (incl. the separately "
+        "supplied eventDateEnd range whose differing day nullifies the day "
+        "component and determines 'Month'). Oracle replays every branch."
+    ),
+    oracle="""
+        WITH src AS (
+            SELECT o_orderkey AS k,
+                   1950 + o_orderkey % 50 AS y,
+                   CAST(o_orderkey % 12 + 1 AS INTEGER) AS m,
+                   CAST(o_orderkey % 28 + 1 AS INTEGER) AS d,
+                   o_orderkey % 8 AS s
+            FROM orders
+        ),
+        shaped AS (
+            SELECT *,
+                   printf('%04d-%02d-%02d', y, m, d) AS iso,
+                   printf('%04d-%02d', y, m) AS ym,
+                   printf('%04d', y) AS yy,
+                   (d % 28) + 1 AS d2
+            FROM src
+        )
+        SELECT k,
+               CASE s WHEN 1 THEN ym WHEN 2 THEN yy WHEN 3 THEN ym
+                      WHEN 4 THEN yy ELSE iso END AS event_date,
+               CASE s WHEN 7 THEN printf('%04d-%02d-%02d', y, m, d2) END
+                 AS event_date_end,
+               CASE WHEN s IN (1, 2, 4, 7) THEN NULL
+                    ELSE CAST(d AS VARCHAR) END AS day,
+               CASE WHEN s IN (2, 4) THEN NULL
+                    ELSE printf('%02d', m) END AS month,
+               CASE WHEN s = 4 THEN NULL ELSE CAST(y AS VARCHAR) END AS year,
+               CASE s WHEN 0 THEN 'Day' WHEN 1 THEN 'Month' WHEN 2 THEN 'Year'
+                      WHEN 3 THEN 'Day Range' WHEN 4 THEN 'Year Range'
+                      WHEN 5 THEN 'Day' WHEN 6 THEN 'Day'
+                      ELSE 'Month' END AS date_precision,
+               CASE WHEN s = 5 THEN 1 ELSE 0 END AS n_mismatch
+        FROM shaped
+    """,
+)
+def date_precision_reformat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.processors.assertions import AssertionCodes as C
+    from biocache_store_spark.processors.event import process_event
+
+    orders = read_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    y = (F.lit(1950) + F.pmod(k, F.lit(50))).cast("int")
+    m = (F.pmod(k, F.lit(12)) + 1).cast("int")
+    d = (F.pmod(k, F.lit(28)) + 1).cast("int")
+    s = F.pmod(k, F.lit(8))
+    d2 = (F.pmod(d, F.lit(28)) + 1).cast("int")
+    precision = (
+        F.when(s == 0, F.lit("Day"))
+        .when(s == 1, F.lit("mon"))
+        .when(s == 2, F.lit("yr"))
+        .when(s == 3, F.lit("dd"))
+        .when(s == 4, F.lit("yy"))
+        .when(s == 5, F.lit("garbage-precision"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    end_date = F.when(
+        s == 7,
+        F.format_string("%04d-%02d-%02d", y, m, d2),
+    )
+    src = orders.select(
+        k.alias("k"),
+        y.cast("string").alias("year"),
+        m.cast("string").alias("month"),
+        d.cast("string").alias("day"),
+        precision.alias("datePrecision"),
+        end_date.alias("eventDateEnd"),
+    )
+
+    def run(raw: dict):
+        processed, assertions = process_event(raw, today=_dt.date(2026, 1, 1))
+        n_mismatch = sum(
+            1
+            for a in assertions
+            if a.code == C.DATE_PRECISION_MISMATCH.code and a.qa_status == 0
+        )
+        return (
+            processed.get("eventDate"),
+            processed.get("eventDateEnd"),
+            processed.get("day"),
+            processed.get("month"),
+            processed.get("year"),
+            processed.get("datePrecision"),
+            n_mismatch,
+        )
+
+    parsed = _apply_record_parser(
+        src,
+        ["year", "month", "day", "datePrecision", "eventDateEnd"],
+        [
+            ("event_date", T.StringType()),
+            ("event_date_end", T.StringType()),
+            ("day_out", T.StringType()),
+            ("month_out", T.StringType()),
+            ("year_out", T.StringType()),
+            ("date_precision", T.StringType()),
+            ("n_mismatch", T.IntegerType()),
+        ],
+        run,
+    )
+    return parsed.select(
+        "k",
+        "event_date",
+        "event_date_end",
+        F.col("day_out").alias("day"),
+        F.col("month_out").alias("month"),
+        F.col("year_out").alias("year"),
+        "date_precision",
+        "n_mismatch",
     )
 
 

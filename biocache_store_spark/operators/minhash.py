@@ -41,6 +41,7 @@ def signatures(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_shingles: int | None = None,
 ) -> DataFrame:
     """(id, n_sh, signature array, shingle set) per document.
 
@@ -66,9 +67,17 @@ def signatures(
             for k in range(num_hashes)
         ],
     )
+    # `max_shingles` bounds the per-document set payload the verification
+    # join carries: one adversarial mega-document would otherwise balloon
+    # the shuffled row to its full shingle count. Capped sets keep the
+    # deterministic (sorted) prefix, so Jaccard becomes an approximation
+    # ONLY for documents over the cap — everything else is exact.
+    shingle_set = F.collect_set("sh")
+    if max_shingles is not None:
+        shingle_set = F.slice(F.sort_array(shingle_set), 1, max_shingles)
     agg = hashed.groupBy(id_col).agg(
         *[F.min(f"__h{k}").alias(f"__mh{k}") for k in range(num_hashes)],
-        F.collect_set("sh").alias("shs"),
+        shingle_set.alias("shs"),
     )
     return agg.select(
         id_col,
@@ -147,6 +156,7 @@ def near_duplicates(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket_size: int | None = None,
+    max_shingles: int | None = None,
 ) -> DataFrame:
     """LSH candidates verified with exact shingle-set Jaccard >= threshold.
 
@@ -154,9 +164,10 @@ def near_duplicates(
     all-pairs result (LSH recall < 1 by design); with the default 4 bands x
     3 rows the candidate recall at 0.5 similarity is ~1-(1-0.5^3)^4 = 0.41
     per band formula — raise bands for higher recall. `max_bucket_size`
-    caps hot band-buckets (see lsh_candidates).
+    caps hot band-buckets (see lsh_candidates); `max_shingles` caps the
+    per-document set payload in the verification join (see signatures).
     """
-    sig = signatures(docs, num_hashes, n, id_col, text_col)
+    sig = signatures(docs, num_hashes, n, id_col, text_col, max_shingles)
     cand = lsh_candidates(sig, num_hashes, bands, id_col, max_bucket_size)
     sets_a = sig.select(
         F.col(id_col).alias("doc_a"),

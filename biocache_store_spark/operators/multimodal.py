@@ -120,6 +120,87 @@ def decode_media(
     return media_df.mapInPandas(run, schema=schema)
 
 
+def default_transport(url: str) -> tuple[bytes | None, str | None]:
+    """The environment-gated media transport: file:// URLs read locally
+    (the reference's local-file path, MediaStore.scala:361-366); http(s)
+    needs network access this sandbox doesn't have — inject a real
+    transport (requests/urllib session) where one exists. Mirrors the
+    sources/archive.py gating shape."""
+    import mimetypes
+    import urllib.parse
+
+    parsed = urllib.parse.urlparse(url)
+    scheme = parsed.scheme or "file"
+    if scheme == "file":
+        path = parsed.path
+        try:
+            with open(path, "rb") as fh:
+                return fh.read(), mimetypes.guess_type(path)[0]
+        except OSError:
+            return None, None
+    raise NotImplementedError(
+        f"{scheme}:// media needs network access not present in this "
+        "environment (reference: load/MediaStore.scala:324 RemoteMediaStore)"
+    )
+
+
+def fetch_media(
+    records: DataFrame,
+    url_col: str = "url",
+    record_id_col: str = "record_id",
+    transport=default_transport,
+) -> DataFrame:
+    """Distributed media download (load/MediaStore.scala:317-420 save):
+    one transport call per (record, url) row, executed inside the
+    partitions — no driver-side loop, no collect. `transport(url) ->
+    (bytes | None, mime | None)` is injectable so tests (and air-gapped
+    environments) supply a fake; failed fetches keep the row with NULL
+    content, matching the reference's skip-and-log behavior.
+
+    Output adds: content binary, mime_type, fetch_ok boolean. Feed the
+    result to add_content_hash/dedup_media for the MD5 dedup the reference
+    applies to stored media."""
+    from biocache_store_spark.util import (
+        ensure_min_parallelism,
+        ensure_package_on_workers,
+    )
+
+    ensure_package_on_workers(records.sparkSession)
+    records = ensure_min_parallelism(records)
+    schema = T.StructType(
+        list(records.schema.fields)
+        + [
+            T.StructField("content", T.BinaryType()),
+            T.StructField("mime_type", T.StringType()),
+            T.StructField("fetch_ok", T.BooleanType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents, mimes, oks = [], [], []
+            for url in pdf[url_col]:
+                if url is None or (isinstance(url, float) and pd.isna(url)):
+                    contents.append(None), mimes.append(None), oks.append(False)
+                    continue
+                try:
+                    content, mime = transport(str(url))
+                except NotImplementedError:
+                    raise
+                except Exception:
+                    content, mime = None, None
+                contents.append(content)
+                mimes.append(mime)
+                oks.append(content is not None)
+            out = pdf.copy()
+            out["content"] = contents
+            out["mime_type"] = mimes
+            out["fetch_ok"] = oks
+            yield out
+
+    return records.mapInPandas(run, schema=schema)
+
+
 def frame_sample_plan(media_df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plumbing for video rows: expands each video into
     (media_id, frame_ts_ms) rows from metadata duration — the explode shape

@@ -112,3 +112,79 @@ def test_multimodal_frame_sampling(spark):
     ts = sorted(r["frame_ts_ms"] for r in frames)
     assert ts == [0, 1000, 2000, 3000]  # 3500ms video sampled at 1s
     assert all(r["media_id"] == "m3" for r in frames)
+
+
+def test_minhash_shingle_cap(spark):
+    """max_shingles bounds the per-document set payload in the verification
+    join: an adversarial mega-doc carries at most the cap, small docs are
+    unaffected (exact Jaccard preserved below the cap)."""
+    from biocache_store_spark.operators.minhash import near_duplicates, signatures
+
+    mega = "x" + " y z w".join(str(i) for i in range(2000))
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the dog"),
+         (2, "the quick brown fox jumps over the dog"),
+         (3, mega)],
+        ["doc_id", "text"],
+    )
+    sig = {r["doc_id"]: r for r in signatures(docs, max_shingles=50).collect()}
+    assert sig[3]["n_sh"] == 50  # capped
+    assert sig[1]["n_sh"] < 50  # small doc untouched
+    assert sorted(sig[1]["shs"]) == sorted(sig[2]["shs"])
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in near_duplicates(docs, threshold=0.5, max_shingles=50).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # exact dup still exact under the cap
+
+
+def test_fetch_media_round_trip(spark, tmp_path):
+    """Loader -> fetch (injectable transport) -> hash dedup round trip
+    (load/MediaStore.scala:317-420 + :234-285 MD5 dedup)."""
+    from biocache_store_spark.operators.multimodal import (
+        add_content_hash,
+        fetch_media,
+    )
+
+    blob = tmp_path / "img1.jpg"
+    blob.write_bytes(b"\xff\xd8fakejpegbytes")
+
+    payloads = {"mem://a": (b"AAA", "image/png"), "mem://dup": (b"AAA", "image/png")}
+
+    def fake_transport(url):
+        if url in payloads:
+            return payloads[url]
+        if url.startswith("file://"):
+            from biocache_store_spark.operators.multimodal import default_transport
+
+            return default_transport(url)
+        return None, None
+
+    records = spark.createDataFrame(
+        [("r1", "mem://a"), ("r2", "mem://dup"), ("r3", f"file://{blob}"),
+         ("r4", "mem://missing"), ("r5", None)],
+        ["record_id", "url"],
+    )
+    out = fetch_media(records, transport=fake_transport)
+    hashed = {r["record_id"]: r for r in add_content_hash(out).collect()}
+    assert hashed["r1"]["fetch_ok"] and hashed["r2"]["fetch_ok"]
+    # MD5 dedup key identical for identical bytes fetched from distinct urls
+    assert hashed["r1"]["content_hash"] == hashed["r2"]["content_hash"]
+    assert bytes(hashed["r3"]["content"]) == b"\xff\xd8fakejpegbytes"
+    assert hashed["r3"]["mime_type"] == "image/jpeg"
+    assert not hashed["r4"]["fetch_ok"] and hashed["r4"]["content"] is None
+    assert not hashed["r5"]["fetch_ok"]
+
+
+def test_fetch_media_http_gated(spark):
+    """http(s) without an injected transport raises the environment gate."""
+    import pytest as _pytest
+
+    from biocache_store_spark.operators.multimodal import fetch_media
+
+    records = spark.createDataFrame(
+        [("r1", "https://example.org/a.png")], ["record_id", "url"]
+    )
+    with _pytest.raises(Exception, match="(?i)network|NotImplemented"):
+        fetch_media(records).collect()

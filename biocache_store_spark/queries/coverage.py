@@ -777,6 +777,143 @@ def chain_vocab_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "collector_name_parse",
+    doc=(
+        "Collector (recordedBy) name normalization (parsers/collector.py — "
+        "parser/CollectorNameParser.scala:6-162): 'Surname, I.N. Firstname' "
+        "canonicalization across the reference's pattern cascade — "
+        "surname-comma-initials, initials-surname, ampersand pairs sharing "
+        "a surname, title stripping, quoted multi-collector strings, "
+        "unknown markers, organisation passthrough, and ';'-separated "
+        "lists. Output is the '|'-joined parseForList result."
+    ),
+    oracle="""
+        SELECT p_partkey,
+               CASE p_partkey % 8
+                 WHEN 0 THEN 'Smith, J.'
+                 WHEN 1 THEN 'Smith, J.'
+                 WHEN 2 THEN 'Fisher, K. Keith|Fisher, L. Lindsay'
+                 WHEN 3 THEN 'Hegedus, A. Alexandra'
+                 WHEN 4 THEN 'n/a'
+                 WHEN 5 THEN 'Kenny, S.D. Sue|Wallace-Ward, D. Di'
+                 WHEN 6 THEN 'Natural History Museum'
+                 ELSE 'Carter, A.B.|Davis, C.D.'
+               END AS collectors
+        FROM part
+    """,
+)
+def collector_name_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.parsers.collector import parse_for_list
+
+    part = read_table(spark, sf_dir, "part")
+    s = F.pmod(F.col("p_partkey"), F.lit(8))
+    verbatim = (
+        F.when(s == 0, F.lit("Smith, J."))
+        .when(s == 1, F.lit("J. Smith"))
+        .when(s == 2, F.lit("Keith & Lindsay Fisher"))
+        .when(s == 3, F.lit("Hegedus, Ms Alexandra"))
+        .when(s == 4, F.lit("n/a"))
+        .when(s == 5, F.lit('"KENNY S.D. Sue""WALLACE-WARD D. Di"'))
+        .when(s == 6, F.lit("Natural History Museum"))
+        .otherwise(F.lit("A.B. Carter; C.D. Davis"))
+    )
+    src = part.select("p_partkey", verbatim.alias("recordedBy"))
+
+    def run(v):
+        names = parse_for_list(v)
+        return ("|".join(names) if names else None,)
+
+    parsed = _apply_parser(src, "recordedBy", [("collectors", T.StringType())], run)
+    return parsed.select("p_partkey", "collectors")
+
+
+@register(
+    "coordinate_validation",
+    doc=(
+        "Lat/long validation ladder (processors/location.py "
+        "validate_coordinates — LocationProcessor.scala:792-891): in-range "
+        "passthrough, inverted-coordinate swap (lat out of range while the "
+        "pair inverted is valid), 0,0 nullification, country-bbox negation "
+        "(positive latitude inside Australia's bbox when negated), and "
+        "out-of-range retention. Flags are the failed assertion codes "
+        "1/3/4/5; the oracle replays swap/negate/null arithmetic."
+    ),
+    oracle="""
+        WITH src AS (
+            SELECT c_custkey AS k, c_custkey % 5 AS s,
+                   printf('%.2f', -(CAST(c_custkey % 80 AS DOUBLE) + 0.5)) AS lat0,
+                   printf('%.2f', CAST(c_custkey % 60 AS DOUBLE) + 91.25) AS lon0,
+                   printf('%.2f', CAST(c_custkey % 30 AS DOUBLE) + 11.5) AS lat3,
+                   printf('%.2f', CAST(c_custkey % 40 AS DOUBLE) + 113.25) AS lon3,
+                   printf('%.2f', -(CAST(c_custkey % 80 AS DOUBLE) + 200.5)) AS lat4
+            FROM customer
+        )
+        SELECT k,
+               CASE s WHEN 0 THEN lat0 WHEN 1 THEN lat0
+                      WHEN 3 THEN printf('%.1f', -(CAST(k % 30 AS DOUBLE) + 11.5))
+                      WHEN 4 THEN lat4 END AS lat_out,
+               CASE s WHEN 0 THEN lon0 WHEN 1 THEN lon0
+                      WHEN 3 THEN lon3 WHEN 4 THEN lon0 END AS lon_out,
+               CASE WHEN s = 1 THEN 1 ELSE 0 END AS inverted,
+               CASE WHEN s = 2 THEN 1 ELSE 0 END AS zero_coords,
+               CASE WHEN s = 3 THEN 1 ELSE 0 END AS negated,
+               CASE WHEN s = 4 THEN 1 ELSE 0 END AS out_of_range
+        FROM src
+    """,
+)
+def coordinate_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.processors.location import process_location
+
+    customer = read_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    s = F.pmod(k, F.lit(5))
+    lat0 = F.format_string("%.2f", -(F.pmod(k, F.lit(80)).cast("double") + 0.5))
+    lon0 = F.format_string("%.2f", F.pmod(k, F.lit(60)).cast("double") + 91.25)
+    lat3 = F.format_string("%.2f", F.pmod(k, F.lit(30)).cast("double") + 11.5)
+    lon3 = F.format_string("%.2f", F.pmod(k, F.lit(40)).cast("double") + 113.25)
+    lat4 = F.format_string("%.2f", -(F.pmod(k, F.lit(80)).cast("double") + 200.5))
+    src = customer.select(
+        k.alias("k"),
+        F.when(s == 0, lat0).when(s == 1, lon0).when(s == 2, F.lit("0"))
+        .when(s == 3, lat3).otherwise(lat4).alias("decimalLatitude"),
+        F.when(s == 0, lon0).when(s == 1, lat0).when(s == 2, F.lit("0"))
+        .when(s == 3, lon3).otherwise(lon0).alias("decimalLongitude"),
+        F.when(s == 3, F.lit("Australia")).alias("country"),
+        F.lit("WGS84").alias("geodeticDatum"),
+    )
+
+    def run(raw: dict):
+        processed, assertions = process_location(dict(raw))
+        failed = {a.code for a in assertions if a.qa_status == 0}
+        return (
+            processed.get("decimalLatitude"),
+            processed.get("decimalLongitude"),
+            int(3 in failed),
+            int(4 in failed),
+            int(1 in failed),
+            int(5 in failed),
+        )
+
+    parsed = _apply_record_parser(
+        src,
+        ["decimalLatitude", "decimalLongitude", "country", "geodeticDatum"],
+        [
+            ("lat_out", T.StringType()),
+            ("lon_out", T.StringType()),
+            ("inverted", T.IntegerType()),
+            ("zero_coords", T.IntegerType()),
+            ("negated", T.IntegerType()),
+            ("out_of_range", T.IntegerType()),
+        ],
+        run,
+    )
+    return parsed.select(
+        "k", "lat_out", "lon_out", "inverted", "zero_coords", "negated",
+        "out_of_range",
+    )
+
+
 def _datum_oracle():
     from biocache_store_spark.queries._geo_sql import datum_reprojection_oracle_sql
 

@@ -1,0 +1,161 @@
+"""Property-based tests (hypothesis) for the parser/predicate kernels.
+
+Each property pins a kernel against an independently-computed expectation
+over a generated input space — broader than the example-based suites, and
+deterministic (derandomize=True) so the gate never flakes.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from biocache_store_spark.operators.sampling import point_in_polygon
+from biocache_store_spark.parsers.latlon import parse as parse_latlon
+from biocache_store_spark.parsers.vocab import normalize
+
+SETTINGS = dict(max_examples=200, deadline=None, derandomize=True)
+
+
+@settings(**SETTINGS)
+@given(
+    deg=st.integers(0, 89),
+    mn=st.integers(0, 59),
+    sec=st.integers(0, 59),
+    hemi=st.sampled_from(["N", "S", "E", "W"]),
+)
+def test_latlon_dms_fixed_point(deg, mn, sec, hemi):
+    """DMS parse equals the reference's scale-by-1e7 integer-divide
+    conversion (parser/VerbatimLatLongParser.scala:78-96) for every
+    degree/minute/second combination."""
+    got = parse_latlon(f'{deg}° {mn}\' {sec}" {hemi}')
+    sign = -1.0 if hemi in ("S", "W") else 1.0
+    expected = sign * (
+        deg * 10_000_000 + mn * 10_000_000 // 60 + sec * 10_000_000 // 3600
+    ) / 10_000_000.0
+    assert got == expected
+
+
+@settings(**SETTINGS)
+@given(
+    deg=st.integers(0, 89),
+    mn=st.integers(0, 59),
+    hemi=st.sampled_from(["n", "s", "e", "w"]),
+)
+def test_latlon_degree_minute_form(deg, mn, hemi):
+    got = parse_latlon(f"{deg}° {mn}' {hemi}")
+    sign = -1.0 if hemi in ("s", "w") else 1.0
+    expected = sign * (deg * 10_000_000 + mn * 10_000_000 // 60) / 10_000_000.0
+    assert got == expected
+
+
+@settings(**SETTINGS)
+@given(s=st.text(min_size=0, max_size=40))
+def test_vocab_normalize_idempotent(s):
+    """normalize is idempotent and emits only [a-z0-9] (Vocab.scala:51-60)."""
+    once = normalize(s)
+    assert normalize(once) == once
+    assert all(c.islower() or c.isdigit() for c in once)
+
+
+def _convex_hull(pts):
+    """Andrew's monotone chain: strictly convex hull, CCW order."""
+    pts = sorted(set(pts))
+
+    def half(points):
+        out = []
+        for p in points:
+            while (
+                len(out) >= 2
+                and (out[-1][0] - out[-2][0]) * (p[1] - out[-2][1])
+                - (out[-1][1] - out[-2][1]) * (p[0] - out[-2][0])
+                <= 0
+            ):
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(reversed(pts))
+    return lower[:-1] + upper[:-1]
+
+
+@st.composite
+def convex_polygon(draw):
+    """A strictly convex ring (true hull of random points), so the
+    half-plane formulation is a valid independent check of the ray-cast."""
+    from hypothesis import assume
+
+    pts = draw(
+        st.lists(
+            st.tuples(
+                st.integers(-170, 170), st.integers(-80, 80)
+            ),
+            min_size=3,
+            max_size=8,
+            unique=True,
+        )
+    )
+    hull = _convex_hull(pts)
+    assume(len(hull) >= 3)
+    return [(float(x), float(y)) for x, y in hull]
+
+
+@settings(**SETTINGS)
+@given(
+    ring=convex_polygon(),
+    px=st.integers(-175, 175),
+    py=st.integers(-85, 85),
+)
+def test_point_in_polygon_matches_halfplane_test(ring, px, py):
+    """For convex rings the ray-cast must agree with the sign-consistent
+    half-plane test (an independent formulation). Probe points sit at
+    half-integer offsets so they never touch an edge."""
+    lon, lat = px + 0.5, py + 0.5
+    got = point_in_polygon(lon, lat, ring)
+    n = len(ring)
+    sides = []
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        cross = (x2 - x1) * (lat - y1) - (y2 - y1) * (lon - x1)
+        sides.append(cross)
+    inside = all(c >= 0 for c in sides) or all(c <= 0 for c in sides)
+    assert got == inside
+
+
+def test_wkt_predicate_random_hulls_match_kernel(spark):
+    """Seeded sweep: the unrolled wkt_predicate Column expression agrees
+    with the Python ray-cast kernel over random convex hulls x probe grids
+    (extends the single-polygon parity test in test_outliers_validation)."""
+    import random
+
+    from biocache_store_spark.plans.solr_query import wkt_predicate
+
+    rng = random.Random(42)
+    for _ in range(4):
+        pts = {(rng.randint(-170, 170), rng.randint(-80, 80)) for _ in range(10)}
+        hull = _convex_hull(list(pts))
+        if len(hull) < 3:
+            continue
+        ring = [(float(x), float(y)) for x, y in hull]
+        wkt = (
+            "POLYGON(("
+            + ", ".join(f"{x} {y}" for x, y in ring + [ring[0]])
+            + "))"
+        )
+        probes = [
+            (rng.randint(-175, 175) + 0.5, rng.randint(-85, 85) + 0.5)
+            for _ in range(60)
+        ]
+        df = spark.createDataFrame(probes, ["lon", "lat"])
+        got = {
+            (r["lon"], r["lat"]): r["inside"]
+            for r in df.withColumn(
+                "inside", wkt_predicate(wkt, lat_col="lat", lon_col="lon")
+            ).collect()
+        }
+        for lon, lat in probes:
+            assert got[(lon, lat)] == point_in_polygon(lon, lat, ring), (
+                wkt, lon, lat,
+            )

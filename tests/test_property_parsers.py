@@ -159,3 +159,142 @@ def test_wkt_predicate_random_hulls_match_kernel(spark):
             assert got[(lon, lat)] == point_in_polygon(lon, lat, ring), (
                 wkt, lon, lat,
             )
+
+
+def test_solr_translate_random_queries_match_row_evaluator(spark):
+    """Seeded sweep over the SOLR-q grammar: random ASTs rendered to q
+    strings, translated to Column predicates, and checked row-by-row
+    against an independent Python evaluator of the same AST. Covers
+    equality, quoted phrases, inclusive/exclusive/open ranges, wildcards,
+    AND/OR/NOT nesting, and field:(a OR b) value lists."""
+    import random
+    import re as _re
+
+    from biocache_store_spark.plans.solr_query import translate
+
+    rng = random.Random(7)
+    states = ["Victoria", "Tasmania", "New Wales", "Qld", None]
+    rows = [
+        (i, rng.choice(states), rng.randint(1990, 2010),
+         f"dr{rng.randint(1, 30)}")
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["id", "state", "year", "dr"])
+
+    def leaf():
+        kind = rng.choice(["eq", "phrase", "range", "wild", "list"])
+        if kind == "eq":
+            return ("eq", "dr", f"dr{rng.randint(1, 30)}")
+        if kind == "phrase":
+            return ("phrase", "state", rng.choice(states[:4]))
+        if kind == "range":
+            lo = rng.choice(["*", str(rng.randint(1990, 2010))])
+            hi = rng.choice(["*", str(rng.randint(1990, 2010))])
+            return ("range", "year", lo, hi, rng.choice([True, False]))
+        if kind == "wild":
+            return ("wild", "dr", f"dr{rng.randint(1, 2)}*")
+        vals = [f"dr{rng.randint(1, 30)}" for _ in range(2)]
+        return ("list", "dr", vals)
+
+    def node(depth):
+        if depth == 0 or rng.random() < 0.4:
+            t = leaf()
+            return ("not", t) if rng.random() < 0.2 else t
+        op = rng.choice(["and", "or"])
+        return (op, node(depth - 1), node(depth - 1))
+
+    def render(n):
+        k = n[0]
+        if k == "eq":
+            return f"{n[1]}:{n[2]}"
+        if k == "phrase":
+            return f'{n[1]}:"{n[2]}"'
+        if k == "range":
+            br = ("[", "]") if n[4] else ("{", "}")
+            return f"{n[1]}:{br[0]}{n[2]} TO {n[3]}{br[1]}"
+        if k == "wild":
+            return f"{n[1]}:{n[2]}"
+        if k == "list":
+            return f"{n[1]}:({' OR '.join(n[2])})"
+        if k == "not":
+            return f"NOT ({render(n[1])})"
+        return f"({render(n[1])} {k.upper()} {render(n[2])})"
+
+    def ev(n, row):
+        k = n[0]
+        if k == "eq":
+            return row[n[1]] == n[2]
+        if k == "phrase":
+            return row[n[1]] == n[2]
+        if k == "range":
+            v = row[n[1]]
+            if v is None:
+                return False
+            lo, hi, inc = n[2], n[3], n[4]
+            ok = True
+            # string compare like Spark does on a string column? year is
+            # int column -> numeric compare both sides
+            if lo != "*":
+                ok = ok and (v >= int(lo) if inc else v > int(lo))
+            if hi != "*":
+                ok = ok and (v <= int(hi) if inc else v < int(hi))
+            return ok
+        if k == "wild":
+            v = row[n[1]]
+            if v is None:
+                return False
+            pat = "^" + _re.escape(n[2]).replace(r"\*", ".*") + "$"
+            return _re.match(pat, v) is not None
+        if k == "list":
+            return row[n[1]] in n[2]
+        if k == "not":
+            inner = ev(n[1], row)
+            return (not inner) if inner is not None else None
+        a, b = ev(n[1], row), ev(n[2], row)
+        # three-valued logic like SQL: None = unknown
+        if k == "and":
+            if a is False or b is False:
+                return False
+            if a is None or b is None:
+                return None
+            return True
+        if a is True or b is True:
+            return True
+        if a is None or b is None:
+            return None
+        return False
+
+    def ev3(n, row):
+        """eq/phrase/list on a NULL column is unknown, not False."""
+        k = n[0]
+        if k in ("eq", "phrase"):
+            return None if row[n[1]] is None else row[n[1]] == n[2]
+        if k == "list":
+            return None if row[n[1]] is None else row[n[1]] in n[2]
+        if k == "wild":
+            return None if row[n[1]] is None else ev(n, row)
+        if k == "range":
+            return None if row[n[1]] is None else ev(n, row)
+        if k == "not":
+            inner = ev3(n[1], row)
+            return None if inner is None else not inner
+        a, b = ev3(n[1], row), ev3(n[2], row)
+        if k == "and":
+            if a is False or b is False:
+                return False
+            if a is None or b is None:
+                return None
+            return True
+        if a is True or b is True:
+            return True
+        if a is None or b is None:
+            return None
+        return False
+
+    row_dicts = [dict(zip(["id", "state", "year", "dr"], r)) for r in rows]
+    for _ in range(25):
+        ast = node(2)
+        q = render(ast)
+        got = {r["id"] for r in df.filter(translate(q)).collect()}
+        want = {r["id"] for r in row_dicts if ev3(ast, r) is True}
+        assert got == want, q

@@ -188,3 +188,89 @@ def cosine_near_duplicates(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
     )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> DataFrame:
+    """IVF cell assignment: argmax-cosine against the broadcast centroid
+    table (cell_id, centroid). Centroids are externally supplied — the
+    production IVF shape, where they come from an offline training pass —
+    so the whole index build is one broadcast join + per-vector argmax
+    (map-side, no shuffle of the corpus beyond the argmax partial agg).
+    Ties break to the lowest cell_id for determinism."""
+    from pyspark.sql.window import Window
+
+    sim = cosine_similarity(F.col(embedding_col), F.col("__centroid"))
+    scored = vectors.join(
+        F.broadcast(
+            centroids.select(
+                F.col("cell_id"), F.col("centroid").alias("__centroid")
+            )
+        )
+    ).withColumn("__cs", sim)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__cs").desc(), F.col("cell_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__cs", "__centroid")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    query_vectors: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: probe the query's `nprobe` nearest cells,
+    exact-cosine re-rank within them.
+
+    The coarse-quantizer companion to the hyperplane `ann_topk`: recall is
+    controlled by nprobe instead of bit flips, and at 100 TB the assigned
+    table is written partitioned by cell_id so a query batch prunes its
+    scan to the probed cells. query_vectors: (query_id, embedding).
+    Returns (query_id, vec_id, cos_sim, rank)."""
+    from pyspark.sql.window import Window
+
+    assigned = ivf_assign(vectors, centroids, id_col, embedding_col)
+    qsim = cosine_similarity(F.col(embedding_col), F.col("__centroid"))
+    qscored = query_vectors.join(
+        F.broadcast(
+            centroids.select(
+                F.col("cell_id"), F.col("centroid").alias("__centroid")
+            )
+        )
+    ).withColumn("__cs", qsim)
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__cs").desc(), F.col("cell_id").asc()
+    )
+    probes = (
+        qscored.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select(
+            "query_id", F.col(embedding_col).alias("__q_emb"), "cell_id"
+        )
+    )
+    sim = cosine_similarity(F.col(embedding_col), F.col("__q_emb"))
+    candidates = (
+        assigned.join(F.broadcast(probes), "cell_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("cos_sim", sim)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, F.round("cos_sim", 4).alias("cos_sim"), "rank")
+    )

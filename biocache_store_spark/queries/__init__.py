@@ -75,14 +75,15 @@ HEAD: tuple[str, ...] = (
     "text_simhash",
     "text_fingerprint",
     "embedding_cosine_neighbors",
-    "embedding_knn_topk",
     "embedding_ann_topk",
+    "embedding_ivf_topk",
     "embedding_label_centroid_norms",
     "embedding_cosine_near_dup",
 )
 
 DEPRIORITIZED: tuple[str, ...] = (
     "event_user_sessions",  # same stateful-sessionization operator as event_sessionization
+    "embedding_knn_topk",  # brute-force baseline; family evidenced by embedding_cosine_neighbors + ann/ivf
     "part_enrich_agg",  # broadcast-dim join+facet, subsumed by broadcast_enrich_revenue
     "pricing_summary",  # filtered grouped agg, subsumed by grouped_stats/facet shapes; bench-measured regardless
     "projected_scan",

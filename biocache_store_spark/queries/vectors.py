@@ -169,6 +169,87 @@ def embedding_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(emb, queries, dim=64, k=10)
 
 
+_IVF_CELLS = 16
+_IVF_NPROBE = 2
+_IVF_K = 10
+
+
+def _ivf_oracle() -> str:
+    """Exact DuckDB replay of the IVF pipeline: centroids are the first
+    {cells} corpus vectors (the externally-supplied-centroid shape), so
+    assignment (argmax cosine, ties to lowest cell), nprobe probing, and
+    the exact-cosine re-rank are ordinary SQL."""
+    return f"""
+        WITH cents AS (
+            SELECT vec_id AS cell_id, embedding AS centroid
+            FROM embeddings WHERE vec_id < {_IVF_CELLS}
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, cell_id FROM (
+                SELECT e.vec_id, e.embedding, c.cell_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(
+                               e.embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+                               c.cell_id ASC) AS rn
+                FROM embeddings e, cents c
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT query_id, q_emb, cell_id FROM (
+                SELECT q.vec_id AS query_id, q.embedding AS q_emb, c.cell_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(
+                               q.embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+                               c.cell_id ASC) AS rn
+                FROM embeddings q, cents c
+                WHERE q.vec_id < 5
+            ) WHERE rn <= {_IVF_NPROBE}
+        ),
+        cand AS (
+            SELECT p.query_id, a.vec_id,
+                   list_cosine_similarity(a.embedding::DOUBLE[], p.q_emb::DOUBLE[]) AS cs
+            FROM assigned a JOIN probes p USING (cell_id)
+            WHERE a.vec_id <> p.query_id
+        )
+        SELECT query_id, vec_id, ROUND(cs, 4) AS cos_sim,
+               CAST(rnk AS INTEGER) AS "rank"
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY query_id ORDER BY cs DESC, vec_id ASC) AS rnk
+              FROM cand)
+        WHERE rnk <= {_IVF_K}
+    """
+
+
+@register(
+    "embedding_ivf_topk",
+    doc=(
+        "IVF approximate top-k (operators/similarity.py ivf_assign/"
+        "ivf_topk): coarse-quantizer cells from externally supplied "
+        "centroids (here: the first 16 corpus vectors, the deterministic "
+        "stand-in for an offline k-means pass), nprobe=2 probing, "
+        "exact-cosine re-rank — the second scale path for similarity "
+        "search alongside the hyperplane-LSH ann_topk. Assignment is a "
+        "broadcast argmax (index build never shuffles the corpus); at "
+        "100 TB the assigned table partitions by cell_id so query batches "
+        "prune their scans to the probed cells."
+    ),
+    oracle=_ivf_oracle(),
+)
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.similarity import ivf_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < _IVF_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, centroids, k=_IVF_K, nprobe=_IVF_NPROBE)
+
+
 @register(
     "embedding_label_centroid_norms",
     doc=(

@@ -104,3 +104,51 @@ def test_upsert(spark):
     # without version column updates still win
     out2 = {r["rowKey"]: r["v"] for r in upsert(table, updates).collect()}
     assert out2["k1"] == "new"
+
+
+def test_ivf_topk_recall_and_partition_pruning_shape(spark):
+    """IVF with externally supplied centroids: k results per query, ranked
+    by exact cosine within the probed cells; raising nprobe to the full
+    cell count recovers the exact brute-force top-k."""
+    from biocache_store_spark.functions.vectors import cosine_similarity
+    from biocache_store_spark.operators.similarity import ivf_assign, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    # every vector lands in exactly one cell
+    assigned = ivf_assign(emb, centroids)
+    n = emb.count()
+    assert assigned.count() == n
+    assert assigned.select("cell_id").distinct().count() <= 8
+
+    approx = ivf_topk(emb, queries, centroids, k=10, nprobe=2)
+    rows = approx.collect()
+    assert len(rows) == 10
+    assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == list(
+        range(1, 11)
+    )
+
+    # nprobe = all cells ==> exhaustive ==> equals brute-force top-10
+    full = {
+        r["vec_id"]
+        for r in ivf_topk(emb, queries, centroids, k=10, nprobe=8).collect()
+    }
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    exact = {
+        r["vec_id"]
+        for r in (
+            emb.filter(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(q))
+            .withColumn("s", cosine_similarity(F.col("embedding"), F.col("q_emb")))
+            .orderBy(F.col("s").desc(), F.col("vec_id").asc())
+            .limit(10)
+            .collect()
+        )
+    }
+    assert full == exact

@@ -80,3 +80,88 @@ def stream(occ: DataFrame, fields: list[str]) -> Iterator[list]:
     """Store.writeToStream: bounded-memory iteration for API consumers."""
     for row in occ.select(*fields).toLocalIterator():
         yield list(row)
+
+
+# ---------------------------------------------------------------------------
+# User assertions (Store.scala:322-412) — thin façade over
+# operators/user_assertions; the store is a (rowKey, uuid)-keyed DataFrame
+# the caller persists between calls (Delta-style rewrites, like the delete/
+# upsert maintenance ops).
+# ---------------------------------------------------------------------------
+
+
+def get_user_assertions(assertions: DataFrame, row_key: str) -> DataFrame:
+    """Store.getUserAssertions."""
+    return assertions.filter(F.col("rowKey") == row_key)
+
+
+def get_user_assertion(
+    assertions: DataFrame, row_key: str, assertion_uuid: str
+) -> DataFrame:
+    """Store.getUserAssertion."""
+    return assertions.filter(
+        (F.col("rowKey") == row_key) & (F.col("uuid") == assertion_uuid)
+    )
+
+
+def add_user_assertion(assertions: DataFrame, new_assertion: DataFrame) -> DataFrame:
+    """Store.addUserAssertion — returns the rewritten store; recompute the
+    per-record status with operators.user_assertions.combined_user_status
+    (the reference reindexes the touched rowKey here)."""
+    from biocache_store_spark.operators.user_assertions import add_user_assertions
+
+    return add_user_assertions(assertions, new_assertion)
+
+
+def delete_user_assertion(
+    assertions: DataFrame, row_key: str, assertion_uuid: str
+) -> DataFrame:
+    """Store.deleteUserAssertion — returns the rewritten store."""
+    from biocache_store_spark.operators.user_assertions import (
+        delete_user_assertions,
+    )
+
+    spark = assertions.sparkSession
+    keys = spark.createDataFrame([(row_key, assertion_uuid)], ["rowKey", "uuid"])
+    return delete_user_assertions(assertions, keys)
+
+
+# ---------------------------------------------------------------------------
+# Validation rules (Store.scala:380-394 addValidationRule/getValidationRule/
+# getValidationRules/deleteValidationRule) — the rule table is a plain
+# DataFrame with one row per rule; apply with
+# operators/validation_rules.apply_rule_delta.
+# ---------------------------------------------------------------------------
+
+VALIDATION_RULE_COLUMNS = [
+    "rule_id", "query", "assertion_code", "assertion_name", "comment",
+    "wkt", "bbox",
+]
+
+
+def upsert_validation_rule(rules: DataFrame, rule) -> DataFrame:
+    """Store.addValidationRule (upsert by rule_id)."""
+    spark = rules.sparkSession
+    row = spark.createDataFrame(
+        [(
+            rule.rule_id, rule.query, rule.assertion_code,
+            rule.assertion_name, rule.comment, rule.wkt,
+            list(rule.bbox) if rule.bbox is not None else None,
+        )],
+        "rule_id string, query string, assertion_code int, "
+        "assertion_name string, comment string, wkt string, "
+        "bbox array<double>",
+    )
+    return rules.filter(F.col("rule_id") != rule.rule_id).unionByName(row)
+
+
+def get_validation_rules(rules: DataFrame, rule_ids: list[str] | None = None) -> DataFrame:
+    """Store.getValidationRule(s)."""
+    if rule_ids is None:
+        return rules
+    return rules.filter(F.col("rule_id").isin(rule_ids))
+
+
+def delete_validation_rule(rules: DataFrame, rule_id: str) -> DataFrame:
+    """Store.deleteValidationRule."""
+    return rules.filter(F.col("rule_id") != rule_id)

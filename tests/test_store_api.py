@@ -59,3 +59,56 @@ def test_stream(spark, occ):
     from biocache_store_spark.store import stream
 
     assert sorted(v[0] for v in stream(occ, ["rowKey"])) == ["k1", "k2"]
+
+
+def test_user_assertion_store_facade(spark):
+    """Store.getUserAssertions / addUserAssertion / deleteUserAssertion
+    (Store.scala:322-412) over the DataFrame-backed assertion store."""
+    from biocache_store_spark import store as S
+    from biocache_store_spark.operators.user_assertions import (
+        QA_UNCONFIRMED,
+        USER_ASSERTION_SCHEMA,
+        empty_store,
+    )
+
+    st = empty_store(spark)
+    new = spark.createDataFrame(
+        [("r1", "a1", 10, 0, "", "u1", None, 0)], USER_ASSERTION_SCHEMA
+    )
+    st = S.add_user_assertion(st, new)
+    got = S.get_user_assertions(st, "r1").collect()
+    assert len(got) == 1
+    assert got[0]["qa_status"] == QA_UNCONFIRMED  # forced unconfirmed on add
+    assert S.get_user_assertion(st, "r1", "a1").count() == 1
+    st = S.delete_user_assertion(st, "r1", "a1")
+    assert S.get_user_assertions(st, "r1").count() == 0
+
+
+def test_validation_rule_store_facade(spark):
+    """Store.addValidationRule / getValidationRules / deleteValidationRule
+    (Store.scala:380-394)."""
+    from biocache_store_spark import store as S
+    from biocache_store_spark.operators.validation_rules import ValidationRule
+
+    rules = spark.createDataFrame(
+        [],
+        "rule_id string, query string, assertion_code int, "
+        "assertion_name string, comment string, wkt string, "
+        "bbox array<double>",
+    )
+    r1 = ValidationRule("vr1", "state:Victoria", 1, "x")
+    r2 = ValidationRule("vr2", "year:[2000 TO *]", 2, "y",
+                        bbox=(0.0, 0.0, 10.0, 10.0))
+    rules = S.upsert_validation_rule(rules, r1)
+    rules = S.upsert_validation_rule(rules, r2)
+    assert rules.count() == 2
+    # upsert replaces by id
+    rules = S.upsert_validation_rule(
+        rules, ValidationRule("vr1", "state:Tasmania", 1, "x")
+    )
+    got = {r["rule_id"]: r for r in rules.collect()}
+    assert len(got) == 2 and got["vr1"]["query"] == "state:Tasmania"
+    assert list(got["vr2"]["bbox"]) == [0.0, 0.0, 10.0, 10.0]
+    assert S.get_validation_rules(rules, ["vr2"]).count() == 1
+    rules = S.delete_validation_rule(rules, "vr1")
+    assert [r["rule_id"] for r in rules.collect()] == ["vr2"]

@@ -89,7 +89,8 @@ def run_pipeline(
     if pre_assertions:
         df = df.withColumnRenamed("assertions", "__pre_assertions")
     # hybrid (default): vocabulary stages run as per-distinct-value
-    # broadcast map joins, ~1.8x chain throughput (tools/chain_bench.py);
+    # broadcast map joins — with the column-zip batch conversion this is
+    # ~3-4x the round-3 chain throughput (tools/chain_bench.py);
     # equivalence covered by test_hybrid_chain_equivalent
     chain = process_records_hybrid if hybrid_chain else process_records
     processed = chain(

@@ -83,6 +83,7 @@ HEAD: tuple[str, ...] = (
 
 DEPRIORITIZED: tuple[str, ...] = (
     "event_user_sessions",  # same stateful-sessionization operator as event_sessionization
+    "text_quality_stats",  # quality-scoring row also evidenced per-doc by text_quality_score
     "embedding_knn_topk",  # brute-force baseline; family evidenced by embedding_cosine_neighbors + ann/ivf
     "part_enrich_agg",  # broadcast-dim join+facet, subsumed by broadcast_enrich_revenue
     "pricing_summary",  # filtered grouped agg, subsumed by grouped_stats/facet shapes; bench-measured regardless

@@ -914,6 +914,96 @@ def coordinate_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "state_centroid_inference",
+    doc=(
+        "State/country inference + centre-point tests (processors/"
+        "location.py process_state_country_values / validate_centre_points "
+        "— LocationProcessor.scala:137-165, :192-212): state vocabulary "
+        "canonicalization ('vic'->'Victoria'), StateProvinceToCountry "
+        "inference, unrecognised-state passthrough, and the "
+        "coordinates-are-state-centre assertion at both exact and "
+        "supplied-precision-rounded coordinates."
+    ),
+    oracle="""
+        SELECT c_custkey AS k,
+               CASE c_custkey % 7
+                 WHEN 0 THEN 'Victoria' WHEN 1 THEN 'New South Wales'
+                 WHEN 2 THEN 'Queensland' WHEN 3 THEN 'Tasmania'
+                 WHEN 4 THEN NULL
+                 ELSE 'New South Wales' END AS state_out,
+               CASE WHEN c_custkey % 7 IN (0, 1, 2, 3) THEN 'Australia'
+               END AS country_out,
+               CASE WHEN c_custkey % 7 IN (5, 6) THEN 1 ELSE 0 END
+                 AS centre_of_state
+        FROM customer
+    """,
+)
+def state_centroid_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.processors.assertions import AssertionCodes as C
+    from biocache_store_spark.processors.location import (
+        process_state_country_values,
+        validate_centre_points,
+    )
+
+    customer = read_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    s = F.pmod(k, F.lit(7))
+    state = F.element_at(
+        F.array(
+            F.lit("vic"), F.lit("nsw"), F.lit("Qld"), F.lit("tas"),
+            F.lit("garbage-state"), F.lit("nsw"), F.lit("nsw"),
+        ),
+        (s + 1).cast("int"),
+    )
+    lat = (
+        F.when(s == 5, F.lit("-31.2532183"))
+        .when(s == 6, F.lit("-31.25"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    lon = (
+        F.when(s == 5, F.lit("146.921099"))
+        .when(s == 6, F.lit("146.92"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    src = customer.select(
+        k.alias("k"), state.alias("stateProvince"),
+        lat.alias("decimalLatitude"), lon.alias("decimalLongitude"),
+    )
+
+    def run(raw: dict):
+        processed: dict = {}
+        assertions: list = []
+        if raw.get("decimalLatitude") is None:
+            process_state_country_values(raw, processed)
+        else:
+            # the layer join supplies the processed state on the coord path
+            processed["stateProvince"] = "New South Wales"
+        validate_centre_points(raw, processed, assertions)
+        centre = any(
+            a.code == C.COORDINATES_CENTRE_OF_STATEPROVINCE.code
+            and a.qa_status == 0
+            for a in assertions
+        )
+        return (
+            processed.get("stateProvince"),
+            processed.get("country") or None,
+            int(centre),
+        )
+
+    parsed = _apply_record_parser(
+        src,
+        ["stateProvince", "decimalLatitude", "decimalLongitude"],
+        [
+            ("state_out", T.StringType()),
+            ("country_out", T.StringType()),
+            ("centre_of_state", T.IntegerType()),
+        ],
+        run,
+    )
+    return parsed.select("k", "state_out", "country_out", "centre_of_state")
+
+
 def _datum_oracle():
     from biocache_store_spark.queries._geo_sql import datum_reprojection_oracle_sql
 

@@ -157,6 +157,7 @@ def near_duplicates(
     text_col: str = "text",
     max_bucket_size: int | None = None,
     max_shingles: int | None = None,
+    persist_signatures: bool = False,
 ) -> DataFrame:
     """LSH candidates verified with exact shingle-set Jaccard >= threshold.
 
@@ -166,8 +167,20 @@ def near_duplicates(
     per band formula — raise bands for higher recall. `max_bucket_size`
     caps hot band-buckets (see lsh_candidates); `max_shingles` caps the
     per-document set payload in the verification join (see signatures).
+
+    The signature relation feeds three consumers (banding + both sides of
+    the verification join) and Spark does not reuse the exchange across
+    them. `persist_signatures` materializes it once (MEMORY_AND_DISK)
+    instead of recomputing 3x — measured a WIN only when the signature
+    stage dominates (long documents / large n / expensive text), and a
+    LOSS at bench scale where the cache materialization barrier costs more
+    than two cheap recomputes; hence off by default.
     """
     sig = signatures(docs, num_hashes, n, id_col, text_col, max_shingles)
+    if persist_signatures:
+        from pyspark import StorageLevel
+
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     cand = lsh_candidates(sig, num_hashes, bands, id_col, max_bucket_size)
     sets_a = sig.select(
         F.col(id_col).alias("doc_a"),

@@ -409,3 +409,66 @@ def test_fetch_archive_sftp_unsupported(tmp_path):
 
     with pytest.raises(NotImplementedError):
         fetch_archive("sftp://host/data.zip", "dr2", str(tmp_path))
+
+
+def test_streaming_watermark_drops_late_events(spark, tmp_path):
+    """True streaming semantics across micro-batches: append-mode tumbling
+    windows emit once finalized, the checkpoint carries the watermark
+    across restarts, and an event older than the watermark is DROPPED
+    instead of reopening its window (the late-data contract the batch-mode
+    test above cannot exercise)."""
+    import datetime as dt
+    import glob
+
+    from biocache_store_spark.streaming.incremental import windowed_event_counts
+
+    src = tmp_path / "events_in"
+    out = tmp_path / "events_out"
+    chk = tmp_path / "chk"
+    src.mkdir()
+    schema = "ts timestamp, event_type string, value double"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    def run_stream():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            windowed_event_counts(stream, watermark="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(chk))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: window [00:00,01:00) gets 2 clicks; 01:30 advances the
+    # watermark to 01:20 so that window finalizes and is emitted
+    write_batch("b1", [
+        (dt.datetime(2024, 1, 1, 0, 10), "click", 1.0),
+        (dt.datetime(2024, 1, 1, 0, 20), "click", 2.0),
+        (dt.datetime(2024, 1, 1, 1, 30), "view", 3.0),
+    ])
+    run_stream()
+
+    # batch 2 (same checkpoint): 00:30 is behind the carried watermark ->
+    # dropped; 02:40 advances it past 02:00 so [01:00,02:00) finalizes
+    write_batch("b2", [
+        (dt.datetime(2024, 1, 1, 0, 30), "click", 99.0),  # late: dropped
+        (dt.datetime(2024, 1, 1, 2, 40), "view", 4.0),
+    ])
+    run_stream()
+
+    assert glob.glob(str(out) + "/*.parquet")
+    got = {
+        (r["win"]["start"].hour, r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    # finalized windows only, each exactly once, late row absent everywhere
+    assert got[(0, "click")] == (2, 3.0)  # NOT 3 / 102.0 - late row dropped
+    assert got[(1, "view")] == (1, 3.0)
+    assert (2, "view") not in got  # still open at the end

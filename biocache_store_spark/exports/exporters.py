@@ -220,3 +220,26 @@ def export_local_node(
         .option("escape", escape)
         .csv(path)
     )
+
+
+def write_occurrence_store(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = ("dataResourceUid",),
+    target_file_rows: int | None = None,
+) -> None:
+    """The persisted occurrence-store layout for the 100 TB deployment:
+    parquet partitioned by data resource (the reference's natural unit of
+    ingest, reprocessing, and deletion — every maintenance op in
+    tool/ProcessRecords.scala / DataLoader.scala is resource-scoped), so
+    per-resource reprocessing and delete-by-resource become partition
+    operations instead of full scans, and resource-scoped reads prune at
+    the directory level.
+
+    `target_file_rows` bounds rows per output file (giant-file guard) via
+    Spark's maxRecordsPerFile; small-file pressure is the caller's
+    repartition decision."""
+    writer = df.write.mode("overwrite")
+    if target_file_rows is not None:
+        writer = writer.option("maxRecordsPerFile", target_file_rows)
+    writer.partitionBy(*partition_by).parquet(path)

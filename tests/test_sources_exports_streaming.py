@@ -472,3 +472,45 @@ def test_streaming_watermark_drops_late_events(spark, tmp_path):
     assert got[(0, "click")] == (2, 3.0)  # NOT 3 / 102.0 - late row dropped
     assert got[(1, "view")] == (1, 3.0)
     assert (2, "view") not in got  # still open at the end
+
+
+def test_write_occurrence_store_layout(spark, tmp_path):
+    """Resource-partitioned store layout: directory-level pruning per
+    dataResourceUid and partition-scoped overwrite semantics."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from biocache_store_spark.exports.exporters import write_occurrence_store
+
+    df = spark.range(100).select(
+        F.concat(F.lit("r"), F.col("id")).alias("rowKey"),
+        F.concat(F.lit("dr"), F.pmod(F.col("id"), F.lit(3))).alias(
+            "dataResourceUid"
+        ),
+        (F.col("id") * 2).alias("payload"),
+    )
+    path = str(tmp_path / "occ")
+    write_occurrence_store(df, path)
+    dirs = sorted(
+        d.split("=")[-1]
+        for d in glob.glob(path + "/dataResourceUid=*")
+    )
+    assert dirs == ["dr0", "dr1", "dr2"]
+
+    back = spark.read.parquet(path)
+    # partition pruning: a resource filter reads one directory
+    plan = back.filter(F.col("dataResourceUid") == "dr1")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert back.count() == 100
+    assert back.filter(F.col("dataResourceUid") == "dr1").count() == 33
+
+    # file-size bounding: target_file_rows caps rows per output file
+    write_occurrence_store(df, path, target_file_rows=10)
+    files = glob.glob(path + "/dataResourceUid=*/*.parquet")
+    assert len(files) >= 9  # ~33 rows / 10 -> >=4 files per resource
+    import pyarrow.parquet as pq
+
+    for f in files:
+        assert pq.read_metadata(f).num_rows <= 10
+    assert spark.read.parquet(path).count() == 100

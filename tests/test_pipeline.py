@@ -61,3 +61,60 @@ def test_full_ingest(spark):
         for r in index.groupBy("basis_of_record").agg(F.count("*").alias("cnt")).collect()
     }
     assert facets == {"PreservedSpecimen": 2, "HumanObservation": 1}
+
+
+def test_ingest_store_reprocess_lifecycle(spark, tmp_path):
+    """The operational loop a reference user runs: ingest -> persist the
+    resource-partitioned store -> reprocess ONE resource (partition-scoped
+    delete + rewrite, tool/ProcessRecords.scala's resource scoping) ->
+    other resources' files untouched, reprocessed values visible."""
+    import datetime as dt
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from biocache_store_spark.exports.exporters import write_occurrence_store
+    from biocache_store_spark.pipeline import run_pipeline
+
+    raw = spark.createDataFrame(
+        [
+            ("o1", "dr1", "PreservedSpecimen", "-35.5", "149.25", "WGS84"),
+            ("o2", "dr1", "garbage-bor", "-36.5", "148.25", "WGS84"),
+            ("o3", "dr2", "HumanObservation", "-30.5", "151.25", "WGS84"),
+        ],
+        ["occurrenceID", "dataResourceUid", "basisOfRecord",
+         "decimalLatitude", "decimalLongitude", "geodeticDatum"],
+    )
+    today = dt.date(2026, 8, 13)
+    processed = run_pipeline(raw, today=today).select(
+        "occurrenceID", "dataResourceUid",
+        F.col("processed")["basisOfRecord"].alias("bor"),
+        "geospatially_kosher",
+    )
+    path = str(tmp_path / "store")
+    write_occurrence_store(processed, path)
+    dr2_files_before = set(glob.glob(path + "/dataResourceUid=dr2/*.parquet"))
+
+    # reprocess dr1 only: corrected raw record, partition overwrite
+    fixed = raw.filter(F.col("dataResourceUid") == "dr1").withColumn(
+        "basisOfRecord",
+        F.when(F.col("occurrenceID") == "o2", F.lit("MachineObservation"))
+        .otherwise(F.col("basisOfRecord")),
+    )
+    reprocessed = run_pipeline(fixed, today=today).select(
+        "occurrenceID", "dataResourceUid",
+        F.col("processed")["basisOfRecord"].alias("bor"),
+        "geospatially_kosher",
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        reprocessed.write.mode("overwrite").partitionBy("dataResourceUid").parquet(path)
+    finally:
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+
+    back = {r["occurrenceID"]: r for r in spark.read.parquet(path).collect()}
+    assert len(back) == 3
+    assert back["o2"]["bor"] == "MachineObservation"  # reprocessed
+    assert back["o3"]["bor"] == "HumanObservation"    # untouched resource
+    # dynamic partition overwrite left dr2's files alone
+    assert set(glob.glob(path + "/dataResourceUid=dr2/*.parquet")) == dr2_files_before

@@ -79,3 +79,92 @@ def hamming_distance(a: Column, b: Column, bits: int = SIMHASH_BITS) -> Column:
         F.lit(0),
         lambda acc, v: acc + v,
     )
+
+
+def hamming_expr(a: Column, b: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Hamming distance between two '0'/'1' fingerprint strings as a static
+    unrolled sum — whole-stage codegen, engine-neutral."""
+    terms = [
+        (F.substring(a, i + 1, 1) != F.substring(b, i + 1, 1)).cast("int")
+        for i in range(bits)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance, band-blocked.
+
+    The fingerprint splits into `bands` equal substrings; candidates share
+    at least one band. By pigeonhole, any pair with Hamming distance
+    <= bands-1 MUST share a band, so for max_hamming < bands this
+    band-blocked result EQUALS the exact all-pairs result — blocking here
+    is a pure cost optimization, not a recall trade (unlike minhash LSH).
+    `max_bucket_size` is the same hot-bucket guard as the minhash join
+    (dropping viral buckets does sacrifice the completeness guarantee for
+    pairs connected only through them).
+
+    Returns (doc_a, doc_b, hamming).
+    """
+    band_len = bits // bands
+    sh = simhash(docs, n, id_col, text_col, bits)
+    banded = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.substring(
+                        F.col("simhash"), b * band_len + 1, band_len
+                    ).alias("band_str"),
+                ),
+            )
+        ).alias("bs"),
+    ).select(id_col, "simhash", F.col("bs.band"), F.col("bs.band_str"))
+    if max_bucket_size is not None:
+        from pyspark.sql.window import Window
+
+        banded = (
+            banded.withColumn(
+                "__bn",
+                F.count(F.lit(1)).over(Window.partitionBy("band", "band_str")),
+            )
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_str") == F.col("b.band_str"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.simhash").alias("__sim_a"),
+            F.col("b.simhash").alias("__sim_b"),
+        )
+        .distinct()
+    )
+    ham = hamming_expr(F.col("__sim_a"), F.col("__sim_b"), bits)
+    return (
+        pairs.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

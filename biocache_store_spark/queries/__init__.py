@@ -73,6 +73,7 @@ HEAD: tuple[str, ...] = (
     "text_language_id",
     "text_quality_score",
     "text_simhash",
+    "simhash_near_duplicates",
     "text_fingerprint",
     "embedding_cosine_neighbors",
     "embedding_ann_topk",
@@ -84,6 +85,7 @@ HEAD: tuple[str, ...] = (
 DEPRIORITIZED: tuple[str, ...] = (
     "event_user_sessions",  # same stateful-sessionization operator as event_sessionization
     "text_quality_stats",  # quality-scoring row also evidenced per-doc by text_quality_score
+    "distinct_coordinates",  # distinct_points kernel runs inside the checked sample_layers_enrich plan
     "embedding_knn_topk",  # brute-force baseline; family evidenced by embedding_cosine_neighbors + ann/ivf
     "part_enrich_agg",  # broadcast-dim join+facet, subsumed by broadcast_enrich_revenue
     "pricing_summary",  # filtered grouped agg, subsumed by grouped_stats/facet shapes; bench-measured regardless

@@ -492,6 +492,80 @@ def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs)
 
 
+def _simhash_pairs_oracle(bits: int = 32, bands: int = 4, max_hamming: int = 3) -> str:
+    """Band-blocked Hamming pairs over the same SQL fingerprints as the
+    text_simhash oracle; the 32-position Hamming sum is generated inline."""
+    band_len = bits // bands
+    ham = " + ".join(
+        f"(CASE WHEN substr(a_sim, {i + 1}, 1) <> substr(b_sim, {i + 1}, 1)"
+        " THEN 1 ELSE 0 END)"
+        for i in range(bits)
+    )
+    return rf"""
+        WITH w AS (
+            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+            FROM documents
+        ),
+        idx AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i
+            FROM w
+        ),
+        shingles AS (
+            SELECT DISTINCT doc_id,
+                   toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+            FROM idx
+        ),
+        bits AS (
+            SELECT s.doc_id, g.b,
+                   CASE WHEN SUM(CASE WHEN substr(md5(s.sh), g.b + 1, 1) >= '8'
+                                      THEN 1 ELSE -1 END) > 0
+                        THEN '1' ELSE '0' END AS bit
+            FROM shingles s, generate_series(0, {bits - 1}) g(b)
+            GROUP BY s.doc_id, g.b
+        ),
+        fp AS (
+            SELECT doc_id, string_agg(bit, '' ORDER BY b) AS simhash
+            FROM bits GROUP BY doc_id
+        ),
+        banded AS (
+            SELECT doc_id, simhash, g.b AS band,
+                   substr(simhash, g.b * {band_len} + 1, {band_len}) AS band_str
+            FROM fp, generate_series(0, {bands - 1}) g(b)
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.simhash AS a_sim, b.simhash AS b_sim
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.band_str = b.band_str
+             AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, ({ham}) AS hamming
+        FROM pairs
+        WHERE ({ham}) <= {max_hamming}
+    """
+
+
+@register(
+    "simhash_near_duplicates",
+    doc=(
+        "SimHash near-duplicate pairs (operators/simhash.py "
+        "simhash_near_duplicates): band-blocked Hamming join - by "
+        "pigeonhole, any pair within Hamming distance bands-1 shares a "
+        "band, so for max_hamming=3 with 4 bands the blocked result EQUALS "
+        "the exact all-pairs result (blocking is pure cost optimization, "
+        "unlike minhash LSH recall). Hamming is a static unrolled 32-term "
+        "sum on both engines."
+    ),
+    oracle=_simhash_pairs_oracle(),
+)
+def simhash_near_duplicates_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.simhash import simhash_near_duplicates
+
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash_near_duplicates(docs)
+
+
 @register(
     "text_fingerprint",
     doc=(

@@ -188,3 +188,35 @@ def test_fetch_media_http_gated(spark):
     )
     with _pytest.raises(Exception, match="(?i)network|NotImplemented"):
         fetch_media(records).collect()
+
+
+def test_simhash_near_dup_pigeonhole_complete(spark):
+    """With max_hamming < bands, band blocking is recall-lossless: the
+    blocked result equals exact all-pairs Hamming filtering."""
+    from itertools import combinations
+
+    from biocache_store_spark.operators.simhash import (
+        simhash,
+        simhash_near_duplicates,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "the quick brown fox jumps over the lazy dog today",   # near dup
+        "the quick brown fox jumps over the lazy dog tonight", # exact dup
+        "completely different words about database engines and joins",
+        "entirely unrelated sentence regarding spark catalyst planning",
+    ]
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_duplicates(docs, max_hamming=3).collect()
+    }
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    exact = {
+        (a, b): sum(x != y for x, y in zip(fps[a], fps[b]))
+        for a, b in combinations(sorted(fps), 2)
+        if sum(x != y for x, y in zip(fps[a], fps[b])) <= 3
+    }
+    assert got == exact
+    assert got[(0, 2)] == 0  # exact duplicate

@@ -915,6 +915,73 @@ def coordinate_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "coordinate_uncertainty_check",
+    doc=(
+        "Coordinate-uncertainty processing (processors/location.py "
+        "check_coordinate_uncertainty — LocationProcessor.scala:570-643): "
+        "distance-parser reuse (bare metres, km, unit suffix), the "
+        "reference's .1f reformat, non-positive range-mismatch, "
+        "unparsable and not-specified assertion paths."
+    ),
+    oracle="""
+        SELECT p_partkey,
+               CASE p_partkey % 6
+                 WHEN 0 THEN '100.0'
+                 WHEN 1 THEN '1000.0'
+                 WHEN 2 THEN '14.5'
+                 WHEN 5 THEN '-5.0'
+               END AS unc_out,
+               CASE WHEN p_partkey % 6 IN (3, 5) THEN 1 ELSE 0 END
+                 AS range_or_parse_failed,
+               CASE WHEN p_partkey % 6 IN (3, 4) THEN 1 ELSE 0 END
+                 AS not_specified  -- unparsable also counts as unspecified
+        FROM part
+    """,
+)
+def coordinate_uncertainty_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.processors.location import (
+        check_coordinate_uncertainty,
+    )
+
+    part = read_table(spark, sf_dir, "part")
+    s = F.pmod(F.col("p_partkey"), F.lit(6))
+    unc = (
+        F.when(s == 0, F.lit("100"))
+        .when(s == 1, F.lit("1km"))
+        .when(s == 2, F.lit("14.5m"))
+        .when(s == 3, F.lit("garbage"))
+        .when(s == 4, F.lit(""))
+        .otherwise(F.lit("-5"))
+    )
+    src = part.select("p_partkey", unc.alias("coordinateUncertaintyInMeters"))
+
+    def run(raw: dict):
+        processed: dict = {}
+        assertions: list = []
+        check_coordinate_uncertainty(raw, processed, assertions)
+        failed = {a.code for a in assertions if a.qa_status == 0}
+        return (
+            processed.get("coordinateUncertaintyInMeters"),
+            int(24 in failed),
+            int(27 in failed),
+        )
+
+    parsed = _apply_record_parser(
+        src,
+        ["coordinateUncertaintyInMeters"],
+        [
+            ("unc_out", T.StringType()),
+            ("range_or_parse_failed", T.IntegerType()),
+            ("not_specified", T.IntegerType()),
+        ],
+        run,
+    )
+    return parsed.select(
+        "p_partkey", "unc_out", "range_or_parse_failed", "not_specified"
+    )
+
+
+@register(
     "state_centroid_inference",
     doc=(
         "State/country inference + centre-point tests (processors/"

@@ -87,6 +87,7 @@ DEPRIORITIZED: tuple[str, ...] = (
     "text_quality_stats",  # quality-scoring row also evidenced per-doc by text_quality_score
     "distinct_coordinates",  # distinct_points kernel runs inside the checked sample_layers_enrich plan
     "coordinate_uncertainty_check",  # parser family driver-checked via distance_parse; assertion logic local-green
+    "habitat_biome_match",  # small vocab-map kernel; local-green suffices, slot kept for the dedup flagships
     "embedding_knn_topk",  # brute-force baseline; family evidenced by embedding_cosine_neighbors + ann/ivf
     "part_enrich_agg",  # broadcast-dim join+facet, subsumed by broadcast_enrich_revenue
     "pricing_summary",  # filtered grouped agg, subsumed by grouped_stats/facet shapes; bench-measured regardless

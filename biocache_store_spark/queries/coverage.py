@@ -915,6 +915,65 @@ def coordinate_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "habitat_biome_match",
+    doc=(
+        "Habitat/biome compatibility (processors/location.py "
+        "check_biome_mismatch / habitats_compatible — "
+        "LocationProcessor.scala:652-696 + vocab/VocabMaps.scala:26-69): "
+        "the point's biome vs the taxon profile's habitats through the "
+        "reference's habitat map (MARINE vs the NON-MARINE family incl. "
+        "TERRESTRIAL/LIMNETIC, the MARINE AND NON-MARINE bridge term), "
+        "with passed/failed/unchecked qa states."
+    ),
+    oracle="""
+        SELECT p_partkey,
+               CASE p_partkey % 6
+                 WHEN 0 THEN 1  -- Terrestrial/Terrestrial compatible
+                 WHEN 1 THEN 0  -- Terrestrial/Marine mismatch
+                 WHEN 2 THEN 1  -- Marine/'Marine and non-marine' bridge
+                 WHEN 3 THEN 1  -- Limnetic/Terrestrial same family
+                 WHEN 4 THEN 0  -- Marine/Terrestrial mismatch
+                 ELSE 2         -- no biome -> unchecked
+               END AS habitat_qa
+        FROM part
+    """,
+)
+def habitat_biome_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.processors.location import check_biome_mismatch
+
+    part = read_table(spark, sf_dir, "part")
+    s = F.pmod(F.col("p_partkey"), F.lit(6))
+    biome = (
+        F.when(s == 0, F.lit("Terrestrial"))
+        .when(s == 1, F.lit("Terrestrial"))
+        .when(s == 2, F.lit("Marine"))
+        .when(s == 3, F.lit("Limnetic"))
+        .when(s == 4, F.lit("Marine"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    habitat = (
+        F.when(s == 0, F.lit("Terrestrial"))
+        .when(s == 1, F.lit("Marine"))
+        .when(s == 2, F.lit("Marine and non-marine"))
+        .when(s == 3, F.lit("Terrestrial"))
+        .when(s == 4, F.lit("Terrestrial"))
+        .otherwise(F.lit("Marine"))
+    )
+    src = part.select("p_partkey", biome.alias("biome"), habitat.alias("habitat"))
+
+    def run(raw: dict):
+        assertions: list = []
+        processed = {"biome": raw["biome"]} if raw["biome"] is not None else {}
+        check_biome_mismatch(processed, [raw["habitat"]], assertions)
+        return (assertions[0].qa_status,)
+
+    parsed = _apply_record_parser(
+        src, ["biome", "habitat"], [("habitat_qa", T.IntegerType())], run
+    )
+    return parsed.select("p_partkey", "habitat_qa")
+
+
+@register(
     "coordinate_uncertainty_check",
     doc=(
         "Coordinate-uncertainty processing (processors/location.py "

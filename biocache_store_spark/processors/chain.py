@@ -166,6 +166,7 @@ def process_record(
     last_processed: dict | None = None,
     last_assertions: list | None = None,
     skip_catalyst_vocab: bool = False,
+    skip_event: bool = False,
 ) -> tuple[dict, list]:
     """Run the per-record stages in reference order for one raw record.
 
@@ -211,9 +212,10 @@ def process_record(
         assertions += process_basis_of_record(raw, processed)
 
     # 7. EventProcessor
-    event_processed, event_assertions = process_event(raw, today)
-    processed.update(event_processed)
-    assertions += event_assertions
+    if not skip_event:
+        event_processed, event_assertions = process_event(raw, today)
+        processed.update(event_processed)
+        assertions += event_assertions
 
     # 8. LocationProcessor
     loc_processed, loc_assertions = process_location(
@@ -245,6 +247,7 @@ def process_records(
     default_values_by_resource: dict[str, dict] | None = None,
     today: _dt.date | None = None,
     skip_catalyst_vocab: bool = False,
+    skip_event: bool = False,
 ) -> DataFrame:
     """raw occurrences DataFrame -> + processed struct, assertions array,
     geospatially_kosher flag. One mapInPandas pass; no shuffle at scale
@@ -286,7 +289,11 @@ def process_records(
                 }
                 dv = defaults.get(raw.get("dataResourceUid") or "", None)
                 processed, assertions = process_record(
-                    raw, dv, today, skip_catalyst_vocab=skip_catalyst_vocab
+                    raw,
+                    dv,
+                    today,
+                    skip_catalyst_vocab=skip_catalyst_vocab,
+                    skip_event=skip_event,
                 )
                 processed_col.append(
                     {
@@ -378,10 +385,95 @@ def _vocab_stage_map(df: DataFrame, col: str, runner) -> DataFrame:
     return vals.mapInPandas(run, out_schema)
 
 
+# EventProcessor is a pure function of these raw fields (+ `today`); real
+# occurrence data repeats date tuples massively, so the stage can run once
+# per DISTINCT tuple and join back — the memoization-as-relation shape the
+# vocab stages use, generalized to a composite key.
+_EVENT_FIELDS_IN = (
+    "day",
+    "month",
+    "year",
+    "eventDate",
+    "eventDateEnd",
+    "verbatimEventDate",
+    "datePrecision",
+    "modified",
+    "dateIdentified",
+    "georeferencedDate",
+)
+_EVENT_FIELDS_OUT = (
+    "eventDate",
+    "eventDateEnd",
+    "day",
+    "month",
+    "year",
+    "datePrecision",
+    "modified",
+    "dateIdentified",
+    "georeferencedDate",
+)
+
+
+def _event_stage_map(df: DataFrame, today: _dt.date | None) -> DataFrame:
+    """distinct(event input tuple) -> per-field (value, was_set) + the
+    event assertion array. `was_set` preserves the reference's dict-update
+    semantics: process_event can explicitly set a field to None (e.g.
+    eventDate nulled by an invalid year), which must still override a
+    resource default at merge time."""
+    out_fields: list = []
+    for f in _EVENT_FIELDS_OUT:
+        out_fields.append(T.StructField(f"__ev_{f}", T.StringType()))
+        out_fields.append(T.StructField(f"__ev_{f}_set", T.BooleanType()))
+    out_schema = T.StructType(
+        [T.StructField(f"__in_{f}", T.StringType()) for f in _EVENT_FIELDS_IN]
+        + out_fields
+        + [T.StructField("__ev_asserts", ASSERTION_TYPE)]
+    )
+    vals = df.select(
+        *[F.col(f).cast("string").alias(f"__in_{f}") for f in _EVENT_FIELDS_IN]
+    ).distinct()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = [f"__in_{f}" for f in _EVENT_FIELDS_IN]
+            arrays = [pdf[c].tolist() for c in cols]
+            out_rows: dict[str, list] = {c: [] for c in out_schema.names}
+            for row in zip(*arrays):
+                raw = {
+                    f: (None if v is None or (isinstance(v, float) and v != v) else v)
+                    for f, v in zip(_EVENT_FIELDS_IN, row)
+                }
+                processed, assertions = process_event(raw, today)
+                for c, v in zip(cols, row):
+                    out_rows[c].append(v)
+                for f in _EVENT_FIELDS_OUT:
+                    was_set = f in processed
+                    value = processed.get(f)
+                    out_rows[f"__ev_{f}"].append(
+                        "|".join(value) if isinstance(value, (list, tuple)) else value
+                    )
+                    out_rows[f"__ev_{f}_set"].append(was_set)
+                out_rows["__ev_asserts"].append(
+                    [
+                        {
+                            "code": a.code,
+                            "name": a.name,
+                            "qa_status": a.qa_status,
+                            "comment": a.comment,
+                        }
+                        for a in assertions
+                    ]
+                )
+            yield pd.DataFrame(out_rows)
+
+    return vals.mapInPandas(run, out_schema)
+
+
 def process_records_hybrid(
     df: DataFrame,
     default_values_by_resource: dict[str, dict] | None = None,
     today: _dt.date | None = None,
+    event_by_distinct: bool = True,
 ) -> DataFrame:
     """The chain split Catalyst-side where semantics allow.
 
@@ -391,25 +483,53 @@ def process_records_hybrid(
     (TypeStatusProcessor.scala:26-47), occurrenceStatus and
     establishmentMeans (MiscellaneousProcessor.scala:21-178) — run as
     per-distinct-value broadcast map joins instead of inside the per-record
-    Python loop. The Arrow pass keeps only the stages that are genuinely
-    per-record (dates, coordinates/gridref, media, identification).
+    Python loop, and (with `event_by_distinct`, the default) the whole
+    EventProcessor runs once per distinct date-field tuple and joins back —
+    real occurrence data repeats dates massively, so the expensive fuzzy
+    parsing cost becomes proportional to distinct dates, not records. The
+    Arrow pass keeps only the stages that are genuinely per-record
+    (coordinates/gridref, media, identification).
 
     Assertion MULTISET matches process_records exactly; array order differs
-    (per-record assertions first, then the vocab stages in reference order).
-    geospatially_kosher is unaffected: vocabulary stages never emit
-    geospatial codes.
+    (per-record assertions first, then event, then the vocab stages in
+    reference order). geospatially_kosher is unaffected: neither event nor
+    vocabulary stages emit geospatial codes.
     """
     added_cols = []
     for col, _ in _CATALYST_VOCAB_STAGES:
         if col not in df.columns:
             df = df.withColumn(col, F.lit(None).cast("string"))
             added_cols.append(col)
+    if event_by_distinct:
+        for col in _EVENT_FIELDS_IN:
+            if col not in df.columns:
+                df = df.withColumn(col, F.lit(None).cast("string"))
+                added_cols.append(col)
 
     base = process_records(
-        df, default_values_by_resource, today, skip_catalyst_vocab=True
+        df,
+        default_values_by_resource,
+        today,
+        skip_catalyst_vocab=True,
+        skip_event=event_by_distinct,
     )
 
     out = base
+    event_fields: set = set()
+    if event_by_distinct:
+        event_fields = set(_EVENT_FIELDS_OUT)
+        ev_map = _event_stage_map(df, today)
+        # composite null-safe equi-join on the 10 raw event fields; the
+        # distinct relation is usually small (dates repeat) but is NOT
+        # forced broadcast — AQE decides, and at corpus scale this is a
+        # plain shuffle join on the tuple key
+        cond = None
+        for f in _EVENT_FIELDS_IN:
+            c = F.col(f).cast("string").eqNullSafe(F.col(f"__in_{f}"))
+            cond = c if cond is None else (cond & c)
+        out = out.join(ev_map, cond, "left").drop(
+            *[f"__in_{f}" for f in _EVENT_FIELDS_IN]
+        )
     for col, runner in _CATALYST_VOCAB_STAGES:
         mapping = _vocab_stage_map(df, col, runner).select(
             F.col("v").alias(f"__{col}_v"),
@@ -433,28 +553,38 @@ def process_records_hybrid(
     ).otherwise(F.col("__basisOfRecord_asserts"))
 
     vocab_fields = {c for c, _ in _CATALYST_VOCAB_STAGES}
-    merged = F.struct(
-        *[
-            (
-                F.coalesce(F.col(f"__{f}_canonical"), F.col("processed")[f])
-                if f in vocab_fields
-                else F.col("processed")[f]
-            ).alias(f)
-            for f in PROCESSED_FIELDS
-        ]
-    )
-    merged_asserts = F.concat(
-        F.col("assertions"),
+
+    def field_expr(f):
+        if f in vocab_fields:
+            return F.coalesce(F.col(f"__{f}_canonical"), F.col("processed")[f])
+        if f in event_fields:
+            # dict-update semantics: an explicitly-set None overrides a
+            # resource default, an unset field falls back to it
+            return F.when(
+                F.col(f"__ev_{f}_set"), F.col(f"__ev_{f}")
+            ).otherwise(F.col("processed")[f])
+        return F.col("processed")[f]
+
+    merged = F.struct(*[field_expr(f).alias(f) for f in PROCESSED_FIELDS])
+    assert_parts = [F.col("assertions")]
+    if event_fields:
+        assert_parts.append(F.coalesce(F.col("__ev_asserts"), empty_asserts))
+    assert_parts += [
         F.coalesce(F.col("__occurrenceStatus_asserts"), empty_asserts),
         F.coalesce(F.col("__establishmentMeans_asserts"), empty_asserts),
         F.coalesce(bor_asserts, empty_asserts),
         F.coalesce(F.col("__typeStatus_asserts"), empty_asserts),
-    )
+    ]
+    merged_asserts = F.concat(*assert_parts)
     out = out.withColumn("processed", merged).withColumn(
         "assertions", merged_asserts
     )
     drop = [f"__{c}_canonical" for c in vocab_fields]
     drop += [f"__{c}_asserts" for c in vocab_fields]
+    if event_fields:
+        drop += [f"__ev_{f}" for f in _EVENT_FIELDS_OUT]
+        drop += [f"__ev_{f}_set" for f in _EVENT_FIELDS_OUT]
+        drop.append("__ev_asserts")
     return out.drop(*drop, *added_cols)
 
 

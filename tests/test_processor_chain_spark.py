@@ -173,3 +173,35 @@ def test_hybrid_chain_missing_vocab_columns(spark):
     assert sorted(map(tuple, fr["assertions"])) == sorted(
         map(tuple, hr["assertions"])
     )
+
+
+def test_hybrid_event_by_distinct_equivalent(spark):
+    """The per-distinct-tuple event stage must reproduce the dict-update
+    semantics exactly — including process_event explicitly setting
+    eventDate to None (invalid future year), which must override a
+    resource default, and range nullification via eventDateEnd."""
+    from biocache_store_spark.processors.chain import process_records_hybrid
+
+    rows = [
+        # future year: eventDate explicitly nulled despite dr3 default
+        ("e1", "dr3", "3025-01-02", None, None, None, None),
+        # components assemble; event fields from day/month/year
+        ("e2", "dr1", None, None, "12", "3", "1999"),
+        # separately-supplied end date: differing day nullifies day
+        ("e3", "dr1", "1987-05-14", "1987-05-16", None, None, None),
+        ("e4", "dr1", None, None, None, None, None),
+    ]
+    cols = ["occurrenceID", "dataResourceUid", "eventDate", "eventDateEnd",
+            "month", "day", "year"]
+    df = spark.createDataFrame(rows, cols)
+    defaults = {"dr3": {"eventDate": "1999-01-01"}}
+    full = {r["occurrenceID"]: r
+            for r in process_records(df, defaults, today=TODAY).collect()}
+    hyb = {r["occurrenceID"]: r
+           for r in process_records_hybrid(df, defaults, today=TODAY).collect()}
+    for k in full:
+        assert full[k]["processed"].asDict() == hyb[k]["processed"].asDict(), k
+        assert sorted(map(tuple, full[k]["assertions"])) == sorted(
+            map(tuple, hyb[k]["assertions"])
+        ), k
+    assert hyb["e1"]["processed"]["eventDate"] is None  # None overrode default

@@ -183,7 +183,8 @@ def test_hybrid_event_by_distinct_equivalent(spark):
     from biocache_store_spark.processors.chain import process_records_hybrid
 
     rows = [
-        # future year: eventDate explicitly nulled despite dr3 default
+        # future year: parse rejects it outright, so the dr3 default
+        # survives on both sides (the was_set=False merge path)
         ("e1", "dr3", "3025-01-02", None, None, None, None),
         # components assemble; event fields from day/month/year
         ("e2", "dr1", None, None, "12", "3", "1999"),
@@ -204,4 +205,4 @@ def test_hybrid_event_by_distinct_equivalent(spark):
         assert sorted(map(tuple, full[k]["assertions"])) == sorted(
             map(tuple, hyb[k]["assertions"])
         ), k
-    assert hyb["e1"]["processed"]["eventDate"] is None  # None overrode default
+    assert hyb["e1"]["processed"]["eventDate"] == "1999-01-01"  # default kept

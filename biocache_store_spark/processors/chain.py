@@ -167,6 +167,7 @@ def process_record(
     last_assertions: list | None = None,
     skip_catalyst_vocab: bool = False,
     skip_event: bool = False,
+    skip_location: bool = False,
 ) -> tuple[dict, list]:
     """Run the per-record stages in reference order for one raw record.
 
@@ -218,14 +219,15 @@ def process_record(
         assertions += event_assertions
 
     # 8. LocationProcessor
-    loc_processed, loc_assertions = process_location(
-        raw,
-        intersect=intersect,
-        species_habitats=species_habitats,
-        default_country=default_country,
-    )
-    processed.update(loc_processed)
-    assertions += loc_assertions
+    if not skip_location:
+        loc_processed, loc_assertions = process_location(
+            raw,
+            intersect=intersect,
+            species_habitats=species_habitats,
+            default_country=default_country,
+        )
+        processed.update(loc_processed)
+        assertions += loc_assertions
 
     # 10. TypeStatusProcessor
     if not skip_catalyst_vocab:
@@ -248,6 +250,7 @@ def process_records(
     today: _dt.date | None = None,
     skip_catalyst_vocab: bool = False,
     skip_event: bool = False,
+    skip_location: bool = False,
 ) -> DataFrame:
     """raw occurrences DataFrame -> + processed struct, assertions array,
     geospatially_kosher flag. One mapInPandas pass; no shuffle at scale
@@ -294,6 +297,7 @@ def process_records(
                     today,
                     skip_catalyst_vocab=skip_catalyst_vocab,
                     skip_event=skip_event,
+                    skip_location=skip_location,
                 )
                 processed_col.append(
                     {
@@ -414,46 +418,106 @@ _EVENT_FIELDS_OUT = (
 )
 
 
-def _event_stage_map(df: DataFrame, today: _dt.date | None) -> DataFrame:
-    """distinct(event input tuple) -> per-field (value, was_set) + the
-    event assertion array. `was_set` preserves the reference's dict-update
-    semantics: process_event can explicitly set a field to None (e.g.
-    eventDate nulled by an invalid year), which must still override a
-    resource default at merge time."""
-    out_fields: list = []
-    for f in _EVENT_FIELDS_OUT:
-        out_fields.append(T.StructField(f"__ev_{f}", T.StringType()))
-        out_fields.append(T.StructField(f"__ev_{f}_set", T.BooleanType()))
+# LocationProcessor input fields (pure function of these when the chain
+# supplies no per-record intersect callable — the Spark pipeline serves
+# layers via the sampling join instead). The reference itself memoizes
+# location processing per distinct point (caches/LocationDAO.scala's `loc`
+# table); this is that design as a relation.
+_LOCATION_FIELDS_IN = (
+    "decimalLatitude",
+    "decimalLongitude",
+    "verbatimLatitude",
+    "verbatimLongitude",
+    "geodeticDatum",
+    "verbatimSRS",
+    "easting",
+    "northing",
+    "zone",
+    "gridReference",
+    "coordinateUncertaintyInMeters",
+    "coordinatePrecision",
+    "country",
+    "countryCode",
+    "stateProvince",
+    "habitat",
+    "verbatimDepth",
+    "verbatimElevation",
+    "minimumDepthInMeters",
+    "maximumDepthInMeters",
+    "minimumElevationInMeters",
+    "maximumElevationInMeters",
+    "georeferencedDate",
+    "georeferencedBy",
+    "georeferenceProtocol",
+    "georeferenceRemarks",
+    "georeferenceSources",
+    "georeferenceVerificationStatus",
+)
+_LOCATION_FIELDS_OUT = (
+    "decimalLatitude",
+    "decimalLongitude",
+    "geodeticDatum",
+    "coordinateUncertaintyInMeters",
+    "stateProvince",
+    "country",
+    "lga",
+    "biome",
+    "habitat",
+    "verbatimDepth",
+    "verbatimElevation",
+    "minimumDepthInMeters",
+    "maximumDepthInMeters",
+    "minimumElevationInMeters",
+    "maximumElevationInMeters",
+)
+
+
+def _distinct_stage_map(
+    df: DataFrame,
+    in_fields: tuple[str, ...],
+    out_fields: tuple[str, ...],
+    stage_fn,
+    prefix: str,
+) -> DataFrame:
+    """distinct(input tuple) -> per-field (value, was_set) + the stage's
+    assertion array. `was_set` preserves the reference's dict-update
+    semantics: a stage can explicitly set a field to None, which must
+    still override a resource default at merge time.
+
+    `stage_fn(raw_subset) -> (processed_dict, assertions)`."""
+    schema_fields: list = []
+    for f in out_fields:
+        schema_fields.append(T.StructField(f"{prefix}{f}", T.StringType()))
+        schema_fields.append(T.StructField(f"{prefix}{f}_set", T.BooleanType()))
     out_schema = T.StructType(
-        [T.StructField(f"__in_{f}", T.StringType()) for f in _EVENT_FIELDS_IN]
-        + out_fields
-        + [T.StructField("__ev_asserts", ASSERTION_TYPE)]
+        [T.StructField(f"__in_{f}", T.StringType()) for f in in_fields]
+        + schema_fields
+        + [T.StructField(f"{prefix}asserts", ASSERTION_TYPE)]
     )
     vals = df.select(
-        *[F.col(f).cast("string").alias(f"__in_{f}") for f in _EVENT_FIELDS_IN]
+        *[F.col(f).cast("string").alias(f"__in_{f}") for f in in_fields]
     ).distinct()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            cols = [f"__in_{f}" for f in _EVENT_FIELDS_IN]
+            cols = [f"__in_{f}" for f in in_fields]
             arrays = [pdf[c].tolist() for c in cols]
             out_rows: dict[str, list] = {c: [] for c in out_schema.names}
             for row in zip(*arrays):
                 raw = {
                     f: (None if v is None or (isinstance(v, float) and v != v) else v)
-                    for f, v in zip(_EVENT_FIELDS_IN, row)
+                    for f, v in zip(in_fields, row)
                 }
-                processed, assertions = process_event(raw, today)
+                processed, assertions = stage_fn(raw)
                 for c, v in zip(cols, row):
                     out_rows[c].append(v)
-                for f in _EVENT_FIELDS_OUT:
-                    was_set = f in processed
+                for f in out_fields:
                     value = processed.get(f)
-                    out_rows[f"__ev_{f}"].append(
+                    out_rows[f"{prefix}{f}"].append(
                         "|".join(value) if isinstance(value, (list, tuple)) else value
                     )
-                    out_rows[f"__ev_{f}_set"].append(was_set)
-                out_rows["__ev_asserts"].append(
+                    out_rows[f"{prefix}{f}_set"].append(f in processed)
+                out_rows[f"{prefix}asserts"].append(
                     [
                         {
                             "code": a.code,
@@ -469,11 +533,32 @@ def _event_stage_map(df: DataFrame, today: _dt.date | None) -> DataFrame:
     return vals.mapInPandas(run, out_schema)
 
 
+def _event_stage_map(df: DataFrame, today: _dt.date | None) -> DataFrame:
+    return _distinct_stage_map(
+        df,
+        _EVENT_FIELDS_IN,
+        _EVENT_FIELDS_OUT,
+        lambda raw: process_event(raw, today),
+        "__ev_",
+    )
+
+
+def _location_stage_map(df: DataFrame) -> DataFrame:
+    return _distinct_stage_map(
+        df,
+        _LOCATION_FIELDS_IN,
+        _LOCATION_FIELDS_OUT,
+        process_location,
+        "__loc_",
+    )
+
+
 def process_records_hybrid(
     df: DataFrame,
     default_values_by_resource: dict[str, dict] | None = None,
     today: _dt.date | None = None,
     event_by_distinct: bool = True,
+    location_by_distinct: bool = False,
 ) -> DataFrame:
     """The chain split Catalyst-side where semantics allow.
 
@@ -505,6 +590,11 @@ def process_records_hybrid(
             if col not in df.columns:
                 df = df.withColumn(col, F.lit(None).cast("string"))
                 added_cols.append(col)
+    if location_by_distinct:
+        for col in _LOCATION_FIELDS_IN:
+            if col not in df.columns:
+                df = df.withColumn(col, F.lit(None).cast("string"))
+                added_cols.append(col)
 
     base = process_records(
         df,
@@ -512,6 +602,7 @@ def process_records_hybrid(
         today,
         skip_catalyst_vocab=True,
         skip_event=event_by_distinct,
+        skip_location=location_by_distinct,
     )
 
     out = base
@@ -529,6 +620,17 @@ def process_records_hybrid(
             cond = c if cond is None else (cond & c)
         out = out.join(ev_map, cond, "left").drop(
             *[f"__in_{f}" for f in _EVENT_FIELDS_IN]
+        )
+    location_fields: set = set()
+    if location_by_distinct:
+        location_fields = set(_LOCATION_FIELDS_OUT)
+        loc_map = _location_stage_map(df)
+        cond = None
+        for f in _LOCATION_FIELDS_IN:
+            c = F.col(f).cast("string").eqNullSafe(F.col(f"__in_{f}"))
+            cond = c if cond is None else (cond & c)
+        out = out.join(loc_map, cond, "left").drop(
+            *[f"__in_{f}" for f in _LOCATION_FIELDS_IN]
         )
     for col, runner in _CATALYST_VOCAB_STAGES:
         mapping = _vocab_stage_map(df, col, runner).select(
@@ -557,18 +659,22 @@ def process_records_hybrid(
     def field_expr(f):
         if f in vocab_fields:
             return F.coalesce(F.col(f"__{f}_canonical"), F.col("processed")[f])
+        # dict-update semantics: an explicitly-set None overrides a resource
+        # default, an unset field falls back; location (stage 8) overrides
+        # event (stage 7) for any shared field, matching loop order
+        expr = F.col("processed")[f]
         if f in event_fields:
-            # dict-update semantics: an explicitly-set None overrides a
-            # resource default, an unset field falls back to it
-            return F.when(
-                F.col(f"__ev_{f}_set"), F.col(f"__ev_{f}")
-            ).otherwise(F.col("processed")[f])
-        return F.col("processed")[f]
+            expr = F.when(F.col(f"__ev_{f}_set"), F.col(f"__ev_{f}")).otherwise(expr)
+        if f in location_fields:
+            expr = F.when(F.col(f"__loc_{f}_set"), F.col(f"__loc_{f}")).otherwise(expr)
+        return expr
 
     merged = F.struct(*[field_expr(f).alias(f) for f in PROCESSED_FIELDS])
     assert_parts = [F.col("assertions")]
     if event_fields:
         assert_parts.append(F.coalesce(F.col("__ev_asserts"), empty_asserts))
+    if location_fields:
+        assert_parts.append(F.coalesce(F.col("__loc_asserts"), empty_asserts))
     assert_parts += [
         F.coalesce(F.col("__occurrenceStatus_asserts"), empty_asserts),
         F.coalesce(F.col("__establishmentMeans_asserts"), empty_asserts),
@@ -579,12 +685,32 @@ def process_records_hybrid(
     out = out.withColumn("processed", merged).withColumn(
         "assertions", merged_asserts
     )
+    if location_fields:
+        # location is the only emitter of kosher-gating codes; recompute the
+        # flag from the merged array (FullRecordMapper semantics)
+        from biocache_store_spark.processors.assertions import AssertionCodes
+
+        gating = F.array(
+            *[F.lit(c) for c in sorted(AssertionCodes.GEOSPATIAL_KOSHER_CODES)]
+        )
+        out = out.withColumn(
+            "geospatially_kosher",
+            ~F.exists(
+                F.col("assertions"),
+                lambda a: F.array_contains(gating, a["code"])
+                & (a["qa_status"] == 0),
+            ),
+        )
     drop = [f"__{c}_canonical" for c in vocab_fields]
     drop += [f"__{c}_asserts" for c in vocab_fields]
     if event_fields:
         drop += [f"__ev_{f}" for f in _EVENT_FIELDS_OUT]
         drop += [f"__ev_{f}_set" for f in _EVENT_FIELDS_OUT]
         drop.append("__ev_asserts")
+    if location_fields:
+        drop += [f"__loc_{f}" for f in _LOCATION_FIELDS_OUT]
+        drop += [f"__loc_{f}_set" for f in _LOCATION_FIELDS_OUT]
+        drop.append("__loc_asserts")
     return out.drop(*drop, *added_cols)
 
 

@@ -206,3 +206,35 @@ def test_hybrid_event_by_distinct_equivalent(spark):
             map(tuple, hyb[k]["assertions"])
         ), k
     assert hyb["e1"]["processed"]["eventDate"] == "1999-01-01"  # default kept
+
+
+def test_hybrid_location_by_distinct_equivalent(spark):
+    """Opt-in location lift: distinct-tuple LocationProcessor must match
+    the in-loop pass, including the geospatially_kosher recomputation from
+    the merged assertion array (zero-coords and transposed fixtures)."""
+    from biocache_store_spark.processors.chain import process_records_hybrid
+
+    rows = [
+        ("l1", "dr1", "-35.5", "149.25", "WGS84", "Australia"),
+        ("l2", "dr1", "0", "0", "WGS84", None),            # zero -> not kosher
+        ("l3", "dr1", "149.25", "-35.5", "WGS84", None),    # inverted
+        ("l4", "dr2", None, None, None, "vic"),             # state inference
+        ("l5", "dr1", "-200.5", "149.25", "WGS84", None),   # out of range
+    ]
+    cols = ["occurrenceID", "dataResourceUid", "decimalLatitude",
+            "decimalLongitude", "geodeticDatum", "country"]
+    df = spark.createDataFrame(rows, cols)
+    full = {r["occurrenceID"]: r
+            for r in process_records(df, today=TODAY).collect()}
+    hyb = {r["occurrenceID"]: r
+           for r in process_records_hybrid(
+               df, today=TODAY, location_by_distinct=True
+           ).collect()}
+    for k in full:
+        assert full[k]["processed"].asDict() == hyb[k]["processed"].asDict(), k
+        assert sorted(map(tuple, full[k]["assertions"])) == sorted(
+            map(tuple, hyb[k]["assertions"])
+        ), k
+        assert full[k]["geospatially_kosher"] == hyb[k]["geospatially_kosher"], k
+    assert not hyb["l2"]["geospatially_kosher"]
+    assert hyb["l1"]["geospatially_kosher"]

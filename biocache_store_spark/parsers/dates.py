@@ -399,8 +399,10 @@ _ISO_EXTRACTORS = (
 # --- non-ISO (day-first) ----------------------------------------------------
 
 _NONISO_NUMERIC = re.compile(rf"^(\d{{2}})[-/](\d{{2}})[-/](\d{{4}})(?:{_OPT_TIME_OFFSET})$")
+# 1-2 digit day: Java's SimpleDateFormat (the reference's parser) accepts
+# non-padded numerics for the dd field, so "1 Jan 1700" must parse
 _NONISO_MONTHNAME = re.compile(
-    rf"^(\d{{2}})[-/ ]([A-Za-z]{{3}})[-/ ](\d{{4}})(?:{_OPT_TIME_OFFSET})$"
+    rf"^(\d{{1,2}})[-/ ]([A-Za-z]{{3}})[-/ ](\d{{4}})(?:{_OPT_TIME_OFFSET})$"
 )
 
 

@@ -298,3 +298,52 @@ def test_solr_translate_random_queries_match_row_evaluator(spark):
         got = {r["id"] for r in df.filter(translate(q)).collect()}
         want = {r["id"] for r in row_dicts if ev3(ast, r) is True}
         assert got == want, q
+
+
+@settings(**SETTINGS)
+@given(
+    y=st.integers(1700, 2020),
+    m=st.integers(1, 12),
+    d=st.integers(1, 28),
+    fmt=st.sampled_from(
+        ["{y:04d}-{m:02d}-{d:02d}", "{d:02d}-{m:02d}-{y:04d}",
+         "{d:02d}/{m:02d}/{y:04d}", "{d} {mon} {y:04d}",
+         "{y:04d}-{m:02d}-{d:02d}T10:22:00"]
+    ),
+)
+def test_date_parser_format_round_trip(y, m, d, fmt):
+    """Any valid calendar date rendered in the supported format families
+    parses back to the same ISO components (parsers/dates.py — the
+    DateParser format cascade)."""
+    import calendar
+
+    from biocache_store_spark.parsers.dates import parse_date
+
+    mon = calendar.month_name[m][:3]
+    s = fmt.format(y=y, m=m, d=d, mon=mon)
+    r = parse_date(s)
+    assert r is not None, s
+    assert (r.start_year, r.start_month, r.start_day) == (
+        f"{y:04d}", f"{m:02d}", f"{d:02d}"
+    ), s
+    assert r.start_date == f"{y:04d}-{m:02d}-{d:02d}"
+
+
+@settings(**SETTINGS)
+@given(
+    y1=st.integers(1800, 2000),
+    y2=st.integers(1800, 2000),
+)
+def test_date_parser_year_range(y1, y2):
+    """Year ranges split on the reference's separators ('/'; '-' is never
+    a range separator, ParseUtil.splitRange DateParser.scala:1088) and
+    parse to (start, end) years when ascending."""
+    from hypothesis import assume
+
+    from biocache_store_spark.parsers.dates import parse_date
+
+    assume(y1 < y2)
+    r = parse_date(f"{y1}/{y2}")
+    assert r is not None
+    assert r.start_year == str(y1) and r.end_year == str(y2)
+    assert parse_date(f"{y1}-{y2}") is None or y2 <= 12  # '-' is not a range

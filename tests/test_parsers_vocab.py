@@ -156,3 +156,21 @@ def test_type_status_junk_and_plurals():
     assert TYPE_STATUS.canonical("Syntype ?") == "syntype"
     assert TYPE_STATUS.canonical("PARATYPE") == "paratype"
     assert TYPE_STATUS.canonical("Paratypes") == "paratype"
+
+
+def test_every_canonical_round_trips():
+    """Invariant over ALL vocabularies: each term's canonical form matches
+    back to itself (no canonical shadowed by another term's variant)."""
+    from biocache_store_spark.parsers.vocab import (
+        BASIS_OF_RECORD,
+        DATE_PRECISION,
+        ESTABLISHMENT_MEANS,
+        OCCURRENCE_STATUS,
+        TYPE_STATUS,
+    )
+
+    for vocab in (BASIS_OF_RECORD, DATE_PRECISION, ESTABLISHMENT_MEANS,
+                  OCCURRENCE_STATUS, TYPE_STATUS):
+        for term in vocab.all:
+            m = vocab.match_term(term.canonical)
+            assert m is not None and m.canonical == term.canonical, term.canonical

@@ -11,6 +11,12 @@ Semantics preserved from the reference:
   * feet convert at 0.3048, km at 1000;
   * unitless values are metres.
 
+Documented divergence: the reference's single-number-with-unit patterns
+(DistanceRangeParser.scala:14-16) accept INTEGERS only, so "3.5km" parses
+to None there; this engine accepts decimal+unit ("3.5km" -> 3500.0) — a
+deliberate generalization, since decimal distances are common in real
+uncertainty fields and the reference already accepts bare decimals.
+
 Returns (metres, unit) where unit is "metres" | "kilometres" | "feet".
 """
 

@@ -74,9 +74,23 @@ _RAW_ALIASES = {
 }
 
 
-def build_index(processed_df: DataFrame, include_deleted: bool = False) -> DataFrame:
+def build_index(
+    processed_df: DataFrame,
+    include_deleted: bool = False,
+    user_assertions: DataFrame | None = None,
+    key_col: str = "id",
+) -> DataFrame:
     """processed occurrences (output of processors.chain.process_records,
     optionally enriched) -> the flat index table.
+
+    `user_assertions`: optional (rowKey, uuid)-keyed user-assertion store
+    (operators/user_assertions.py); when supplied, the index gains the
+    reference's user-assertion overlay columns — user_assertion_status
+    (the 5-state combined status, QA_NONE default), has_user_assertions,
+    user_verified — joined on `key_col` (default: the index's `id` SOLR
+    doc key; the store's rowKey values must match it — SolrIndexDAO's
+    userAssertions /
+    userVerified doc fields, dao/OccurrenceDAOImpl.scala:1089-1160).
 
     The column set is DATA-driven: operators/index_schema.py ports the
     reference's headerAttributes mapping table (IndexDAO.scala:212-466,
@@ -253,6 +267,12 @@ def build_index(processed_df: DataFrame, include_deleted: bool = False) -> DataF
         out = df.filter(
             F.coalesce(F.col("deleted").cast("boolean"), F.lit(False)) == False  # noqa: E712
         ).select(*cols)
+    if user_assertions is not None:
+        from biocache_store_spark.operators.user_assertions import (
+            overlay_user_status,
+        )
+
+        out = overlay_user_status(out, user_assertions, key_col=key_col)
     return out
 
 

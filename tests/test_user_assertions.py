@@ -135,3 +135,25 @@ def test_overlay_defaults_and_flags(spark, statuses):
     assert out["r5"]["user_verified"]  # CORRECTED counts as verified
     assert out["r1"]["has_user_assertions"]
     assert not out["r2"]["has_user_assertions"]
+
+
+def test_index_overlay_via_build_index(spark, statuses):
+    """The user-assertion overlay rides on the index build: records keyed
+    by the index id gain user_assertion_status / has_user_assertions /
+    user_verified (SolrIndexDAO's userAssertions/userVerified fields)."""
+    from biocache_store_spark.operators.index_projection import build_index
+    from biocache_store_spark.processors.chain import process_records
+
+    store, _ = statuses
+    raw = spark.createDataFrame(
+        [("r1", "dr1", "PreservedSpecimen"), ("r2", "dr1", "HumanObservation"),
+         ("r9", "dr1", "MachineObservation")],
+        ["occurrenceID", "dataResourceUid", "basisOfRecord"],
+    )
+    idx = build_index(process_records(raw), user_assertions=store)
+    rows = {r["id"]: r for r in idx.collect()}
+    assert rows["r1"]["user_assertion_status"] == QA_UNCONFIRMED
+    assert rows["r1"]["has_user_assertions"]
+    assert rows["r2"]["user_assertion_status"] == QA_VERIFIED
+    assert rows["r2"]["user_verified"]
+    assert rows["r9"]["user_assertion_status"] == QA_NONE

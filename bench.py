@@ -33,9 +33,17 @@ def main() -> int:
     registry = load_all()
     bench_queries = {n: q for n, q in sorted(registry.items()) if q.bench}
 
-    # warm the JVM + parquet footers once so per-query timings measure the
-    # plan, not first-touch session costs
+    # warm the JVM + parquet footers + Python workers once so per-query
+    # timings measure the plan, not first-touch session costs (the first
+    # Arrow-UDF evaluation in a session forks the Python worker pool, a
+    # one-time ~1-2 s cost that would otherwise land on whichever embedding
+    # query runs first)
+    from pyspark.sql import functions as F
+
+    from biocache_store_spark.functions.vectors import norm_arrow
+
     _force(spark.read.parquet(os.path.join(data_dir, "lineitem.parquet")))
+    _force(spark.range(1024).select(norm_arrow(F.array(F.lit(1.0))).alias("x")))
 
     timings: dict[str, float] = {}
     for name, q in bench_queries.items():

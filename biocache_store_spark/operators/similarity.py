@@ -26,7 +26,7 @@ import struct
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from biocache_store_spark.functions.vectors import cosine_similarity
+from biocache_store_spark.functions.vectors import cosine_similarity_arrow
 
 DEFAULT_PLANES = 8
 
@@ -119,7 +119,7 @@ def ann_topk(
             _probe_buckets_expr(F.col("__qbucket"), n_planes)
         ).alias("bucket"),
     )
-    sim = cosine_similarity(F.col(embedding_col), F.col("__q_emb"))
+    sim = cosine_similarity_arrow(F.col(embedding_col), F.col("__q_emb"))
     candidates = (
         bucketed.join(F.broadcast(queries), "bucket")
         .filter(F.col(id_col) != F.col("query_id"))
@@ -177,10 +177,10 @@ def cosine_near_duplicates(
         F.col(id_col).alias("id_b"),
         F.col(embedding_col).alias("__emb_b"),
     )
-    sim = cosine_similarity(F.col("__emb_a"), F.col("__emb_b"))
-    # coalesce keeps the threshold filter null-tolerant so Catalyst doesn't
-    # re-inline the (interpreted) cosine lambda into an inferred notnull
-    # filter below the join
+    sim = cosine_similarity_arrow(F.col("__emb_a"), F.col("__emb_b"))
+    # coalesce keeps the threshold filter null-tolerant so the optimizer
+    # never needs to duplicate the (Python-evaluated) cosine into an
+    # inferred notnull filter below the join
     return (
         a.join(b.hint("shuffle_hash"), ["bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -204,7 +204,7 @@ def ivf_assign(
     Ties break to the lowest cell_id for determinism."""
     from pyspark.sql.window import Window
 
-    sim = cosine_similarity(F.col(embedding_col), F.col("__centroid"))
+    sim = cosine_similarity_arrow(F.col(embedding_col), F.col("__centroid"))
     scored = vectors.join(
         F.broadcast(
             centroids.select(
@@ -242,7 +242,7 @@ def ivf_topk(
     from pyspark.sql.window import Window
 
     assigned = ivf_assign(vectors, centroids, id_col, embedding_col)
-    qsim = cosine_similarity(F.col(embedding_col), F.col("__centroid"))
+    qsim = cosine_similarity_arrow(F.col(embedding_col), F.col("__centroid"))
     qscored = query_vectors.join(
         F.broadcast(
             centroids.select(
@@ -260,7 +260,7 @@ def ivf_topk(
             "query_id", F.col(embedding_col).alias("__q_emb"), "cell_id"
         )
     )
-    sim = cosine_similarity(F.col(embedding_col), F.col("__q_emb"))
+    sim = cosine_similarity_arrow(F.col(embedding_col), F.col("__q_emb"))
     candidates = (
         assigned.join(F.broadcast(probes), "cell_id")
         .filter(F.col(id_col) != F.col("query_id"))

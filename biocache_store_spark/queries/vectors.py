@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from biocache_store_spark.functions.vectors import cosine_similarity
+from biocache_store_spark.functions.vectors import cosine_similarity_arrow
 from biocache_store_spark.io import read_table
 from biocache_store_spark.queries import register
 
@@ -46,7 +46,7 @@ def embedding_cosine_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") == _QUERY_VEC_ID)
         .select(F.col("embedding").alias("q_emb"))
     )
-    sim = cosine_similarity(F.col("embedding"), F.col("q_emb"))
+    sim = cosine_similarity_arrow(F.col("embedding"), F.col("q_emb"))
     return (
         emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
         .crossJoin(F.broadcast(q))
@@ -85,7 +85,7 @@ def embedding_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") == _QUERY_VEC_ID)
         .select(F.col("embedding").alias("q_emb"))
     )
-    sim = cosine_similarity(F.col("embedding"), F.col("q_emb"))
+    sim = cosine_similarity_arrow(F.col("embedding"), F.col("q_emb"))
     return (
         emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
         .crossJoin(F.broadcast(q))
@@ -265,11 +265,11 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from biocache_store_spark.functions.vectors import norm
+    from biocache_store_spark.functions.vectors import norm_arrow
 
     emb = read_table(spark, sf_dir, "embeddings")
     return (
-        emb.withColumn("nrm", norm(F.col("embedding")))
+        emb.withColumn("nrm", norm_arrow(F.col("embedding")))
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -152,3 +152,50 @@ def test_ivf_topk_recall_and_partition_pruning_shape(spark):
         )
     }
     assert full == exact
+
+
+def test_arrow_cosine_bit_identical_to_hof(spark):
+    """The Arrow tier must reproduce the HOF tier bit-for-bit: identical
+    per-dimension left-assoc accumulation order (functions/vectors.py),
+    so swapping tiers can never flip an oracle hash."""
+    from biocache_store_spark.functions.vectors import (
+        cosine_similarity,
+        cosine_similarity_arrow,
+        norm,
+        norm_arrow,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    both = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            cosine_similarity(F.col("embedding"), F.col("q_emb")).alias("hof"),
+            cosine_similarity_arrow(F.col("embedding"), F.col("q_emb")).alias("arrow"),
+            norm(F.col("embedding")).alias("n_hof"),
+            norm_arrow(F.col("embedding")).alias("n_arrow"),
+        )
+        .collect()
+    )
+    assert len(both) > 0
+    for r in both:
+        assert r["hof"] == r["arrow"], (r["vec_id"], r["hof"], r["arrow"])
+        assert r["n_hof"] == r["n_arrow"], (r["vec_id"], r["n_hof"], r["n_arrow"])
+
+
+def test_arrow_cosine_null_inputs(spark):
+    from biocache_store_spark.functions.vectors import cosine_similarity_arrow
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0], [3.0, 4.0]), (2, None, [3.0, 4.0]), (3, [1.0, 2.0], None)],
+        "id int, a array<double>, b array<double>",
+    )
+    rows = {
+        r["id"]: r["cs"]
+        for r in df.select(
+            "id", cosine_similarity_arrow(F.col("a"), F.col("b")).alias("cs")
+        ).collect()
+    }
+    assert rows[1] is not None
+    assert rows[2] is None and rows[3] is None

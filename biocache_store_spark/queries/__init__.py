@@ -59,7 +59,8 @@ def register(
 # scans/facets/set-ops, all green in CORRECTNESS_r02+r03) yield their
 # slots entirely.
 HEAD: tuple[str, ...] = (
-    # round-4 additions — no driver row yet
+    # round-4/5 additions — no driver row yet
+    "corpus_curation",
     "chain_hybrid",
     "user_assertion_lifecycle",
     "stored_query_bbox",
@@ -85,6 +86,7 @@ HEAD: tuple[str, ...] = (
 DEPRIORITIZED: tuple[str, ...] = (
     "event_user_sessions",  # same stateful-sessionization operator as event_sessionization
     "text_quality_stats",  # quality-scoring row also evidenced per-doc by text_quality_score
+    "text_token_stats",  # token/length stats re-evidenced by text_quality_score + corpus_curation manifest
     "distinct_coordinates",  # distinct_points kernel runs inside the checked sample_layers_enrich plan
     "coordinate_uncertainty_check",  # parser family driver-checked via distance_parse; assertion logic local-green
     "habitat_biome_match",  # small vocab-map kernel; local-green suffices, slot kept for the dedup flagships

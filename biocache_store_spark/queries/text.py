@@ -590,3 +590,226 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("representative"),
     )
+
+
+def _corpus_curation_oracle() -> str:
+    """The full curation pipeline as one SQL statement: the quality/language
+    CTEs mirror text_quality_score / text_language_id, the near-dup CTEs are
+    the minhash_near_duplicates oracle re-rooted at the candidate set, and
+    the greedy keep-lowest-id dedup + manifest are ordinary SQL."""
+    return rf"""
+        WITH t AS (
+            SELECT doc_id, source, text,
+                   lower(trim(text)) AS lt,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id, source, text,
+                   len(toks) AS n_tokens,
+                   ROUND(length(regexp_replace(lt, '[a-z0-9\s]', '', 'g'))
+                         * 1.0 / GREATEST(length(lt), 1), 4) AS punct_ratio,
+                   ROUND(len(list_filter(toks, x -> x IN ({_marker_list_sql('en')})))
+                         * 1.0 / GREATEST(len(toks), 1), 4) AS stopword_ratio,
+                   len(list_filter(toks, x -> x IN ({_marker_list_sql('en')}))) AS s_en,
+                   len(list_filter(toks, x -> x IN ({_marker_list_sql('de')}))) AS s_de,
+                   len(list_filter(toks, x -> x IN ({_marker_list_sql('es')}))) AS s_es,
+                   len(list_filter(toks, x -> x IN ({_marker_list_sql('fr')}))) AS s_fr
+            FROM t
+        ),
+        scored AS (
+            SELECT doc_id, source, text, n_tokens,
+                   ROUND(LEAST(n_tokens / 100.0, 1.0) * 0.5
+                         + (1.0 - punct_ratio) * 0.3
+                         + LEAST(stopword_ratio * 5.0, 1.0) * 0.2, 4) AS quality_score,
+                   CASE
+                     WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                     WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                     WHEN s_es >= s_fr THEN 'es'
+                     ELSE 'fr'
+                   END AS predicted_lang
+            FROM m
+        ),
+        cand AS (
+            SELECT * FROM scored
+            WHERE quality_score >= 0.5 AND predicted_lang = 'en'
+        ),
+        cw AS (
+            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+            FROM cand
+        ),
+        cidx AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i
+            FROM cw
+        ),
+        cshingles AS (
+            SELECT DISTINCT doc_id,
+                   toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+            FROM cidx
+        ),
+        ccounts AS (SELECT doc_id, COUNT(*) AS n_sh FROM cshingles GROUP BY doc_id),
+        chashes AS (
+            SELECT s.doc_id, g.k,
+                   MIN(substr(md5((g.k // 4)::VARCHAR || '|' || s.sh),
+                              (g.k % 4) * 8 + 1, 8)) AS mh
+            FROM cshingles s, generate_series(0, 11) g(k)
+            GROUP BY s.doc_id, g.k
+        ),
+        cbands AS (
+            SELECT doc_id, k // 3 AS band,
+                   string_agg(mh, '|' ORDER BY k) AS band_sig
+            FROM chashes GROUP BY doc_id, k // 3
+        ),
+        callowed AS (
+            SELECT band, band_sig FROM cbands
+            GROUP BY band, band_sig HAVING COUNT(*) <= {_MAX_BAND_BUCKET}
+        ),
+        cbands_ok AS (SELECT b.* FROM cbands b JOIN callowed USING (band, band_sig)),
+        ccand_pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM cbands_ok a JOIN cbands_ok b
+              ON a.band = b.band AND a.band_sig = b.band_sig
+             AND a.doc_id < b.doc_id
+        ),
+        cinter AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+            FROM ccand_pairs c
+            JOIN cshingles sa ON sa.doc_id = c.doc_a
+            JOIN cshingles sb ON sb.doc_id = c.doc_b AND sa.sh = sb.sh
+            GROUP BY 1, 2
+        ),
+        dup_b AS (
+            SELECT DISTINCT i.doc_b
+            FROM cinter i
+            JOIN ccounts ca ON ca.doc_id = i.doc_a
+            JOIN ccounts cb ON cb.doc_id = i.doc_b
+            WHERE i.n_common * 1.0 / (ca.n_sh + cb.n_sh - i.n_common) >= 0.5
+        ),
+        flagged AS (
+            SELECT c.*, (d.doc_b IS NULL) AS is_kept
+            FROM cand c LEFT JOIN dup_b d ON c.doc_id = d.doc_b
+        ),
+        inputs AS (SELECT source, COUNT(*) AS n_input FROM documents GROUP BY source)
+        SELECT i.source,
+               i.n_input,
+               COUNT(f.doc_id) AS n_candidates,
+               CAST(COALESCE(SUM(CASE WHEN f.is_kept THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_kept,
+               CAST(COALESCE(SUM(CASE WHEN f.is_kept THEN f.n_tokens ELSE 0 END), 0) AS BIGINT) AS tokens_kept,
+               ROUND(AVG(CASE WHEN f.is_kept THEN f.quality_score END), 4) AS avg_quality_kept
+        FROM inputs i LEFT JOIN flagged f ON f.source = i.source
+        GROUP BY i.source, i.n_input
+    """
+
+
+@register(
+    "corpus_curation",
+    doc=(
+        "End-to-end training-corpus curation manifest — the composition a "
+        "real data pipeline runs before tokenization: per-document quality "
+        "scoring (text_quality_score formulas) -> language gate "
+        "(text_language_id argmax = 'en') -> MinHash+LSH near-duplicate "
+        "removal over the SURVIVING candidates (operators/minhash.py, "
+        "greedy keep-lowest-doc_id: any candidate that is the doc_b of a "
+        "verified pair is dropped) -> per-source manifest (inputs, "
+        "candidates, kept, tokens kept, mean kept quality). Every stage "
+        "stays declarative, so Catalyst fuses scoring+filter into the scan "
+        "and the near-dup join runs only over the filtered candidate set — "
+        "at 100 TB the quality gate prunes the expensive LSH stage's input "
+        "by design, not by luck."
+    ),
+    oracle=_corpus_curation_oracle(),
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.functions.text import words
+    from biocache_store_spark.operators.minhash import near_duplicates
+
+    docs = read_table(spark, sf_dir, "documents")
+    lt = F.lower(F.trim(F.col("text")))
+    t = docs.select(
+        "doc_id", "source", "text", lt.alias("lt"), words(F.col("text")).alias("toks")
+    )
+    n_tokens = F.size("toks")
+    safe_tokens = F.greatest(n_tokens, F.lit(1))
+    punct_ratio = F.round(
+        F.length(F.regexp_replace(F.col("lt"), r"[a-z0-9\s]", ""))
+        / F.greatest(F.length("lt"), F.lit(1)),
+        4,
+    )
+    stopword_ratio = F.round(
+        F.size(F.filter(F.col("toks"), lambda x: x.isin(*_LANG_MARKERS["en"])))
+        / safe_tokens,
+        4,
+    )
+    def _marker_count(markers):
+        # closure, not a default arg: Spark's lambda bridge binds every
+        # declared parameter to a Column
+        return F.size(F.filter(F.col("toks"), lambda x: x.isin(*markers)))
+
+    marker_counts = {
+        lang: _marker_count(markers) for lang, markers in _LANG_MARKERS.items()
+    }
+    m = t.select(
+        "doc_id",
+        "source",
+        "text",
+        n_tokens.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stopword_ratio.alias("stopword_ratio"),
+        *[c.alias(f"s_{lang}") for lang, c in marker_counts.items()],
+    )
+    s = {lang: F.col(f"s_{lang}") for lang in _LANG_MARKERS}
+    predicted = (
+        F.when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]), "en"
+        )
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when(s["es"] >= s["fr"], "es")
+        .otherwise("fr")
+    )
+    quality = F.round(
+        F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.5
+        + (1.0 - F.col("punct_ratio")) * 0.3
+        + F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0)) * 0.2,
+        4,
+    )
+    scored = m.select(
+        "doc_id",
+        "source",
+        "text",
+        "n_tokens",
+        quality.alias("quality_score"),
+        predicted.alias("predicted_lang"),
+    )
+    cand = scored.filter(
+        (F.col("quality_score") >= 0.5) & (F.col("predicted_lang") == "en")
+    )
+    pairs = near_duplicates(
+        cand.select("doc_id", "text"), threshold=0.5, max_bucket_size=_MAX_BAND_BUCKET
+    )
+    dup_b = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    flagged = cand.join(
+        dup_b.withColumn("__dup", F.lit(True)), "doc_id", "left"
+    ).withColumn("is_kept", F.col("__dup").isNull())
+    inputs = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_input"))
+    per_source = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.when(F.col("is_kept"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("is_kept"), F.col("n_tokens")).otherwise(0)).alias(
+            "tokens_kept"
+        ),
+        F.round(
+            F.avg(F.when(F.col("is_kept"), F.col("quality_score"))), 4
+        ).alias("avg_quality_kept"),
+    )
+    return (
+        inputs.join(per_source, "source", "left")
+        .select(
+            "source",
+            "n_input",
+            F.coalesce(F.col("n_candidates"), F.lit(0)).alias("n_candidates"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.coalesce(F.col("tokens_kept"), F.lit(0)).alias("tokens_kept"),
+            "avg_quality_kept",
+        )
+    )

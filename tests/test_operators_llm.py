@@ -220,3 +220,51 @@ def test_simhash_near_dup_pigeonhole_complete(spark):
     }
     assert got == exact
     assert got[(0, 2)] == 0  # exact duplicate
+
+
+def test_corpus_curation_manifest_semantics(spark, tmp_path):
+    """Quality gate drops junk, the near-dup stage drops the higher doc_id
+    of a verified pair, and the per-source manifest counts all three
+    populations (input / candidates / kept)."""
+    from biocache_store_spark.queries.text import corpus_curation
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and the cat sat on "
+        "the mat while the sun was high in the sky and the birds of the "
+        "field sang songs of summer to the children walking to school in "
+        "the morning light with bags full of books and dreams of the "
+        "future that waits for all of us in the years to come and the "
+        "rivers run down to the sea where the ships sail out to far "
+        "lands in search of spices and silk and stories of old"
+    )
+    near = good.replace("lazy", "sleepy")
+    other = (
+        "in the beginning of the project the team wrote down all of the "
+        "goals and then the work began in earnest with each member of "
+        "the group taking one part of the plan and by the end of the "
+        "first month most of the hard problems were solved and the rest "
+        "of the schedule was a steady march of small wins that added up "
+        "to a launch the whole town came out to see on the first day of "
+        "spring when the gates opened to the public at last"
+    )
+    junk = "!!! ??? ;;; ... === %%% $$$ @@@ ((( )))"
+    rows = [
+        (0, good, "en", "s1", len(good)),
+        (1, near, "en", "s1", len(near)),
+        (2, junk, "en", "s2", len(junk)),
+        (3, other, "en", "s2", len(other)),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    manifest = {
+        r["source"]: r
+        for r in corpus_curation(spark, str(tmp_path)).collect()
+    }
+    s1, s2 = manifest["s1"], manifest["s2"]
+    assert s1["n_input"] == 2 and s1["n_candidates"] == 2
+    assert s1["n_kept"] == 1  # doc 1 is the doc_b of the near-dup pair
+    assert s2["n_input"] == 2 and s2["n_candidates"] == 1  # junk gated out
+    assert s2["n_kept"] == 1
+    assert s1["tokens_kept"] > 0 and s2["avg_quality_kept"] >= 0.5

@@ -243,3 +243,42 @@ def write_occurrence_store(
     if target_file_rows is not None:
         writer = writer.option("maxRecordsPerFile", target_file_rows)
     writer.partitionBy(*partition_by).parquet(path)
+
+
+def write_bucketed_store(
+    df: DataFrame,
+    table: str,
+    bucket_cols: tuple[str, ...],
+    num_buckets: int = 32,
+    sort_cols: tuple[str, ...] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered) parquet table — the co-located-join layout.
+
+    The reference co-locates raw and processed column families in one
+    Cassandra wide row, so its raw<->processed comparison
+    (Store.scala getComparison path) and processed-batch upsert never
+    reshuffle data. The Spark-native equivalent is bucketing: write every
+    relation that joins on the same key (`rowKey`: raw store, processed
+    store, assertions, dellog) with the same `bucket_cols` and
+    `num_buckets`, and Catalyst plans those joins with ZERO Exchange —
+    each task reads matching bucket files from both sides. With
+    `sort_cols` the sort-merge join also skips its per-task sort.
+
+    At 100 TB this is the difference between shuffling the full store on
+    every reprocess/compare cycle and a purely local merge; the bucket
+    count is fixed at write time, so pick it for the target cluster
+    (buckets >= max parallelism you want on the join).
+
+    Bucketing requires a catalog table (`saveAsTable`); `path` makes it an
+    external table so the files live in the caller's store layout.
+    """
+    writer = df.write.format("parquet").mode(mode).bucketBy(
+        num_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)

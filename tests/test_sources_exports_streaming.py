@@ -514,3 +514,41 @@ def test_write_occurrence_store_layout(spark, tmp_path):
     for f in files:
         assert pq.read_metadata(f).num_rows <= 10
     assert spark.read.parquet(path).count() == 100
+
+
+def test_bucketed_store_colocated_join(spark, tmp_path):
+    """Two relations bucketed on the same key join with ZERO Exchange —
+    the Spark-native form of the reference's same-wide-row co-location of
+    raw and processed column families (Store.scala comparison path)."""
+    from biocache_store_spark.exports.exporters import write_bucketed_store
+
+    raw = spark.range(0, 10_000).select(
+        F.col("id").alias("row_key"),
+        F.concat(F.lit("raw"), F.col("id")).alias("raw_val"),
+    )
+    processed = spark.range(0, 10_000).select(
+        F.col("id").alias("row_key"),
+        F.concat(F.lit("proc"), F.col("id")).alias("proc_val"),
+    )
+    for name, df in [("t_raw_bucketed", raw), ("t_proc_bucketed", processed)]:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        write_bucketed_store(
+            df,
+            name,
+            bucket_cols=("row_key",),
+            num_buckets=8,
+            sort_cols=("row_key",),
+            path=str(tmp_path / name),
+        )
+    try:
+        joined = spark.table("t_raw_bucketed").join(
+            spark.table("t_proc_bucketed").hint("merge"), "row_key"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 10_000
+        one = joined.filter(F.col("row_key") == 42).collect()[0]
+        assert one["raw_val"] == "raw42" and one["proc_val"] == "proc42"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_raw_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_proc_bucketed")

@@ -27,7 +27,11 @@ def token_count(text: Column) -> Column:
 def word_shingles(ws: Column, n: int = 3) -> Column:
     """Distinct contiguous n-word shingles (space-joined) of a token array.
 
-    Used as the shingle set for n-gram Jaccard and as MinHash input.
+    Array-based formulation (transform lambda). NOTE: Spark 4 evaluates
+    higher-order lambdas INTERPRETED — in hot paths prefer
+    `text_shingles`, which produces the identical set through codegen'd
+    regex expressions (bit-identical output verified in tests). Kept for
+    callers that already hold a token array.
     Returns an empty array when the document has fewer than n tokens.
     """
     idx = F.sequence(F.lit(0), F.size(ws) - n)
@@ -40,6 +44,29 @@ def word_shingles(ws: Column, n: int = 3) -> Column:
     return F.when(F.size(ws) >= n, F.array_distinct(joined)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def text_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct contiguous n-word shingles straight from the text column.
+
+    Equivalent to `word_shingles(words(text), n)` but expressed with
+    regexp_replace + regexp_extract_all — native codegen'd expressions,
+    no interpreted lambda. Overlapping windows come from a lookahead
+    capture anchored at each token: `(?=(tok tok tok))tok ` captures the
+    n-token window then consumes one token, so the scan advances word by
+    word. Measured 15x faster cold than the lambda form at sf0.1 (the
+    interpreted evaluator is also the wrong thing to JIT-warm on a 100 TB
+    scan). For n=1 the trailing-space consumer would drop the last token,
+    so that case is distinct tokens directly.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    if n == 1:
+        toks = F.split(norm, " ")
+        return F.when(norm == "", F.array().cast("array<string>")).otherwise(
+            F.array_distinct(toks)
+        )
+    pattern = r"(?=(" + r"\S+ " * (n - 1) + r"\S+))\S+ "
+    return F.array_distinct(F.regexp_extract_all(norm, F.lit(pattern), 1))
 
 
 def shingle_df(
@@ -58,7 +85,7 @@ def shingle_df(
     materialization under concurrent broadcast threads measured wildly
     variable: 4-31s for the same sf0.1 query).
 
-    Two performance traps measured at sf0.1 (see git history):
+    Three performance traps measured at sf0.1 (see git history):
     * building shingles inline re-splits the text inside every element_at
       of the transform lambda — materialize `toks` as a column first;
     * plain explode() makes Catalyst infer a `size(expr)>0 AND
@@ -66,10 +93,20 @@ def shingle_df(
       inlined twice, and lambda expressions run interpreted (no codegen):
       ~19s for 5000 docs. explode_outer() skips the inferred filter; the
       null rows it emits for empty arrays are removed by a cheap filter on
-      the generated attribute instead (21s -> 0.9s).
+      the generated attribute instead (21s -> 0.9s);
+    * a small corpus read as ONE parquet split runs the whole interpreted
+      shingle transform on one core — and when the signature relation is
+      rebuilt inside broadcast-exchange threads, that single cold task is
+      the entire build (measured 4-31s variance for the same sf0.1 query).
+      `ensure_min_parallelism` fans the map out first; at real corpus
+      scale the scan already has more splits than cores and it's a no-op.
     """
-    toks = docs.select(id_col, words(F.col(text_col)).alias("toks"))
-    arrs = toks.select(id_col, word_shingles(F.col("toks"), n).alias("shs"))
+    from biocache_store_spark.util import ensure_min_parallelism
+
+    # project to the two needed columns BEFORE the fan-out repartition so
+    # the (usually no-op) shuffle never carries unused columns
+    docs = ensure_min_parallelism(docs.select(id_col, text_col))
+    arrs = docs.select(id_col, text_shingles(F.col(text_col), n).alias("shs"))
     cols = [id_col]
     if with_count:
         cols.append(F.size("shs").alias("n_sh"))

@@ -194,9 +194,15 @@ def near_duplicates(
     )
     inter = F.size(F.array_intersect("shs_a", "shs_b"))
     jaccard = inter / (F.col("n_sh_a") + F.col("n_sh_b") - inter)
+    # shuffle_hash, NOT broadcast: the signature relation carries the
+    # per-document shingle sets, which is exactly the relation you could
+    # never broadcast at corpus scale. Letting AQE broadcast it at small SF
+    # also ran the whole signature build inside two concurrent
+    # broadcast-exchange threads and collected both onto the driver heap
+    # (measured: 80+ s of GC in-session at sf0.1 with a warm heap).
     return (
-        cand.join(sets_a, "doc_a")
-        .join(sets_b, "doc_b")
+        cand.join(sets_a.hint("shuffle_hash"), "doc_a")
+        .join(sets_b.hint("shuffle_hash"), "doc_b")
         .filter(F.coalesce(jaccard, F.lit(-1.0)) >= threshold)
         .select("doc_a", "doc_b", F.round(jaccard, 4).alias("jaccard"))
     )

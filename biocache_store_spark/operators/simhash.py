@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from biocache_store_spark.functions.text import word_shingles, words
+from biocache_store_spark.functions.text import text_shingles
 
 SIMHASH_BITS = 32
 
@@ -54,9 +54,11 @@ def simhash(
     bits: int = SIMHASH_BITS,
 ) -> DataFrame:
     """(id, n_sh, simhash bit-string) per document with >= n tokens."""
-    toks = docs.select(id_col, words(F.col(text_col)).alias("toks"))
-    arrs = toks.select(
-        id_col, word_shingles(F.col("toks"), n).alias("shs")
+    from biocache_store_spark.util import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(docs.select(id_col, text_col))
+    arrs = docs.select(
+        id_col, text_shingles(F.col(text_col), n).alias("shs")
     ).filter(F.size("shs") > 0)
     hashed = arrs.select(
         id_col,

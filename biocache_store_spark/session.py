@@ -40,7 +40,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Spark 4 implements lower()/upper() under UTF8_BINARY via the ICU
+        # library; ICU's case-mapping path allocates heavily and serializes
+        # on a shared BreakIterator cache, which turns any 32-task stage
+        # with lower() in the hot loop into a lock convoy (thread dumps:
+        # CollationSupport$Lower.execBinaryICU dominating RUNNABLE samples,
+        # 10-30x wall-clock variance). JVM case mappings are bit-identical
+        # for ASCII and match the DuckDB oracles on this corpus.
+        .config("spark.sql.icu.caseMappings.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -268,3 +268,39 @@ def test_corpus_curation_manifest_semantics(spark, tmp_path):
     assert s2["n_input"] == 2 and s2["n_candidates"] == 1  # junk gated out
     assert s2["n_kept"] == 1
     assert s1["tokens_kept"] > 0 and s2["avg_quality_kept"] >= 0.5
+
+
+def test_text_shingles_equals_word_shingles(spark):
+    """The codegen'd regex shingler must produce the identical shingle set
+    as the lambda formulation for every n and for the edge shapes (short
+    docs, repeated whitespace, empty/whitespace-only text)."""
+    from biocache_store_spark.functions.text import (
+        text_shingles,
+        word_shingles,
+        words,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "  leading and   trailing   whitespace\tand tabs\nnewlines  "),
+        (2, "one"),
+        (3, "two words"),
+        (4, ""),
+        (5, "   "),
+        (6, "MiXeD Case TOKENS repeated repeated repeated tokens"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (1, 2, 3, 5):
+        cmp = df.select(
+            "text",
+            F.array_sort(text_shingles(F.col("text"), n)).alias("a"),
+            F.array_sort(word_shingles(words(F.col("text")), n)).alias("b"),
+        ).collect()
+        for r in cmp:
+            if n == 1 and r["text"].strip() == "":
+                # intended divergence: the lambda form emits a bogus ['']
+                # 1-shingle for empty/whitespace-only text (split('') ->
+                # ['']); the regex form correctly yields no shingles
+                assert r["a"] == [] and r["b"] == [""]
+                continue
+            assert r["a"] == r["b"], (n, r)

@@ -1,0 +1,178 @@
+"""Corpus-curation operators a training-data pipeline needs beyond dedup.
+
+These generalize the reference's record-local hygiene layer (parser/
+processor stages that normalize, validate and dedupe occurrence records,
+e.g. processor/Processors.scala:16-29 ordering, the MD5 dedup discipline of
+load/MediaStore.scala:234-285) to the operations run over a 100 TB text
+corpus before training:
+
+  * n-gram decontamination  — remove/flag training documents that overlap
+    an evaluation benchmark (the standard 8/13-gram overlap check),
+  * sliding-window chunking — split long documents into fixed token
+    windows with stride,
+  * stratified sampling     — deterministic hash-based per-stratum keeps,
+  * sequence packing        — contiguous token-budget bin assignment.
+
+Every operator is deterministic (md5-based hashing, doc_id ordering) so
+each has an EXACT DuckDB oracle — no probabilistic slack in tests.
+
+Scale shape: decontamination broadcasts only the benchmark shingle set
+(benchmarks are small by construction; the training side streams),
+chunking/sampling are embarrassingly parallel maps, and packing shuffles
+once on the stratum key with a single window pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from biocache_store_spark.functions.text import text_shingles, words
+
+
+def ngram_overlap(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per training document: how many of its distinct n-gram shingles
+    appear anywhere in the benchmark corpus.
+
+    Returns (id, n_sh, n_overlap, overlap_ratio) for every training doc
+    with at least one shingle. The benchmark side is reduced to its
+    DISTINCT shingle set and explicitly broadcast: an eval benchmark is
+    small by construction, while the training side at corpus scale must
+    stream map-side — this is the one join in the repo where broadcast is
+    the *scale-correct* choice, not a small-SF artifact.
+    """
+    from biocache_store_spark.util import ensure_min_parallelism
+
+    t = ensure_min_parallelism(train.select(id_col, text_col)).select(
+        id_col, F.explode(text_shingles(F.col(text_col), n)).alias("sh")
+    )
+    b = (
+        benchmark.select(F.explode(text_shingles(F.col(text_col), n)).alias("sh"))
+        .distinct()
+    )
+    counts = t.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    overlap = (
+        t.join(F.broadcast(b), "sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        counts.join(overlap, id_col, "left")
+        .select(
+            id_col,
+            "n_sh",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            F.round(
+                F.coalesce(F.col("n_overlap"), F.lit(0)) / F.col("n_sh"), 4
+            ).alias("overlap_ratio"),
+        )
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 20,
+    stride: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding token windows per document: (id, chunk_idx, chunk, n_tok).
+
+    Starts at token 1, 1+stride, 1+2*stride, ... up to the last FULL
+    window (len - window + 1); a document shorter than one window yields
+    exactly one (possibly partial) chunk. Tokens are the normalized
+    lower-cased whitespace tokens of `words`, so chunk text is already in
+    model-input form. Embarrassingly parallel — no shuffle beyond the
+    small-input fan-out.
+    """
+    from biocache_store_spark.util import ensure_min_parallelism
+
+    toks = ensure_min_parallelism(docs.select(id_col, text_col)).select(
+        id_col, words(F.col(text_col)).alias("toks")
+    )
+    toks = toks.withColumn("n", F.size("toks")).filter(
+        (F.col("n") > 0) & (F.col("toks")[0] != "")
+    )
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.col("n") - window + 1, F.lit(1)), F.lit(stride)
+    )
+    ex = toks.select(
+        id_col, "toks", "n", F.posexplode(starts).alias("chunk_idx", "start")
+    )
+    piece = F.slice(F.col("toks"), F.col("start"), F.lit(window))
+    return ex.select(
+        id_col,
+        "chunk_idx",
+        F.concat_ws(" ", piece).alias("chunk"),
+        F.least(F.lit(window), F.col("n") - F.col("start") + 1).alias("n_tok"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    thresholds: dict[str, str],
+    id_col: str = "doc_id",
+    default_threshold: str = "00",
+) -> DataFrame:
+    """Deterministic hash sampling with a per-stratum rate.
+
+    A row is kept when the first two hex chars of md5(id) compare below
+    the stratum's 2-hex-digit threshold — '1a' keeps ~26/256 = 10.2%,
+    '40' ~25%, '80' ~50%. Comparing IN HEX-STRING SPACE sidesteps any
+    hex->integer conversion differences between engines: the predicate is
+    a plain string comparison both here and in the SQL oracle. Sampling
+    is a map-side filter — no shuffle, no RNG, stable across runs,
+    partitionings and engines (the property `sample()` cannot give).
+    """
+    thr = F.lit(default_threshold)
+    for k, v in sorted(thresholds.items()):
+        thr = F.when(F.col(stratum_col) == k, F.lit(v)).otherwise(thr)
+    bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    return df.filter(bucket < thr)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 200,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Contiguous token-budget packing: assign each document to a bin so
+    concatenating a bin's documents (in id order) stays near `budget`
+    tokens.
+
+    Documents are taken in deterministic id order within a stratum; a
+    document starting at cumulative offset c goes to bin floor(c/budget).
+    This is the streaming variant of first-fit packing — single window
+    pass over one shuffle on the stratum key, which is how packing has to
+    work at corpus scale (a true bin-packing pass would be a global
+    sort + sequential state). Returns (stratum, bin, n_docs, n_tokens).
+    """
+    from pyspark.sql.window import Window
+
+    tok = docs.select(
+        stratum_col,
+        id_col,
+        F.size(words(F.col(text_col))).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = tok.withColumn(
+        "bin",
+        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / budget),
+    )
+    return binned.groupBy(stratum_col, "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )

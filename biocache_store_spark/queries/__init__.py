@@ -84,6 +84,14 @@ HEAD: tuple[str, ...] = (
 )
 
 DEPRIORITIZED: tuple[str, ...] = (
+    # green in BOTH r02 and r03; shapes re-derivable from other green rows.
+    # Yield their slots to the round-4 curation queries while keeping the
+    # dedup flagships (exact/minhash/ngram) inside the checked prefix.
+    "interval_containment_groups",  # broadcast interval dim; green 2x
+    "rounding_ladder",  # arithmetic reformat; green 2x, kin of gridref/distance rows
+    "raw_processed_comparison",  # outer-join compare; green 2x
+    "attribution_lookup",  # broadcast-lookup join family also evidenced by classification_enrich
+    "distance_parse",  # parser family evidenced by fuzzy_date/gridref/verbatim rows; green 2x
     "event_user_sessions",  # same stateful-sessionization operator as event_sessionization
     "text_quality_stats",  # quality-scoring row also evidenced per-doc by text_quality_score
     "text_token_stats",  # token/length stats re-evidenced by text_quality_score + corpus_curation manifest
@@ -120,6 +128,7 @@ def load_all() -> dict[str, Query]:
     from biocache_store_spark.queries import (  # noqa: F401
         analytics,
         coverage,
+        curation,
         events,
         relational,
         text,

@@ -1,0 +1,268 @@
+"""Training-corpus curation queries: decontamination, chunking, sampling,
+packing, TF-IDF — the pre-training data operations layered on the engine
+beyond near-dup removal (see queries/text.py `corpus_curation` for the
+quality->language->dedup pipeline these compose with).
+
+Everything is deterministic (md5 hashing, doc_id ordering, rational
+arithmetic only — no transcendentals) so every query has an EXACT DuckDB
+oracle; float outputs are rounded in-query on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biocache_store_spark.io import read_table
+from biocache_store_spark.queries import register
+
+# words(text) in DuckDB — keep in sync with functions/text.py `words`
+_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+
+
+@register(
+    "ngram_decontamination",
+    doc=(
+        "Benchmark decontamination by n-gram overlap "
+        "(operators/curation.py ngram_overlap): every training document's "
+        "distinct 5-gram shingles are probed against the DISTINCT shingle "
+        "set of the evaluation corpus (source 'src0' stands in as the "
+        "benchmark); documents whose overlap ratio is >= 0.5 would be "
+        "dropped before training. The benchmark shingle set is explicitly "
+        "broadcast — eval sets are small by construction, so this is the "
+        "scale-correct join direction at 100 TB of training text."
+    ),
+    oracle=rf"""
+        WITH w AS (
+            SELECT doc_id, source, {_TOKS} AS toks FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, source,
+                   toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                   toks[i+3] || ' ' || toks[i+4] AS sh
+            FROM (SELECT doc_id, source, toks,
+                         unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS i
+                  FROM w)
+        ),
+        bench AS (SELECT DISTINCT sh FROM sh WHERE source = 'src0'),
+        train AS (SELECT doc_id, sh FROM sh WHERE source <> 'src0'),
+        counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM train GROUP BY doc_id),
+        overlap AS (
+            SELECT t.doc_id, COUNT(*) AS n_overlap
+            FROM train t JOIN bench b ON t.sh = b.sh
+            GROUP BY t.doc_id
+        )
+        SELECT c.doc_id, c.n_sh,
+               COALESCE(o.n_overlap, 0) AS n_overlap,
+               ROUND(COALESCE(o.n_overlap, 0) * 1.0 / c.n_sh, 4) AS overlap_ratio
+        FROM counts c LEFT JOIN overlap o ON c.doc_id = o.doc_id
+    """,
+)
+def ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.curation import ngram_overlap
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    return ngram_overlap(train, bench, n=5)
+
+
+@register(
+    "doc_chunking",
+    doc=(
+        "Sliding-window document chunking (operators/curation.py "
+        "chunk_documents): 20-token windows at stride 10 over the "
+        "normalized token stream — the standard pre-tokenization split of "
+        "long documents into model-context-sized pieces. Chunk 0 starts "
+        "at token 1; only full windows are emitted except for documents "
+        "shorter than one window, which yield a single partial chunk."
+    ),
+    oracle=rf"""
+        WITH w AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+        ),
+        nz AS (
+            SELECT doc_id, toks, len(toks) AS n FROM w
+            WHERE len(toks) > 0 AND toks[1] <> ''
+        ),
+        starts AS (
+            SELECT doc_id, toks, n,
+                   unnest(generate_series(1, greatest(n - 19, 1), 10)) AS i
+            FROM nz
+        )
+        SELECT doc_id,
+               (i - 1) // 10 AS chunk_idx,
+               array_to_string(toks[i : i + 19], ' ') AS chunk,
+               least(20, n - i + 1) AS n_tok
+        FROM starts
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.curation import chunk_documents
+
+    docs = read_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, window=20, stride=10)
+
+
+@register(
+    "stratified_sample",
+    doc=(
+        "Deterministic stratified sampling (operators/curation.py "
+        "stratified_sample): per-source keep rates applied as a hex-prefix "
+        "comparison on md5(doc_id) — '1a' ~10%, '40' ~25%, '80' ~50%, "
+        "default '33' ~20%. Hash sampling is the reproducible, "
+        "partitioning-independent alternative to rand()-based sample(); "
+        "the hex-string comparison makes the predicate engine-exact. "
+        "Output aggregates kept counts per stratum."
+    ),
+    oracle=r"""
+        WITH kept AS (
+            SELECT source, doc_id
+            FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+                  CASE source WHEN 'src0' THEN '1a'
+                              WHEN 'src1' THEN '40'
+                              WHEN 'src2' THEN '80'
+                              ELSE '33' END
+        ),
+        totals AS (SELECT source, COUNT(*) AS n_in FROM documents GROUP BY source)
+        SELECT t.source, t.n_in,
+               COALESCE(k.n_kept, 0) AS n_kept,
+               COALESCE(k.min_id, -1) AS min_kept_id,
+               COALESCE(k.max_id, -1) AS max_kept_id
+        FROM totals t
+        LEFT JOIN (
+            SELECT source, COUNT(*) AS n_kept,
+                   MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+            FROM kept GROUP BY source
+        ) k ON t.source = k.source
+    """,
+)
+def stratified_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.curation import stratified_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs,
+        "source",
+        {"src0": "1a", "src1": "40", "src2": "80"},
+        default_threshold="33",
+    )
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_in"))
+    per = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+    return totals.join(per, "source", "left").select(
+        "source",
+        "n_in",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        F.coalesce(F.col("min_id"), F.lit(-1)).alias("min_kept_id"),
+        F.coalesce(F.col("max_id"), F.lit(-1)).alias("max_kept_id"),
+    )
+
+
+@register(
+    "sequence_packing",
+    doc=(
+        "Token-budget sequence packing (operators/curation.py "
+        "pack_sequences): documents taken in id order within each source; "
+        "a document starting at cumulative token offset c lands in bin "
+        "floor(c/200). The streaming variant of first-fit packing — one "
+        "shuffle on the stratum key + one window pass, the only shape "
+        "that scales to a corpus that cannot be globally sorted."
+    ),
+    oracle=rf"""
+        WITH tok AS (
+            SELECT source, doc_id, len({_TOKS}) AS n_tok FROM documents
+        ),
+        offs AS (
+            SELECT source, doc_id, n_tok,
+                   COALESCE(SUM(n_tok) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS c
+            FROM tok
+        )
+        SELECT source, c // 200 AS bin,
+               COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens
+        FROM offs GROUP BY source, c // 200
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.curation import pack_sequences
+
+    docs = read_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=200)
+
+
+@register(
+    "tfidf_top_terms",
+    doc=(
+        "Per-source top-5 terms by TF-IDF. tf = term occurrences within "
+        "the source; idf is the rational BM25 form "
+        "(N_docs - df + 0.5)/(df + 0.5) over per-document frequencies — "
+        "rational arithmetic only, so the doubles are bit-identical to "
+        "the SQL oracle (ln() would round differently between libms). "
+        "Ranking ties break on term text for determinism."
+    ),
+    oracle=rf"""
+        WITH tok AS (
+            SELECT doc_id, source, unnest({_TOKS}) AS term FROM documents
+        ),
+        tf AS (
+            SELECT source, term, COUNT(*) AS tf
+            FROM tok WHERE term <> '' GROUP BY source, term
+        ),
+        df AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS df
+            FROM tok WHERE term <> '' GROUP BY term
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.source, tf.term,
+                   ROUND(tf.tf * ((n.n_docs - df.df + 0.5) / (df.df + 0.5)),
+                         4) AS score
+            FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+        ),
+        ranked AS (
+            SELECT source, term, score,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY score DESC, term
+                   ) AS rank
+            FROM scored
+        )
+        SELECT source, term, score, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from biocache_store_spark.functions.text import words
+    from biocache_store_spark.util import ensure_min_parallelism
+
+    docs = read_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = ensure_min_parallelism(docs.select("doc_id", "source", "text")).select(
+        "doc_id", "source", F.explode(words(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df.hint("shuffle_hash"), "term").select(
+        "source",
+        "term",
+        F.round(
+            F.col("tf")
+            * ((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+            4,
+        ).alias("score"),
+    )
+    # rank on the ROUNDED score (ties then break on term) so the ordering
+    # is identical on both sides of the oracle comparison
+    w = Window.partitionBy("source").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("source", "term", "score", "rank")
+    )

@@ -1,0 +1,96 @@
+"""Corpus-curation operators: decontamination, chunking, sampling, packing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta", "bench"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta", "train"),  # exact copy
+        (2, "iota kappa lambda mu nu xi omicron pi rho sigma", "train"),  # disjoint
+        (3, "alpha beta gamma delta epsilon unrelated words here now", "train"),
+        (4, "tiny", "train"),  # < n tokens -> no shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_ngram_overlap_ratios(spark, corpus):
+    from biocache_store_spark.operators.curation import ngram_overlap
+
+    bench = corpus.filter(F.col("source") == "bench")
+    train = corpus.filter(F.col("source") == "train")
+    out = {r["doc_id"]: r for r in ngram_overlap(train, bench, n=5).collect()}
+    assert out[1]["overlap_ratio"] == 1.0  # exact copy: fully contaminated
+    assert out[2]["n_overlap"] == 0 and out[2]["overlap_ratio"] == 0.0
+    # doc 3 shares exactly the one 5-gram "alpha beta gamma delta epsilon"
+    assert out[3]["n_overlap"] == 1
+    assert 4 not in out  # too short to shingle
+
+
+def test_chunk_documents_boundaries(spark):
+    from biocache_store_spark.operators.curation import chunk_documents
+
+    toks = lambda k: " ".join(f"t{i}" for i in range(k))
+    rows = [(0, toks(4)), (1, toks(5)), (2, toks(14)), (3, toks(15)), (4, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(docs, window=5, stride=5)
+    chunks = {}
+    for r in out.collect():
+        chunks.setdefault(r["doc_id"], []).append(r)
+    # shorter than one window -> single partial chunk
+    assert [c["n_tok"] for c in chunks[0]] == [4]
+    # exactly one window
+    assert [c["n_tok"] for c in chunks[1]] == [5]
+    # 14 tokens at window=stride=5 -> two full windows, trailing 4 dropped
+    assert sorted(c["chunk_idx"] for c in chunks[2]) == [0, 1]
+    # 15 tokens -> three full windows
+    assert sorted(c["chunk_idx"] for c in chunks[3]) == [0, 1, 2]
+    assert 4 not in chunks  # empty text yields nothing
+    assert chunks[3][0]["chunk"].split() == [f"t{i}" for i in range(5)]
+
+
+def test_chunk_documents_stride_overlap(spark):
+    from biocache_store_spark.operators.curation import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(10)))], "doc_id long, text string"
+    )
+    out = sorted(
+        chunk_documents(docs, window=6, stride=2).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # starts 1,3,5 (last full-window start = 10-6+1 = 5)
+    assert [r["chunk"].split()[0] for r in out] == ["t0", "t2", "t4"]
+    assert all(r["n_tok"] == 6 for r in out)
+
+
+def test_stratified_sample_deterministic(spark):
+    from biocache_store_spark.operators.curation import stratified_sample
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("src"),
+    )
+    kept = stratified_sample(df, "src", {"a": "80", "b": "00"})
+    rows = kept.collect()
+    assert all(r["src"] == "a" for r in rows)  # '00' keeps nothing
+    n = len(rows)
+    assert 200 < n < 300  # ~50% of 500
+    # deterministic: same result on re-run
+    again = stratified_sample(df, "src", {"a": "80", "b": "00"}).collect()
+    assert sorted(r["doc_id"] for r in rows) == sorted(r["doc_id"] for r in again)
+
+
+def test_pack_sequences_offsets(spark):
+    from biocache_store_spark.operators.curation import pack_sequences
+
+    # 4 docs of 3 tokens each, budget 6 -> bins of 2 docs
+    rows = [(i, "a b c", "s") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["bin"]: r for r in pack_sequences(docs, budget=6).collect()}
+    assert out[0]["n_docs"] == 2 and out[0]["n_tokens"] == 6
+    assert out[1]["n_docs"] == 2 and out[1]["n_tokens"] == 6

@@ -81,7 +81,20 @@ def main() -> None:
     process_records_hybrid(occ.limit(2000)).write.format("noop").mode(
         "overwrite"
     ).save()
-    for name, fn in (("full", process_records), ("hybrid", process_records_hybrid)):
+    # hybrid+loc: additionally run the LocationProcessor once per distinct
+    # coordinate tuple (real occurrence data repeats coordinates heavily —
+    # the reference keeps a 10k-entry location cache for the same reason,
+    # Config.scala:165-173; opt-in because pathological corpora with
+    # near-unique GPS coords would pay the distinct+join for nothing)
+    def hybrid_loc(df):
+        return process_records_hybrid(df, location_by_distinct=True)
+
+    hybrid_loc(occ.limit(2000)).write.format("noop").mode("overwrite").save()
+    for name, fn in (
+        ("full", process_records),
+        ("hybrid", process_records_hybrid),
+        ("hybrid_loc", hybrid_loc),
+    ):
         t0 = time.time()
         fn(occ).select(
             F.col("processed")["basisOfRecord"], F.col("geospatially_kosher")

@@ -81,6 +81,9 @@ HEAD: tuple[str, ...] = (
     "embedding_ivf_topk",
     "embedding_label_centroid_norms",
     "embedding_cosine_near_dup",
+    # round-4 additions, second batch — no driver row yet
+    "streaming_event_windows",
+    "salted_skew_join",
 )
 
 DEPRIORITIZED: tuple[str, ...] = (
@@ -92,6 +95,8 @@ DEPRIORITIZED: tuple[str, ...] = (
     "raw_processed_comparison",  # outer-join compare; green 2x
     "attribution_lookup",  # broadcast-lookup join family also evidenced by classification_enrich
     "distance_parse",  # parser family evidenced by fuzzy_date/gridref/verbatim rows; green 2x
+    "semi_join_incremental",  # left-semi scoping; green 3x, incremental evidence now carried by streaming_event_windows
+    "window_representative",  # argmax window; green 3x, still bench-timed every round
     "event_user_sessions",  # same stateful-sessionization operator as event_sessionization
     "text_quality_stats",  # quality-scoring row also evidenced per-doc by text_quality_score
     "text_token_stats",  # token/length stats re-evidenced by text_quality_score + corpus_curation manifest

@@ -197,3 +197,59 @@ def event_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("event_type").alias("n_types"),
         )
     )
+
+
+@register(
+    "streaming_event_windows",
+    doc=(
+        "The SAME hourly histogram computed through Structured Streaming: "
+        "readStream over the events parquet -> tumbling window('1 hour') "
+        "aggregation (streaming/incremental.py windowed_event_counts, the "
+        "streaming twin SURVEY 2.11 promises) -> complete-mode memory sink "
+        "driven to completion with Trigger.AvailableNow. availableNow over "
+        "static files is exactly the reference's process-what-arrived "
+        "incremental semantics, and complete-mode output over a bounded "
+        "stream equals the batch aggregate - hence an EXACT SQL oracle, "
+        "not a rows-only check. At scale the same pipeline runs unbounded "
+        "with the declared watermark bounding state."
+    ),
+    oracle="""
+        SELECT date_trunc('hour', ts) AS window_start,
+               event_type,
+               COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from biocache_store_spark.streaming.incremental import (
+        read_events_stream,
+        windowed_event_counts,
+    )
+
+    sink = "streaming_event_windows_sink"
+    for q in spark.streams.active:
+        if q.name == sink:
+            q.stop()
+    stream = read_events_stream(spark, sf_dir)
+    # no watermark: bounded availableNow stream in complete mode — and the
+    # tz-independent TIMESTAMP_NTZ event time (oracle exactness) is not a
+    # legal watermark column anyway
+    agg = windowed_event_counts(stream, window_duration="1 hour", watermark=None)
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sew_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink).select(
+        F.col("win.start").alias("window_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )

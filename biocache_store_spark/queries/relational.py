@@ -550,3 +550,46 @@ def rounding_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("c_acctbal", 1).alias("bal_p1"),
         F.round("c_acctbal", 0).alias("bal_p0"),
     )
+
+
+@register(
+    "salted_skew_join",
+    doc=(
+        "Hot-key salted join (operators/skew.py): lineitem joined to a "
+        "3-row flag dimension on l_returnflag - a maximally skewed key "
+        "(~200k rows per value at sf0.1) that would pin one shuffle "
+        "partition per flag. The salt widens the key 8x; results are "
+        "row-identical to the plain join, which is exactly what the "
+        "oracle checks. The aggregate collapses the output so the "
+        "checked relation stays small while the join itself runs at "
+        "full fact-table width."
+    ),
+    oracle="""
+        SELECT f.flag_label,
+               COUNT(*) AS n,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l
+        JOIN (SELECT 'A' AS l_returnflag, 'accepted' AS flag_label
+              UNION ALL SELECT 'N', 'none'
+              UNION ALL SELECT 'R', 'returned') f
+          ON l.l_returnflag = f.l_returnflag
+        GROUP BY f.flag_label
+    """,
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.skew import salted_join
+
+    lineitem = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    dim = spark.createDataFrame(
+        [("A", "accepted"), ("N", "none"), ("R", "returned")],
+        "l_returnflag string, flag_label string",
+    )
+    joined = salted_join(lineitem, dim, "l_returnflag", salt=8)
+    return joined.groupBy("flag_label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )

@@ -77,18 +77,69 @@ def process_staging_stream(
 def windowed_event_counts(
     events: DataFrame,
     window_duration: str = "1 hour",
-    watermark: str = "2 hours",
+    watermark: str | None = "2 hours",
     ts_col: str = "ts",
     key_col: str = "event_type",
 ) -> DataFrame:
     """Tumbling-window counts with a watermark; works on both a static and a
-    streaming events DataFrame (same code path, batch first)."""
+    streaming events DataFrame (same code path, batch first).
+
+    `watermark=None` skips the watermark — required when the event-time
+    column is TIMESTAMP_NTZ (watermarks demand TIMESTAMP) and legitimate
+    for complete-mode aggregation over a bounded availableNow stream,
+    where no state ever needs evicting. Unbounded append-mode deployments
+    must keep the watermark (and a TIMESTAMP event-time column)."""
     df = events
-    if df.isStreaming:
+    if df.isStreaming and watermark is not None:
         df = df.withWatermark(ts_col, watermark)
     return df.groupBy(
         F.window(F.col(ts_col), window_duration).alias("win"), F.col(key_col)
     ).agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a STREAMING DataFrame (file source).
+
+    Same nanos-as-long handling as io.read_table (events.parquet carries
+    INT64 TIMESTAMP(NANOS)); the rebuild uses pure integer arithmetic on
+    a TIMESTAMP_NTZ epoch so results are session-timezone independent.
+    File-source streaming needs an explicit schema — the batch reader's
+    footer inference doesn't run in readStream.
+    """
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id long, ts long, user_id long, "
+        "event_type string, value double, props string"
+    )
+    # the file source's basePath must be a DIRECTORY — stream the sf dir
+    # with a glob filter rather than pointing at the single parquet file
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # The batch reader under nanosAsLong yields raw NANOS; the file-stream
+    # reader yields MICROS for the same column (it resolves the nanos
+    # annotation before applying the user schema). Scale-detect instead of
+    # trusting either: epoch-micros for any plausible date is < 1e16,
+    # epoch-nanos > 1e16.
+    micros = F.when(
+        F.abs(F.col("ts")) > F.lit(10_000_000_000_000_000),
+        F.expr("ts div 1000"),
+    ).otherwise(F.col("ts"))
+    return (
+        raw.withColumn("__micros", micros)
+        .withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, __micros,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
+        .drop("__micros")
     )

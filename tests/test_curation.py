@@ -94,3 +94,34 @@ def test_pack_sequences_offsets(spark):
     out = {r["bin"]: r for r in pack_sequences(docs, budget=6).collect()}
     assert out[0]["n_docs"] == 2 and out[0]["n_tokens"] == 6
     assert out[1]["n_docs"] == 2 and out[1]["n_tokens"] == 6
+
+
+def test_salted_join_matches_plain_join(spark):
+    from biocache_store_spark.operators.skew import salted_join
+
+    left = spark.range(2000).select(
+        (F.col("id") % 3).cast("string").alias("k"), F.col("id").alias("v")
+    )
+    right = spark.createDataFrame(
+        [("0", "zero"), ("1", "one"), ("5", "five")], "k string, label string"
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            (r["k"], r["v"], r["label"])
+            for r in salted_join(left, right, "k", how=how, salt=4).collect()
+        )
+        want = sorted(
+            (r["k"], r["v"], r["label"])
+            for r in left.join(right, "k", how).collect()
+        )
+        assert got == want, how
+
+
+def test_salted_join_rejects_right_joins(spark):
+    import pytest as _pytest
+
+    from biocache_store_spark.operators.skew import salted_join
+
+    df = spark.range(3).select(F.col("id").cast("string").alias("k"))
+    with _pytest.raises(ValueError):
+        salted_join(df, df, "k", how="right")

@@ -69,14 +69,16 @@ def main() -> int:
     # discarding one-off interference (GC pause, compile, a noisy-neighbor
     # burst on the host), which a single sample cannot distinguish from
     # real cost
+    # the two samples run as two FULL passes (not back-to-back) so one
+    # tens-of-seconds interference burst cannot land on both samples of
+    # the same query
     timings: dict[str, float] = {}
-    for name, q in bench_queries.items():
-        best = float("inf")
-        for _ in range(2):
+    for _pass in range(2):
+        for name, q in bench_queries.items():
             start = time.perf_counter()
             _force(q.spark_fn(spark, data_dir))
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
+            sec = time.perf_counter() - start
+            timings[name] = round(min(timings.get(name, float("inf")), sec), 3)
 
     result = {
         "metric": "headline_queries_total_wall_clock",

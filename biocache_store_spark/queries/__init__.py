@@ -84,6 +84,8 @@ HEAD: tuple[str, ...] = (
     # round-4 additions, second batch — no driver row yet
     "streaming_event_windows",
     "salted_skew_join",
+    "text_redact_pii",
+    "text_repetition_stats",
 )
 
 DEPRIORITIZED: tuple[str, ...] = (
@@ -95,6 +97,8 @@ DEPRIORITIZED: tuple[str, ...] = (
     "raw_processed_comparison",  # outer-join compare; green 2x
     "attribution_lookup",  # broadcast-lookup join family also evidenced by classification_enrich
     "distance_parse",  # parser family evidenced by fuzzy_date/gridref/verbatim rows; green 2x
+    "stored_query_replay",  # q+fq translator; green 2x, spatial variant stored_query_bbox now carries the driver row
+    "classification_enrich",  # taxon-profile/vernacular broadcast lookup; green 2x, join family still evidenced by taxon_name_match + sds rows
     "semi_join_incremental",  # left-semi scoping; green 3x, incremental evidence now carried by streaming_event_windows
     "window_representative",  # argmax window; green 3x, still bench-timed every round
     "event_user_sessions",  # same stateful-sessionization operator as event_sessionization

@@ -266,3 +266,123 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("source", "term", "score", "rank")
     )
+
+
+@register(
+    "text_redact_pii",
+    doc=(
+        "PII scrubbing over a synthesized contact-text column (emails + "
+        "long digit runs -> placeholder tokens), the standard redaction "
+        "pass before corpus release. Patterns are lookahead-free so Java "
+        "regex and DuckDB's RE2 agree byte-for-byte; the email pass runs "
+        "before the digit pass so address digits are already masked. "
+        "Pure regexp_replace/regexp_extract_all — whole-stage codegen, "
+        "embarrassingly parallel at 100 TB."
+    ),
+    oracle=r"""
+        WITH src AS (
+            SELECT c_custkey,
+                   c_name || ' reachable at user' || CAST(c_custkey AS VARCHAR)
+                   || '@example.com or +1-'
+                   || lpad(CAST(c_custkey % 10000000 AS VARCHAR), 7, '0') AS contact
+            FROM customer
+        ),
+        pass1 AS (
+            SELECT c_custkey,
+                   len(regexp_extract_all(contact,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS n_emails,
+                   regexp_replace(contact,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g')
+                       AS t1
+            FROM src
+        )
+        SELECT c_custkey,
+               n_emails,
+               len(regexp_extract_all(t1, '[0-9]{4,}')) AS n_num_runs,
+               regexp_replace(t1, '[0-9]{4,}', '<NUM>', 'g') AS redacted
+        FROM pass1
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    num_re = r"[0-9]{4,}"
+    customer = read_table(spark, sf_dir, "customer")
+    contact = F.concat(
+        F.col("c_name"),
+        F.lit(" reachable at user"),
+        F.col("c_custkey").cast("string"),
+        F.lit("@example.com or +1-"),
+        F.lpad(F.pmod(F.col("c_custkey"), F.lit(10_000_000)).cast("string"), 7, "0"),
+    )
+    t0 = customer.select("c_custkey", contact.alias("contact"))
+    t1 = t0.select(
+        "c_custkey",
+        F.size(F.regexp_extract_all("contact", F.lit(email_re), 0)).alias("n_emails"),
+        F.regexp_replace("contact", email_re, "<EMAIL>").alias("t1"),
+    )
+    return t1.select(
+        "c_custkey",
+        "n_emails",
+        F.size(F.regexp_extract_all("t1", F.lit(num_re), 0)).alias("n_num_runs"),
+        F.regexp_replace("t1", num_re, "<NUM>").alias("redacted"),
+    )
+
+
+@register(
+    "text_repetition_stats",
+    doc=(
+        "Repetition quality signals per document (the Gopher/MassiveText "
+        "duplicate-fraction heuristics): 1 - distinct/total for words and "
+        "for contiguous word bigrams. High repetition flags boilerplate "
+        "and degenerate generations before they enter a training mix. "
+        "Bigram distincts come from the codegen'd regex shingler "
+        "(functions/text.py text_shingles)."
+    ),
+    oracle=rf"""
+        WITH w AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+        ),
+        base AS (
+            SELECT doc_id, toks, len(toks) AS n,
+                   len(list_distinct(toks)) AS n_distinct
+            FROM w WHERE len(toks) > 0 AND toks[1] <> ''
+        ),
+        bi AS (
+            SELECT b.doc_id,
+                   COUNT(DISTINCT toks[i] || ' ' || toks[i+1]) AS n_bi_distinct
+            FROM (SELECT doc_id, toks,
+                         unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS i
+                  FROM base) b
+            GROUP BY b.doc_id
+        )
+        SELECT base.doc_id,
+               base.n AS n_words,
+               ROUND(1.0 - base.n_distinct * 1.0 / base.n, 4) AS word_rep,
+               CASE WHEN base.n > 1
+                    THEN ROUND(1.0 - bi.n_bi_distinct * 1.0 / (base.n - 1), 4)
+                    ELSE CAST(0.0 AS DOUBLE) END AS bigram_rep
+        FROM base LEFT JOIN bi ON base.doc_id = bi.doc_id
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.functions.text import text_shingles, words
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = words(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(text_shingles(F.col("text"), 2)).alias("n_bi_distinct"),
+    ).filter((F.col("n_words") > 0) & (toks[0] != ""))
+    return base.select(
+        "doc_id",
+        "n_words",
+        F.round(1.0 - F.col("n_distinct") / F.col("n_words"), 4).alias("word_rep"),
+        F.when(
+            F.col("n_words") > 1,
+            F.round(1.0 - F.col("n_bi_distinct") / (F.col("n_words") - 1), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("bigram_rep"),
+    )

@@ -16,8 +16,15 @@ WHITESPACE = r"\s+"
 
 
 def words(text: Column) -> Column:
-    """Lower-cased whitespace tokens of a trimmed text column."""
-    return F.split(F.lower(F.trim(text)), WHITESPACE)
+    """Lower-cased whitespace tokens of a trimmed text column.
+
+    Whitespace is collapsed BEFORE the edge-trim so leading/trailing tabs
+    and newlines cannot mint phantom '' tokens (plain trim() removes only
+    spaces, and Java split keeps trailing empties) — found by the
+    adversarial shingle corpus test. Empty/whitespace-only text still
+    yields [''] (the established token_count contract).
+    """
+    return F.split(F.trim(F.regexp_replace(F.lower(text), WHITESPACE, " ")), " ")
 
 
 def token_count(text: Column) -> Column:
@@ -59,7 +66,7 @@ def text_shingles(text: Column, n: int = 3) -> Column:
     scan). For n=1 the trailing-space consumer would drop the last token,
     so that case is distinct tokens directly.
     """
-    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
     if n == 1:
         toks = F.split(norm, " ")
         return F.when(norm == "", F.array().cast("array<string>")).otherwise(

@@ -17,7 +17,7 @@ from biocache_store_spark.io import read_table
 from biocache_store_spark.queries import register
 
 # words(text) in DuckDB — keep in sync with functions/text.py `words`
-_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+_TOKS = r"string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')"
 
 
 @register(

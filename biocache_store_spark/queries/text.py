@@ -30,7 +30,7 @@ _MAX_BAND_BUCKET = 1000
     oracle=r"""
         SELECT doc_id,
                length(text) AS n_chars_measured,
-               len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+               len(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS n_tokens,
                lang, source
         FROM documents
     """,
@@ -56,7 +56,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
         WITH toks AS (
             SELECT doc_id, source,
-                   len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+                   len(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS n_tokens,
                    length(text) AS n_chars
             FROM documents
         )
@@ -134,7 +134,7 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
     oracle=r"""
         WITH w AS (
-            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+            SELECT doc_id, string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
             FROM documents
         ),
         idx AS (
@@ -233,7 +233,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
     oracle=r"""
         WITH w AS (
-            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+            SELECT doc_id, string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
             FROM documents
         ),
         idx AS (
@@ -316,7 +316,7 @@ def _marker_list_sql(lang: str) -> str:
     oracle=rf"""
         WITH t AS (
             SELECT doc_id, lang AS labelled_lang,
-                   string_split_regex(lower(trim(text)), '\s+') AS toks
+                   string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
             FROM documents
         ),
         scored AS (
@@ -391,7 +391,7 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH t AS (
             SELECT doc_id,
                    lower(trim(text)) AS lt,
-                   string_split_regex(lower(trim(text)), '\s+') AS toks
+                   string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
             FROM documents
         ),
         m AS (
@@ -458,7 +458,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     oracle=r"""
         WITH w AS (
-            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+            SELECT doc_id, string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
             FROM documents
         ),
         idx AS (
@@ -503,7 +503,7 @@ def _simhash_pairs_oracle(bits: int = 32, bands: int = 4, max_hamming: int = 3) 
     )
     return rf"""
         WITH w AS (
-            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+            SELECT doc_id, string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
             FROM documents
         ),
         idx AS (
@@ -601,7 +601,7 @@ def _corpus_curation_oracle() -> str:
         WITH t AS (
             SELECT doc_id, source, text,
                    lower(trim(text)) AS lt,
-                   string_split_regex(lower(trim(text)), '\s+') AS toks
+                   string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
             FROM documents
         ),
         m AS (
@@ -635,7 +635,7 @@ def _corpus_curation_oracle() -> str:
             WHERE quality_score >= 0.5 AND predicted_lang = 'en'
         ),
         cw AS (
-            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+            SELECT doc_id, string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
             FROM cand
         ),
         cidx AS (

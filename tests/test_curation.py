@@ -125,3 +125,65 @@ def test_salted_join_rejects_right_joins(spark):
     df = spark.range(3).select(F.col("id").cast("string").alias("k"))
     with _pytest.raises(ValueError):
         salted_join(df, df, "k", how="right")
+
+
+def test_text_shingles_adversarial_corpus(spark):
+    """Regex shingler vs lambda shingler vs an independent pure-Python
+    reference over a seeded adversarial corpus (unicode whitespace, mixed
+    case, repeats, punctuation-only, long runs)."""
+    import random
+    import re
+
+    from biocache_store_spark.functions.text import (
+        text_shingles,
+        word_shingles,
+        words,
+    )
+
+    rng = random.Random(42)
+    vocab = ["alpha", "Beta", "GAMMA", "d-e", "x.y,z", "@@", "1234", "a"]
+    ws = [" ", "  ", "\t", "\n", " \t ", " "]  # incl. non-breaking space
+    corpus = []
+    for i in range(300):
+        k = rng.randint(0, 12)
+        toks = [rng.choice(vocab) for _ in range(k)]
+        s = ""
+        for t in toks:
+            s += t + rng.choice(ws)
+        if rng.random() < 0.3:
+            s = rng.choice(ws) + s
+        corpus.append((i, s))
+    corpus += [(1000, ""), (1001, "   "), (1002, "\t\n"), (1003, "one")]
+
+    def py_shingles(text, n):
+        # the ENGINE convention: Java-regex \s (ASCII whitespace only —
+        # U+00A0 etc. stay inside tokens, matching DuckDB's RE2) and
+        # space-only trim. Python's unicode-aware strip()/\s would
+        # silently disagree.
+        collapsed = re.sub(r"[ \t\n\x0b\f\r]+", " ", text.lower()).strip(" ")
+        toks = collapsed.split(" ")
+        if len(toks) < n:
+            return []
+        seen, out = set(), []
+        for i in range(len(toks) - n + 1):
+            sh = " ".join(toks[i : i + n])
+            if sh not in seen:
+                seen.add(sh)
+                out.append(sh)
+        return sorted(out)
+
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    for n in (2, 3):
+        got = {
+            r["doc_id"]: (sorted(r["a"]), sorted(r["b"]))
+            for r in df.select(
+                "doc_id",
+                text_shingles(F.col("text"), n).alias("a"),
+                word_shingles(words(F.col("text")), n).alias("b"),
+            ).collect()
+        }
+        for doc_id, text in corpus:
+            ref = py_shingles(text, n)
+            a, b = got[doc_id]
+            assert a == ref, (n, doc_id, repr(text), a, ref)
+            assert b == ref, (n, doc_id, repr(text), b, ref)

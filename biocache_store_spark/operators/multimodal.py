@@ -217,3 +217,42 @@ def frame_sample_plan(media_df: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
         ).alias("frame_ts_ms"),
     )
+
+
+def unpack_associated_media(col: F.Column) -> F.Column:
+    """Split a DwC associatedMedia string into its media URL/path list.
+
+    Mirrors load/DownloadMedia.scala:40-63 (unpackAssociatedMedia +
+    splitByChar, behaviors pinned by AssociatedMediaTest.scala): delimiter
+    precedence is '|' (the DwC default) then ';' then ','; parts are
+    trimmed; and if splitting yields a MIX of URL-ish (http/ftp/file:)
+    and non-URL parts the whole string is kept as ONE value — that is how
+    the reference keeps a lone URL containing a comma intact. Empty parts
+    (trailing delimiter) are dropped, matching Scala split semantics.
+
+    Pure Column expressions (split/transform/filter/forall) — no Python
+    in the media ingest path. The transform/forall lambdas evaluate
+    interpreted (documented repo trap), acceptable here: the unpack runs
+    once per record at load time, not inside a pairwise hot loop.
+    """
+
+    def split_by(s, delim_re):
+        parts = F.filter(
+            F.transform(F.split(s, delim_re), lambda x: F.trim(x)),
+            lambda x: x != "",
+        )
+        is_url = lambda x: (
+            x.startswith("http") | x.startswith("ftp") | x.startswith("file:")
+        )
+        all_url = F.forall(parts, is_url)
+        none_url = F.forall(parts, lambda x: ~is_url(x))
+        return F.when(all_url | none_url, parts).otherwise(F.array(F.trim(s)))
+
+    s = col
+    return (
+        F.when(s.isNull() | (F.trim(s) == ""), F.array().cast("array<string>"))
+        .when(F.instr(s, "|") > 1, split_by(s, r"\|"))
+        .when(F.instr(s, ";") > 1, split_by(s, ";"))
+        .when(F.instr(s, ",") > 1, split_by(s, ","))
+        .otherwise(F.array(F.trim(s)))
+    )

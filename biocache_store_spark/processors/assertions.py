@@ -206,6 +206,13 @@ class QualityAssertion:
         return (self.code, self.name, self.qa_status, self.comment)
 
 
+def is_geospatially_kosher_codes(codes) -> bool:
+    """Code-array form of the kosher test (AssertionCodes.scala:191-195,
+    behaviors pinned by AssertionCodeTest.scala): kosher unless any code
+    is in the gating set — status is not consulted in this form."""
+    return not any(c in AssertionCodes.GEOSPATIAL_KOSHER_CODES for c in codes)
+
+
 def geospatially_kosher(assertions: list[QualityAssertion]) -> bool:
     """False when any failed assertion is in the kosher-gating set
     (dao/OccurrenceDAOImpl — geospatiallyKosher flag)."""

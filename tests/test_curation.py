@@ -187,3 +187,37 @@ def test_text_shingles_adversarial_corpus(spark):
             a, b = got[doc_id]
             assert a == ref, (n, doc_id, repr(text), a, ref)
             assert b == ref, (n, doc_id, repr(text), b, ref)
+
+
+def test_unpack_associated_media_reference_cases(spark):
+    """Every case from the reference's AssociatedMediaTest.scala."""
+    from biocache_store_spark.operators.multimodal import unpack_associated_media
+
+    cases = [
+        # (input, expected list)
+        ("http://s/p/140018/medium.JPG, http://s/p/140019/medium.JPG",
+         ["http://s/p/140018/medium.JPG", "http://s/p/140019/medium.JPG"]),
+        ("http://s/p/20812/medium.jpg; http://s/p/20813/medium.jpg",
+         ["http://s/p/20812/medium.jpg", "http://s/p/20813/medium.jpg"]),
+        ("http://a.jpg | https://b.jpg | ftp://c.jpg | ftps://d.jpg |",
+         ["http://a.jpg", "https://b.jpg", "ftp://c.jpg", "ftps://d.jpg"]),
+        ("medium1.jpg, medium2.jpg", ["medium1.jpg", "medium2.jpg"]),
+        ("medium1.jpg; medium2.jpg", ["medium1.jpg", "medium2.jpg"]),
+        # a comma INSIDE a single URL: mixed url/non-url parts -> kept whole
+        ("http://s/p/20812/med,ium.jpg", ["http://s/p/20812/med,ium.jpg"]),
+        ("", []),
+        ("   ", []),
+        (None, []),
+        ("single.jpg", ["single.jpg"]),
+    ]
+    df = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(cases)], "i long, am string"
+    )
+    got = {
+        r["i"]: r["urls"]
+        for r in df.select(
+            "i", unpack_associated_media(F.col("am")).alias("urls")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i][0], got[i], want)

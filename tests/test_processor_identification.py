@@ -120,3 +120,17 @@ def test_reprocessing_retains_sampling():
     processed = {"decimalLatitude": "-36.0", "decimalLongitude": "144.8"}
     process_reprocessing(processed, last)
     assert "el" not in processed
+
+
+def test_is_geospatially_kosher_codes_reference_cases():
+    """AssertionCodeTest.scala 'Test isGeospatiallyKosher': code 20000
+    (miscellaneous band) and code 1 are kosher; any array containing code
+    0 (geospatialIssue) is not."""
+    from biocache_store_spark.processors.assertions import (
+        is_geospatially_kosher_codes,
+    )
+
+    assert is_geospatially_kosher_codes([20000]) is True
+    assert is_geospatially_kosher_codes([1]) is True
+    assert is_geospatially_kosher_codes([0, 1]) is False
+    assert is_geospatially_kosher_codes([]) is True

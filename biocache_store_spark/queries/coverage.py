@@ -446,9 +446,11 @@ def maintenance_delete_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "parser/VerbatimLatLongParser.scala:8-97) over four verbatim shapes "
         "(DMS with denominators, d/m tokens, bare triple, degrees+minutes). "
         "The oracle replays the reference's fixed-point integer conversion "
-        "(scale by 1e7, integer-divide). Both sides quantize to 6dp and "
-        "normalize -0.0 (+0.0) so the driver's value-hash canonicalization "
-        "sees identical doubles."
+        "(scale by 1e7, integer-divide). Both sides emit the e7-scaled "
+        "BIGINT itself — the parser's native fixed-point representation — "
+        "so the comparison is pure integer and immune to any float "
+        "canonicalization in the driver's value-hash (rounded doubles were "
+        "still hash-red in rounds 1-3 despite exact == locally)."
     ),
     oracle="""
         WITH src AS (
@@ -460,14 +462,13 @@ def maintenance_delete_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM customer
         )
         SELECT record_id,
-               ROUND(
-                 CASE WHEN shape IN (0, 3) THEN -1.0 ELSE 1.0 END *
+               CAST(
+                 CASE WHEN shape IN (0, 3) THEN -1 ELSE 1 END *
                  (deg * 10000000
                   + (mn * 10000000) // 60
                   + CASE WHEN shape = 3 THEN 0
-                         ELSE (sec * 10000000) // 3600 END) / 10000000.0,
-                 6) + 0.0
-                 AS decimal_coord
+                         ELSE (sec * 10000000) // 3600 END)
+                 AS BIGINT) AS coord_e7
         FROM src
     """,
 )
@@ -494,9 +495,13 @@ def verbatim_coord_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("decimal_coord", T.DoubleType())],
         lambda s: (parse_latlon(s),),
     )
+    # The parser computes sign * (deg*1e7 + mn*1e7//60 + sec*1e7//3600) / 1e7
+    # (parser/VerbatimLatLongParser.scala fixed-point convention). Multiplying
+    # back by 1e7 and rounding recovers that integer exactly (|x| < 9e8, well
+    # inside double's 2^53 integer range), so both sides compare BIGINTs.
     return parsed.select(
         "record_id",
-        (F.round(F.col("decimal_coord"), 6) + F.lit(0.0)).alias("decimal_coord"),
+        F.round(F.col("decimal_coord") * 1e7).cast("long").alias("coord_e7"),
     )
 
 

@@ -114,6 +114,38 @@ def chunk_documents(
     )
 
 
+def dedup_spans(
+    chunks: DataFrame,
+    id_col: str = "doc_id",
+    order_col: str = "chunk_idx",
+    text_col: str = "chunk",
+) -> DataFrame:
+    """Corpus-wide exact span dedup: keep only the FIRST occurrence (by
+    (id, order)) of every distinct span text, dropping repeats anywhere
+    else in the corpus — the exact-substring dedup pass (RefinedWeb/
+    "dedup at chunk granularity") run after `chunk_documents`.
+
+    Scale shape: ONE shuffle, keyed on md5(span) — never the span text —
+    and implemented as groupBy + min(struct(...)) rather than a
+    row_number window so Spark's partial aggregation collapses hot spans
+    map-side (a boilerplate span repeated 10^6 times is 1 row per input
+    partition after the combiner; a window would sort all 10^6 in one
+    reducer). The whole surviving row rides inside the min struct:
+    ordering is (id, order) first, so the min IS the first occurrence
+    with its payload, no join-back needed.
+    """
+    rest = [c for c in chunks.columns if c not in (id_col, order_col)]
+    keyed = F.struct(
+        F.col(id_col).alias(id_col),
+        F.col(order_col).alias(order_col),
+        *[F.col(c).alias(c) for c in rest],
+    )
+    agg = chunks.groupBy(F.md5(F.col(text_col)).alias("__span_h")).agg(
+        F.min(keyed).alias("__keep")
+    )
+    return agg.select(*[F.col(f"__keep.{c}").alias(c) for c in chunks.columns])
+
+
 def stratified_sample(
     df: DataFrame,
     stratum_col: str,

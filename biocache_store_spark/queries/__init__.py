@@ -86,6 +86,9 @@ HEAD: tuple[str, ...] = (
     "salted_skew_join",
     "text_redact_pii",
     "text_repetition_stats",
+    # round-5 additions — no driver row yet
+    "near_dup_components",
+    "span_dedup",
 )
 
 DEPRIORITIZED: tuple[str, ...] = (
@@ -108,6 +111,8 @@ DEPRIORITIZED: tuple[str, ...] = (
     "coordinate_uncertainty_check",  # parser family driver-checked via distance_parse; assertion logic local-green
     "habitat_biome_match",  # small vocab-map kernel; local-green suffices, slot kept for the dedup flagships
     "embedding_knn_topk",  # brute-force baseline; family evidenced by embedding_cosine_neighbors + ann/ivf
+    "media_decode_meta",  # multimodal plumbing; green r02+r03, decode path unchanged
+    "assertion_rollup",  # assertion facet; green r02+r03, chain evidence carried by index_projection_facet
     "part_enrich_agg",  # broadcast-dim join+facet, subsumed by broadcast_enrich_revenue
     "pricing_summary",  # filtered grouped agg, subsumed by grouped_stats/facet shapes; bench-measured regardless
     "projected_scan",

@@ -105,6 +105,72 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "span_dedup",
+    doc=(
+        "Corpus-wide exact span dedup (operators/curation.py dedup_spans): "
+        "documents are chunked into DISJOINT 20-token spans (stride = "
+        "window) and only the first occurrence of each distinct span "
+        "(by (doc_id, chunk_idx)) survives anywhere in the corpus — the "
+        "exact-substring dedup pass at chunk granularity. Implemented as "
+        "groupBy(md5(span)) + min(struct), i.e. ONE shuffle with map-side "
+        "partial aggregation, so a boilerplate span repeated a million "
+        "times collapses to one row per input partition before the "
+        "exchange (a row_number window would sort them in one reducer). "
+        "Output is the per-document retention summary."
+    ),
+    oracle=rf"""
+        WITH w AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+        ),
+        nz AS (
+            SELECT doc_id, toks, len(toks) AS n FROM w
+            WHERE len(toks) > 0 AND toks[1] <> ''
+        ),
+        starts AS (
+            SELECT doc_id, toks, n,
+                   unnest(generate_series(1, greatest(n - 19, 1), 20)) AS i
+            FROM nz
+        ),
+        chunks AS (
+            SELECT doc_id,
+                   (i - 1) // 20 AS chunk_idx,
+                   array_to_string(toks[i : i + 19], ' ') AS chunk,
+                   least(20, n - i + 1) AS n_tok
+            FROM starts
+        ),
+        ranked AS (
+            SELECT doc_id, chunk_idx, n_tok,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY md5(chunk) ORDER BY doc_id, chunk_idx
+                   ) AS rn
+            FROM chunks
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_chunks,
+               SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+               SUM(CASE WHEN rn = 1 THEN n_tok ELSE 0 END) AS kept_tok
+        FROM ranked GROUP BY doc_id
+    """,
+)
+def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.curation import chunk_documents, dedup_spans
+
+    docs = read_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, window=20, stride=20)
+    kept = dedup_spans(chunks)
+    totals = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    kept_per_doc = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.sum("n_tok").alias("kept_tok")
+    )
+    return totals.join(kept_per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        F.coalesce(F.col("kept_tok"), F.lit(0)).alias("kept_tok"),
+    )
+
+
+@register(
     "stratified_sample",
     doc=(
         "Deterministic stratified sampling (operators/curation.py "

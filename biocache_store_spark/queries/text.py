@@ -20,6 +20,67 @@ from biocache_store_spark.queries import register
 _MAX_SHINGLE_DF = 1000
 _MAX_BAND_BUCKET = 1000
 
+# The full minhash+LSH pipeline as a reusable CTE chain ending at
+# pairs(doc_a, doc_b, jaccard) — shared by the minhash_near_duplicates
+# oracle and the near_dup_components oracle (which closes the pairs
+# transitively). Mirrors operators/minhash.py exactly: 3-gram shingles,
+# 12 minhashes carved from 3 md5 digests, 4 bands of 3, band-bucket
+# candidates (bucket cap 1000), exact-Jaccard verification >= 0.5.
+_MINHASH_PAIRS_CTES = r"""
+        w AS (
+            SELECT doc_id, string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+            FROM documents
+        ),
+        idx AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i
+            FROM w
+        ),
+        shingles AS (
+            SELECT DISTINCT doc_id,
+                   toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+            FROM idx
+        ),
+        counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+        hashes AS (
+            SELECT s.doc_id, g.k,
+                   MIN(substr(md5((g.k // 4)::VARCHAR || '|' || s.sh),
+                              (g.k % 4) * 8 + 1, 8)) AS mh
+            FROM shingles s, generate_series(0, 11) g(k)
+            GROUP BY s.doc_id, g.k
+        ),
+        bands AS (
+            SELECT doc_id, k // 3 AS band,
+                   string_agg(mh, '|' ORDER BY k) AS band_sig
+            FROM hashes GROUP BY doc_id, k // 3
+        ),
+        allowed_buckets AS (
+            SELECT band, band_sig FROM bands
+            GROUP BY band, band_sig HAVING COUNT(*) <= 1000
+        ),
+        bands_ok AS (SELECT b.* FROM bands b JOIN allowed_buckets USING (band, band_sig)),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands_ok a JOIN bands_ok b
+              ON a.band = b.band AND a.band_sig = b.band_sig
+             AND a.doc_id < b.doc_id
+        ),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+            FROM cand c
+            JOIN shingles sa ON sa.doc_id = c.doc_a
+            JOIN shingles sb ON sb.doc_id = c.doc_b AND sa.sh = sb.sh
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT i.doc_a, i.doc_b,
+                   ROUND(i.n_common * 1.0 / (ca.n_sh + cb.n_sh - i.n_common), 4) AS jaccard
+            FROM inter i
+            JOIN counts ca ON ca.doc_id = i.doc_a
+            JOIN counts cb ON cb.doc_id = i.doc_b
+            WHERE i.n_common * 1.0 / (ca.n_sh + cb.n_sh - i.n_common) >= 0.5
+        )"""
+
 
 @register(
     "text_token_stats",
@@ -231,58 +292,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exactly in SQL."
     ),
     bench=True,
-    oracle=r"""
-        WITH w AS (
-            SELECT doc_id, string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
-            FROM documents
-        ),
-        idx AS (
-            SELECT doc_id, toks,
-                   unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i
-            FROM w
-        ),
-        shingles AS (
-            SELECT DISTINCT doc_id,
-                   toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
-            FROM idx
-        ),
-        counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
-        hashes AS (
-            SELECT s.doc_id, g.k,
-                   MIN(substr(md5((g.k // 4)::VARCHAR || '|' || s.sh),
-                              (g.k % 4) * 8 + 1, 8)) AS mh
-            FROM shingles s, generate_series(0, 11) g(k)
-            GROUP BY s.doc_id, g.k
-        ),
-        bands AS (
-            SELECT doc_id, k // 3 AS band,
-                   string_agg(mh, '|' ORDER BY k) AS band_sig
-            FROM hashes GROUP BY doc_id, k // 3
-        ),
-        allowed_buckets AS (
-            SELECT band, band_sig FROM bands
-            GROUP BY band, band_sig HAVING COUNT(*) <= 1000
-        ),
-        bands_ok AS (SELECT b.* FROM bands b JOIN allowed_buckets USING (band, band_sig)),
-        cand AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands_ok a JOIN bands_ok b
-              ON a.band = b.band AND a.band_sig = b.band_sig
-             AND a.doc_id < b.doc_id
-        ),
-        inter AS (
-            SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
-            FROM cand c
-            JOIN shingles sa ON sa.doc_id = c.doc_a
-            JOIN shingles sb ON sb.doc_id = c.doc_b AND sa.sh = sb.sh
-            GROUP BY 1, 2
-        )
-        SELECT i.doc_a, i.doc_b,
-               ROUND(i.n_common * 1.0 / (ca.n_sh + cb.n_sh - i.n_common), 4) AS jaccard
-        FROM inter i
-        JOIN counts ca ON ca.doc_id = i.doc_a
-        JOIN counts cb ON cb.doc_id = i.doc_b
-        WHERE i.n_common * 1.0 / (ca.n_sh + cb.n_sh - i.n_common) >= 0.5
+    oracle=f"""
+        WITH {_MINHASH_PAIRS_CTES}
+        SELECT doc_a, doc_b, jaccard FROM pairs
     """,
 )
 def minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -292,6 +304,52 @@ def minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hot-band guard mirrored in the oracle's allowed_buckets CTE; the cap
     # never binds at the test scale factors
     return near_duplicates(docs, threshold=0.5, max_bucket_size=_MAX_BAND_BUCKET)
+
+
+@register(
+    "near_dup_components",
+    doc=(
+        "Near-duplicate CLUSTERS from near-duplicate PAIRS: the minhash "
+        "pipeline's verified pairs closed transitively with alternating "
+        "large-star/small-star connected components "
+        "(operators/components.py — Kiveris et al. SoCC'14), labelling "
+        "every involved document with its component's minimum doc_id plus "
+        "the cluster size. This is the principled 'keep one per duplicate "
+        "group' step a corpus-wide dedup needs (the reference's grouped "
+        "dedup, tool/DuplicationDetection.scala:216-321, only clusters "
+        "within one blocking key). The oracle closes the same pairs with "
+        "a recursive CTE computing min-reachable-id."
+    ),
+    oracle=f"""
+        WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+        und AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION
+            SELECT doc_b AS u, doc_a AS v FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT u AS node FROM und),
+        reach(node, r) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT reach.node, und.v FROM reach JOIN und ON und.u = reach.r
+        ),
+        comp AS (SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node),
+        sizes AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component)
+        SELECT c.doc_id, c.component, s.cluster_size
+        FROM comp c JOIN sizes s USING (component)
+    """,
+)
+def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.components import connected_components
+    from biocache_store_spark.operators.minhash import near_duplicates
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = near_duplicates(docs, threshold=0.5, max_bucket_size=_MAX_BAND_BUCKET)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "component").select(
+        F.col("node").alias("doc_id"), "component", "cluster_size"
+    )
 
 
 _LANG_MARKERS = {

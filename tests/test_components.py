@@ -1,0 +1,115 @@
+"""Connected components (large-star/small-star) and corpus span dedup."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from biocache_store_spark.operators.components import connected_components
+from biocache_store_spark.operators.curation import chunk_documents, dedup_spans
+
+
+def _brute_components(edges):
+    """Reference union-find over a Python edge list -> {node: min_of_comp}."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    groups = {}
+    for n in list(parent):
+        groups.setdefault(find(n), []).append(n)
+    return {n: min(g) for g in groups.values() for n in g}
+
+
+def _run(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = connected_components(df, "src", "dst")
+    return {r["node"]: r["component"] for r in out.collect()}
+
+
+def test_components_basic_shapes(spark):
+    # two triangles bridged by one edge + an isolated pair
+    edges = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (3, 10), (100, 200)]
+    got = _run(spark, edges)
+    assert got == _brute_components(edges)
+    assert got[12] == 1 and got[200] == 100
+
+
+def test_components_chain_worst_diameter(spark):
+    # a 40-node path: label propagation would need 40 rounds; the
+    # star-contraction must finish well inside the max_iter guard
+    edges = [(i, i + 1) for i in range(40)]
+    got = _run(spark, edges)
+    assert set(got.values()) == {0}
+    assert len(got) == 41
+
+
+def test_components_random_vs_union_find(spark):
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    assert _run(spark, edges) == _brute_components(edges)
+
+
+def test_components_self_loops_and_duplicates_ignored(spark):
+    edges = [(5, 5), (1, 2), (2, 1), (1, 2)]
+    got = _run(spark, edges)
+    # the self-loop node still appears (it is an endpoint), as its own root
+    assert got == {1: 1, 2: 1, 5: 5}
+
+
+def test_components_string_ids(spark):
+    df = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "src string, dst string"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(df, "src", "dst").collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_dedup_spans_first_occurrence_wins(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),  # spans: "a b c", "d e f"
+            (2, "a b c x y z"),  # "a b c" repeats -> dropped; "x y z" kept
+            (3, "d e f"),  # whole doc is a repeat span
+        ],
+        "doc_id long, text string",
+    )
+    chunks = chunk_documents(docs, window=3, stride=3)
+    kept = dedup_spans(chunks)
+    rows = {(r["doc_id"], r["chunk_idx"]): r["chunk"] for r in kept.collect()}
+    assert rows == {(1, 0): "a b c", (1, 1): "d e f", (2, 1): "x y z"}
+
+
+def test_dedup_spans_schema_and_payload_preserved(spark):
+    docs = spark.createDataFrame([(7, "p q r")], "doc_id long, text string")
+    chunks = chunk_documents(docs, window=3, stride=3)
+    kept = dedup_spans(chunks)
+    assert kept.columns == chunks.columns
+    row = kept.collect()[0]
+    assert row["n_tok"] == 3 and row["chunk"] == "p q r"
+
+
+def test_dedup_spans_hot_span_plan_has_partial_agg(spark):
+    # the scale guarantee: ONE exchange, preceded by a partial aggregate
+    # (map-side combine), so a hot span can't pile into one reducer sort
+    docs = spark.createDataFrame(
+        [(i, "same old span") for i in range(20)], "doc_id long, text string"
+    )
+    kept = dedup_spans(chunk_documents(docs, window=3, stride=3))
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "partial_min" in plan or "HashAggregate" in plan
+    assert kept.count() == 1
+    assert kept.collect()[0]["doc_id"] == 0

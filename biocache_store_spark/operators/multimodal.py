@@ -17,6 +17,7 @@ implementation in an environment that has them.
 from __future__ import annotations
 
 import hashlib
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -62,6 +63,80 @@ def _decode_bytes(content: bytes, media_type: str, real_decode: bool):
         )
     digest = hashlib.sha256(content or b"").digest()
     return [b / 255.0 for b in digest[:_FEATURE_DIM]]
+
+
+# Mime-type resolution (model/Multimedia.scala:17-54 + vocab/MimeType.scala
+# over the IANA registry file). The reference scans its vocabulary in file
+# order — audio, image, multipart, text, video — which is what resolves
+# subtype collisions like "ogg" to the audio row; this list keeps that
+# block order over the subset of rows biodiversity media actually uses.
+# Both the canonical ("image/jpeg") and the bare subtype ("jpeg") act as
+# variants after the vocab normalization (strip non-alphanumerics, lower).
+_MIME_CANONICALS: tuple[str, ...] = (
+    "audio/mp3",
+    "audio/basic",
+    "audio/ogg",
+    "audio/opus",
+    "audio/vorbis",
+    "image/gif",
+    "image/jpeg",
+    "image/png",
+    "image/tiff",
+    "image/svg+xml",
+    "text/csv",
+    "text/html",
+    "text/plain",
+    "text/xml",
+    "video/mp4",
+    "video/mpeg",
+    "video/ogg",
+    "video/quicktime",
+    "video/raw",
+)
+
+# Multimedia.EXTENSION_MAP — deliberately tiny in the reference too; any
+# other extension (or no identifier at all) falls back to "image/*".
+_MIME_EXTENSION_MAP = {
+    ".jpg": "image/jpeg",
+    ".gif": "image/gif",
+    ".png": "image/png",
+}
+
+_EXTENSION_RE = re.compile(r"(\.[0-9A-Za-z\-_]+)(\?.*)?$")
+_NORM_RE = re.compile(r"[^a-zA-Z0-9]+")
+
+
+def _match_mime_vocab(value: str) -> str | None:
+    norm = _NORM_RE.sub("", value).lower()
+    if not norm:
+        return None
+    for canonical in _MIME_CANONICALS:
+        if norm == _NORM_RE.sub("", canonical).lower():
+            return canonical
+        if norm == _NORM_RE.sub("", canonical.split("/", 1)[1]).lower():
+            return canonical
+    return None
+
+
+def find_mime_type(format: str | None = None, identifier: str | None = None) -> str:
+    """Multimedia.findMimeType: an explicit format wins; otherwise the
+    identifier's extension (query strings stripped, case-insensitive) maps
+    through the small extension table; otherwise assume some sort of image
+    ("image/*"). The result is canonicalized through the mime vocabulary
+    when it matches; unrecognized formats pass through verbatim
+    (MultimediaTest.scala cases)."""
+    if format is not None:
+        resolved = format
+    elif identifier is not None:
+        m = _EXTENSION_RE.search(identifier)
+        resolved = (
+            _MIME_EXTENSION_MAP.get(m.group(1).lower(), "image/*")
+            if m
+            else "image/*"
+        )
+    else:
+        resolved = "image/*"
+    return _match_mime_vocab(resolved) or resolved
 
 
 def add_content_hash(media_df: DataFrame) -> DataFrame:

@@ -33,6 +33,7 @@ from biocache_store_spark.processors.location import process_location
 from biocache_store_spark.processors.vocab_stages import (
     process_basis_of_record,
     process_establishment_means,
+    process_license,
     process_occurrence_status,
     process_recorded_by,
     process_type_status,
@@ -101,6 +102,7 @@ RAW_FIELDS = (
     "identificationReferences",
     "associatedTaxa",
     "dataGeneralizations",
+    "license",
 )
 
 PROCESSED_FIELDS = (
@@ -138,6 +140,7 @@ PROCESSED_FIELDS = (
     "sounds",
     "videos",
     "interactions",
+    "license",
 )
 
 ASSERTION_TYPE = T.ArrayType(
@@ -207,6 +210,11 @@ def process_record(
 
     # 3. OfflineTestProcessor (carry forward dedup/outlier results)
     assertions += process_offline_tests(processed, last_processed, last_assertions)
+
+    # 4. AttributionProcessor licence canonicalization (the lookup half of
+    #    ATTR is the broadcast join in processors/enrichment.py)
+    if not skip_catalyst_vocab:
+        assertions += process_license(raw, processed)
 
     # 6. BasisOfRecordProcessor
     if not skip_catalyst_vocab:
@@ -341,6 +349,7 @@ def process_records(
 _CATALYST_VOCAB_STAGES: tuple[tuple[str, object], ...] = (
     ("occurrenceStatus", process_occurrence_status),
     ("establishmentMeans", process_establishment_means),
+    ("license", process_license),
     ("basisOfRecord", process_basis_of_record),
     ("typeStatus", process_type_status),
 )
@@ -678,6 +687,7 @@ def process_records_hybrid(
     assert_parts += [
         F.coalesce(F.col("__occurrenceStatus_asserts"), empty_asserts),
         F.coalesce(F.col("__establishmentMeans_asserts"), empty_asserts),
+        F.coalesce(F.col("__license_asserts"), empty_asserts),
         F.coalesce(bor_asserts, empty_asserts),
         F.coalesce(F.col("__typeStatus_asserts"), empty_asserts),
     ]

@@ -13,6 +13,7 @@ from __future__ import annotations
 import re
 
 from biocache_store_spark.parsers.collector import parse_for_list
+from biocache_store_spark.parsers.license import match_license
 from biocache_store_spark.parsers.vocab import (
     BASIS_OF_RECORD,
     ESTABLISHMENT_MEANS,
@@ -76,6 +77,21 @@ def process_occurrence_status(raw: dict, processed: dict) -> list:
         processed["occurrenceStatus"] = "unknown"
         return [QA.failed(C.UNRECOGNISED_OCCURRENCE_STATUS)]
     processed["occurrenceStatus"] = term.canonical
+    return []
+
+
+def process_license(raw: dict, processed: dict) -> list:
+    """AttributionProcessor.scala:62-80 licence canonicalization: a
+    supplied licence string maps through the ordered regex vocabulary
+    (parsers/license.py — first match wins, 'Custom' catch-all); a
+    missing one keeps the data resource's default licence (set by the
+    DefaultValuesProcessor stage). Emits no assertions."""
+    value = raw.get("license")
+    if value is None or str(value).strip() == "":
+        return []
+    canonical = match_license(str(value))
+    if canonical is not None:
+        processed["license"] = canonical
     return []
 
 

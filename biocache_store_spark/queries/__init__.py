@@ -89,6 +89,7 @@ HEAD: tuple[str, ...] = (
     # round-5 additions — no driver row yet
     "near_dup_components",
     "span_dedup",
+    "license_canonicalize",
 )
 
 DEPRIORITIZED: tuple[str, ...] = (
@@ -111,6 +112,7 @@ DEPRIORITIZED: tuple[str, ...] = (
     "coordinate_uncertainty_check",  # parser family driver-checked via distance_parse; assertion logic local-green
     "habitat_biome_match",  # small vocab-map kernel; local-green suffices, slot kept for the dedup flagships
     "embedding_knn_topk",  # brute-force baseline; family evidenced by embedding_cosine_neighbors + ann/ivf
+    "event_sessionization",  # green r02+r03; operator shared with event_user_sessions + stateful-streaming tests, still bench-timed every round
     "media_decode_meta",  # multimodal plumbing; green r02+r03, decode path unchanged
     "assertion_rollup",  # assertion facet; green r02+r03, chain evidence carried by index_projection_facet
     "part_enrich_agg",  # broadcast-dim join+facet, subsumed by broadcast_enrich_revenue

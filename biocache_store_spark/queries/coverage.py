@@ -563,6 +563,71 @@ def distance_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "license_canonicalize",
+    doc=(
+        "Licence-string canonicalization (parsers/license.py — "
+        "vocab/License.scala over the 97-row generated regex table, "
+        "first-match-wins substring semantics) across five verbatim "
+        "shapes: short CC code with jurisdiction, creativecommons prose "
+        "without jurisdiction (falls to the Int family), long-form "
+        "'Attribution-NoDerivs' spelling, CC0, and an unrecognized "
+        "all-rights string (Custom catch-all). The oracle enumerates the "
+        "expected canonical per (shape, version) — the table is ordered, "
+        "so outcomes are exact, not fuzzy."
+    ),
+    oracle="""
+        WITH src AS (
+            SELECT c_custkey AS record_id,
+                   c_custkey % 5 AS shape,
+                   CASE (c_custkey // 5) % 4
+                     WHEN 0 THEN '3.0' WHEN 1 THEN '2.5'
+                     WHEN 2 THEN '2.0' ELSE '1.0' END AS ver
+            FROM customer
+        )
+        SELECT record_id,
+               CASE shape
+                 WHEN 0 THEN 'CC-BY-NC-SA ' || ver || ' (Au)'
+                 WHEN 1 THEN 'CC-BY-SA ' || ver || ' (Int)'
+                 WHEN 2 THEN 'CC-BY-ND 3.0 (Au)'
+                 WHEN 3 THEN 'CC0'
+                 ELSE 'Custom'
+               END AS license
+        FROM src
+    """,
+)
+def license_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.parsers.license import match_license
+
+    customer = read_table(spark, sf_dir, "customer")
+    shape = F.pmod(F.col("c_custkey"), F.lit(5))
+    ver = (
+        F.when(F.pmod(F.floor(F.col("c_custkey") / 5), F.lit(4)) == 0, "3.0")
+        .when(F.pmod(F.floor(F.col("c_custkey") / 5), F.lit(4)) == 1, "2.5")
+        .when(F.pmod(F.floor(F.col("c_custkey") / 5), F.lit(4)) == 2, "2.0")
+        .otherwise("1.0")
+    )
+    verbatim = (
+        F.when(shape == 0, F.concat(F.lit("CC-BY-NC-SA "), ver, F.lit(" au")))
+        .when(shape == 1, F.concat(F.lit("creativecommons by sa "), ver))
+        .when(shape == 2, F.lit("Attribution-NoDerivs 3.0 Australia"))
+        .when(shape == 3, F.lit("CC0"))
+        .otherwise(
+            F.concat(F.lit("(c) publisher "), F.col("c_custkey").cast("string"))
+        )
+    )
+    src = customer.select(
+        F.col("c_custkey").alias("record_id"), verbatim.alias("verbatim")
+    )
+    parsed = _apply_parser(
+        src,
+        "verbatim",
+        [("license", T.StringType())],
+        lambda s: (match_license(s),),
+    )
+    return parsed.select("record_id", "license")
+
+
+@register(
     "fuzzy_date_parse",
     doc=(
         "Fuzzy event-date parsing (parsers/dates.py parse_date — "

@@ -304,3 +304,24 @@ def test_text_shingles_equals_word_shingles(spark):
                 assert r["a"] == [] and r["b"] == [""]
                 continue
             assert r["a"] == r["b"], (n, r)
+
+
+def test_find_mime_type_reference_cases():
+    """MultimediaTest.scala:12-80 — format wins, then identifier extension,
+    then image/*; vocab canonicalization with verbatim passthrough."""
+    from biocache_store_spark.operators.multimodal import find_mime_type
+
+    assert find_mime_type(format="image/jpeg") == "image/jpeg"
+    assert find_mime_type(format="jpeg") == "image/jpeg"
+    assert find_mime_type(format="mp3") == "audio/mp3"
+    assert find_mime_type(format="something-odd") == "something-odd"
+    assert find_mime_type(identifier="fred.jpg") == "image/jpeg"
+    assert find_mime_type(identifier="fred.PNG") == "image/png"
+    assert find_mime_type(identifier="fred.PNG?a-parameter") == "image/png"
+    assert find_mime_type(identifier="fred.nurke.PNg") == "image/png"
+    assert find_mime_type(identifier="fred.blah") == "image/*"
+    assert find_mime_type() == "image/*"
+    # subtype collisions resolve in reference vocabulary block order
+    assert find_mime_type(format="ogg") == "audio/ogg"
+    # an explicit format outranks the identifier extension
+    assert find_mime_type(format="mp4", identifier="x.png") == "video/mp4"

@@ -174,3 +174,74 @@ def test_every_canonical_round_trips():
         for term in vocab.all:
             m = vocab.match_term(term.canonical)
             assert m is not None and m.canonical == term.canonical, term.canonical
+
+
+# --- licence vocabulary (vocab/License.scala + license.txt, generated) ---
+
+
+def test_license_reference_cases():
+    from biocache_store_spark.parsers.license import match_license
+
+    # AttributionTest.scala:43-50 ("licence lookup with embedded licence")
+    assert match_license("CC-BY Au") == "CC-BY 4.0 (Au)"
+    # versioned short codes win their exact row
+    assert match_license("CC-BY-NC-SA 3.0 AU") == "CC-BY-NC-SA 3.0 (Au)"
+    assert match_license("cc-by-nc 2.5 au") == "CC-BY-NC 2.5 (Au)"
+    # long "attribution" spelling family
+    assert (
+        match_license("Creative Commons Attribution-NonCommercial 4.0 Australia")
+        == "CC-BY-NC 4.0 (Au)"
+    )
+    assert (
+        match_license("Attribution-NonCommercial-ShareAlike 3.0 Australia")
+        == "CC-BY-NC-SA 3.0 (Au)"
+    )
+    # no jurisdiction -> the Int 4.0 long-form tail
+    assert match_license("Attribution-NoDerivs") == "CC-BY-ND 4.0 (Int)"
+    # zero / public domain / catch-all
+    assert match_license("CC zero") == "CC0"
+    assert match_license("cc0") == "CC0"
+    assert match_license("Public Domain Mark") == "PDM"
+    assert match_license("all rights reserved") == "Custom"
+    assert match_license(None) is None
+
+
+def test_license_table_structure():
+    """The generated table mirrors license.txt: 97 ordered rows, the 1.0
+    ND-NC naming quirk, optional 4.0 versions, Custom catch-all last."""
+    import re
+
+    from biocache_store_spark.parsers.license import LICENSE_TABLE
+
+    assert len(LICENSE_TABLE) == 97
+    names = [n for n, _ in LICENSE_TABLE]
+    assert names[0] == "CC-BY-NC-SA 3.0 (Au)"
+    assert "CC-BY-ND-NC 1.0 (Au)" in names and "CC-BY-NC-ND 1.0 (Au)" not in names
+    assert names[-1] == "Custom" and LICENSE_TABLE[-1][1] == ".*"
+    # every regex compiles case-insensitively
+    for _, rx in LICENSE_TABLE:
+        re.compile(rx, re.IGNORECASE)
+    # first-match ordering: the NC-SA row outranks NC and SA rows, so a
+    # combined string never degrades to a single-clause canonical
+    assert match_first(LICENSE_TABLE, "cc by nc sa 3.0 au") == "CC-BY-NC-SA 3.0 (Au)"
+
+
+def match_first(table, s):
+    import re
+
+    for name, rx in table:
+        if re.compile(rx, re.IGNORECASE).search(s):
+            return name
+    return None
+
+
+def test_license_stage_semantics():
+    from biocache_store_spark.processors.vocab_stages import process_license
+
+    processed = {"license": "CC-BY 4.0 (Au)"}  # resource default from stage 1
+    assert process_license({"license": None}, processed) == []
+    assert processed["license"] == "CC-BY 4.0 (Au)"  # default kept
+    assert process_license({"license": "CC-BY-NC 3.0 au"}, processed) == []
+    assert processed["license"] == "CC-BY-NC 3.0 (Au)"  # supplied wins
+    assert process_license({"license": "bespoke terms"}, processed) == []
+    assert processed["license"] == "Custom"

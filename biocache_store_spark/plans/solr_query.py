@@ -18,7 +18,9 @@ DataFrame column, from the headerAttributes table IndexDAO.scala:212-403).
 
 from __future__ import annotations
 
+import datetime as _dt
 import re
+from dataclasses import dataclass
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -278,3 +280,91 @@ def qid_predicate(
     if wkt is not None:
         pred = pred & wkt_predicate(wkt, lat_col, lon_col)
     return pred
+
+
+@dataclass
+class Qid:
+    """A stored query (model/Qid.scala:8-27): q + fq list + optional
+    spatial area, persisted under a minted rowKey with a freshness
+    horizon (`max_age` millis; <=0 = never stale)."""
+
+    q: str
+    fqs: tuple[str, ...] = ()
+    wkt: str | None = None
+    bbox: tuple[float, ...] | None = None
+    max_age: int = -1
+    row_key: str | None = None
+
+    def predicate(
+        self,
+        lat_col: str = "decimalLatitude",
+        lon_col: str = "decimalLongitude",
+        field_mapping: dict[str, str] | None = None,
+    ) -> Column:
+        return qid_predicate(
+            self.q,
+            list(self.fqs),
+            self.wkt,
+            list(self.bbox) if self.bbox is not None else None,
+            lat_col,
+            lon_col,
+            field_mapping,
+        )
+
+
+class QidStore:
+    """Parquet-backed qid persistence (dao/QidDAO over the `qid` table —
+    QidTest.scala:30-50 put/get round trip). put() mints a uuid rowKey and
+    appends one row; get() is a rowKey point lookup. A table of stored
+    queries is tiny and append-only, so an append-mode parquet dir is the
+    honest analog of the reference's Cassandra row — no compaction needed."""
+
+    def __init__(self, spark, path: str):
+        self.spark = spark
+        self.path = path
+
+    _SCHEMA = (
+        "rowKey string, q string, fqs array<string>, wkt string, "
+        "bbox array<double>, maxAge long, created timestamp"
+    )
+
+    def put(self, qid: Qid) -> Qid:
+        import uuid
+
+        row_key = qid.row_key or str(
+            uuid.uuid5(uuid.NAMESPACE_URL, f"qid|{qid.q}|{'|'.join(qid.fqs)}|{qid.wkt}|{qid.bbox}")
+        )
+        row = [
+            (
+                row_key,
+                qid.q,
+                list(qid.fqs),
+                qid.wkt,
+                [float(v) for v in qid.bbox] if qid.bbox is not None else None,
+                qid.max_age,
+                _dt.datetime.now(tz=_dt.timezone.utc).replace(tzinfo=None),
+            )
+        ]
+        self.spark.createDataFrame(row, self._SCHEMA).write.mode("append").parquet(
+            self.path
+        )
+        return Qid(qid.q, tuple(qid.fqs), qid.wkt, qid.bbox, qid.max_age, row_key)
+
+    def get(self, row_key: str) -> Qid | None:
+        rows = (
+            self.spark.read.schema(self._SCHEMA)
+            .parquet(self.path)
+            .filter(F.col("rowKey") == row_key)
+            .collect()
+        )
+        if not rows:
+            return None
+        r = max(rows, key=lambda x: x["created"])  # latest write wins
+        return Qid(
+            r["q"],
+            tuple(r["fqs"] or ()),
+            r["wkt"],
+            tuple(r["bbox"]) if r["bbox"] is not None else None,
+            r["maxAge"],
+            r["rowKey"],
+        )

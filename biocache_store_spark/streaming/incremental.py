@@ -74,6 +74,76 @@ def process_staging_stream(
     return writer.start()
 
 
+def maintain_store_stream(
+    spark: SparkSession,
+    staging_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType = STAGING_SCHEMA,
+    available_now: bool = True,
+    key_col: str = "occurrenceID",
+) -> StreamingQuery:
+    """Streaming occurrence-store maintenance: the reference's incremental
+    reprocess+reindex loop (cmd/IncrementalTool.scala row-key files +
+    SolrIndexDAO.shouldIndex lastModified checks) as a foreachBatch
+    partition-scoped upsert.
+
+    Each micro-batch runs the full processing chain, then merges into the
+    resource-partitioned store with DYNAMIC partition overwrite: only the
+    data-resource partitions present in the batch are rewritten — files of
+    untouched resources are never read or written, which is what keeps
+    incremental maintenance O(batch), not O(store), at 100 TB. Within a
+    touched partition the batch row wins by key; surviving rows carry over
+    via an anti-join. The merge is idempotent per key, so availableNow +
+    checkpoint restarts (at-least-once delivery) still converge to the
+    same store contents.
+    """
+    raw = (
+        spark.readStream.schema(schema)
+        .option("header", True)
+        .option("maxFilesPerTrigger", 16)
+        .csv(staging_dir)
+    )
+
+    def merge_batch(batch: DataFrame, _batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        sess = batch.sparkSession
+        processed = process_records(batch)
+        touched = [
+            r[0]
+            for r in processed.select("dataResourceUid").distinct().collect()
+            if r[0] is not None
+        ]
+        out = processed
+        try:
+            existing = sess.read.parquet(store_dir).filter(
+                F.col("dataResourceUid").isin(touched)
+            )
+            keep = existing.join(
+                processed.select(key_col), key_col, "left_anti"
+            )
+            out = keep.unionByName(processed, allowMissingColumns=True)
+        except AnalysisException:
+            pass  # first batch: store doesn't exist yet
+        # materialize BEFORE the overwrite — the merge plan reads the very
+        # partitions the write replaces
+        out = out.localCheckpoint(eager=True)
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("dataResourceUid")
+            .parquet(store_dir)
+        )
+
+    writer = raw.writeStream.foreachBatch(merge_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_event_counts(
     events: DataFrame,
     window_duration: str = "1 hour",

@@ -147,3 +147,31 @@ def test_validation_rule_wkt_scope(spark):
     )
     got = sorted(r["record_id"] for r in matching_ids(df, rule, "record_id").collect())
     assert got == ["r1"]
+
+
+def test_qid_store_put_get_round_trip(spark, tmp_path):
+    """QidTest.scala:30-50: put mints a rowKey; get round-trips q, fqs,
+    bbox and maxAge; predicate() replays the stored filter."""
+    from biocache_store_spark.plans.solr_query import Qid, QidStore
+
+    store = QidStore(spark, str(tmp_path / "qid"))
+    qid = Qid(
+        q="*:*",
+        fqs=("decimalLongitude:*", "decimalLatitude:*"),
+        bbox=(112.0, -44.0, 154.0, -12.0),
+        max_age=50000,
+    )
+    minted = store.put(qid)
+    assert minted.row_key
+    got = store.get(minted.row_key)
+    assert got is not None
+    assert got.q == qid.q and got.fqs == qid.fqs
+    assert got.bbox == qid.bbox and got.max_age == 50000
+    assert store.get("no-such-key") is None
+
+    df = spark.createDataFrame(
+        [(150.0, -30.0, "x"), (100.0, -30.0, "y"), (150.0, None, "z")],
+        "decimalLongitude double, decimalLatitude double, v string",
+    )
+    kept = {r["v"] for r in df.filter(got.predicate()).collect()}
+    assert kept == {"x"}  # inside bbox, both coords present

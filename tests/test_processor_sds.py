@@ -206,3 +206,26 @@ def test_grid_reference_degraded(spark, rules):
     assert out["r1"]["gridReference"] == "NM34"
     assert out["r1"]["originalSensitiveValues"]["gridReference"] == "NM3945"
     assert out["r2"]["gridReference"] == "NM3945"  # untouched
+
+
+def test_generalisation_idempotent_from_raw(spark, rules):
+    """ScotlandSensitivityTest.scala ("Idempotent test"): re-processing a
+    sensitive record must not degrade coordinates twice. The reference
+    restores originalSensitiveValues into raw before re-generalising
+    (SensitivityProcessor.scala:84-90); this engine gets the same property
+    structurally — apply_sds always derives from the persisted RAW record,
+    so a second pass over the same raw input is bit-identical, and there
+    is no "already generalised" state to track."""
+    records = _records(
+        spark,
+        [
+            ("r1", "Hericium cirrhatum", None, "England", "United Kingdom",
+             "55.9486", "-3.2008", "10", "2020-04-01", "1", "4"),
+        ],
+    )
+    first = {r["rowKey"]: r.asDict() for r in apply_sds(records, rules).collect()}
+    second = {r["rowKey"]: r.asDict() for r in apply_sds(records, rules).collect()}
+    assert first == second
+    r = first["r1"]
+    assert r["sensitive"] and "generalised" in (r["dataGeneralizations"] or "")
+    assert "already generalised" not in (r["dataGeneralizations"] or "")

@@ -552,3 +552,50 @@ def test_bucketed_store_colocated_join(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_raw_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_proc_bucketed")
+
+
+def test_streaming_store_maintenance_upserts_by_partition(spark, tmp_path):
+    """foreachBatch incremental store maintenance: batch rows upsert into
+    the resource-partitioned store; only touched resource partitions are
+    rewritten, untouched ones carry their files through unchanged."""
+    import os
+
+    from biocache_store_spark.streaming.incremental import maintain_store_stream
+
+    hdr = (
+        "occurrenceID,dataResourceUid,basisOfRecord,eventDate,year,month,day,"
+        "decimalLatitude,decimalLongitude,geodeticDatum,country,stateProvince,"
+        "scientificName,recordedBy\n"
+    )
+    staging = tmp_path / "staging"
+    staging.mkdir()
+    (staging / "b1.csv").write_text(
+        hdr
+        + "a1,drA,PreservedSpecimen,2001-05-05,,,,-35.2,144.8,WGS84,Australia,,Xus yus,Smith J\n"
+        + "a2,drA,HumanObservation,2002-06-06,,,,-30.0,150.0,WGS84,Australia,,Aus bus,Doe K\n"
+        + "b1,drB,PreservedSpecimen,2003-07-07,,,,-33.0,151.0,WGS84,Australia,,Cus dus,Poe E\n"
+    )
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    maintain_store_stream(spark, str(staging), store, ckpt).awaitTermination(120)
+
+    first = spark.read.parquet(store)
+    assert first.count() == 3
+    drb_files = sorted(os.listdir(os.path.join(store, "dataResourceUid=drB")))
+
+    # batch 2: update a1 (new eventDate), introduce drC; drB untouched
+    (staging / "b2.csv").write_text(
+        hdr
+        + "a1,drA,PreservedSpecimen,2011-01-01,,,,-35.2,144.8,WGS84,Australia,,Xus yus,Smith J\n"
+        + "c1,drC,HumanObservation,2004-08-08,,,,-20.0,140.0,WGS84,Australia,,Eus fus,Fox G\n"
+    )
+    maintain_store_stream(spark, str(staging), store, ckpt).awaitTermination(120)
+
+    final = spark.read.parquet(store)
+    rows = {r["occurrenceID"]: r for r in final.collect()}
+    assert set(rows) == {"a1", "a2", "b1", "c1"}
+    assert rows["a1"]["processed"]["eventDate"] == "2011-01-01"  # upserted
+    assert rows["a2"]["processed"]["eventDate"] == "2002-06-06"  # carried over
+    # drB partition files untouched by the second batch (dynamic overwrite
+    # only rewrites partitions present in the batch)
+    assert sorted(os.listdir(os.path.join(store, "dataResourceUid=drB"))) == drb_files

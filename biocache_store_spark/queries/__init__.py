@@ -90,6 +90,7 @@ HEAD: tuple[str, ...] = (
     "near_dup_components",
     "span_dedup",
     "license_canonicalize",
+    "countmin_heavy_hitters",
 )
 
 DEPRIORITIZED: tuple[str, ...] = (
@@ -112,6 +113,7 @@ DEPRIORITIZED: tuple[str, ...] = (
     "coordinate_uncertainty_check",  # parser family driver-checked via distance_parse; assertion logic local-green
     "habitat_biome_match",  # small vocab-map kernel; local-green suffices, slot kept for the dedup flagships
     "embedding_knn_topk",  # brute-force baseline; family evidenced by embedding_cosine_neighbors + ann/ivf
+    "dedup_occurrence_clusters",  # green r02+r03; dedup family still evidenced by exact/minhash/ngram/fuzzy_name_pairs rows + unit suite
     "event_sessionization",  # green r02+r03; operator shared with event_user_sessions + stateful-streaming tests, still bench-timed every round
     "media_decode_meta",  # multimodal plumbing; green r02+r03, decode path unchanged
     "assertion_rollup",  # assertion facet; green r02+r03, chain evidence carried by index_projection_facet

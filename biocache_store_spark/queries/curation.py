@@ -335,6 +335,79 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "countmin_heavy_hitters",
+    doc=(
+        "Count-min sketch heavy hitters (operators/sketch.py): a 4 x 4096 "
+        "counter table built in ONE pass over the token stream (hashes "
+        "carved from a single md5, buckets keyed by hex PREFIX strings so "
+        "no hex->int conversion exists on either side), then the exact "
+        "top-20 terms probed back through the sketch. cms_est >= exact "
+        "always; the sketch table is bounded by construction, hence "
+        "broadcast — the one-pass bounded-memory frequency path a 100 TB "
+        "corpus needs where an exact term table is itself big data. "
+        "Deterministic md5 hashing makes the whole sketch EXACTLY "
+        "reproducible in SQL."
+    ),
+    oracle=rf"""
+        WITH tok AS (
+            SELECT unnest({_TOKS}) AS term FROM documents
+        ),
+        t AS (SELECT term FROM tok WHERE term <> ''),
+        sketch AS (
+            SELECT g.d, substr(md5(term), g.d * 8 + 1, 3) AS bucket,
+                   COUNT(*) AS cnt
+            FROM t, generate_series(0, 3) g(d)
+            GROUP BY 1, 2
+        ),
+        exact AS (SELECT term, COUNT(*) AS exact_cnt FROM t GROUP BY term),
+        top AS (
+            SELECT * FROM (
+                SELECT term, exact_cnt,
+                       ROW_NUMBER() OVER (ORDER BY exact_cnt DESC, term) AS rank
+                FROM exact
+            ) WHERE rank <= 20
+        ),
+        probe AS (
+            SELECT top.term, top.exact_cnt, top.rank, g.d,
+                   substr(md5(top.term), g.d * 8 + 1, 3) AS bucket
+            FROM top, generate_series(0, 3) g(d)
+        )
+        SELECT p.term, p.exact_cnt,
+               MIN(COALESCE(s.cnt, 0)) AS cms_est, p.rank
+        FROM probe p
+        LEFT JOIN sketch s ON s.d = p.d AND s.bucket = p.bucket
+        GROUP BY p.term, p.exact_cnt, p.rank
+    """,
+)
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from biocache_store_spark.functions.text import words
+    from biocache_store_spark.operators.sketch import (
+        count_min_sketch,
+        estimate_counts,
+    )
+    from biocache_store_spark.util import ensure_min_parallelism
+
+    docs = read_table(spark, sf_dir, "documents")
+    tok = (
+        ensure_min_parallelism(docs.select("text"))
+        .select(F.explode(words(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    sketch = count_min_sketch(tok, "term")
+    exact = tok.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    # the exact ranking side exists only to pick verification probes — at
+    # corpus scale you'd probe candidate terms straight through the sketch
+    w = Window.orderBy(F.col("exact_cnt").desc(), F.col("term"))
+    top = exact.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 20
+    )
+    est = estimate_counts(sketch, top, "term")
+    return est.select("term", "exact_cnt", "cms_est", "rank")
+
+
+@register(
     "text_redact_pii",
     doc=(
         "PII scrubbing over a synthesized contact-text column (emails + "

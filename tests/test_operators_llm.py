@@ -325,3 +325,46 @@ def test_find_mime_type_reference_cases():
     assert find_mime_type(format="ogg") == "audio/ogg"
     # an explicit format outranks the identifier extension
     assert find_mime_type(format="mp4", identifier="x.png") == "video/mp4"
+
+
+def test_count_min_sketch_overestimates_never_under(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from biocache_store_spark.operators.sketch import (
+        count_min_sketch,
+        estimate_counts,
+    )
+
+    rows = [(w,) for w in ["a"] * 7 + ["b"] * 3 + ["c"] * 1 + ["dd"] * 5]
+    df = spark.createDataFrame(rows, "term string")
+    sketch = count_min_sketch(df, "term")
+    exact = df.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = {
+        r["term"]: (r["cms_est"], r["exact_cnt"])
+        for r in estimate_counts(sketch, exact, "term").collect()
+    }
+    assert set(est) == {"a", "b", "c", "dd"}
+    for term, (e, x) in est.items():
+        assert e >= x, term
+    # 4 terms in 4096 buckets: no collisions, estimates are exact
+    assert all(e == x for e, x in est.values())
+    # unseen term estimates 0 (no bucket collisions at this size)
+    probe = spark.createDataFrame([("zz",)], "term string")
+    assert estimate_counts(sketch, probe, "term").collect()[0]["cms_est"] == 0
+    with pytest.raises(ValueError):
+        count_min_sketch(df, "term", depth=5)
+
+
+def test_count_min_sketch_bounded_and_broadcast(spark):
+    from biocache_store_spark.operators.sketch import count_min_sketch, estimate_counts
+
+    rows = [(f"w{i % 50}",) for i in range(2000)]
+    df = spark.createDataFrame(rows, "term string")
+    sketch = count_min_sketch(df, "term", depth=3, bucket_hex=2)
+    # bounded by construction: depth * 16^bucket_hex regardless of input size
+    assert sketch.count() <= 3 * 256
+    assert sketch.select("d").distinct().count() == 3
+    probe = spark.createDataFrame([("w1",), ("w2",)], "term string")
+    plan = estimate_counts(sketch, probe, "term", depth=3, bucket_hex=2)
+    assert "BroadcastHashJoin" in plan._jdf.queryExecution().executedPlan().toString()

@@ -91,6 +91,8 @@ HEAD: tuple[str, ...] = (
     "span_dedup",
     "license_canonicalize",
     "countmin_heavy_hitters",
+    "bm25_search",
+    "embedding_quantize",
 )
 
 DEPRIORITIZED: tuple[str, ...] = (
@@ -114,6 +116,8 @@ DEPRIORITIZED: tuple[str, ...] = (
     "habitat_biome_match",  # small vocab-map kernel; local-green suffices, slot kept for the dedup flagships
     "embedding_knn_topk",  # brute-force baseline; family evidenced by embedding_cosine_neighbors + ann/ivf
     "dedup_occurrence_clusters",  # green r02+r03; dedup family still evidenced by exact/minhash/ngram/fuzzy_name_pairs rows + unit suite
+    "fuzzy_date_parse",  # green r02+r03; date family re-evidenced by date_precision_reformat (HEAD) + the dense reference-mirrored unit matrix
+    "maintenance_delete_upsert",  # green r02+r03; delta-rewrite lifecycle re-evidenced by user_assertion_lifecycle (HEAD) + maintenance unit tests
     "event_sessionization",  # green r02+r03; operator shared with event_user_sessions + stateful-streaming tests, still bench-timed every round
     "media_decode_meta",  # multimodal plumbing; green r02+r03, decode path unchanged
     "assertion_rollup",  # assertion facet; green r02+r03, chain evidence carried by index_projection_facet

@@ -20,6 +20,9 @@ from biocache_store_spark.queries import register
 _MAX_SHINGLE_DF = 1000
 _MAX_BAND_BUCKET = 1000
 
+# words(text) in DuckDB — keep in sync with functions/text.py `words`
+_TOKS = r"string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')"
+
 # The full minhash+LSH pipeline as a reusable CTE chain ending at
 # pairs(doc_a, doc_b, jaccard) — shared by the minhash_near_duplicates
 # oracle and the near_dup_components oracle (which closes the pairs
@@ -870,4 +873,128 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("tokens_kept"), F.lit(0)).alias("tokens_kept"),
             "avg_quality_kept",
         )
+    )
+
+
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "bm25_search",
+    doc=(
+        "BM25 ranked retrieval over the document corpus — the search "
+        "surface the reference builds its SOLR index FOR (the q= full-text "
+        "path of SolrIndexDAO/stored queries), re-expressed as a scoring "
+        "plan. idf is the rational BM25 form (N - df + 0.5)/(df + 0.5) "
+        "without the log wrap (the repo's tfidf_top_terms convention: "
+        "rational arithmetic only, so doubles are bit-identical to the "
+        "SQL oracle; per-term rank order is unchanged, aggregate scores "
+        "are compressed differently than log-idf and that divergence is "
+        "deliberate and documented). The fixed query-term list pivots to "
+        "per-term tf COLUMNS, so the score is a fixed-order expression — "
+        "no float summation-order ambiguity — and the whole query is one "
+        "shuffle (tf groupBy) plus a top-k."
+    ),
+    oracle=rf"""
+        WITH w AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+        ),
+        base AS (
+            SELECT doc_id, toks, len(toks) AS dl FROM w
+            WHERE len(toks) > 0 AND toks[1] <> ''
+        ),
+        stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM base),
+        tok AS (SELECT doc_id, dl, unnest(toks) AS term FROM base),
+        tfs AS (
+            SELECT doc_id, dl,
+                   SUM(CASE WHEN term = 'spark' THEN 1 ELSE 0 END) AS tf_spark,
+                   SUM(CASE WHEN term = 'join' THEN 1 ELSE 0 END) AS tf_join,
+                   SUM(CASE WHEN term = 'window' THEN 1 ELSE 0 END) AS tf_window
+            FROM tok GROUP BY doc_id, dl
+        ),
+        dfs AS (
+            SELECT SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+                   SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
+                   SUM(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window
+            FROM tfs
+        ),
+        scored AS (
+            SELECT t.doc_id,
+                   ((s.n - d.df_spark + 0.5) / (d.df_spark + 0.5))
+                     * (t.tf_spark * (1.2 + 1.0))
+                     / (t.tf_spark + 1.2 * (1.0 - 0.75 + (0.75 * t.dl) / s.avgdl))
+                 + ((s.n - d.df_join + 0.5) / (d.df_join + 0.5))
+                     * (t.tf_join * (1.2 + 1.0))
+                     / (t.tf_join + 1.2 * (1.0 - 0.75 + (0.75 * t.dl) / s.avgdl))
+                 + ((s.n - d.df_window + 0.5) / (d.df_window + 0.5))
+                     * (t.tf_window * (1.2 + 1.0))
+                     / (t.tf_window + 1.2 * (1.0 - 0.75 + (0.75 * t.dl) / s.avgdl))
+                   AS score
+            FROM tfs t CROSS JOIN stats s CROSS JOIN dfs d
+            WHERE t.tf_spark + t.tf_join + t.tf_window > 0
+        ),
+        ranked AS (
+            SELECT doc_id, ROUND(score, 4) AS score,
+                   ROW_NUMBER() OVER (ORDER BY ROUND(score, 4) DESC, doc_id) AS rank
+            FROM scored
+        )
+        SELECT doc_id, score, rank FROM ranked WHERE rank <= 15
+    """,
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from biocache_store_spark.functions.text import words
+    from biocache_store_spark.util import ensure_min_parallelism
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = words(F.col("text"))
+    base = (
+        ensure_min_parallelism(docs.select("doc_id", "text"))
+        .select("doc_id", toks.alias("toks"))
+        .withColumn("dl", F.size("toks"))
+        .filter((F.col("dl") > 0) & (F.col("toks")[0] != ""))
+    )
+    row = base.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n, avgdl = float(row["n"]), float(row["avgdl"])
+
+    tok = base.select("doc_id", "dl", F.explode("toks").alias("term"))
+    tfs = tok.groupBy("doc_id", "dl").agg(
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"tf_{t}")
+            for t in _BM25_TERMS
+        ]
+    )
+    df_row = tfs.agg(
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ]
+    ).collect()[0]
+
+    k1, b = _BM25_K1, _BM25_B
+    score = None
+    # fixed left-to-right term order — float addition order is part of the
+    # oracle contract
+    for t in _BM25_TERMS:
+        idf = (n - float(df_row[f"df_{t}"]) + 0.5) / (float(df_row[f"df_{t}"]) + 0.5)
+        tf = F.col(f"tf_{t}")
+        contrib = (
+            F.lit(idf)
+            * (tf * (k1 + 1.0))
+            / (tf + k1 * (1.0 - b + (b * F.col("dl")) / F.lit(avgdl)))
+        )
+        score = contrib if score is None else score + contrib
+    scored = tfs.filter(
+        sum(F.col(f"tf_{t}") for t in _BM25_TERMS) > 0
+    ).withColumn("score", F.round(score, 4))
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 15)
+        .select("doc_id", "score", "rank")
     )

@@ -332,3 +332,70 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     return cosine_near_duplicates(emb, dim=64, threshold=0.25, n_planes=4)
+
+
+@register(
+    "embedding_quantize",
+    doc=(
+        "Int8 scalar quantization of the embedding column — the vector "
+        "compression pass run before building an ANN index at corpus "
+        "scale (4x smaller vectors, cheaper distance kernels). Per "
+        "dimension: min/max over the corpus (a DIM-sized stats relation, "
+        "broadcast), q = floor((x-min)/(max-min)*255 + 0.5) — floor(v+.5) "
+        "instead of round() because the two engines' round-half rules "
+        "could differ on exact .5 doubles while floor is identical given "
+        "identical inputs. Output per vector: the quantized checksum, "
+        "max reconstruction error, and dimension count. Quantization is "
+        "map-side after the broadcast; one shuffle for the per-dim stats, "
+        "one for the per-vector rollup."
+    ),
+    oracle="""
+        WITH ex AS (
+            SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+            FROM (SELECT vec_id, embedding,
+                         unnest(generate_series(1, len(embedding))) AS i
+                  FROM embeddings)
+        ),
+        stats AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY i),
+        q AS (
+            SELECT e.vec_id, e.x, s.mn, s.mx,
+                   CASE WHEN s.mx = s.mn THEN 0
+                        ELSE CAST(FLOOR((e.x - s.mn) / (s.mx - s.mn) * 255 + 0.5)
+                                  AS BIGINT) END AS qv
+            FROM ex e JOIN stats s USING (i)
+        ),
+        r AS (
+            SELECT vec_id, qv,
+                   CASE WHEN mx = mn THEN mn
+                        ELSE mn + (qv * (mx - mn)) / 255 END AS recon,
+                   x
+            FROM q
+        )
+        SELECT vec_id, SUM(qv) AS q_sum,
+               ROUND(MAX(ABS(x - recon)), 6) AS max_err,
+               COUNT(*) AS n_dims
+        FROM r GROUP BY vec_id
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "xf")
+    ).select("vec_id", "i", F.col("xf").cast("double").alias("x"))
+    stats = ex.groupBy("i").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    joined = ex.join(F.broadcast(stats), "i")
+    qv = F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("long")).otherwise(
+        F.floor(
+            (F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255 + 0.5
+        ).cast("long")
+    )
+    q = joined.withColumn("qv", qv)
+    recon = F.when(F.col("mx") == F.col("mn"), F.col("mn")).otherwise(
+        F.col("mn") + (F.col("qv") * (F.col("mx") - F.col("mn"))) / F.lit(255)
+    )
+    r = q.withColumn("recon", recon)
+    return r.groupBy("vec_id").agg(
+        F.sum("qv").alias("q_sum"),
+        F.round(F.max(F.abs(F.col("x") - F.col("recon"))), 6).alias("max_err"),
+        F.count(F.lit(1)).alias("n_dims"),
+    )

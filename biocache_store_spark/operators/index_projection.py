@@ -74,6 +74,54 @@ _RAW_ALIASES = {
 }
 
 
+def raw_scientific_name(cols: dict) -> Column:
+    """IndexDAO.getRawScientificName (:471-505): the verbatim name for the
+    index's raw_taxon_name field — scientificName if supplied, else genus
+    [+ specificEpithet|species [+ infraspecificEpithet|subspecies]], else
+    family. Empty strings count as missing (IndexTest.scala "Raw
+    Scientific Name" matrix)."""
+
+    def nz(name: str) -> Column:
+        c = cols.get(name)
+        if c is None:
+            return F.lit(None).cast("string")
+        c = c.cast("string")
+        return F.when(F.coalesce(c, F.lit("")) != "", c)
+
+    epithet = F.coalesce(nz("specificEpithet"), nz("species"))
+    infra = F.coalesce(nz("infraspecificEpithet"), nz("subspecies"))
+    genus_name = F.when(
+        nz("genus").isNotNull(), F.concat_ws(" ", nz("genus"), epithet, infra)
+    )
+    return F.coalesce(nz("scientificName"), genus_name, nz("family"))
+
+
+def should_index(
+    last_loaded: Column,
+    last_processed: Column,
+    since,
+    deleted: Column | None = None,
+) -> Column:
+    """SolrIndexDAO.shouldIndex (:580-603, IndexTest.scala:14-27): a row
+    needs (re)indexing when it is not deleted AND (no start date was
+    given, or EITHER its load time or its process time is strictly after
+    `since`). Null/unparseable times count as not-after — the reference's
+    getOrElse(startDate) collapse. Expressed as a Column so the
+    incremental reindex scope is a pushable filter, not a driver loop."""
+    not_deleted = (
+        F.lit(True)
+        if deleted is None
+        else F.coalesce(deleted.cast("string"), F.lit("")) == ""
+    )
+    if since is None:
+        return not_deleted
+    lit = F.lit(since).cast("timestamp")
+    fresh = F.coalesce(
+        last_processed.cast("timestamp") > lit, F.lit(False)
+    ) | F.coalesce(last_loaded.cast("timestamp") > lit, F.lit(False))
+    return not_deleted & fresh
+
+
 def build_index(
     processed_df: DataFrame,
     include_deleted: bool = False,
@@ -178,7 +226,25 @@ def build_index(
         if name in seen:
             continue
         seen.add(name)
-        col = typed(source(field, mode), arity, field)
+        if name == "raw_taxon_name":
+            # the reference derives the raw name through a fallback ladder
+            # rather than reading the bare column (IndexDAO.scala:471-505)
+            col = raw_scientific_name(
+                {
+                    f: raw_col(f)
+                    for f in (
+                        "scientificName",
+                        "genus",
+                        "specificEpithet",
+                        "species",
+                        "infraspecificEpithet",
+                        "subspecies",
+                        "family",
+                    )
+                }
+            )
+        else:
+            col = typed(source(field, mode), arity, field)
         if name in double_fields:
             col = col.try_cast("double")
         elif name in int_fields:

@@ -275,3 +275,87 @@ def test_solr_query_translator(spark):
     # field mapping (SOLR name -> column)
     q8 = translate("data_resource_uid:dr2", {"data_resource_uid": "data_resource_uid"})
     assert df.filter(q8).count() == 2
+
+
+def test_raw_scientific_name_reference_matrix(spark):
+    """IndexTest.scala "Raw Scientific Name": the fallback ladder."""
+    from pyspark.sql import functions as F
+
+    from biocache_store_spark.operators.index_projection import (
+        raw_scientific_name,
+    )
+
+    rows = [
+        # scientificName, genus, species, subspecies, specificEpithet,
+        # infraspecificEpithet, family, expected
+        ("Aus bus", None, None, None, None, None, None, "Aus bus"),
+        (None, "Aus", None, None, None, None, None, "Aus"),
+        (None, "Aus", "bus", None, None, None, None, "Aus bus"),
+        (None, "Aus", "bus", "cus", None, None, None, "Aus bus cus"),
+        ("Aus", "Dus", None, None, None, None, None, "Aus"),
+        (None, "Aus", None, None, "bus", None, None, "Aus bus"),
+        (None, "Aus", None, None, "bus", "cus", None, "Aus bus cus"),
+        (None, None, None, None, None, None, "Family", "Family"),
+        # specificEpithet outranks species; infraspecific outranks subspecies
+        (None, "Aus", "sp2", None, "sp1", None, None, "Aus sp1"),
+        # empty strings behave as missing
+        ("", "Aus", "", None, None, None, None, "Aus"),
+        (None, None, None, None, None, None, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "scientificName string, genus string, species string, "
+        "subspecies string, specificEpithet string, "
+        "infraspecificEpithet string, family string, expected string",
+    )
+    out = df.withColumn(
+        "got",
+        raw_scientific_name({c: F.col(c) for c in df.columns if c != "expected"}),
+    )
+    for r in out.collect():
+        assert r["got"] == r["expected"], r
+
+
+def test_should_index_reference_cases(spark):
+    """IndexTest.scala "Tests Index Date Ranges"."""
+    from pyspark.sql import functions as F
+
+    from biocache_store_spark.operators.index_projection import should_index
+
+    df = spark.createDataFrame(
+        [("2011-07-07 10:00:00", "2011-07-17 10:00:00", "")],
+        "loaded string, processed string, deleted string",
+    )
+
+    def check(since, expected):
+        got = df.select(
+            should_index(
+                F.col("loaded"), F.col("processed"), since, F.col("deleted")
+            ).alias("x")
+        ).collect()[0]["x"]
+        assert got is expected, (since, got)
+
+    check("2011-07-10 10:00:00", True)   # processed after since
+    check("2011-07-20 10:00:00", False)  # both before since
+    check(None, True)                    # full rebuild
+    check("2011-08-20 10:00:00", False)
+    # deleted rows never index, even on full rebuild
+    deleted = spark.createDataFrame(
+        [("2011-07-07 10:00:00", "2011-07-17 10:00:00", "2011-01-01")],
+        "loaded string, processed string, deleted string",
+    )
+    got = deleted.select(
+        should_index(F.col("loaded"), F.col("processed"), None, F.col("deleted")).alias("x")
+    ).collect()[0]["x"]
+    assert got is False
+    # a missing processed time falls back to the loaded time
+    half = spark.createDataFrame(
+        [(None, "2011-07-17 10:00:00", "")],
+        "loaded string, processed string, deleted string",
+    )
+    got = half.select(
+        should_index(
+            F.col("loaded"), F.col("processed"), "2011-07-10 10:00:00", F.col("deleted")
+        ).alias("x")
+    ).collect()[0]["x"]
+    assert got is True

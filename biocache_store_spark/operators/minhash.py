@@ -87,6 +87,32 @@ def signatures(
     )
 
 
+def banded_keys(
+    sig_df: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band, band_sig): one row per (document, band) — the LSH join
+    key relation, shared by in-memory candidate generation and the
+    persisted index (write_lsh_index)."""
+    rows_per_band = num_hashes // bands
+    return sig_df.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.concat_ws(
+                        "|", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                    ).alias("band_sig"),
+                ),
+            )
+        ).alias("bs"),
+    ).select(id_col, F.col("bs.band"), F.col("bs.band_sig"))
+
+
 def lsh_candidates(
     sig_df: DataFrame,
     num_hashes: int = DEFAULT_NUM_HASHES,
@@ -104,21 +130,7 @@ def lsh_candidates(
     missed; everything else is unaffected). The bucket-size aggregation
     shuffles on the same (band, band_sig) key as the join itself, so AQE
     reuses the exchange."""
-    rows_per_band = num_hashes // bands
-    banded = sig_df.select(
-        id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.concat_ws(
-                        "|", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-                    ).alias("band_sig"),
-                ),
-            )
-        ).alias("bs"),
-    ).select(id_col, F.col("bs.band"), F.col("bs.band_sig"))
+    banded = banded_keys(sig_df, num_hashes, bands, id_col)
     if max_bucket_size is not None:
         from pyspark.sql.window import Window
 
@@ -200,6 +212,118 @@ def near_duplicates(
     # also ran the whole signature build inside two concurrent
     # broadcast-exchange threads and collected both onto the driver heap
     # (measured: 80+ s of GC in-session at sf0.1 with a warm heap).
+    return (
+        cand.join(sets_a.hint("shuffle_hash"), "doc_a")
+        .join(sets_b.hint("shuffle_hash"), "doc_b")
+        .filter(F.coalesce(jaccard, F.lit(-1.0)) >= threshold)
+        .select("doc_a", "doc_b", F.round(jaccard, 4).alias("jaccard"))
+    )
+
+
+def write_lsh_index(
+    docs: DataFrame,
+    path: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingles: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the near-dup LSH index: the signature relation (with the
+    shingle sets the verification join needs) under `sig/`, and the
+    banded join keys under `bands/` PARTITIONED BY band.
+
+    This is the production shape of near-dup detection: sign the corpus
+    ONCE, then probe arriving batches against the stored index
+    (probe_lsh_index) instead of re-shingling 100 TB per ingest. Pass
+    mode="append" to accumulate a growing corpus index — each ingest
+    appends its own signatures after probing.
+    """
+    sig = signatures(docs, num_hashes, n, id_col, text_col, max_shingles)
+    sig.write.mode(mode).parquet(path + "/sig")
+    banded = banded_keys(sig, num_hashes, bands, id_col)
+    banded.write.mode(mode).partitionBy("band").parquet(path + "/bands")
+
+
+def probe_lsh_index(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int | None = None,
+    max_shingles: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs of `new_docs` against the persisted index AND
+    within the new batch, without touching stored text: only the new
+    batch is shingled; stored documents contribute their persisted
+    signatures/shingle sets. Returns (doc_a, doc_b, jaccard), doc_a <
+    doc_b; stored-vs-stored pairs are the index owner's history and are
+    not re-emitted. Ids must be unique across the stored corpus and the
+    batch.
+
+    Together with write_lsh_index(mode="append") this is incremental
+    near-dup maintenance: probe the batch, emit its pairs, append its
+    signatures — per-ingest cost proportional to the BATCH (plus the
+    band-bucket fan-in), never the corpus. The hot-bucket cap applies to
+    the combined band table, same trade as lsh_candidates.
+    """
+    new_sig = signatures(new_docs, num_hashes, n, id_col, text_col, max_shingles)
+    new_banded = banded_keys(new_sig, num_hashes, bands, id_col).withColumn(
+        "is_new", F.lit(True)
+    )
+    stored_banded = spark.read.parquet(path + "/bands").select(
+        id_col, "band", "band_sig"
+    ).withColumn("is_new", F.lit(False))
+    tagged = stored_banded.unionByName(new_banded)
+    if max_bucket_size is not None:
+        from pyspark.sql.window import Window
+
+        tagged = (
+            tagged.withColumn(
+                "__bn",
+                F.count(F.lit(1)).over(Window.partitionBy("band", "band_sig")),
+            )
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
+    a = tagged.filter(F.col("is_new")).alias("a")
+    b = tagged.alias("b")
+    cand = (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    stored_sig = spark.read.parquet(path + "/sig").select(id_col, "n_sh", "shs")
+    sets = stored_sig.unionByName(
+        new_sig.select(id_col, "n_sh", "shs")
+    ).dropDuplicates([id_col])
+    sets_a = sets.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("shs").alias("shs_a"),
+        F.col("n_sh").alias("n_sh_a"),
+    )
+    sets_b = sets.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("shs").alias("shs_b"),
+        F.col("n_sh").alias("n_sh_b"),
+    )
+    inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    jaccard = inter / (F.col("n_sh_a") + F.col("n_sh_b") - inter)
     return (
         cand.join(sets_a.hint("shuffle_hash"), "doc_a")
         .join(sets_b.hint("shuffle_hash"), "doc_b")

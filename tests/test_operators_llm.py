@@ -368,3 +368,60 @@ def test_count_min_sketch_bounded_and_broadcast(spark):
     probe = spark.createDataFrame([("w1",), ("w2",)], "term string")
     plan = estimate_counts(sketch, probe, "term", depth=3, bucket_hex=2)
     assert "BroadcastHashJoin" in plan._jdf.queryExecution().executedPlan().toString()
+
+
+def test_lsh_index_probe_matches_batch_rerun(spark, tmp_path):
+    """Incremental near-dup maintenance: probing a new batch against the
+    persisted LSH index (old corpus signed ONCE, never re-shingled) plus
+    the already-known old-corpus pairs reproduces exactly the pairs a
+    full batch rerun over old+new would find."""
+    from pyspark.sql import functions as F
+
+    from biocache_store_spark.operators.minhash import (
+        near_duplicates,
+        probe_lsh_index,
+        write_lsh_index,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    variant = "alpha beta gamma delta epsilon zeta eta theta iota mu"
+    other = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, base),      # old
+        (2, variant),   # old near-dup of 1
+        (3, other),     # old, unrelated
+        (11, base),     # new exact dup of 1
+        (12, other + " eleven"),  # new near-dup of 3
+        (13, "totally different words entirely here now folks"),  # new
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    old = docs.filter(F.col("doc_id") < 10)
+    new = docs.filter(F.col("doc_id") >= 10)
+
+    path = str(tmp_path / "lsh")
+    write_lsh_index(old, path)
+    old_pairs = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in near_duplicates(old, threshold=0.5).collect()
+    }
+    probe_pairs = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in probe_lsh_index(spark, path, new, threshold=0.5).collect()
+    }
+    full_pairs = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in near_duplicates(docs, threshold=0.5).collect()
+    }
+    assert old_pairs | probe_pairs == full_pairs
+    assert probe_pairs  # the planted cross-split dup was found
+    assert any(a < 10 <= b for a, b, _ in probe_pairs)  # old-vs-new pair
+
+    # append the new batch's signatures: the index now answers for the
+    # grown corpus — probing a doc similar to a NEW doc finds it
+    write_lsh_index(new, path, mode="append")
+    probe2 = spark.createDataFrame(
+        [(21, "totally different words entirely here now friends")],
+        "doc_id long, text string",
+    )
+    got = probe_lsh_index(spark, path, probe2, threshold=0.5).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in got} == {(13, 21)}

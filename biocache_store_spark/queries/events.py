@@ -253,3 +253,38 @@ def streaming_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total_value",
     )
+
+
+@register(
+    "event_rollup_combined",
+    doc=(
+        "Continuous aggregate (operators/rollup.py): hourly buckets before "
+        "the Jan-15 cutoff are MATERIALIZED once (parquet partitioned by "
+        "day — closed windows never change), then the full-range histogram "
+        "is answered as materialized-buckets UNION an on-the-fly aggregate "
+        "of the raw tail. The cutoff sits on a bucket boundary so the two "
+        "sides are bucket-disjoint and nothing re-aggregates. The oracle "
+        "aggregates the raw table directly — the query proves the rewrite "
+        "is exact, which is the correctness obligation of any materialized "
+        "view. At 100 TB this turns dashboard histograms into bounded "
+        "reads: the rollup is (buckets x keys) rows however large raw "
+        "grows."
+    ),
+    oracle="""
+        SELECT date_trunc('hour', ts) AS hour_bucket,
+               event_type,
+               COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+)
+def event_rollup_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from biocache_store_spark.operators.rollup import rollup_query, write_rollup
+
+    events = read_table(spark, sf_dir, "events")
+    cutoff = "2024-01-15 00:00:00"
+    path = tempfile.mkdtemp(prefix="rollup_") + "/hourly"
+    write_rollup(events, path, cutoff)
+    return rollup_query(spark, path, events, cutoff)

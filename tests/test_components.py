@@ -113,3 +113,96 @@ def test_dedup_spans_hot_span_plan_has_partial_agg(spark):
     assert "partial_min" in plan or "HashAggregate" in plan
     assert kept.count() == 1
     assert kept.collect()[0]["doc_id"] == 0
+
+
+def test_rollup_incremental_refresh_and_pruning(spark, tmp_path):
+    """operators/rollup.py: closed buckets materialize once; advancing the
+    cutoff refreshes only the newly-closed day partitions; the combined
+    query equals a direct aggregate at every cutoff."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from biocache_store_spark.operators.rollup import rollup_query, write_rollup
+
+    rows = [
+        (dt.datetime(2024, 1, d, h, 30), "click", 1.5)
+        for d in (1, 2, 3)
+        for h in (0, 5, 23)
+    ] + [(dt.datetime(2024, 1, 3, 12, 0), "view", 2.0)]
+    events = spark.createDataFrame(
+        rows, "ts timestamp_ntz, event_type string, value double"
+    )
+
+    def direct(df):
+        return {
+            (r["hour_bucket"], r["event_type"]): (r["n"], r["total_value"])
+            for r in df.groupBy(
+                F.date_trunc("hour", "ts").alias("hour_bucket"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .collect()
+        }
+
+    path = str(tmp_path / "roll")
+    write_rollup(events, path, "2024-01-02 00:00:00")
+    got1 = {
+        (r["hour_bucket"], r["event_type"]): (r["n"], r["total_value"])
+        for r in rollup_query(spark, path, events, "2024-01-02 00:00:00").collect()
+    }
+    assert got1 == direct(events)
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("day=")
+    ) == ["day=2024-01-01"]
+
+    # advance the cutoff: only the newly-closed day lands in the rollup
+    write_rollup(
+        events.filter(
+            (F.col("ts") >= "2024-01-02") & (F.col("ts") < "2024-01-03")
+        ),
+        path,
+        "2024-01-03 00:00:00",
+        mode="append",
+    )
+    got2 = {
+        (r["hour_bucket"], r["event_type"]): (r["n"], r["total_value"])
+        for r in rollup_query(spark, path, events, "2024-01-03 00:00:00").collect()
+    }
+    assert got2 == direct(events)
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("day=")
+    ) == ["day=2024-01-01", "day=2024-01-02"]
+
+
+def test_components_hypothesis_random_graphs(spark):
+    """Property sweep: operator output == union-find on arbitrary small
+    edge lists (including self-loops, duplicates, reversed edges)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    edge = st.tuples(
+        st.integers(min_value=0, max_value=25),
+        st.integers(min_value=0, max_value=25),
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(edge, min_size=1, max_size=30))
+    def run(edges):
+        proper = [(a, b) for a, b in edges if a != b]
+        got = _run(spark, edges)
+        expected = _brute_components(proper)
+        # self-loop-only nodes appear as their own roots
+        for a, b in edges:
+            if a == b and a not in expected:
+                expected[a] = a
+        assert got == expected
+
+    run()

@@ -137,3 +137,25 @@ def fingerprint(text: Column) -> Column:
     """
     normalized = F.regexp_replace(F.lower(F.trim(text)), WHITESPACE, " ")
     return F.xxhash64(normalized)
+
+
+# GPT-2-style pre-tokenizer, RE2-compatible subset: contraction suffixes,
+# space-prefixed letter runs, digit runs, punctuation runs. The upstream
+# pattern's `\s+(?!\S)` lookahead is dropped (RE2 has no lookahead; the
+# scanner skipping unmatched whitespace gives the same token LIST — only
+# standalone-whitespace tokens disappear, which a counter wants anyway).
+BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """BPE-ish pre-tokenization (the merge-free first stage of a GPT-2
+    tokenizer): case-preserving, space-prefix-aware token pieces. A
+    codegen'd regexp_extract_all — and byte-identical in DuckDB's RE2,
+    so counts built on it stay oracle-exact."""
+    return F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), 0)
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Pre-tokenizer piece count — the cheap upper-bound proxy for BPE
+    token budgets (every merge only shrinks the count)."""
+    return F.size(bpe_tokens(text))

@@ -525,3 +525,46 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("bigram_rep"),
     )
+
+
+@register(
+    "bpe_token_stats",
+    doc=(
+        "Token budgets under the BPE-ish pre-tokenizer "
+        "(functions/text.py bpe_tokens — GPT-2-style piece regex, "
+        "RE2-compatible so the oracle runs the SAME pattern): per source, "
+        "total whitespace tokens vs pre-tokenizer pieces and their ratio "
+        "— the counting mode a training-budget estimate actually uses "
+        "(merges only shrink piece counts, so pieces upper-bound BPE "
+        "tokens)."
+    ),
+    oracle=rf"""
+        WITH t AS (
+            SELECT source,
+                   len({_TOKS}) AS n_ws,
+                   len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?\p{{L}}+| ?\p{{N}}+| ?[^\s\p{{L}}\p{{N}}]+'))
+                       AS n_bpe
+            FROM documents
+        )
+        SELECT source,
+               SUM(n_ws) AS ws_tokens,
+               SUM(n_bpe) AS bpe_pieces,
+               ROUND(SUM(n_bpe) * 1.0 / SUM(n_ws), 4) AS pieces_per_word
+        FROM t GROUP BY source
+    """,
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.functions.text import bpe_token_count, words
+
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        F.size(words(F.col("text"))).alias("n_ws"),
+        bpe_token_count(F.col("text")).alias("n_bpe"),
+    )
+    return t.groupBy("source").agg(
+        F.sum("n_ws").alias("ws_tokens"),
+        F.sum("n_bpe").alias("bpe_pieces"),
+        F.round(F.sum("n_bpe") / F.sum("n_ws"), 4).alias("pieces_per_word"),
+    )

@@ -221,3 +221,49 @@ def test_unpack_associated_media_reference_cases(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, cases[i][0], got[i], want)
+
+
+def test_bpe_tokens_cross_engine_parity(spark):
+    """functions/text.py bpe_tokens: the Spark (Java regex) and DuckDB
+    (RE2) evaluations of BPE_TOKEN_PATTERN produce identical token lists
+    on adversarial inputs — the property every oracle built on it needs."""
+    import duckdb
+
+    from biocache_store_spark.functions.text import (
+        BPE_TOKEN_PATTERN,
+        bpe_token_count,
+        bpe_tokens,
+    )
+
+    cases = [
+        "Hello world",
+        "it's Tom's 42nd try",
+        "  leading and   multi  spaces ",
+        "mixed123runs and CamelCase Words",
+        "punct!!! ... --- (nested) [ok]",
+        "tabs\tand\nnewlines\r\nhere",
+        "Ünïcöde létters überall",
+        "digits 007 42.5 1,000",
+        "",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    got = {
+        r["text"]: (r["toks"], r["n"])
+        for r in df.select(
+            "text",
+            bpe_tokens(F.col("text")).alias("toks"),
+            bpe_token_count(F.col("text")).alias("n"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for c in cases:
+        expected = con.execute(
+            "SELECT regexp_extract_all(?, ?)", [c, BPE_TOKEN_PATTERN]
+        ).fetchone()[0]
+        assert got[c][0] == expected, c
+        assert got[c][1] == len(expected), c
+    # sanity on the semantics themselves
+    assert got["Hello world"][0] == ["Hello", " world"]
+    assert got["it's Tom's 42nd try"][0] == [
+        "it", "'s", " Tom", "'s", " 42", "nd", " try",
+    ]

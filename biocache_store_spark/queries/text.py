@@ -998,3 +998,41 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 15)
         .select("doc_id", "score", "rank")
     )
+
+
+@register(
+    "lsh_index_probe",
+    doc=(
+        "Incremental near-dup probe (operators/minhash.py "
+        "write_lsh_index/probe_lsh_index): the corpus minus every 5th "
+        "document is signed and persisted as the LSH index (signatures + "
+        "band keys partitioned by band); the held-out batch is then "
+        "shingled ALONE and probed against the stored bands — per-ingest "
+        "cost proportional to the batch, never the corpus. The oracle is "
+        "the full-corpus minhash pipeline restricted to pairs touching "
+        "the batch, which is exactly what probe must reproduce: "
+        "candidates with a new member are generated identically whether "
+        "the other side was signed now or long ago."
+    ),
+    oracle=f"""
+        WITH {_MINHASH_PAIRS_CTES}
+        SELECT doc_a, doc_b, jaccard FROM pairs
+        WHERE doc_a % 5 = 0 OR doc_b % 5 = 0
+    """,
+)
+def lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from biocache_store_spark.operators.minhash import (
+        probe_lsh_index,
+        write_lsh_index,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    old = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) != 0)
+    new = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+    path = tempfile.mkdtemp(prefix="lsh_idx_")
+    write_lsh_index(old, path)
+    return probe_lsh_index(
+        spark, path, new, threshold=0.5, max_bucket_size=_MAX_BAND_BUCKET
+    )

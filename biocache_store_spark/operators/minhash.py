@@ -113,6 +113,24 @@ def banded_keys(
     ).select(id_col, F.col("bs.band"), F.col("bs.band_sig"))
 
 
+def _cap_buckets(banded: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    """Hot-band guard shared by the batch and incremental paths: drop
+    (band, band_sig) buckets larger than the cap. Window count over the
+    join key itself — one shuffle, no extra join."""
+    if max_bucket_size is None:
+        return banded
+    from pyspark.sql.window import Window
+
+    return (
+        banded.withColumn(
+            "__bn",
+            F.count(F.lit(1)).over(Window.partitionBy("band", "band_sig")),
+        )
+        .filter(F.col("__bn") <= max_bucket_size)
+        .drop("__bn")
+    )
+
+
 def lsh_candidates(
     sig_df: DataFrame,
     num_hashes: int = DEFAULT_NUM_HASHES,
@@ -130,19 +148,7 @@ def lsh_candidates(
     missed; everything else is unaffected). The bucket-size aggregation
     shuffles on the same (band, band_sig) key as the join itself, so AQE
     reuses the exchange."""
-    banded = banded_keys(sig_df, num_hashes, bands, id_col)
-    if max_bucket_size is not None:
-        from pyspark.sql.window import Window
-
-        # window count over the join key itself: one shuffle, no extra join
-        banded = (
-            banded.withColumn(
-                "__bn",
-                F.count(F.lit(1)).over(Window.partitionBy("band", "band_sig")),
-            )
-            .filter(F.col("__bn") <= max_bucket_size)
-            .drop("__bn")
-        )
+    banded = _cap_buckets(banded_keys(sig_df, num_hashes, bands, id_col), max_bucket_size)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -281,18 +287,7 @@ def probe_lsh_index(
     stored_banded = spark.read.parquet(path + "/bands").select(
         id_col, "band", "band_sig"
     ).withColumn("is_new", F.lit(False))
-    tagged = stored_banded.unionByName(new_banded)
-    if max_bucket_size is not None:
-        from pyspark.sql.window import Window
-
-        tagged = (
-            tagged.withColumn(
-                "__bn",
-                F.count(F.lit(1)).over(Window.partitionBy("band", "band_sig")),
-            )
-            .filter(F.col("__bn") <= max_bucket_size)
-            .drop("__bn")
-        )
+    tagged = _cap_buckets(stored_banded.unionByName(new_banded), max_bucket_size)
     a = tagged.filter(F.col("is_new")).alias("a")
     b = tagged.alias("b")
     cand = (
@@ -312,6 +307,17 @@ def probe_lsh_index(
     sets = stored_sig.unionByName(
         new_sig.select(id_col, "n_sh", "shs")
     ).dropDuplicates([id_col])
+    # restrict the set-payload relation to CANDIDATE ids before attaching
+    # shingle arrays: without this, every stored signature row shuffles
+    # through the verification join on every ingest — O(corpus), exactly
+    # what the probe exists to avoid. The candidate-id set is bounded by
+    # (batch x bands x bucket cap), so it broadcasts.
+    cand_ids = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .union(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sets = sets.join(F.broadcast(cand_ids), id_col, "left_semi")
     sets_a = sets.select(
         F.col(id_col).alias("doc_a"),
         F.col("shs").alias("shs_a"),

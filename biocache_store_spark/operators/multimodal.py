@@ -106,16 +106,19 @@ _EXTENSION_RE = re.compile(r"(\.[0-9A-Za-z\-_]+)(\?.*)?$")
 _NORM_RE = re.compile(r"[^a-zA-Z0-9]+")
 
 
+# normalized variant -> canonical, built once; setdefault keeps the FIRST
+# writer so subtype collisions resolve in the reference's block order
+_MIME_LOOKUP: dict[str, str] = {}
+for _canonical in _MIME_CANONICALS:
+    _MIME_LOOKUP.setdefault(_NORM_RE.sub("", _canonical).lower(), _canonical)
+    _MIME_LOOKUP.setdefault(
+        _NORM_RE.sub("", _canonical.split("/", 1)[1]).lower(), _canonical
+    )
+
+
 def _match_mime_vocab(value: str) -> str | None:
     norm = _NORM_RE.sub("", value).lower()
-    if not norm:
-        return None
-    for canonical in _MIME_CANONICALS:
-        if norm == _NORM_RE.sub("", canonical).lower():
-            return canonical
-        if norm == _NORM_RE.sub("", canonical.split("/", 1)[1]).lower():
-            return canonical
-    return None
+    return _MIME_LOOKUP.get(norm) if norm else None
 
 
 def find_mime_type(format: str | None = None, identifier: str | None = None) -> str:

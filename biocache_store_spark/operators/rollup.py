@@ -37,12 +37,18 @@ def write_rollup(
     ts_col: str = "ts",
     key_col: str = "event_type",
     value_col: str = "value",
-    mode: str = "overwrite",
 ) -> None:
     """Materialize hourly buckets strictly before `cutoff` (an hour
     boundary), partitioned by day. Sums are stored UNROUNDED — rounding
     is a presentation concern applied at query output, so refresh can
-    never compound rounding error."""
+    never compound rounding error.
+
+    The write is a DYNAMIC partition overwrite: only the day partitions
+    present in this aggregation are replaced, earlier days stay intact.
+    That makes incremental refresh both partition-scoped (pass only the
+    newly-closed days' events with the advanced cutoff) AND retry-safe —
+    re-running the same refresh rewrites the same partitions with the
+    same contents, where a plain append would double-count."""
     agg = (
         events.filter(F.col(ts_col) < F.lit(cutoff).cast("timestamp_ntz"))
         .groupBy(
@@ -55,7 +61,12 @@ def write_rollup(
         )
         .withColumn("day", F.to_date("hour_bucket"))
     )
-    agg.write.mode(mode).partitionBy("day").parquet(path)
+    (
+        agg.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(path)
+    )
 
 
 def rollup_query(

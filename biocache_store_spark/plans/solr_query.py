@@ -351,12 +351,17 @@ class QidStore:
         return Qid(qid.q, tuple(qid.fqs), qid.wkt, qid.bbox, qid.max_age, row_key)
 
     def get(self, row_key: str) -> Qid | None:
-        rows = (
-            self.spark.read.schema(self._SCHEMA)
-            .parquet(self.path)
-            .filter(F.col("rowKey") == row_key)
-            .collect()
-        )
+        from pyspark.errors import AnalysisException
+
+        try:
+            rows = (
+                self.spark.read.schema(self._SCHEMA)
+                .parquet(self.path)
+                .filter(F.col("rowKey") == row_key)
+                .collect()
+            )
+        except AnalysisException:
+            return None  # never-written store: every lookup is a miss
         if not rows:
             return None
         r = max(rows, key=lambda x: x["created"])  # latest write wins

@@ -96,7 +96,10 @@ def maintain_store_stream(
     touched partition the batch row wins by key; surviving rows carry over
     via an anti-join. The merge is idempotent per key, so availableNow +
     checkpoint restarts (at-least-once delivery) still converge to the
-    same store contents.
+    same store contents. A micro-batch can span several staging files
+    (maxFilesPerTrigger) and may carry the same key more than once — the
+    row from the lexicographically-last staging file wins, mirroring a
+    sequential loader where later drops supersede earlier ones.
     """
     raw = (
         spark.readStream.schema(schema)
@@ -107,19 +110,32 @@ def maintain_store_stream(
 
     def merge_batch(batch: DataFrame, _batch_id: int) -> None:
         from pyspark.errors import AnalysisException
+        from pyspark.sql.window import Window
 
         sess = batch.sparkSession
+        # intra-batch dedup by key BEFORE processing: last staging file
+        # wins (order within one file is undefined — a single file should
+        # not carry the same key twice)
+        w = Window.partitionBy(key_col).orderBy(F.col("__src").desc())
+        batch = (
+            batch.withColumn("__src", F.input_file_name())
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__src", "__rn")
+        )
         processed = process_records(batch)
-        touched = [
-            r[0]
-            for r in processed.select("dataResourceUid").distinct().collect()
-            if r[0] is not None
-        ]
+        touched_rows = processed.select("dataResourceUid").distinct().collect()
+        touched = [r[0] for r in touched_rows if r[0] is not None]
+        touches_null = any(r[0] is None for r in touched_rows)
         out = processed
         try:
-            existing = sess.read.parquet(store_dir).filter(
-                F.col("dataResourceUid").isin(touched)
-            )
+            # null-safe partition scope: the null-resource partition is
+            # rewritten too whenever the batch carries null-resource rows,
+            # so its surviving rows must join the carry-over as well
+            scope = F.col("dataResourceUid").isin(touched)
+            if touches_null:
+                scope = scope | F.col("dataResourceUid").isNull()
+            existing = sess.read.parquet(store_dir).filter(scope)
             keep = existing.join(
                 processed.select(key_col), key_col, "left_anti"
             )

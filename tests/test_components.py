@@ -160,14 +160,11 @@ def test_rollup_incremental_refresh_and_pruning(spark, tmp_path):
     ) == ["day=2024-01-01"]
 
     # advance the cutoff: only the newly-closed day lands in the rollup
-    write_rollup(
-        events.filter(
-            (F.col("ts") >= "2024-01-02") & (F.col("ts") < "2024-01-03")
-        ),
-        path,
-        "2024-01-03 00:00:00",
-        mode="append",
+    # (dynamic overwrite — day=2024-01-01 is untouched by this refresh)
+    refresh = events.filter(
+        (F.col("ts") >= "2024-01-02") & (F.col("ts") < "2024-01-03")
     )
+    write_rollup(refresh, path, "2024-01-03 00:00:00")
     got2 = {
         (r["hour_bucket"], r["event_type"]): (r["n"], r["total_value"])
         for r in rollup_query(spark, path, events, "2024-01-03 00:00:00").collect()
@@ -176,6 +173,15 @@ def test_rollup_incremental_refresh_and_pruning(spark, tmp_path):
     assert sorted(
         d for d in os.listdir(path) if d.startswith("day=")
     ) == ["day=2024-01-01", "day=2024-01-02"]
+
+    # retry safety: re-running the same refresh rewrites the same
+    # partition with the same contents instead of double-counting
+    write_rollup(refresh, path, "2024-01-03 00:00:00")
+    got3 = {
+        (r["hour_bucket"], r["event_type"]): (r["n"], r["total_value"])
+        for r in rollup_query(spark, path, events, "2024-01-03 00:00:00").collect()
+    }
+    assert got3 == got2
 
 
 def test_components_hypothesis_random_graphs(spark):

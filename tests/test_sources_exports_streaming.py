@@ -599,3 +599,60 @@ def test_streaming_store_maintenance_upserts_by_partition(spark, tmp_path):
     # drB partition files untouched by the second batch (dynamic overwrite
     # only rewrites partitions present in the batch)
     assert sorted(os.listdir(os.path.join(store, "dataResourceUid=drB"))) == drb_files
+
+
+def test_streaming_store_null_resource_rows_survive_merges(spark, tmp_path):
+    """Rows with NULL dataResourceUid live in the default partition; a
+    later batch touching that partition must carry the earlier rows over
+    rather than silently dropping them (the isin() null-trap)."""
+    from biocache_store_spark.streaming.incremental import maintain_store_stream
+
+    hdr = (
+        "occurrenceID,dataResourceUid,basisOfRecord,eventDate,year,month,day,"
+        "decimalLatitude,decimalLongitude,geodeticDatum,country,stateProvince,"
+        "scientificName,recordedBy\n"
+    )
+    staging = tmp_path / "staging"
+    staging.mkdir()
+    (staging / "b1.csv").write_text(
+        hdr + "k1,,PreservedSpecimen,2001-05-05,,,,-35.2,144.8,WGS84,Australia,,Xus yus,Smith J\n"
+    )
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    maintain_store_stream(spark, str(staging), store, ckpt).awaitTermination(120)
+    (staging / "b2.csv").write_text(
+        hdr + "k2,,HumanObservation,2002-06-06,,,,-30.0,150.0,WGS84,Australia,,Aus bus,Doe K\n"
+    )
+    maintain_store_stream(spark, str(staging), store, ckpt).awaitTermination(120)
+    ids = sorted(
+        r["occurrenceID"]
+        for r in spark.read.parquet(store).select("occurrenceID").collect()
+    )
+    assert ids == ["k1", "k2"]
+
+
+def test_streaming_store_intra_batch_duplicate_keys_last_file_wins(
+    spark, tmp_path
+):
+    """Several staging files can land in ONE micro-batch; a key repeated
+    across them must upsert to a single row, the lexicographically-last
+    file winning (later drops supersede earlier ones)."""
+    from biocache_store_spark.streaming.incremental import maintain_store_stream
+
+    hdr = (
+        "occurrenceID,dataResourceUid,basisOfRecord,eventDate,year,month,day,"
+        "decimalLatitude,decimalLongitude,geodeticDatum,country,stateProvince,"
+        "scientificName,recordedBy\n"
+    )
+    staging = tmp_path / "staging"
+    staging.mkdir()
+    (staging / "a_first.csv").write_text(
+        hdr + "d1,drX,PreservedSpecimen,2001-01-01,,,,-35.2,144.8,WGS84,Australia,,Xus yus,Smith J\n"
+    )
+    (staging / "b_fix.csv").write_text(
+        hdr + "d1,drX,PreservedSpecimen,2009-09-09,,,,-35.2,144.8,WGS84,Australia,,Xus yus,Smith J\n"
+    )
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    maintain_store_stream(spark, str(staging), store, ckpt).awaitTermination(120)
+    rows = spark.read.parquet(store).collect()
+    assert len(rows) == 1
+    assert rows[0]["processed"]["eventDate"] == "2009-09-09"

@@ -112,6 +112,7 @@ DEPRIORITIZED: tuple[str, ...] = (
     "window_representative",  # argmax window; green 3x, still bench-timed every round
     "event_user_sessions",  # same stateful-sessionization operator as event_sessionization
     "bpe_token_stats",  # local-green; cross-engine regex parity also pinned by unit test, slot kept for operator-unique rows
+    "grouped_percentiles",  # local-green; exact R7 interpolation parity, agg family already driver-evidenced by grouped_stats
     "text_quality_stats",  # quality-scoring row also evidenced per-doc by text_quality_score
     "text_token_stats",  # token/length stats re-evidenced by text_quality_score + corpus_curation manifest
     "distinct_coordinates",  # distinct_points kernel runs inside the checked sample_layers_enrich plan

@@ -593,3 +593,33 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+@register(
+    "grouped_percentiles",
+    doc=(
+        "Exact interpolated percentiles per group (median/p90/p99 of "
+        "lineitem quantity by return flag): Spark's percentile() and "
+        "DuckDB's quantile_cont() both implement type-R7 linear "
+        "interpolation, so the values compare exactly after fixed-scale "
+        "rounding. Exact percentiles sort each group — the right tool at "
+        "dashboard cardinalities; a 100 TB per-key distribution sketch "
+        "would use percentile_approx (t-digest-style, deliberately NOT "
+        "oracle-checked here: its result depends on partition merge "
+        "order, which no cross-engine oracle can pin)."
+    ),
+    oracle="""
+        SELECT l_returnflag AS grp,
+               ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
+               ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90,
+               ROUND(quantile_cont(l_quantity, 0.99), 4) AS p99
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.round(F.percentile(F.col("l_quantity"), F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile(F.col("l_quantity"), F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile(F.col("l_quantity"), F.lit(0.99)), 4).alias("p99"),
+    )

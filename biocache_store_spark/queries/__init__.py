@@ -95,6 +95,7 @@ HEAD: tuple[str, ...] = (
     "embedding_quantize",
     "event_rollup_combined",
     "lsh_index_probe",
+    "dwca_roundtrip",
 )
 
 DEPRIORITIZED: tuple[str, ...] = (
@@ -123,6 +124,7 @@ DEPRIORITIZED: tuple[str, ...] = (
     "fuzzy_date_parse",  # green r02+r03; date family re-evidenced by date_precision_reformat (HEAD) + the dense reference-mirrored unit matrix
     "gridref_parse",  # green r02+r03; OSGB/Irish parity matrix suite carries the family, verbatim/utm/datum rows stay checked
     "expert_outlier_flags",  # green r02+r03; spatial-outlier family re-evidenced by jackknife row + WKT queries in HEAD
+    "jackknife_outlier_stats",  # green r02+r03; cascade/failsafe behavior pinned by the reference-fixture unit suite, stats family re-evidenced by grouped_stats
     "maintenance_delete_upsert",  # green r02+r03; delta-rewrite lifecycle re-evidenced by user_assertion_lifecycle (HEAD) + maintenance unit tests
     "event_sessionization",  # green r02+r03; operator shared with event_user_sessions + stateful-streaming tests, still bench-timed every round
     "media_decode_meta",  # multimodal plumbing; green r02+r03, decode path unchanged

@@ -1978,3 +1978,68 @@ def media_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.col("features"), 3).alias("f2"),
         F.element_at(F.col("features"), 4).alias("f3"),
     )
+
+
+@register(
+    "dwca_roundtrip",
+    doc=(
+        "Darwin Core Archive round trip under the external hash gate: "
+        "occurrence-shaped records synthesized from customer are written "
+        "as a DwC-A zip (exports/exporters.py create_dwca — meta.xml + "
+        "eml + occurrence.csv, export/DwCACreator.scala), the zip is "
+        "extracted and re-loaded through the archive loader "
+        "(sources/dwca.py load_archive — meta.xml-driven star schema, "
+        "load/DwCALoader.scala), and the loaded rows are returned. The "
+        "oracle derives the same projection straight from customer, so "
+        "any drift in either the writer's CSV/meta conventions or the "
+        "loader's parsing breaks the hash. All-string fields keep the "
+        "comparison formatting-free."
+    ),
+    oracle="""
+        SELECT 'c' || CAST(c_custkey AS VARCHAR) AS occurrenceID,
+               'Species ' || CAST(c_custkey % 50 AS VARCHAR) AS scientificName,
+               CASE c_custkey % 3 WHEN 0 THEN 'PreservedSpecimen'
+                                  WHEN 1 THEN 'HumanObservation'
+                                  ELSE 'MachineObservation' END AS basisOfRecord,
+               c_mktsegment AS locality
+        FROM customer
+    """,
+)
+def dwca_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import zipfile
+
+    from biocache_store_spark.exports.exporters import create_dwca
+    from biocache_store_spark.sources.dwca import load_archive
+
+    customer = read_table(spark, sf_dir, "customer")
+    shape = F.pmod(F.col("c_custkey"), F.lit(3))
+    recs = customer.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias(
+            "occurrenceID"
+        ),
+        F.concat(
+            F.lit("Species "), F.pmod(F.col("c_custkey"), F.lit(50)).cast("string")
+        ).alias("scientificName"),
+        F.when(shape == 0, "PreservedSpecimen")
+        .when(shape == 1, "HumanObservation")
+        .otherwise("MachineObservation")
+        .alias("basisOfRecord"),
+        F.col("c_mktsegment").alias("locality"),
+    )
+    work = tempfile.mkdtemp(prefix="dwca_rt_")
+    zip_path = work + "/archive.zip"
+    create_dwca(
+        recs,
+        ["occurrenceID", "scientificName", "basisOfRecord", "locality"],
+        zip_path,
+    )
+    extract_dir = work + "/extracted"
+    with zipfile.ZipFile(zip_path) as zf:
+        zf.extractall(extract_dir)
+    loaded = load_archive(
+        spark, extract_dir, "dr-roundtrip", unique_terms=["occurrenceID"]
+    )
+    return loaded.select(
+        "occurrenceID", "scientificName", "basisOfRecord", "locality"
+    )

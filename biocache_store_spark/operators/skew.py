@@ -19,6 +19,19 @@ from pyspark.sql import functions as F
 SALT_COL = "__salt"
 
 
+def _xxhashable(dt) -> bool:
+    """xxhash64 rejects MapType anywhere inside a column's type."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _xxhashable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_xxhashable(f.dataType) for f in dt.fields)
+    return True
+
+
 def salted_join(
     skewed: DataFrame,
     other: DataFrame,
@@ -41,6 +54,13 @@ def salted_join(
     Cost model: `other` is shuffled `salt` times over — so salt the join
     whose other side is small-but-not-broadcastable, and keep `salt` at
     the hot key's observed partition-size multiple, not higher.
+
+    The salt hashes only HASHABLE columns (xxhash64 rejects MapType
+    anywhere in a column's type, so map-bearing columns are excluded).
+    Corollary of determinism: rows identical in every hashable column
+    share a salt and do NOT spread — that is the price of retry-stable
+    salting, and such fully-duplicate hot rows should be aggregated
+    before the join anyway.
     """
     keys = [on] if isinstance(on, str) else list(on)
     if how not in ("inner", "left", "left_outer", "leftouter"):
@@ -49,8 +69,16 @@ def salted_join(
             "replicating the other side breaks unmatched-row semantics "
             "for right/full/semi/anti"
         )
+    hash_cols = [
+        f.name for f in skewed.schema.fields if _xxhashable(f.dataType)
+    ]
+    if not hash_cols:
+        raise ValueError(
+            "salted_join: no hashable columns on the skewed side "
+            "(every column carries a MapType)"
+        )
     salted = skewed.withColumn(
-        SALT_COL, F.pmod(F.xxhash64(*skewed.columns), F.lit(salt))
+        SALT_COL, F.pmod(F.xxhash64(*hash_cols), F.lit(salt))
     )
     replicated = other.withColumn(
         SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

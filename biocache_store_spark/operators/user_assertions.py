@@ -67,23 +67,47 @@ def empty_store(spark) -> DataFrame:
 
 
 def add_user_assertions(store: DataFrame, new_assertions: DataFrame) -> DataFrame:
-    """Append user assertions; a non-verification row is always stored
-    unconfirmed (OccurrenceDAOImpl.scala:895-897: "if its not a verification
-    of an existing assertion ... its unconfirmed")."""
+    """Upsert user assertions by (rowKey, uuid) — the reference's put is
+    keyed, so re-adding an existing uuid (client retry, edited comment)
+    REPLACES the stored row instead of duplicating it. A non-verification
+    row is always stored unconfirmed (OccurrenceDAOImpl.scala:895-897:
+    "if its not a verification of an existing assertion ... its
+    unconfirmed")."""
     normalized = new_assertions.withColumn(
         "qa_status",
         F.when(F.col("code") != VERIFIED_CODE, F.lit(QA_UNCONFIRMED)).otherwise(
             F.col("qa_status")
         ),
     )
-    return store.unionByName(normalized, allowMissingColumns=True)
+    merged = store.withColumn("__new", F.lit(0)).unionByName(
+        normalized.withColumn("__new", F.lit(1)), allowMissingColumns=True
+    )
+    w = Window.partitionBy("rowKey", "uuid").orderBy(
+        F.desc("__new"), F.desc_nulls_last("record_num")
+    )
+    return (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__new", "__rn")
+    )
 
 
 def delete_user_assertions(store: DataFrame, keys: DataFrame) -> DataFrame:
     """Delete by (rowKey, uuid) — the Store.deleteUserAssertion shape
     (Store.scala:396-405); the rewrite is an anti-join like the delete ops
-    in operators/maintenance.py."""
-    return store.join(keys.select("rowKey", "uuid"), ["rowKey", "uuid"], "left_anti")
+    in operators/maintenance.py. Verification rows POINTING at a deleted
+    assertion cascade with it: an orphaned verification would otherwise
+    keep driving the combined status (e.g. QA_VERIFIED with zero
+    assertions) — the reference never reads such rows because it walks
+    verifications per surviving assertion."""
+    trimmed = store.join(
+        keys.select("rowKey", "uuid"), ["rowKey", "uuid"], "left_anti"
+    )
+    return trimmed.join(
+        keys.select("rowKey", F.col("uuid").alias("related_uuid")),
+        ["rowKey", "related_uuid"],
+        "left_anti",
+    )
 
 
 def combined_user_status(store: DataFrame) -> DataFrame:
@@ -130,8 +154,13 @@ def combined_user_status(store: DataFrame) -> DataFrame:
         F.sort_array(F.collect_list("code")).alias("base_codes"),
     )
 
+    # struct(record_num, uuid) ordering key: cross-assertion record_num
+    # ties are normal (the counter is per assertion), and bare max_by is
+    # non-deterministic under ties — uuid makes the pick stable
     latest_agg = latest.groupBy("rowKey").agg(
-        F.max_by("qa_status", F.col("record_num")).alias("latest_status"),
+        F.max_by(
+            "qa_status", F.struct(F.col("record_num"), F.col("uuid"))
+        ).alias("latest_status"),
         F.max((F.col("qa_status") == QA_OPEN_ISSUE).cast("int")).alias("any_open"),
     )
 

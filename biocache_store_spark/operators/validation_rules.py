@@ -96,7 +96,10 @@ def annotate_with_rule(
         F.lit(rule.comment).alias("comment"),
     )
     if "assertions" in df.columns:
-        return df.withColumn(
-            "assertions", F.concat(F.col("assertions"), F.array(assertion))
+        # coalesce: concat(NULL, x) is NULL, which would silently drop the
+        # rule assertion for rows whose assertions column is null
+        existing = F.coalesce(
+            F.col("assertions"), F.array().cast(df.schema["assertions"].dataType)
         )
+        return df.withColumn("assertions", F.concat(existing, F.array(assertion)))
     return df.withColumn("assertions", F.array(assertion))

@@ -1574,15 +1574,18 @@ def validation_rule_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key%7==0, then recompute the combined per-record status "
         "(getCombinedUserStatus 5-state machine incl. the open-issue "
         "reopen) and overlay it on the records table (QA_NONE default). "
-        "The oracle replays the state machine arithmetically."
+        "Deleting an assertion CASCADES to verifications pointing at it "
+        "(an orphaned verification must not keep driving the status), so "
+        "the oracle's v1/v2 are the EFFECTIVE verification flags — false "
+        "when the verified assertion was deleted."
     ),
     oracle="""
         WITH f AS (
             SELECT c_custkey AS k,
                    (c_custkey % 7 <> 0) AS hasA,
                    (c_custkey % 2 = 1) AS hasB,
-                   (c_custkey % 3 = 0) AS v1,
-                   (c_custkey % 5 = 0) AS v2
+                   (c_custkey % 3 = 0 AND c_custkey % 7 <> 0) AS v1,
+                   (c_custkey % 5 = 0 AND c_custkey % 7 <> 0) AS v2
             FROM customer
         ),
         calc AS (

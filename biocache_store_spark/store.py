@@ -152,7 +152,11 @@ def upsert_validation_rule(rules: DataFrame, rule) -> DataFrame:
         "assertion_name string, comment string, wkt string, "
         "bbox array<double>",
     )
-    return rules.filter(F.col("rule_id") != rule.rule_id).unionByName(row)
+    # shared upsert primitive (null-safe on the key — a plain != filter
+    # would silently drop any NULL-keyed row on every unrelated upsert)
+    from biocache_store_spark.operators.maintenance import upsert
+
+    return upsert(rules, row, key_col="rule_id")
 
 
 def get_validation_rules(rules: DataFrame, rule_ids: list[str] | None = None) -> DataFrame:
@@ -163,5 +167,6 @@ def get_validation_rules(rules: DataFrame, rule_ids: list[str] | None = None) ->
 
 
 def delete_validation_rule(rules: DataFrame, rule_id: str) -> DataFrame:
-    """Store.deleteValidationRule."""
-    return rules.filter(F.col("rule_id") != rule_id)
+    """Store.deleteValidationRule (null-safe: other rules — including a
+    NULL-keyed row — are untouched)."""
+    return rules.filter(~F.col("rule_id").eqNullSafe(rule_id))

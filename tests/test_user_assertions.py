@@ -157,3 +157,100 @@ def test_index_overlay_via_build_index(spark, statuses):
     assert rows["r2"]["user_assertion_status"] == QA_VERIFIED
     assert rows["r2"]["user_verified"]
     assert rows["r9"]["user_assertion_status"] == QA_NONE
+
+
+def test_re_add_same_uuid_replaces_not_duplicates(spark):
+    """The store is (rowKey, uuid)-keyed: re-adding an existing uuid
+    (client retry / edited comment) replaces the row."""
+    store = add_user_assertions(
+        empty_store(spark), _mk(spark, [_qa("r1", "a1", 10, 0)])
+    )
+    edited = _mk(spark, [("r1", "a1", 10, 0, "edited comment", "user1", None, 0)])
+    store = add_user_assertions(store, edited)
+    rows = store.collect()
+    assert len(rows) == 1
+    assert rows[0]["comment"] == "edited comment"
+    st = {r["rowKey"]: r for r in combined_user_status(store).collect()}
+    assert st["r1"]["outstanding_count"] == 1  # one logical assertion
+
+
+def test_delete_cascades_orphaned_verifications(spark):
+    """Deleting an assertion removes verifications pointing at it —
+    otherwise a record with zero assertions would keep reporting the
+    orphaned verification's status instead of QA_NONE."""
+    store = add_user_assertions(
+        empty_store(spark),
+        _mk(
+            spark,
+            [
+                _qa("r1", "a1", 10, 0),
+                _qa("r1", "v1", 50000, QA_VERIFIED, related="a1", rec=1),
+            ],
+        ),
+    )
+    store = delete_user_assertions(
+        store, _mk(spark, [_qa("r1", "a1", 10, 0)]).select("rowKey", "uuid")
+    )
+    assert store.count() == 0  # the verification cascaded
+    records = spark.createDataFrame([("r1",)], "rowKey string")
+    r = overlay_user_status(records, store).collect()[0]
+    assert r["user_assertion_status"] == QA_NONE
+    assert r["user_verified"] is False
+
+
+def test_latest_verification_tie_breaks_deterministically(spark):
+    """Two assertions whose latest verifications share record_num: the
+    combined status must not flip between runs — uuid is the tie-break,
+    so the lexicographically-greater verification wins."""
+    store = add_user_assertions(
+        empty_store(spark),
+        _mk(
+            spark,
+            [
+                _qa("r1", "a1", 10, 0),
+                _qa("r1", "b1", 11, 0),
+                _qa("r1", "va", 50000, QA_VERIFIED, related="a1", rec=1),
+                _qa("r1", "vb", 50000, QA_CORRECTED, related="b1", rec=1),
+            ],
+        ),
+    )
+    st = {r["rowKey"]: r for r in combined_user_status(store).collect()}
+    # 'vb' > 'va' lexicographically -> CORRECTED, stably
+    assert st["r1"]["user_assertion_status"] == QA_CORRECTED
+
+
+def test_salted_join_skips_map_columns(spark):
+    from pyspark.sql import functions as F
+
+    from biocache_store_spark.operators.skew import salted_join
+
+    skewed = spark.createDataFrame(
+        [("k", 1, {"a": "b"}), ("k", 2, {"c": "d"})],
+        "key string, v int, m map<string,string>",
+    )
+    other = spark.createDataFrame([("k", "dim")], "key string, d string")
+    out = salted_join(skewed, other, "key").orderBy("v").collect()
+    assert [r["v"] for r in out] == [1, 2]
+    assert all(r["d"] == "dim" for r in out)
+
+
+def test_annotate_with_rule_tolerates_null_assertions(spark):
+    from pyspark.sql import functions as F
+
+    from biocache_store_spark.operators.validation_rules import ValidationRule, annotate_with_rule
+
+    df = spark.createDataFrame(
+        [("r1", "CLOSED", None), ("r2", "OPEN", [])],
+        "rowKey string, status string, assertions array<struct<code:int,name:string,qa_status:int,comment:string>>",
+    )
+    rule = ValidationRule(
+        rule_id="q1",
+        query="status:OPEN",
+        assertion_code=20020,
+        assertion_name="openFlag",
+        comment="",
+    )
+    out = {r["rowKey"]: r["assertions"] for r in annotate_with_rule(df, rule).collect()}
+    assert out["r1"] is not None and len(out["r1"]) == 1  # null no longer swallows
+    assert out["r2"][0]["qa_status"] == 0  # matched -> failed
+    assert out["r1"][0]["qa_status"] == 1  # unmatched -> passed

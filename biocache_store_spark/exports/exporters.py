@@ -42,8 +42,10 @@ def stream_records(df: DataFrame, fields: list[str]) -> Iterator[list]:
 
 def export_facet(df: DataFrame, field: str, path: str, include_counts: bool = True) -> None:
     """ExportFacet: distinct facet values (+counts) for a field."""
-    out = df.filter(F.col(field).isNotNull()).groupBy(field)
-    result = out.count() if include_counts else out.agg()
+    nz = df.filter(F.col(field).isNotNull())
+    # agg() with zero expressions is rejected by Spark — the counts-free
+    # variant is a plain distinct projection
+    result = nz.groupBy(field).count() if include_counts else nz.select(field).distinct()
     result.orderBy(field).write.mode("overwrite").option("header", True).csv(path)
 
 
@@ -93,17 +95,22 @@ def create_dwca(
     meta = _DWCA_META_TEMPLATE.format(fields=field_lines)
     os.makedirs(os.path.dirname(zip_path) or ".", exist_ok=True)
     rows = df.select(*fields).toLocalIterator()
-    buffer = io.StringIO()
-    writer = csv.writer(buffer, lineterminator="\n")
-    writer.writerow(["id"] + fields)
-    for i, row in enumerate(rows):
-        if max_rows is not None and i >= max_rows:
-            break
-        writer.writerow([i] + ["" if v is None else v for v in row])
     with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
         zf.writestr("meta.xml", meta)
         zf.writestr("eml.xml", eml)
-        zf.writestr("occurrence.csv", buffer.getvalue())
+        # stream the occurrence CSV straight into the zip entry: with
+        # toLocalIterator this keeps driver memory flat however large the
+        # export — buffering the CSV in a StringIO held TWO full copies
+        with zf.open("occurrence.csv", mode="w") as entry:
+            text = io.TextIOWrapper(entry, encoding="utf-8", newline="")
+            writer = csv.writer(text, lineterminator="\n")
+            writer.writerow(["id"] + fields)
+            for i, row in enumerate(rows):
+                if max_rows is not None and i >= max_rows:
+                    break
+                writer.writerow([i] + ["" if v is None else v for v in row])
+            text.flush()
+            text.detach()
     return zip_path
 
 

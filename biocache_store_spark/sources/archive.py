@@ -22,19 +22,31 @@ import datetime as _dt
 import gzip
 import os
 import shutil
+import urllib.error
 import urllib.parse
 import urllib.request
 import zipfile
 
 
+def _as_utc(dt: _dt.datetime) -> _dt.datetime:
+    """Aware-UTC view of a datetime; naive values are taken as LOCAL time
+    (what datetime.now()/fromtimestamp hand out) and converted."""
+    return dt.astimezone(_dt.timezone.utc)
+
+
 def _mtime(path: str) -> _dt.datetime:
-    return _dt.datetime.fromtimestamp(os.path.getmtime(path))
+    # timezone-aware UTC: these values feed If-Modified-Since comparisons
+    return _dt.datetime.fromtimestamp(
+        os.path.getmtime(path), tz=_dt.timezone.utc
+    )
 
 
 def _extract(archive_path: str) -> str:
     """ZIP -> sibling directory named after the archive (File.extractZip
-    semantics); .gz -> gunzipped sibling file, archive removed
-    (DataLoader.scala:385-396); anything else -> containing directory."""
+    semantics); .gz -> gunzipped file; plain file kept as-is. Every shape
+    returns a PER-RESOURCE directory (`<archive-stem>.d/` for gz/plain),
+    never the shared dest_dir — a loader pointed at the returned path must
+    see only this resource's files (DataLoader.scala:385-396)."""
     base, ext = os.path.splitext(archive_path)
     ext = ext.lower()
     if ext == ".zip":
@@ -43,13 +55,20 @@ def _extract(archive_path: str) -> str:
             zf.extractall(base)
         return base
     if ext == ".gz":
-        with gzip.open(archive_path, "rb") as src, open(base, "wb") as dst:
+        out_dir = base + ".d"
+        os.makedirs(out_dir, exist_ok=True)
+        out_path = os.path.join(out_dir, os.path.basename(base))
+        with gzip.open(archive_path, "rb") as src, open(out_path, "wb") as dst:
             shutil.copyfileobj(src, dst)
         # remove the gzip so the loader doesn't try to load it
         # (DataLoader.scala:391)
         os.remove(archive_path)
-        return os.path.dirname(base)
-    return os.path.dirname(archive_path)
+        return out_dir
+    out_dir = archive_path + ".d"
+    os.makedirs(out_dir, exist_ok=True)
+    final = os.path.join(out_dir, os.path.basename(archive_path))
+    shutil.move(archive_path, final)
+    return out_dir
 
 
 def fetch_archive(
@@ -82,24 +101,29 @@ def fetch_archive(
     if scheme == "file" or (scheme not in ("http", "https") and os.path.exists(url)):
         src_path = parsed.path if scheme == "file" else url
         modified = _mtime(src_path)
-        if last_checked is not None and modified <= last_checked:
+        if last_checked is not None and modified <= _as_utc(last_checked):
             return None, None
         shutil.copyfile(src_path, target)
     elif scheme in ("http", "https"):
         req = urllib.request.Request(url)
         if last_checked is not None:
+            # normalize to real UTC before claiming GMT — a naive local
+            # datetime stamped 'GMT' is off by the local offset and makes
+            # the server skip (or re-send) updates
             req.add_header(
                 "If-Modified-Since",
-                last_checked.strftime("%a, %d %b %Y %H:%M:%S GMT"),
+                _as_utc(last_checked).strftime("%a, %d %b %Y %H:%M:%S GMT"),
             )
         try:
-            with urllib.request.urlopen(req) as resp, open(target, "wb") as out:
+            with urllib.request.urlopen(req, timeout=120) as resp, open(
+                target, "wb"
+            ) as out:
                 shutil.copyfileobj(resp, out)
-        except urllib.error.HTTPError as e:  # type: ignore[attr-defined]
+        except urllib.error.HTTPError as e:
             if e.code == 304:
                 return None, None
             raise
-        modified = _dt.datetime.now()
+        modified = _dt.datetime.now(tz=_dt.timezone.utc)
     else:
         raise ValueError(f"Unsupported archive URL: {url}")
 

@@ -65,9 +65,16 @@ def load_auto(
         )
     current = None
     for path in id_files:
+        # SAME parse options as the data files (quote/escape/multiLine):
+        # a unique-term value with an embedded quote or newline must mint
+        # the identical rowKey on both paths, or the record is wrongly
+        # reported stale
         raw = (
             spark.read.option("header", True)
             .option("delimiter", delimiter)
+            .option("quote", '"')
+            .option("escape", '"')
+            .option("multiLine", True)
             .csv(path)
         )
         keys = add_record_identity(
@@ -79,11 +86,31 @@ def load_auto(
     return records, current
 
 
-def stale_records(existing: DataFrame, current_keys: DataFrame) -> DataFrame:
+def stale_records(
+    existing: DataFrame,
+    current_keys: DataFrame,
+    data_resource_uid: str | None = None,
+) -> DataFrame:
     """Records in the store that are absent from the id files — the set the
-    reference deletes after an auto load (left anti-join on rowKey)."""
-    return existing.join(
+    reference deletes after an auto load (left anti-join on rowKey).
+
+    Deletion is RESOURCE-SCOPED, as in the reference: when
+    `data_resource_uid` is given (or the store carries dataResourceUid),
+    only that resource's records are candidates — the id files say
+    nothing about other resources, and an unscoped anti-join against a
+    shared store would mark every other resource stale."""
+    scoped = existing
+    if data_resource_uid is not None:
+        if "dataResourceUid" in existing.columns:
+            scoped = existing.filter(
+                F.col("dataResourceUid") == data_resource_uid
+            )
+        else:
+            scoped = existing.filter(
+                F.col("rowKey").startswith(data_resource_uid + "|")
+            )
+    return scoped.join(
         current_keys.withColumnRenamed("rowKey", "__current_key"),
-        existing["rowKey"] == F.col("__current_key"),
+        scoped["rowKey"] == F.col("__current_key"),
         "left_anti",
     )

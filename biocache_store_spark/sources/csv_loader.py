@@ -28,16 +28,38 @@ def mint_uuid(unique_key: str) -> str:
 
 def map_headers(df: DataFrame, strict: bool = False) -> DataFrame:
     """Rename recognisable DwC headers to canonical terms; unmatched columns
-    are kept as-is (strict=False) or dropped (strict=True)."""
-    renames = {}
-    keep = []
+    are kept as-is (strict=False) or dropped (strict=True).
+
+    Two passes so a term is never claimed twice: headers that ARE a
+    canonical term (after normalization) claim it first, then variant
+    headers ('id' -> occurrenceID in a file that also carries an
+    occurrenceID column — the standard DwC-A export shape) claim only
+    still-unclaimed terms. A variant whose term is already claimed keeps
+    its original name unless that name is itself a claimed term (the
+    duplicate-output-name trap) — then it is dropped."""
+    term_of = {col: match_term(col) for col in df.columns}
+    claimed: set[str] = set()
+    # pass 1: exact canonical headers win their term
     for col in df.columns:
-        term = match_term(col)
-        if term is not None and term not in renames.values():
-            renames[col] = term
+        if term_of[col] == col or (term_of[col] is not None and col.lower() == term_of[col].lower()):
+            claimed.add(term_of[col])
+    keep = []
+    out_names: set[str] = set()
+    for col in df.columns:
+        term = term_of[col]
+        if term is not None and (
+            term not in claimed
+            or col.lower() == term.lower()
+        ) and term not in out_names:
+            if col.lower() != term.lower():
+                claimed.add(term)
             keep.append(F.col(col).alias(term))
+            out_names.add(term)
         elif not strict:
+            if col in out_names or (term is not None and col == term):
+                continue  # would duplicate an output name
             keep.append(F.col(col))
+            out_names.add(col)
     return df.select(*keep)
 
 

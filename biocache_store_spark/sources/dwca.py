@@ -45,11 +45,17 @@ def _decode_delim(s: str | None) -> str:
 def _parse_file_element(el) -> FileDescriptor:
     files = el.find(f"{_NS}files")
     location = files.find(f"{_NS}location").text.strip()
+    # fieldsEnclosedBy: ABSENT means the default double quote, but an
+    # EXPLICIT empty string means "no enclosure" (the DwC-text spec's
+    # convention, standard for GBIF TSV archives) — coercing "" back to
+    # '"' would let a stray inch-mark in the data swallow rows
+    enclosed = el.get("fieldsEnclosedBy")
+    quote = '"' if enclosed is None else enclosed
     fd = FileDescriptor(
         row_type=el.get("rowType", ""),
         location=location,
         delimiter=_decode_delim(el.get("fieldsTerminatedBy")),
-        quote=el.get("fieldsEnclosedBy") or '"',
+        quote=quote,
         ignore_header_lines=int(el.get("ignoreHeaderLines", "0")),
     )
     id_el = el.find(f"{_NS}id")
@@ -86,23 +92,45 @@ def parse_meta(archive_dir: str) -> ArchiveDescriptor:
 def _read_file(
     spark: SparkSession, archive_dir: str, fd: FileDescriptor, id_alias: str
 ) -> DataFrame:
-    df = (
+    path = os.path.join(archive_dir, fd.location)
+    # ignoreHeaderLines > 1 (preamble + header, allowed by the spec):
+    # Spark's header option skips exactly one line, so strip the extra
+    # leading lines into a local copy first — archives are already local
+    # extracted files, and this runs once per load
+    if fd.ignore_header_lines > 1:
+        stripped = path + f".skip{fd.ignore_header_lines - 1}"
+        if not os.path.exists(stripped):
+            with open(path, encoding="utf-8", errors="replace") as src, open(
+                stripped, "w", encoding="utf-8"
+            ) as dst:
+                for _ in range(fd.ignore_header_lines - 1):
+                    src.readline()
+                for line in src:
+                    dst.write(line)
+        path = stripped
+    reader = (
         spark.read.option("header", fd.ignore_header_lines > 0)
         .option("delimiter", fd.delimiter)
-        .option("quote", fd.quote or '"')
-        .option("escape", fd.quote or '"')
-        .csv(os.path.join(archive_dir, fd.location))
     )
-    # positional selection: meta.xml indexes are authoritative, headers not
+    if fd.quote == "":
+        # explicit no-enclosure: empty quote option = quoting disabled
+        # (the documented Spark CSV convention)
+        reader = reader.option("quote", "")
+    else:
+        reader = reader.option("quote", fd.quote).option("escape", fd.quote)
+    df = reader.csv(path)
+    # positional selection: meta.xml indexes are authoritative, headers
+    # not — and header CONTENT can be arbitrary (dotted names, URIs), so
+    # address columns with df[name] indexing, never F.col() parsing
     cols = []
     seen = set()
     raw_cols = df.columns
     if fd.id_index is not None and fd.id_index < len(raw_cols):
-        cols.append(F.col(raw_cols[fd.id_index]).alias(id_alias))
+        cols.append(df[raw_cols[fd.id_index]].alias(id_alias))
         seen.add(id_alias)
     for idx, term in sorted(fd.fields.items()):
         if idx < len(raw_cols) and term not in seen:
-            cols.append(F.col(raw_cols[idx]).alias(term))
+            cols.append(df[raw_cols[idx]].alias(term))
             seen.add(term)
     return df.select(*cols)
 

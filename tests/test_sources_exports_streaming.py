@@ -371,20 +371,26 @@ def test_fetch_archive_gzip_and_plain(tmp_path):
 
     from biocache_store_spark.sources.archive import fetch_archive
 
+    import os
+
     gz = tmp_path / "feed.csv.gz"
     gz.write_bytes(_gzip.compress(b"a,b\n1,2\n"))
     dest = tmp_path / "work"
     extracted, _ = fetch_archive("file://" + str(gz), "dr9", str(dest))
-    # gz: gunzipped sibling, archive removed, parent dir returned
-    assert extracted == str(dest)
-    assert (dest / "dr9.csv").read_bytes() == b"a,b\n1,2\n"
+    # gz: gunzipped into a PER-RESOURCE directory (a loader pointed at the
+    # returned path must see only this resource's files), archive removed
+    assert extracted != str(dest)
+    assert os.listdir(extracted) == ["dr9.csv"]
+    assert open(os.path.join(extracted, "dr9.csv"), "rb").read() == b"a,b\n1,2\n"
     assert not (dest / "dr9.csv.gz").exists()
 
     plain = tmp_path / "plain.csv"
     plain.write_text("x,y\n")
     extracted2, _ = fetch_archive(str(plain), "dr10", str(dest))
-    assert extracted2 == str(dest)
-    assert (dest / "dr10.csv").read_text() == "x,y\n"
+    assert extracted2 != str(dest) and extracted2 != extracted
+    assert os.listdir(extracted2) == ["dr10.csv"]
+    # two resources fetched into one dest_dir never see each other's files
+    assert open(os.path.join(extracted2, "dr10.csv")).read() == "x,y\n"
 
 
 def test_fetch_archive_not_newer_skips(tmp_path):
@@ -656,3 +662,71 @@ def test_streaming_store_intra_batch_duplicate_keys_last_file_wins(
     rows = spark.read.parquet(store).collect()
     assert len(rows) == 1
     assert rows[0]["processed"]["eventDate"] == "2009-09-09"
+
+
+def test_map_headers_id_and_occurrence_id_collision(spark):
+    """'id,occurrenceID' headers (the standard DwC-A export shape): the
+    explicit occurrenceID column wins the term; 'id' keeps its own name;
+    no duplicate output columns."""
+    from biocache_store_spark.sources.csv_loader import (
+        add_record_identity,
+        map_headers,
+    )
+
+    df = spark.createDataFrame(
+        [("core1", "occ1", "x")], "id string, occurrenceID string, v string"
+    )
+    out = map_headers(df)
+    assert out.columns.count("occurrenceID") == 1
+    row = out.collect()[0]
+    assert row["occurrenceID"] == "occ1"
+    ident = add_record_identity(out, "dr1", ["occurrenceID"]).collect()[0]
+    assert ident["rowKey"] == "dr1|occ1"
+
+
+def test_dwca_fields_enclosed_by_empty_disables_quoting(spark, tmp_path):
+    """fieldsEnclosedBy=\"\" (GBIF TSV convention) must not re-enable the
+    double quote: an inch mark in the data stays literal."""
+    from biocache_store_spark.sources.dwca import load_archive
+
+    (tmp_path / "meta.xml").write_text(
+        '<archive xmlns="http://rs.tdwg.org/dwc/text/">'
+        '<core rowType="http://rs.tdwg.org/dwc/terms/Occurrence" '
+        'fieldsTerminatedBy="\\t" fieldsEnclosedBy="" ignoreHeaderLines="1">'
+        "<files><location>occ.txt</location></files>"
+        '<id index="0"/>'
+        '<field index="1" term="http://rs.tdwg.org/dwc/terms/verbatimLocality"/>'
+        "</core></archive>"
+    )
+    (tmp_path / "occ.txt").write_text(
+        'id\tverbatimLocality\n1\t35 12\' 30" N ridge\n2\tplain place\n'
+    )
+    out = {r["coreID"]: r["verbatimLocality"] for r in load_archive(
+        spark, str(tmp_path), "drq", unique_terms=["coreID"]
+    ).collect()}
+    assert out["1"] == '35 12\' 30" N ridge'
+    assert out["2"] == "plain place"
+
+
+def test_export_facet_without_counts(spark, tmp_path):
+    from biocache_store_spark.exports.exporters import export_facet
+
+    df = spark.createDataFrame(
+        [("NSW",), ("NSW",), ("VIC",), (None,)], "stateProvince string"
+    )
+    path = str(tmp_path / "facet")
+    export_facet(df, "stateProvince", path, include_counts=False)
+    back = spark.read.option("header", True).csv(path)
+    assert sorted(r[0] for r in back.collect()) == ["NSW", "VIC"]
+
+
+def test_stale_records_scoped_to_resource(spark):
+    from biocache_store_spark.sources.auto_csv import stale_records
+
+    existing = spark.createDataFrame(
+        [("dr1|a", "dr1"), ("dr1|b", "dr1"), ("dr2|z", "dr2")],
+        "rowKey string, dataResourceUid string",
+    )
+    current = spark.createDataFrame([("dr1|a",)], "rowKey string")
+    stale = stale_records(existing, current, data_resource_uid="dr1")
+    assert {r["rowKey"] for r in stale.collect()} == {"dr1|b"}  # dr2 untouched

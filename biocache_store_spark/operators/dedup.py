@@ -109,7 +109,15 @@ def is_empty_unknown(s: str | None) -> bool:
 
 def is_spatial_duplicate(points_a: list, points_b: list) -> bool:
     """isSpatialDuplicate (DuplicationDetection.scala:1122-1152), exact port
-    including the precision-difference walk."""
+    including the precision-difference walk.
+
+    NOTE the deliberate asymmetry at the i+1 look-ahead:
+    `points_b[i] == points_a[i + 1]` compares ACROSS the two ladders —
+    that is exactly what the reference does
+    (`pointsB(i) == pointsA(i + 1)`, scala:1138) and makes the predicate
+    order-dependent. Do not "fix" it to points_b[i + 1]; parity with the
+    reference's grouping (which sorts by row key before comparing, as
+    this module does) depends on reproducing it."""
     if len(points_a) != len(points_b):
         raise ValueError("Points supplied with a differing number of precisions")
     n = len(points_a)
@@ -218,9 +226,14 @@ def find_group_duplicates(records: list[DupRecord]) -> list[DupRecord]:
                     other.duplicate_of = record.row_key
                     record.duplicates.append(other)
 
-    for record in records:
-        if record.duplicate_of is not None or not record.duplicates:
-            continue
+    # snapshot the cluster heads BEFORE mutating: the reference's caller
+    # (DuplicationDetection.scala:838-844) walks only the heads
+    # checkDuplicates produced, so a representative promoted INTO a head's
+    # duplicate list is never itself re-processed — re-testing
+    # `duplicate_of is None and duplicates` per iteration would run the
+    # swapped-in representative's cluster twice and double-append types
+    heads = [r for r in records if r.duplicate_of is None and r.duplicates]
+    for record in heads:
         highest = determine_precision(record.lat_long)
         record.precision = highest
         representative = record
@@ -241,7 +254,12 @@ def find_group_duplicates(records: list[DupRecord]) -> list[DupRecord]:
             duplicates.append(record)
             duplicates.remove(representative)
             representative.duplicates = duplicates
-            record.dup_types = representative.dup_types
+            # COPY, not alias: the Scala original assigns the array ref but
+            # every later mutation there is an immutable reassignment
+            # (r.dupTypes = r.dupTypes ++ ...), while this port appends in
+            # place — sharing the list would leak the demoted record's
+            # precision type into the representative's array
+            record.dup_types = list(representative.dup_types)
         # realign duplicate_of with the final representative (the reference
         # leaves the find-phase pointers stale; we emit coherent pointers)
         representative.duplicate_of = None

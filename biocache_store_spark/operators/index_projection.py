@@ -25,12 +25,21 @@ def _rounded_point(lat: Column, lon: Column, decimals: int) -> Column:
     def fmt(c: Column) -> Column:
         s = F.format_number(F.round(c, decimals), decimals)
         s = F.regexp_replace(s, ",", "")  # format_number groups thousands
-        s = F.regexp_replace(s, r"\.?0+$", "")
+        s = _strip_fraction_zeros(s)
         return s
 
     return F.when(
         lat.isNotNull() & lon.isNotNull(), F.concat(fmt(lat), F.lit(","), fmt(lon))
     )
+
+
+def _strip_fraction_zeros(s: Column) -> Column:
+    """DecimalFormat('#.##')-style trimming: drop trailing zeros of the
+    FRACTIONAL part only, then a bare trailing dot. A dot-anchored
+    pattern — a bare `0+$` strip would eat real integer digits
+    ('-30' -> '-3', '150' -> '15') exactly on round coordinates."""
+    s = F.regexp_replace(s, r"(\.\d*?)0+$", r"$1")
+    return F.regexp_replace(s, r"\.$", "")
 
 
 def _stepped_point(lat: Column, lon: Column, step: float) -> Column:
@@ -41,7 +50,7 @@ def _stepped_point(lat: Column, lon: Column, step: float) -> Column:
         stepped = F.round(c / step) * step
         s = F.format_number(F.round(stepped, 2), 2)
         s = F.regexp_replace(s, ",", "")
-        s = F.regexp_replace(s, r"\.?0+$", "")
+        s = _strip_fraction_zeros(s)
         return s
 
     return F.when(
@@ -163,10 +172,18 @@ def build_index(
     from pyspark.sql import types as T
 
     df = processed_df
+    if "processed" not in df.columns:
+        # fail at call time with a clear message: the computed fields below
+        # (point ladder, assertion roll-ups, kosher gate) dereference the
+        # processed struct unconditionally, so a null-tolerant fallback
+        # here would only defer the failure to an opaque AnalysisException
+        raise ValueError(
+            "build_index expects the output of processors.chain."
+            "process_records (a 'processed' struct column plus "
+            "'assertions'/'geospatially_kosher')"
+        )
     p = F.col("processed")
-    processed_fields = {
-        f.name for f in df.schema["processed"].dataType.fields
-    } if "processed" in df.columns else set()
+    processed_fields = {f.name for f in df.schema["processed"].dataType.fields}
 
     def raw_col(field: str) -> Column | None:
         name = _RAW_ALIASES.get(field, field)

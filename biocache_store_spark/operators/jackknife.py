@@ -40,6 +40,10 @@ class JackKnifeStats:
     threshold: float
     outlier_values: tuple[float, ...]
     trigger_failsafe: bool
+    # per-sample outlierness = accumulated c / threshold (JackKnife.scala:
+    # 83-85), aligned with the SORTED sample order — the score the
+    # reference attaches to each flagged record
+    outlierness: tuple[float, ...] = ()
 
 
 def jackknife(
@@ -103,6 +107,9 @@ def jackknife(
         threshold=threshold,
         outlier_values=tuple(outlier_values),
         trigger_failsafe=trigger_failsafe,
+        outlierness=tuple(
+            (c / threshold) if threshold != 0 else 0.0 for c in c_arr
+        ),
     )
 
 
@@ -117,6 +124,7 @@ _RESULT_FIELDS = [
     T.StructField("outlier_values", T.ArrayType(T.DoubleType())),
     T.StructField("n_outliers", T.IntegerType()),
     T.StructField("trigger_failsafe", T.BooleanType()),
+    T.StructField("outlierness", T.ArrayType(T.DoubleType())),
 ]
 
 
@@ -157,6 +165,7 @@ def jackknife_stats(
                 "outlier_values": list(stats.outlier_values),
                 "n_outliers": len(stats.outlier_values),
                 "trigger_failsafe": stats.trigger_failsafe,
+                "outlierness": list(stats.outlierness),
             }
         )
         return pd.DataFrame([row])

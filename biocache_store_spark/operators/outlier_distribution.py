@@ -49,12 +49,21 @@ def _point_segment_distance_m(
 
 
 def distance_outside_m(lon: float, lat: float, ring: list[tuple[float, float]]) -> float:
-    """0.0 inside the polygon, else metres to the nearest boundary point."""
+    """0.0 inside the polygon, else metres to the nearest boundary point.
+
+    The ring is treated as implicitly closed (matching point_in_polygon):
+    the segment from the last vertex back to the first is included even
+    when the WKT does not repeat the first vertex, otherwise points near
+    that edge measure to a farther one."""
     if point_in_polygon(lon, lat, ring):
         return 0.0
+    if len(ring) < 2:
+        raise ValueError("degenerate ring: need at least 2 vertices")
+    segments = [(ring[i], ring[i + 1]) for i in range(len(ring) - 1)]
+    if ring[0] != ring[-1]:
+        segments.append((ring[-1], ring[0]))
     return min(
-        _point_segment_distance_m(lon, lat, ring[i], ring[i + 1])
-        for i in range(len(ring) - 1)
+        _point_segment_distance_m(lon, lat, a, b) for a, b in segments
     )
 
 

@@ -118,6 +118,33 @@ class _Parser:
                 rhs = self.parse_term()
                 result = result & rhs
 
+    @staticmethod
+    def _negated(result: Column) -> Column:
+        """SOLR negation matches documents MISSING the field; Spark's
+        three-valued ~(col == v) is NULL for null fields and filter()
+        would drop them — coalesce restores the SOLR semantics."""
+        return F.coalesce(~result, F.lit(True))
+
+    def _read_value(self) -> str:
+        """One unquoted value, reassembling pieces the tokenizer split:
+        a leading '-' (negative numbers) and embedded ':' runs (taxon
+        LSIDs like urn:lsid:...:taxon:1234, the dominant fq shape)."""
+        value = self.next()
+        if value is None or value in (")", ":"):
+            raise SolrQueryError("Missing value")
+        if value == "-":
+            nxt = self.next()
+            if nxt is None:
+                raise SolrQueryError("Dangling '-' in value position")
+            value = "-" + nxt
+        while self.peek() == ":":
+            self.next()
+            nxt = self.next()
+            if nxt is None:
+                raise SolrQueryError("Dangling ':' in value position")
+            value = f"{value}:{nxt}"
+        return value
+
     def parse_term(self) -> Column:
         tok = self.next()
         if tok is None:
@@ -130,40 +157,52 @@ class _Parser:
             inner = self.parse_clause()
             if self.next() != ")":
                 raise SolrQueryError("Unbalanced parentheses")
-            return ~inner if negate else inner
+            return self._negated(inner) if negate else inner
         field = tok
         if self.peek() == ":":
             self.next()
-            value = self.next()
-            if value is None or value in (")", ":"):
-                raise SolrQueryError(f"Missing value for field {field!r}")
-            if value == "(":
+            if self.peek() == "(":
                 # field:(a OR b) — distribute field over inner values
+                self.next()
                 values = []
-                op_or = True
+                saw_or = saw_and = False
                 while True:
-                    v = self.next()
+                    v = self.peek()
                     if v is None:
                         raise SolrQueryError("Unbalanced parentheses in value list")
                     if v == ")":
+                        self.next()
                         break
-                    if v in ("OR",):
+                    if v == "OR":
+                        saw_or = True
+                        self.next()
                         continue
-                    if v in ("AND",):
-                        op_or = False
+                    if v == "AND":
+                        saw_and = True
+                        self.next()
                         continue
-                    values.append(v)
+                    values.append(self._read_value())
+                if not values:
+                    raise SolrQueryError(f"Empty value list for field {field!r}")
+                if saw_or and saw_and:
+                    raise SolrQueryError(
+                        f"Mixed AND/OR in value list for field {field!r} — "
+                        "not supported (SOLR precedence would be ambiguous "
+                        "to replicate silently)"
+                    )
+                op_or = not saw_and
                 col = self._column(field)
                 conds = [_parse_value(col, v) for v in values]
                 result = conds[0]
                 for c in conds[1:]:
                     result = (result | c) if op_or else (result & c)
-                return ~result if negate else result
+                return self._negated(result) if negate else result
+            value = self._read_value()
             if field == "*" and value == "*":
                 result = F.lit(True)
             else:
                 result = _parse_value(self._column(field), value)
-            return ~result if negate else result
+            return self._negated(result) if negate else result
         raise SolrQueryError(f"Expected 'field:value', got {field!r}")
 
     def _column(self, field: str) -> Column:

@@ -359,3 +359,57 @@ def test_should_index_reference_cases(spark):
         ).alias("x")
     ).collect()[0]["x"]
     assert got is True
+
+
+def test_jackknife_outlierness_scores():
+    """JackKnife.scala:83-85: outlierness = accumulated c / threshold per
+    sorted sample; flagged extremes score above 1."""
+    samples = [float(v) for v in range(1, 26)] + [500.0]
+    stats = jackknife(samples)
+    assert stats is not None and len(stats.outlierness) == stats.sample_size
+    assert stats.outlier_values == (500.0,)
+    assert stats.outlierness[-1] > 1.0  # the flagged extreme
+    assert all(o < 1.0 for o in stats.outlierness[:-1])
+
+
+def test_distance_outside_includes_closing_edge():
+    """An unclosed WKT ring: the implicit last->first edge must be a
+    distance candidate, matching point_in_polygon's closure."""
+    from biocache_store_spark.operators.outlier_distribution import (
+        distance_outside_m,
+        point_in_polygon,
+    )
+
+    ring = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]  # unclosed
+    # just west of the implicit (0,10)->(0,0) edge
+    assert not point_in_polygon(-0.1, 5.0, ring)
+    d = distance_outside_m(-0.1, 5.0, ring)
+    # ~0.1 degrees of longitude at lat 5 — must be ~11km, not the ~1100km
+    # to the east edge that skipping the closing segment would measure
+    assert d < 20_000, d
+
+
+def test_rounded_point_keeps_integer_digits(spark):
+    """point_1 on multiples of ten: '-30,150' must not collapse to
+    '-3,15' via an over-eager trailing-zero strip."""
+    from pyspark.sql import functions as F
+
+    from biocache_store_spark.operators.index_projection import (
+        _rounded_point,
+        _stepped_point,
+    )
+
+    df = spark.createDataFrame(
+        [(-30.0, 150.0), (-35.2, 144.8), (0.0, 100.0)], "lat double, lon double"
+    )
+    out = df.select(
+        _rounded_point(F.col("lat"), F.col("lon"), 0).alias("p1"),
+        _rounded_point(F.col("lat"), F.col("lon"), 1).alias("p01"),
+        _stepped_point(F.col("lat"), F.col("lon"), 0.02).alias("p002"),
+    ).collect()
+    assert out[0]["p1"] == "-30,150"
+    assert out[0]["p01"] == "-30,150"
+    assert out[0]["p002"] == "-30,150"
+    assert out[1]["p1"] == "-35,145"
+    assert out[1]["p01"] == "-35.2,144.8"
+    assert out[2]["p1"] == "0,100"

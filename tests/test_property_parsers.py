@@ -276,8 +276,10 @@ def test_solr_translate_random_queries_match_row_evaluator(spark):
         if k == "range":
             return None if row[n[1]] is None else ev(n, row)
         if k == "not":
+            # SOLR negation matches documents MISSING the field — the
+            # translator coalesces NOT(NULL) to True (solr_query._negated)
             inner = ev3(n[1], row)
-            return None if inner is None else not inner
+            return True if inner is None else not inner
         a, b = ev3(n[1], row), ev3(n[2], row)
         if k == "and":
             if a is False or b is False:

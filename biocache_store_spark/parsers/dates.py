@@ -281,6 +281,17 @@ def _iso_day_month_range(s: str) -> EventDate | None:
     return _range_event(start, _dt.date(start.year, mo, day))
 
 
+def _safe_date(y: int, m: int, d: int) -> "_dt.date | None":
+    """datetime.date cannot represent year 0 (Python's range starts at 1,
+    while the JVM's proleptic ISO chronology parses '0000'); zero-filled
+    years are common dirty data, so out-of-range components mean
+    unparseable, not a crash."""
+    try:
+        return _dt.date(y, m, d)
+    except ValueError:
+        return None
+
+
 def _iso_month_year_date_range(s: str) -> EventDate | None:
     """uuuu-MM/uuuu-MM"""
     parts = _split_range(s)
@@ -294,7 +305,10 @@ def _iso_month_year_date_range(s: str) -> EventDate | None:
     ey, em = int(me.group(1)), int(me.group(2))
     if not (1 <= sm <= 12 and 1 <= em <= 12):
         return None
-    ev = _range_event(_dt.date(sy, sm, 1), _dt.date(ey, em, 1))
+    start, end = _safe_date(sy, sm, 1), _safe_date(ey, em, 1)
+    if start is None or end is None:
+        return None
+    ev = _range_event(start, end)
     # reference compares String to Option => always false — DateParser.scala:742
     return replace(ev, single_date=False)
 
@@ -312,7 +326,10 @@ def _iso_month_date_range(s: str) -> EventDate | None:
     em = int(me.group(1))
     if not (1 <= sm <= 12 and 1 <= em <= 12):
         return None
-    ev = _range_event(_dt.date(sy, sm, 1), _dt.date(sy, em, 1))
+    start, end = _safe_date(sy, sm, 1), _safe_date(sy, em, 1)
+    if start is None or end is None:
+        return None
+    ev = _range_event(start, end)
     return replace(ev, single_date=False)
 
 
@@ -330,7 +347,10 @@ def _iso_year_range(s: str) -> EventDate | None:
         ey = _reduced_year(int(parts[1]))
     else:
         return None
-    return _range_event(_dt.date(sy, 1, 1), _dt.date(ey, 1, 1))
+    start, end = _safe_date(sy, 1, 1), _safe_date(ey, 1, 1)
+    if start is None or end is None:
+        return None
+    return _range_event(start, end)
 
 
 def _iso_date_time_range(s: str) -> EventDate | None:

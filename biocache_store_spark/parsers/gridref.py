@@ -268,9 +268,16 @@ def _inverse_tm(easting: float, northing: float, datum: str) -> tuple[float, flo
     e2 = (a * a - b * b) / (a * a)
     n = (a - b) / (a + b)
 
+    if not (math.isfinite(easting) and math.isfinite(northing)):
+        raise ValueError("non-finite easting/northing")
+
     lat = lat0
     m = 0.0
-    while True:
+    # iteration cap: the meridional-arc iteration converges in a handful of
+    # steps for any on-ellipsoid northing; NaN or astronomically large
+    # values would otherwise never satisfy the tolerance and hang the
+    # executor task forever (one dirty record = one stuck job)
+    for _ in range(100):
         lat = (northing - n0 - m) / (a * f0) + lat
         m = (
             b
@@ -288,6 +295,8 @@ def _inverse_tm(easting: float, northing: float, datum: str) -> tuple[float, flo
         )
         if abs(northing - n0 - m) < 1e-5:
             break
+    else:
+        raise ValueError(f"meridional arc did not converge for northing {northing!r}")
 
     sin_lat = math.sin(lat)
     cos_lat = math.cos(lat)

@@ -23,14 +23,18 @@ _DIRECTIONS_LON = ("w", "west", "e", "east")
 # VerbatimLatLongParser.scala:10 — note the reference's second is
 # "[0-9]{1,2}.?[0-9]{0,}" (any char as decimal point) and the seconds
 # denominator is one-or-two quote characters.
+# the reference's leading `(?:[\\-])?` is a CHARACTER CLASS {backslash,
+# hyphen} — an optional sign-ish character consumed and ignored (the
+# hemisphere letter alone decides the sign). A non-class `\\-` would
+# demand a literal backslash+hyphen pair and reject "-30° 01' S".
 _VERBATIM = re.compile(
-    rf"^(?:\\-)?([0-9]{{1,3}})(?:{_DEG}\s*)"
+    rf"^(?:[\\-])?([0-9]{{1,3}})(?:{_DEG}\s*)"
     rf"(?:([0-9]{{1,2}})(?:{_MIN}\s*))?"
     rf"(?:([0-9]{{1,2}}(?:[.][0-9]*)?)(?:[\"']{{1,2}}\s*)?)?"
     rf"(s|south|n|north|w|west|e|east)$"
 )
 _VERBATIM_NO_DENOM = re.compile(
-    r"^(?:\\-)?([0-9]{1,3})\s*"
+    r"^(?:[\\-])?([0-9]{1,3})\s*"
     r"(?:([0-9]{1,2})\s*)?"
     r"(?:([0-9]{1,2}(?:[.][0-9]*)?)\"?\s*)?"
     r"(s|south|n|north|w|west|e|east)$"

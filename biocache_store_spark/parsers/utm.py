@@ -99,7 +99,12 @@ def easting_northing_zone_to_wgs84(
     zone_num, hemi = int(m.group(1)), m.group(2)
     southern = hemi != "N"  # AMG/MGA zones are all southern-hemisphere grids
     key = _utm_projection_key(datum, zone_num, southern)
-    lat, lon = _inverse_tm(easting, northing, key)
+    try:
+        lat, lon = _inverse_tm(easting, northing, key)
+    except ValueError:
+        # NaN / absurd northing: calculation failed, same outcome as an
+        # unrecognised datum|zone key
+        return None
     geographic_epsg = _DATUMS[datum][2]
     if geographic_epsg is not None:
         a, b, params = _GEOGRAPHIC_DATUMS[geographic_epsg]

@@ -455,6 +455,9 @@ def _check_precision(raw, processed, assertions):
         elif term.canonical == _YEAR_P:
             _reformat_to_precision(processed, "yyyy", True, True, False)
         elif term.canonical == _DAY_RANGE_P:
+            # yyyy-MM with the day KEPT is the reference's exact choice
+            # (EventProcessor.scala:502-505) — internally odd for a
+            # single-date record, but part of the parity contract
             _reformat_to_precision(processed, "yyyy-MM", False, False, False)
         elif term.canonical == _MONTH_RANGE_P:
             _reformat_to_precision(processed, "yyyy-MM", True, False, False)

@@ -426,6 +426,9 @@ def validate_coordinates(raw: dict, processed: dict, assertions: list) -> None:
         def contains(la, lo):
             return bbox[0] <= la <= bbox[2] and bbox[1] <= lo <= bbox[3]
 
+        # only SINGLE-axis negations are tested, never the both-negated
+        # combination — mirroring LocationProcessor.scala:855-874 exactly;
+        # a fully sign-flipped point stays a COUNTRY_COORDINATE_MISMATCH
         if not contains(lat, lon):
             mismatch = True
             if contains(-lat, lon):

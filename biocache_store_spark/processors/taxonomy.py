@@ -84,6 +84,9 @@ def construct_scientific_name(cl: dict) -> str | None:
         return f"{cl['genus']} {cl['specificEpithet']} {cl['infraspecificEpithet']}"
     if cl.get("genus") and cl.get("specificEpithet"):
         return f"{cl['genus']} {cl['specificEpithet']}"
+    # classs BEFORE order mirrors the reference exactly
+    # (ClassificationDAO.scala:71-75) — taxonomically odd (class is the
+    # coarser rank) but part of the parity contract
     for key in ("species", "genus", "family", "classs", "order", "phylum", "kingdom"):
         if cl.get(key):
             return cl[key]
@@ -479,9 +482,12 @@ def match_names_spark(
 
     name_key = F.lower(F.trim(F.col("scientificName")))
     dim1 = keyed_dim(name_key)
+    # exactly-two tokens: the NameIndex canonical tier excludes trinomials
+    # (a subspecies never shadows its species); >= 2 would bucket
+    # 'Abies alba apennina' under 'abies alba' and fake a homonym
     dim2 = keyed_dim(
         F.when(
-            F.size(F.split(F.trim(F.col("scientificName")), r"\s+")) >= 2,
+            F.size(F.split(F.trim(F.col("scientificName")), r"\s+")) == 2,
             F.concat_ws(
                 " ",
                 F.element_at(F.split(F.lower(F.trim(F.col("scientificName"))), r"\s+"), 1),
@@ -493,7 +499,12 @@ def match_names_spark(
     rec_kingdom = F.lower(F.coalesce(F.col(kingdom_col), F.lit("")))
 
     def resolve(prefix):
-        """Choose the match for one tier from the aggregated key row."""
+        """Choose the match for one tier from the aggregated key row.
+
+        The kingdom disambiguation only applies when the record actually
+        SUPPLIED a kingdom (NameIndex._resolve semantics): a record with
+        no kingdom must see a homonym flag, not silently resolve through
+        the dimension's null-kingdom bucket (which shares the '' key)."""
         by_k = F.col(f"{prefix}__by_kingdom")
         n = F.col(f"{prefix}__n_candidates")
         kingdom_hit = F.element_at(by_k, rec_kingdom)
@@ -502,7 +513,7 @@ def match_names_spark(
                                     F.col(f"{prefix}__any_name").alias("name"),
                                     F.lit(False).alias("homonym")))
             .when(
-                (n > 1) & kingdom_hit.isNotNull(),
+                (n > 1) & (rec_kingdom != "") & kingdom_hit.isNotNull(),
                 F.struct(
                     kingdom_hit.getField("__k_lsid").alias("lsid"),
                     kingdom_hit.getField("__k_name").alias("name"),

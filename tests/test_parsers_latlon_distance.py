@@ -69,3 +69,40 @@ def test_distance(s, metres, unit):
 @pytest.mark.parametrize("s", ["", "far away", None, "m"])
 def test_distance_invalid(s):
     assert distance.parse(s) is None
+
+
+def test_verbatim_leading_sign_consumed_hemisphere_decides():
+    """The reference's leading `[\\-]` character class: an optional '-'
+    (or stray backslash) is consumed and IGNORED — the hemisphere letter
+    alone decides the sign (VerbatimLatLongParser.scala:10-11)."""
+    from biocache_store_spark.parsers.latlon import parse
+
+    assert parse("30° 01' S") == parse("-30° 01' S")
+    v = parse("-30° 01' S")
+    assert v is not None and v < 0
+    # north stays positive even with a leading '-'
+    vn = parse("-30° 01' N")
+    assert vn is not None and vn > 0
+
+
+def test_utm_inverse_rejects_nan_and_absurd_northings():
+    """A NaN or astronomically large northing must fail fast (None), not
+    hang the executor in the meridional-arc iteration."""
+    from biocache_store_spark.parsers.utm import easting_northing_zone_to_wgs84
+
+    assert easting_northing_zone_to_wgs84(float("nan"), 6000000.0, "55") is None
+    assert easting_northing_zone_to_wgs84(500000.0, float("nan"), "55") is None
+    # absurd magnitude: must RETURN promptly (iteration is capped); the
+    # nonsense output is then rejected by the downstream lat/lon range QA
+    out = easting_northing_zone_to_wgs84(500000.0, 1e22, "55")
+    assert out is None or abs(out[0]) > 90  # never a plausible latitude
+    # sane input still converts
+    ok = easting_northing_zone_to_wgs84(500000.0, 6000000.0, "55")
+    assert ok is not None
+
+
+def test_parse_date_year_zero_ranges_return_none():
+    from biocache_store_spark.parsers.dates import parse_date
+
+    for s in ("0000/2000", "2000/0000", "0000-01/2000-01", "0000-01/02"):
+        assert parse_date(s) is None, s

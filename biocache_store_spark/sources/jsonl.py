@@ -1,0 +1,101 @@
+"""JSON-Lines corpus loader.
+
+The de-facto interchange format for training-text corpora (one JSON object
+per line, optionally gzip-compressed — the shape of Common Crawl derivates,
+RedPajama, Dolma, etc.). The reference's loaders are biodiversity-format
+adapters (DwC CSV/archives); this is the equivalent adapter for the
+documents surface: read, project/rename to the documents schema, mint the
+deterministic identity the engine's dedup and curation operators key on.
+
+Scale shape: spark.read.json with an EXPLICIT schema — schema inference
+scans the data twice and samples unpredictably at 100 TB, so the schema is
+declared (callers can pass their own). Gzip files are splittable-hostile
+(one task per .gz file); that is a property of the codec, noted here so
+corpus layouts prefer many medium files over few huge ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DOCUMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+# accepted aliases for the two essential fields, tried in order
+_TEXT_ALIASES = ("text", "content", "raw_content", "body")
+_ID_ALIASES = ("id", "doc_id", "document_id", "uuid")
+
+
+def load_jsonl(
+    spark: SparkSession,
+    path: str,
+    source: str,
+    schema: T.StructType | None = None,
+    text_field: str | None = None,
+    id_field: str | None = None,
+) -> DataFrame:
+    """JSONL file(s)/dir -> documents DataFrame: (doc_id, text, lang,
+    source, url, n_chars).
+
+    Identity: a supplied id field wins; otherwise doc_id is minted
+    deterministically as xxhash64 of (source, text) — re-loading the same
+    corpus yields the same ids with no coordination, the same design as
+    the CSV loader's uuid5 minting. Corrupt lines survive as nulls under
+    PERMISSIVE mode and are dropped by the non-null text filter rather
+    than failing the read.
+    """
+    if schema is None:
+        schema = DOCUMENT_SCHEMA
+        for alias in _TEXT_ALIASES[1:] + _ID_ALIASES[1:]:
+            if alias not in [f.name for f in schema.fields]:
+                schema = schema.add(T.StructField(alias, T.StringType()))
+    df = spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+
+    cols = set(df.columns)
+
+    def first_present(cands, explicit):
+        if explicit is not None:
+            return explicit if explicit in cols else None
+        for c in cands:
+            if c in cols:
+                return c
+        return None
+
+    text_col = first_present(_TEXT_ALIASES, text_field)
+    if text_col is None:
+        raise ValueError(
+            f"no text field found (looked for {text_field or _TEXT_ALIASES})"
+        )
+    id_col = first_present(_ID_ALIASES, id_field)
+
+    text = F.coalesce(
+        *[F.col(c) for c in _TEXT_ALIASES if c in cols]
+    ) if text_field is None else F.col(text_col)
+    # per-ROW fallback: a corpus can mix lines with and without explicit
+    # ids, so the minted id kicks in wherever the id field is null
+    minted = F.concat(
+        F.lit(source), F.lit("-"), F.xxhash64(F.lit(source), text).cast("string")
+    )
+    doc_id = (
+        F.coalesce(F.col(id_col).cast("string"), minted)
+        if id_col is not None
+        else minted
+    )
+    out = df.filter(text.isNotNull()).select(
+        doc_id.alias("doc_id"),
+        text.alias("text"),
+        (F.col("lang") if "lang" in cols else F.lit(None)).cast("string").alias("lang"),
+        F.lit(source).alias("source"),
+        (F.col("url") if "url" in cols else F.lit(None)).cast("string").alias("url"),
+    )
+    return out.withColumn("n_chars", F.length("text"))

@@ -160,6 +160,25 @@ def maintain_store_stream(
     return writer.start()
 
 
+def dedup_stream(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup bounded by a watermark: the first arrival of
+    each key within the watermark horizon passes, replays are dropped,
+    and state for keys older than the watermark is evicted — the
+    streaming twin of exact_dedup for an ingest pipeline where the same
+    document can arrive repeatedly (retries, overlapping crawl dumps).
+    dropDuplicatesWithinWatermark keeps state BOUNDED (unlike plain
+    dropDuplicates on a stream, whose key state grows forever), which is
+    the property that lets this run indefinitely at corpus scale."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window_duration: str = "1 hour",

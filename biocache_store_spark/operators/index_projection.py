@@ -116,11 +116,17 @@ def should_index(
     given, or EITHER its load time or its process time is strictly after
     `since`). Null/unparseable times count as not-after — the reference's
     getOrElse(startDate) collapse. Expressed as a Column so the
-    incremental reindex scope is a pushable filter, not a driver loop."""
+    incremental reindex scope is a pushable filter, not a driver loop.
+
+    The deleted flag follows the reference's string convention (the store
+    writes a deletion-date string; any non-empty value means deleted), but
+    BooleanType columns are also accepted: false casts to the string
+    'false', which is treated as live alongside ''/null, so a boolean
+    store column doesn't silently exclude every row."""
     not_deleted = (
         F.lit(True)
         if deleted is None
-        else F.coalesce(deleted.cast("string"), F.lit("")) == ""
+        else F.coalesce(deleted.cast("string"), F.lit("")).isin("", "false")
     )
     if since is None:
         return not_deleted

@@ -284,9 +284,17 @@ def probe_lsh_index(
     new_banded = banded_keys(new_sig, num_hashes, bands, id_col).withColumn(
         "is_new", F.lit(True)
     )
-    stored_banded = spark.read.parquet(path + "/bands").select(
-        id_col, "band", "band_sig"
-    ).withColumn("is_new", F.lit(False))
+    # dropDuplicates guards against mode="append" ingests that re-carried
+    # already-indexed ids: duplicate band rows would inflate (band,
+    # band_sig) bucket counts toward max_bucket_size and drop hot buckets
+    # prematurely. Signatures are deterministic per id, so (id, band,
+    # band_sig) dedup restores exactly the once-indexed relation.
+    stored_banded = (
+        spark.read.parquet(path + "/bands")
+        .select(id_col, "band", "band_sig")
+        .dropDuplicates([id_col, "band", "band_sig"])
+        .withColumn("is_new", F.lit(False))
+    )
     tagged = _cap_buckets(stored_banded.unionByName(new_banded), max_bucket_size)
     a = tagged.filter(F.col("is_new")).alias("a")
     b = tagged.alias("b")

@@ -30,6 +30,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _require_hour_boundary(cutoff: str) -> None:
+    """The closed/tail split is bucket-disjoint ONLY when the cutoff lies
+    on an hour boundary; a misaligned cutoff would silently emit two
+    partial rows per (hour_bucket, key) for the boundary hour. Fail loudly
+    instead of producing quietly-wrong unions."""
+    import datetime as _dt
+
+    ts = _dt.datetime.fromisoformat(cutoff)
+    if (ts.minute, ts.second, ts.microsecond) != (0, 0, 0):
+        raise ValueError(
+            f"rollup cutoff must lie on an hour boundary, got {cutoff!r}: "
+            "the materialized side and the raw tail would each emit a "
+            "partial row for the boundary hour"
+        )
+
+
 def write_rollup(
     events: DataFrame,
     path: str,
@@ -49,6 +65,7 @@ def write_rollup(
     newly-closed days' events with the advanced cutoff) AND retry-safe —
     re-running the same refresh rewrites the same partitions with the
     same contents, where a plain append would double-count."""
+    _require_hour_boundary(cutoff)
     agg = (
         events.filter(F.col(ts_col) < F.lit(cutoff).cast("timestamp_ntz"))
         .groupBy(
@@ -82,6 +99,7 @@ def rollup_query(
     tail, bucket-disjoint by the cutoff contract. Output is identical to
     aggregating the raw table directly (the registered query's oracle
     does exactly that)."""
+    _require_hour_boundary(cutoff)
     closed = spark.read.parquet(path).select(
         "hour_bucket", key_col, "n", "sum_value"
     )

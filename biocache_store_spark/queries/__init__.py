@@ -59,78 +59,44 @@ def register(
 # scans/facets/set-ops, all green in CORRECTNESS_r02+r03) yield their
 # slots entirely.
 HEAD: tuple[str, ...] = (
-    # round-4/5 additions — no driver row yet
-    "corpus_curation",
-    "chain_hybrid",
-    "user_assertion_lifecycle",
-    "stored_query_bbox",
-    "validation_rule_wkt",
-    "date_precision_reformat",
-    "datum_reprojection",
-    "utm_inverse",
-    "collector_name_parse",
-    "coordinate_validation",
-    # embedding/text family — registered but past the cap in rounds 2-3
-    "text_language_id",
-    "text_quality_score",
-    "text_simhash",
-    "simhash_near_duplicates",
-    "text_fingerprint",
-    "embedding_cosine_neighbors",
-    "embedding_ann_topk",
-    "embedding_ivf_topk",
-    "embedding_label_centroid_norms",
-    "embedding_cosine_near_dup",
-    # round-4 additions, second batch — no driver row yet
-    "streaming_event_windows",
-    "salted_skew_join",
-    "text_redact_pii",
-    "text_repetition_stats",
-    # round-5 additions — no driver row yet
-    "near_dup_components",
+    # red in r04 (oracle HUGEINT dtype, CAST fix this round) — re-check first
     "span_dedup",
-    "license_canonicalize",
-    "countmin_heavy_hitters",
-    "bm25_search",
+    "sequence_packing",
     "embedding_quantize",
-    "event_rollup_combined",
-    "lsh_index_probe",
-    "dwca_roundtrip",
-)
-
-DEPRIORITIZED: tuple[str, ...] = (
-    # green in BOTH r02 and r03; shapes re-derivable from other green rows.
-    # Yield their slots to the round-4 curation queries while keeping the
-    # dedup flagships (exact/minhash/ngram) inside the checked prefix.
-    "interval_containment_groups",  # broadcast interval dim; green 2x
-    "rounding_ladder",  # arithmetic reformat; green 2x, kin of gridref/distance rows
-    "raw_processed_comparison",  # outer-join compare; green 2x
-    "attribution_lookup",  # broadcast-lookup join family also evidenced by classification_enrich
-    "distance_parse",  # parser family evidenced by fuzzy_date/gridref/verbatim rows; green 2x
-    "stored_query_replay",  # q+fq translator; green 2x, spatial variant stored_query_bbox now carries the driver row
-    "classification_enrich",  # taxon-profile/vernacular broadcast lookup; green 2x, join family still evidenced by taxon_name_match + sds rows
-    "semi_join_incremental",  # left-semi scoping; green 3x, incremental evidence now carried by streaming_event_windows
-    "window_representative",  # argmax window; green 3x, still bench-timed every round
-    "event_user_sessions",  # same stateful-sessionization operator as event_sessionization
-    "bpe_token_stats",  # local-green; cross-engine regex parity also pinned by unit test, slot kept for operator-unique rows
-    "grouped_percentiles",  # local-green; exact R7 interpolation parity, agg family already driver-evidenced by grouped_stats
-    "text_quality_stats",  # quality-scoring row also evidenced per-doc by text_quality_score
-    "text_token_stats",  # token/length stats re-evidenced by text_quality_score + corpus_curation manifest
-    "distinct_coordinates",  # distinct_points kernel runs inside the checked sample_layers_enrich plan
-    "coordinate_uncertainty_check",  # parser family driver-checked via distance_parse; assertion logic local-green
-    "habitat_biome_match",  # small vocab-map kernel; local-green suffices, slot kept for the dedup flagships
-    "embedding_knn_topk",  # brute-force baseline; family evidenced by embedding_cosine_neighbors + ann/ivf
-    "dedup_occurrence_clusters",  # green r02+r03; dedup family still evidenced by exact/minhash/ngram/fuzzy_name_pairs rows + unit suite
-    "fuzzy_date_parse",  # green r02+r03; date family re-evidenced by date_precision_reformat (HEAD) + the dense reference-mirrored unit matrix
-    "gridref_parse",  # green r02+r03; OSGB/Irish parity matrix suite carries the family, verbatim/utm/datum rows stay checked
-    "expert_outlier_flags",  # green r02+r03; spatial-outlier family re-evidenced by jackknife row + WKT queries in HEAD
-    "jackknife_outlier_stats",  # green r02+r03; cascade/failsafe behavior pinned by the reference-fixture unit suite, stats family re-evidenced by grouped_stats
-    "maintenance_delete_upsert",  # green r02+r03; delta-rewrite lifecycle re-evidenced by user_assertion_lifecycle (HEAD) + maintenance unit tests
-    "event_sessionization",  # green r02+r03; operator shared with event_user_sessions + stateful-streaming tests, still bench-timed every round
-    "media_decode_meta",  # multimodal plumbing; green r02+r03, decode path unchanged
-    "assertion_rollup",  # assertion facet; green r02+r03, chain evidence carried by index_projection_facet
-    "part_enrich_agg",  # broadcast-dim join+facet, subsumed by broadcast_enrich_revenue
-    "pricing_summary",  # filtered grouped agg, subsumed by grouped_stats/facet shapes; bench-measured regardless
+    # never driver-checked (local-green only through r04) — close the gap
+    "bpe_token_stats",
+    "coordinate_uncertainty_check",
+    "grouped_percentiles",
+    "habitat_biome_match",
+    # round-5 additions — no driver row yet (registered this round)
+    # (new queries are appended here as they land)
+    # refresh tier: last driver-green in r02/r03; re-green to guard
+    # against regressions now that every registry entry has evidence
+    "dedup_occurrence_clusters",
+    "fuzzy_date_parse",
+    "gridref_parse",
+    "expert_outlier_flags",
+    "jackknife_outlier_stats",
+    "maintenance_delete_upsert",
+    "event_sessionization",
+    "media_decode_meta",
+    "assertion_rollup",
+    "interval_containment_groups",
+    "rounding_ladder",
+    "raw_processed_comparison",
+    "attribution_lookup",
+    "distance_parse",
+    "stored_query_replay",
+    "classification_enrich",
+    "semi_join_incremental",
+    "window_representative",
+    "event_user_sessions",
+    "text_quality_stats",
+    "text_token_stats",
+    "distinct_coordinates",
+    "embedding_knn_topk",
+    "part_enrich_agg",
+    "pricing_summary",
     "projected_scan",
     "indexed_field_scan",
     "multiget",
@@ -146,6 +112,59 @@ DEPRIORITIZED: tuple[str, ...] = (
     "event_facet_counts",
     "event_json_extract",
     "event_hourly_histogram",
+)
+
+DEPRIORITIZED: tuple[str, ...] = (
+    # all driver-green in CORRECTNESS_r04 (hash+rows+schema) — cumulative
+    # evidence recorded; yield their prefix slots to the three CAST fixes,
+    # the four never-checked rows, and the r02/r03 refresh tier.
+    "corpus_curation",
+    "chain_hybrid",
+    "user_assertion_lifecycle",
+    "stored_query_bbox",
+    "validation_rule_wkt",
+    "date_precision_reformat",
+    "datum_reprojection",
+    "utm_inverse",
+    "collector_name_parse",
+    "coordinate_validation",
+    "text_language_id",
+    "text_quality_score",
+    "text_simhash",
+    "simhash_near_duplicates",
+    "text_fingerprint",
+    "embedding_cosine_neighbors",
+    "embedding_ann_topk",
+    "embedding_ivf_topk",
+    "embedding_label_centroid_norms",
+    "embedding_cosine_near_dup",
+    "streaming_event_windows",
+    "salted_skew_join",
+    "text_redact_pii",
+    "text_repetition_stats",
+    "near_dup_components",
+    "license_canonicalize",
+    "countmin_heavy_hitters",
+    "bm25_search",
+    "event_rollup_combined",
+    "lsh_index_probe",
+    "dwca_roundtrip",
+    "fuzzy_name_pairs",
+    "index_projection_facet",
+    "taxon_name_match",
+    "sds_generalization",
+    "sample_layers_enrich",
+    "verbatim_coord_parse",
+    "chain_vocab_fields",
+    "state_centroid_inference",
+    "ngram_decontamination",
+    "doc_chunking",
+    "stratified_sample",
+    "tfidf_top_terms",
+    "broadcast_enrich_revenue",
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_near_duplicates",
 )
 
 

@@ -147,8 +147,8 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT doc_id,
                COUNT(*) AS n_chunks,
-               SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
-               SUM(CASE WHEN rn = 1 THEN n_tok ELSE 0 END) AS kept_tok
+               CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN rn = 1 THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tok
         FROM ranked GROUP BY doc_id
     """,
 )
@@ -251,8 +251,8 @@ def stratified_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ), 0) AS c
             FROM tok
         )
-        SELECT source, c // 200 AS bin,
-               COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens
+        SELECT source, CAST(c // 200 AS BIGINT) AS bin,
+               COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
         FROM offs GROUP BY source, c // 200
     """,
 )
@@ -548,8 +548,8 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
         )
         SELECT source,
-               SUM(n_ws) AS ws_tokens,
-               SUM(n_bpe) AS bpe_pieces,
+               CAST(SUM(n_ws) AS BIGINT) AS ws_tokens,
+               CAST(SUM(n_bpe) AS BIGINT) AS bpe_pieces,
                ROUND(SUM(n_bpe) * 1.0 / SUM(n_ws), 4) AS pieces_per_word
         FROM t GROUP BY source
     """,

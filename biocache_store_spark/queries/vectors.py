@@ -371,7 +371,7 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                    x
             FROM q
         )
-        SELECT vec_id, SUM(qv) AS q_sum,
+        SELECT vec_id, CAST(SUM(qv) AS BIGINT) AS q_sum,
                ROUND(MAX(ABS(x - recon)), 6) AS max_err,
                COUNT(*) AS n_dims
         FROM r GROUP BY vec_id

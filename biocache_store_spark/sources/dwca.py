@@ -96,10 +96,25 @@ def _read_file(
     # ignoreHeaderLines > 1 (preamble + header, allowed by the spec):
     # Spark's header option skips exactly one line, so strip the extra
     # leading lines into a local copy first — archives are already local
-    # extracted files, and this runs once per load
+    # extracted files, and this runs once per load. The copy lives OUTSIDE
+    # the archive dir (so directory-glob readers never pick it up as data)
+    # and is regenerated whenever the source file is newer (so
+    # re-extracting an updated archive over the same path can't serve a
+    # stale copy).
     if fd.ignore_header_lines > 1:
-        stripped = path + f".skip{fd.ignore_header_lines - 1}"
-        if not os.path.exists(stripped):
+        import hashlib
+        import tempfile
+
+        cache_dir = os.path.join(tempfile.gettempdir(), "biocache_dwca_strip")
+        os.makedirs(cache_dir, exist_ok=True)
+        digest = hashlib.md5(os.path.abspath(path).encode()).hexdigest()
+        stripped = os.path.join(
+            cache_dir, f"{digest}.skip{fd.ignore_header_lines - 1}"
+        )
+        if (
+            not os.path.exists(stripped)
+            or os.path.getmtime(stripped) < os.path.getmtime(path)
+        ):
             with open(path, encoding="utf-8", errors="replace") as src, open(
                 stripped, "w", encoding="utf-8"
             ) as dst:

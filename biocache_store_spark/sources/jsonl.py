@@ -55,10 +55,16 @@ def load_jsonl(
     than failing the read.
     """
     if schema is None:
-        schema = DOCUMENT_SCHEMA
-        for alias in _TEXT_ALIASES[1:] + _ID_ALIASES[1:]:
-            if alias not in [f.name for f in schema.fields]:
-                schema = schema.add(T.StructField(alias, T.StringType()))
+        # build a FRESH StructType: StructType.add mutates in place and
+        # returns self, so extending DOCUMENT_SCHEMA directly would leak
+        # the alias columns into every later consumer of the constant
+        base_names = {f.name for f in DOCUMENT_SCHEMA.fields}
+        extra = [
+            T.StructField(alias, T.StringType())
+            for alias in _TEXT_ALIASES[1:] + _ID_ALIASES[1:]
+            if alias not in base_names
+        ]
+        schema = T.StructType(list(DOCUMENT_SCHEMA.fields) + extra)
     df = spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
 
     cols = set(df.columns)

@@ -425,3 +425,13 @@ def test_lsh_index_probe_matches_batch_rerun(spark, tmp_path):
     )
     got = probe_lsh_index(spark, path, probe2, threshold=0.5).collect()
     assert {(r["doc_a"], r["doc_b"]) for r in got} == {(13, 21)}
+
+    # a careless append that re-carries already-indexed ids must not
+    # change probe results: duplicate band rows are deduped on read, so
+    # bucket counts don't inflate toward max_bucket_size and drop the
+    # bucket prematurely
+    write_lsh_index(new, path, mode="append")  # ids 11-13 now stored twice
+    got_dup = probe_lsh_index(
+        spark, path, probe2, threshold=0.5, max_bucket_size=4
+    ).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in got_dup} == {(13, 21)}

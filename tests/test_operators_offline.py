@@ -361,6 +361,28 @@ def test_should_index_reference_cases(spark):
     assert got is True
 
 
+def test_should_index_boolean_deleted_column(spark):
+    """A BooleanType deleted flag must behave like the string convention:
+    false/null → live, true → excluded (false casts to the string 'false',
+    which would count as non-empty/deleted under a naive != '' check)."""
+    from pyspark.sql import functions as F
+
+    from biocache_store_spark.operators.index_projection import should_index
+
+    df = spark.createDataFrame(
+        [("a", False), ("b", True), ("c", None)],
+        "id string, deleted boolean",
+    )
+    got = {
+        r["id"]: r["x"]
+        for r in df.select(
+            "id",
+            should_index(F.lit(None), F.lit(None), None, F.col("deleted")).alias("x"),
+        ).collect()
+    }
+    assert got == {"a": True, "b": False, "c": True}
+
+
 def test_jackknife_outlierness_scores():
     """JackKnife.scala:83-85: outlierness = accumulated c / threshold per
     sorted sample; flagged extremes score above 1."""

@@ -758,6 +758,69 @@ def test_jsonl_loader_shapes(spark, tmp_path):
     assert again["gamma delta"] == rows["gamma delta"]["doc_id"]
 
 
+def test_jsonl_loader_does_not_mutate_document_schema(spark, tmp_path):
+    """load_jsonl(schema=None) extends the declared schema with alias
+    columns; that extension must be a fresh StructType — StructType.add
+    mutates in place, and leaking the aliases into the module constant
+    would silently widen every later consumer."""
+    from biocache_store_spark.sources import jsonl
+
+    before = [f.name for f in jsonl.DOCUMENT_SCHEMA.fields]
+    p = tmp_path / "c.jsonl"
+    p.write_text('{"text": "alpha"}\n')
+    load = jsonl.load_jsonl(spark, str(p), source="s")
+    load.collect()
+    after = [f.name for f in jsonl.DOCUMENT_SCHEMA.fields]
+    assert after == before
+
+
+def test_rollup_cutoff_must_be_hour_aligned(spark, tmp_path):
+    """write_rollup/rollup_query reject a cutoff off the hour boundary —
+    a misaligned cutoff would silently emit two partial rows for the
+    boundary hour instead of failing."""
+    import pytest
+
+    from biocache_store_spark.operators.rollup import rollup_query, write_rollup
+
+    events = spark.createDataFrame(
+        [("2024-01-01 00:10:00", "a", 1.0)],
+        "ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    path = str(tmp_path / "rollup")
+    with pytest.raises(ValueError, match="hour boundary"):
+        write_rollup(events, path, "2024-01-02 00:30:00")
+    write_rollup(events, path, "2024-01-02 00:00:00")
+    with pytest.raises(ValueError, match="hour boundary"):
+        rollup_query(spark, path, events, "2024-01-02 00:00:30")
+
+
+def test_dwca_stripped_copy_tracks_source_mtime(spark, tmp_path):
+    """sources/dwca.py _read_file: the ignoreHeaderLines>1 stripped copy
+    lives outside the archive dir and regenerates when the source file is
+    re-extracted with newer content."""
+    import os
+
+    from biocache_store_spark.sources.dwca import FileDescriptor, _read_file
+
+    arch = tmp_path / "arch"
+    arch.mkdir()
+    f = arch / "occ.csv"
+    f.write_text("preamble\nid,name\n1,alpha\n")
+    fd = FileDescriptor(
+        row_type="t", location="occ.csv", delimiter=",", quote='"',
+        ignore_header_lines=2, fields={1: "name"}, id_index=0,
+    )
+    first = _read_file(spark, str(arch), fd, id_alias="id").collect()
+    assert {r["name"] for r in first} == {"alpha"}
+    # no derived file may appear inside the archive dir (glob safety)
+    assert os.listdir(arch) == ["occ.csv"]
+    # re-extract with new content, bump mtime forward
+    f.write_text("preamble\nid,name\n1,beta\n")
+    os.utime(f, (os.path.getmtime(f) + 5, os.path.getmtime(f) + 5))
+    second = _read_file(spark, str(arch), fd, id_alias="id").collect()
+    assert {r["name"] for r in second} == {"beta"}
+
+
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     """dedup_stream: replays of a key within the watermark are dropped;
     first arrivals pass."""

@@ -232,38 +232,36 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    # n_sh rides along on every exploded row, so the self-join alone yields
-    # intersection count AND both denominators in one shuffle — no counts
-    # branch, no broadcast, no cache.
+    # n_sh rides along on every exploded row, so the posting list alone
+    # yields intersection count AND both denominators — no counts branch,
+    # no broadcast, no cache.
     shingles = shingle_df(docs, 3, with_count=True)
-    # hot-shingle guard: shingles above the df cap leave the blocking join;
-    # the df aggregation shuffles on the same `sh` key as the pair join.
-    # NOTE with the cap bound, n_common counts only non-viral common
-    # shingles — at the test SFs no shingle reaches the cap (max df 25 at
-    # sf0.1) so the output equals the exact operator; at 100 TB the capped
-    # pairs are the documents connected ONLY through boilerplate shingles.
-    from pyspark.sql.window import Window
-
-    shingles = (
-        shingles.withColumn(
-            "__df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
-        )
-        .filter(F.col("__df") <= _MAX_SHINGLE_DF)
-        .drop("__df")
+    # POSTING-LIST shape (replaces the earlier self-join + df-cap window,
+    # r3→r4 regression: two scans + two regex-shingle passes + two window
+    # sorts): group the exploded shingles ONCE on `sh`, then generate the
+    # per-bucket pairs map-side by double-exploding the collected doc
+    # list. One scan, one regex pass, one exchange on `sh`, and the
+    # hot-shingle guard becomes a free size(docs) filter.
+    #   * size >= 2 drops singleton shingles (the vast majority) before
+    #     any pair work;
+    #   * size <= _MAX_SHINGLE_DF is the viral-3-gram cap — a boilerplate
+    #     shingle shared by millions of documents makes a quadratic
+    #     bucket at corpus scale. NOTE with the cap bound, n_common
+    #     counts only non-viral common shingles — at the test SFs no
+    #     shingle reaches the cap (max df 25 at sf0.1) so the output
+    #     equals the uncapped operator exactly.
+    posting = (
+        shingles.groupBy("sh")
+        .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("docs"))
+        .filter(F.size("docs").between(2, _MAX_SHINGLE_DF))
     )
-    a = shingles.alias("a")
-    # shuffle-hash, not broadcast: the build side is the same-sized shingle
-    # relation, not a small dim — broadcasting it costs a driver collect +
-    # hash build (measured 10.8s vs 2.0s at sf0.1) and is impossible at
-    # corpus scale, where this co-partitioned join is the only shape that
-    # survives.
-    b = shingles.hint("shuffle_hash").alias("b")
+    # double explode_outer is deliberate: plain explode makes Catalyst
+    # infer size()>0 pre-filters (see shingle_df's trap notes); the
+    # doc_id inequality also removes the nulls explode_outer would pass
     pairs = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        posting.select(F.explode("docs").alias("a"), "docs")
+        .select("a", F.explode("docs").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),

@@ -86,3 +86,18 @@ def test_sketch_estimate_join_broadcasts_the_sketch(spark, sf_dir):
     probe = tok.limit(5)
     plan = _plan(estimate_counts(sketch, probe, "term"))
     assert "BroadcastHashJoin" in plan  # bounded sketch is the build side
+
+
+def test_ngram_jaccard_is_posting_list_single_scan(spark, sf_dir):
+    """ngram_jaccard_pairs must keep the posting-list shape (r4→r5 fix:
+    the self-join + df-cap window read and re-shingled the corpus twice
+    and added two window sorts — 2.61s vs 1.94s at sf0.1): exactly ONE
+    documents scan, no Window, no join — pairs come from double-exploding
+    the per-shingle doc list after a single exchange on `sh`."""
+    from biocache_store_spark.queries import load_all
+
+    q = load_all()["ngram_jaccard_pairs"]
+    plan = _plan(q.spark_fn(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert "Window" not in plan
+    assert "Join" not in plan  # no self-join: pairs are generated map-side

@@ -1,0 +1,461 @@
+"""Command-line tool surface: `python -m biocache_store_spark <tool>`.
+
+The reference is operated entirely through a registry of named CLI tools
+(cmd/CMD2.scala:197-250 — DwCALoader, DwcCSVLoader, ProcessRecords,
+IndexRecords, Sampling, ExportFacet, ExportFromIndex, DwCACreator,
+DuplicationDetection, ReverseJacknifeProcessor, DeleteRecords,
+DescribeResource, Healthcheck, IngestTool, ShowVersion, ...). This module
+is the same operational surface over the Spark-native engine: each
+subcommand parses arguments, builds (or reuses) the SparkSession, calls
+the corresponding library function, and writes parquet/CSV/zip output.
+
+Design rules:
+  * subcommands are THIN — all logic lives in the library modules, so the
+    CLI adds operability without forking behavior from the tested API;
+  * every store-mutating tool reads from `--in` and writes to `--out`
+    (parquet stores are immutable snapshots; the reference mutates
+    Cassandra in place, which has no safe Spark-parquet equivalent);
+  * `--query` accepts the reference's SOLR query syntax and is translated
+    to a pushable Column predicate (plans/solr_query.py translate), the
+    same path the stored-query operators use.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+__version__ = "0.5.0"
+
+
+def _spark(args):
+    from biocache_store_spark.session import get_spark
+
+    return get_spark(app_name=f"biocache-{args.tool}")
+
+
+def _read(spark, path):
+    return spark.read.parquet(path)
+
+
+def _apply_query(df, query: str | None):
+    if query:
+        from biocache_store_spark.plans.solr_query import translate
+
+        df = df.filter(translate(query))
+    return df
+
+
+def _split(s: str | None) -> list[str]:
+    return [p.strip() for p in s.split(",") if p.strip()] if s else []
+
+
+# ---------------------------------------------------------------- loaders
+
+
+def cmd_load_dwca(args) -> int:
+    """DwCALoader (load/DwCALoader.scala): extracted archive dir ->
+    occurrence store partitioned by dataResourceUid."""
+    from biocache_store_spark.exports.exporters import write_occurrence_store
+    from biocache_store_spark.sources.dwca import load_archive
+
+    spark = _spark(args)
+    df = load_archive(
+        spark, args.archive, args.dr, unique_terms=_split(args.unique_terms) or None
+    )
+    write_occurrence_store(df, args.out)
+    print(f"loaded dwca {args.archive} -> {args.out}")
+    return 0
+
+
+def cmd_load_csv(args) -> int:
+    """DwcCSVLoader (load/DwcCSVLoader.scala): header-mapped CSV with
+    uuid5 identity minting -> occurrence store."""
+    from biocache_store_spark.exports.exporters import write_occurrence_store
+    from biocache_store_spark.sources.csv_loader import load_csv
+
+    spark = _spark(args)
+    df = load_csv(
+        spark,
+        args.path,
+        args.dr,
+        unique_terms=_split(args.unique_terms),
+        delimiter=args.delimiter,
+    )
+    write_occurrence_store(df, args.out)
+    print(f"loaded csv {args.path} -> {args.out}")
+    return 0
+
+
+def cmd_load_jsonl(args) -> int:
+    """JSONL corpus adapter (sources/jsonl.py) -> documents store."""
+    from biocache_store_spark.sources.jsonl import load_jsonl
+
+    spark = _spark(args)
+    df = load_jsonl(spark, args.path, source=args.source)
+    df.write.mode("overwrite").parquet(args.out)
+    print(f"loaded jsonl {args.path} -> {args.out}")
+    return 0
+
+
+# ------------------------------------------------------------- lifecycle
+
+
+def _dims_from_args(spark, args):
+    from biocache_store_spark.pipeline import Dimensions
+
+    def opt(path):
+        return _read(spark, path) if path else None
+
+    return Dimensions(
+        taxa=opt(getattr(args, "taxa", None)),
+        data_resources=opt(getattr(args, "attribution", None)),
+        sensitive_species=opt(getattr(args, "sds", None)),
+        cl_layers=opt(getattr(args, "cl_layers", None)),
+        el_layers=opt(getattr(args, "el_layers", None)),
+    )
+
+
+def cmd_process(args) -> int:
+    """ProcessRecords / ProcessLocalRecords (processing/RecordProcessor
+    via tool/ProcessRecords.scala): raw store -> processed store through
+    the 12-stage chain (+ optional enrichment dims)."""
+    from biocache_store_spark.exports.exporters import write_occurrence_store
+    from biocache_store_spark.pipeline import run_pipeline
+
+    spark = _spark(args)
+    raw = _apply_query(_read(spark, args.inp), args.query)
+    processed = run_pipeline(
+        raw, _dims_from_args(spark, args), hybrid_chain=not args.no_hybrid
+    )
+    partition = ("dataResourceUid",) if "dataResourceUid" in processed.columns else ()
+    if partition:
+        write_occurrence_store(processed, args.out, partition_by=partition)
+    else:
+        processed.write.mode("overwrite").parquet(args.out)
+    print(f"processed {args.inp} -> {args.out}")
+    return 0
+
+
+def cmd_sample(args) -> int:
+    """Sampling / SampleLocalRecords (tool/Sampling.scala): distinct
+    coordinates -> cl/el layer samples store (the `loc` table)."""
+    from biocache_store_spark.operators.sampling import distinct_points, sample_points
+
+    spark = _spark(args)
+    records = _read(spark, args.inp)
+    dims = _dims_from_args(spark, args)
+    points = distinct_points(records)
+    samples = sample_points(points, dims.cl_layers, dims.el_layers)
+    samples.write.mode("overwrite").parquet(args.out)
+    print(f"sampled {args.inp} -> {args.out}")
+    return 0
+
+
+def cmd_index(args) -> int:
+    """IndexRecords / IndexLocalRecordsV2 (index/SolrIndexDAO.scala):
+    processed store -> flat ~160-column index table."""
+    from biocache_store_spark.operators.index_projection import build_index
+
+    spark = _spark(args)
+    processed = _read(spark, args.inp)
+    assertions = _read(spark, args.assertions) if args.assertions else None
+    idx = build_index(
+        processed,
+        include_deleted=args.include_deleted,
+        user_assertions=assertions,
+    )
+    idx.write.mode("overwrite").parquet(args.out)
+    print(f"indexed {args.inp} -> {args.out}")
+    return 0
+
+
+def cmd_ingest(args) -> int:
+    """IngestTool (Store.ingest, Store.scala:625-638): load -> process ->
+    sample -> index in one composed job graph."""
+    from biocache_store_spark.operators.index_projection import build_index
+    from biocache_store_spark.pipeline import run_pipeline
+    from biocache_store_spark.sources.csv_loader import load_csv
+    from biocache_store_spark.sources.dwca import load_archive
+
+    spark = _spark(args)
+    if args.archive:
+        raw = load_archive(
+            spark, args.archive, args.dr, unique_terms=_split(args.unique_terms) or None
+        )
+    elif args.csv:
+        raw = load_csv(spark, args.csv, args.dr, unique_terms=_split(args.unique_terms))
+    else:
+        print("ingest: one of --archive or --csv is required", file=sys.stderr)
+        return 2
+    processed = run_pipeline(raw, _dims_from_args(spark, args))
+    build_index(processed).write.mode("overwrite").parquet(args.out)
+    print(f"ingested {args.dr} -> {args.out}")
+    return 0
+
+
+# --------------------------------------------------------------- exports
+
+
+def cmd_facet(args) -> int:
+    """ExportFacet (tool/ExportFacet.scala): distinct values + counts of
+    one field, optionally query-scoped."""
+    from pyspark.sql import functions as F
+
+    from biocache_store_spark.exports.exporters import export_facet
+
+    spark = _spark(args)
+    df = _apply_query(_read(spark, args.inp), args.query)
+    if args.out:
+        export_facet(df, args.field, args.out)
+        print(f"facet {args.field} -> {args.out}")
+    else:
+        rows = (
+            df.groupBy(args.field)
+            .agg(F.count(F.lit(1)).alias("count"))
+            .orderBy(F.desc("count"), args.field)
+            .limit(args.limit)
+            .collect()
+        )
+        for r in rows:
+            print(f"{r[args.field]}\t{r['count']}")
+    return 0
+
+
+def cmd_export(args) -> int:
+    """ExportFromIndex / ExportByFacetQuery (tool/ExportFromIndex.scala):
+    query-scoped column export to CSV."""
+    from biocache_store_spark.exports.exporters import export_csv
+
+    spark = _spark(args)
+    df = _apply_query(_read(spark, args.inp), args.query)
+    export_csv(df, _split(args.fields), args.out)
+    print(f"exported {args.fields} -> {args.out}")
+    return 0
+
+
+def cmd_export_dwca(args) -> int:
+    """DwCACreator (export/DwCACreator.scala): store -> Darwin Core
+    Archive zip (meta.xml + eml.xml + occurrence.csv)."""
+    from biocache_store_spark.exports.exporters import create_dwca
+
+    spark = _spark(args)
+    df = _apply_query(_read(spark, args.inp), args.query)
+    create_dwca(df, _split(args.fields), args.out)
+    print(f"dwca -> {args.out}")
+    return 0
+
+
+# ----------------------------------------------------------- maintenance
+
+
+def cmd_dedup_detect(args) -> int:
+    """DuplicationDetection (tool/DuplicationDetection.scala): grouped
+    duplicate detection -> (group keys, status R/D1/D2/U) store."""
+    from biocache_store_spark.operators.dedup import detect_duplicates
+
+    spark = _spark(args)
+    out = detect_duplicates(_read(spark, args.inp))
+    out.write.mode("overwrite").parquet(args.out)
+    print(f"duplicates {args.inp} -> {args.out}")
+    return 0
+
+
+def cmd_jackknife(args) -> int:
+    """ReverseJacknifeProcessor (outliers/JackKnife.scala): per-group
+    jackknife outlier stats over a value column."""
+    from biocache_store_spark.operators.jackknife import jackknife_stats
+
+    spark = _spark(args)
+    out = jackknife_stats(
+        _read(spark, args.inp), _split(args.group_cols), args.value_col
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    print(f"jackknife {args.value_col} -> {args.out}")
+    return 0
+
+
+def cmd_delete(args) -> int:
+    """DeleteRecords / DeleteLocalDataResource (tool/DeleteRecords):
+    delete by keys or by query, with the surviving store written out."""
+    from biocache_store_spark.operators.maintenance import (
+        delete_by_keys,
+        delete_by_query,
+    )
+
+    spark = _spark(args)
+    df = _read(spark, args.inp)
+    if args.keys:
+        keys_df = spark.createDataFrame(
+            [(k,) for k in _split(args.keys)], f"{args.key_col} string"
+        )
+        kept, dellog = delete_by_keys(df, keys_df, key_col=args.key_col)
+    elif args.query:
+        kept, dellog = delete_by_query(df, args.query, key_col=args.key_col)
+    else:
+        print("delete: one of --keys or --query is required", file=sys.stderr)
+        return 2
+    kept.write.mode("overwrite").parquet(args.out)
+    if args.dellog:
+        dellog.write.mode("overwrite").parquet(args.dellog)
+    print(f"deleted from {args.inp} -> {args.out}")
+    return 0
+
+
+# ------------------------------------------------------------ inspection
+
+
+def cmd_describe(args) -> int:
+    """DescribeResource / ListResources: schema + per-resource counts."""
+    from pyspark.sql import functions as F
+
+    spark = _spark(args)
+    df = _read(spark, args.inp)
+    info = {"columns": df.columns, "rows": df.count()}
+    if "dataResourceUid" in df.columns:
+        info["resources"] = {
+            r["dataResourceUid"]: r["n"]
+            for r in df.groupBy("dataResourceUid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    print(json.dumps(info, indent=2, default=str))
+    return 0
+
+
+def cmd_healthcheck(args) -> int:
+    """Healthcheck: session comes up, store (if given) is readable."""
+    spark = _spark(args)
+    checks = {"spark": spark.version}
+    if args.inp:
+        checks["store_rows"] = _read(spark, args.inp).count()
+    print(json.dumps(checks))
+    return 0
+
+
+def cmd_version(args) -> int:
+    print(__version__)
+    return 0
+
+
+# -------------------------------------------------------------- argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="biocache_store_spark",
+        description="Spark-native biocache tools (reference: cmd/CMD2.scala registry)",
+    )
+    sub = p.add_subparsers(dest="tool", required=True)
+
+    def tool(name, fn, help):
+        sp = sub.add_parser(name, help=help)
+        sp.set_defaults(fn=fn)
+        return sp
+
+    def dim_opts(sp):
+        sp.add_argument("--taxa", help="taxa dim parquet")
+        sp.add_argument("--attribution", help="data-resource dim parquet")
+        sp.add_argument("--sds", help="sensitive-species dim parquet")
+        sp.add_argument("--cl-layers", dest="cl_layers", help="cl layer dim parquet")
+        sp.add_argument("--el-layers", dest="el_layers", help="el layer dim parquet")
+
+    sp = tool("load-dwca", cmd_load_dwca, "DwC-A dir -> occurrence store")
+    sp.add_argument("--archive", required=True)
+    sp.add_argument("--dr", required=True, help="data resource uid")
+    sp.add_argument("--unique-terms", dest="unique_terms")
+    sp.add_argument("--out", required=True)
+
+    sp = tool("load-csv", cmd_load_csv, "DwC CSV -> occurrence store")
+    sp.add_argument("--path", required=True)
+    sp.add_argument("--dr", required=True)
+    sp.add_argument("--unique-terms", dest="unique_terms", required=True)
+    sp.add_argument("--delimiter", default=",")
+    sp.add_argument("--out", required=True)
+
+    sp = tool("load-jsonl", cmd_load_jsonl, "JSONL corpus -> documents store")
+    sp.add_argument("--path", required=True)
+    sp.add_argument("--source", required=True)
+    sp.add_argument("--out", required=True)
+
+    sp = tool("process", cmd_process, "raw store -> processed store")
+    sp.add_argument("--in", dest="inp", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--query", help="SOLR-syntax scope filter")
+    sp.add_argument("--no-hybrid", action="store_true")
+    dim_opts(sp)
+
+    sp = tool("sample", cmd_sample, "store -> cl/el samples per distinct point")
+    sp.add_argument("--in", dest="inp", required=True)
+    sp.add_argument("--out", required=True)
+    dim_opts(sp)
+
+    sp = tool("index", cmd_index, "processed store -> index table")
+    sp.add_argument("--in", dest="inp", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--assertions", help="user-assertion store parquet")
+    sp.add_argument("--include-deleted", action="store_true")
+
+    sp = tool("ingest", cmd_ingest, "load -> process -> index")
+    sp.add_argument("--archive")
+    sp.add_argument("--csv")
+    sp.add_argument("--dr", required=True)
+    sp.add_argument("--unique-terms", dest="unique_terms")
+    sp.add_argument("--out", required=True)
+    dim_opts(sp)
+
+    sp = tool("facet", cmd_facet, "field facet counts (print or CSV)")
+    sp.add_argument("--in", dest="inp", required=True)
+    sp.add_argument("--field", required=True)
+    sp.add_argument("--query")
+    sp.add_argument("--limit", type=int, default=20)
+    sp.add_argument("--out")
+
+    sp = tool("export", cmd_export, "query-scoped CSV column export")
+    sp.add_argument("--in", dest="inp", required=True)
+    sp.add_argument("--fields", required=True)
+    sp.add_argument("--query")
+    sp.add_argument("--out", required=True)
+
+    sp = tool("export-dwca", cmd_export_dwca, "store -> DwC-A zip")
+    sp.add_argument("--in", dest="inp", required=True)
+    sp.add_argument("--fields", required=True)
+    sp.add_argument("--query")
+    sp.add_argument("--out", required=True)
+
+    sp = tool("dedup-detect", cmd_dedup_detect, "grouped duplicate detection")
+    sp.add_argument("--in", dest="inp", required=True)
+    sp.add_argument("--out", required=True)
+
+    sp = tool("jackknife", cmd_jackknife, "per-group jackknife outlier stats")
+    sp.add_argument("--in", dest="inp", required=True)
+    sp.add_argument("--group-cols", dest="group_cols", required=True)
+    sp.add_argument("--value-col", dest="value_col", required=True)
+    sp.add_argument("--out", required=True)
+
+    sp = tool("delete", cmd_delete, "delete by keys or query")
+    sp.add_argument("--in", dest="inp", required=True)
+    sp.add_argument("--keys")
+    sp.add_argument("--query")
+    sp.add_argument("--key-col", dest="key_col", default="rowKey")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--dellog", help="write the deletion log here")
+
+    sp = tool("describe", cmd_describe, "schema + per-resource counts")
+    sp.add_argument("--in", dest="inp", required=True)
+
+    sp = tool("healthcheck", cmd_healthcheck, "session + store readability")
+    sp.add_argument("--in", dest="inp")
+
+    tool("version", cmd_version, "print version")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

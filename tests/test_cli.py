@@ -1,0 +1,149 @@
+"""CLI tool surface: the reference's operational loop (cmd/CMD2.scala
+registry) driven end-to-end through `python -m biocache_store_spark`."""
+
+from __future__ import annotations
+
+import json
+import os
+import zipfile
+
+from biocache_store_spark.cli import main
+
+FIXTURE_DWCA = os.path.join(os.path.dirname(__file__), "fixtures", "test-dwca")
+
+
+def test_cli_load_process_index_facet_lifecycle(spark, tmp_path, capsys):
+    """load-dwca -> process -> index -> facet: the `biocache ingest`
+    loop as four separate tools sharing parquet stores."""
+    raw_store = str(tmp_path / "raw")
+    processed_store = str(tmp_path / "processed")
+    index_store = str(tmp_path / "index")
+
+    assert main([
+        "load-dwca", "--archive", FIXTURE_DWCA, "--dr", "dr0",
+        "--unique-terms", "occurrenceID", "--out", raw_store,
+    ]) == 0
+    raw = spark.read.parquet(raw_store)
+    assert raw.count() == 3
+    assert "rowKey" in raw.columns and "uuid" in raw.columns
+
+    assert main(["process", "--in", raw_store, "--out", processed_store]) == 0
+    processed = spark.read.parquet(processed_store)
+    assert processed.count() == 3
+    assert "assertions" in processed.columns
+
+    assert main(["index", "--in", processed_store, "--out", index_store]) == 0
+    index = spark.read.parquet(index_store)
+    assert index.count() == 3
+    assert "basis_of_record" in index.columns
+
+    capsys.readouterr()
+    assert main(["facet", "--in", index_store, "--field", "basis_of_record"]) == 0
+    out = capsys.readouterr().out
+    facets = dict(line.split("\t") for line in out.strip().splitlines())
+    assert facets == {"PreservedSpecimen": "2", "HumanObservation": "1"}
+
+
+def test_cli_export_delete_describe(spark, tmp_path, capsys):
+    raw_store = str(tmp_path / "raw")
+    main([
+        "load-dwca", "--archive", FIXTURE_DWCA, "--dr", "dr0",
+        "--unique-terms", "occurrenceID", "--out", raw_store,
+    ])
+
+    # query-scoped CSV export (ExportFromIndex shape)
+    export_dir = str(tmp_path / "export")
+    assert main([
+        "export", "--in", raw_store, "--fields", "occurrenceID,scientificName",
+        "--query", "basisOfRecord:PreservedSpecimen", "--out", export_dir,
+    ]) == 0
+    import glob
+
+    csvs = glob.glob(export_dir + "/*.csv")
+    assert csvs
+    lines = [ln for p in csvs for ln in open(p).read().splitlines() if ln]
+    # raw store is pre-vocab-normalization: exactly one row carries the
+    # literal 'PreservedSpecimen' (r3's 'S' normalizes only in process)
+    assert len(lines) == 2  # header + urn:occ:1
+    assert any("urn:occ:1" in ln for ln in lines)
+
+    # DwC-A zip round trip (DwCACreator shape)
+    zip_path = str(tmp_path / "out.zip")
+    assert main([
+        "export-dwca", "--in", raw_store,
+        "--fields", "occurrenceID,scientificName", "--out", zip_path,
+    ]) == 0
+    assert set(zipfile.ZipFile(zip_path).namelist()) == {
+        "meta.xml", "eml.xml", "occurrence.csv",
+    }
+
+    # delete by query, survivors written out
+    kept_store = str(tmp_path / "kept")
+    dellog = str(tmp_path / "dellog")
+    assert main([
+        "delete", "--in", raw_store, "--query", "basisOfRecord:S",
+        "--out", kept_store, "--dellog", dellog,
+    ]) == 0
+    assert spark.read.parquet(kept_store).count() == 2
+    assert spark.read.parquet(dellog).count() == 1
+
+    # delete by explicit keys
+    keys = [r["rowKey"] for r in spark.read.parquet(raw_store).collect()][:1]
+    kept2 = str(tmp_path / "kept2")
+    assert main([
+        "delete", "--in", raw_store, "--keys", keys[0], "--out", kept2,
+    ]) == 0
+    assert spark.read.parquet(kept2).count() == 2
+
+    # describe emits schema + per-resource counts as JSON
+    capsys.readouterr()
+    assert main(["describe", "--in", raw_store]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["rows"] == 3
+    assert info["resources"] == {"dr0": 3}
+
+    capsys.readouterr()
+    assert main(["healthcheck", "--in", raw_store]) == 0
+    health = json.loads(capsys.readouterr().out)
+    assert health["store_rows"] == 3
+
+    capsys.readouterr()
+    assert main(["version"]) == 0
+    assert capsys.readouterr().out.strip()
+
+
+def test_cli_dedup_and_jackknife(spark, tmp_path):
+    store = str(tmp_path / "occ")
+    spark.createDataFrame(
+        [
+            ("t1", "2001", "1", "2", "-35.1", "144.2", "Smith, J.", "r1", "c1", "o1", "dr0"),
+            ("t1", "2001", "1", "2", "-35.1", "144.2", "Smith, J.", "r1", "c1", "o2", "dr0"),
+            ("t2", "2002", "3", "4", "-30.0", "140.0", "Jones, K.", "r2", "c2", "o3", "dr0"),
+        ],
+        "taxonConceptID string, year string, month string, day string,"
+        " decimalLatitude string, decimalLongitude string, recordedBy string,"
+        " recordNumber string, catalogNumber string, occurrenceID string,"
+        " dataResourceUid string",
+    ).write.mode("overwrite").parquet(store)
+
+    dup_out = str(tmp_path / "dups")
+    assert main(["dedup-detect", "--in", store, "--out", dup_out]) == 0
+    statuses = {
+        r["row_key"]: r["status"]
+        for r in spark.read.parquet(dup_out).collect()
+    }
+    assert statuses["o3"] == "U"
+    assert sorted(statuses[k] for k in ("o1", "o2")) == ["D1", "R"]
+
+    jk_store = str(tmp_path / "vals")
+    spark.createDataFrame(
+        [("g1", float(v)) for v in range(1, 26)] + [("g1", 500.0)],
+        "grp string, val double",
+    ).write.mode("overwrite").parquet(jk_store)
+    jk_out = str(tmp_path / "jk")
+    assert main([
+        "jackknife", "--in", jk_store, "--group-cols", "grp",
+        "--value-col", "val", "--out", jk_out,
+    ]) == 0
+    rows = spark.read.parquet(jk_out).collect()
+    assert len(rows) == 1 and rows[0]["outlier_values"] == [500.0]

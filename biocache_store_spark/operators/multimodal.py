@@ -51,16 +51,61 @@ MEDIA_SCHEMA = T.StructType(
 _FEATURE_DIM = 8
 
 
+def _pillow_or_none():
+    """Executor-side optional import: Pillow when the environment has it,
+    None otherwise — callers fall back to the deterministic fake path.
+    Import is attempted INSIDE the UDF so the decision is made where the
+    decode actually runs, not on the driver."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _pillow_decode_features(image_mod, content: bytes):
+    """Real image decode via Pillow: an _FEATURE_DIM-float vector of
+    [w/1e4, h/1e4, mean R, mean G, mean B, aspect, coverage of the 4x4
+    grayscale grid's first two cells] — deterministic for a given image."""
+    import io
+
+    img = image_mod.open(io.BytesIO(content)).convert("RGB")
+    w, h = img.size
+    small = img.resize((4, 4))
+    px = list(small.getdata())
+    means = [sum(p[i] for p in px) / (len(px) * 255.0) for i in range(3)]
+    return [
+        min(w / 1e4, 1.0),
+        min(h / 1e4, 1.0),
+        *means,
+        w / h if h else 0.0,
+        px[0][0] / 255.0,
+        px[5][0] / 255.0,
+    ]
+
+
 def _decode_bytes(content: bytes, media_type: str, real_decode: bool):
-    """Deterministic fake decode: an _FEATURE_DIM-float feature vector from
-    the content digest. Replace with a real decoder (Pillow / torchaudio /
-    ffmpeg) where those libraries exist."""
+    """Decode one media payload to an _FEATURE_DIM-float feature vector.
+
+    Default: deterministic fake from the content digest — byte-stable,
+    library-free, what the oracle-checked queries pin. `real_decode=True`
+    uses Pillow when importable (images only); environments without image
+    libraries raise NotImplementedError, same gating as before
+    (reference: load/Thumbnailer.scala:77-130 decodes with JAI/ImageIO)."""
     if real_decode:
-        raise NotImplementedError(
-            "real media decoding requires image/audio libraries not present "
-            "in this environment; only the deterministic fake decoder is "
-            "available"
-        )
+        image_mod = _pillow_or_none()
+        if image_mod is not None and media_type == "image" and content:
+            try:
+                return _pillow_decode_features(image_mod, content)
+            except Exception:
+                pass  # undecodable bytes: reference logs and skips — fake below
+        if image_mod is None:
+            raise NotImplementedError(
+                "real media decoding requires image/audio libraries not "
+                "present in this environment; only the deterministic fake "
+                "decoder is available"
+            )
     digest = hashlib.sha256(content or b"").digest()
     return [b / 255.0 for b in digest[:_FEATURE_DIM]]
 
@@ -196,6 +241,128 @@ def decode_media(
             yield out
 
     return media_df.mapInPandas(run, schema=schema)
+
+
+# load/MediaStore.scala:903-919 — the three generated renditions: suffix +
+# max edge length. generateAllSizes (Thumbnailer.scala:77-84) emits all
+# three per source image.
+THUMBNAIL_SIZES: tuple[tuple[str, str, float], ...] = (
+    ("thumb", "__thumb", 100.0),
+    ("small", "__small", 314.0),
+    ("large", "__large", 650.0),
+)
+
+
+def scaled_dims(width: int, height: int, edge: float) -> tuple[int, int, bool]:
+    """ThumbnailableImage.writeThumbnailToFile (ThumbnailableImage.scala:
+    24-50) size arithmetic: when BOTH edges are already under the target
+    edge length the file is copied unchanged; otherwise scale by
+    edge/max(w, h) with Scala's toInt truncation on each dimension.
+    Returns (new_w, new_h, resized)."""
+    if height < edge and width < edge:
+        return width, height, False
+    denom = max(height, width)
+    modifier = edge / denom
+    return int(width * modifier), int(height * modifier), True
+
+
+def thumbnail_media(
+    media_df: DataFrame,
+    sizes: tuple[tuple[str, str, float], ...] = THUMBNAIL_SIZES,
+) -> DataFrame:
+    """Thumbnailer.generateAllSizes as a distributed stage: each image row
+    fans out to one row per rendition (thumb/small/large) with the resized
+    content and dimensions. Arrow-batched mapInPandas; rows never leave the
+    executor, one pass for all renditions.
+
+    Real resize runs when Pillow is importable on the executors (JPEG
+    output, SCALE_SMOOTH equivalent LANCZOS); otherwise the stage keeps
+    the reference's exact size arithmetic (scaled_dims over metadata
+    width/height) and emits a deterministic placeholder payload
+    md5(content) + suffix — byte-stable so tests and downstream dedup
+    behave identically run-to-run. Rows whose metadata carries no
+    dimensions pass through with null dims and the original content
+    (the reference's copy-unchanged branch)."""
+    from biocache_store_spark.util import (
+        ensure_min_parallelism,
+        ensure_package_on_workers,
+    )
+
+    ensure_package_on_workers(media_df.sparkSession)
+    images = ensure_min_parallelism(
+        media_df.filter(F.col("media_type") == "image")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType()),
+            T.StructField("record_id", T.StringType()),
+            T.StructField("size_name", T.StringType()),
+            T.StructField("suffix", T.StringType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("resized", T.BooleanType()),
+            T.StructField("real_resize", T.BooleanType()),
+        ]
+    )
+
+    def _resize_real(image_mod, content, edge):
+        import io
+
+        img = image_mod.open(io.BytesIO(content)).convert("RGB")
+        w, h = img.size
+        new_w, new_h, resized = scaled_dims(w, h, edge)
+        if not resized:
+            return content, w, h, False
+        out = io.BytesIO()
+        img.resize((max(new_w, 1), max(new_h, 1)), image_mod.LANCZOS).save(
+            out, format="JPEG"
+        )
+        return out.getvalue(), new_w, new_h, True
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        image_mod = _pillow_or_none()
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples():
+                content = rec.content
+                meta = rec.metadata
+                for size_name, suffix, edge in sizes:
+                    if image_mod is not None and content:
+                        try:
+                            c, w, h, resized = _resize_real(
+                                image_mod, content, edge
+                            )
+                            rows.append(
+                                (rec.media_id, rec.record_id, size_name,
+                                 suffix, c, w, h, resized, True)
+                            )
+                            continue
+                        except Exception:
+                            pass  # undecodable: fall to the arithmetic path
+                    width = meta.get("width") if meta is not None else None
+                    height = meta.get("height") if meta is not None else None
+                    if width is None or height is None:
+                        rows.append(
+                            (rec.media_id, rec.record_id, size_name, suffix,
+                             content, None, None, False, False)
+                        )
+                        continue
+                    new_w, new_h, resized = scaled_dims(width, height, edge)
+                    payload = (
+                        hashlib.md5(content or b"").digest() + suffix.encode()
+                        if resized
+                        else content
+                    )
+                    rows.append(
+                        (rec.media_id, rec.record_id, size_name, suffix,
+                         payload, new_w, new_h, resized, False)
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            )
+
+    return images.mapInPandas(run, schema=schema)
 
 
 def default_transport(url: str) -> tuple[bytes | None, str | None]:

@@ -11,9 +11,12 @@ Spark-first note: fetching is inherently a driver-side utility (one
 archive per data resource, not per-record work), so this is plain Python;
 the parallelism lives in the loaders that read the extracted files. URL
 schemes: local paths and file:// are always available; http(s):// uses
-urllib; sftp:// requires an SSH library that is not part of this
-environment and raises NotImplementedError (the reference shells into
-JSch — SFTPTools.scala:70-120).
+urllib; sftp:// mirrors util/SFTPTools.scala:28-60 (`sftpLatestArchive`:
+list the remote directory, take the newest file, skip when not newer than
+last_checked) over an INJECTABLE transport — paramiko when importable,
+otherwise the caller supplies an object with `list(dir)` and
+`get(remote, local)`; with neither, sftp raises NotImplementedError
+(the reference shells into JSch, which has no sandbox equivalent).
 """
 
 from __future__ import annotations
@@ -76,6 +79,7 @@ def fetch_archive(
     resource_uid: str,
     dest_dir: str,
     last_checked: _dt.datetime | None = None,
+    sftp_transport=None,
 ) -> tuple[str | None, _dt.datetime | None]:
     """Fetch `url` into `dest_dir/<resource_uid>.<ext>` and extract.
 
@@ -86,9 +90,8 @@ def fetch_archive(
     parsed = urllib.parse.urlparse(url)
     scheme = parsed.scheme or "file"
     if scheme == "sftp":
-        raise NotImplementedError(
-            "sftp:// archives need an SSH library not present in this "
-            "environment (reference: util/SFTPTools.scala)"
+        return _fetch_sftp(
+            parsed, resource_uid, dest_dir, last_checked, sftp_transport
         )
 
     name = os.path.basename(parsed.path) or resource_uid
@@ -128,3 +131,94 @@ def fetch_archive(
         raise ValueError(f"Unsupported archive URL: {url}")
 
     return _extract(target), modified
+
+def _default_sftp_transport(parsed):
+    """paramiko-backed transport when the library exists; None otherwise.
+    Kept behind an import-try so air-gapped environments degrade to the
+    injectable-transport contract instead of failing at import time."""
+    try:
+        import paramiko  # noqa: PLC0415
+    except ImportError:
+        return None
+
+    class _ParamikoTransport:
+        def __init__(self):
+            client = paramiko.SSHClient()
+            client.set_missing_host_key_policy(paramiko.AutoAddPolicy())
+            client.connect(
+                parsed.hostname,
+                port=parsed.port or 22,
+                username=parsed.username,
+                password=parsed.password,
+            )
+            self._sftp = client.open_sftp()
+
+        def list(self, directory):
+            return [
+                (
+                    a.filename,
+                    _dt.datetime.fromtimestamp(a.st_mtime, tz=_dt.timezone.utc),
+                )
+                for a in self._sftp.listdir_attr(directory)
+            ]
+
+        def get(self, remote, local):
+            self._sftp.get(remote, local)
+
+    return _ParamikoTransport()
+
+
+def _fetch_sftp(
+    parsed,
+    resource_uid: str,
+    dest_dir: str,
+    last_checked: _dt.datetime | None,
+    transport,
+) -> tuple[str | None, _dt.datetime | None]:
+    """util/SFTPTools.scala:28-60 `sftpLatestArchive`: list the remote
+    directory, pick the NEWEST file by modification time, skip when it is
+    not strictly newer than `last_checked`, download and extract.
+
+    `transport` contract (injectable for tests and air-gapped deployments,
+    the same shape as multimodal.fetch_media's transport):
+      * list(directory) -> [(filename, mtime: aware datetime), ...]
+      * get(remote_path, local_path) -> None
+    A path ending in a filename (has an extension) is fetched directly,
+    mirroring the reference's single-file sftpPattern branch."""
+    if transport is None:
+        transport = _default_sftp_transport(parsed)
+    if transport is None:
+        raise NotImplementedError(
+            "sftp:// archives need an SSH library (paramiko) or an injected "
+            "transport (reference: util/SFTPTools.scala)"
+        )
+    remote_path = parsed.path or "/"
+    base = os.path.basename(remote_path)
+    if "." in base:  # direct file reference
+        directory, candidates = os.path.dirname(remote_path) or "/", None
+        listing = dict(transport.list(directory))
+        if base not in listing:
+            return None, None
+        latest_name, latest_mtime = base, listing[base]
+    else:
+        entries = [
+            (name, mtime)
+            for name, mtime in transport.list(remote_path)
+            if "." in name  # the reference lists `*.*`
+        ]
+        if not entries:
+            return None, None
+        latest_name, latest_mtime = max(entries, key=lambda e: e[1])
+        remote_path = remote_path.rstrip("/")
+    if last_checked is not None and latest_mtime <= _as_utc(last_checked):
+        return None, None
+    ext = latest_name[latest_name.index(".") :] if "." in latest_name else ""
+    target = os.path.join(dest_dir, resource_uid + ext.lower())
+    os.makedirs(dest_dir, exist_ok=True)
+    remote_file = (
+        remote_path
+        if os.path.basename(remote_path) == latest_name
+        else remote_path + "/" + latest_name
+    )
+    transport.get(remote_file, target)
+    return _extract(target), latest_mtime

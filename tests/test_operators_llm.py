@@ -114,6 +114,81 @@ def test_multimodal_frame_sampling(spark):
     assert all(r["media_id"] == "m3" for r in frames)
 
 
+def test_scaled_dims_reference_matrix():
+    """ThumbnailableImage.scala:24-50 size arithmetic: copy-unchanged when
+    both edges already fit, else scale by edge/max(w,h) with toInt
+    truncation on each axis."""
+    from biocache_store_spark.operators.multimodal import scaled_dims
+
+    assert scaled_dims(640, 480, 100.0) == (100, 75, True)
+    assert scaled_dims(640, 480, 314.0) == (314, 235, True)   # 480*0.490625
+    assert scaled_dims(640, 480, 650.0) == (640, 480, False)  # both under
+    assert scaled_dims(480, 640, 100.0) == (75, 100, True)    # portrait
+    assert scaled_dims(100, 100, 100.0) == (100, 100, True)   # == edge resizes
+    assert scaled_dims(99, 99, 100.0) == (99, 99, False)
+
+
+def test_thumbnail_media_fake_path_byte_stable(spark):
+    """Without Pillow the thumbnail stage keeps the reference's exact size
+    arithmetic over metadata dims and emits a deterministic placeholder
+    payload; the copy-unchanged rendition carries the original bytes."""
+    from biocache_store_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        thumbnail_media,
+    )
+
+    media = spark.createDataFrame(_media_rows(), MEDIA_SCHEMA)
+    out = thumbnail_media(media)
+    rows = {(r["media_id"], r["size_name"]): r for r in out.collect()}
+    # only image rows fan out; 2 images x 3 renditions
+    assert set(r[0] for r in rows) == {"m1", "m2"}
+    assert len(rows) == 6
+    thumb = rows[("m1", "thumb")]
+    assert (thumb["width"], thumb["height"], thumb["resized"]) == (100, 75, True)
+    small = rows[("m1", "small")]
+    assert (small["width"], small["height"]) == (314, 235)
+    large = rows[("m1", "large")]
+    assert large["resized"] is False
+    assert bytes(large["content"]) == b"\xff\xd8fakejpegbytes"  # copy path
+    assert rows[("m1", "thumb")]["real_resize"] is False
+    # deterministic: identical content -> identical placeholder payloads
+    again = {(r["media_id"], r["size_name"]): r for r in thumbnail_media(media).collect()}
+    assert bytes(again[("m1", "thumb")]["content"]) == bytes(thumb["content"])
+    assert bytes(rows[("m2", "thumb")]["content"]) == bytes(thumb["content"])
+
+
+def test_pillow_decode_features_with_fake_module():
+    """The Pillow-backed real decode path, exercised with a duck-typed
+    fake Image module (Pillow isn't installed in this sandbox): 8-dim
+    vector, deterministic, dims and channel means where expected."""
+    from biocache_store_spark.operators.multimodal import (
+        _pillow_decode_features,
+    )
+
+    class FakeImg:
+        size = (640, 480)
+
+        def convert(self, mode):
+            return self
+
+        def resize(self, dims):
+            return self
+
+        def getdata(self):
+            return [(255, 0, 128)] * 16
+
+    class FakeImageModule:
+        @staticmethod
+        def open(buf):
+            return FakeImg()
+
+    feats = _pillow_decode_features(FakeImageModule, b"whatever")
+    assert len(feats) == 8
+    assert feats[0] == 0.064 and feats[1] == 0.048  # w/1e4, h/1e4
+    assert feats[2] == 1.0 and feats[3] == 0.0  # mean R, mean G
+    assert feats == _pillow_decode_features(FakeImageModule, b"whatever")
+
+
 def test_minhash_shingle_cap(spark):
     """max_shingles bounds the per-document set payload in the verification
     join: an adversarial mega-doc carries at most the cap, small docs are

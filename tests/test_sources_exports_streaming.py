@@ -408,13 +408,89 @@ def test_fetch_archive_not_newer_skips(tmp_path):
     )
 
 
-def test_fetch_archive_sftp_unsupported(tmp_path):
+def test_fetch_archive_sftp_unsupported_without_transport(tmp_path):
+    """No paramiko in this sandbox and no injected transport -> the
+    documented NotImplementedError gate."""
     import pytest
 
     from biocache_store_spark.sources.archive import fetch_archive
 
     with pytest.raises(NotImplementedError):
         fetch_archive("sftp://host/data.zip", "dr2", str(tmp_path))
+
+
+class _FakeSftpTransport:
+    """In-memory transport honoring the injectable contract: list(dir) ->
+    [(name, mtime)], get(remote, local)."""
+
+    def __init__(self, files):
+        # files: {dir: {name: (mtime, bytes)}}
+        self.files = files
+        self.fetched = []
+
+    def list(self, directory):
+        return [
+            (name, mtime) for name, (mtime, _) in self.files[directory].items()
+        ]
+
+    def get(self, remote, local):
+        import os
+
+        directory, name = os.path.dirname(remote), os.path.basename(remote)
+        self.fetched.append(remote)
+        with open(local, "wb") as fh:
+            fh.write(self.files[directory][name][1])
+
+
+def test_fetch_archive_sftp_latest_file_round_trip(tmp_path):
+    """SFTPTools.sftpLatestArchive parity over an injected transport:
+    directory URL -> newest *.* file wins, not-newer skips, the fetched
+    zip extracts for the loader."""
+    import datetime as dt
+    import io
+    import zipfile
+
+    from biocache_store_spark.sources.archive import fetch_archive
+
+    def make_zip(member, body):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr(member, body)
+        return buf.getvalue()
+
+    new_zip = make_zip("occurrence.txt", "id\n1\n")
+    old_zip = make_zip("occurrence.txt", "id\n0\n")
+    utc = dt.timezone.utc
+    transport = _FakeSftpTransport({
+        "/feeds": {
+            "old.zip": (dt.datetime(2024, 1, 1, tzinfo=utc), old_zip),
+            "new.zip": (dt.datetime(2025, 6, 1, tzinfo=utc), new_zip),
+            "README": (dt.datetime(2026, 1, 1, tzinfo=utc), b"no dot -> ignored"),
+        }
+    })
+    extracted, modified = fetch_archive(
+        "sftp://u:p@host/feeds", "dr7", str(tmp_path / "work"),
+        sftp_transport=transport,
+    )
+    assert transport.fetched == ["/feeds/new.zip"]
+    assert modified == dt.datetime(2025, 6, 1, tzinfo=utc)
+    import os
+
+    assert os.path.exists(os.path.join(extracted, "occurrence.txt"))
+
+    # conditional download: nothing newer than last_checked -> (None, None)
+    assert fetch_archive(
+        "sftp://u:p@host/feeds", "dr7", str(tmp_path / "work2"),
+        last_checked=dt.datetime(2025, 7, 1, tzinfo=utc),
+        sftp_transport=transport,
+    ) == (None, None)
+
+    # direct file reference fetches exactly that file
+    extracted2, _ = fetch_archive(
+        "sftp://u:p@host/feeds/old.zip", "dr8", str(tmp_path / "work3"),
+        sftp_transport=transport,
+    )
+    assert transport.fetched[-1] == "/feeds/old.zip"
 
 
 def test_streaming_watermark_drops_late_events(spark, tmp_path):

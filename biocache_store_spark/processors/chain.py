@@ -29,6 +29,9 @@ from pyspark.sql import types as T
 
 from biocache_store_spark.processors.assertions import geospatially_kosher
 from biocache_store_spark.processors.event import process_event
+from biocache_store_spark.processors.identification import (
+    process_identification_qualifier,
+)
 from biocache_store_spark.processors.location import process_location
 from biocache_store_spark.processors.vocab_stages import (
     process_basis_of_record,
@@ -204,7 +207,8 @@ def process_record(
     if not skip_catalyst_vocab:
         assertions += process_occurrence_status(raw, processed)
         assertions += process_establishment_means(raw, processed)
-    assertions += process_recorded_by(raw, processed)
+    if not skip_catalyst_vocab:
+        assertions += process_recorded_by(raw, processed)
     assertions += process_identification_checks(raw)
     assertions += process_misc_occurrence(raw)
 
@@ -242,7 +246,8 @@ def process_record(
         assertions += process_type_status(raw, processed)
 
     # 11. IdentificationQualifierProcessor
-    assertions += process_identification_qualifier(raw, processed)
+    if not skip_catalyst_vocab:
+        assertions += process_identification_qualifier(raw, processed)
 
     # 12. ReprocessingProcessor (retain prior sampling when coords unchanged)
     from biocache_store_spark.processors.identification import process_reprocessing
@@ -349,9 +354,11 @@ def process_records(
 _CATALYST_VOCAB_STAGES: tuple[tuple[str, object], ...] = (
     ("occurrenceStatus", process_occurrence_status),
     ("establishmentMeans", process_establishment_means),
+    ("recordedBy", process_recorded_by),
     ("license", process_license),
     ("basisOfRecord", process_basis_of_record),
     ("typeStatus", process_type_status),
+    ("identificationQualifier", process_identification_qualifier),
 )
 
 
@@ -684,13 +691,9 @@ def process_records_hybrid(
         assert_parts.append(F.coalesce(F.col("__ev_asserts"), empty_asserts))
     if location_fields:
         assert_parts.append(F.coalesce(F.col("__loc_asserts"), empty_asserts))
-    assert_parts += [
-        F.coalesce(F.col("__occurrenceStatus_asserts"), empty_asserts),
-        F.coalesce(F.col("__establishmentMeans_asserts"), empty_asserts),
-        F.coalesce(F.col("__license_asserts"), empty_asserts),
-        F.coalesce(bor_asserts, empty_asserts),
-        F.coalesce(F.col("__typeStatus_asserts"), empty_asserts),
-    ]
+    for col, _ in _CATALYST_VOCAB_STAGES:
+        part = bor_asserts if col == "basisOfRecord" else F.col(f"__{col}_asserts")
+        assert_parts.append(F.coalesce(part, empty_asserts))
     merged_asserts = F.concat(*assert_parts)
     out = out.withColumn("processed", merged).withColumn(
         "assertions", merged_asserts

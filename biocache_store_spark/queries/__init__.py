@@ -69,7 +69,7 @@ HEAD: tuple[str, ...] = (
     "grouped_percentiles",
     "habitat_biome_match",
     # round-5 additions — no driver row yet (registered this round)
-    # (new queries are appended here as they land)
+    "media_thumbnail_sizes",
     # refresh tier: last driver-green in r02/r03; re-green to guard
     # against regressions now that every registry entry has evidence
     "dedup_occurrence_clusters",

@@ -1984,6 +1984,67 @@ def media_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_thumbnail_sizes",
+    doc=(
+        "Thumbnail rendition planning (operators/multimodal.py "
+        "thumbnail_media — load/Thumbnailer.scala:77-130 + "
+        "MediaStore.scala:903-919): every image fans out to thumb/small/"
+        "large renditions; dimensions follow the reference's max-edge "
+        "scaling arithmetic exactly (copy-unchanged when both edges are "
+        "already under the target, else scale by edge/max(w,h) with "
+        "truncation). Image dims are synthesized deterministically from "
+        "doc_id; the oracle reproduces the arithmetic per rendition in "
+        "SQL, so any drift in the scaling ladder breaks the hash."
+    ),
+    oracle="""
+        WITH dims AS (
+            SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+                   CAST(50 + doc_id % 900 AS INTEGER) AS w,
+                   CAST(40 + doc_id % 700 AS INTEGER) AS h
+            FROM documents
+        ),
+        sizes(size_name, edge) AS (
+            VALUES ('thumb', CAST(100 AS DOUBLE)),
+                   ('small', CAST(314 AS DOUBLE)),
+                   ('large', CAST(650 AS DOUBLE))
+        ),
+        fan AS (SELECT * FROM dims CROSS JOIN sizes)
+        SELECT media_id, size_name,
+               CASE WHEN h < edge AND w < edge THEN w
+                    ELSE CAST(FLOOR(w * (edge / GREATEST(w, h))) AS INTEGER)
+               END AS width,
+               CASE WHEN h < edge AND w < edge THEN h
+                    ELSE CAST(FLOOR(h * (edge / GREATEST(w, h))) AS INTEGER)
+               END AS height,
+               NOT (h < edge AND w < edge) AS resized
+        FROM fan
+    """,
+)
+def media_thumbnail_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.multimodal import thumbnail_media
+
+    docs = read_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.concat(F.lit("r"), F.col("doc_id").cast("string")).alias("record_id"),
+        F.lit("image").alias("media_type"),
+        F.lit("image/png").alias("mime_type"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.struct(
+            F.lit(None).cast("string").alias("url"),
+            (F.lit(50) + F.col("doc_id") % 900).cast("int").alias("width"),
+            (F.lit(40) + F.col("doc_id") % 700).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit(None).cast("string").alias("creator"),
+            F.lit(None).cast("string").alias("license"),
+        ).alias("metadata"),
+    )
+    return thumbnail_media(media).select(
+        "media_id", "size_name", "width", "height", "resized"
+    )
+
+
+@register(
     "dwca_roundtrip",
     doc=(
         "Darwin Core Archive round trip under the external hash gate: "

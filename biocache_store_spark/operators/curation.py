@@ -208,3 +208,50 @@ def pack_sequences(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("n_tokens"),
     )
+
+
+def plan_mixture(
+    docs: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    default_weight: float = 0.0,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-mixture planning: given per-source target weights and a
+    global token budget, compute what each source can supply and how to
+    sample it — the data-mixing stage (DoReMi-style reweighting, every
+    pretraining pipeline's first planning query).
+
+    Per source: available_tok (whitespace tokens on hand), target_tok
+    (budget x weight), epochs = target/available (>1 means the source
+    must repeat), sample_rate = min(1, epochs) (the keep probability when
+    downsampling). One groupBy on the source key; the weight table is a
+    literal CASE expression, so the plan is a single partial-agg shuffle
+    however large the corpus — the output is one row per source.
+
+    All ratios are ROUNDed to 4 places in-operator so the result is
+    engine-exact (double division both sides).
+    """
+    weight_expr = F.lit(default_weight)
+    for src, wgt in sorted(weights.items()):
+        weight_expr = F.when(F.col(source_col) == src, F.lit(wgt)).otherwise(
+            weight_expr
+        )
+    per_source = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(words(F.col(text_col)))).alias("available_tok"),
+    )
+    target = F.round(F.lit(float(token_budget)) * weight_expr, 4)
+    epochs = F.round(
+        target / F.greatest(F.col("available_tok").cast("double"), F.lit(1.0)), 4
+    )
+    return per_source.select(
+        source_col,
+        "n_docs",
+        "available_tok",
+        weight_expr.alias("weight"),
+        target.alias("target_tok"),
+        epochs.alias("epochs"),
+        F.round(F.least(epochs, F.lit(1.0)), 4).alias("sample_rate"),
+    )

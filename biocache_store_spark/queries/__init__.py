@@ -70,6 +70,9 @@ HEAD: tuple[str, ...] = (
     "habitat_biome_match",
     # round-5 additions — no driver row yet (registered this round)
     "media_thumbnail_sizes",
+    "lang_mismatch_report",
+    "corpus_mixture_plan",
+    "dup_inflation_by_source",
     # refresh tier: last driver-green in r02/r03; re-green to guard
     # against regressions now that every registry entry has evidence
     "dedup_occurrence_clusters",

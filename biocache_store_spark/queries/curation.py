@@ -568,3 +568,84 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bpe").alias("bpe_pieces"),
         F.round(F.sum("n_bpe") / F.sum("n_ws"), 4).alias("pieces_per_word"),
     )
+
+
+_MIXTURE_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.15}
+_MIXTURE_DEFAULT_W = 0.05
+_MIXTURE_BUDGET = 100_000
+
+
+@register(
+    "corpus_mixture_plan",
+    doc=(
+        "Training-mixture planning (operators/curation.py plan_mixture): "
+        "per-source available tokens vs a weighted global token budget -> "
+        "epochs (repeat factor when upsampling) and sample_rate (keep "
+        "probability when downsampling). One partial-agg shuffle on the "
+        "source key; output is one row per source however large the "
+        "corpus — the DoReMi-style data-mixing planning stage."
+    ),
+    oracle=rf"""
+        WITH per_source AS (
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(len({_TOKS})) AS BIGINT) AS available_tok
+            FROM documents GROUP BY source
+        ),
+        weighted AS (
+            SELECT *,
+                   CASE source WHEN 'src0' THEN CAST(0.5 AS DOUBLE)
+                               WHEN 'src1' THEN CAST(0.3 AS DOUBLE)
+                               WHEN 'src2' THEN CAST(0.15 AS DOUBLE)
+                               ELSE CAST(0.05 AS DOUBLE) END AS weight
+            FROM per_source
+        ),
+        t AS (
+            SELECT *, ROUND(CAST(100000 AS DOUBLE) * weight, 4) AS target_tok
+            FROM weighted
+        ),
+        e AS (
+            SELECT *, ROUND(target_tok / GREATEST(CAST(available_tok AS DOUBLE),
+                                                  CAST(1.0 AS DOUBLE)), 4) AS epochs
+            FROM t
+        )
+        SELECT source, n_docs, available_tok, weight, target_tok, epochs,
+               ROUND(LEAST(epochs, CAST(1.0 AS DOUBLE)), 4) AS sample_rate
+        FROM e
+    """,
+)
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.curation import plan_mixture
+
+    docs = read_table(spark, sf_dir, "documents")
+    return plan_mixture(
+        docs, _MIXTURE_WEIGHTS, _MIXTURE_BUDGET, default_weight=_MIXTURE_DEFAULT_W
+    )
+
+
+@register(
+    "dup_inflation_by_source",
+    doc=(
+        "Exact-duplicate inflation per source: document count vs distinct "
+        "content hashes and the inflation ratio — the corpus-health "
+        "metric that decides which sources need dedup before mixing. "
+        "groupBy(source) with a distinct-aggregate on md5(text); at "
+        "100 TB this is the canonical two-phase distinct-count shuffle "
+        "(partial sets per partition, merge on the source key)."
+    ),
+    oracle="""
+        SELECT source,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT md5(text)) AS n_distinct,
+               ROUND(COUNT(*) * 1.0 / COUNT(DISTINCT md5(text)), 4) AS inflation
+        FROM documents GROUP BY source
+    """,
+)
+def dup_inflation_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+        F.round(
+            F.count(F.lit(1)) * F.lit(1.0) / F.countDistinct(F.md5("text")), 4
+        ).alias("inflation"),
+    )

@@ -365,6 +365,48 @@ def _marker_list_sql(lang: str) -> str:
     return ", ".join(f"'{m}'" for m in _LANG_MARKERS[lang])
 
 
+def _langid_scored(docs: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Shared marker-word scoring: (doc_id, labelled_lang, *extra,
+    n_tokens, s_en/s_de/s_es/s_fr) — one pass, pure array expressions."""
+    from biocache_store_spark.functions.text import words
+
+    toks = docs.select(
+        "doc_id",
+        F.col("lang").alias("labelled_lang"),
+        *extra_cols,
+        words(F.col("text")).alias("toks"),
+    )
+
+    def marker_count(markers):
+        return F.size(F.filter(F.col("toks"), lambda x: x.isin(*markers)))
+
+    return toks.select(
+        "doc_id",
+        "labelled_lang",
+        *extra_cols,
+        F.size("toks").alias("n_tokens"),
+        *[
+            marker_count(markers).alias(f"s_{lang}")
+            for lang, markers in _LANG_MARKERS.items()
+        ],
+    )
+
+
+def _predicted_lang() -> F.Column:
+    """Argmax with the fixed en>de>es>fr tie priority (mirrors the CASE
+    ladder in every langid oracle)."""
+    s = {lang: F.col(f"s_{lang}") for lang in _LANG_MARKERS}
+    return (
+        F.when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]), "en"
+        )
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when(s["es"] >= s["fr"], "es")
+        .otherwise("fr")
+    )
+
+
+
 @register(
     "text_language_id",
     doc=(
@@ -400,41 +442,71 @@ def _marker_list_sql(lang: str) -> str:
     """,
 )
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from biocache_store_spark.functions.text import words
-
     docs = read_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.col("lang").alias("labelled_lang"), words(F.col("text")).alias("toks")
-    )
-    def marker_count(markers):
-        return F.size(F.filter(F.col("toks"), lambda x: x.isin(*markers)))
-
-    scores = {
-        lang: marker_count(markers).alias(f"s_{lang}")
-        for lang, markers in _LANG_MARKERS.items()
-    }
-    scored = toks.select(
-        "doc_id",
-        "labelled_lang",
-        F.size("toks").alias("n_tokens"),
-        *scores.values(),
-    )
+    scored = _langid_scored(docs)
     s = {lang: F.col(f"s_{lang}") for lang in _LANG_MARKERS}
-    predicted = (
-        F.when(
-            (s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]), "en"
-        )
-        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
-        .when(s["es"] >= s["fr"], "es")
-        .otherwise("fr")
-    )
     return scored.select(
         "doc_id",
         "labelled_lang",
-        predicted.alias("predicted_lang"),
+        _predicted_lang().alias("predicted_lang"),
         F.round(
             F.greatest(*s.values()) / F.greatest(F.col("n_tokens"), F.lit(1)), 4
         ).alias("marker_ratio"),
+    )
+
+
+@register(
+    "lang_mismatch_report",
+    doc=(
+        "Declared-vs-detected language contamination report: every "
+        "(source, labelled lang, predicted lang) cell with its document "
+        "count and a mismatch flag — the audit a multilingual corpus runs "
+        "before per-language filtering, since mislabeled documents skew "
+        "both the language mix and any lang-scoped dedup. One langid pass "
+        "+ one groupBy; at 100 TB the cell count is bounded by "
+        "sources x langs^2 however large the corpus."
+    ),
+    oracle=rf"""
+        WITH t AS (
+            SELECT doc_id, source, lang AS labelled_lang,
+                   string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, source, labelled_lang,
+                   len(list_filter(toks, x -> x IN ({_marker_list_sql('en')}))) AS s_en,
+                   len(list_filter(toks, x -> x IN ({_marker_list_sql('de')}))) AS s_de,
+                   len(list_filter(toks, x -> x IN ({_marker_list_sql('es')}))) AS s_es,
+                   len(list_filter(toks, x -> x IN ({_marker_list_sql('fr')}))) AS s_fr
+            FROM t
+        ),
+        pred AS (
+            SELECT source, labelled_lang,
+                   CASE
+                     WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                     WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                     WHEN s_es >= s_fr THEN 'es'
+                     ELSE 'fr'
+                   END AS predicted_lang
+            FROM scored
+        )
+        SELECT source, labelled_lang, predicted_lang,
+               COUNT(*) AS n_docs,
+               (labelled_lang IS DISTINCT FROM predicted_lang) AS mismatch
+        FROM pred GROUP BY source, labelled_lang, predicted_lang
+    """,
+)
+def lang_mismatch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    scored = _langid_scored(docs, extra_cols=("source",))
+    pred = scored.select(
+        "source", "labelled_lang", _predicted_lang().alias("predicted_lang")
+    )
+    return pred.groupBy("source", "labelled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.first(
+            ~F.col("labelled_lang").eqNullSafe(F.col("predicted_lang"))
+        ).alias("mismatch"),
     )
 
 

@@ -185,7 +185,16 @@ def cmd_ingest(args) -> int:
             spark, args.archive, args.dr, unique_terms=_split(args.unique_terms) or None
         )
     elif args.csv:
-        raw = load_csv(spark, args.csv, args.dr, unique_terms=_split(args.unique_terms))
+        terms = _split(args.unique_terms)
+        if not terms:
+            # without unique terms every row would mint the SAME
+            # rowKey/uuid (concat of just the resource uid) — refuse
+            print(
+                "ingest --csv requires --unique-terms (identity minting)",
+                file=sys.stderr,
+            )
+            return 2
+        raw = load_csv(spark, args.csv, args.dr, unique_terms=terms)
     else:
         print("ingest: one of --archive or --csv is required", file=sys.stderr)
         return 2
@@ -211,8 +220,11 @@ def cmd_facet(args) -> int:
         export_facet(df, args.field, args.out)
         print(f"facet {args.field} -> {args.out}")
     else:
+        # match export_facet's null handling so stdout and --out report
+        # the same totals (SOLR facets exclude the null bucket)
         rows = (
-            df.groupBy(args.field)
+            df.filter(F.col(args.field).isNotNull())
+            .groupBy(args.field)
             .agg(F.count(F.lit(1)).alias("count"))
             .orderBy(F.desc("count"), args.field)
             .limit(args.limit)

@@ -149,20 +149,34 @@ def lsh_candidates(
 
     POSTING-LIST shape (same r5 rewrite as ngram_jaccard_pairs): one
     groupBy on the (band, band_sig) bucket key collects the doc-id list,
-    then pairs are generated map-side by double-exploding it. Compared to
-    the earlier banded self-join + bucket-count window this computes the
-    signature pipeline ONCE instead of twice, exchanges on the bucket key
-    once, and gets the cap as a free size(ids) filter — 1.8s -> 1.1s for
-    minhash_near_duplicates at sf0.1. Singleton buckets (the vast
-    majority) drop before any pair work."""
+    then pairs are generated map-side by double-exploding it — no
+    self-join, no window sort. Singleton buckets (the vast majority)
+    drop before any pair work.
+
+    With a cap set, a COUNT-FIRST prefilter runs before collect_list:
+    counts aggregate with map-side partials (a million-row viral bucket
+    collapses to one count per input partition), over-cap bucket keys are
+    dropped via a left-semi join on the same (band, band_sig)
+    partitioning, and only surviving buckets — each <= cap ids — are
+    collected. Collecting before filtering would materialize the entire
+    viral bucket in one aggregation buffer, the exact input the cap
+    exists to drop."""
     banded = banded_keys(sig_df, num_hashes, bands, id_col)
+    if max_bucket_size is not None:
+        ok_buckets = (
+            banded.groupBy("band", "band_sig")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter((F.col("__n") >= 2) & (F.col("__n") <= max_bucket_size))
+            .drop("__n")
+        )
+        banded = banded.join(
+            ok_buckets.hint("shuffle_hash"), ["band", "band_sig"], "left_semi"
+        )
     posting = (
         banded.groupBy("band", "band_sig")
         .agg(F.collect_list(F.col(id_col)).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    if max_bucket_size is not None:
-        posting = posting.filter(F.size("ids") <= max_bucket_size)
     return (
         posting.select(F.explode("ids").alias("doc_a"), "ids")
         .select("doc_a", F.explode("ids").alias("doc_b"))

@@ -94,18 +94,26 @@ def _decode_bytes(content: bytes, media_type: str, real_decode: bool):
     libraries raise NotImplementedError, same gating as before
     (reference: load/Thumbnailer.scala:77-130 decodes with JAI/ImageIO)."""
     if real_decode:
+        if media_type != "image":
+            # no audio/video decoder exists in ANY supported configuration;
+            # silently returning fake features for an explicit real-decode
+            # request would be indistinguishable from a real result
+            raise NotImplementedError(
+                f"real decoding of media_type={media_type!r} is not "
+                "implemented (only images, via Pillow when importable)"
+            )
         image_mod = _pillow_or_none()
-        if image_mod is not None and media_type == "image" and content:
+        if image_mod is None:
+            raise NotImplementedError(
+                "real media decoding requires image libraries not present "
+                "in this environment; only the deterministic fake decoder "
+                "is available"
+            )
+        if content:
             try:
                 return _pillow_decode_features(image_mod, content)
             except Exception:
                 pass  # undecodable bytes: reference logs and skips — fake below
-        if image_mod is None:
-            raise NotImplementedError(
-                "real media decoding requires image/audio libraries not "
-                "present in this environment; only the deterministic fake "
-                "decoder is available"
-            )
     digest = hashlib.sha256(content or b"").digest()
     return [b / 255.0 for b in digest[:_FEATURE_DIM]]
 
@@ -306,10 +314,9 @@ def thumbnail_media(
         ]
     )
 
-    def _resize_real(image_mod, content, edge):
+    def _resize_real(image_mod, img, content, edge):
         import io
 
-        img = image_mod.open(io.BytesIO(content)).convert("RGB")
         w, h = img.size
         new_w, new_h, resized = scaled_dims(w, h, edge)
         if not resized:
@@ -321,25 +328,34 @@ def thumbnail_media(
         return out.getvalue(), new_w, new_h, True
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
         image_mod = _pillow_or_none()
         for pdf in batches:
             rows = []
             for rec in pdf.itertuples():
                 content = rec.content
                 meta = rec.metadata
+                # decode ONCE per row (the reference's generateAllSizes
+                # shape: one read, three rendition writes) — decode
+                # dominates resize cost, so per-rendition re-opens would
+                # triple the stage's CPU
+                img = None
+                if image_mod is not None and content:
+                    try:
+                        img = image_mod.open(io.BytesIO(content)).convert("RGB")
+                    except Exception:
+                        img = None  # undecodable: arithmetic path below
                 for size_name, suffix, edge in sizes:
-                    if image_mod is not None and content:
-                        try:
-                            c, w, h, resized = _resize_real(
-                                image_mod, content, edge
-                            )
-                            rows.append(
-                                (rec.media_id, rec.record_id, size_name,
-                                 suffix, c, w, h, resized, True)
-                            )
-                            continue
-                        except Exception:
-                            pass  # undecodable: fall to the arithmetic path
+                    if img is not None:
+                        c, w, h, resized = _resize_real(
+                            image_mod, img, content, edge
+                        )
+                        rows.append(
+                            (rec.media_id, rec.record_id, size_name,
+                             suffix, c, w, h, resized, True)
+                        )
+                        continue
                     width = meta.get("width") if meta is not None else None
                     height = meta.get("height") if meta is not None else None
                     if width is None or height is None:

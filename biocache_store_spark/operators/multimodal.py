@@ -251,6 +251,57 @@ def decode_media(
     return media_df.mapInPandas(run, schema=schema)
 
 
+# load/MediaStore.scala:40-57 — URL/filename validity by media family.
+# The URL parsers require a scheme and a known extension (optionally a
+# query string after it); the filename checks accept a bare extension
+# suffix too (plus the imgType=jpeg service-URL quirk for images).
+_IMAGE_URL_RE = re.compile(
+    r"""^((?:http|ftp|file)s?://[^\'"<>]+?\.(jpg|jpeg|gif|png)(\?.+)?)$"""
+)
+_SOUND_URL_RE = re.compile(
+    r"""^((?:http|ftp|file)s?://[^\'"<>]+?\.(?:wav|mp3|ogg|flac)(\?.+)?)$"""
+)
+_VIDEO_URL_RE = re.compile(
+    r"""^((?:http|ftp|file)s?://[^\'"<>]+?\.(?:wmv|mp4|mpg|avi|mov)(\?.+)?)$"""
+)
+# NOTE "imgType=jpeg" reproduces a reference quirk: endsWithOneOf
+# (MediaStore.scala:68-69) lowercases the URL but compares against this
+# mixed-case literal, so the service-URL form can never actually match —
+# kept verbatim for behavioral parity
+_IMAGE_EXTS = (".jpg", ".gif", ".png", ".jpeg", "imgType=jpeg")
+_SOUND_EXTS = (".wav", ".mp3", ".ogg", ".flac")
+_VIDEO_EXTS = (".wmv", ".mp4", ".mpg", ".avi", ".mov")
+
+
+def is_valid_image_url(url: str) -> bool:
+    """MediaStore.isValidImageURL (load/MediaStore.scala:49)."""
+    return _IMAGE_URL_RE.fullmatch(url.strip().lower()) is not None
+
+
+def is_valid_sound_url(url: str) -> bool:
+    return _SOUND_URL_RE.fullmatch(url.strip().lower()) is not None
+
+
+def is_valid_video_url(url: str) -> bool:
+    return _VIDEO_URL_RE.fullmatch(url.strip().lower()) is not None
+
+
+def is_valid_image(filename: str) -> bool:
+    """MediaStore.isValidImage (:55): bare extension suffix OR URL form."""
+    low = filename.strip().lower()
+    return low.endswith(_IMAGE_EXTS) or _IMAGE_URL_RE.search(low) is not None
+
+
+def is_valid_sound(filename: str) -> bool:
+    low = filename.strip().lower()
+    return low.endswith(_SOUND_EXTS) or _SOUND_URL_RE.search(low) is not None
+
+
+def is_valid_video(filename: str) -> bool:
+    low = filename.strip().lower()
+    return low.endswith(_VIDEO_EXTS) or _VIDEO_URL_RE.search(low) is not None
+
+
 # load/MediaStore.scala:903-919 — the three generated renditions: suffix +
 # max edge length. generateAllSizes (Thumbnailer.scala:77-84) emits all
 # three per source image.

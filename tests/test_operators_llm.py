@@ -114,6 +114,43 @@ def test_multimodal_frame_sampling(spark):
     assert all(r["media_id"] == "m3" for r in frames)
 
 
+def test_media_url_validators_reference_cases():
+    """MediaStore.isValidImageURL/isValidImage family (load/MediaStore.scala
+    :40-57), cases from MiscTest.scala:65-83 + ImageUrlTest.scala."""
+    from biocache_store_spark.operators.multimodal import (
+        is_valid_image,
+        is_valid_image_url,
+        is_valid_sound,
+        is_valid_sound_url,
+        is_valid_video,
+        is_valid_video_url,
+    )
+
+    assert is_valid_image_url(
+        "http://74.50.62.163/images/display/biodiversity/vertebrates/"
+        "id_images/web-birds/o29275a.jpg"
+    )
+    assert is_valid_image_url(
+        "file:///data/biocache-media/dr340/2224/"
+        "5b76a871-c3fc-4394-9559-3f6fd627512b/NNSWII02-37_Thalassoma_lunare.jpg"
+    )
+    assert is_valid_image_url("https://test.ala.org.au/images/image1/img.gif")
+    assert is_valid_image_url("https://x.org/a.png?size=large")  # query ok
+    assert not is_valid_image_url("https://test.ala.org.au/images/img.bmp")
+    assert not is_valid_image_url("http://tests.ala.org.au/images/image1/img")
+    assert not is_valid_image_url("a.jpg")  # scheme required for URL form
+    assert is_valid_image("a.JPG")  # bare filename: extension suffix wins
+    # reference quirk preserved: endsWithOneOf lowercases the URL but
+    # compares against the mixed-case "imgType=jpeg" literal, so the
+    # service-URL form never matches (MediaStore.scala:68-69)
+    assert not is_valid_image("http://x/y?imgType=jpeg")
+    assert is_valid_sound_url("http://x.org/call.mp3")
+    assert not is_valid_sound_url("http://x.org/call.mp4")
+    assert is_valid_video_url("ftp://x.org/clip.mov")
+    assert is_valid_sound("song.flac") and not is_valid_sound("song.doc")
+    assert is_valid_video("v.avi") and not is_valid_video("v.jpg")
+
+
 def test_scaled_dims_reference_matrix():
     """ThumbnailableImage.scala:24-50 size arithmetic: copy-unchanged when
     both edges already fit, else scale by edge/max(w,h) with toInt

@@ -750,6 +750,27 @@ def test_streaming_store_intra_batch_duplicate_keys_last_file_wins(
     assert rows[0]["processed"]["eventDate"] == "2009-09-09"
 
 
+def test_map_headers_full_record_mapper_cases(spark):
+    """FullRecordMapperTest.scala: 'class' maps to the keyword-safe
+    'classs' field, and header matching is case-insensitive
+    ('SCIENTIFICNAME' -> scientificName)."""
+    from biocache_store_spark.sources.csv_loader import map_headers
+
+    df = spark.createDataFrame(
+        [("Aves", "Platycercus", "elegans")],
+        ["class", "genus", "specificEpithet"],
+    )
+    out = map_headers(df)
+    assert set(out.columns) == {"classs", "genus", "specificEpithet"}
+    row = out.collect()[0]
+    assert row["classs"] == "Aves" and row["genus"] == "Platycercus"
+
+    upper = spark.createDataFrame([("Aves",)], ["SCIENTIFICNAME"])
+    out2 = map_headers(upper)
+    assert out2.columns == ["scientificName"]
+    assert out2.collect()[0]["scientificName"] == "Aves"
+
+
 def test_map_headers_id_and_occurrence_id_collision(spark):
     """'id,occurrenceID' headers (the standard DwC-A export shape): the
     explicit occurrenceID column wins the term; 'id' keeps its own name;

@@ -146,6 +146,43 @@ def dedup_spans(
     return agg.select(*[F.col(f"__keep.{c}").alias(c) for c in chunks.columns])
 
 
+def remove_boilerplate(
+    chunks: DataFrame,
+    max_doc_freq: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "chunk",
+) -> DataFrame:
+    """Boilerplate-span removal: drop EVERY occurrence of a span that
+    appears in more than `max_doc_freq` distinct documents — the
+    CCNet-style common-paragraph filter (headers, footers, cookie
+    banners), run after `chunk_documents`. Distinct from `dedup_spans`,
+    which keeps the first occurrence: boilerplate is noise in every copy,
+    so no copy survives.
+
+    Scale shape: document frequency is computed as dropDuplicates(
+    (md5(span), id)) + count — i.e. two shuffles on the span hash, both
+    with map-side partial aggregation, never on the span text. The
+    flagged set (spans OVER the threshold) is tiny relative to the corpus
+    by construction, so the removal join is a broadcast-able left_anti on
+    the hash; AQE picks broadcast once the flagged side's size is known
+    at runtime.
+    """
+    h = F.md5(F.col(text_col)).alias("__span_h")
+    flagged = (
+        chunks.select(h, F.col(id_col))
+        .dropDuplicates(["__span_h", id_col])
+        .groupBy("__span_h")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_doc_freq)
+        .select("__span_h")
+    )
+    return (
+        chunks.withColumn("__span_h", F.md5(F.col(text_col)))
+        .join(flagged, "__span_h", "left_anti")
+        .drop("__span_h")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     stratum_col: str,

@@ -274,3 +274,64 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, F.round("cos_sim", 4).alias("cos_sim"), "rank")
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.5,
+    max_cell: int = 100_000,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
+    every vector to its nearest-centroid IVF cell, then WITHIN each cell
+    prune any vector that has a lower-id cell-mate with cosine >=
+    `threshold`. Greedy-by-id is the deterministic stand-in for the
+    paper's keep-one-representative rule, and clustering first means the
+    pairwise pass is never corpus-quadratic — only cell-quadratic, with
+    cell count grown proportionally to corpus size (the paper's k ~ N
+    regime). Cells larger than `max_cell` are dropped from pairing
+    entirely (same hot-key guard as `cosine_near_duplicates`: a
+    degenerate cluster signals re-clustering, not a quadratic join).
+
+    Returns one row per input vector: (id, cell_id, keep) — the pruning
+    decision table a curation pipeline joins back against the corpus.
+    Scale shape: one broadcast argmax (assignment), one shuffle on
+    cell_id for the self-join, one left_anti back on the id. No driver
+    collection anywhere.
+    """
+    assigned = ivf_assign(vectors, centroids, id_col, embedding_col).select(
+        F.col(id_col), F.col(embedding_col), F.col("cell_id")
+    )
+    sizes = assigned.groupBy("cell_id").agg(F.count(F.lit(1)).alias("__n"))
+    # one row per centroid: broadcastable at any corpus size
+    paired = assigned.join(
+        F.broadcast(sizes.filter(F.col("__n") <= max_cell)), "cell_id"
+    ).drop("__n")
+    a = paired.select(
+        F.col("cell_id"),
+        F.col(id_col).alias("__id_a"),
+        F.col(embedding_col).alias("__emb_a"),
+    )
+    b = paired.select(
+        F.col("cell_id"),
+        F.col(id_col).alias("__id_b"),
+        F.col(embedding_col).alias("__emb_b"),
+    )
+    sim = cosine_similarity_arrow(F.col("__emb_a"), F.col("__emb_b"))
+    pruned = (
+        a.join(b.hint("shuffle_hash"), ["cell_id"])
+        .filter(F.col("__id_a") < F.col("__id_b"))
+        .withColumn("__cs", F.coalesce(sim, F.lit(-2.0)))
+        .filter(F.col("__cs") >= threshold)
+        .select(F.col("__id_b").alias(id_col))
+        .dropDuplicates([id_col])
+    )
+    return assigned.select(id_col, "cell_id").join(
+        pruned.withColumn("__pruned", F.lit(True)), id_col, "left"
+    ).select(
+        id_col,
+        "cell_id",
+        F.coalesce(~F.col("__pruned"), F.lit(True)).alias("keep"),
+    )

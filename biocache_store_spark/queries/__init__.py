@@ -73,6 +73,8 @@ HEAD: tuple[str, ...] = (
     "lang_mismatch_report",
     "corpus_mixture_plan",
     "dup_inflation_by_source",
+    "boilerplate_removal",
+    "semantic_dedup",
     # refresh tier: last driver-green in r02/r03; re-green to guard
     # against regressions now that every registry entry has evidence
     "dedup_occurrence_clusters",

@@ -576,6 +576,74 @@ _MIXTURE_BUDGET = 100_000
 
 
 @register(
+    "boilerplate_removal",
+    doc=(
+        "CCNet-style boilerplate filtering (operators/curation.py "
+        "remove_boilerplate): documents are chunked into disjoint "
+        "20-token spans and every occurrence of a span appearing in more "
+        "than 2 distinct documents is dropped — headers/footers/banners "
+        "are noise in every copy, so unlike span_dedup no copy survives. "
+        "Document frequency is two hash-keyed shuffles with map-side "
+        "partial agg; the flagged set is tiny by construction, so the "
+        "removal is a broadcastable left_anti join on the span hash. "
+        "Output is the per-document retention summary."
+    ),
+    oracle=rf"""
+        WITH w AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+        ),
+        nz AS (
+            SELECT doc_id, toks, len(toks) AS n FROM w
+            WHERE len(toks) > 0 AND toks[1] <> ''
+        ),
+        starts AS (
+            SELECT doc_id, toks, n,
+                   unnest(generate_series(1, greatest(n - 19, 1), 20)) AS i
+            FROM nz
+        ),
+        chunks AS (
+            SELECT doc_id,
+                   array_to_string(toks[i : i + 19], ' ') AS chunk,
+                   least(20, n - i + 1) AS n_tok
+            FROM starts
+        ),
+        freq AS (
+            SELECT md5(chunk) AS h, COUNT(DISTINCT doc_id) AS df
+            FROM chunks GROUP BY md5(chunk)
+        ),
+        j AS (
+            SELECT c.doc_id, c.n_tok, f.df
+            FROM chunks c JOIN freq f ON md5(c.chunk) = f.h
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_chunks,
+               CAST(SUM(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN df <= 2 THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tok
+        FROM j GROUP BY doc_id
+    """,
+)
+def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.curation import (
+        chunk_documents,
+        remove_boilerplate,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, window=20, stride=20)
+    kept = remove_boilerplate(chunks, max_doc_freq=2)
+    totals = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    kept_per_doc = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.sum("n_tok").alias("kept_tok")
+    )
+    return totals.join(kept_per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        F.coalesce(F.col("kept_tok"), F.lit(0)).alias("kept_tok"),
+    )
+
+
+@register(
     "corpus_mixture_plan",
     doc=(
         "Training-mixture planning (operators/curation.py plan_mixture): "

@@ -399,3 +399,57 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(F.abs(F.col("x") - F.col("recon"))), 6).alias("max_err"),
         F.count(F.lit(1)).alias("n_dims"),
     )
+
+
+_SEMDEDUP_THRESHOLD = 0.5
+
+
+@register(
+    "semantic_dedup",
+    doc=(
+        "SemDeDup semantic deduplication (operators/similarity.py "
+        "semantic_dedup): vectors are assigned to nearest-centroid IVF "
+        "cells (centroids: the first 16 corpus vectors, the deterministic "
+        "stand-in for an offline k-means pass) and within each cell any "
+        "vector with a lower-id cell-mate at cosine >= 0.5 is pruned — "
+        "the embedding-space dedup pass that catches paraphrases exact "
+        "and MinHash dedup miss. Clustering first keeps the pairwise "
+        "stage cell-quadratic, never corpus-quadratic; at 100 TB the "
+        "cell count grows with the corpus and oversized cells are "
+        "dropped, not joined. Output is the per-vector pruning decision."
+    ),
+    oracle=f"""
+        WITH cents AS (
+            SELECT vec_id AS cell_id, embedding AS centroid
+            FROM embeddings WHERE vec_id < {_IVF_CELLS}
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, cell_id FROM (
+                SELECT e.vec_id, e.embedding, c.cell_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(
+                               e.embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+                               c.cell_id ASC) AS rn
+                FROM embeddings e, cents c
+            ) WHERE rn = 1
+        ),
+        pruned AS (
+            SELECT DISTINCT b.vec_id
+            FROM assigned a JOIN assigned b
+              ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {_SEMDEDUP_THRESHOLD}
+        )
+        SELECT a.vec_id, a.cell_id, (p.vec_id IS NULL) AS keep
+        FROM assigned a LEFT JOIN pruned p ON a.vec_id = p.vec_id
+    """,
+)
+def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.similarity import semantic_dedup
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < _IVF_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    return semantic_dedup(emb, centroids, threshold=_SEMDEDUP_THRESHOLD)

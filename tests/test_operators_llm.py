@@ -547,3 +547,77 @@ def test_lsh_index_probe_matches_batch_rerun(spark, tmp_path):
         spark, path, probe2, threshold=0.5, max_bucket_size=4
     ).collect()
     assert {(r["doc_a"], r["doc_b"]) for r in got_dup} == {(13, 21)}
+
+
+def test_remove_boilerplate_drops_every_occurrence(spark):
+    from biocache_store_spark.operators.curation import remove_boilerplate
+
+    # span "cookie banner" is in 3 docs (> max_doc_freq=2): ALL copies go,
+    # including the first — the semantic that separates this from dedup_spans
+    rows = [
+        (0, 0, "cookie banner", 2),
+        (1, 0, "cookie banner", 2),
+        (2, 0, "cookie banner", 2),
+        (0, 1, "real content a", 3),
+        (1, 1, "real content b", 3),
+        (2, 1, "shared twice", 2),
+        (3, 0, "shared twice", 2),  # df=2 == threshold: kept
+    ]
+    chunks = spark.createDataFrame(
+        rows, "doc_id long, chunk_idx long, chunk string, n_tok long"
+    )
+    kept = remove_boilerplate(chunks, max_doc_freq=2)
+    got = {(r["doc_id"], r["chunk"]) for r in kept.collect()}
+    assert not any(c == "cookie banner" for _, c in got)
+    assert (2, "shared twice") in got and (3, "shared twice") in got
+    assert (0, "real content a") in got
+
+
+def test_remove_boilerplate_df_is_per_document_not_per_occurrence(spark):
+    from biocache_store_spark.operators.curation import remove_boilerplate
+
+    # 3 occurrences but only 1 distinct doc -> df=1, survives at threshold 2
+    rows = [(0, i, "repeated in one doc", 4) for i in range(3)]
+    chunks = spark.createDataFrame(
+        rows, "doc_id long, chunk_idx long, chunk string, n_tok long"
+    )
+    assert remove_boilerplate(chunks, max_doc_freq=2).count() == 3
+
+
+def test_semantic_dedup_prunes_higher_id_within_cell(spark):
+    from biocache_store_spark.operators.similarity import semantic_dedup
+
+    # two orthogonal clusters; 0/1 identical (cell of centroid 0),
+    # 2 alone in the other cell; 3 opposite to cluster A -> cos=-1, kept
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.0]),
+        (2, [0.0, 1.0]),
+        (3, [-1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "cell_id long, centroid array<float>",
+    )
+    got = {r["vec_id"]: (r["cell_id"], r["keep"]) for r in
+           semantic_dedup(emb, cents, threshold=0.9).collect()}
+    assert got[0] == (0, True)
+    assert got[1] == (0, False)  # higher id of the identical pair
+    assert got[2] == (1, True)
+    assert got[3][1] is True  # same cell as nothing similar
+
+
+def test_semantic_dedup_max_cell_guard(spark):
+    from biocache_store_spark.operators.similarity import semantic_dedup
+
+    # every vector identical: the single cell exceeds max_cell, so the
+    # pairing is skipped entirely and everything is kept (re-cluster signal)
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(5)], "vec_id long, embedding array<float>"
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "cell_id long, centroid array<float>"
+    )
+    out = semantic_dedup(emb, cents, threshold=0.5, max_cell=3).collect()
+    assert len(out) == 5 and all(r["keep"] for r in out)

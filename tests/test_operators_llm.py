@@ -621,3 +621,31 @@ def test_semantic_dedup_max_cell_guard(spark):
     )
     out = semantic_dedup(emb, cents, threshold=0.5, max_cell=3).collect()
     assert len(out) == 5 and all(r["keep"] for r in out)
+
+
+def test_ivf_assign_bulk_matches_join_form(spark):
+    from biocache_store_spark.operators.similarity import ivf_assign, ivf_assign_bulk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    ref = {r["vec_id"]: r["cell_id"] for r in
+           ivf_assign(emb, cents).select("vec_id", "cell_id").collect()}
+    got = {r["vec_id"]: r["cell_id"] for r in
+           ivf_assign_bulk(emb, cents).select("vec_id", "cell_id").collect()}
+    assert got == ref
+
+
+def test_ivf_assign_bulk_null_embedding_lowest_cell(spark):
+    from biocache_store_spark.operators.similarity import ivf_assign_bulk
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None)], "vec_id long, embedding array<float>"
+    )
+    cents = spark.createDataFrame(
+        [(7, [0.0, 1.0]), (3, [1.0, 0.0])], "cell_id long, centroid array<float>"
+    )
+    got = {r["vec_id"]: r["cell_id"] for r in ivf_assign_bulk(emb, cents).collect()}
+    assert got[0] == 3  # argmax
+    assert got[1] == 3  # null -> lowest cell_id

@@ -35,6 +35,7 @@ BNLJ_OK = {
     "embedding_knn_topk": "broadcasts one query vector (1 row)",
     "interval_containment_groups": "broadcasts a fixed 5-row interval dim (range join)",
     "embedding_ivf_topk": "broadcasts the fixed centroid set (16 rows) for the argmax assignment",
+    "semantic_dedup": "broadcasts the fixed centroid set (16 rows) for the argmax assignment",
 }
 
 

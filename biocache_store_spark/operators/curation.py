@@ -292,3 +292,77 @@ def plan_mixture(
         epochs.alias("epochs"),
         F.round(F.least(epochs, F.lit(1.0)), 4).alias("sample_rate"),
     )
+
+
+def bigram_lm_score(
+    train_docs: DataFrame,
+    ref_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Reference-corpus bigram language-model scoring — the CCNet-style
+    "perplexity filter" stage (score each training document by how well a
+    LM trained on a trusted reference corpus predicts it), made
+    engine-exact: instead of a mean of per-bigram log-probabilities
+    (transcendental, summation-order-sensitive), the score is the
+    quotient of two integer sums over the document's bigrams with
+    add-one smoothing,
+
+        lm_score = SUM(m * (C(w1,w2) + 1)) / SUM(m * (C(w1) + V))
+
+    where m is the bigram's multiplicity in the document, C(.) are
+    reference-corpus counts and V the reference vocabulary size. Exact
+    integer aggregation in any order, ONE double division at the end —
+    bit-identical across engines and partitionings. Monotone in the same
+    direction as mean probability: higher = closer to the reference.
+
+    Scale shape: the reference LM is a dimension by construction (a
+    trusted corpus, not the 100 TB training set), so its bigram/context
+    tables broadcast; each training document's bigrams collapse to
+    (doc, w1, w2, m) map-side before the join; one shuffle on the doc key
+    for the final rollup. Documents with no bigrams are omitted.
+
+    Returns (id, n_bigrams, n_hits, hit_rate, lm_score): hit_rate is the
+    fraction of bigram occurrences seen in the reference at all.
+    """
+    def bigrams(df: DataFrame) -> DataFrame:
+        toks = df.select(F.col(id_col), words(F.col(text_col)).alias("toks"))
+        toks = toks.filter((F.size("toks") > 1) & (F.col("toks")[0] != ""))
+        bg = F.expr(
+            "transform(sequence(0, size(toks)-2),"
+            " i -> struct(toks[i] AS w1, toks[i+1] AS w2))"
+        )
+        return toks.select(F.col(id_col), F.explode(bg).alias("b")).select(
+            id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+        )
+
+    ref_bg = bigrams(ref_docs)
+    c2 = ref_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = ref_bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    ref_toks = ref_docs.select(F.explode(words(F.col(text_col))).alias("w"))
+    v = ref_toks.filter(F.col("w") != "").agg(
+        F.countDistinct("w").alias("__v")
+    )
+
+    m = bigrams(train_docs).groupBy(id_col, "w1", "w2").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    joined = (
+        m.join(F.broadcast(c2), ["w1", "w2"], "left")
+        .join(F.broadcast(c1), ["w1"], "left")
+        .crossJoin(F.broadcast(v))
+    )
+    numer = F.sum(F.col("m") * (F.coalesce(F.col("c2"), F.lit(0)) + 1))
+    denom = F.sum(
+        F.col("m") * (F.coalesce(F.col("c1"), F.lit(0)) + F.col("__v"))
+    )
+    hits = F.sum(
+        F.when(F.col("c2").isNotNull(), F.col("m")).otherwise(F.lit(0))
+    )
+    n_bg = F.sum("m")
+    return joined.groupBy(id_col).agg(
+        n_bg.alias("n_bigrams"),
+        hits.alias("n_hits"),
+        F.round(hits * F.lit(1.0) / n_bg, 4).alias("hit_rate"),
+        F.round(numer * F.lit(1.0) / denom, 8).alias("lm_score"),
+    )

@@ -75,6 +75,8 @@ HEAD: tuple[str, ...] = (
     "dup_inflation_by_source",
     "boilerplate_removal",
     "semantic_dedup",
+    "bigram_lm_score",
+    "dedup_representative",
     # refresh tier: last driver-green in r02/r03; re-green to guard
     # against regressions now that every registry entry has evidence
     "dedup_occurrence_clusters",

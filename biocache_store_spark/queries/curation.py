@@ -576,6 +576,68 @@ _MIXTURE_BUDGET = 100_000
 
 
 @register(
+    "bigram_lm_score",
+    doc=(
+        "Reference-corpus bigram LM scoring (operators/curation.py "
+        "bigram_lm_score): the CCNet-style perplexity filter with "
+        "engine-exact arithmetic — each training document (sources other "
+        "than 'src0') is scored by the quotient of two integer sums over "
+        "its bigrams with add-one smoothing against the 'src0' reference "
+        "LM, plus the fraction of bigrams seen in the reference at all. "
+        "The reference LM is a broadcast dimension; training bigrams "
+        "collapse map-side to (doc, w1, w2, multiplicity) before the "
+        "join; one shuffle on the doc key for the rollup."
+    ),
+    oracle=rf"""
+        WITH tok AS (
+            SELECT doc_id, source, {_TOKS} AS toks FROM documents
+        ),
+        ok AS (
+            SELECT doc_id, source, toks, len(toks) AS n FROM tok
+            WHERE len(toks) > 1 AND toks[1] <> ''
+        ),
+        bg AS (
+            SELECT doc_id, source, toks[i] AS w1, toks[i+1] AS w2
+            FROM (SELECT doc_id, source, toks,
+                         unnest(generate_series(1, n - 1)) AS i
+                  FROM ok)
+        ),
+        c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg
+               WHERE source = 'src0' GROUP BY w1, w2),
+        c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg
+               WHERE source = 'src0' GROUP BY w1),
+        v AS (SELECT COUNT(DISTINCT w) AS v FROM (
+                  SELECT unnest(toks) AS w FROM tok WHERE source = 'src0')
+              WHERE w <> ''),
+        m AS (SELECT doc_id, w1, w2, COUNT(*) AS m FROM bg
+              WHERE source <> 'src0' GROUP BY doc_id, w1, w2),
+        j AS (
+            SELECT m.doc_id, m.m, c2.c2, c1.c1, v.v
+            FROM m LEFT JOIN c2 USING (w1, w2)
+                   LEFT JOIN c1 USING (w1)
+                   CROSS JOIN v
+        )
+        SELECT doc_id,
+               CAST(SUM(m) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CASE WHEN c2 IS NOT NULL THEN m ELSE 0 END) AS BIGINT)
+                   AS n_hits,
+               ROUND(SUM(CASE WHEN c2 IS NOT NULL THEN m ELSE 0 END) * 1.0
+                     / SUM(m), 4) AS hit_rate,
+               ROUND(SUM(m * (COALESCE(c2, 0) + 1)) * 1.0
+                     / SUM(m * (COALESCE(c1, 0) + v)), 8) AS lm_score
+        FROM j GROUP BY doc_id
+    """,
+)
+def bigram_lm_score_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.curation import bigram_lm_score
+
+    docs = read_table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    return bigram_lm_score(train, ref)
+
+
+@register(
     "boilerplate_removal",
     doc=(
         "CCNet-style boilerplate filtering (operators/curation.py "

@@ -528,22 +528,16 @@ def lang_mismatch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_quality_score",
-    doc=(
-        "Per-document quality scoring: token count, mean token length, "
-        "punctuation ratio, stopword ratio, and a weighted score — the "
-        "corpus-filtering operator of a training-data pipeline, all "
-        "built-in expressions."
-    ),
-    oracle=rf"""
-        WITH t AS (
+# The quality-metric block as reusable CTEs: text_quality_score's whole
+# oracle, and the quality key of the dedup representative selection.
+_QUALITY_CTES = rf"""
+        qt AS (
             SELECT doc_id,
                    lower(trim(text)) AS lt,
                    string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
             FROM documents
         ),
-        m AS (
+        qm AS (
             SELECT doc_id,
                    len(toks) AS n_tokens,
                    ROUND(length(list_aggregate(toks, 'string_agg', ''))
@@ -552,19 +546,41 @@ def lang_mismatch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                          * 1.0 / GREATEST(length(lt), 1), 4) AS punct_ratio,
                    ROUND(len(list_filter(toks, x -> x IN ({_marker_list_sql('en')})))
                          * 1.0 / GREATEST(len(toks), 1), 4) AS stopword_ratio
-            FROM t
-        )
-        SELECT doc_id, n_tokens, mean_token_len, punct_ratio, stopword_ratio,
-               ROUND(LEAST(n_tokens / 100.0, 1.0) * 0.5
-                     + (1.0 - punct_ratio) * 0.3
-                     + LEAST(stopword_ratio * 5.0, 1.0) * 0.2, 4) AS quality_score
-        FROM m
+            FROM qt
+        ),
+        quality AS (
+            SELECT doc_id, n_tokens, mean_token_len, punct_ratio, stopword_ratio,
+                   ROUND(LEAST(n_tokens / 100.0, 1.0) * 0.5
+                         + (1.0 - punct_ratio) * 0.3
+                         + LEAST(stopword_ratio * 5.0, 1.0) * 0.2, 4) AS quality_score
+            FROM qm
+        )"""
+
+
+@register(
+    "text_quality_score",
+    doc=(
+        "Per-document quality scoring: token count, mean token length, "
+        "punctuation ratio, stopword ratio, and a weighted score — the "
+        "corpus-filtering operator of a training-data pipeline, all "
+        "built-in expressions."
+    ),
+    oracle=f"""
+        WITH {_QUALITY_CTES}
+        SELECT * FROM quality
     """,
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return _quality_frame(docs)
+
+
+def _quality_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, mean_token_len, punct_ratio, stopword_ratio,
+    quality_score) — the text_quality_score metric block, shared with the
+    dedup representative selection. All built-in expressions, map-only."""
     from biocache_store_spark.functions.text import words
 
-    docs = read_table(spark, sf_dir, "documents")
     lt = F.lower(F.trim(F.col("text")))
     t = docs.select("doc_id", lt.alias("lt"), words(F.col("text")).alias("toks"))
     n_tokens = F.size("toks")
@@ -596,6 +612,75 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         4,
     )
     return m.withColumn("quality_score", score)
+
+
+@register(
+    "dedup_representative",
+    doc=(
+        "Representative selection for near-duplicate clusters: each "
+        "minhash component (near_dup_components) keeps its highest-"
+        "quality member (text_quality_score key; ties to the lowest "
+        "doc_id) — the reference's representative-picking step "
+        "(tool/DuplicationDetection.scala markRecordsAsDuplicates* — "
+        "precision-ladder argmax) generalized to corpus dedup, where the "
+        "survivor should be the best copy, not the first. Implemented as "
+        "groupBy(component) + max(struct(quality, -doc_id, payload)) so "
+        "the argmax collapses map-side — no window sort of the largest "
+        "cluster in one reducer."
+    ),
+    oracle=f"""
+        WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+        und AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION
+            SELECT doc_b AS u, doc_a AS v FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT u AS node FROM und),
+        reach(node, r) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT reach.node, und.v FROM reach JOIN und ON und.u = reach.r
+        ),
+        comp AS (SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node),
+        {_QUALITY_CTES},
+        ranked AS (
+            SELECT c.component, c.doc_id, q.quality_score,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.component
+                       ORDER BY q.quality_score DESC, c.doc_id ASC
+                   ) AS rn,
+                   COUNT(*) OVER (PARTITION BY c.component) AS cluster_size
+            FROM comp c JOIN quality q USING (doc_id)
+        )
+        SELECT component, doc_id AS rep_doc_id,
+               quality_score AS rep_quality, cluster_size
+        FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.components import connected_components
+    from biocache_store_spark.operators.minhash import near_duplicates
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = near_duplicates(docs, threshold=0.5, max_bucket_size=_MAX_BAND_BUCKET)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    quality = _quality_frame(docs).select("doc_id", "quality_score")
+    joined = comp.join(quality, comp["node"] == quality["doc_id"])
+    best = F.max(
+        F.struct(
+            F.col("quality_score").alias("q"),
+            (-F.col("doc_id")).alias("neg_id"),
+            F.col("doc_id").alias("doc_id"),
+        )
+    )
+    return joined.groupBy("component").agg(
+        best.alias("__best"), F.count(F.lit(1)).alias("cluster_size")
+    ).select(
+        "component",
+        F.col("__best.doc_id").alias("rep_doc_id"),
+        F.col("__best.q").alias("rep_quality"),
+        "cluster_size",
+    )
 
 
 @register(

@@ -649,3 +649,32 @@ def test_ivf_assign_bulk_null_embedding_lowest_cell(spark):
     got = {r["vec_id"]: r["cell_id"] for r in ivf_assign_bulk(emb, cents).collect()}
     assert got[0] == 3  # argmax
     assert got[1] == 3  # null -> lowest cell_id
+
+
+def test_bigram_lm_score_smoothing_and_hits(spark):
+    from biocache_store_spark.operators.curation import bigram_lm_score
+
+    ref = spark.createDataFrame(
+        [(100, "a b a b c")], "doc_id long, text string"
+    )
+    # ref bigrams: (a,b)x2 (b,a) (b,c); contexts: a->2, b->2; V=3
+    train = spark.createDataFrame(
+        [(0, "a b"), (1, "z q")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in bigram_lm_score(train, ref).collect()}
+    # doc 0: one bigram (a,b): c2=2, c1(a)=2 -> (2+1)/(2+3)
+    assert got[0]["n_bigrams"] == 1 and got[0]["n_hits"] == 1
+    assert abs(got[0]["lm_score"] - 3 / 5) < 1e-7  # rounded to 8dp in-query
+    assert got[0]["hit_rate"] == 1.0
+    # doc 1: unseen bigram AND unseen context -> (0+1)/(0+3)
+    assert got[1]["n_hits"] == 0 and abs(got[1]["lm_score"] - 1 / 3) < 1e-7
+
+
+def test_bigram_lm_score_omits_single_token_docs(spark):
+    from biocache_store_spark.operators.curation import bigram_lm_score
+
+    ref = spark.createDataFrame([(9, "a b")], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(0, "solo"), (1, "")], "doc_id long, text string"
+    )
+    assert bigram_lm_score(train, ref).count() == 0

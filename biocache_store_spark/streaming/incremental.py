@@ -248,3 +248,79 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("__micros")
     )
+
+
+DOC_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("source", T.StringType()),
+    ]
+)
+
+
+def near_dup_stream(
+    spark: SparkSession,
+    staging_dir: str,
+    index_path: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType = DOC_STREAM_SCHEMA,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming incremental near-duplicate maintenance: JSONL document
+    drops are probed against the persisted LSH index (batch-vs-stored AND
+    within-batch pairs appended under `pairs_dir`), then the batch's own
+    signatures are appended to the index — per-microbatch cost
+    proportional to the BATCH, never the corpus.
+
+    foreachBatch is the right streaming tool here, not a stream-stream
+    join: the probe is a batch join against an append-only persisted
+    index, so state lives in the index files (checkpoint-tracked progress
+    decides which drops were consumed), not in the streaming state store.
+    The index must be seeded first (write_lsh_index on the initial
+    corpus); ids must be unique across the corpus and all batches — the
+    probe dedups the stored band table defensively, but duplicate ids
+    still inflate bucket counts toward the cap.
+    """
+    import os
+
+    from biocache_store_spark.operators.minhash import (
+        probe_lsh_index,
+        write_lsh_index,
+    )
+
+    if not os.path.isdir(os.path.join(index_path, "sig")):
+        raise ValueError(
+            f"near_dup_stream: no LSH index at {index_path!r}; seed it with "
+            "write_lsh_index on the initial corpus before streaming"
+        )
+    raw = spark.readStream.schema(schema).json(staging_dir)
+
+    def handle(batch: DataFrame, _batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        batch = batch.persist()
+        try:
+            pairs = probe_lsh_index(
+                spark,
+                index_path,
+                batch,
+                threshold=threshold,
+                max_bucket_size=max_bucket_size,
+            )
+            pairs.write.mode("append").parquet(pairs_dir)
+            write_lsh_index(batch, index_path, mode="append")
+        finally:
+            batch.unpersist()
+
+    writer = (
+        raw.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -959,3 +959,74 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     got = {r["doc_id"] for r in spark.sql("SELECT * FROM dedup_stream_sink").collect()}
     assert got == {"a", "b"}
     assert spark.sql("SELECT * FROM dedup_stream_sink").count() == 2
+
+
+def test_near_dup_stream_matches_direct_probe(spark, tmp_path):
+    """Streaming drops probed against the seeded LSH index produce
+    exactly the pairs a direct probe_lsh_index call finds, and the
+    second drop sees the first drop's appended signatures."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from biocache_store_spark.operators.minhash import (
+        near_duplicates,
+        write_lsh_index,
+    )
+    from biocache_store_spark.streaming.incremental import near_dup_stream
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten"
+    seed_rows = [(1, base), (2, other)]
+    seed = spark.createDataFrame(seed_rows, "doc_id long, text string")
+    index = str(tmp_path / "lsh")
+    write_lsh_index(seed, index)
+
+    staging = tmp_path / "staging"
+    staging.mkdir()
+    # drop 1: near-dup of seed doc 1; drop 2: near-dup of drop 1's doc 11
+    drop1 = [{"doc_id": 11, "text": base + " llama", "source": "s"}]
+    drop2 = [{"doc_id": 21, "text": base + " llama extra", "source": "s"},
+             {"doc_id": 22, "text": "unrelated fresh words here today", "source": "s"}]
+    (staging / "d1.jsonl").write_text("\n".join(json.dumps(r) for r in drop1))
+
+    pairs_dir = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    q = near_dup_stream(spark, str(staging), index, pairs_dir, ckpt)
+    q.awaitTermination(120)
+    (staging / "d2.jsonl").write_text("\n".join(json.dumps(r) for r in drop2))
+    q2 = near_dup_stream(spark, str(staging), index, pairs_dir, ckpt)
+    q2.awaitTermination(120)
+
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+    # ground truth: full-batch pairs over seed+drops, minus seed-internal
+    all_docs = spark.createDataFrame(
+        seed_rows + [(r["doc_id"], r["text"]) for r in drop1 + drop2],
+        "doc_id long, text string",
+    )
+    full = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in near_duplicates(all_docs, threshold=0.5).collect()
+    }
+    seed_internal = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in near_duplicates(seed, threshold=0.5).collect()
+    }
+    assert got == full - seed_internal
+    # the cross-drop pair (11, 21) proves drop 1's signatures were appended
+    assert any(a == 11 and b == 21 for a, b, _ in got)
+
+
+def test_near_dup_stream_requires_seeded_index(spark, tmp_path):
+    import pytest as _pytest
+
+    from biocache_store_spark.streaming.incremental import near_dup_stream
+
+    with _pytest.raises(ValueError, match="seed"):
+        near_dup_stream(
+            spark, str(tmp_path / "staging"), str(tmp_path / "missing"),
+            str(tmp_path / "pairs"), str(tmp_path / "ckpt"),
+        )

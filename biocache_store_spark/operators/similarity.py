@@ -424,3 +424,136 @@ def semantic_dedup(
         "cell_id",
         F.coalesce(~F.col("__pruned"), F.lit(True)).alias("keep"),
     )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    n_subspaces: int = 8,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoding: the embedding is split into
+    `n_subspaces` contiguous sub-vectors and each sub-vector is replaced
+    by the index of its nearest (L2) codeword — the 64-dim float vector
+    becomes `n_subspaces` small ints, the ~32x compression that lets a
+    100 TB embedding corpus keep its whole index in memory (Jegou et al.,
+    "Product Quantization for Nearest Neighbor Search").
+
+    `codebook` is (j, embedding): full-dimension vectors whose per-
+    subspace slices form the per-subspace codebooks (the deterministic
+    stand-in for the offline per-subspace k-means pass, same convention
+    as the IVF centroids). It is a dimension by contract and is collected
+    once; encoding is ONE mapInPandas pass, no join, no shuffle —
+    distances accumulate dimension-by-dimension left-to-right (the
+    functions/vectors.py discipline) so codes are engine-exact. Ties
+    break to the lowest codeword index. Output: input columns + `codes`
+    array<int>.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    rows = sorted(codebook.select("j", embedding_col).collect(), key=lambda r: r["j"])
+    if not rows:
+        raise ValueError("pq_encode: empty codebook")
+    book = [[float(x) for x in r[embedding_col]] for r in rows]
+    dim = len(book[0])
+    if dim % n_subspaces:
+        raise ValueError(f"pq_encode: dim {dim} not divisible by {n_subspaces}")
+    ds = dim // n_subspaces
+    out_schema = T.StructType(
+        list(vectors.schema.fields)
+        + [T.StructField("codes", T.ArrayType(T.IntegerType()))]
+    )
+    in_cols = list(vectors.columns)
+
+    def run(batches):
+        import numpy as np
+
+        B = np.asarray(book, dtype=np.float64)  # K x dim
+        K = B.shape[0]
+        for pdf in batches:
+            out = pdf[in_cols].copy()
+            emb = pdf[embedding_col]
+            mask = emb.notna().to_numpy()
+            codes_col = [None] * len(pdf)
+            if mask.any():
+                A = np.stack(emb[mask].to_numpy()).astype(np.float64)
+                n = A.shape[0]
+                codes = np.zeros((n, n_subspaces), dtype=np.int32)
+                for s in range(n_subspaces):
+                    lo = s * ds
+                    best_d = None
+                    best = np.zeros(n, dtype=np.int32)
+                    for j in range(K):
+                        d0 = A[:, lo] - B[j, lo]
+                        acc = d0 * d0
+                        for i in range(1, ds):
+                            di = A[:, lo + i] - B[j, lo + i]
+                            acc = acc + di * di
+                        if best_d is None:
+                            best_d = acc
+                        else:
+                            upd = acc < best_d  # strict: ties keep lowest j
+                            best_d = np.where(upd, acc, best_d)
+                            best = np.where(upd, j, best)
+                    codes[:, s] = best
+                it = iter(codes.tolist())
+                codes_col = [next(it) if m else None for m in mask]
+            out["codes"] = pd.Series(codes_col, index=pdf.index, dtype="object")
+            yield out
+
+    return vectors.mapInPandas(run, out_schema)
+
+
+def pq_topk(
+    encoded: DataFrame,
+    query_vec: list[float],
+    codebook_rows: list[list[float]],
+    k: int = 10,
+    n_subspaces: int = 8,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (ADC): the query stays exact; each
+    encoded vector's approximate squared-L2 distance is the sum of
+    per-subspace table lookups dist(q_s, codeword). The table (8 x K
+    doubles) is a literal nested array in the plan, so scoring is pure
+    JVM expression work over the int codes — whole-stage codegen, no
+    Python, no join — and the top-k is TakeOrderedAndProject, never a
+    full sort. Per-subspace entries add left-to-right, keeping the score
+    engine-exact. Returns (id, approx_dist rounded 6dp, rank)."""
+    q = [float(x) for x in query_vec]
+    book = [[float(x) for x in row] for row in codebook_rows]
+    dim = len(q)
+    ds = dim // n_subspaces
+    table = []
+    for s in range(n_subspaces):
+        lo = s * ds
+        row = []
+        for cw in book:
+            d = (q[lo] - cw[lo]) * (q[lo] - cw[lo])
+            for i in range(1, ds):
+                di = q[lo + i] - cw[lo + i]
+                d = d + di * di
+            row.append(d)
+        table.append(row)
+    t_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in table])
+    approx = None
+    for s in range(n_subspaces):
+        term = F.element_at(
+            F.element_at(t_lit, s + 1), F.col("codes")[s] + F.lit(1)
+        )
+        approx = term if approx is None else (approx + term)
+    from pyspark.sql.window import Window
+
+    scored = encoded.select(F.col(id_col), approx.alias("__approx"))
+    # rank over the UNROUNDED score (rounding could merge distinct values
+    # and reorder ties); the single-partition window runs over k rows only
+    w = Window.orderBy(F.col("__approx").asc(), F.col(id_col).asc())
+    return (
+        scored.orderBy(F.col("__approx").asc(), F.col(id_col).asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+        .select(id_col, F.round("__approx", 6).alias("approx_dist"), "rank")
+    )

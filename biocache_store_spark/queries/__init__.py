@@ -77,6 +77,7 @@ HEAD: tuple[str, ...] = (
     "semantic_dedup",
     "bigram_lm_score",
     "dedup_representative",
+    "embedding_pq_topk",
     # refresh tier: last driver-green in r02/r03; re-green to guard
     # against regressions now that every registry entry has evidence
     "dedup_occurrence_clusters",

@@ -453,3 +453,95 @@ def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
     )
     return semantic_dedup(emb, centroids, threshold=_SEMDEDUP_THRESHOLD)
+
+
+_PQ_SUBSPACES = 8
+_PQ_DS = 8  # dims per subspace (64 / 8)
+
+
+def _pq_dist_sql(e: str, c: str, s: str) -> str:
+    """Squared-L2 between subspace `s` slices of two DuckDB lists, written
+    as an explicit left-associative 8-term chain so the addition order is
+    the one pq_encode/pq_topk use — engine-exact doubles."""
+    terms = []
+    for i in range(1, _PQ_DS + 1):
+        t = f"({e}[{s}*{_PQ_DS}+{i}]::DOUBLE - {c}[{s}*{_PQ_DS}+{i}]::DOUBLE)"
+        terms.append(f"{t} * {t}")
+    return " + ".join(terms)
+
+
+@register(
+    "embedding_pq_topk",
+    doc=(
+        "Product-quantization top-k via asymmetric distance "
+        "(operators/similarity.py pq_encode/pq_topk — Jegou et al. PQ): "
+        "embeddings are encoded to 8 codeword indices (per-subspace "
+        "argmin-L2 against the first-16-vector codebook, the "
+        "deterministic stand-in for per-subspace k-means) and the query "
+        "scores candidates by summing 8 table lookups — the ~32x-"
+        "compressed index that keeps a 100 TB embedding corpus scannable "
+        "in memory. Encoding is one mapInPandas pass (codebook collected "
+        "once — it is a dimension); scoring is a pure JVM expression over "
+        "the int codes with the 8x16 distance table as a plan literal; "
+        "top-k is TakeOrderedAndProject. All distances accumulate left-"
+        "to-right, so the approximate scores are engine-exact."
+    ),
+    oracle=f"""
+        WITH cents AS (
+            SELECT vec_id AS j, embedding FROM embeddings WHERE vec_id < 16
+        ),
+        sub AS (SELECT unnest(generate_series(0, {_PQ_SUBSPACES - 1})) AS s),
+        enc AS (
+            SELECT vec_id, s, j FROM (
+                SELECT e.vec_id, sub.s, c.j,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id, sub.s
+                           ORDER BY {_pq_dist_sql('e.embedding', 'c.embedding', 'sub.s')} ASC,
+                                    c.j ASC) AS rn
+                FROM embeddings e CROSS JOIN sub CROSS JOIN cents c
+                WHERE e.vec_id <> {_QUERY_VEC_ID}
+            ) WHERE rn = 1
+        ),
+        qt AS (
+            SELECT sub.s, c.j,
+                   {_pq_dist_sql('q.embedding', 'c.embedding', 'sub.s')} AS t
+            FROM (SELECT embedding FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}) q
+            CROSS JOIN sub CROSS JOIN cents c
+        ),
+        joined AS (SELECT enc.vec_id, enc.s, qt.t FROM enc JOIN qt USING (s, j)),
+        piv AS (
+            SELECT vec_id,
+                   {", ".join(f"MAX(CASE WHEN s={s} THEN t END) AS t{s}" for s in range(_PQ_SUBSPACES))}
+            FROM joined GROUP BY vec_id
+        ),
+        scored AS (
+            SELECT vec_id, {" + ".join(f"t{s}" for s in range(_PQ_SUBSPACES))} AS approx
+            FROM piv
+        )
+        SELECT vec_id, ROUND(approx, 6) AS approx_dist,
+               CAST(rnk AS INTEGER) AS "rank"
+        FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY approx ASC, vec_id ASC) AS rnk
+              FROM scored)
+        WHERE rnk <= {_IVF_K}
+    """,
+)
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.similarity import pq_encode, pq_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    codebook = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("j"), "embedding"
+    )
+    encoded = pq_encode(
+        emb.filter(F.col("vec_id") != _QUERY_VEC_ID).select("vec_id", "embedding"),
+        codebook,
+        n_subspaces=_PQ_SUBSPACES,
+    )
+    # 1-row collect of the query vector + the small codebook dim — the
+    # accepted driver-side materializations (cf. BM25 global stats)
+    qvec = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select("embedding").collect()[0][0]
+    book = [
+        r["embedding"]
+        for r in sorted(codebook.collect(), key=lambda r: r["j"])
+    ]
+    return pq_topk(encoded, qvec, book, k=_IVF_K, n_subspaces=_PQ_SUBSPACES)

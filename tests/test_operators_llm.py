@@ -678,3 +678,54 @@ def test_bigram_lm_score_omits_single_token_docs(spark):
         [(0, "solo"), (1, "")], "doc_id long, text string"
     )
     assert bigram_lm_score(train, ref).count() == 0
+
+
+def test_pq_encode_picks_nearest_codeword_per_subspace(spark):
+    from biocache_store_spark.operators.similarity import pq_encode
+
+    # 4-dim vectors, 2 subspaces of 2; codewords crafted per subspace
+    book = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0, 0.0]), (1, [1.0, 1.0, 1.0, 1.0])],
+        "j long, embedding array<float>",
+    )
+    vecs = spark.createDataFrame(
+        [(10, [0.9, 1.1, 0.1, -0.1]),   # sub0 near cw1, sub1 near cw0
+         (11, [0.0, 0.0, 1.0, 1.0])],   # sub0 == cw0, sub1 == cw1
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r["codes"] for r in
+           pq_encode(vecs, book, n_subspaces=2).collect()}
+    assert got[10] == [1, 0]
+    assert got[11] == [0, 1]
+
+
+def test_pq_encode_tie_keeps_lowest_codeword(spark):
+    from biocache_store_spark.operators.similarity import pq_encode
+
+    book = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [-1.0, 0.0])], "j long, embedding array<float>"
+    )
+    # equidistant from both codewords in the single subspace
+    vecs = spark.createDataFrame(
+        [(5, [0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    [row] = pq_encode(vecs, book, n_subspaces=1).collect()
+    assert row["codes"] == [0]
+
+
+def test_pq_topk_scores_by_table_lookup(spark):
+    from biocache_store_spark.operators.similarity import pq_encode, pq_topk
+
+    book = [[0.0, 0.0], [2.0, 0.0]]
+    book_df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(book)], "j long, embedding array<float>"
+    )
+    vecs = spark.createDataFrame(
+        [(1, [0.1, 0.0]), (2, [2.1, 0.0])], "vec_id long, embedding array<float>"
+    )
+    enc = pq_encode(vecs, book_df, n_subspaces=1)
+    out = pq_topk(enc, [0.0, 0.0], book, k=2, n_subspaces=1).collect()
+    # vec 1 -> codeword 0 (dist 0), vec 2 -> codeword 1 (dist 4)
+    assert [(r["vec_id"], r["approx_dist"], r["rank"]) for r in out] == [
+        (1, 0.0, 1), (2, 4.0, 2),
+    ]

@@ -318,6 +318,80 @@ def cmd_delete(args) -> int:
 # ------------------------------------------------------------ inspection
 
 
+def cmd_lsh_index(args) -> int:
+    """Build or append the persisted near-dup LSH index from a documents
+    store (operators/minhash.py write_lsh_index)."""
+    spark = _spark(args)
+    from biocache_store_spark.operators.minhash import write_lsh_index
+
+    docs = _read(spark, args.inp)
+    write_lsh_index(
+        docs, args.index, mode="append" if args.append else "overwrite"
+    )
+    return 0
+
+
+def cmd_near_dup_probe(args) -> int:
+    """Probe a batch of documents against the persisted LSH index; emit
+    (doc_a, doc_b, jaccard) pairs; optionally append the batch's
+    signatures afterwards (incremental corpus-dedup maintenance)."""
+    spark = _spark(args)
+    from biocache_store_spark.operators.minhash import (
+        probe_lsh_index,
+        write_lsh_index,
+    )
+
+    batch = _read(spark, args.inp)
+    pairs = probe_lsh_index(spark, args.index, batch, threshold=args.threshold)
+    pairs.write.mode("overwrite").parquet(args.out)
+    if args.append_after:
+        write_lsh_index(batch, args.index, mode="append")
+    return 0
+
+
+def cmd_semantic_dedup(args) -> int:
+    """SemDeDup pruning decisions for an embeddings store
+    (operators/similarity.py semantic_dedup); centroids default to the
+    first --cells vectors when no centroid store is given."""
+    from pyspark.sql import functions as F
+
+    spark = _spark(args)
+    from biocache_store_spark.operators.similarity import semantic_dedup
+
+    emb = _read(spark, args.inp)
+    if args.centroids:
+        cents = _read(spark, args.centroids)
+    else:
+        cents = emb.orderBy(args.id_col).limit(args.cells).select(
+            F.col(args.id_col).alias("cell_id"),
+            F.col(args.embedding_col).alias("centroid"),
+        )
+    out = semantic_dedup(
+        emb,
+        cents,
+        threshold=args.threshold,
+        id_col=args.id_col,
+        embedding_col=args.embedding_col,
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    return 0
+
+
+def cmd_curate(args) -> int:
+    """Corpus curation pipeline (quality -> language -> near-dup removal);
+    writes the per-source manifest and prints it. --in is a directory
+    holding documents.parquet (the store layout the loaders write)."""
+    spark = _spark(args)
+    from biocache_store_spark.queries import load_all
+
+    manifest = load_all()["corpus_curation"].spark_fn(spark, args.inp)
+    if args.out:
+        manifest.write.mode("overwrite").parquet(args.out)
+    for row in manifest.collect():
+        print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
 def cmd_describe(args) -> int:
     """DescribeResource / ListResources: schema + per-resource counts."""
     from pyspark.sql import functions as F
@@ -453,6 +527,40 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--key-col", dest="key_col", default="rowKey")
     sp.add_argument("--out", required=True)
     sp.add_argument("--dellog", help="write the deletion log here")
+
+    sp = tool("lsh-index", cmd_lsh_index, "documents store -> persisted LSH index")
+    sp.add_argument("--in", dest="inp", required=True)
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--append", action="store_true")
+
+    sp = tool(
+        "near-dup-probe", cmd_near_dup_probe, "probe batch vs LSH index -> pairs"
+    )
+    sp.add_argument("--in", dest="inp", required=True)
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--threshold", type=float, default=0.5)
+    sp.add_argument(
+        "--append-after",
+        dest="append_after",
+        action="store_true",
+        help="append the batch's signatures to the index after probing",
+    )
+
+    sp = tool("semantic-dedup", cmd_semantic_dedup, "SemDeDup pruning decisions")
+    sp.add_argument("--in", dest="inp", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--centroids", help="centroid store (cell_id, centroid)")
+    sp.add_argument("--cells", type=int, default=16)
+    sp.add_argument("--threshold", type=float, default=0.5)
+    sp.add_argument("--id-col", dest="id_col", default="vec_id")
+    sp.add_argument(
+        "--embedding-col", dest="embedding_col", default="embedding"
+    )
+
+    sp = tool("curate", cmd_curate, "corpus curation pipeline -> manifest")
+    sp.add_argument("--in", dest="inp", required=True)
+    sp.add_argument("--out")
 
     sp = tool("describe", cmd_describe, "schema + per-resource counts")
     sp.add_argument("--in", dest="inp", required=True)

@@ -147,3 +147,56 @@ def test_cli_dedup_and_jackknife(spark, tmp_path):
     ]) == 0
     rows = spark.read.parquet(jk_out).collect()
     assert len(rows) == 1 and rows[0]["outlier_values"] == [500.0]
+
+
+def test_cli_curation_tools(spark, tmp_path, capsys):
+    """lsh-index -> near-dup-probe --append-after -> semantic-dedup -> curate."""
+    import json as _json
+
+    from biocache_store_spark.cli import main
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    seed_store = str(tmp_path / "docs_seed")
+    spark.createDataFrame(
+        [(1, base, "s"), (2, "one two three four five six seven eight", "s")],
+        "doc_id long, text string, source string",
+    ).write.parquet(seed_store)
+    index = str(tmp_path / "lsh")
+    assert main(["lsh-index", "--in", seed_store, "--index", index]) == 0
+
+    batch_store = str(tmp_path / "docs_batch")
+    spark.createDataFrame(
+        [(11, base + " llama", "s")], "doc_id long, text string, source string"
+    ).write.parquet(batch_store)
+    pairs_out = str(tmp_path / "pairs")
+    assert main([
+        "near-dup-probe", "--in", batch_store, "--index", index,
+        "--out", pairs_out, "--append-after",
+    ]) == 0
+    pairs = {(r["doc_a"], r["doc_b"]) for r in spark.read.parquet(pairs_out).collect()}
+    assert (1, 11) in pairs
+    # --append-after: doc 11's signatures are now in the index
+    sig_ids = {r["doc_id"] for r in spark.read.parquet(index + "/sig").collect()}
+    assert 11 in sig_ids
+
+    emb_store = str(tmp_path / "emb")
+    spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(emb_store)
+    sd_out = str(tmp_path / "sd")
+    assert main([
+        "semantic-dedup", "--in", emb_store, "--out", sd_out,
+        "--cells", "2", "--threshold", "0.9",
+    ]) == 0
+    keep = {r["vec_id"]: r["keep"] for r in spark.read.parquet(sd_out).collect()}
+    assert keep == {0: True, 1: False, 2: True}
+
+    docs_dir = tmp_path / "corpus"
+    docs_dir.mkdir()
+    spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).write.parquet(str(docs_dir / "documents.parquet"))
+    assert main(["curate", "--in", str(docs_dir)]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert lines and all("source" in _json.loads(l) for l in lines)

@@ -82,8 +82,11 @@ def guess_value_term(value: str | None) -> str:
         if -180 <= d <= 180:
             return "decimalLongitude"
     if d is None and latlon_parser.parse(v) is not None:
+        # parse_with_direction returns ('lat'|'lon') from the N/S/E/W
+        # suffix (VerbatimLatitudeExtractor/VerbatimLongitudeExtractor,
+        # AdHocParser.scala:429-441)
         parsed, direction = latlon_parser.parse_with_direction(v)
-        if direction in ("E", "W"):
+        if direction == "lon":
             return "verbatimLongitude"
         return "verbatimLatitude"
     if v.lower() in _COUNTRIES:

@@ -245,3 +245,42 @@ def test_license_stage_semantics():
     assert processed["license"] == "CC-BY-NC 3.0 (Au)"  # supplied wins
     assert process_license({"license": "bespoke terms"}, processed) == []
     assert processed["license"] == "Custom"
+
+
+def test_adhoc_reference_cases_verbatim_dms_pair():
+    """AdhocParsingTest.scala:10-27: a verbatim DMS pair is recognized as
+    verbatimLatitude/verbatimLongitude, and any 2-value row yields 2
+    headers."""
+    from biocache_store_spark.parsers.adhoc import guess_column_headers
+
+    assert len(guess_column_headers(["dsads", "sdas"])) == 2
+    headers = guess_column_headers(["-37º 3' 48'' S", "149º 54' 14'' E"])
+    assert len(headers) == 2
+    assert headers == ["verbatimLatitude", "verbatimLongitude"]
+
+
+def test_occurrence_status_reference_cases():
+    """OccurrenceStatusTest.scala:14-82: canonicals for present/absent/
+    absence; blank assumes present with ASSUMED_PRESENT; unrecognised
+    sets unknown with UNRECOGNISED."""
+    from biocache_store_spark.processors.assertions import AssertionCodes as C
+    from biocache_store_spark.processors.vocab_stages import (
+        process_occurrence_status,
+    )
+
+    for raw_value, canonical in [
+        ("Present", "present"), ("Absent", "absent"), ("Absence", "absent"),
+    ]:
+        processed: dict = {}
+        qas = process_occurrence_status({"occurrenceStatus": raw_value}, processed)
+        assert qas == [] and processed["occurrenceStatus"] == canonical
+
+    processed = {}
+    qas = process_occurrence_status({}, processed)
+    assert processed["occurrenceStatus"] == "present"
+    assert [q.code for q in qas] == [C.ASSUMED_PRESENT_OCCURRENCE_STATUS.code]
+
+    processed = {}
+    qas = process_occurrence_status({"occurrenceStatus": "12321321321"}, processed)
+    assert processed["occurrenceStatus"] == "unknown"
+    assert [q.code for q in qas] == [C.UNRECOGNISED_OCCURRENCE_STATUS.code]

@@ -200,6 +200,22 @@ def add_content_hash(media_df: DataFrame) -> DataFrame:
     return media_df.withColumn("content_hash", F.md5(F.col("content")))
 
 
+def add_content_sha1(media_df: DataFrame) -> DataFrame:
+    """SHA-1 content key — the hash the REMOTE media store is searched by
+    (`contentsha1hash`, MediaStore.scala:241-245, via
+    util/FileHelper.scala sha1Hash). Kept alongside the MD5 dedup key so
+    an export can address images already held by a remote store."""
+    return media_df.withColumn("content_sha1", F.sha1(F.col("content")))
+
+
+def sha1_hex(data: bytes) -> str:
+    """Driver-side twin of add_content_sha1 for single payloads
+    (FileHelper.scala file2helper().sha1Hash())."""
+    import hashlib
+
+    return hashlib.sha1(data).hexdigest()
+
+
 def dedup_media(media_df: DataFrame) -> DataFrame:
     """Keep one row per distinct content hash (min media_id wins —
     deterministic first-wins, as in the dedup representative rule)."""

@@ -729,3 +729,17 @@ def test_pq_topk_scores_by_table_lookup(spark):
     assert [(r["vec_id"], r["approx_dist"], r["rank"]) for r in out] == [
         (1, 0.0, 1), (2, 4.0, 2),
     ]
+
+
+def test_content_sha1_reference_vector(spark):
+    """FileHelperTest.scala:12-21: SHA-1 of 'This is a test\\n' — the hash
+    the remote media store is searched by (contentsha1hash)."""
+    from biocache_store_spark.operators.multimodal import (
+        add_content_sha1,
+        sha1_hex,
+    )
+
+    expected = "3c1bb0cd5d67dddc02fae50bf56d3a3a4cbc7204"
+    assert sha1_hex(b"This is a test\n") == expected
+    df = spark.createDataFrame([(b"This is a test\n",)], "content binary")
+    assert add_content_sha1(df).collect()[0]["content_sha1"] == expected

@@ -104,3 +104,61 @@ def test_ngram_jaccard_is_posting_list_with_count_first_cap(spark, sf_dir):
     assert plan.count("Join") == plan.count("LeftSemi")
     # the count agg runs BEFORE any collect_list in the plan tree
     assert "collect_list" in plan
+
+
+def test_semantic_dedup_assignment_is_map_only(spark, sf_dir):
+    """semantic_dedup (r5) must keep the matrix-form assignment: no
+    broadcast join materializing N x k scored rows (the measured
+    quadratic in the k~N regime) — assignment is a single mapInPandas
+    pass; the only joins are the cell-blocked pairing and the keep-flag
+    join-back."""
+    from biocache_store_spark.io import read_table
+    from biocache_store_spark.operators.similarity import semantic_dedup
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    plan = _plan(semantic_dedup(emb, cents, threshold=0.5))
+    assert "MapInPandas" in plan          # bulk assignment
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan           # no argmax window either
+
+
+def test_boilerplate_removal_is_anti_join_on_hash(spark, sf_dir):
+    """remove_boilerplate (r5): the flagged-span filter must plan as an
+    anti join on the md5 key with partial aggregation below the
+    document-frequency exchange — never a window over span groups."""
+    from biocache_store_spark.io import read_table
+    from biocache_store_spark.operators.curation import (
+        chunk_documents,
+        remove_boilerplate,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    plan = _plan(remove_boilerplate(chunk_documents(docs, 20, 20)))
+    assert "LeftAnti" in plan
+    assert "Window" not in plan
+    assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_pq_scoring_stays_jvm_side_with_take_ordered(spark, sf_dir):
+    """pq_topk (r5): ADC scoring must be pure JVM expression work over
+    the codes (no Python in the scoring stage — encode's MapInPandas is
+    the only Python) and the top-k must be TakeOrderedAndProject."""
+    from biocache_store_spark.io import read_table
+    from biocache_store_spark.operators.similarity import pq_encode, pq_topk
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    book_df = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("j"), "embedding"
+    )
+    book = [r["embedding"] for r in sorted(book_df.collect(), key=lambda r: r["j"])]
+    qvec = [0.0] * 64
+    enc = pq_encode(emb.select("vec_id", "embedding"), book_df)
+    plan = _plan(pq_topk(enc, qvec, book, k=10))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("MapInPandas") == 1  # encode only; scoring is JVM
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

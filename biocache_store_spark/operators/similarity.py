@@ -557,3 +557,95 @@ def pq_topk(
         .withColumn("rank", F.row_number().over(w))
         .select(id_col, F.round("__approx", 6).alias("approx_dist"), "rank")
     )
+
+
+def kmeans_train(
+    vectors: DataFrame,
+    k: int = 16,
+    iters: int = 1,
+    scale: int = 10**6,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+):
+    """Fixed-point Lloyd's k-means — the offline training pass the IVF /
+    SemDeDup / PQ codebooks come from, runnable in-engine with EXACT
+    determinism. Two standard k-means obstacles to reproducibility are
+    removed by construction:
+
+      * init is the first `k` vectors by id (no RNG);
+      * the centroid update quantizes coordinates to integers
+        (round(x * scale)) and averages with INTEGER sums — addition is
+        commutative in Z, so the update is identical under any
+        partitioning, engine, or reduce order; the only floating-point
+        op is one exact division per dimension.
+
+    Assignment is argmin-L2 via the matrix-form encoder
+    (`pq_encode(n_subspaces=1)`), accumulating left-to-right — also
+    engine-exact. Cells that lose every member are DROPPED for the next
+    round (production systems reseed; dropping keeps the trace
+    deterministic). `iters` update rounds run, then one final
+    assignment.
+
+    Returns (cell_ids, centroids, assigned): seed ids per surviving
+    cell, their trained centroid lists, and the final assignment
+    DataFrame (input columns + cell_id). Per iteration: one map-only
+    encode pass + one integer-sum shuffle on (cell, dim); the k x dim
+    stats are the only driver materialization.
+    """
+    seed_rows = sorted(
+        vectors.select(id_col, embedding_col).orderBy(id_col).limit(k).collect(),
+        key=lambda r: r[id_col],
+    )
+    if not seed_rows:
+        raise ValueError("kmeans_train: empty input")
+    cells = [r[id_col] for r in seed_rows]
+    book = [[float(x) for x in r[embedding_col]] for r in seed_rows]
+    dim = len(book[0])
+    spark = vectors.sparkSession
+
+    def encode(current_book):
+        book_df = spark.createDataFrame(
+            [(j, current_book[j]) for j in range(len(current_book))],
+            f"j long, {embedding_col} array<double>",
+        )
+        return pq_encode(
+            vectors.select(id_col, embedding_col), book_df, n_subspaces=1,
+            id_col=id_col, embedding_col=embedding_col,
+        ).select(id_col, embedding_col, F.col("codes")[0].alias("__pos"))
+
+    for _ in range(iters):
+        assigned = encode(book)
+        ex = assigned.select(
+            "__pos", F.posexplode(embedding_col).alias("i", "x")
+        )
+        q = ex.select(
+            "__pos",
+            "i",
+            F.round(F.col("x").cast("double") * scale, 0)
+            .cast("long")
+            .alias("qx"),
+        )
+        stats = (
+            q.groupBy("__pos", "i")
+            .agg(F.sum("qx").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_pos: dict = {}
+        for r in stats:
+            by_pos.setdefault(r["__pos"], {})[r["i"]] = (r["s"], r["n"])
+        new_cells, new_book = [], []
+        for pos in sorted(by_pos):
+            dims = by_pos[pos]
+            new_cells.append(cells[pos])
+            new_book.append(
+                [dims[i][0] / (scale * dims[i][1]) for i in range(dim)]
+            )
+        cells, book = new_cells, new_book
+
+    pos_to_cell = F.array(*[F.lit(c) for c in cells])
+    assigned = encode(book).select(
+        id_col,
+        embedding_col,
+        F.element_at(pos_to_cell, F.col("__pos") + 1).alias("cell_id"),
+    )
+    return cells, book, assigned

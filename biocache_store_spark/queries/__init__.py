@@ -78,6 +78,7 @@ HEAD: tuple[str, ...] = (
     "bigram_lm_score",
     "dedup_representative",
     "embedding_pq_topk",
+    "kmeans_cells",
     # refresh tier: last driver-green in r02/r03; re-green to guard
     # against regressions now that every registry entry has evidence
     "dedup_occurrence_clusters",

@@ -545,3 +545,81 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in sorted(codebook.collect(), key=lambda r: r["j"])
     ]
     return pq_topk(encoded, qvec, book, k=_IVF_K, n_subspaces=_PQ_SUBSPACES)
+
+
+_KM_K = 8
+_KM_SCALE = 1000000
+
+
+def _l2_dist_sql(e: str, c: str, dim: int = 64) -> str:
+    """Full-dimension squared-L2 between two DuckDB lists as an explicit
+    left-associative term chain — the accumulation order pq_encode (and
+    therefore kmeans_train's assignment) uses."""
+    terms = []
+    for i in range(1, dim + 1):
+        d = f"({e}[{i}]::DOUBLE - {c}[{i}]::DOUBLE)"
+        terms.append(f"{d} * {d}")
+    return " + ".join(terms)
+
+
+@register(
+    "kmeans_cells",
+    doc=(
+        "Fixed-point Lloyd's k-means (operators/similarity.py "
+        "kmeans_train): one update round + final assignment, k=8, seeds "
+        "= first k vectors. The centroid update quantizes coordinates to "
+        "integers and averages with INTEGER sums, so the whole training "
+        "trace is exact under any partitioning or engine — this is the "
+        "in-engine offline pass that produces the IVF/SemDeDup/PQ "
+        "codebooks the other vector queries consume. Per iteration: one "
+        "map-only encode pass + one integer-sum shuffle on (cell, dim); "
+        "only the k x dim stats ever reach the driver."
+    ),
+    oracle=f"""
+        WITH seeds AS (
+            SELECT vec_id AS pos, embedding FROM embeddings WHERE vec_id < {_KM_K}
+        ),
+        a1 AS (
+            SELECT vec_id, embedding, pos FROM (
+                SELECT e.vec_id, e.embedding, s.pos,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_l2_dist_sql('e.embedding', 's.embedding')} ASC,
+                                    s.pos ASC) AS rn
+                FROM embeddings e CROSS JOIN seeds s
+            ) WHERE rn = 1
+        ),
+        qx AS (
+            SELECT pos, i,
+                   CAST(ROUND(embedding[i]::DOUBLE * {_KM_SCALE}.0) AS BIGINT) AS qx
+            FROM a1, (SELECT unnest(generate_series(1, 64)) AS i) dims
+        ),
+        upd AS (SELECT pos, i, SUM(qx) AS s, COUNT(*) AS n FROM qx GROUP BY pos, i),
+        cent AS (
+            SELECT pos, list(s::DOUBLE / ({_KM_SCALE}.0 * n) ORDER BY i) AS cent
+            FROM upd GROUP BY pos
+        ),
+        a2 AS (
+            SELECT vec_id, pos FROM (
+                SELECT e.vec_id, c.pos,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_l2_dist_sql('e.embedding', 'c.cent')} ASC,
+                                    c.pos ASC) AS rn
+                FROM embeddings e CROSS JOIN cent c
+            ) WHERE rn = 1
+        ),
+        sizes AS (SELECT pos, COUNT(*) AS n_members FROM a2 GROUP BY pos)
+        SELECT a2.vec_id, a2.pos AS cell_id, sizes.n_members
+        FROM a2 JOIN sizes USING (pos)
+    """,
+)
+def kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.similarity import kmeans_train
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    _cells, _book, assigned = kmeans_train(emb, k=_KM_K, iters=1, scale=_KM_SCALE)
+    sizes = assigned.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return assigned.select("vec_id", "cell_id").join(sizes, "cell_id").select(
+        "vec_id", "cell_id", "n_members"
+    )

@@ -743,3 +743,46 @@ def test_content_sha1_reference_vector(spark):
     assert sha1_hex(b"This is a test\n") == expected
     df = spark.createDataFrame([(b"This is a test\n",)], "content binary")
     assert add_content_sha1(df).collect()[0]["content_sha1"] == expected
+
+
+def test_kmeans_train_deterministic_across_partitionings(spark):
+    from biocache_store_spark.operators.similarity import kmeans_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    c1, b1, a1 = kmeans_train(emb, k=4, iters=2)
+    c2, b2, a2 = kmeans_train(emb.repartition(13), k=4, iters=2)
+    assert c1 == c2 and b1 == b2  # integer sums: partitioning-independent
+    assert (
+        a1.select("vec_id", "cell_id").exceptAll(
+            a2.select("vec_id", "cell_id")
+        ).count() == 0
+    )
+
+
+def test_kmeans_train_drops_empty_cells(spark):
+    from biocache_store_spark.operators.similarity import kmeans_train
+
+    # seed 1 ([9,9]) attracts nothing after the update: all mass at origin
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [9.0, 9.0]), (2, [0.1, 0.0]), (3, [0.0, 0.1]),
+         (4, [0.05, 0.05])],
+        "vec_id long, embedding array<float>",
+    )
+    cells, book, assigned = kmeans_train(emb, k=2, iters=1)
+    # iteration 1: vec 1 is its own cell; it keeps itself (self-assigned),
+    # so both cells survive — but centroid 0 moved to the small cluster mean
+    assert cells == [0, 1]
+    got = {r["vec_id"]: r["cell_id"] for r in assigned.collect()}
+    assert got[1] == 1 and got[0] == 0 and got[2] == 0
+
+
+def test_kmeans_centroid_is_exact_integer_mean(spark):
+    from biocache_store_spark.operators.similarity import kmeans_train
+
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.5, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    cells, book, _ = kmeans_train(emb, k=1, iters=1)
+    assert cells == [0]
+    assert book[0] == [0.5, 0.0]  # (0 + 1000000 + 500000) / (3 * 1e6)

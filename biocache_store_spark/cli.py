@@ -377,6 +377,28 @@ def cmd_semantic_dedup(args) -> int:
     return 0
 
 
+def cmd_kmeans_train(args) -> int:
+    """Train a fixed-point k-means codebook from an embeddings store and
+    write it as a centroid store (cell_id, centroid) — the input
+    `semantic-dedup --centroids` and the IVF/PQ indexes consume."""
+    spark = _spark(args)
+    from biocache_store_spark.operators.similarity import kmeans_train
+
+    emb = _read(spark, args.inp)
+    cells, book, _assigned = kmeans_train(
+        emb,
+        k=args.k,
+        iters=args.iters,
+        id_col=args.id_col,
+        embedding_col=args.embedding_col,
+    )
+    spark.createDataFrame(
+        list(zip(cells, book)), "cell_id long, centroid array<double>"
+    ).write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"cells": len(cells), "dim": len(book[0])}))
+    return 0
+
+
 def cmd_curate(args) -> int:
     """Corpus curation pipeline (quality -> language -> near-dup removal);
     writes the per-source manifest and prints it. --in is a directory
@@ -557,6 +579,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument(
         "--embedding-col", dest="embedding_col", default="embedding"
     )
+
+    sp = tool("kmeans-train", cmd_kmeans_train, "embeddings -> centroid store")
+    sp.add_argument("--in", dest="inp", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--k", type=int, default=16)
+    sp.add_argument("--iters", type=int, default=2)
+    sp.add_argument("--id-col", dest="id_col", default="vec_id")
+    sp.add_argument("--embedding-col", dest="embedding_col", default="embedding")
 
     sp = tool("curate", cmd_curate, "corpus curation pipeline -> manifest")
     sp.add_argument("--in", dest="inp", required=True)

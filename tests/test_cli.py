@@ -200,3 +200,26 @@ def test_cli_curation_tools(spark, tmp_path, capsys):
     assert main(["curate", "--in", str(docs_dir)]) == 0
     lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
     assert lines and all("source" in _json.loads(l) for l in lines)
+
+
+def test_cli_kmeans_train_feeds_semantic_dedup(spark, tmp_path, capsys):
+    from biocache_store_spark.cli import main
+
+    emb_store = str(tmp_path / "emb")
+    spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).write.parquet(emb_store)
+    cent_out = str(tmp_path / "cents")
+    assert main([
+        "kmeans-train", "--in", emb_store, "--out", cent_out, "--k", "4",
+    ]) == 0
+    cents = spark.read.parquet(cent_out)
+    assert cents.columns == ["cell_id", "centroid"] and cents.count() == 4
+
+    sd_out = str(tmp_path / "sd")
+    assert main([
+        "semantic-dedup", "--in", emb_store, "--out", sd_out,
+        "--centroids", cent_out, "--threshold", "0.99",
+    ]) == 0
+    out = spark.read.parquet(sd_out)
+    assert out.count() == spark.read.parquet(emb_store).count()

@@ -786,3 +786,60 @@ def test_kmeans_centroid_is_exact_integer_mean(spark):
     cells, book, _ = kmeans_train(emb, k=1, iters=1)
     assert cells == [0]
     assert book[0] == [0.5, 0.0]  # (0 + 1000000 + 500000) / (3 * 1e6)
+
+
+def test_kmeans_centroids_drive_ivf_with_bounded_cells(spark):
+    """The trained codebook composes with ivf_topk: recall@10 stays
+    useful at nprobe=2 and trained cells are MORE balanced than the
+    first-k seed cells (max/mean imbalance shrinks) — the property that
+    bounds per-probe scan cost at corpus scale. Deterministic end-to-end
+    (fixed seeds, integer-sum updates), so exact thresholds are safe."""
+    import statistics
+
+    from pyspark.sql.window import Window
+
+    from biocache_store_spark.functions.vectors import cosine_similarity_arrow
+    from biocache_store_spark.operators.similarity import (
+        ivf_assign_bulk,
+        ivf_topk,
+        kmeans_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cells, book, assigned = kmeans_train(emb, k=16, iters=2)
+    cents = spark.createDataFrame(
+        list(zip(cells, book)), "cell_id long, centroid array<double>"
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(emb, queries, cents, k=10, nprobe=2).collect()
+    }
+    q = queries.select("query_id", F.col("embedding").alias("q_emb"))
+    cand = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cs", cosine_similarity_arrow(F.col("embedding"), F.col("q_emb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cs").desc(), F.col("vec_id").asc()
+    )
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10).collect()
+    }
+    assert len(approx & truth) / len(truth) >= 0.5
+
+    trained_sizes = [r["count"] for r in assigned.groupBy("cell_id").count().collect()]
+    seed_cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    seed_sizes = [
+        r["count"]
+        for r in ivf_assign_bulk(emb, seed_cents).groupBy("cell_id").count().collect()
+    ]
+    imbalance = lambda s: max(s) / statistics.mean(s)  # noqa: E731
+    assert imbalance(trained_sizes) < imbalance(seed_sizes)

@@ -79,6 +79,7 @@ HEAD: tuple[str, ...] = (
     "dedup_representative",
     "embedding_pq_topk",
     "kmeans_cells",
+    "facet_rollup",
     # refresh tier: last driver-green in r02/r03; re-green to guard
     # against regressions now that every registry entry has evidence
     "dedup_occurrence_clusters",

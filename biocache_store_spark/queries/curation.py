@@ -779,3 +779,51 @@ def dup_inflation_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)) * F.lit(1.0) / F.countDistinct(F.md5("text")), 4
         ).alias("inflation"),
     )
+
+
+@register(
+    "facet_rollup",
+    doc=(
+        "Hierarchical facet counts via native ROLLUP(source, lang): one "
+        "pass produces per-(source, lang) counts, per-source subtotals "
+        "and the grand total — the multi-level dashboard aggregate that "
+        "would otherwise take three scans. Catalyst plans Expand + ONE "
+        "partial-agg shuffle; GROUPING() flags disambiguate real NULLs "
+        "from subtotal rows. At 100 TB this is the cheapest way to keep "
+        "corpus-composition dashboards consistent (all levels from the "
+        "same scan) — token totals per source/lang pair included."
+    ),
+    oracle=rf"""
+        SELECT COALESCE(source, '<all>') AS source,
+               COALESCE(lang, '<all>') AS lang,
+               CAST(GROUPING(source) AS INTEGER) AS is_source_total,
+               CAST(GROUPING(lang) AS INTEGER) AS is_lang_total,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+        FROM documents
+        GROUP BY ROLLUP(source, lang)
+    """,
+)
+def facet_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.functions.text import token_count
+
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "__tok", token_count(F.col("text"))
+    )
+    return (
+        docs.rollup("source", "lang")
+        .agg(
+            F.grouping("source").alias("is_source_total"),
+            F.grouping("lang").alias("is_lang_total"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__tok").alias("n_tokens"),
+        )
+        .select(
+            F.coalesce(F.col("source"), F.lit("<all>")).alias("source"),
+            F.coalesce(F.col("lang"), F.lit("<all>")).alias("lang"),
+            "is_source_total",
+            "is_lang_total",
+            "n_docs",
+            "n_tokens",
+        )
+    )

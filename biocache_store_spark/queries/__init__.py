@@ -80,6 +80,7 @@ HEAD: tuple[str, ...] = (
     "embedding_pq_topk",
     "kmeans_cells",
     "facet_rollup",
+    "model_quality_gate",
     # refresh tier: last driver-green in r02/r03; re-green to guard
     # against regressions now that every registry entry has evidence
     "dedup_occurrence_clusters",

@@ -827,3 +827,35 @@ def facet_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
         )
     )
+
+
+@register(
+    "model_quality_gate",
+    doc=(
+        "Model-scored curation gate (operators/inference.py "
+        "batch_score/score_and_filter): every document is scored by a "
+        "classifier loaded ONCE per partition-task and applied to whole "
+        "Arrow batches — the distributed-inference plumbing every "
+        "model-in-the-loop stage (fastText quality/langid, perplexity, "
+        "reward models) shares; docs under the threshold are dropped. "
+        "The sandbox scorer is the deterministic md5 fake, so the gate "
+        "replays exactly in SQL; in production only the loader changes. "
+        "Plan note: a model score cannot push into the scan, so this "
+        "gate runs LAST, after cheap filters have pruned."
+    ),
+    oracle="""
+        SELECT doc_id, source,
+               CAST(('0x' || substr(md5(text), 1, 8))::UBIGINT AS DOUBLE)
+                   / 4294967296.0 AS model_score
+        FROM documents
+        WHERE CAST(('0x' || substr(md5(text), 1, 8))::UBIGINT AS DOUBLE)
+                   / 4294967296.0 >= 0.5
+    """,
+)
+def model_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.inference import score_and_filter
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return score_and_filter(docs, threshold=0.5).select(
+        "doc_id", "source", "model_score"
+    )

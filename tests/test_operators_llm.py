@@ -843,3 +843,48 @@ def test_kmeans_centroids_drive_ivf_with_bounded_cells(spark):
     ]
     imbalance = lambda s: max(s) / statistics.mean(s)  # noqa: E731
     assert imbalance(trained_sizes) < imbalance(seed_sizes)
+
+
+def test_batch_score_plumbing(spark):
+    from biocache_store_spark.operators.inference import (
+        batch_score,
+        fake_quality_model,
+        score_and_filter,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "good text"), (1, None), (2, "good text"), (3, "other")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["model_score"] for r in batch_score(docs).collect()}
+    assert out[1] == 0.0                  # null -> 0
+    assert out[0] == out[2]               # deterministic per content
+    assert all(0.0 <= v < 1.0 for v in out.values())
+    # identical across partitionings
+    out2 = {r["doc_id"]: r["model_score"]
+            for r in batch_score(docs.repartition(3)).collect()}
+    assert out2 == out
+
+    kept = {r["doc_id"] for r in score_and_filter(docs, threshold=out[3]).collect()}
+    assert 3 in kept and 1 not in kept
+
+
+def test_batch_score_loads_model_once_per_partition(spark):
+    """The loader must run once per partition-task, not per batch/row —
+    counted via a Spark accumulator from executor-side."""
+    from biocache_store_spark.operators.inference import batch_score
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting_loader():
+        acc.add(1)
+        import pandas as pd
+
+        return lambda s: pd.Series([0.5] * len(s), index=s.index)
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(100)], "doc_id long, text string"
+    ).repartition(4)
+    n = batch_score(docs, model_loader=counting_loader).count()
+    assert n == 100
+    assert acc.value == 4  # once per partition-task

@@ -36,6 +36,7 @@ BNLJ_OK = {
     "interval_containment_groups": "broadcasts a fixed 5-row interval dim (range join)",
     "embedding_ivf_topk": "broadcasts the fixed centroid set (16 rows) for the argmax assignment",
     "semantic_dedup": "broadcasts the fixed centroid set (16 rows) for the argmax assignment",
+    "bigram_lm_score": "broadcasts the 1-row vocabulary-size scalar (V) of the reference LM",
 }
 
 

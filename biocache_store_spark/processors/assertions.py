@@ -147,6 +147,16 @@ class AssertionCodes:
     VERIFIED = ErrorCode("userVerified", 50000, True)
     PROCESSING_ERROR = ErrorCode("processingError", 60000, True)
 
+    # media comment codes (AssertionCodes.scala:128-129) — user-facing
+    # media-representativeness flags, category Comment in the reference
+    MEDIA_REPRESENTATIVE = ErrorCode("mediaRepresentative", 70000)
+    MEDIA_UNREPRESENTATIVE = ErrorCode("mediaUnrepresentative", 70001)
+
+    # alias preserving the reference's attribute name (its own typo,
+    # AssertionCodes.scala:46 MISSING_GEOREFERNCEDBY) so lookups written
+    # against the reference keep working; same ErrorCode object
+    MISSING_GEOREFERNCEDBY = MISSING_GEOREFERENCEDBY
+
     GEOSPATIAL_BOUNDS = (0, 10000)
     TAXONOMIC_BOUNDS = (10000, 20000)
     MISCELLANEOUS_BOUNDS = (20000, 30000)

@@ -212,3 +212,22 @@ def test_components_hypothesis_random_graphs(spark):
         assert got == expected
 
     run()
+
+
+def test_assertion_registry_full_reference_parity():
+    """Every live ErrorCode in the reference registry
+    (vocab/AssertionCodes.scala; the QA_* trio there is commented out)
+    has a counterpart here, including the media comment codes and the
+    reference's own misspelt MISSING_GEOREFERNCEDBY attribute name kept
+    as an alias of the corrected one."""
+    from biocache_store_spark.processors.assertions import AssertionCodes as C
+
+    assert C.MEDIA_REPRESENTATIVE.code == 70000
+    assert C.MEDIA_UNREPRESENTATIVE.code == 70001
+    assert C.MISSING_GEOREFERNCEDBY is C.MISSING_GEOREFERENCEDBY
+    codes = {
+        v.code
+        for k, v in vars(C).items()
+        if k.isupper() and hasattr(v, "code")
+    }
+    assert len(codes) >= 95  # full live-registry coverage

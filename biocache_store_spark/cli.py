@@ -414,6 +414,24 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Rewrite a parquet store with bounded file sizes — the maintenance
+    answer to streaming-append small files (every availableNow microbatch
+    appends its own files; after enough ticks the store is thousands of
+    tiny parquet files and scan task-setup dominates). Preserves the
+    partition columns when given; output is a fresh snapshot."""
+    spark = _spark(args)
+    df = _read(spark, args.inp)
+    writer = df.repartition(args.target_files).write.mode("overwrite").option(
+        "maxRecordsPerFile", args.max_records
+    )
+    parts = _split(args.partition_by)
+    if parts:
+        writer = writer.partitionBy(*parts)
+    writer.parquet(args.out)
+    return 0
+
+
 def cmd_describe(args) -> int:
     """DescribeResource / ListResources: schema + per-resource counts."""
     from pyspark.sql import functions as F
@@ -591,6 +609,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp = tool("curate", cmd_curate, "corpus curation pipeline -> manifest")
     sp.add_argument("--in", dest="inp", required=True)
     sp.add_argument("--out")
+
+    sp = tool("compact", cmd_compact, "rewrite a store with bounded file sizes")
+    sp.add_argument("--in", dest="inp", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--target-files", dest="target_files", type=int, default=32)
+    sp.add_argument("--max-records", dest="max_records", type=int, default=1_000_000)
+    sp.add_argument("--partition-by", dest="partition_by")
 
     sp = tool("describe", cmd_describe, "schema + per-resource counts")
     sp.add_argument("--in", dest="inp", required=True)

@@ -223,3 +223,19 @@ def test_cli_kmeans_train_feeds_semantic_dedup(spark, tmp_path, capsys):
     ]) == 0
     out = spark.read.parquet(sd_out)
     assert out.count() == spark.read.parquet(emb_store).count()
+
+
+def test_cli_compact_bounds_file_count(spark, tmp_path):
+    import glob
+
+    from biocache_store_spark.cli import main
+
+    frag = str(tmp_path / "fragmented")
+    # simulate streaming-append fragmentation: 40 tiny files
+    spark.range(200).repartition(40).write.parquet(frag)
+    assert len(glob.glob(frag + "/part-*")) == 40
+
+    out = str(tmp_path / "compacted")
+    assert main(["compact", "--in", frag, "--out", out, "--target-files", "2"]) == 0
+    assert len(glob.glob(out + "/part-*")) <= 2
+    assert spark.read.parquet(out).count() == 200

@@ -392,9 +392,20 @@ def cmd_kmeans_train(args) -> int:
         id_col=args.id_col,
         embedding_col=args.embedding_col,
     )
-    spark.createDataFrame(
-        list(zip(cells, book)), "cell_id long, centroid array<double>"
-    ).write.mode("overwrite").parquet(args.out)
+    from pyspark.sql import types as T
+
+    # cell ids are seed ids: carry the input id column's type through
+    # rather than assuming long (ids can be strings)
+    id_type = emb.schema[args.id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField("cell_id", id_type),
+            T.StructField("centroid", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    spark.createDataFrame(list(zip(cells, book)), schema).write.mode(
+        "overwrite"
+    ).parquet(args.out)
     print(json.dumps({"cells": len(cells), "dim": len(book[0])}))
     return 0
 
@@ -422,10 +433,20 @@ def cmd_compact(args) -> int:
     partition columns when given; output is a fresh snapshot."""
     spark = _spark(args)
     df = _read(spark, args.inp)
-    writer = df.repartition(args.target_files).write.mode("overwrite").option(
+    parts = _split(args.partition_by)
+    # with partition columns, repartition BY them: round-robin would give
+    # every task rows of ~every partition value, and partitionBy would
+    # then write target_files x n_values small files — re-fragmenting the
+    # store this tool exists to fix
+    if parts:
+        from pyspark.sql import functions as F
+
+        df = df.repartition(args.target_files, *[F.col(c) for c in parts])
+    else:
+        df = df.repartition(args.target_files)
+    writer = df.write.mode("overwrite").option(
         "maxRecordsPerFile", args.max_records
     )
-    parts = _split(args.partition_by)
     if parts:
         writer = writer.partitionBy(*parts)
     writer.parquet(args.out)

@@ -390,9 +390,13 @@ def semantic_dedup(
     cell_id for the self-join, one left_anti back on the id. No driver
     collection anywhere.
     """
+    # persist: the assignment feeds four plan branches (sizes, both sides
+    # of the self-join, the keep-flag join-back) whose projections differ,
+    # so without it the numpy scoring pass re-runs per branch — the exact
+    # cost the bulk path exists to avoid
     assigned = ivf_assign_bulk(
         vectors.select(id_col, embedding_col), centroids, id_col, embedding_col
-    )
+    ).persist()
     sizes = assigned.groupBy("cell_id").agg(F.count(F.lit(1)).alias("__n"))
     # one row per centroid: broadcastable at any corpus size
     paired = assigned.join(
@@ -526,6 +530,12 @@ def pq_topk(
     q = [float(x) for x in query_vec]
     book = [[float(x) for x in row] for row in codebook_rows]
     dim = len(q)
+    if dim % n_subspaces:
+        raise ValueError(
+            f"pq_topk: query dim {dim} not divisible by {n_subspaces}"
+        )
+    if any(len(cw) != dim for cw in book):
+        raise ValueError("pq_topk: codebook dim differs from query dim")
     ds = dim // n_subspaces
     table = []
     for s in range(n_subspaces):
@@ -547,7 +557,12 @@ def pq_topk(
         approx = term if approx is None else (approx + term)
     from pyspark.sql.window import Window
 
-    scored = encoded.select(F.col(id_col), approx.alias("__approx"))
+    # null codes (pq_encode's null-embedding convention) are unscoreable;
+    # without the filter Spark's ASC NULLS FIRST would rank them 1..m and
+    # displace real neighbors
+    scored = encoded.filter(F.col("codes").isNotNull()).select(
+        F.col(id_col), approx.alias("__approx")
+    )
     # rank over the UNROUNDED score (rounding could merge distinct values
     # and reorder ties); the single-partition window runs over k rows only
     w = Window.orderBy(F.col("__approx").asc(), F.col(id_col).asc())

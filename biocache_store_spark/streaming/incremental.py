@@ -299,9 +299,18 @@ def near_dup_stream(
         )
     raw = spark.readStream.schema(schema).json(staging_dir)
 
-    def handle(batch: DataFrame, _batch_id: int) -> None:
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        # foreachBatch is at-least-once: a crash mid-handler replays the
+        # whole microbatch. Pairs are made idempotent by overwriting a
+        # batch-scoped subdirectory (a replay rewrites the same dir).
+        # The index append is guarded by a marker committed AFTER the
+        # append: a crash between append and marker can double a batch's
+        # signatures once — probe_lsh_index dedups both relations on
+        # read, so results stay correct and only the bucket-cap counters
+        # see the (single, bounded) inflation.
         if not batch.take(1):
             return
+        marker = os.path.join(index_path, f"_batch_{batch_id}_appended")
         batch = batch.persist()
         try:
             pairs = probe_lsh_index(
@@ -311,8 +320,13 @@ def near_dup_stream(
                 threshold=threshold,
                 max_bucket_size=max_bucket_size,
             )
-            pairs.write.mode("append").parquet(pairs_dir)
-            write_lsh_index(batch, index_path, mode="append")
+            pairs.write.mode("overwrite").parquet(
+                os.path.join(pairs_dir, f"batch={batch_id}")
+            )
+            if not os.path.exists(marker):
+                write_lsh_index(batch, index_path, mode="append")
+                with open(marker, "w") as fh:
+                    fh.write("done")
         finally:
             batch.unpersist()
 

@@ -239,3 +239,25 @@ def test_cli_compact_bounds_file_count(spark, tmp_path):
     assert main(["compact", "--in", frag, "--out", out, "--target-files", "2"]) == 0
     assert len(glob.glob(out + "/part-*")) <= 2
     assert spark.read.parquet(out).count() == 200
+
+
+def test_cli_compact_partitioned_clusters_by_partition_cols(spark, tmp_path):
+    import glob
+
+    from biocache_store_spark.cli import main
+    from pyspark.sql import functions as F
+
+    frag = str(tmp_path / "frag")
+    spark.range(300).withColumn(
+        "dr", F.concat(F.lit("dr"), (F.col("id") % 10).cast("string"))
+    ).repartition(30).write.parquet(frag)
+    out = str(tmp_path / "out")
+    assert main([
+        "compact", "--in", frag, "--out", out,
+        "--target-files", "10", "--partition-by", "dr",
+    ]) == 0
+    # hash-clustered by dr: each partition-value dir holds ~1 file, never
+    # target_files x n_values
+    files = glob.glob(out + "/dr=*/part-*")
+    assert len(files) <= 20
+    assert spark.read.parquet(out).count() == 300

@@ -888,3 +888,28 @@ def test_batch_score_loads_model_once_per_partition(spark):
     n = batch_score(docs, model_loader=counting_loader).count()
     assert n == 100
     assert acc.value == 4  # once per partition-task
+
+
+def test_pq_topk_null_codes_never_rank(spark):
+    from biocache_store_spark.operators.similarity import pq_encode, pq_topk
+
+    book = [[0.0, 0.0], [2.0, 0.0]]
+    book_df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(book)], "j long, embedding array<float>"
+    )
+    vecs = spark.createDataFrame(
+        [(1, [0.1, 0.0]), (2, None)], "vec_id long, embedding array<float>"
+    )
+    out = pq_topk(pq_encode(vecs, book_df, n_subspaces=1), [0.0, 0.0], book, k=2,
+                  n_subspaces=1).collect()
+    assert [r["vec_id"] for r in out] == [1]  # null-coded row excluded
+
+
+def test_pq_topk_rejects_mismatched_dims(spark):
+    from biocache_store_spark.operators.similarity import pq_topk
+
+    enc = spark.createDataFrame([(1, [0])], "vec_id long, codes array<int>")
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_topk(enc, [0.0] * 60, [[0.0] * 60], n_subspaces=8)
+    with pytest.raises(ValueError, match="codebook dim"):
+        pq_topk(enc, [0.0] * 64, [[0.0] * 32], n_subspaces=8)

@@ -1030,3 +1030,35 @@ def test_near_dup_stream_requires_seeded_index(spark, tmp_path):
             spark, str(tmp_path / "staging"), str(tmp_path / "missing"),
             str(tmp_path / "pairs"), str(tmp_path / "ckpt"),
         )
+
+
+def test_near_dup_stream_replay_is_idempotent(spark, tmp_path):
+    """Re-invoking the foreachBatch handler with the same batch_id (the
+    at-least-once replay case) must not duplicate pairs, and the marker
+    must prevent a second signature append."""
+    import json
+
+    from biocache_store_spark.operators.minhash import write_lsh_index
+    from biocache_store_spark.streaming.incremental import near_dup_stream
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    seed = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    index = str(tmp_path / "lsh")
+    write_lsh_index(seed, index)
+
+    staging = tmp_path / "staging"
+    staging.mkdir()
+    (staging / "d1.jsonl").write_text(
+        json.dumps({"doc_id": 11, "text": base + " llama", "source": "s"})
+    )
+    pairs_dir = str(tmp_path / "pairs")
+
+    q = near_dup_stream(spark, str(staging), index, pairs_dir, str(tmp_path / "c1"))
+    q.awaitTermination(120)
+    first = spark.read.parquet(pairs_dir).count()
+    sig_first = spark.read.parquet(index + "/sig").count()
+    # simulate replay: fresh checkpoint, same staging content and batch id
+    q2 = near_dup_stream(spark, str(staging), index, pairs_dir, str(tmp_path / "c2"))
+    q2.awaitTermination(120)
+    assert spark.read.parquet(pairs_dir).count() == first  # overwritten, not appended
+    assert spark.read.parquet(index + "/sig").count() == sig_first  # marker held

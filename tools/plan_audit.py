@@ -35,7 +35,9 @@ BNLJ_OK = {
     "embedding_knn_topk": "broadcasts one query vector (1 row)",
     "interval_containment_groups": "broadcasts a fixed 5-row interval dim (range join)",
     "embedding_ivf_topk": "broadcasts the fixed centroid set (16 rows) for the argmax assignment",
-    "semantic_dedup": "broadcasts the fixed centroid set (16 rows) for the argmax assignment",
+    # NOTE: semantic_dedup is intentionally NOT allowlisted — it assigns
+    # via mapInPandas now; a BNLJ reappearing there is the measured 19x
+    # quadratic regressing and must flag loudly.
     "bigram_lm_score": "broadcasts the 1-row vocabulary-size scalar (V) of the reference LM",
 }
 

@@ -425,6 +425,35 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_build_corpus(args) -> int:
+    """The nightly training-corpus build (pipeline.py build_corpus):
+    quality gate -> language gate -> exact dedup -> near-dup cluster
+    representative keep -> optional mixture sampling; writes documents/
+    + manifest/ under --out and prints the per-stage manifest."""
+    spark = _spark(args)
+    from biocache_store_spark.pipeline import build_corpus
+
+    docs = _read(spark, args.inp)
+    weights = None
+    if args.mixture:
+        weights = {
+            kv.split("=")[0]: float(kv.split("=")[1])
+            for kv in _split(args.mixture)
+        }
+    manifest = build_corpus(
+        spark,
+        docs,
+        args.out,
+        quality_threshold=args.quality_threshold,
+        near_dup_threshold=args.near_dup_threshold,
+        mixture_weights=weights,
+        token_budget=args.token_budget,
+    )
+    for row in manifest.orderBy("stage", "source").collect():
+        print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
 def cmd_compact(args) -> int:
     """Rewrite a parquet store with bounded file sizes — the maintenance
     answer to streaming-append small files (every availableNow microbatch
@@ -630,6 +659,18 @@ def build_parser() -> argparse.ArgumentParser:
     sp = tool("curate", cmd_curate, "corpus curation pipeline -> manifest")
     sp.add_argument("--in", dest="inp", required=True)
     sp.add_argument("--out")
+
+    sp = tool("build-corpus", cmd_build_corpus, "quality->lang->dedup corpus build")
+    sp.add_argument("--in", dest="inp", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument(
+        "--quality-threshold", dest="quality_threshold", type=float, default=0.5
+    )
+    sp.add_argument(
+        "--near-dup-threshold", dest="near_dup_threshold", type=float, default=0.5
+    )
+    sp.add_argument("--mixture", help="source=weight,... (with --token-budget)")
+    sp.add_argument("--token-budget", dest="token_budget", type=int)
 
     sp = tool("compact", cmd_compact, "rewrite a store with bounded file sizes")
     sp.add_argument("--in", dest="inp", required=True)

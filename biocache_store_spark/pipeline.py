@@ -123,3 +123,129 @@ def ingest(
 ) -> DataFrame:
     """Full lifecycle: process + enrich + sample -> index table."""
     return build_index(run_pipeline(raw, dims, today))
+
+
+def build_corpus(
+    spark,
+    docs,
+    out_dir: str,
+    quality_threshold: float = 0.5,
+    near_dup_threshold: float = 0.5,
+    mixture_weights: dict[str, float] | None = None,
+    token_budget: int | None = None,
+):
+    """The end-to-end training-corpus build, composed from the tested
+    operators — what a data-engineering user actually runs nightly:
+
+      1. heuristic quality gate   (text_quality_score weighted score)
+      2. language gate            (declared lang == n-gram prediction)
+      3. exact dedup              (md5 groupBy, keep min doc_id)
+      4. near-dup clusters        (MinHash+LSH -> connected components)
+         with the highest-QUALITY member kept per cluster
+      5. optional mixture sampling (plan_mixture epochs/sample rates,
+         applied as deterministic hash sampling per source)
+
+    Writes `documents/` (kept docs + quality/score columns) and
+    `manifest/` (per-source counts and token totals at each gate) under
+    `out_dir`; returns the manifest DataFrame. Every stage is the
+    already-oracle-verified operator — this function only sequences
+    them, so the composition inherits their scale shapes (hash-keyed
+    shuffles, broadcast dims, capped candidate generation).
+    """
+    from pyspark.sql import functions as F
+
+    from biocache_store_spark.operators.components import connected_components
+    from biocache_store_spark.operators.curation import plan_mixture
+    from biocache_store_spark.operators.minhash import near_duplicates
+    from biocache_store_spark.queries.text import (
+        _langid_scored,
+        _predicted_lang,
+        _quality_frame,
+    )
+
+    docs = docs.select("doc_id", "text", "lang", "source")
+
+    def stage_counts(df, stage):
+        from biocache_store_spark.functions.text import token_count
+
+        return df.select(
+            "source", token_count(F.col("text")).alias("__tok")
+        ).groupBy("source").agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__tok").alias("n_tokens"),
+        )
+
+    manifests = [stage_counts(docs, "0_input")]
+
+    quality = _quality_frame(docs).select("doc_id", "quality_score")
+    docs = docs.join(quality, "doc_id").filter(
+        F.col("quality_score") >= quality_threshold
+    )
+    manifests.append(stage_counts(docs, "1_quality"))
+
+    lang_ok = _langid_scored(docs.select("doc_id", "text", "lang")).select(
+        "doc_id", _predicted_lang().alias("__pred")
+    )
+    docs = docs.join(lang_ok, "doc_id").filter(
+        F.col("lang") == F.col("__pred")
+    ).drop("__pred")
+    manifests.append(stage_counts(docs, "2_language"))
+
+    h = F.md5("text")
+    first = docs.groupBy(h.alias("__h")).agg(F.min("doc_id").alias("doc_id"))
+    docs = docs.join(first.select("doc_id"), "doc_id")
+    manifests.append(stage_counts(docs, "3_exact_dedup"))
+
+    pairs = near_duplicates(docs, threshold=near_dup_threshold)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    ranked = comp.join(docs.select("doc_id", "quality_score"),
+                       comp["node"] == F.col("doc_id"))
+    keep_rep = ranked.groupBy("component").agg(
+        F.max(
+            F.struct(
+                F.col("quality_score").alias("q"),
+                (-F.col("doc_id")).alias("neg"),
+                F.col("doc_id").alias("doc_id"),
+            )
+        ).alias("__best")
+    ).select(F.col("__best.doc_id").alias("doc_id"))
+    clustered = comp.select(F.col("node").alias("doc_id"))
+    losers = clustered.join(keep_rep, "doc_id", "left_anti")
+    docs = docs.join(losers, "doc_id", "left_anti")
+    manifests.append(stage_counts(docs, "4_near_dup"))
+
+    if mixture_weights is not None and token_budget is not None:
+        plan = plan_mixture(docs, mixture_weights, token_budget)
+        # apply each source's sample_rate as a deterministic md5 keep —
+        # same hash discipline as stratified_sample, rate from the plan
+        rates = plan.select(
+            "source",
+            F.lpad(
+                # lower(): conv emits uppercase hex, md5 is lowercase —
+                # mixed case would corrupt the string comparison
+                F.lower(
+                    F.conv(
+                        F.round(F.col("sample_rate") * 255, 0)
+                        .cast("long")
+                        .cast("string"),
+                        10,
+                        16,
+                    )
+                ),
+                2,
+                "0",
+            ).alias("__thr"),
+        )
+        docs = docs.join(F.broadcast(rates), "source").filter(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+            <= F.col("__thr")
+        ).drop("__thr")
+        manifests.append(stage_counts(docs, "5_mixture"))
+
+    manifest = manifests[0]
+    for m in manifests[1:]:
+        manifest = manifest.unionByName(m)
+    docs.write.mode("overwrite").parquet(out_dir + "/documents")
+    manifest.write.mode("overwrite").parquet(out_dir + "/manifest")
+    return manifest

@@ -261,3 +261,23 @@ def test_cli_compact_partitioned_clusters_by_partition_cols(spark, tmp_path):
     files = glob.glob(out + "/dr=*/part-*")
     assert len(files) <= 20
     assert spark.read.parquet(out).count() == 300
+
+
+def test_cli_build_corpus(spark, tmp_path, capsys):
+    import json as _json
+
+    from biocache_store_spark.cli import main
+
+    store = str(tmp_path / "docs")
+    spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).write.parquet(store)
+    out = str(tmp_path / "corpus")
+    assert main([
+        "build-corpus", "--in", store, "--out", out,
+        "--quality-threshold", "0.3",
+    ]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    stages = {_json.loads(l)["stage"] for l in lines}
+    assert "0_input" in stages and "4_near_dup" in stages
+    assert spark.read.parquet(out + "/documents").count() > 0

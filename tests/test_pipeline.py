@@ -118,3 +118,44 @@ def test_ingest_store_reprocess_lifecycle(spark, tmp_path):
     assert back["o3"]["bor"] == "HumanObservation"    # untouched resource
     # dynamic partition overwrite left dr2's files alone
     assert set(glob.glob(path + "/dataResourceUid=dr2/*.parquet")) == dr2_files_before
+
+
+def test_build_corpus_end_to_end(spark, tmp_path):
+    """The composed corpus build: every gate monotonically shrinks the
+    corpus, the output has no exact-duplicate texts, near-dup clusters
+    keep exactly one member, and the manifest records each stage."""
+    from pyspark.sql import functions as F
+
+    from biocache_store_spark.pipeline import build_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = str(tmp_path / "corpus")
+    manifest = build_corpus(
+        spark, docs, out,
+        quality_threshold=0.3,
+        mixture_weights={"src0": 0.5, "src1": 0.5},
+        token_budget=50_000,
+    )
+    stages = {r["stage"] for r in manifest.collect()}
+    assert stages == {"0_input", "1_quality", "2_language",
+                      "3_exact_dedup", "4_near_dup", "5_mixture"}
+    per_stage = {
+        s: sum(r["n_docs"] for r in manifest.collect() if r["stage"] == s)
+        for s in stages
+    }
+    order = ["0_input", "1_quality", "2_language", "3_exact_dedup",
+             "4_near_dup", "5_mixture"]
+    for a, b in zip(order, order[1:]):
+        assert per_stage[b] <= per_stage[a]
+
+    kept = spark.read.parquet(out + "/documents")
+    n = kept.count()
+    assert 0 < n < docs.count()
+    assert kept.select(F.md5("text")).distinct().count() == n  # no exact dups
+    # deterministic: rebuilding yields identical kept ids
+    out2 = str(tmp_path / "corpus2")
+    build_corpus(spark, docs, out2, quality_threshold=0.3,
+                 mixture_weights={"src0": 0.5, "src1": 0.5}, token_budget=50_000)
+    a = {r["doc_id"] for r in kept.collect()}
+    b = {r["doc_id"] for r in spark.read.parquet(out2 + "/documents").collect()}
+    assert a == b

@@ -425,6 +425,42 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_stream_ingest(args) -> int:
+    """Incremental ingest tick (streaming/incremental.py
+    process_staging_stream): process whatever arrived in the staging
+    directory since the checkpoint, then exit (Trigger.AvailableNow) —
+    the cron-able form of the reference's 'process what arrived since
+    last run' incremental loop."""
+    spark = _spark(args)
+    from biocache_store_spark.streaming.incremental import process_staging_stream
+
+    q = process_staging_stream(
+        spark, args.staging, args.out, args.checkpoint, available_now=True
+    )
+    q.awaitTermination()
+    return 0
+
+
+def cmd_stream_near_dup(args) -> int:
+    """Incremental near-dup tick (streaming/incremental.py
+    near_dup_stream): probe new JSONL drops against the persisted LSH
+    index, append pairs and signatures, exit when drained."""
+    spark = _spark(args)
+    from biocache_store_spark.streaming.incremental import near_dup_stream
+
+    q = near_dup_stream(
+        spark,
+        args.staging,
+        args.index,
+        args.pairs,
+        args.checkpoint,
+        threshold=args.threshold,
+        available_now=True,
+    )
+    q.awaitTermination()
+    return 0
+
+
 def cmd_build_corpus(args) -> int:
     """The nightly training-corpus build (pipeline.py build_corpus):
     quality gate -> language gate -> exact dedup -> near-dup cluster
@@ -659,6 +695,20 @@ def build_parser() -> argparse.ArgumentParser:
     sp = tool("curate", cmd_curate, "corpus curation pipeline -> manifest")
     sp.add_argument("--in", dest="inp", required=True)
     sp.add_argument("--out")
+
+    sp = tool("stream-ingest", cmd_stream_ingest, "availableNow staging tick")
+    sp.add_argument("--staging", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--checkpoint", required=True)
+
+    sp = tool(
+        "stream-near-dup", cmd_stream_near_dup, "availableNow near-dup tick"
+    )
+    sp.add_argument("--staging", required=True)
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--pairs", required=True)
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--threshold", type=float, default=0.5)
 
     sp = tool("build-corpus", cmd_build_corpus, "quality->lang->dedup corpus build")
     sp.add_argument("--in", dest="inp", required=True)

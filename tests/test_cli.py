@@ -281,3 +281,47 @@ def test_cli_build_corpus(spark, tmp_path, capsys):
     stages = {_json.loads(l)["stage"] for l in lines}
     assert "0_input" in stages and "4_near_dup" in stages
     assert spark.read.parquet(out + "/documents").count() > 0
+
+
+def test_cli_streaming_ticks(spark, tmp_path):
+    """stream-ingest and stream-near-dup both drain their staging dirs
+    and exit (availableNow) — the cron-able incremental loop as two
+    commands."""
+    import csv
+    import json as _json
+
+    from biocache_store_spark.cli import main
+    from biocache_store_spark.operators.minhash import write_lsh_index
+    from biocache_store_spark.streaming.incremental import STAGING_SCHEMA
+
+    staging = tmp_path / "staging"
+    staging.mkdir()
+    with open(staging / "drop1.csv", "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow([f.name for f in STAGING_SCHEMA.fields])
+        w.writerow(["o1", "dr1", "PreservedSpecimen", "1999-04-01", "1999",
+                    "4", "1", "-35.25", "149.75", "WGS84", "Australia",
+                    "New South Wales", "Macropus rufus", "Smith, J."])
+    out = str(tmp_path / "processed")
+    assert main([
+        "stream-ingest", "--staging", str(staging), "--out", out,
+        "--checkpoint", str(tmp_path / "ck1"),
+    ]) == 0
+    assert spark.read.parquet(out).count() == 1
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    seed = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    index = str(tmp_path / "lsh")
+    write_lsh_index(seed, index)
+    dstage = tmp_path / "docs_staging"
+    dstage.mkdir()
+    (dstage / "d.jsonl").write_text(
+        _json.dumps({"doc_id": 9, "text": base + " mu", "source": "s"})
+    )
+    pairs = str(tmp_path / "pairs")
+    assert main([
+        "stream-near-dup", "--staging", str(dstage), "--index", index,
+        "--pairs", pairs, "--checkpoint", str(tmp_path / "ck2"),
+    ]) == 0
+    got = {(r["doc_a"], r["doc_b"]) for r in spark.read.parquet(pairs).collect()}
+    assert (1, 9) in got

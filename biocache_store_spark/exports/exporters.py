@@ -289,3 +289,14 @@ def write_bucketed_store(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+def export_jsonl(df: DataFrame, path: str, fields: list[str] | None = None) -> None:
+    """JSONL corpus export — the write half of sources/jsonl.py
+    load_jsonl, so a curated documents store round-trips losslessly
+    through the interchange format every downstream training stack
+    reads. Distributed JSON-lines write (one object per line, text
+    compression left to the caller's Spark conf)."""
+    if fields:
+        df = df.select(*fields)
+    df.write.mode("overwrite").json(path)

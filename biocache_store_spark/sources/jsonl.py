@@ -59,12 +59,40 @@ def load_jsonl(
         # returns self, so extending DOCUMENT_SCHEMA directly would leak
         # the alias columns into every later consumer of the constant
         base_names = {f.name for f in DOCUMENT_SCHEMA.fields}
+        # a JSON number read into a StringType field parses to NULL
+        # (Spark 4 / ANSI), which would silently re-mint every numeric
+        # id — so sniff a few lines driver-side and type each id alias
+        # long when the corpus carries numeric ids. Corpora large enough
+        # to make even this 100-line peek matter pass an explicit schema.
+        numeric_ids: set[str] = set()
+        try:
+            import json as _json
+
+            for row in spark.read.text(path).limit(100).collect():
+                try:
+                    obj = _json.loads(row["value"])
+                except ValueError:
+                    continue
+                for alias in _ID_ALIASES:
+                    if isinstance(obj.get(alias), int):
+                        numeric_ids.add(alias)
+        except Exception:  # unreadable head: fall back to all-string
+            pass
         extra = [
-            T.StructField(alias, T.StringType())
+            T.StructField(
+                alias,
+                T.LongType() if alias in numeric_ids else T.StringType(),
+            )
             for alias in _TEXT_ALIASES[1:] + _ID_ALIASES[1:]
             if alias not in base_names
         ]
-        schema = T.StructType(list(DOCUMENT_SCHEMA.fields) + extra)
+        fields = [
+            T.StructField(f.name, T.LongType())
+            if f.name in numeric_ids
+            else f
+            for f in DOCUMENT_SCHEMA.fields
+        ]
+        schema = T.StructType(fields + extra)
     df = spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
 
     cols = set(df.columns)
@@ -88,15 +116,24 @@ def load_jsonl(
         *[F.col(c) for c in _TEXT_ALIASES if c in cols]
     ) if text_field is None else F.col(text_col)
     # per-ROW fallback: a corpus can mix lines with and without explicit
-    # ids, so the minted id kicks in wherever the id field is null
+    # ids, so the minted id kicks in wherever the id field is null.
+    # Like `text`, the default coalesces over EVERY id alias present —
+    # the base schema always carries an (often empty) `id` column, so
+    # picking only the first alias would shadow a populated `doc_id`
+    # behind an all-null `id` and re-mint every identity
     minted = F.concat(
         F.lit(source), F.lit("-"), F.xxhash64(F.lit(source), text).cast("string")
     )
-    doc_id = (
-        F.coalesce(F.col(id_col).cast("string"), minted)
-        if id_col is not None
-        else minted
-    )
+    if id_field is not None:
+        doc_id = (
+            F.coalesce(F.col(id_col).cast("string"), minted)
+            if id_col is not None
+            else minted
+        )
+    else:
+        doc_id = F.coalesce(
+            *[F.col(c).cast("string") for c in _ID_ALIASES if c in cols], minted
+        )
     out = df.filter(text.isNotNull()).select(
         doc_id.alias("doc_id"),
         text.alias("text"),

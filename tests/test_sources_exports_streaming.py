@@ -1062,3 +1062,37 @@ def test_near_dup_stream_replay_is_idempotent(spark, tmp_path):
     q2.awaitTermination(120)
     assert spark.read.parquet(pairs_dir).count() == first  # overwritten, not appended
     assert spark.read.parquet(index + "/sig").count() == sig_first  # marker held
+
+
+def test_jsonl_export_roundtrips_through_loader(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from biocache_store_spark.exports.exporters import export_jsonl
+    from biocache_store_spark.sources.jsonl import load_jsonl
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "corpus_jsonl")
+    export_jsonl(docs, path, fields=["doc_id", "text", "lang", "source"])
+    back = load_jsonl(spark, path, source="roundtrip")
+    assert back.count() == docs.count()
+    # loader canonicalizes ids to string; numeric ids must survive the
+    # round trip (not be nulled by the string schema and re-minted)
+    a = {str(r["doc_id"]): r["text"] for r in docs.select("doc_id", "text").collect()}
+    b = {r["doc_id"]: r["text"] for r in back.select("doc_id", "text").collect()}
+    assert a == b
+
+
+def test_jsonl_loader_numeric_ids_survive(spark, tmp_path):
+    """A corpus with numeric doc_id values must keep them (stringified):
+    the string-schema read would null JSON numbers under ANSI and the
+    loader would silently re-mint every identity."""
+    import json as _json
+
+    from biocache_store_spark.sources.jsonl import load_jsonl
+
+    p = tmp_path / "num.jsonl"
+    p.write_text("\n".join(
+        _json.dumps({"doc_id": i, "text": f"document {i}"}) for i in range(5)
+    ))
+    got = {r["doc_id"] for r in load_jsonl(spark, str(p), source="s").collect()}
+    assert got == {"0", "1", "2", "3", "4"}

@@ -913,3 +913,83 @@ def test_pq_topk_rejects_mismatched_dims(spark):
         pq_topk(enc, [0.0] * 60, [[0.0] * 60], n_subspaces=8)
     with pytest.raises(ValueError, match="codebook dim"):
         pq_topk(enc, [0.0] * 64, [[0.0] * 32], n_subspaces=8)
+
+
+def test_pq_encode_matches_brute_force_hypothesis(spark):
+    """Property sweep: every code equals the numpy argmin-L2 over the
+    codebook (ties to the lowest codeword), per subspace, for arbitrary
+    small float vectors."""
+    import numpy as np
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from biocache_store_spark.operators.similarity import pq_encode
+
+    fin = st.floats(
+        min_value=-4.0, max_value=4.0, allow_nan=False, allow_infinity=False,
+        width=32,
+    )
+    vec = st.lists(fin, min_size=4, max_size=4)
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(vec, min_size=1, max_size=6), st.lists(vec, min_size=1, max_size=4))
+    def run(vectors, book):
+        vdf = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vectors)],
+            "vec_id long, embedding array<float>",
+        )
+        bdf = spark.createDataFrame(
+            [(j, cw) for j, cw in enumerate(book)], "j long, embedding array<float>"
+        )
+        got = {r["vec_id"]: r["codes"] for r in
+               pq_encode(vdf, bdf, n_subspaces=2).collect()}
+        A = np.array(vectors, dtype=np.float64)
+        B = np.array(book, dtype=np.float64)
+        for i, v in enumerate(A):
+            for s in range(2):
+                lo, hi = s * 2, s * 2 + 2
+                d = ((B[:, lo:hi] - v[lo:hi]) ** 2).sum(axis=1)
+                assert got[i][s] == int(np.flatnonzero(d == d.min())[0])
+
+    run()
+
+
+def test_kmeans_assignment_is_argmin_hypothesis(spark):
+    """Property: the final assignment maps every vector to its argmin-L2
+    trained centroid (ties to the lowest surviving cell id)."""
+    import numpy as np
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from biocache_store_spark.operators.similarity import kmeans_train
+
+    fin = st.floats(
+        min_value=-2.0, max_value=2.0, allow_nan=False, allow_infinity=False,
+        width=32,
+    )
+    vec = st.lists(fin, min_size=2, max_size=2)
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(vec, min_size=2, max_size=8))
+    def run(vectors):
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vectors)],
+            "vec_id long, embedding array<float>",
+        )
+        cells, book, assigned = kmeans_train(df, k=2, iters=1)
+        got = {r["vec_id"]: r["cell_id"] for r in assigned.collect()}
+        B = np.array(book, dtype=np.float64)
+        A = np.array(vectors, dtype=np.float64)
+        for i, v in enumerate(A):
+            d = ((B - v) ** 2).sum(axis=1)
+            assert got[i] == cells[int(np.flatnonzero(d == d.min())[0])]
+
+    run()

@@ -664,3 +664,83 @@ def kmeans_train(
         F.element_at(pos_to_cell, F.col("__pos") + 1).alias("cell_id"),
     )
     return cells, book, assigned
+
+
+def write_ivf_index(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the IVF index: vectors assigned to cells (matrix-form,
+    one map pass) written PARTITIONED BY cell_id under `cells/`, plus the
+    centroid dimension under `centroids/`. The vector twin of
+    write_lsh_index: build once, probe arriving query batches against the
+    store instead of rescanning the corpus — and because the store is
+    cell-partitioned, a probe reads ONLY its probed cells' files
+    (directory-level pruning, test-asserted). mode='append' adds a new
+    split's vectors (assign with the SAME centroid store)."""
+    assigned = ivf_assign_bulk(vectors, centroids, id_col, embedding_col)
+    assigned.write.mode(mode).partitionBy("cell_id").parquet(path + "/cells")
+    if mode == "overwrite":
+        centroids.write.mode(mode).parquet(path + "/centroids")
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    query_vectors: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> DataFrame:
+    """Top-k against the persisted IVF index. The query batch's probe
+    cells are computed against the (small, collected) centroid store and
+    pushed into the scan as a cell_id IN (...) filter, so only the probed
+    cells' partition directories are read — per-query-batch cost is
+    proportional to the probed cells, never the corpus. Returns
+    (query_id, id, cos_sim, rank), identical to `ivf_topk` on the same
+    data (equivalence-tested)."""
+    from pyspark.sql.window import Window
+
+    centroids = spark.read.parquet(path + "/centroids")
+    qscored = query_vectors.join(
+        F.broadcast(
+            centroids.select(F.col("cell_id"), F.col("centroid").alias("__centroid"))
+        )
+    ).withColumn(
+        "__cs", cosine_similarity_arrow(F.col(embedding_col), F.col("__centroid"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__cs").desc(), F.col("cell_id").asc()
+    )
+    probes = (
+        qscored.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", F.col(embedding_col).alias("__q_emb"), "cell_id")
+    )
+    # the probed-cell set is tiny (|queries| x nprobe); collecting it
+    # turns the index read into a partition-pruned scan
+    probe_cells = sorted(
+        {r["cell_id"] for r in probes.select("cell_id").distinct().collect()}
+    )
+    cells = spark.read.parquet(path + "/cells").filter(
+        F.col("cell_id").isin(probe_cells)
+    )
+    sim = cosine_similarity_arrow(F.col(embedding_col), F.col("__q_emb"))
+    candidates = (
+        cells.join(F.broadcast(probes), "cell_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("cos_sim", sim)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, F.round("cos_sim", 4).alias("cos_sim"), "rank")
+    )

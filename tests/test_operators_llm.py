@@ -993,3 +993,64 @@ def test_kmeans_assignment_is_argmin_hypothesis(spark):
             assert got[i] == cells[int(np.flatnonzero(d == d.min())[0])]
 
     run()
+
+
+def test_ivf_index_persist_probe_prunes_and_matches(spark, tmp_path):
+    """query_ivf_index == ivf_topk on the same data, and the persisted
+    read touches ONLY the probed cells' partition directories."""
+    from biocache_store_spark.operators.similarity import (
+        ivf_topk,
+        query_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, cents, path)
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    stored = query_ivf_index(spark, path, queries, k=5, nprobe=2)
+    direct = ivf_topk(emb, queries, cents, k=5, nprobe=2)
+    a = {(r["query_id"], r["vec_id"], r["cos_sim"], r["rank"])
+         for r in stored.collect()}
+    b = {(r["query_id"], r["vec_id"], r["cos_sim"], r["rank"])
+         for r in direct.collect()}
+    assert a == b and a
+
+    # pruning: the probed-cell filter must become a PartitionFilter on
+    # the scan (directory-level pruning), not a post-scan row filter
+    probed = spark.read.parquet(path + "/cells").filter(
+        F.col("cell_id").isin([0, 1])
+    )
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    pf = plan[plan.index("PartitionFilters"):].splitlines()[0]
+    assert "cell_id" in pf
+    # and the pruned scan actually reads fewer rows than the store holds
+    total = spark.read.parquet(path + "/cells").count()
+    assert probed.count() < total
+
+
+def test_ivf_index_append_split(spark, tmp_path):
+    """mode='append' adds a new split assigned with the same centroids;
+    queries then see both splits."""
+    from biocache_store_spark.operators.similarity import (
+        query_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(old, cents, path)
+    write_ivf_index(new, cents, path, mode="append")
+    n = spark.read.parquet(path + "/cells").count()
+    assert n == emb.count()

@@ -490,6 +490,28 @@ def cmd_build_corpus(args) -> int:
     return 0
 
 
+def cmd_snapshot_diff(args) -> int:
+    """Corpus-build regression gate (operators/maintenance.py
+    snapshot_diff): classify every id across two snapshots as added /
+    removed / changed / unchanged and print the status rollup."""
+    from pyspark.sql import functions as F
+
+    spark = _spark(args)
+    from biocache_store_spark.operators.maintenance import snapshot_diff
+
+    diff = snapshot_diff(
+        _read(spark, args.old), _read(spark, args.new),
+        id_col=args.id_col, content_col=args.content_col,
+    )
+    if args.out:
+        diff.write.mode("overwrite").parquet(args.out)
+    for row in diff.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n")
+    ).orderBy("status").collect():
+        print(json.dumps(row.asDict()))
+    return 0
+
+
 def cmd_compact(args) -> int:
     """Rewrite a parquet store with bounded file sizes — the maintenance
     answer to streaming-append small files (every availableNow microbatch
@@ -721,6 +743,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sp.add_argument("--mixture", help="source=weight,... (with --token-budget)")
     sp.add_argument("--token-budget", dest="token_budget", type=int)
+
+    sp = tool("snapshot-diff", cmd_snapshot_diff, "diff two corpus snapshots")
+    sp.add_argument("--old", required=True)
+    sp.add_argument("--new", required=True)
+    sp.add_argument("--out")
+    sp.add_argument("--id-col", dest="id_col", default="doc_id")
+    sp.add_argument("--content-col", dest="content_col", default="text")
 
     sp = tool("compact", cmd_compact, "rewrite a store with bounded file sizes")
     sp.add_argument("--in", dest="inp", required=True)

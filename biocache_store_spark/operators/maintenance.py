@@ -69,3 +69,39 @@ def upsert(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__src")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """Diff two corpus snapshots: per id, classify as added / removed /
+    changed (same id, different content hash) / unchanged — the
+    regression gate between two corpus builds (did tonight's build drop
+    a source? rewrite documents it shouldn't have?).
+
+    One full-outer join on the id with md5 content hashes compared
+    JVM-side; output is one row per id in either snapshot with its
+    status, so downstream rollups (status x source counts) are ordinary
+    aggregations. At 100 TB both sides shuffle once on the id — the
+    unavoidable cost of an exact diff — with hash comparison instead of
+    text comparison keeping the shuffle rows narrow."""
+    o = old.select(
+        F.col(id_col).alias("__old_id"), F.md5(F.col(content_col)).alias("__old_h")
+    )
+    n = new.select(
+        F.col(id_col).alias("__new_id"), F.md5(F.col(content_col)).alias("__new_h")
+    )
+    joined = o.join(n, o["__old_id"] == n["__new_id"], "full_outer")
+    status = (
+        F.when(F.col("__old_id").isNull(), "added")
+        .when(F.col("__new_id").isNull(), "removed")
+        .when(F.col("__old_h") != F.col("__new_h"), "changed")
+        .otherwise("unchanged")
+    )
+    return joined.select(
+        F.coalesce(F.col("__old_id"), F.col("__new_id")).alias(id_col),
+        status.alias("status"),
+    )

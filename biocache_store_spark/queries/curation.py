@@ -859,3 +859,49 @@ def model_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_and_filter(docs, threshold=0.5).select(
         "doc_id", "source", "model_score"
     )
+
+
+@register(
+    "snapshot_diff_rollup",
+    doc=(
+        "Corpus-build regression gate (operators/maintenance.py "
+        "snapshot_diff): the live documents table diffed against its own "
+        "deterministically-sampled prior build (md5 hex-prefix < '80', "
+        "~50%, with src0 docs rewritten) — per-status counts of added / "
+        "removed / changed / unchanged ids. One full-outer join on the "
+        "id carrying only narrow md5 hashes; the nightly check that a "
+        "rebuild didn't silently drop or rewrite what it shouldn't."
+    ),
+    oracle="""
+        WITH old AS (
+            SELECT doc_id,
+                   md5(CASE WHEN source = 'src0' THEN text || '!' ELSE text END) AS h
+            FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+        ),
+        new AS (SELECT doc_id, md5(text) AS h FROM documents),
+        d AS (
+            SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.h <> n.h THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+        )
+        SELECT status, COUNT(*) AS n FROM d GROUP BY status
+    """,
+)
+def snapshot_diff_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.maintenance import snapshot_diff
+
+    docs = read_table(spark, sf_dir, "documents")
+    old = docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "80"
+    ).withColumn(
+        "text",
+        F.when(
+            F.col("source") == "src0", F.concat(F.col("text"), F.lit("!"))
+        ).otherwise(F.col("text")),
+    )
+    diff = snapshot_diff(old, docs)
+    return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n"))

@@ -325,3 +325,23 @@ def test_cli_streaming_ticks(spark, tmp_path):
     ]) == 0
     got = {(r["doc_a"], r["doc_b"]) for r in spark.read.parquet(pairs).collect()}
     assert (1, 9) in got
+
+
+def test_cli_snapshot_diff(spark, tmp_path, capsys):
+    import json as _json
+
+    from biocache_store_spark.cli import main
+
+    old_p, new_p = str(tmp_path / "old"), str(tmp_path / "new")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, text string"
+    ).write.parquet(old_p)
+    spark.createDataFrame(
+        [(2, "b2"), (3, "c")], "doc_id long, text string"
+    ).write.parquet(new_p)
+    assert main(["snapshot-diff", "--old", old_p, "--new", new_p]) == 0
+    got = {
+        _json.loads(l)["status"]: _json.loads(l)["n"]
+        for l in capsys.readouterr().out.splitlines() if l.startswith("{")
+    }
+    assert got == {"added": 1, "removed": 1, "changed": 1}

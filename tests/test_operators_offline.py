@@ -435,3 +435,16 @@ def test_rounded_point_keeps_integer_digits(spark):
     assert out[1]["p1"] == "-35,145"
     assert out[1]["p01"] == "-35.2,144.8"
     assert out[2]["p1"] == "0,100"
+
+
+def test_snapshot_diff_statuses(spark):
+    from biocache_store_spark.operators.maintenance import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C-CHANGED"), (4, "d")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}

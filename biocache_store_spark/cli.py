@@ -237,13 +237,17 @@ def cmd_facet(args) -> int:
 
 def cmd_export(args) -> int:
     """ExportFromIndex / ExportByFacetQuery (tool/ExportFromIndex.scala):
-    query-scoped column export to CSV."""
-    from biocache_store_spark.exports.exporters import export_csv
+    query-scoped column export; --format csv (default) or jsonl (the
+    corpus interchange format load-jsonl reads back)."""
+    from biocache_store_spark.exports.exporters import export_csv, export_jsonl
 
     spark = _spark(args)
     df = _apply_query(_read(spark, args.inp), args.query)
-    export_csv(df, _split(args.fields), args.out)
-    print(f"exported {args.fields} -> {args.out}")
+    if args.format == "jsonl":
+        export_jsonl(df, args.out, fields=_split(args.fields))
+    else:
+        export_csv(df, _split(args.fields), args.out)
+    print(f"exported {args.fields} -> {args.out} ({args.format})")
     return 0
 
 
@@ -646,10 +650,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--limit", type=int, default=20)
     sp.add_argument("--out")
 
-    sp = tool("export", cmd_export, "query-scoped CSV column export")
+    sp = tool("export", cmd_export, "query-scoped column export (csv/jsonl)")
     sp.add_argument("--in", dest="inp", required=True)
     sp.add_argument("--fields", required=True)
     sp.add_argument("--query")
+    sp.add_argument("--format", choices=("csv", "jsonl"), default="csv")
     sp.add_argument("--out", required=True)
 
     sp = tool("export-dwca", cmd_export_dwca, "store -> DwC-A zip")

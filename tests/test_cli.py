@@ -345,3 +345,24 @@ def test_cli_snapshot_diff(spark, tmp_path, capsys):
         for l in capsys.readouterr().out.splitlines() if l.startswith("{")
     }
     assert got == {"added": 1, "removed": 1, "changed": 1}
+
+
+def test_cli_export_jsonl_format(spark, tmp_path):
+    import json as _json
+    import glob
+
+    from biocache_store_spark.cli import main
+
+    store = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "hello world", "en")], "doc_id long, text string, lang string"
+    ).write.parquet(store)
+    out = str(tmp_path / "jsonl_out")
+    assert main([
+        "export", "--in", store, "--fields", "doc_id,text",
+        "--format", "jsonl", "--out", out,
+    ]) == 0
+    lines = []
+    for f in glob.glob(out + "/part-*"):
+        lines += [l for l in open(f) if l.strip()]
+    assert [_json.loads(l) for l in lines] == [{"doc_id": 1, "text": "hello world"}]

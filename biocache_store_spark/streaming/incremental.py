@@ -310,6 +310,11 @@ def near_dup_stream(
         # see the (single, bounded) inflation.
         if not batch.take(1):
             return
+        # marker via local-FS open(): correct for POSIX-visible index
+        # paths (incl. NFS/fuse mounts); an object-store index would
+        # swap these two lines for the Hadoop FileSystem API — the
+        # underscore prefix keeps Spark's parquet discovery ignoring it
+        # either way
         marker = os.path.join(index_path, f"_batch_{batch_id}_appended")
         batch = batch.persist()
         try:

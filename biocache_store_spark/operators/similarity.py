@@ -311,6 +311,36 @@ def ivf_assign_bulk(
     return vectors.mapInPandas(run, out_schema)
 
 
+def _query_probes(
+    query_vectors: "DataFrame",
+    centroids: "DataFrame",
+    nprobe: int,
+    embedding_col: str = "embedding",
+) -> "DataFrame":
+    """(query_id, __q_emb, cell_id) for each query's `nprobe` nearest
+    cells — the probe computation shared by ivf_topk (in-memory corpus)
+    and query_ivf_index (persisted index). Centroids broadcast; ties to
+    the lowest cell_id."""
+    from pyspark.sql.window import Window
+
+    qsim = cosine_similarity_arrow(F.col(embedding_col), F.col("__centroid"))
+    qscored = query_vectors.join(
+        F.broadcast(
+            centroids.select(
+                F.col("cell_id"), F.col("centroid").alias("__centroid")
+            )
+        )
+    ).withColumn("__cs", qsim)
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__cs").desc(), F.col("cell_id").asc()
+    )
+    return (
+        qscored.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", F.col(embedding_col).alias("__q_emb"), "cell_id")
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     query_vectors: DataFrame,
@@ -331,24 +361,7 @@ def ivf_topk(
     from pyspark.sql.window import Window
 
     assigned = ivf_assign(vectors, centroids, id_col, embedding_col)
-    qsim = cosine_similarity_arrow(F.col(embedding_col), F.col("__centroid"))
-    qscored = query_vectors.join(
-        F.broadcast(
-            centroids.select(
-                F.col("cell_id"), F.col("centroid").alias("__centroid")
-            )
-        )
-    ).withColumn("__cs", qsim)
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("__cs").desc(), F.col("cell_id").asc()
-    )
-    probes = (
-        qscored.withColumn("__rn", F.row_number().over(wq))
-        .filter(F.col("__rn") <= nprobe)
-        .select(
-            "query_id", F.col(embedding_col).alias("__q_emb"), "cell_id"
-        )
-    )
+    probes = _query_probes(query_vectors, centroids, nprobe, embedding_col)
     sim = cosine_similarity_arrow(F.col(embedding_col), F.col("__q_emb"))
     candidates = (
         assigned.join(F.broadcast(probes), "cell_id")
@@ -707,21 +720,7 @@ def query_ivf_index(
     from pyspark.sql.window import Window
 
     centroids = spark.read.parquet(path + "/centroids")
-    qscored = query_vectors.join(
-        F.broadcast(
-            centroids.select(F.col("cell_id"), F.col("centroid").alias("__centroid"))
-        )
-    ).withColumn(
-        "__cs", cosine_similarity_arrow(F.col(embedding_col), F.col("__centroid"))
-    )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("__cs").desc(), F.col("cell_id").asc()
-    )
-    probes = (
-        qscored.withColumn("__rn", F.row_number().over(wq))
-        .filter(F.col("__rn") <= nprobe)
-        .select("query_id", F.col(embedding_col).alias("__q_emb"), "cell_id")
-    )
+    probes = _query_probes(query_vectors, centroids, nprobe, embedding_col)
     # the probed-cell set is tiny (|queries| x nprobe); collecting it
     # turns the index read into a partition-pruned scan
     probe_cells = sorted(

@@ -396,20 +396,9 @@ def cmd_kmeans_train(args) -> int:
         id_col=args.id_col,
         embedding_col=args.embedding_col,
     )
-    from pyspark.sql import types as T
+    from biocache_store_spark.operators.similarity import centroids_df
 
-    # cell ids are seed ids: carry the input id column's type through
-    # rather than assuming long (ids can be strings)
-    id_type = emb.schema[args.id_col].dataType
-    schema = T.StructType(
-        [
-            T.StructField("cell_id", id_type),
-            T.StructField("centroid", T.ArrayType(T.DoubleType())),
-        ]
-    )
-    spark.createDataFrame(list(zip(cells, book)), schema).write.mode(
-        "overwrite"
-    ).parquet(args.out)
+    centroids_df(spark, cells, book).write.mode("overwrite").parquet(args.out)
     print(json.dumps({"cells": len(cells), "dim": len(book[0])}))
     return 0
 

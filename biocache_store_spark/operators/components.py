@@ -134,3 +134,36 @@ def connected_components(
     return nodes.join(
         assign, nodes["node"] == assign["u"], "left"
     ).select("node", F.coalesce("component", F.col("node")).alias("component"))
+
+
+def component_representatives(
+    components: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """One representative per component: the member with the highest
+    score, ties to the lowest id — as groupBy + max(struct(score, -id,
+    id)) so the argmax collapses map-side (no window sort of the hottest
+    cluster in one reducer). `components` is connected_components output
+    (node, component); `scores` is (id, score). Returns (component,
+    rep_{id}, rep_{score}) — shared by the dedup_representative query and
+    the corpus-build pipeline."""
+    from pyspark.sql import functions as F
+
+    joined = components.join(scores, components["node"] == scores[id_col])
+    best = F.max(
+        F.struct(
+            F.col(score_col).alias("s"),
+            (-F.col(id_col)).alias("neg"),
+            F.col(id_col).alias("i"),
+        )
+    )
+    return joined.groupBy("component").agg(
+        best.alias("__best"), F.count(F.lit(1)).alias("cluster_size")
+    ).select(
+        "component",
+        F.col("__best.i").alias(f"rep_{id_col}"),
+        F.col("__best.s").alias(f"rep_{score_col}"),
+        "cluster_size",
+    )

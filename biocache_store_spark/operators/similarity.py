@@ -743,3 +743,19 @@ def query_ivf_index(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, F.round("cos_sim", 4).alias("cos_sim"), "rank")
     )
+
+
+def centroids_df(spark, cells: list, book: list[list[float]]) -> DataFrame:
+    """(cell_id, centroid) DataFrame from kmeans_train's (cells, book)
+    output — the store format semantic_dedup / ivf_* / the CLI consume;
+    cell_id keeps the seed ids' type."""
+    from pyspark.sql import types as T
+
+    id_type = T.LongType() if all(isinstance(c, int) for c in cells) else T.StringType()
+    schema = T.StructType(
+        [
+            T.StructField("cell_id", id_type),
+            T.StructField("centroid", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    return spark.createDataFrame(list(zip(cells, book)), schema)

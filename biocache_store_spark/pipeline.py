@@ -154,7 +154,10 @@ def build_corpus(
     """
     from pyspark.sql import functions as F
 
-    from biocache_store_spark.operators.components import connected_components
+    from biocache_store_spark.operators.components import (
+        component_representatives,
+        connected_components,
+    )
     from biocache_store_spark.operators.curation import plan_mixture
     from biocache_store_spark.operators.minhash import near_duplicates
     from biocache_store_spark.queries.text import (
@@ -199,17 +202,9 @@ def build_corpus(
 
     pairs = near_duplicates(docs, threshold=near_dup_threshold)
     comp = connected_components(pairs, src="doc_a", dst="doc_b")
-    ranked = comp.join(docs.select("doc_id", "quality_score"),
-                       comp["node"] == F.col("doc_id"))
-    keep_rep = ranked.groupBy("component").agg(
-        F.max(
-            F.struct(
-                F.col("quality_score").alias("q"),
-                (-F.col("doc_id")).alias("neg"),
-                F.col("doc_id").alias("doc_id"),
-            )
-        ).alias("__best")
-    ).select(F.col("__best.doc_id").alias("doc_id"))
+    keep_rep = component_representatives(
+        comp, docs.select("doc_id", "quality_score")
+    ).select(F.col("rep_doc_id").alias("doc_id"))
     clustered = comp.select(F.col("node").alias("doc_id"))
     losers = clustered.join(keep_rep, "doc_id", "left_anti")
     docs = docs.join(losers, "doc_id", "left_anti")

@@ -658,27 +658,20 @@ def _quality_frame(docs: DataFrame) -> DataFrame:
     """,
 )
 def dedup_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from biocache_store_spark.operators.components import connected_components
+    from biocache_store_spark.operators.components import (
+        component_representatives,
+        connected_components,
+    )
     from biocache_store_spark.operators.minhash import near_duplicates
 
     docs = read_table(spark, sf_dir, "documents")
     pairs = near_duplicates(docs, threshold=0.5, max_bucket_size=_MAX_BAND_BUCKET)
     comp = connected_components(pairs, src="doc_a", dst="doc_b")
     quality = _quality_frame(docs).select("doc_id", "quality_score")
-    joined = comp.join(quality, comp["node"] == quality["doc_id"])
-    best = F.max(
-        F.struct(
-            F.col("quality_score").alias("q"),
-            (-F.col("doc_id")).alias("neg_id"),
-            F.col("doc_id").alias("doc_id"),
-        )
-    )
-    return joined.groupBy("component").agg(
-        best.alias("__best"), F.count(F.lit(1)).alias("cluster_size")
-    ).select(
+    return component_representatives(comp, quality).select(
         "component",
-        F.col("__best.doc_id").alias("rep_doc_id"),
-        F.col("__best.q").alias("rep_quality"),
+        "rep_doc_id",
+        F.col("rep_quality_score").alias("rep_quality"),
         "cluster_size",
     )
 

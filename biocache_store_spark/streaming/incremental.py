@@ -335,10 +335,8 @@ def near_dup_stream(
         finally:
             batch.unpersist()
 
-    writer = (
-        raw.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
+    writer = raw.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -366,3 +366,20 @@ def test_cli_export_jsonl_format(spark, tmp_path):
     for f in glob.glob(out + "/part-*"):
         lines += [l for l in open(f) if l.strip()]
     assert [_json.loads(l) for l in lines] == [{"doc_id": 1, "text": "hello world"}]
+
+
+def test_cli_all_tools_parse():
+    """Every registered tool's parser builds and rejects empty args
+    cleanly (argparse exits 2 on missing required) — guards against a
+    malformed subparser breaking the whole CLI."""
+    import pytest as _pytest
+
+    from biocache_store_spark.cli import build_parser
+
+    parser = build_parser()
+    tools = sorted(parser._subparsers._group_actions[0].choices)
+    assert len(tools) >= 20
+    for t in ("load-dwca", "process", "build-corpus", "snapshot-diff"):
+        assert t in tools
+    with _pytest.raises(SystemExit):
+        parser.parse_args([])  # tool required

@@ -341,3 +341,91 @@ def near_dup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+EMBEDDING_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+
+def semantic_dedup_stream(
+    spark: SparkSession,
+    staging_dir: str,
+    index_path: str,
+    decisions_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType = EMBEDDING_STREAM_SCHEMA,
+    threshold: float = 0.5,
+    nprobe: int = 1,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming semantic-dedup maintenance — the embedding twin of
+    `near_dup_stream`: each microbatch of arriving vectors (JSONL drops)
+    is scored against the persisted IVF index (query_ivf_index, probe-
+    pruned scan), any vector whose nearest stored neighbor clears
+    `threshold` cosine is marked pruned, and the batch (all of it — a
+    pruned vector still represents its cluster for FUTURE arrivals) is
+    appended to the index. Per-batch cost proportional to the batch and
+    its probed cells; the keep/prune decision table accumulates under
+    `decisions_dir` partitioned by batch (idempotent under replay).
+    Seed the index with write_ivf_index first; ids must be unique across
+    the corpus and all batches.
+    """
+    import os
+
+    from biocache_store_spark.operators.similarity import (
+        query_ivf_index,
+        write_ivf_index,
+    )
+
+    if not os.path.isdir(os.path.join(index_path, "cells")):
+        raise ValueError(
+            f"semantic_dedup_stream: no IVF index at {index_path!r}; seed it "
+            "with write_ivf_index on the initial corpus before streaming"
+        )
+    raw = spark.readStream.schema(schema).json(staging_dir)
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        marker = os.path.join(index_path, f"_batch_{batch_id}_appended")
+        batch = batch.persist()
+        try:
+            queries = batch.select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            )
+            nearest = (
+                query_ivf_index(
+                    spark, index_path, queries, k=1, nprobe=nprobe
+                )
+                .filter(F.col("cos_sim") >= threshold)
+                .select(F.col("query_id").alias("vec_id"))
+                .withColumn("__pruned", F.lit(True))
+            )
+            decisions = batch.select("vec_id").join(
+                nearest, "vec_id", "left"
+            ).select(
+                "vec_id",
+                F.coalesce(~F.col("__pruned"), F.lit(True)).alias("keep"),
+            )
+            decisions.write.mode("overwrite").parquet(
+                os.path.join(decisions_dir, f"batch={batch_id}")
+            )
+            if not os.path.exists(marker):
+                centroids = spark.read.parquet(index_path + "/centroids")
+                write_ivf_index(batch, centroids, index_path, mode="append")
+                with open(marker, "w") as fh:
+                    fh.write("done")
+        finally:
+            batch.unpersist()
+
+    writer = raw.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1096,3 +1096,53 @@ def test_jsonl_loader_numeric_ids_survive(spark, tmp_path):
     ))
     got = {r["doc_id"] for r in load_jsonl(spark, str(p), source="s").collect()}
     assert got == {"0", "1", "2", "3", "4"}
+
+
+def test_semantic_dedup_stream(spark, tmp_path):
+    """Embedding drops: near-identical arrivals are pruned against the
+    stored corpus, novel ones kept; a later drop sees an earlier drop's
+    appended vectors (cross-drop pruning)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from biocache_store_spark.operators.similarity import write_ivf_index
+    from biocache_store_spark.streaming.incremental import semantic_dedup_stream
+
+    seed = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [0.0, 1.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    cents = seed.select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    index = str(tmp_path / "ivf")
+    write_ivf_index(seed, cents, index)
+
+    staging = tmp_path / "staging"
+    staging.mkdir()
+    (staging / "d1.jsonl").write_text(_json.dumps(
+        {"vec_id": 10, "embedding": [0.99, 0.01], "label": 1}  # dup of 0
+    ) + "\n" + _json.dumps(
+        {"vec_id": 11, "embedding": [-1.0, 0.2], "label": 1}   # novel
+    ))
+    decisions = str(tmp_path / "decisions")
+    q = semantic_dedup_stream(
+        spark, str(staging), index, decisions, str(tmp_path / "c1"),
+        threshold=0.9,
+    )
+    q.awaitTermination(120)
+    got = {r["vec_id"]: r["keep"] for r in spark.read.parquet(decisions).collect()}
+    assert got == {10: False, 11: True}
+
+    # drop 2: dup of drop-1's novel vector 11 -> pruned via the append
+    (staging / "d2.jsonl").write_text(_json.dumps(
+        {"vec_id": 20, "embedding": [-0.99, 0.21], "label": 1}
+    ))
+    q2 = semantic_dedup_stream(
+        spark, str(staging), index, decisions, str(tmp_path / "c1"),
+        threshold=0.9,
+    )
+    q2.awaitTermination(120)
+    got = {r["vec_id"]: r["keep"] for r in spark.read.parquet(decisions).collect()}
+    assert got[20] is False  # matched vector 11 from the previous drop

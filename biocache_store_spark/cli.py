@@ -483,6 +483,47 @@ def cmd_build_corpus(args) -> int:
     return 0
 
 
+def cmd_ivf_index(args) -> int:
+    """Build or append the persisted IVF index from an embeddings store
+    (operators/similarity.py write_ivf_index); centroids come from a
+    kmeans-train output store."""
+    spark = _spark(args)
+    from biocache_store_spark.operators.similarity import write_ivf_index
+
+    write_ivf_index(
+        _read(spark, args.inp),
+        _read(spark, args.centroids),
+        args.index,
+        mode="append" if args.append else "overwrite",
+    )
+    return 0
+
+
+def cmd_ann_query(args) -> int:
+    """Top-k similarity search against the persisted IVF index
+    (query_ivf_index, probe-pruned scan); query vectors come from a
+    store filtered by --query-ids."""
+    from pyspark.sql import functions as F
+
+    spark = _spark(args)
+    from biocache_store_spark.operators.similarity import query_ivf_index
+
+    ids = [int(v) for v in _split(args.query_ids)]
+    queries = (
+        _read(spark, args.queries)
+        .filter(F.col("vec_id").isin(ids))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    out = query_ivf_index(
+        spark, args.index, queries, k=args.k, nprobe=args.nprobe
+    )
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+    for row in out.orderBy("query_id", "rank").collect():
+        print(json.dumps(row.asDict()))
+    return 0
+
+
 def cmd_snapshot_diff(args) -> int:
     """Corpus-build regression gate (operators/maintenance.py
     snapshot_diff): classify every id across two snapshots as added /
@@ -737,6 +778,20 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sp.add_argument("--mixture", help="source=weight,... (with --token-budget)")
     sp.add_argument("--token-budget", dest="token_budget", type=int)
+
+    sp = tool("ivf-index", cmd_ivf_index, "embeddings -> persisted IVF index")
+    sp.add_argument("--in", dest="inp", required=True)
+    sp.add_argument("--centroids", required=True)
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--append", action="store_true")
+
+    sp = tool("ann-query", cmd_ann_query, "top-k against the IVF index")
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--queries", required=True, help="embeddings store")
+    sp.add_argument("--query-ids", dest="query_ids", required=True)
+    sp.add_argument("--k", type=int, default=10)
+    sp.add_argument("--nprobe", type=int, default=2)
+    sp.add_argument("--out")
 
     sp = tool("snapshot-diff", cmd_snapshot_diff, "diff two corpus snapshots")
     sp.add_argument("--old", required=True)

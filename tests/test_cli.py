@@ -383,3 +383,30 @@ def test_cli_all_tools_parse():
         assert t in tools
     with _pytest.raises(SystemExit):
         parser.parse_args([])  # tool required
+
+
+def test_cli_ann_pipeline(spark, tmp_path, capsys):
+    """kmeans-train -> ivf-index -> ann-query: the similarity-search
+    lifecycle end-to-end through the CLI."""
+    import json as _json
+
+    from biocache_store_spark.cli import main
+
+    emb_store = str(tmp_path / "emb")
+    spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).write.parquet(emb_store)
+    cents = str(tmp_path / "cents")
+    assert main(["kmeans-train", "--in", emb_store, "--out", cents, "--k", "4"]) == 0
+    index = str(tmp_path / "ivf")
+    assert main([
+        "ivf-index", "--in", emb_store, "--centroids", cents, "--index", index,
+    ]) == 0
+    assert main([
+        "ann-query", "--index", index, "--queries", emb_store,
+        "--query-ids", "0,1", "--k", "3",
+    ]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()
+            if l.startswith("{") and "query_id" in l]
+    assert {r["query_id"] for r in rows} == {0, 1}
+    assert all(1 <= r["rank"] <= 3 for r in rows)

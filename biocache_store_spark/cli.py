@@ -398,7 +398,9 @@ def cmd_kmeans_train(args) -> int:
     )
     from biocache_store_spark.operators.similarity import centroids_df
 
-    centroids_df(spark, cells, book).write.mode("overwrite").parquet(args.out)
+    centroids_df(
+        spark, cells, book, id_type=emb.schema[args.id_col].dataType
+    ).write.mode("overwrite").parquet(args.out)
     print(json.dumps({"cells": len(cells), "dim": len(book[0])}))
     return 0
 
@@ -464,6 +466,13 @@ def cmd_build_corpus(args) -> int:
 
     docs = _read(spark, args.inp)
     weights = None
+    if bool(args.mixture) != (args.token_budget is not None):
+        print(
+            "build-corpus: --mixture and --token-budget must be given "
+            "together (one alone would silently skip the mixture stage)",
+            file=sys.stderr,
+        )
+        return 2
     if args.mixture:
         weights = {
             kv.split("=")[0]: float(kv.split("=")[1])

@@ -150,20 +150,47 @@ def component_representatives(
     rep_{id}, rep_{score}) — shared by the dedup_representative query and
     the corpus-build pipeline."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     joined = components.join(scores, components["node"] == scores[id_col])
-    best = F.max(
-        F.struct(
-            F.col(score_col).alias("s"),
-            (-F.col(id_col)).alias("neg"),
-            F.col(id_col).alias("i"),
-        )
+    numeric_id = isinstance(
+        scores.schema[id_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+         T.FloatType, T.DoubleType, T.DecimalType),
     )
-    return joined.groupBy("component").agg(
-        best.alias("__best"), F.count(F.lit(1)).alias("cluster_size")
-    ).select(
-        "component",
-        F.col("__best.i").alias(f"rep_{id_col}"),
-        F.col("__best.s").alias(f"rep_{score_col}"),
-        "cluster_size",
+    if numeric_id:
+        # one shuffle: negation reverses the order inside the max struct
+        best = F.max(
+            F.struct(
+                F.col(score_col).alias("s"),
+                (-F.col(id_col)).alias("neg"),
+                F.col(id_col).alias("i"),
+            )
+        )
+        return joined.groupBy("component").agg(
+            best.alias("__best"), F.count(F.lit(1)).alias("cluster_size")
+        ).select(
+            "component",
+            F.col("__best.i").alias(f"rep_{id_col}"),
+            F.col("__best.s").alias(f"rep_{score_col}"),
+            "cluster_size",
+        )
+    # string (or other non-numeric) ids have no order-reversing map, so
+    # the lowest-id-on-ties rule takes a second aggregation: max score
+    # per component, then min id among the rows holding it — both with
+    # map-side partial aggregation, no window
+    stats = joined.groupBy("component").agg(
+        F.max(score_col).alias("__s"), F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        joined.join(stats, "component")
+        .filter(F.col(score_col) == F.col("__s"))
+        .groupBy("component", "__s", "cluster_size")
+        .agg(F.min(id_col).alias(f"rep_{id_col}"))
+        .select(
+            "component",
+            f"rep_{id_col}",
+            F.col("__s").alias(f"rep_{score_col}"),
+            "cluster_size",
+        )
     )

@@ -98,7 +98,9 @@ def snapshot_diff(
     status = (
         F.when(F.col("__old_id").isNull(), "added")
         .when(F.col("__new_id").isNull(), "removed")
-        .when(F.col("__old_h") != F.col("__new_h"), "changed")
+        # null-SAFE comparison: a side with NULL content must read as
+        # changed, not fall through to unchanged (plain != yields NULL)
+        .when(~F.col("__old_h").eqNullSafe(F.col("__new_h")), "changed")
         .otherwise("unchanged")
     )
     return joined.select(

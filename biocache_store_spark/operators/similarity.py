@@ -709,6 +709,7 @@ def query_ivf_index(
     nprobe: int = 2,
     id_col: str = "vec_id",
     embedding_col: str = "embedding",
+    exclude_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k against the persisted IVF index. The query batch's probe
     cells are computed against the (small, collected) centroid store and
@@ -726,9 +727,23 @@ def query_ivf_index(
     probe_cells = sorted(
         {r["cell_id"] for r in probes.select("cell_id").distinct().collect()}
     )
-    cells = spark.read.parquet(path + "/cells").filter(
-        F.col("cell_id").isin(probe_cells)
+    # dropDuplicates on read absorbs a crash-replayed append (the same
+    # defensive dedup probe_lsh_index applies): without it a doubled
+    # vector consumes two top-k slots forever
+    cells = (
+        spark.read.parquet(path + "/cells")
+        .filter(F.col("cell_id").isin(probe_cells))
+        .dropDuplicates([id_col])
     )
+    if exclude_ids is not None:
+        # `exclude_ids` (one id column) removes candidates a caller must
+        # never match — e.g. a streaming batch excluding ITSELF so a
+        # replay after its own append yields identical decisions
+        cells = cells.join(
+            exclude_ids.select(F.col(exclude_ids.columns[0]).alias(id_col)),
+            id_col,
+            "left_anti",
+        )
     sim = cosine_similarity_arrow(F.col(embedding_col), F.col("__q_emb"))
     candidates = (
         cells.join(F.broadcast(probes), "cell_id")
@@ -745,13 +760,23 @@ def query_ivf_index(
     )
 
 
-def centroids_df(spark, cells: list, book: list[list[float]]) -> DataFrame:
+def centroids_df(
+    spark, cells: list, book: list[list[float]], id_type=None
+) -> DataFrame:
     """(cell_id, centroid) DataFrame from kmeans_train's (cells, book)
-    output — the store format semantic_dedup / ivf_* / the CLI consume;
-    cell_id keeps the seed ids' type."""
+    output — the store format semantic_dedup / ivf_* / the CLI consume.
+    Pass `id_type` (the source id column's Spark DataType) to carry the
+    exact type through; otherwise it is inferred from the values
+    (int -> long, str -> string, float -> double)."""
     from pyspark.sql import types as T
 
-    id_type = T.LongType() if all(isinstance(c, int) for c in cells) else T.StringType()
+    if id_type is None:
+        if all(isinstance(c, bool) is False and isinstance(c, int) for c in cells):
+            id_type = T.LongType()
+        elif all(isinstance(c, float) for c in cells):
+            id_type = T.DoubleType()
+        else:
+            id_type = T.StringType()
     schema = T.StructType(
         [
             T.StructField("cell_id", id_type),

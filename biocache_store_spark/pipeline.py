@@ -179,25 +179,42 @@ def build_corpus(
             F.sum("__tok").alias("n_tokens"),
         )
 
+    # each stage's frame is persisted: the per-stage manifest counts plus
+    # the final writes would otherwise re-execute the full quality ->
+    # langid -> minhash -> connected-components lineage once per action
+    persisted: list = []
+
+    def stage(df):
+        df = df.persist()
+        persisted.append(df)
+        return df
+
+    docs = stage(docs)
     manifests = [stage_counts(docs, "0_input")]
 
     quality = _quality_frame(docs).select("doc_id", "quality_score")
     docs = docs.join(quality, "doc_id").filter(
         F.col("quality_score") >= quality_threshold
     )
+    docs = stage(docs)
     manifests.append(stage_counts(docs, "1_quality"))
 
     lang_ok = _langid_scored(docs.select("doc_id", "text", "lang")).select(
         "doc_id", _predicted_lang().alias("__pred")
     )
+    # unlabeled docs (lang NULL — the load_jsonl default when the corpus
+    # carries no lang field) pass the gate: the check is declared-vs-
+    # predicted MISMATCH, and no declaration can't mismatch
     docs = docs.join(lang_ok, "doc_id").filter(
-        F.col("lang") == F.col("__pred")
+        F.col("lang").isNull() | (F.col("lang") == F.col("__pred"))
     ).drop("__pred")
+    docs = stage(docs)
     manifests.append(stage_counts(docs, "2_language"))
 
     h = F.md5("text")
     first = docs.groupBy(h.alias("__h")).agg(F.min("doc_id").alias("doc_id"))
     docs = docs.join(first.select("doc_id"), "doc_id")
+    docs = stage(docs)
     manifests.append(stage_counts(docs, "3_exact_dedup"))
 
     pairs = near_duplicates(docs, threshold=near_dup_threshold)
@@ -208,39 +225,43 @@ def build_corpus(
     clustered = comp.select(F.col("node").alias("doc_id"))
     losers = clustered.join(keep_rep, "doc_id", "left_anti")
     docs = docs.join(losers, "doc_id", "left_anti")
+    docs = stage(docs)
     manifests.append(stage_counts(docs, "4_near_dup"))
 
     if mixture_weights is not None and token_budget is not None:
         plan = plan_mixture(docs, mixture_weights, token_budget)
         # apply each source's sample_rate as a deterministic md5 keep —
-        # same hash discipline as stratified_sample, rate from the plan
+        # stratified_sample's hash discipline: strict `<` against a
+        # 2-hex-char threshold of round(rate * 256), so rate 0 keeps
+        # NOTHING ('< 00' is empty — a zero-weight source must not leak)
+        # and rate >= 1 keeps everything (threshold 'zz' sorts above any
+        # hex prefix; '100' from conv would compare LOWER than 'ff')
+        thr_val = F.round(F.col("sample_rate") * 256, 0).cast("long")
+        thr_hex = F.lpad(
+            # lower(): conv emits uppercase hex, md5 is lowercase
+            F.lower(F.conv(thr_val.cast("string"), 10, 16)), 2, "0"
+        )
         rates = plan.select(
             "source",
-            F.lpad(
-                # lower(): conv emits uppercase hex, md5 is lowercase —
-                # mixed case would corrupt the string comparison
-                F.lower(
-                    F.conv(
-                        F.round(F.col("sample_rate") * 255, 0)
-                        .cast("long")
-                        .cast("string"),
-                        10,
-                        16,
-                    )
-                ),
-                2,
-                "0",
-            ).alias("__thr"),
+            F.when(thr_val >= 256, F.lit("zz")).otherwise(thr_hex).alias("__thr"),
         )
         docs = docs.join(F.broadcast(rates), "source").filter(
             F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-            <= F.col("__thr")
+            < F.col("__thr")
         ).drop("__thr")
+        docs = stage(docs)
         manifests.append(stage_counts(docs, "5_mixture"))
+    elif mixture_weights is not None or token_budget is not None:
+        raise ValueError(
+            "build_corpus: mixture_weights and token_budget must be given "
+            "together (one without the other silently skips the stage)"
+        )
 
     manifest = manifests[0]
     for m in manifests[1:]:
         manifest = manifest.unionByName(m)
     docs.write.mode("overwrite").parquet(out_dir + "/documents")
     manifest.write.mode("overwrite").parquet(out_dir + "/manifest")
+    for df in persisted:
+        df.unpersist()
     return manifest

@@ -884,7 +884,7 @@ def model_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
                    CASE WHEN o.doc_id IS NULL THEN 'added'
                         WHEN n.doc_id IS NULL THEN 'removed'
-                        WHEN o.h <> n.h THEN 'changed'
+                        WHEN o.h IS DISTINCT FROM n.h THEN 'changed'
                         ELSE 'unchanged' END AS status
             FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
         )

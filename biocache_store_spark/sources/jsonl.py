@@ -64,7 +64,8 @@ def load_jsonl(
         # id — so sniff a few lines driver-side and type each id alias
         # long when the corpus carries numeric ids. Corpora large enough
         # to make even this 100-line peek matter pass an explicit schema.
-        numeric_ids: set[str] = set()
+        seen_int: set[str] = set()
+        seen_other: set[str] = set()
         try:
             import json as _json
 
@@ -74,10 +75,18 @@ def load_jsonl(
                 except ValueError:
                     continue
                 for alias in _ID_ALIASES:
-                    if isinstance(obj.get(alias), int):
-                        numeric_ids.add(alias)
+                    v = obj.get(alias)
+                    if isinstance(v, bool) or v is None:
+                        continue
+                    (seen_int if isinstance(v, int) else seen_other).add(alias)
         except Exception:  # unreadable head: fall back to all-string
             pass
+        # long ONLY for purely-numeric aliases: a mixed corpus (numeric
+        # and string ids for the same alias) must stay StringType so the
+        # string ids survive — numeric lines in a string field null out
+        # and re-mint, the lesser loss. Mixed corpora should pass an
+        # explicit schema/id_field.
+        numeric_ids = seen_int - seen_other
         extra = [
             T.StructField(
                 alias,

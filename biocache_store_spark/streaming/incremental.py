@@ -398,9 +398,18 @@ def semantic_dedup_stream(
             queries = batch.select(
                 F.col("vec_id").alias("query_id"), "embedding"
             )
+            # exclude the batch's OWN ids from candidates: after the
+            # append a replayed handler would otherwise match batch-mates
+            # against each other and flip keep decisions (replay must be
+            # a no-op, not a re-judgement)
             nearest = (
                 query_ivf_index(
-                    spark, index_path, queries, k=1, nprobe=nprobe
+                    spark,
+                    index_path,
+                    queries,
+                    k=1,
+                    nprobe=nprobe,
+                    exclude_ids=batch.select("vec_id"),
                 )
                 .filter(F.col("cos_sim") >= threshold)
                 .select(F.col("query_id").alias("vec_id"))

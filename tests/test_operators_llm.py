@@ -1054,3 +1054,55 @@ def test_ivf_index_append_split(spark, tmp_path):
     write_ivf_index(new, cents, path, mode="append")
     n = spark.read.parquet(path + "/cells").count()
     assert n == emb.count()
+
+
+def test_component_representatives_string_ids(spark):
+    """String ids must work (no numeric negation) with the same
+    lowest-id-on-ties rule."""
+    from biocache_store_spark.operators.components import (
+        component_representatives,
+    )
+
+    comp = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a")], "node string, component string"
+    )
+    scores = spark.createDataFrame(
+        [("a", 0.5), ("b", 0.9), ("c", 0.9)], "doc_id string, quality_score double"
+    )
+    [row] = component_representatives(comp, scores).collect()
+    assert row["rep_doc_id"] == "b"  # top score, lowest id among ties
+    assert row["cluster_size"] == 3
+
+
+def test_query_ivf_index_excludes_and_dedups(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from biocache_store_spark.operators.similarity import (
+        query_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    cents = emb.limit(1).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, cents, path)
+    # simulate a crash-replayed double append of vec 1
+    write_ivf_index(emb.filter(F.col("vec_id") == 1), cents, path, mode="append")
+
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = query_ivf_index(spark, path, q, k=2, nprobe=1).collect()
+    ids = [r["vec_id"] for r in out]
+    assert ids.count(1) == 1  # dedup-on-read: doubled vector fills one slot
+
+    out2 = query_ivf_index(
+        spark, path, q, k=2, nprobe=1,
+        exclude_ids=spark.createDataFrame([(1,)], "vec_id long"),
+    ).collect()
+    assert 1 not in [r["vec_id"] for r in out2]

@@ -448,3 +448,12 @@ def test_snapshot_diff_statuses(spark):
     )
     got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
     assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_snapshot_diff_null_content_is_changed(spark):
+    from biocache_store_spark.operators.maintenance import snapshot_diff
+
+    old = spark.createDataFrame([(7, None)], "doc_id long, text string")
+    new = spark.createDataFrame([(7, "rewritten")], "doc_id long, text string")
+    [row] = snapshot_diff(old, new).collect()
+    assert row["status"] == "changed"  # null-safe compare, not 'unchanged'

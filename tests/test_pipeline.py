@@ -159,3 +159,49 @@ def test_build_corpus_end_to_end(spark, tmp_path):
     a = {r["doc_id"] for r in kept.collect()}
     b = {r["doc_id"] for r in spark.read.parquet(out2 + "/documents").collect()}
     assert a == b
+
+
+def test_build_corpus_null_lang_passes_gate(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from biocache_store_spark.pipeline import build_corpus
+
+    docs = spark.createDataFrame(
+        [(i, "the and of to in words here now " * 5, None, "s")
+         for i in range(4)],
+        "doc_id long, text string, lang string, source string",
+    )
+    build_corpus(spark, docs, str(tmp_path / "c"), quality_threshold=0.0)
+    kept = spark.read.parquet(str(tmp_path / "c") + "/documents")
+    assert kept.count() == 1  # exact dedup collapses; lang gate passed all
+
+
+def test_build_corpus_zero_weight_source_excluded(spark, tmp_path):
+    from biocache_store_spark.pipeline import build_corpus
+
+    rows = [(i, f"unique doc {i} with the and of to in", "en",
+             "keep" if i % 2 else "drop") for i in range(40)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    build_corpus(
+        spark, docs, str(tmp_path / "c"), quality_threshold=0.0,
+        mixture_weights={"keep": 1.0, "drop": 0.0}, token_budget=10_000,
+    )
+    kept = spark.read.parquet(str(tmp_path / "c") + "/documents")
+    assert kept.filter("source = 'drop'").count() == 0  # rate 0 leaks nothing
+    assert kept.filter("source = 'keep'").count() > 0
+
+
+def test_build_corpus_requires_both_mixture_args(spark, tmp_path):
+    import pytest as _pytest
+
+    from biocache_store_spark.pipeline import build_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    with _pytest.raises(ValueError, match="together"):
+        build_corpus(spark, docs, str(tmp_path / "c"),
+                     mixture_weights={"s": 1.0})

@@ -1146,3 +1146,19 @@ def test_semantic_dedup_stream(spark, tmp_path):
     q2.awaitTermination(120)
     got = {r["vec_id"]: r["keep"] for r in spark.read.parquet(decisions).collect()}
     assert got[20] is False  # matched vector 11 from the previous drop
+
+
+def test_jsonl_loader_mixed_id_types_stay_string(spark, tmp_path):
+    """An alias seen with BOTH numeric and string values in the head must
+    be typed string so string ids survive (numeric ones re-mint)."""
+    import json as _json
+
+    from biocache_store_spark.sources.jsonl import load_jsonl
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text("\n".join([
+        _json.dumps({"doc_id": 1, "text": "numeric id line"}),
+        _json.dumps({"doc_id": "legacy-abc", "text": "string id line"}),
+    ]))
+    got = {r["text"]: r["doc_id"] for r in load_jsonl(spark, str(p), source="s").collect()}
+    assert got["string id line"] == "legacy-abc"

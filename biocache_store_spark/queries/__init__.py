@@ -82,6 +82,7 @@ HEAD: tuple[str, ...] = (
     "facet_rollup",
     "model_quality_gate",
     "snapshot_diff_rollup",
+    "gopher_quality_flags",
     # refresh tier: last driver-green in r02/r03; re-green to guard
     # against regressions now that every registry entry has evidence
     "dedup_occurrence_clusters",

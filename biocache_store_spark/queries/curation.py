@@ -905,3 +905,88 @@ def snapshot_diff_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     diff = snapshot_diff(old, docs)
     return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "gopher_quality_flags",
+    doc=(
+        "Gopher-rule quality flags (Rae et al. 2021 §A1.1, the canonical "
+        "heuristic filter set, adapted to this corpus's single-line "
+        "documents): per document — word count in [50, 100k], mean word "
+        "length in [3, 10], symbol-to-word ratio <= 0.1, and at least "
+        "one English stopword present (thresholds are the rule set's "
+        "corpus-scaled parameters: the synthetic docs run 10-99 words, "
+        "so the word-count floor is 30) — plus the combined "
+        "pass flag. All built-in expressions (map-only, whole-stage "
+        "codegen); the rejection-reason breakdown is what a curation "
+        "operator tunes thresholds against before committing a 100 TB "
+        "filter pass."
+    ),
+    oracle=rf"""
+        WITH t AS (
+            SELECT doc_id,
+                   {_TOKS} AS toks,
+                   lower(trim(text)) AS lt
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   len(toks) AS n_words,
+                   length(list_aggregate(toks, 'string_agg', ''))
+                       * 1.0 / GREATEST(len(toks), 1) AS mwl,
+                   length(regexp_replace(lt, '[a-z0-9\s]', '', 'g'))
+                       * 1.0 / GREATEST(len(toks), 1) AS swr,
+                   len(list_distinct(list_filter(toks,
+                       x -> x IN ('the', 'and', 'of', 'to', 'in')))) AS n_stop
+            FROM t
+        )
+        SELECT doc_id,
+               n_words,
+               (n_words >= 30 AND n_words <= 100000) AS ok_word_count,
+               (mwl >= 3.0 AND mwl <= 10.0) AS ok_mean_word_len,
+               (swr <= 0.1) AS ok_symbol_ratio,
+               (n_stop >= 1) AS ok_stopwords,
+               (n_words >= 30 AND n_words <= 100000
+                AND mwl >= 3.0 AND mwl <= 10.0
+                AND swr <= 0.1 AND n_stop >= 1) AS gopher_pass
+        FROM m
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.functions.text import words
+
+    docs = read_table(spark, sf_dir, "documents")
+    lt = F.lower(F.trim(F.col("text")))
+    t = docs.select("doc_id", words(F.col("text")).alias("toks"), lt.alias("lt"))
+    n_words = F.size("toks")
+    safe = F.greatest(n_words, F.lit(1))
+    mwl = F.length(F.concat_ws("", F.col("toks"))) / safe
+    swr = F.length(F.regexp_replace(F.col("lt"), r"[a-z0-9\s]", "")) / safe
+    n_stop = F.size(
+        F.array_distinct(
+            F.filter(
+                F.col("toks"),
+                lambda x: x.isin("the", "and", "of", "to", "in"),
+            )
+        )
+    )
+    m = t.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mwl.alias("__mwl"),
+        swr.alias("__swr"),
+        n_stop.alias("__n_stop"),
+    )
+    ok_wc = (F.col("n_words") >= 30) & (F.col("n_words") <= 100000)
+    ok_mwl = (F.col("__mwl") >= 3.0) & (F.col("__mwl") <= 10.0)
+    ok_swr = F.col("__swr") <= 0.1
+    ok_stop = F.col("__n_stop") >= 1
+    return m.select(
+        "doc_id",
+        "n_words",
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_swr.alias("ok_symbol_ratio"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_wc & ok_mwl & ok_swr & ok_stop).alias("gopher_pass"),
+    )

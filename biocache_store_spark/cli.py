@@ -346,7 +346,13 @@ def cmd_near_dup_probe(args) -> int:
     )
 
     batch = _read(spark, args.inp)
-    pairs = probe_lsh_index(spark, args.index, batch, threshold=args.threshold)
+    pairs = probe_lsh_index(
+        spark,
+        args.index,
+        batch,
+        threshold=args.threshold,
+        max_bucket_size=args.max_bucket,
+    )
     pairs.write.mode("overwrite").parquet(args.out)
     if args.append_after:
         write_lsh_index(batch, args.index, mode="append")
@@ -732,6 +738,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--index", required=True)
     sp.add_argument("--out", required=True)
     sp.add_argument("--threshold", type=float, default=0.5)
+    sp.add_argument(
+        "--max-bucket",
+        dest="max_bucket",
+        type=int,
+        default=100_000,
+        help="drop band buckets larger than this (viral-bucket guard)",
+    )
     sp.add_argument(
         "--append-after",
         dest="append_after",

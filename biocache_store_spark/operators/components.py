@@ -184,7 +184,10 @@ def component_representatives(
     )
     return (
         joined.join(stats, "component")
-        .filter(F.col(score_col) == F.col("__s"))
+        # null-SAFE: a component whose members all have NULL scores has
+        # __s NULL; plain == would filter every row and silently drop
+        # the whole component (the numeric branch keeps it)
+        .filter(F.col(score_col).eqNullSafe(F.col("__s")))
         .groupBy("component", "__s", "cluster_size")
         .agg(F.min(id_col).alias(f"rep_{id_col}"))
         .select(

@@ -96,6 +96,13 @@ def banded_keys(
     """(id, band, band_sig): one row per (document, band) — the LSH join
     key relation, shared by in-memory candidate generation and the
     persisted index (write_lsh_index)."""
+    if bands < 1 or num_hashes % bands:
+        # bands > num_hashes would make rows_per_band 0 -> every band_sig
+        # "" -> one mega-bucket and an O(n^2) join; a non-dividing bands
+        # silently ignores trailing hashes and changes the recall curve
+        raise ValueError(
+            f"banded_keys: bands ({bands}) must divide num_hashes ({num_hashes})"
+        )
     rows_per_band = num_hashes // bands
     return sig_df.select(
         id_col,
@@ -115,20 +122,21 @@ def banded_keys(
 
 def _cap_buckets(banded: DataFrame, max_bucket_size: int | None) -> DataFrame:
     """Hot-band guard shared by the batch and incremental paths: drop
-    (band, band_sig) buckets larger than the cap. Window count over the
-    join key itself — one shuffle, no extra join."""
+    (band, band_sig) buckets larger than the cap. COUNT-FIRST shape (the
+    lsh_candidates discipline): the count aggregates with map-side
+    partials so a million-row viral bucket collapses to one row per
+    input partition, then surviving keys gate via a left-semi join on
+    the same partitioning — a window count would instead shuffle the
+    whole viral bucket into one task just to count it."""
     if max_bucket_size is None:
         return banded
-    from pyspark.sql.window import Window
-
-    return (
-        banded.withColumn(
-            "__bn",
-            F.count(F.lit(1)).over(Window.partitionBy("band", "band_sig")),
-        )
-        .filter(F.col("__bn") <= max_bucket_size)
-        .drop("__bn")
+    ok = (
+        banded.groupBy("band", "band_sig")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= max_bucket_size)
+        .drop("__n")
     )
+    return banded.join(ok.hint("shuffle_hash"), ["band", "band_sig"], "left_semi")
 
 
 def lsh_candidates(
@@ -185,6 +193,42 @@ def lsh_candidates(
     )
 
 
+def _verify_pairs(
+    cand: DataFrame,
+    sets: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact shingle-set Jaccard verification of candidate pairs — shared
+    by the batch (near_duplicates) and incremental (probe_lsh_index)
+    paths so their null handling, rounding, and join strategy can never
+    diverge. `sets` is (id, n_sh, shs).
+
+    shuffle_hash, NOT broadcast: the set relation carries per-document
+    shingle arrays — exactly what could never broadcast at corpus scale.
+    Letting AQE broadcast it at small SF also ran the signature build
+    inside two concurrent broadcast-exchange threads and collected both
+    onto the driver heap (measured: 80+ s of GC at sf0.1)."""
+    sets_a = sets.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("shs").alias("shs_a"),
+        F.col("n_sh").alias("n_sh_a"),
+    )
+    sets_b = sets.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("shs").alias("shs_b"),
+        F.col("n_sh").alias("n_sh_b"),
+    )
+    inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    jaccard = inter / (F.col("n_sh_a") + F.col("n_sh_b") - inter)
+    return (
+        cand.join(sets_a.hint("shuffle_hash"), "doc_a")
+        .join(sets_b.hint("shuffle_hash"), "doc_b")
+        .filter(F.coalesce(jaccard, F.lit(-1.0)) >= threshold)
+        .select("doc_a", "doc_b", F.round(jaccard, 4).alias("jaccard"))
+    )
+
+
 def near_duplicates(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -220,29 +264,8 @@ def near_duplicates(
 
         sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     cand = lsh_candidates(sig, num_hashes, bands, id_col, max_bucket_size)
-    sets_a = sig.select(
-        F.col(id_col).alias("doc_a"),
-        F.col("shs").alias("shs_a"),
-        F.col("n_sh").alias("n_sh_a"),
-    )
-    sets_b = sig.select(
-        F.col(id_col).alias("doc_b"),
-        F.col("shs").alias("shs_b"),
-        F.col("n_sh").alias("n_sh_b"),
-    )
-    inter = F.size(F.array_intersect("shs_a", "shs_b"))
-    jaccard = inter / (F.col("n_sh_a") + F.col("n_sh_b") - inter)
-    # shuffle_hash, NOT broadcast: the signature relation carries the
-    # per-document shingle sets, which is exactly the relation you could
-    # never broadcast at corpus scale. Letting AQE broadcast it at small SF
-    # also ran the whole signature build inside two concurrent
-    # broadcast-exchange threads and collected both onto the driver heap
-    # (measured: 80+ s of GC in-session at sf0.1 with a warm heap).
-    return (
-        cand.join(sets_a.hint("shuffle_hash"), "doc_a")
-        .join(sets_b.hint("shuffle_hash"), "doc_b")
-        .filter(F.coalesce(jaccard, F.lit(-1.0)) >= threshold)
-        .select("doc_a", "doc_b", F.round(jaccard, 4).alias("jaccard"))
+    return _verify_pairs(
+        cand, sig.select(id_col, "n_sh", "shs"), threshold, id_col
     )
 
 
@@ -266,11 +289,51 @@ def write_lsh_index(
     (probe_lsh_index) instead of re-shingling 100 TB per ingest. Pass
     mode="append" to accumulate a growing corpus index — each ingest
     appends its own signatures after probing.
+
+    The hash-family parameters are persisted in `_meta.json` on the
+    first write and validated on append and probe: an index probed or
+    extended with different num_hashes/bands/n would silently match
+    nothing (different hash families), so a mismatch raises instead.
     """
+    import json
+    import os
+
+    from pyspark import StorageLevel
+
+    meta = {"num_hashes": num_hashes, "bands": bands, "n": n}
+    meta_path = os.path.join(path, "_meta.json")
+    if mode == "append" and os.path.exists(meta_path):
+        _check_index_meta(meta_path, meta, "write_lsh_index(append)")
     sig = signatures(docs, num_hashes, n, id_col, text_col, max_shingles)
-    sig.write.mode(mode).parquet(path + "/sig")
-    banded = banded_keys(sig, num_hashes, bands, id_col)
-    banded.write.mode(mode).partitionBy("band").parquet(path + "/bands")
+    # persist: the sig plan feeds BOTH writes; without it the whole
+    # shingle/md5/groupBy pass over the corpus runs twice per index build
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        sig.write.mode(mode).parquet(path + "/sig")
+        banded = banded_keys(sig, num_hashes, bands, id_col)
+        banded.write.mode(mode).partitionBy("band").parquet(path + "/bands")
+    finally:
+        sig.unpersist()
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+
+
+def _check_index_meta(meta_path: str, expected: dict, caller: str) -> None:
+    import json
+
+    try:
+        with open(meta_path) as fh:
+            stored = json.load(fh)
+    except OSError:
+        return  # pre-meta index: accept, params were the caller's problem
+    mismatched = {
+        k: (stored.get(k), v) for k, v in expected.items() if stored.get(k) != v
+    }
+    if mismatched:
+        raise ValueError(
+            f"{caller}: hash-family parameters differ from the stored "
+            f"index ({mismatched}); results would silently be wrong"
+        )
 
 
 def probe_lsh_index(
@@ -300,7 +363,22 @@ def probe_lsh_index(
     band-bucket fan-in), never the corpus. The hot-bucket cap applies to
     the combined band table, same trade as lsh_candidates.
     """
-    new_sig = signatures(new_docs, num_hashes, n, id_col, text_col, max_shingles)
+    import os
+
+    from pyspark import StorageLevel
+
+    _check_index_meta(
+        os.path.join(path, "_meta.json"),
+        {"num_hashes": num_hashes, "bands": bands, "n": n},
+        "probe_lsh_index",
+    )
+    # persist: the batch signature plan feeds banding AND the set union,
+    # and the candidate plan feeds the id-restriction union twice plus
+    # the verification join — unpersisted, the most expensive stages of
+    # the per-ingest probe re-run ~3x
+    new_sig = signatures(
+        new_docs, num_hashes, n, id_col, text_col, max_shingles
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     new_banded = banded_keys(new_sig, num_hashes, bands, id_col).withColumn(
         "is_new", F.lit(True)
     )
@@ -330,6 +408,7 @@ def probe_lsh_index(
             F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_b"),
         )
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     stored_sig = spark.read.parquet(path + "/sig").select(id_col, "n_sh", "shs")
     sets = stored_sig.unionByName(
@@ -338,29 +417,17 @@ def probe_lsh_index(
     # restrict the set-payload relation to CANDIDATE ids before attaching
     # shingle arrays: without this, every stored signature row shuffles
     # through the verification join on every ingest — O(corpus), exactly
-    # what the probe exists to avoid. The candidate-id set is bounded by
-    # (batch x bands x bucket cap), so it broadcasts.
+    # what the probe exists to avoid.
     cand_ids = (
         cand.select(F.col("doc_a").alias(id_col))
         .union(cand.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    sets = sets.join(F.broadcast(cand_ids), id_col, "left_semi")
-    sets_a = sets.select(
-        F.col(id_col).alias("doc_a"),
-        F.col("shs").alias("shs_a"),
-        F.col("n_sh").alias("n_sh_a"),
-    )
-    sets_b = sets.select(
-        F.col(id_col).alias("doc_b"),
-        F.col("shs").alias("shs_b"),
-        F.col("n_sh").alias("n_sh_b"),
-    )
-    inter = F.size(F.array_intersect("shs_a", "shs_b"))
-    jaccard = inter / (F.col("n_sh_a") + F.col("n_sh_b") - inter)
-    return (
-        cand.join(sets_a.hint("shuffle_hash"), "doc_a")
-        .join(sets_b.hint("shuffle_hash"), "doc_b")
-        .filter(F.coalesce(jaccard, F.lit(-1.0)) >= threshold)
-        .select("doc_a", "doc_b", F.round(jaccard, 4).alias("jaccard"))
-    )
+    if max_bucket_size is not None:
+        # with the cap the candidate-id set is bounded by
+        # (batch x bands x cap): safe to force-broadcast. UNCAPPED, one
+        # viral bucket makes it O(batch x corpus) — forcing broadcast
+        # there collects it onto the driver, so AQE decides instead.
+        cand_ids = F.broadcast(cand_ids)
+    sets = sets.join(cand_ids, id_col, "left_semi")
+    return _verify_pairs(cand, sets, threshold, id_col)

@@ -35,6 +35,11 @@ DEFAULT_BUCKET_HEX = 3  # 16^3 = 4096 buckets per row
 def _bucket(value_col: F.Column, d: int, bucket_hex: int) -> F.Column:
     """The d-th hash's bucket: an 8-hex window into md5(value), prefix-
     truncated to the bucket width. d < 4 rides on a single md5 call."""
+    if not 1 <= bucket_hex <= 8:
+        # wider than 8 would overlap the next depth's 8-hex window (and
+        # run past the 32-char digest at d=3), silently breaking the
+        # hash-independence the CMS error bound relies on
+        raise ValueError("bucket_hex must be in 1..8 (window width per hash)")
     return F.substring(F.md5(value_col), d * 8 + 1, bucket_hex)
 
 
@@ -80,22 +85,24 @@ def estimate_counts(
     The sketch is broadcast — it is bounded by construction (the whole
     point of sketching), so the estimate join never shuffles the probe
     side."""
-    probed = probes.select(
-        "*",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("d"),
-                        _bucket(F.col(col), d, bucket_hex).alias("bucket"),
-                    )
-                    for d in range(depth)
-                ]
-            )
-        ).alias("db"),
-    ).select("*", "db.d", "db.bucket").drop("db")
-    joined = probed.join(F.broadcast(sketch), ["d", "bucket"], "left")
-    group_cols = [c for c in probes.columns]
-    return joined.groupBy(*group_cols).agg(
-        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est")
+    # min over the depth estimates as a single left-to-right LEAST of
+    # per-depth lookup columns — no explode, no groupBy, so duplicate
+    # probe rows stay distinct rows (the row-per-probe contract) and no
+    # probe column name can collide with sketch internals
+    out = probes
+    est_cols = []
+    for d in range(depth):
+        per_d = sketch.filter(F.col("d") == d).select(
+            F.col("bucket").alias(f"__cms_b{d}"),
+            F.col("cnt").alias(f"__cms_c{d}"),
+        )
+        out = out.join(
+            F.broadcast(per_d),
+            _bucket(F.col(col), d, bucket_hex) == F.col(f"__cms_b{d}"),
+            "left",
+        ).drop(f"__cms_b{d}")
+        est_cols.append(F.coalesce(F.col(f"__cms_c{d}"), F.lit(0)))
+    est = est_cols[0] if depth == 1 else F.least(*est_cols)
+    return out.withColumn("cms_est", est).drop(
+        *[f"__cms_c{d}" for d in range(depth)]
     )

@@ -1106,3 +1106,68 @@ def test_query_ivf_index_excludes_and_dedups(spark, tmp_path):
         exclude_ids=spark.createDataFrame([(1,)], "vec_id long"),
     ).collect()
     assert 1 not in [r["vec_id"] for r in out2]
+
+
+def test_banded_keys_rejects_non_dividing_bands(spark):
+    from biocache_store_spark.operators.minhash import banded_keys, signatures
+
+    sig = signatures(spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id long, text string"))
+    with pytest.raises(ValueError, match="divide"):
+        banded_keys(sig, num_hashes=12, bands=16)
+    with pytest.raises(ValueError, match="divide"):
+        banded_keys(sig, num_hashes=12, bands=5)
+
+
+def test_lsh_index_rejects_mismatched_params(spark, tmp_path):
+    from biocache_store_spark.operators.minhash import (
+        probe_lsh_index,
+        write_lsh_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "lsh")
+    write_lsh_index(docs, path, n=3)
+    with pytest.raises(ValueError, match="hash-family"):
+        probe_lsh_index(spark, path, docs, n=5)
+    with pytest.raises(ValueError, match="hash-family"):
+        write_lsh_index(docs, path, n=5, mode="append")
+
+
+def test_cms_bucket_hex_validated_and_probe_rows_preserved(spark):
+    from biocache_store_spark.operators.sketch import (
+        count_min_sketch,
+        estimate_counts,
+    )
+
+    tok = spark.createDataFrame(
+        [("a",), ("a",), ("b",)], "term string"
+    )
+    with pytest.raises(ValueError, match="bucket_hex"):
+        count_min_sketch(tok, "term", bucket_hex=10)
+    sketch = count_min_sketch(tok, "term")
+    # duplicate probe rows must stay distinct rows (no groupBy collapse)
+    probes = spark.createDataFrame([("a",), ("a",)], "term string")
+    rows = estimate_counts(sketch, probes, "term").collect()
+    assert len(rows) == 2 and all(r["cms_est"] >= 2 for r in rows)
+    # probe column named like sketch internals must not collide
+    probes2 = spark.createDataFrame([("a", 9)], "term string, cnt int")
+    [r2] = estimate_counts(sketch, probes2, "term").collect()
+    assert r2["cms_est"] >= 2 and r2["cnt"] == 9
+
+
+def test_component_representatives_all_null_scores_kept(spark):
+    from biocache_store_spark.operators.components import (
+        component_representatives,
+    )
+
+    comp = spark.createDataFrame(
+        [("x", "x"), ("y", "x")], "node string, component string"
+    )
+    scores = spark.createDataFrame(
+        [("x", None), ("y", None)], "doc_id string, quality_score double"
+    )
+    [row] = component_representatives(comp, scores).collect()
+    assert row["rep_doc_id"] == "x" and row["cluster_size"] == 2

@@ -85,6 +85,13 @@ def jackknife(
                     outliers[q] = True
         c_arr[i] = c
 
+    # REFERENCE PARITY (JackKnife.scala:69-81): the forward pass gates on
+    # outliers[i-1] but NOT outliers[i], and the backward pass adds
+    # c_arr[i+1] without requiring outliers[i+1] — so a c-value can leak
+    # across a flagged-run boundary into an unflagged neighbor's
+    # outlierness. That is the reference's own accumulation, preserved
+    # verbatim (the outlier FLAGS, which drive record assertions, are
+    # unaffected; only the advisory outlierness score carries the quirk).
     for i in range(n):
         if samples[i] > smean and i > 0 and outliers[i - 1]:
             c_arr[i] = c_arr[i] + c_arr[i - 1]

@@ -91,18 +91,24 @@ def find_outliers(
     }
     bc = records.sparkSession.sparkContext.broadcast(rings)
 
-    subset = records.select(
-        F.col(id_col).cast("string").alias("occurrence_id"),
-        F.col(taxon_col).cast("string").alias("taxon"),
-        F.col(lat_col).cast("double").alias("lat"),
-        F.col(lon_col).cast("double").alias("lon"),
-    ).filter(
-        F.col("taxon").isin(*rings.keys())
-        & F.col("lat").isNotNull()
-        & F.col("lon").isNotNull()
-        if rings
-        else F.lit(False)
+    # taxon restriction via a left-semi join against the (already-small)
+    # distribution dim, NOT isin(*keys): tens of thousands of taxa as
+    # plan literals balloon the Catalyst tree and serialized plan
+    taxon_keys = distributions.select(
+        F.col("taxonConceptID").cast("string").alias("taxon")
+    ).distinct()
+    subset = (
+        records.select(
+            F.col(id_col).cast("string").alias("occurrence_id"),
+            F.col(taxon_col).cast("string").alias("taxon"),
+            F.col(lat_col).cast("double").alias("lat"),
+            F.col(lon_col).cast("double").alias("lon"),
+        )
+        .filter(F.col("lat").isNotNull() & F.col("lon").isNotNull())
+        .join(F.broadcast(taxon_keys), "taxon", "left_semi")
     )
+    if not rings:
+        subset = subset.filter(F.lit(False))
 
     schema = T.StructType(
         [

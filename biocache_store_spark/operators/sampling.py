@@ -36,7 +36,10 @@ _WKT_POLYGON = re.compile(r"POLYGON\s*\(\(\s*(.*?)\s*\)\)", re.IGNORECASE | re.D
 def parse_wkt_polygon(wkt: str) -> list[tuple[float, float]]:
     """Parse a simple (no-holes) WKT POLYGON into a ring of (lon, lat)."""
     m = _WKT_POLYGON.match(wkt.strip())
-    if not m:
+    # the non-greedy capture runs THROUGH an interior ring (the first
+    # '))' is at the very end), so holes must be rejected explicitly or
+    # they'd surface as a confusing float() error — or worse, parse
+    if not m or ")" in m.group(1):
         raise ValueError(f"Unsupported WKT (simple POLYGON only): {wkt[:60]}")
     ring = []
     for pair in m.group(1).split(","):
@@ -46,8 +49,14 @@ def parse_wkt_polygon(wkt: str) -> list[tuple[float, float]]:
 
 
 def point_in_polygon(lon: float, lat: float, ring: list[tuple[float, float]]) -> bool:
-    """Ray casting; boundary points count as inside (sufficient for
-    sampling semantics)."""
+    """Ray casting with the standard half-open boundary rule: a point on
+    an edge the ray crosses (left/bottom, and the lon==x_cross case)
+    counts as inside, while maximum-latitude horizontal edges and top
+    vertices fall outside — the usual crossing-number asymmetry, which
+    guarantees a point on a shared border of two adjacent layers hits
+    exactly one of them rather than both or neither. The SQL oracles
+    unroll the identical rule, so both engines agree on every boundary
+    point."""
     inside = False
     n = len(ring)
     j = n - 1
@@ -124,9 +133,19 @@ def sample_el_layers(
     INTEGER bin index (floor(coord/res) vs round(bin/res)) — comparing
     floored-and-rescaled doubles would miss on float representation, and
     integer keys also join/broadcast cheaper."""
+    # round before floor: coord/resolution suffers 1-ulp-under float
+    # error exactly ON cell boundaries (151.2/0.1 = 1511.9999999999998),
+    # and occurrence data rounded to the grid precision sits exactly
+    # there — floor alone would bin every such point one cell low.
+    # 6-decimal rounding kills the ulp error without moving genuine
+    # sub-cell offsets.
     binned = points.withColumn(
-        "__lat_idx", F.floor(F.col("lat") / resolution).cast("long")
-    ).withColumn("__lon_idx", F.floor(F.col("lon") / resolution).cast("long"))
+        "__lat_idx",
+        F.floor(F.round(F.col("lat") / resolution, 6)).cast("long"),
+    ).withColumn(
+        "__lon_idx",
+        F.floor(F.round(F.col("lon") / resolution, 6)).cast("long"),
+    )
     grid = el_layers.select(
         "layerID",
         "value",

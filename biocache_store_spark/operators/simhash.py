@@ -56,6 +56,11 @@ def simhash(
     """(id, n_sh, simhash bit-string) per document with >= n tokens."""
     from biocache_store_spark.util import ensure_min_parallelism
 
+    if not 1 <= bits <= 32:
+        # bit b reads the (b+1)-th md5 hex nibble: past 32 the substring
+        # is empty and every extra bit silently becomes a constant '0'
+        raise ValueError("simhash: bits must be in 1..32 (one md5 nibble per bit)")
+
     docs = ensure_min_parallelism(docs.select(id_col, text_col))
     arrs = docs.select(
         id_col, text_shingles(F.col(text_col), n).alias("shs")
@@ -119,6 +124,13 @@ def simhash_near_duplicates(
 
     Returns (doc_a, doc_b, hamming).
     """
+    if bands < 1 or bits % bands:
+        # bands > bits would give band_len 0 -> empty band_str for every
+        # doc -> one mega-bucket and an O(n^2) join (the banded_keys
+        # guard, same failure class)
+        raise ValueError(
+            f"simhash_near_duplicates: bands ({bands}) must divide bits ({bits})"
+        )
     band_len = bits // bands
     sh = simhash(docs, n, id_col, text_col, bits)
     banded = sh.select(
@@ -137,30 +149,40 @@ def simhash_near_duplicates(
         ).alias("bs"),
     ).select(id_col, "simhash", F.col("bs.band"), F.col("bs.band_str"))
     if max_bucket_size is not None:
-        from pyspark.sql.window import Window
-
-        banded = (
-            banded.withColumn(
-                "__bn",
-                F.count(F.lit(1)).over(Window.partitionBy("band", "band_str")),
-            )
-            .filter(F.col("__bn") <= max_bucket_size)
-            .drop("__bn")
+        # count-first + left-semi, not a window: the guard must never
+        # shuffle a viral bucket into one task just to count it (the
+        # minhash._cap_buckets discipline)
+        ok = (
+            banded.groupBy("band", "band_str")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket_size)
+            .drop("__n")
         )
-    a = banded.alias("a")
-    b = banded.alias("b")
+        banded = banded.join(
+            ok.hint("shuffle_hash"), ["band", "band_str"], "left_semi"
+        )
+    # POSTING-LIST pair generation (the lsh_candidates r5 shape): collect
+    # (id, simhash) structs per bucket and double-explode — singleton
+    # buckets (the vast majority) drop before any pair work, and no
+    # self-join shuffles every banded row twice
+    posting = (
+        banded.groupBy("band", "band_str")
+        .agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s"))
+            ).alias("ids")
+        )
+        .filter(F.size("ids") >= 2)
+    )
     pairs = (
-        a.join(
-            b.hint("shuffle_hash"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_str") == F.col("b.band_str"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        posting.select(F.explode("ids").alias("a"), "ids")
+        .select("a", F.explode("ids").alias("b"))
+        .filter(F.col("a.i") < F.col("b.i"))
         .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.simhash").alias("__sim_a"),
-            F.col("b.simhash").alias("__sim_b"),
+            F.col("a.i").alias("doc_a"),
+            F.col("b.i").alias("doc_b"),
+            F.col("a.s").alias("__sim_a"),
+            F.col("b.s").alias("__sim_b"),
         )
         .distinct()
     )

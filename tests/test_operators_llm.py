@@ -1171,3 +1171,40 @@ def test_component_representatives_all_null_scores_kept(spark):
     )
     [row] = component_representatives(comp, scores).collect()
     assert row["rep_doc_id"] == "x" and row["cluster_size"] == 2
+
+
+def test_simhash_guards(spark, docs):
+    from biocache_store_spark.operators.simhash import (
+        simhash,
+        simhash_near_duplicates,
+    )
+
+    with pytest.raises(ValueError, match="divide"):
+        simhash_near_duplicates(docs, bands=40)
+    with pytest.raises(ValueError, match="nibble"):
+        simhash(docs, bits=64)
+
+
+def test_el_binning_boundary_coordinates(spark):
+    """A coordinate exactly on a 0.1-degree cell boundary must bin into
+    ITS cell, not one cell low (151.2/0.1 floats to 1511.9999...)."""
+    from biocache_store_spark.operators.sampling import sample_el_layers
+
+    points = spark.createDataFrame(
+        [(-33.9, 151.2)], "lat double, lon double"
+    )
+    grid = spark.createDataFrame(
+        [("elx", 7.0, -33.9, 151.2)],
+        "layerID string, value double, lat_bin double, lon_bin double",
+    )
+    [row] = sample_el_layers(points, grid, resolution=0.1).collect()
+    assert row["el"] == {"elx": 7.0}
+
+
+def test_wkt_holes_rejected_cleanly(spark):
+    from biocache_store_spark.operators.sampling import parse_wkt_polygon
+
+    with pytest.raises(ValueError, match="simple POLYGON"):
+        parse_wkt_polygon(
+            "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 3 3, 2 3, 2 2))"
+        )

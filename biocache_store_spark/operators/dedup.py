@@ -206,7 +206,10 @@ def _set_date_types(r: DupRecord, has_year, has_month, has_day):
 def find_group_duplicates(records: list[DupRecord]) -> list[DupRecord]:
     """checkDuplicates + markRecordsAsDuplicatesAndSetTypes over one
     (taxon, year, month, day) group. Returns all records with statuses set."""
-    records = sorted(records, key=lambda r: r.row_key)
+    # null-tolerant key: detect_duplicates filters id-less records, but
+    # this is a public function — a None row_key must not TypeError the
+    # whole task
+    records = sorted(records, key=lambda r: (r.row_key is None, r.row_key or ""))
     for record in records:
         if record.duplicate_of is not None:
             continue
@@ -303,10 +306,16 @@ def detect_duplicates(
     from biocache_store_spark.util import ensure_package_on_workers
 
     ensure_package_on_workers(df.sparkSession)
-
-    group_cols = [taxon_col, year_col, month_col, day_col]
-    selected = df.select(
-        F.coalesce(F.col(taxon_col).cast("string"), F.lit("")).alias("g_taxon"),
+    # taxon-less (or id-less) records are never dedup-checked: the
+    # reference iterates ACTUAL taxon lsids (DuplicationDetection.scala:
+    # 428-455), so records without one have no group — coalescing them
+    # to "" would instead pool every unrelated taxon-less record into
+    # one mega-group (false duplicates across species AND a potential
+    # O(n^2) single-task group)
+    selected = df.filter(
+        F.col(taxon_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        F.col(taxon_col).cast("string").alias("g_taxon"),
         F.coalesce(F.col(year_col).cast("string"), F.lit("")).alias("g_year"),
         F.coalesce(F.col(month_col).cast("string"), F.lit("")).alias("g_month"),
         F.coalesce(F.col(day_col).cast("string"), F.lit("")).alias("g_day"),

@@ -95,11 +95,6 @@ def annotate_with_rule(
         F.when(matches, F.lit(0)).otherwise(F.lit(1)).alias("qa_status"),
         F.lit(rule.comment).alias("comment"),
     )
-    if "assertions" in df.columns:
-        # coalesce: concat(NULL, x) is NULL, which would silently drop the
-        # rule assertion for rows whose assertions column is null
-        existing = F.coalesce(
-            F.col("assertions"), F.array().cast(df.schema["assertions"].dataType)
-        )
-        return df.withColumn("assertions", F.concat(existing, F.array(assertion)))
-    return df.withColumn("assertions", F.array(assertion))
+    from biocache_store_spark.processors.assertions import append_assertion
+
+    return append_assertion(df, assertion)

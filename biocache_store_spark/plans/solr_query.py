@@ -190,7 +190,10 @@ class _Parser:
                         "not supported (SOLR precedence would be ambiguous "
                         "to replicate silently)"
                     )
-                op_or = not saw_and
+                # bare juxtaposition inside a value list follows the SAME
+                # default operator as clause level (AND — the q.op the
+                # translator is committed to); explicit OR overrides
+                op_or = saw_or
                 col = self._column(field)
                 conds = [_parse_value(col, v) for v in values]
                 result = conds[0]
@@ -265,8 +268,15 @@ def wkt_predicate(
     lon_col: str = "decimalLongitude",
 ) -> Column:
     """Point-in-polygon as a static expression: odd number of edge
-    crossings (the same ray-cast as operators/sampling.point_in_polygon,
-    unrolled over the literal vertices)."""
+    crossings, unrolled over the literal vertices.
+
+    Boundary convention: STRICT crossings only — a point exactly on an
+    edge is outside. This deliberately differs from operators/sampling.
+    point_in_polygon (which counts the ray-through-vertex lon==x_cross
+    case as inside): a validation/qid predicate should err toward NOT
+    flagging a boundary record, while the sampling join errs toward
+    giving it a layer value. wkt_predicate_sql unrolls the identical
+    strict rule, so the Spark and oracle sides always agree."""
     from biocache_store_spark.operators.sampling import parse_wkt_polygon
 
     ring = parse_wkt_polygon(wkt)
@@ -370,9 +380,13 @@ class QidStore:
     def put(self, qid: Qid) -> Qid:
         import uuid
 
-        row_key = qid.row_key or str(
-            uuid.uuid5(uuid.NAMESPACE_URL, f"qid|{qid.q}|{'|'.join(qid.fqs)}|{qid.wkt}|{qid.bbox}")
+        # unit-separator join + max_age in the seed: '|'.join would make
+        # fqs=('a|b',) collide with ('a','b'), and two qids differing
+        # only in max_age would shadow each other's freshness horizon
+        seed = "\x1f".join(
+            ["qid", qid.q, *qid.fqs, str(qid.wkt), str(qid.bbox), str(qid.max_age)]
         )
+        row_key = qid.row_key or str(uuid.uuid5(uuid.NAMESPACE_URL, seed))
         row = [
             (
                 row_key,

@@ -230,3 +230,22 @@ def geospatially_kosher(assertions: list[QualityAssertion]) -> bool:
         a.qa_status == FAILED and a.code in AssertionCodes.GEOSPATIAL_KOSHER_CODES
         for a in assertions
     )
+
+
+def append_assertion(df, assertion_col):
+    """Null-safe append of one assertion struct to the `assertions`
+    array, creating the column when absent — THE shared helper for every
+    enrichment stage that adds an assertion outside the chain pass.
+    coalesce matters: concat(NULL, x) is NULL, so a row whose assertions
+    column is null would otherwise silently LOSE the new assertion."""
+    from pyspark.sql import functions as F
+
+    if "assertions" in df.columns:
+        existing = F.coalesce(
+            F.col("assertions"),
+            F.array().cast(df.schema["assertions"].dataType),
+        )
+        return df.withColumn(
+            "assertions", F.concat(existing, F.array(assertion_col))
+        )
+    return df.withColumn("assertions", F.array(assertion_col))

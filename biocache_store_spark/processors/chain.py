@@ -774,7 +774,7 @@ def enrich_classification(df: DataFrame, taxa: DataFrame) -> DataFrame:
         F.lit("").alias("comment"),
     )
     if "assertions" in joined.columns:
-        joined = joined.withColumn(
-            "assertions", F.concat(F.col("assertions"), F.array(new_assertion))
-        )
+        from biocache_store_spark.processors.assertions import append_assertion
+
+        joined = append_assertion(joined, new_assertion)
     return joined

@@ -36,11 +36,9 @@ def _assertion(code: int, name: str, failed_when) -> F.Column:
 
 
 def _append_assertion(df: DataFrame, assertion_col) -> DataFrame:
-    if "assertions" in df.columns:
-        return df.withColumn(
-            "assertions", F.concat(F.col("assertions"), F.array(assertion_col))
-        )
-    return df.withColumn("assertions", F.array(assertion_col))
+    from biocache_store_spark.processors.assertions import append_assertion
+
+    return append_assertion(df, assertion_col)
 
 
 def enrich_attribution(records: DataFrame, data_resources: DataFrame) -> DataFrame:

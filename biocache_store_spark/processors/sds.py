@@ -361,9 +361,9 @@ def apply_sds(
         F.when(sensitive, F.lit(0)).otherwise(F.lit(1)).alias("qa_status"),
         F.lit("").alias("comment"),
     )
-    if "assertions" in out.columns:
-        return out.withColumn("assertions", F.concat(F.col("assertions"), F.array(qa)))
-    return out.withColumn("assertions", F.array(qa))
+    from biocache_store_spark.processors.assertions import append_assertion
+
+    return append_assertion(out, qa)
 
 
 def _generalise_grid_reference(

@@ -457,3 +457,50 @@ def test_snapshot_diff_null_content_is_changed(spark):
     new = spark.createDataFrame([(7, "rewritten")], "doc_id long, text string")
     [row] = snapshot_diff(old, new).collect()
     assert row["status"] == "changed"  # null-safe compare, not 'unchanged'
+
+
+def test_detect_duplicates_skips_taxonless_and_null_ids(spark):
+    """Taxon-less records must not pool into one mega-group of false
+    duplicates (the reference iterates actual taxon lsids); null-id
+    records are skipped rather than crashing the group sort."""
+    from biocache_store_spark.operators.dedup import detect_duplicates
+
+    rows = [
+        (None, "o1", "dr1", "1999", "1", "1", "-35.2", "149.1", "Smith", None, None),
+        (None, "o2", "dr1", "1999", "1", "1", "-35.2", "149.1", "Smith", None, None),
+        ("lsid:1", None, "dr1", "1999", "1", "1", "-35.2", "149.1", "Smith", None, None),
+        ("lsid:1", "o3", "dr1", "1999", "1", "1", "-35.2", "149.1", "Smith", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "taxonConceptID string, occurrenceID string, dataResourceUid string, "
+        "year string, month string, day string, decimalLatitude string, "
+        "decimalLongitude string, recordedBy string, recordNumber string, "
+        "catalogNumber string",
+    )
+    out = {r["row_key"]: r["status"] for r in detect_duplicates(df).collect()}
+    assert set(out) == {"o3"}  # taxon-less + null-id rows never examined
+    assert out["o3"] == "U"
+
+
+def test_solr_value_list_default_is_and(spark):
+    """field:(a b) without an operator follows the clause-level default
+    (AND), matching q.op semantics; explicit OR still ORs."""
+    from biocache_store_spark.plans.solr_query import translate
+
+    df = spark.createDataFrame(
+        [("x", "a"), ("y", "b")], "k string, f string"
+    )
+    assert df.filter(translate("f:(a b)")).count() == 0  # AND on single-valued
+    assert df.filter(translate("f:(a OR b)")).count() == 2
+
+
+def test_qid_rowkeys_distinguish_maxage_and_fq_lists(spark, tmp_path):
+    from biocache_store_spark.plans.solr_query import Qid, QidStore
+
+    store = QidStore(spark, str(tmp_path / "qids"))
+    k1 = store.put(Qid(q="x", max_age=-1)).row_key
+    k2 = store.put(Qid(q="x", max_age=3600000)).row_key
+    k3 = store.put(Qid(q="x", fqs=("a|b",), max_age=-1)).row_key
+    k4 = store.put(Qid(q="x", fqs=("a", "b"), max_age=-1)).row_key
+    assert len({k1, k2, k3, k4}) == 4

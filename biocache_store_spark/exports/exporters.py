@@ -70,8 +70,22 @@ _DWCA_META_TEMPLATE = """<archive xmlns="http://rs.tdwg.org/dwc/text/">
 """
 
 
+# Dublin Core terms that appear in occurrence archives: these live in the
+# dcterms namespace, NOT dwc — declaring them under dwc/terms/ produces
+# URIs that don't exist and IPT/validators reject (the reference's
+# DwCACreator emits the dcterms URIs)
+_DCTERMS = frozenset(
+    {
+        "accessRights", "bibliographicCitation", "language", "license",
+        "modified", "references", "rights", "rightsHolder", "source", "type",
+    }
+)
+
+
 def _term_uri(term: str) -> str:
     name = "class" if term == "classs" else term
+    if name in _DCTERMS:
+        return DWC_URI_PREFIXES[1] + name
     return DWC_URI_PREFIXES[0] + name
 
 
@@ -179,7 +193,17 @@ def export_avro(df: DataFrame, path: str, fields: list[str] | None = None) -> bo
         out.write.mode("overwrite").format("avro").save(path)
         return True
     except Exception as e:  # noqa: BLE001 - AnalysisException w/o avro jar
-        if "avro" not in str(e).lower():
+        # gate on the MISSING-DATA-SOURCE error class, not an 'avro'
+        # substring: real write failures embed the output path in their
+        # message (which callers typically name .../avro/...) and must
+        # not be swallowed into a silent parquet downgrade
+        msg = str(e)
+        missing_source = (
+            "FAILED_TO_FIND_DATA_SOURCE" in msg
+            or "Failed to find data source" in msg
+            or "ClassNotFoundException" in msg
+        )
+        if not missing_source:
             raise
         out.write.mode("overwrite").parquet(path)
         return False

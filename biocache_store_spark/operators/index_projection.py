@@ -130,10 +130,13 @@ def should_index(
     )
     if since is None:
         return not_deleted
-    lit = F.lit(since).cast("timestamp")
+    # try_cast, not cast: under Spark 4's default ANSI mode a dirty
+    # legacy time string would THROW instead of honoring the documented
+    # "null/unparseable counts as not-after" contract
+    lit = F.lit(since).try_cast("timestamp")
     fresh = F.coalesce(
-        last_processed.cast("timestamp") > lit, F.lit(False)
-    ) | F.coalesce(last_loaded.cast("timestamp") > lit, F.lit(False))
+        last_processed.try_cast("timestamp") > lit, F.lit(False)
+    ) | F.coalesce(last_loaded.try_cast("timestamp") > lit, F.lit(False))
     return not_deleted & fresh
 
 
@@ -226,15 +229,21 @@ def build_index(
     }
     int_fields = {"lft", "rgt", "rank_id"}
 
-    def typed(col: Column, arity: int, field: str) -> Column:
+    def typed(col: Column, arity: int, field: str, mode: str) -> Column:
         if arity == DATE:
             return col.try_cast("date")
         if arity == MULTI:
             # multivalue columns may arrive as arrays (chain output) or as
-            # '|'/';'-delimited strings (reference storage form)
+            # '|'/';'-delimited strings (reference storage form). The
+            # raw-array shortcut applies ONLY when the mode actually
+            # selected the raw column — a PARSED field with a same-named
+            # raw array must not have the processed value displaced by
+            # verbatim data
             name = _RAW_ALIASES.get(field, field)
-            if name in df.columns and isinstance(
-                df.schema[name].dataType, T.ArrayType
+            if (
+                mode != PARSED
+                and name in df.columns
+                and isinstance(df.schema[name].dataType, T.ArrayType)
             ):
                 return F.col(name).cast("array<string>")
             return F.filter(
@@ -267,7 +276,7 @@ def build_index(
                 }
             )
         else:
-            col = typed(source(field, mode), arity, field)
+            col = typed(source(field, mode), arity, field, mode)
         if name in double_fields:
             col = col.try_cast("double")
         elif name in int_fields:
@@ -352,9 +361,13 @@ def build_index(
         ]
     out = df.select(*cols)
     if not include_deleted and "deleted" in df.columns:
-        # deleted/blank-row filter at index time (IndexDAO.scala:520-523)
+        # deleted/blank-row filter at index time (IndexDAO.scala:520-523).
+        # The store's convention is a deletion-date STRING (any non-empty
+        # value = deleted; should_index documents it) — cast('boolean')
+        # would THROW under default ANSI mode on that very convention,
+        # and with ANSI off would null->False and index deleted rows
         out = df.filter(
-            F.coalesce(F.col("deleted").cast("boolean"), F.lit(False)) == False  # noqa: E712
+            F.coalesce(F.col("deleted").cast("string"), F.lit("")).isin("", "false")
         ).select(*cols)
     if user_assertions is not None:
         from biocache_store_spark.operators.user_assertions import (
@@ -373,7 +386,7 @@ def facet_counts(index_df: DataFrame, field: str, limit: int | None = None) -> D
         .agg(F.count(F.lit(1)).alias("facet_count"))
         .orderBy(F.col("facet_count").desc(), F.col("facet_value"))
     )
-    return out.limit(limit) if limit else out
+    return out.limit(limit) if limit is not None else out
 
 
 def distinct_values(index_df: DataFrame, field: str, max_values: int = 1000) -> DataFrame:
@@ -415,11 +428,17 @@ def add_custom_index_fields(
     of failing the job (the reference logs and skips)."""
     from pyspark.sql import types as T
 
+    if misc_col not in index_df.columns:
+        raise ValueError(
+            f"add_custom_index_fields: no {misc_col!r} column in the index"
+        )
     src = F.col(misc_col)
     if dict(index_df.dtypes)[misc_col] == "string":
         src = F.from_json(src, T.MapType(T.StringType(), T.StringType()))
 
-    out = index_df
+    # one select at the end, not one withColumn per field: N stacked
+    # projections make Catalyst analysis superlinear in N
+    new_cols: list[Column] = []
     for field in fields:
         if field.endswith("_dt"):
             key = field if keys_include_suffix else field[:-3]
@@ -443,5 +462,5 @@ def add_custom_index_fields(
             # bare name -> string dynamic field `name_s` (SolrIndexDAO:714-719)
             value = src.getItem(field)
             field = field + "_s"
-        out = out.withColumn(field, value)
-    return out
+        new_cols.append(value.alias(field))
+    return index_df.select("*", *new_cols)

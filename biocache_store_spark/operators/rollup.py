@@ -59,12 +59,14 @@ def write_rollup(
     is a presentation concern applied at query output, so refresh can
     never compound rounding error.
 
-    The write is a DYNAMIC partition overwrite: only the day partitions
-    present in this aggregation are replaced, earlier days stay intact.
-    That makes incremental refresh both partition-scoped (pass only the
-    newly-closed days' events with the advanced cutoff) AND retry-safe —
-    re-running the same refresh rewrites the same partitions with the
-    same contents, where a plain append would double-count."""
+    The write is a DYNAMIC partition overwrite over (day, hour): only
+    the hour partitions present in this aggregation are replaced. Hour
+    granularity matters for the boundary day — cutoffs are hour-aligned,
+    so an incremental refresh that passes only the newly-closed hours'
+    events must not wipe the boundary day's ALREADY-materialized earlier
+    hours (day-level overwrite silently did exactly that). Re-running
+    the same refresh rewrites the same partitions with the same
+    contents, where a plain append would double-count."""
     _require_hour_boundary(cutoff)
     agg = (
         events.filter(F.col(ts_col) < F.lit(cutoff).cast("timestamp_ntz"))
@@ -77,11 +79,12 @@ def write_rollup(
             F.sum(value_col).alias("sum_value"),
         )
         .withColumn("day", F.to_date("hour_bucket"))
+        .withColumn("hour", F.hour("hour_bucket"))
     )
     (
         agg.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("day")
+        .partitionBy("day", "hour")
         .parquet(path)
     )
 

@@ -51,9 +51,14 @@ def get_comparison(occ: DataFrame, key_col: str = "rowKey") -> DataFrame:
 def get_all_system_assertions(occ: DataFrame, key_col: str = "rowKey") -> DataFrame:
     """Store.getAllSystemAssertions (Store.scala:301-317): exploded
     assertion rows per record, with the unchecked codes derivable by
-    set-difference against the full code table."""
+    set-difference against the full code table.
+
+    explode_outer: a record whose assertions array is empty or null must
+    still surface (one row with null code) — plain explode would drop it
+    entirely, making an all-codes-unchecked record indistinguishable
+    from one that doesn't exist and breaking the set-difference."""
     return occ.select(
-        F.col(key_col), F.explode(F.col("assertions")).alias("a")
+        F.col(key_col), F.explode_outer(F.col("assertions")).alias("a")
     ).select(
         key_col,
         F.col("a.code").alias("code"),
@@ -77,9 +82,11 @@ def records_with_failed_assertion(
 
 
 def stream(occ: DataFrame, fields: list[str]) -> Iterator[list]:
-    """Store.writeToStream: bounded-memory iteration for API consumers."""
-    for row in occ.select(*fields).toLocalIterator():
-        yield list(row)
+    """Store.writeToStream: bounded-memory iteration for API consumers
+    (delegates to the exporters' stream_records — one implementation)."""
+    from biocache_store_spark.exports.exporters import stream_records
+
+    return stream_records(occ, fields)
 
 
 # ---------------------------------------------------------------------------

@@ -231,3 +231,75 @@ def test_assertion_registry_full_reference_parity():
         if k.isupper() and hasattr(v, "code")
     }
     assert len(codes) >= 95  # full live-registry coverage
+
+
+def test_dwca_meta_uses_dcterms_namespace_for_dc_terms(spark, tmp_path):
+    import zipfile
+
+    from biocache_store_spark.exports.exporters import create_dwca
+
+    df = spark.createDataFrame(
+        [("o1", "CC-BY", "2024-01-01")],
+        "occurrenceID string, license string, modified string",
+    )
+    zp = str(tmp_path / "a.zip")
+    create_dwca(df, ["occurrenceID", "license", "modified"], zp)
+    with zipfile.ZipFile(zp) as zf:
+        meta = zf.read("meta.xml").decode()
+    assert "http://purl.org/dc/terms/license" in meta
+    assert "http://purl.org/dc/terms/modified" in meta
+    assert "http://rs.tdwg.org/dwc/terms/occurrenceID" in meta
+    assert "dwc/terms/license" not in meta
+
+
+def test_get_all_system_assertions_keeps_assertionless_records(spark):
+    from biocache_store_spark.store import get_all_system_assertions
+
+    occ = spark.createDataFrame(
+        [("r1", [(1, "a", 0, "")]), ("r2", [])],
+        "rowKey string, assertions array<struct<code:int,name:string,qa_status:int,comment:string>>",
+    )
+    rows = {r["rowKey"]: r["code"] for r in get_all_system_assertions(occ).collect()}
+    assert rows == {"r1": 1, "r2": None}  # empty-array record still present
+
+
+def test_facet_counts_limit_zero_returns_nothing(spark):
+    from biocache_store_spark.operators.index_projection import facet_counts
+
+    idx = spark.createDataFrame([("a",), ("b",)], "basis_of_record string")
+    assert facet_counts(idx, "basis_of_record", limit=0).count() == 0
+
+
+def test_should_index_tolerates_dirty_timestamps(spark):
+    from pyspark.sql import functions as F
+
+    from biocache_store_spark.operators.index_projection import should_index
+
+    df = spark.createDataFrame(
+        [("r1", "not-a-date", "also-bad", "")],
+        "rowKey string, lastLoadTime string, lastProcessedTime string, deleted string",
+    )
+    out = df.filter(
+        should_index(
+            F.col("lastLoadTime"), F.col("lastProcessedTime"),
+            "2024-01-01 00:00:00", deleted=F.col("deleted"),
+        )
+    )
+    assert out.count() == 0  # unparseable = not-after, never a crash
+
+
+def test_build_index_deleted_date_string_filtered(spark):
+    """The store's deletion-DATE-string convention must filter (not crash
+    under ANSI, not index the row)."""
+    import datetime as dt
+
+    from biocache_store_spark.operators.index_projection import build_index
+    from biocache_store_spark.processors.chain import process_records
+
+    occ = spark.createDataFrame(
+        [("o1", "PreservedSpecimen", "2023-06-05T10:00:00Z"),
+         ("o2", "PreservedSpecimen", "")],
+        "occurrenceID string, basisOfRecord string, deleted string",
+    )
+    idx = build_index(process_records(occ, today=dt.date(2026, 8, 14)))
+    assert [r["id"] for r in idx.collect()] == ["o2"]

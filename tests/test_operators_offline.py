@@ -504,3 +504,28 @@ def test_qid_rowkeys_distinguish_maxage_and_fq_lists(spark, tmp_path):
     k3 = store.put(Qid(q="x", fqs=("a|b",), max_age=-1)).row_key
     k4 = store.put(Qid(q="x", fqs=("a", "b"), max_age=-1)).row_key
     assert len({k1, k2, k3, k4}) == 4
+
+
+def test_rollup_incremental_refresh_keeps_boundary_day_hours(spark, tmp_path):
+    """An incremental refresh carrying only the newly-closed hours must
+    not wipe the boundary day's already-materialized earlier hours."""
+    import datetime as dt
+
+    from biocache_store_spark.operators.rollup import rollup_query, write_rollup
+
+    def ev(h, m=0):
+        return (dt.datetime(2024, 1, 14, h, m), "click", 1.0)
+
+    all_events = spark.createDataFrame(
+        [ev(1), ev(5), ev(7), ev(9)], "ts timestamp_ntz, event_type string, value double"
+    )
+    path = str(tmp_path / "rollup")
+    write_rollup(all_events, path, "2024-01-14 06:00:00")
+    # refresh with ONLY the newly-closed window's events (hours 06-09)
+    late = all_events.filter("hour(ts) >= 6")
+    write_rollup(late, path, "2024-01-14 10:00:00")
+    out = rollup_query(
+        spark, path, all_events.limit(0), "2024-01-14 10:00:00"
+    )
+    hours = sorted(r["hour_bucket"].hour for r in out.collect())
+    assert hours == [1, 5, 7, 9]  # early hours survived the refresh

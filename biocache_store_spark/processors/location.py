@@ -191,10 +191,18 @@ COUNTRIES = Vocab.of(
 
 
 def _to_float(s):
+    """Scala toFloatWithOption analog. Python's float() additionally
+    accepts underscore separators ('1_5' -> 15.0) which Scala rejects —
+    those must parse as None or a garbled coordinate silently becomes a
+    valid number. ('NaN'/'Infinity' parse in BOTH languages; that
+    reference-shared quirk is preserved.)"""
     try:
-        if s is None or str(s).strip() == "":
+        if s is None:
             return None
-        return float(str(s).strip())
+        text = str(s).strip()
+        if text == "" or "_" in text:
+            return None
+        return float(text)
     except ValueError:
         return None
 
@@ -472,6 +480,9 @@ def check_coordinate_uncertainty(raw: dict, processed: dict, assertions: list) -
                         f"Supplied uncertainty, {unc}, is not a supported format",
                     )
                 )
+            # REFERENCE PARITY (LocationProcessor.scala:585): the parsed
+            # value is stored even when <= 0 (the range assertion above
+            # already failed) — the reference assigns unconditionally
             processed["coordinateUncertaintyInMeters"] = f"{value:.1f}"
         else:
             assertions.append(

@@ -31,6 +31,7 @@ class FileDescriptor:
     location: str
     delimiter: str = ","
     quote: str = '"'
+    escape: str | None = None  # fieldsEscapedBy; None = escape-by-doubled-quote
     ignore_header_lines: int = 0
     id_index: int | None = None  # core: <id index>; extension: <coreid index>
     fields: dict[int, str] = field(default_factory=dict)  # column index -> term
@@ -51,11 +52,13 @@ def _parse_file_element(el) -> FileDescriptor:
     # '"' would let a stray inch-mark in the data swallow rows
     enclosed = el.get("fieldsEnclosedBy")
     quote = '"' if enclosed is None else enclosed
+    escaped = el.get("fieldsEscapedBy")
     fd = FileDescriptor(
         row_type=el.get("rowType", ""),
         location=location,
         delimiter=_decode_delim(el.get("fieldsTerminatedBy")),
         quote=quote,
+        escape=_decode_delim(escaped) if escaped else None,
         ignore_header_lines=int(el.get("ignoreHeaderLines", "0")),
     )
     id_el = el.find(f"{_NS}id")
@@ -115,13 +118,23 @@ def _read_file(
             not os.path.exists(stripped)
             or os.path.getmtime(stripped) < os.path.getmtime(path)
         ):
-            with open(path, encoding="utf-8", errors="replace") as src, open(
-                stripped, "w", encoding="utf-8"
-            ) as dst:
-                for _ in range(fd.ignore_header_lines - 1):
-                    src.readline()
-                for line in src:
-                    dst.write(line)
+            # write via temp + atomic rename: a crashed or concurrent
+            # writer must never leave a truncated copy that the mtime
+            # check would then consider valid forever
+            tmp_fd, tmp_path = tempfile.mkstemp(dir=cache_dir, suffix=".part")
+            try:
+                with open(path, encoding="utf-8", errors="replace") as src, open(
+                    tmp_fd, "w", encoding="utf-8"
+                ) as dst:
+                    for _ in range(fd.ignore_header_lines - 1):
+                        src.readline()
+                    for line in src:
+                        dst.write(line)
+                os.replace(tmp_path, stripped)
+            except BaseException:
+                if os.path.exists(tmp_path):
+                    os.unlink(tmp_path)
+                raise
         path = stripped
     reader = (
         spark.read.option("header", fd.ignore_header_lines > 0)
@@ -132,7 +145,17 @@ def _read_file(
         # (the documented Spark CSV convention)
         reader = reader.option("quote", "")
     else:
-        reader = reader.option("quote", fd.quote).option("escape", fd.quote)
+        # multiLine: quoted fields may legally contain newlines (IPT
+        # emits them); the default line-splitting reader would shear such
+        # records into misaligned rows. Costs input-split parallelism on
+        # the one archive file — archives are loaded once, correctness
+        # wins. The escape defaults to the quote char (the doubled-quote
+        # convention) unless meta.xml declares fieldsEscapedBy.
+        reader = (
+            reader.option("quote", fd.quote)
+            .option("escape", fd.escape or fd.quote)
+            .option("multiLine", True)
+        )
     df = reader.csv(path)
     # positional selection: meta.xml indexes are authoritative, headers
     # not — and header CONTENT can be arbitrary (dotted names, URIs), so
@@ -176,4 +199,11 @@ def load_archive(
             core = core.join(grouped, "coreID", "left")
     if unique_terms is None:
         unique_terms = ["occurrenceID"] if "occurrenceID" in core.columns else ["coreID"]
+    missing = [t for t in unique_terms if t not in core.columns]
+    if missing:
+        raise ValueError(
+            f"load_archive: identity terms {missing} not present in the "
+            "core (the archive's meta.xml declares no <id> and no such "
+            "fields) — pass unique_terms naming columns the core has"
+        )
     return add_record_identity(core, data_resource_uid, unique_terms)

@@ -23,14 +23,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-SESSION_SCHEMA = T.StructType(
-    [
-        T.StructField("user_id", T.LongType()),
-        T.StructField("session_start", T.TimestampType()),
-        T.StructField("session_end", T.TimestampType()),
-        T.StructField("n_events", T.LongType()),
-    ]
-)
+def _session_schema(key_name: str, key_type: T.DataType) -> T.StructType:
+    """Output schema keyed by the ACTUAL grouping column's name and type —
+    a hardcoded long user_id would fail at Arrow conversion the moment a
+    caller groups by a string device/session key."""
+    return T.StructType(
+        [
+            T.StructField(key_name, key_type),
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+
+
+SESSION_SCHEMA = _session_schema("user_id", T.LongType())
 
 _STATE_SCHEMA = T.StructType(
     [
@@ -54,6 +61,20 @@ def sessionize_stream(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap_us = gap_seconds * 1_000_000
+    # applyInPandasWithState delivers timestamps as naive values localized
+    # to the SESSION timezone, but setTimeoutTimestamp compares against the
+    # true-UTC watermark — the naive epoch must be converted through the
+    # session tz or timeouts skew by the offset (an eastern tz flushes
+    # hours late; a western one can throw "timeout before watermark")
+    session_tz = events.sparkSession.conf.get(
+        "spark.sql.session.timeZone", "UTC"
+    ) or "UTC"
+
+    def _true_epoch_ms(naive_us: int) -> int:
+        ts = pd.Timestamp(naive_us, unit="us").tz_localize(
+            session_tz, ambiguous=True, nonexistent="shift_forward"
+        )
+        return ts.value // 1_000_000
 
     def assemble(key, pdfs, state: GroupState):
         (user,) = key
@@ -61,7 +82,7 @@ def sessionize_stream(
         def to_row(start_us: int, last_us: int, n: int) -> pd.DataFrame:
             return pd.DataFrame(
                 {
-                    "user_id": [user],
+                    key_name: [user],
                     "session_start": [pd.Timestamp(start_us, unit="us")],
                     "session_end": [pd.Timestamp(last_us, unit="us")],
                     "n_events": [n],
@@ -89,19 +110,24 @@ def sessionize_stream(
                 closed.append((start_us, last_us, n))
                 start_us, last_us, n = t_us, t_us, 1
             else:
+                # a late-but-admissible event can precede the stored
+                # session start — the session must extend backwards too
+                start_us = min(start_us, t_us)
                 last_us, n = max(last_us, t_us), n + 1
         state.update((start_us, last_us, n))
         # flush the open session once the watermark passes last + gap
-        state.setTimeoutTimestamp((last_us + gap_us) // 1000)
+        state.setTimeoutTimestamp(_true_epoch_ms(last_us + gap_us))
         for s in closed:
             yield to_row(*s)
 
+    key_name = user_col
+    out_schema = _session_schema(user_col, events.schema[user_col].dataType)
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.col(user_col))
         .applyInPandasWithState(
             assemble,
-            outputStructType=SESSION_SCHEMA,
+            outputStructType=out_schema,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,

@@ -1162,3 +1162,52 @@ def test_jsonl_loader_mixed_id_types_stay_string(spark, tmp_path):
     ]))
     got = {r["text"]: r["doc_id"] for r in load_jsonl(spark, str(p), source="s").collect()}
     assert got["string id line"] == "legacy-abc"
+
+
+def test_dwca_quoted_multiline_field(spark, tmp_path):
+    """A quoted field containing an embedded newline (IPT emits these)
+    must stay one record, not shear into misaligned rows."""
+    import os
+
+    from biocache_store_spark.sources.dwca import load_archive
+
+    d = tmp_path / "arch"
+    d.mkdir()
+    (d / "meta.xml").write_text(
+        '<archive xmlns="http://rs.tdwg.org/dwc/text/">'
+        '<core rowType="http://rs.tdwg.org/dwc/terms/Occurrence" '
+        'fieldsTerminatedBy="," fieldsEnclosedBy="&quot;" ignoreHeaderLines="1">'
+        "<files><location>occ.csv</location></files>"
+        '<id index="0"/>'
+        '<field index="1" term="http://rs.tdwg.org/dwc/terms/occurrenceRemarks"/>'
+        '<field index="2" term="http://rs.tdwg.org/dwc/terms/scientificName"/>'
+        "</core></archive>"
+    )
+    (d / "occ.csv").write_text(
+        'id,remarks,name\n"u1","line one\nline two","Macropus rufus"\n'
+    )
+    df = load_archive(spark, str(d), "dr1", unique_terms=["coreID"])
+    [row] = df.collect()
+    assert row["scientificName"] == "Macropus rufus"
+    assert "line one\nline two" == row["occurrenceRemarks"]
+    assert os.path.basename(row["rowKey"]).startswith("dr1|")
+
+
+def test_dwca_missing_identity_raises_clearly(spark, tmp_path):
+    import pytest as _pytest
+
+    from biocache_store_spark.sources.dwca import load_archive
+
+    d = tmp_path / "arch2"
+    d.mkdir()
+    (d / "meta.xml").write_text(
+        '<archive xmlns="http://rs.tdwg.org/dwc/text/">'
+        '<core rowType="http://rs.tdwg.org/dwc/terms/Occurrence" '
+        'fieldsTerminatedBy="," ignoreHeaderLines="1">'
+        "<files><location>occ.csv</location></files>"
+        '<field index="0" term="http://rs.tdwg.org/dwc/terms/scientificName"/>'
+        "</core></archive>"
+    )
+    (d / "occ.csv").write_text("name\nMacropus rufus\n")
+    with _pytest.raises(ValueError, match="identity terms"):
+        load_archive(spark, str(d), "dr1")

@@ -34,8 +34,16 @@ from dataclasses import dataclass, replace
 TWO_DIGIT_YEAR_CUTOFF = 1920  # Config default, DateParser.scala:147
 MIN_END_YEAR = 1600  # DateParser.isValid, DateParser.scala:398
 
-_MONTHS_ABBR = {m.lower(): i for i, m in enumerate(calendar.month_abbr) if m}
-_MONTHS_FULL = {m.lower(): i for i, m in enumerate(calendar.month_name) if m}
+# hard-coded English names, NOT calendar.month_abbr/month_name: those
+# render via the process locale, so a non-English LC_TIME would silently
+# break every month-name parse (the reference pins Locale.US,
+# DateParser.scala:143)
+_EN_ABBR = ("jan", "feb", "mar", "apr", "may", "jun",
+            "jul", "aug", "sep", "oct", "nov", "dec")
+_EN_FULL = ("january", "february", "march", "april", "may", "june",
+            "july", "august", "september", "october", "november", "december")
+_MONTHS_ABBR = {m: i + 1 for i, m in enumerate(_EN_ABBR)}
+_MONTHS_FULL = {m: i + 1 for i, m in enumerate(_EN_FULL)}
 
 # HH:mm[:ss[.frac]] with optional offset (+HH:MM | +HHMM | +HH | Z)
 _TIME_RE = r"\d{1,2}:\d{2}(?::\d{2}(?:\.\d+)?)?"
@@ -353,15 +361,9 @@ def _iso_year_range(s: str) -> EventDate | None:
     return _range_event(start, end)
 
 
-def _iso_date_time_range(s: str) -> EventDate | None:
-    parts = _split_range(s)
-    if len(parts) != 2:
-        return None
-    start = _parse_range_part_full(parts[0])
-    end = _parse_range_part_full(parts[1])
-    if start and end:
-        return _range_event(start, end)
-    return None
+# NOTE: time-bearing ranges are handled by _iso_date_range itself
+# (_parse_range_part_full strips time components); the separate
+# _iso_date_time_range duplicate was removed as unreachable.
 
 
 _VERBOSE = re.compile(
@@ -410,7 +412,6 @@ _ISO_EXTRACTORS = (
     _iso_month_year_date_range,
     _iso_month_date_range,
     _iso_year_range,
-    _iso_date_time_range,
     _iso_verbose_date_time_range,
     _iso_verbose_date_time,
 )
@@ -419,8 +420,9 @@ _ISO_EXTRACTORS = (
 # --- non-ISO (day-first) ----------------------------------------------------
 
 _NONISO_NUMERIC = re.compile(rf"^(\d{{2}})[-/](\d{{2}})[-/](\d{{4}})(?:{_OPT_TIME_OFFSET})$")
-# 1-2 digit day: Java's SimpleDateFormat (the reference's parser) accepts
-# non-padded numerics for the dd field, so "1 Jan 1700" must parse
+# 1-2 digit day for the MONTH-NAME form only, matching the mirrored
+# reference test matrix; the purely numeric form stays 2-digit-strict
+# like the reference's STRICT DateTimeFormatter ("dd" rejects "1")
 _NONISO_MONTHNAME = re.compile(
     rf"^(\d{{1,2}})[-/ ]([A-Za-z]{{3}})[-/ ](\d{{4}})(?:{_OPT_TIME_OFFSET})$"
 )
@@ -540,11 +542,13 @@ def parse_string_to_datetime(s: str | None) -> _dt.datetime | None:
         return None
     s = s.strip()
     if re.fullmatch(r"\d{4}", s):
-        return _dt.datetime(int(s), 1, 1)
+        # year 0 is out of datetime's range: dirty zero-filled years must
+        # be unparseable, not a crash (the full-date path already is)
+        return _dt.datetime(int(s), 1, 1) if int(s) >= 1 else None
     m = re.fullmatch(r"(\d{4})-(\d{2})", s)
     if m:
         mo = int(m.group(2))
-        if 1 <= mo <= 12:
+        if 1 <= mo <= 12 and int(m.group(1)) >= 1:
             return _dt.datetime(int(m.group(1)), mo, 1)
         return None
     m = re.fullmatch(

@@ -260,9 +260,12 @@ _WGS84_A = 6378137.0
 _WGS84_B = 6356752.3142
 
 
-def _inverse_tm(easting: float, northing: float, datum: str) -> tuple[float, float]:
-    """Easting/northing -> lat/lon (radians) on the source ellipsoid."""
-    a, b, f0, lat0_deg, lon0_deg, e0, n0 = _PROJECTIONS[datum]
+def _inverse_tm(easting: float, northing: float, datum) -> tuple[float, float]:
+    """Easting/northing -> lat/lon (radians) on the source ellipsoid.
+    `datum` is a _PROJECTIONS key or a literal parameter tuple (the UTM
+    module passes tuples so it never mutates this module's table)."""
+    params = _PROJECTIONS[datum] if isinstance(datum, str) else datum
+    a, b, f0, lat0_deg, lon0_deg, e0, n0 = params
     lat0 = math.radians(lat0_deg)
     lon0 = math.radians(lon0_deg)
     e2 = (a * a - b * b) / (a * a)
@@ -415,7 +418,16 @@ def easting_northing_to_wgs84(
 
 def process_grid_reference(ref: str | None) -> GridPoint | None:
     """GridUtil.processGridReference (GridUtil.scala:485-545): centre +
-    bbox corners in WGS84, 5 decimals."""
+    bbox corners in WGS84, 5 decimals.
+
+    REFERENCE PARITY QUIRKS preserved verbatim: (1) quadrant refs (NW/
+    NE/SW/SE) are pre-centred by the parse (GridUtil.scala:308-327) and
+    then the unconditional +uncertainty/2 here recentres them AGAIN —
+    the reference reports the quadrant's NE corner with a half-cell-
+    shifted bbox, and so do we; (2) Irish refs keeping the optional 'I'
+    prefix carry it into grid_ref_* resolution keys (the reference's
+    gridLetters capture includes it), so 'J44' and 'IJ44' name the same
+    square under different keys."""
     gr = grid_reference_to_easting_northing(ref)
     if gr is None:
         return None

@@ -21,7 +21,6 @@ from biocache_store_spark.parsers.gridref import (
     _GEOGRAPHIC_DATUMS,
     _helmert_core,
     _inverse_tm,
-    _PROJECTIONS,
 )
 import math
 
@@ -63,23 +62,22 @@ def zone_epsg_code(verbatim_srs: str | None, zone: str) -> str | None:
     return None
 
 
-def _utm_projection_key(datum: str, zone_num: int, southern: bool) -> str:
-    """Register a UTM zone as a gridref-style projection entry:
+def _utm_projection_params(datum: str, zone_num: int, southern: bool) -> tuple:
+    """UTM zone as a gridref-style projection parameter tuple:
     (a, b, k0=0.9996, lat0=0, lon0=zone*6-183, E0=500000,
-    N0=10_000_000 south / 0 north)."""
-    key = f"__UTM_{datum}_{zone_num}{'S' if southern else 'N'}"
-    if key not in _PROJECTIONS:
-        a, b, _ = _DATUMS[datum]
-        _PROJECTIONS[key] = (
-            a,
-            b,
-            0.9996,
-            0.0,
-            float(zone_num * 6 - 183),
-            500000.0,
-            10000000.0 if southern else 0.0,
-        )
-    return key
+    N0=10_000_000 south / 0 north). Returned as a LOCAL tuple handed to
+    _inverse_tm directly — never written into gridref's module table
+    (cross-module mutation of private state, racy under threads)."""
+    a, b, _ = _DATUMS[datum]
+    return (
+        a,
+        b,
+        0.9996,
+        0.0,
+        float(zone_num * 6 - 183),
+        500000.0,
+        10000000.0 if southern else 0.0,
+    )
 
 
 def easting_northing_zone_to_wgs84(
@@ -98,9 +96,9 @@ def easting_northing_zone_to_wgs84(
     m = _ZONE_RE.fullmatch(zone.strip().upper())
     zone_num, hemi = int(m.group(1)), m.group(2)
     southern = hemi != "N"  # AMG/MGA zones are all southern-hemisphere grids
-    key = _utm_projection_key(datum, zone_num, southern)
+    params = _utm_projection_params(datum, zone_num, southern)
     try:
-        lat, lon = _inverse_tm(easting, northing, key)
+        lat, lon = _inverse_tm(easting, northing, params)
     except ValueError:
         # NaN / absurd northing: calculation failed, same outcome as an
         # unrecognised datum|zone key

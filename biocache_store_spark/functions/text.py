@@ -56,7 +56,10 @@ def word_shingles(ws: Column, n: int = 3) -> Column:
 def text_shingles(text: Column, n: int = 3) -> Column:
     """Distinct contiguous n-word shingles straight from the text column.
 
-    Equivalent to `word_shingles(words(text), n)` but expressed with
+    Equivalent to `word_shingles(words(text), n)` (one edge apart: for
+    n=1 an EMPTY/whitespace-only text yields [] here but [''] through
+    words()+word_shingles — the '' token survives that path; the n>=2
+    forms used everywhere in this repo are bit-identical) but expressed with
     regexp_replace + regexp_extract_all — native codegen'd expressions,
     no interpreted lambda. Overlapping windows come from a lookahead
     capture anchored at each token: `(?=(tok tok tok))tok ` captures the
@@ -123,7 +126,12 @@ def shingle_df(
 
 
 def punct_ratio(text: Column) -> Column:
-    """Fraction of characters that are not alphanumeric or whitespace."""
+    """Fraction of characters that are not ASCII alphanumeric or
+    whitespace. The ASCII class is INTENTIONAL: Unicode \p{L} tables can
+    differ between Spark's Java regex and DuckDB's RE2, which would break
+    the engine-exact oracles — the cost is that accented letters count as
+    'punctuation', so quality thresholds built on this ratio should be
+    tuned per-language (or gate on langid first) for non-English text."""
     stripped = F.regexp_replace(text, r"[A-Za-z0-9\s]", "")
     return F.length(stripped) / F.greatest(F.length(text), F.lit(1))
 
@@ -131,11 +139,14 @@ def punct_ratio(text: Column) -> Column:
 def fingerprint(text: Column) -> Column:
     """Deterministic 64-bit document fingerprint (xxhash64 of normalized text).
 
-    The normalization (trim + lowercase + whitespace collapse) mirrors the
-    reference's vocabulary-normalization habit (vocab/Vocab.scala:51-80)
-    applied at document granularity.
+    The normalization (lowercase + whitespace collapse, THEN trim)
+    mirrors the reference's vocabulary-normalization habit
+    (vocab/Vocab.scala:51-80) at document granularity. Collapse-before-
+    trim matters: Spark's trim strips only spaces, so trailing tabs/
+    newlines would otherwise survive into the hash and 'abc' vs 'abc\n'
+    would fingerprint differently — the same trap words() documents.
     """
-    normalized = F.regexp_replace(F.lower(F.trim(text)), WHITESPACE, " ")
+    normalized = F.trim(F.regexp_replace(F.lower(text), WHITESPACE, " "))
     return F.xxhash64(normalized)
 
 

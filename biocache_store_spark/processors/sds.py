@@ -67,6 +67,7 @@ _OSV_FIELDS = (
     "decimalLatitude",
     "decimalLongitude",
     "gridReference",
+    "locality",
     "eventDate",
     "eventDateEnd",
     "eventTime",
@@ -210,7 +211,8 @@ def _rule_candidates(
         "inner",
     )
     candidates = by_name.unionByName(by_lsid).dropDuplicates(
-        ["__rec_id", "__r_name", "sds_zone", "sds_generalisation"]
+        ["__rec_id", "__r_name", "sds_zone", "sds_generalisation",
+         "sds_category", "sds_authority"]
     )
     in_zone = (
         F.col("sds_zone").isNull()
@@ -241,18 +243,36 @@ def apply_sds(
     candidates = _rule_candidates(records, rules, id_col, state_col, country_col)
     metres = generalisation_metres(F.col("sds_generalisation"))
     # most restrictive instance per record: WITHHOLD beats any distance
-    rank = F.when(is_withhold(F.col("sds_generalisation")), F.lit(float("inf"))).otherwise(
-        F.coalesce(metres, F.lit(0.0))
+    # unparseable generalisations rank with WITHHOLD (they are treated
+    # as withhold downstream — fail closed)
+    rank = F.when(
+        is_withhold(F.col("sds_generalisation")) | metres.isNull(),
+        F.lit(float("inf")),
+    ).otherwise(metres)
+    # deterministic selection: ONE max_by of the whole rule payload
+    # under a total-order key (rank, then every payload column) — three
+    # independent max_by calls could mix fields from different tied
+    # rules, and a rank-only key leaves ties engine-chosen
+    key = F.struct(
+        F.col("__rank"),
+        F.col("sds_generalisation"),
+        F.col("sds_category"),
+        F.col("sds_authority"),
     )
-    # deterministic tie-break: (rank, generalisation string) as the key
-    key = F.struct(F.col("__rank"), F.col("sds_generalisation"))
+    payload = F.struct(
+        F.col("sds_generalisation").alias("g"),
+        F.col("sds_category").alias("c"),
+        F.col("sds_authority").alias("a"),
+    )
     best = (
         candidates.withColumn("__rank", rank)
         .groupBy("__rec_id")
-        .agg(
-            F.max_by(F.col("sds_generalisation"), key).alias("sds_generalisation"),
-            F.max_by(F.col("sds_category"), key).alias("sds_category"),
-            F.max_by(F.col("sds_authority"), key).alias("sds_authority"),
+        .agg(F.max_by(payload, key).alias("__best"))
+        .select(
+            "__rec_id",
+            F.col("__best.g").alias("sds_generalisation"),
+            F.col("__best.c").alias("sds_category"),
+            F.col("__best.a").alias("sds_authority"),
         )
     )
 
@@ -261,8 +281,11 @@ def apply_sds(
     ).drop("__rec_id")
 
     gen = F.col("sds_generalisation")
-    withhold = is_withhold(gen)
     metres = generalisation_metres(gen)
+    # FAIL CLOSED: a sensitive rule whose generalisation string neither
+    # parses to metres nor reads WITHHOLD must withhold, not publish the
+    # record nearly unredacted with a NULLed uncertainty
+    withhold = is_withhold(gen) | (gen.isNotNull() & metres.isNull())
     lat = F.col(lat_col).cast("double")
     lon = F.col(lon_col).cast("double")
     has_coords = lat.isNotNull() & lon.isNotNull()
@@ -345,6 +368,16 @@ def apply_sds(
             .when(generalised, (uncertainty + metres).cast("string"))
             .otherwise(F.col(uncertainty_col).cast("string")),
         )
+    if "locality" in records.columns:
+        # a withheld location with a free-text locality ("Smith Creek
+        # nest site") re-identifies the site; blank it under WITHHOLD
+        # (the snapshot above preserves it for authorised consumers)
+        out = out.withColumn(
+            "locality",
+            F.when(sensitive & withhold, F.lit(None).cast("string")).otherwise(
+                F.col("locality").cast("string")
+            ),
+        )
     # blank the withheld event/grid fields for every sensitive outcome
     for name in WITHHELD_EVENT_FIELDS:
         if name in records.columns:
@@ -419,6 +452,17 @@ def unprocess_non_sensitive(
                     F.col(name)
                 ),
             )
+    # the uncertainty snapshot lives under its ".p" key (the index-field
+    # convention) — restore it as well or a once-generalised record keeps
+    # the inflated/NULLed value forever once the map is cleared
+    unc = "coordinateUncertaintyInMeters"
+    if unc in records.columns:
+        out = out.withColumn(
+            unc,
+            F.when(
+                stale, F.coalesce(osv.getItem(unc + ".p"), F.col(unc))
+            ).otherwise(F.col(unc)),
+        )
     return out.withColumn(
         "originalSensitiveValues", F.when(stale, F.lit(None)).otherwise(osv)
     )

@@ -99,7 +99,9 @@ def parse_hints(taxon_hints: list[str]) -> dict[str, set[str]]:
     out: dict[str, set[str]] = {}
     for hint in taxon_hints:
         rank, _, name = hint.partition(":")
-        out.setdefault(rank, set()).add(name.strip().lower())
+        # normalize the RANK too: 'Kingdom:Animalia' must hit the same
+        # bucket as 'kingdom:animalia' or the scope check silently skips
+        out.setdefault(rank.strip().lower(), set()).add(name.strip().lower())
     return out
 
 
@@ -129,10 +131,13 @@ _NON_ALPHA = re.compile(r"[^a-z]+")
 # consonant/vowel groups and gender endings
 _PHONETIC_SUBS = [
     (re.compile(r"ae|oe"), "e"),
+    # ph->f BEFORE the h-fold: every 'ph' h is letter-preceded, so the
+    # [hy]->i rule would consume it first and Phoca/Foca would never
+    # share a key — the whole point of this entry
+    (re.compile(r"ph"), "f"),
     (re.compile(r"(?<=[a-z])[hy]"), "i"),
     (re.compile(r"^c"), "k"),
     (re.compile(r"(?<=[aeiou])c(?=[ei])"), "s"),
-    (re.compile(r"ph"), "f"),
     (re.compile(r"(.)\1+"), r"\1"),
 ]
 _GENDER_ENDING = re.compile(r"(us|um|a|is|e)$")
@@ -236,9 +241,16 @@ class NameIndex:
     def search_by_lsid(self, lsid: str | None) -> dict | None:
         return self.by_lsid.get(lsid) if lsid else None
 
-    def search_common_name(self, vernacular: str | None) -> dict | None:
+    def search_common_name(
+        self, vernacular: str | None, cl: dict | None = None
+    ) -> tuple[dict | None, bool]:
+        """(row, is_homonym): ambiguous vernaculars resolve through the
+        same kingdom-disambiguation as the name tiers instead of
+        returning an arbitrary first row."""
         rows = self.by_vernacular.get(normalize_name(vernacular) or "")
-        return rows[0] if rows else None
+        if not rows:
+            return None, False
+        return self._resolve(rows, cl or {})
 
     def search(self, cl: dict, count: int = 0) -> MatchResult:
         """The ClassificationDAO.get ladder over the dimension."""
@@ -294,9 +306,11 @@ class NameIndex:
             if homonym:
                 return MatchResult(None, "noMatch", ["homonym"])
         # attempt 3: vernacular last resort (ClassificationDAO.scala:136-143)
-        vrow = self.search_common_name(cl.get("vernacularName"))
+        vrow, vhomonym = self.search_common_name(cl.get("vernacularName"), cl)
         if vrow is not None:
             return self._accepted(vrow, "vernacularMatch", cl, count)
+        if vhomonym:
+            return MatchResult(None, "noMatch", ["homonym"])
         return MatchResult(None, "noMatch")
 
     def _accepted(self, row: dict, match_type: str, cl: dict, count: int) -> MatchResult:

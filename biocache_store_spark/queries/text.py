@@ -803,7 +803,7 @@ def simhash_near_duplicates_query(spark: SparkSession, sf_dir: str) -> DataFrame
         "the normalized text itself."
     ),
     oracle=r"""
-        SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm_text,
+        SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
                COUNT(*) AS n_docs,
                MIN(doc_id) AS representative
         FROM documents
@@ -812,7 +812,7 @@ def simhash_near_duplicates_query(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     return docs.groupBy(norm.alias("norm_text")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("representative"),

@@ -229,3 +229,76 @@ def test_generalisation_idempotent_from_raw(spark, rules):
     r = first["r1"]
     assert r["sensitive"] and "generalised" in (r["dataGeneralizations"] or "")
     assert "already generalised" not in (r["dataGeneralizations"] or "")
+
+
+def test_sds_unparseable_generalisation_fails_closed(spark):
+    """A rule whose generalisation string parses to neither metres nor
+    WITHHOLD must WITHHOLD the record, not publish it nearly unredacted
+    with a NULLed uncertainty."""
+    from pyspark.sql import functions as F
+
+    from biocache_store_spark.processors.sds import apply_sds
+
+    recs = spark.createDataFrame(
+        [("r1", "Xus sensitivus", "-35.123456", "149.123456", "NSW", "AU", "10")],
+        "rowKey string, scientificName string, decimalLatitude string, "
+        "decimalLongitude string, stateProvince string, country string, "
+        "coordinateUncertaintyInMeters string",
+    )
+    rules = spark.createDataFrame(
+        [("Xus sensitivus", None, "10 km", "C1", "auth")],
+        "scientificName string, zone string, generalisation string, "
+        "category string, authority string",
+    )
+    [row] = apply_sds(recs, rules).collect()
+    assert row["sensitive"] is True
+    assert row["decimalLatitude"] is None and row["decimalLongitude"] is None
+    assert row["informationWithheld"] is not None
+
+
+def test_sds_unprocess_restores_uncertainty(spark):
+    from pyspark.sql import functions as F
+
+    from biocache_store_spark.processors.sds import (
+        apply_sds,
+        unprocess_non_sensitive,
+    )
+
+    recs = spark.createDataFrame(
+        [("r1", "Xus sensitivus", "-35.123456", "149.123456", "NSW", "AU", "10")],
+        "rowKey string, scientificName string, decimalLatitude string, "
+        "decimalLongitude string, stateProvince string, country string, "
+        "coordinateUncertaintyInMeters string",
+    )
+    rules = spark.createDataFrame(
+        [("Xus sensitivus", None, "10km", "C1", "auth")],
+        "scientificName string, zone string, generalisation string, "
+        "category string, authority string",
+    )
+    generalised = apply_sds(recs, rules)
+    [g] = generalised.collect()
+    assert g["coordinateUncertaintyInMeters"] == "10010.0"
+    # later: no longer sensitive -> restore the snapshot
+    stale = generalised.withColumn("sensitive", F.lit(False))
+    [r] = unprocess_non_sensitive(stale).collect()
+    assert r["coordinateUncertaintyInMeters"] == "10"
+    assert r["decimalLatitude"] == "-35.123456"
+
+
+def test_phonetic_ph_f_unify():
+    from biocache_store_spark.processors.taxonomy import phonetic_key
+
+    assert phonetic_key("Phoca") == phonetic_key("Foca")
+
+
+def test_taxon_hints_rank_case_insensitive():
+    from biocache_store_spark.processors.taxonomy import (
+        is_match_valid,
+        parse_hints,
+    )
+
+    hints = parse_hints(["Kingdom:Animalia"])
+    ok, _ = is_match_valid({"kingdom": "Animalia"}, hints)
+    assert ok
+    bad, label = is_match_valid({"kingdom": "Plantae"}, hints)
+    assert not bad and "Plantae" in label

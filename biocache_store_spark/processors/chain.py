@@ -207,7 +207,6 @@ def process_record(
     if not skip_catalyst_vocab:
         assertions += process_occurrence_status(raw, processed)
         assertions += process_establishment_means(raw, processed)
-    if not skip_catalyst_vocab:
         assertions += process_recorded_by(raw, processed)
     assertions += process_identification_checks(raw)
     assertions += process_misc_occurrence(raw)
@@ -255,6 +254,22 @@ def process_record(
     assertions += process_reprocessing(processed, last_processed)
 
     return processed, assertions
+
+
+
+def _qa_dicts(assertions) -> list[dict]:
+    """QualityAssertion list -> Arrow-ready dicts matching ASSERTION_TYPE —
+    THE single serialization point for every pandas pass (a field added to
+    the struct changes exactly one place)."""
+    return [
+        {
+            "code": a.code,
+            "name": a.name,
+            "qa_status": a.qa_status,
+            "comment": a.comment,
+        }
+        for a in assertions
+    ]
 
 
 def process_records(
@@ -326,15 +341,7 @@ def process_records(
                     }
                 )
                 assertions_col.append(
-                    [
-                        {
-                            "code": a.code,
-                            "name": a.name,
-                            "qa_status": a.qa_status,
-                            "comment": a.comment,
-                        }
-                        for a in assertions
-                    ]
+                    _qa_dicts(assertions)
                 )
                 kosher_col.append(geospatially_kosher(assertions))
             out = pdf[list(input_cols)].copy()
@@ -390,15 +397,7 @@ def _vocab_stage_map(df: DataFrame, col: str, runner) -> DataFrame:
                     "|".join(value) if isinstance(value, (list, tuple)) else value
                 )
                 asst.append(
-                    [
-                        {
-                            "code": a.code,
-                            "name": a.name,
-                            "qa_status": a.qa_status,
-                            "comment": a.comment,
-                        }
-                        for a in qas
-                    ]
+                    _qa_dicts(qas)
                 )
             yield pd.DataFrame({"v": pdf["v"], "canonical": canon, "asserts": asst})
 
@@ -534,15 +533,7 @@ def _distinct_stage_map(
                     )
                     out_rows[f"{prefix}{f}_set"].append(f in processed)
                 out_rows[f"{prefix}asserts"].append(
-                    [
-                        {
-                            "code": a.code,
-                            "name": a.name,
-                            "qa_status": a.qa_status,
-                            "comment": a.comment,
-                        }
-                        for a in assertions
-                    ]
+                    _qa_dicts(assertions)
                 )
             yield pd.DataFrame(out_rows)
 
@@ -748,12 +739,26 @@ def enrich_classification(df: DataFrame, taxa: DataFrame) -> DataFrame:
         if col not in df.columns:
             df = df.withColumn(col, F.lit(None).cast("string"))
     matched = match_names_spark(df, names)
-    attrs = taxa.select(
-        F.col("taxonConceptID").alias("__attr_lsid"),
-        F.col("taxonRank").alias("matched_taxonRank"),
-        F.col("lft").alias("matched_lft"),
-        F.col("rgt").alias("matched_rgt"),
-        F.col("vernacularName").alias("matched_vernacularName"),
+    # one attrs row per concept: checklists carry multiple name rows
+    # (synonyms) sharing an accepted taxonConceptID, and an un-deduped
+    # broadcast join would emit one output row per synonym — silent
+    # record inflation. min(struct) keeps a deterministic row.
+    attr_payload = F.struct(
+        F.col("taxonRank").alias("r"),
+        F.col("lft").alias("l"),
+        F.col("rgt").alias("g"),
+        F.col("vernacularName").alias("v"),
+    )
+    attrs = (
+        taxa.groupBy(F.col("taxonConceptID").alias("__attr_lsid"))
+        .agg(F.min(attr_payload).alias("__a"))
+        .select(
+            "__attr_lsid",
+            F.col("__a.r").alias("matched_taxonRank"),
+            F.col("__a.l").alias("matched_lft"),
+            F.col("__a.g").alias("matched_rgt"),
+            F.col("__a.v").alias("matched_vernacularName"),
+        )
     )
     joined = (
         matched.join(
@@ -767,9 +772,11 @@ def enrich_classification(df: DataFrame, taxa: DataFrame) -> DataFrame:
     name_missing = F.col("matched_taxonConceptID").isNull() & F.col(
         "scientificName"
     ).isNotNull()
+    from biocache_store_spark.processors.assertions import AssertionCodes as _C
+
     new_assertion = F.struct(
-        F.lit(10004).alias("code"),
-        F.lit("nameNotRecognised").alias("name"),
+        F.lit(_C.NAME_NOTRECOGNISED.code).alias("code"),
+        F.lit(_C.NAME_NOTRECOGNISED.name).alias("name"),
         F.when(name_missing, F.lit(0)).otherwise(F.lit(1)).alias("qa_status"),
         F.lit("").alias("comment"),
     )

@@ -54,16 +54,22 @@ def enrich_attribution(records: DataFrame, data_resources: DataFrame) -> DataFra
     )
     joined = records.join(
         F.broadcast(dim), records["dataResourceUid"] == dim["__dr_uid"], "left"
+    )
+    # the join MARKER (kept uid), not the name, decides "unknown": a
+    # registered resource whose name happens to be null must not be
+    # flagged unrecognised. Materialized before the drop — the assertion
+    # expression evaluates lazily, after __dr_uid is gone.
+    joined = joined.withColumn(
+        "__dr_known", F.col("__dr_uid").isNotNull()
     ).drop("__dr_uid")
-    unknown = F.col("attr_dataResourceName").isNull()
     return _append_assertion(
         joined,
         _assertion(
             C.UNRECOGNISED_COLLECTIONCODE.code,
             C.UNRECOGNISED_COLLECTIONCODE.name,
-            unknown,
+            ~F.col("__dr_known"),
         ),
-    )
+    ).drop("__dr_known")
 
 
 _METRES_TO_DECIMALS = [(100000.0, 0), (10000.0, 1), (1000.0, 2), (100.0, 3), (10.0, 4)]
@@ -95,13 +101,25 @@ def apply_sensitivity(
     map, and REPLACES the coordinate columns with blurred values for
     matching records.
     """
-    dim = sensitive_species.select(
-        F.lower(F.trim(F.col("scientificName"))).alias("__sens_name"),
-        F.col("category").alias("sens_category"),
-        F.col("generalisationInMetres").cast("double").alias("sens_metres"),
+    # ONE dim row per name carrying ALL its rules as an array: a plain
+    # per-rule join would emit one output row per matching rule (zoned
+    # rule sets are exactly the multi-rule case), silently inflating
+    # record counts. The best applicable rule is picked per record with
+    # array expressions — no row multiplication possible by construction.
+    rule = F.struct(
+        F.col("generalisationInMetres").cast("double").alias("m"),
+        F.col("category").cast("string").alias("c"),
         (
             F.col("zone") if "zone" in sensitive_species.columns else F.lit(None)
-        ).cast("string").alias("sens_zone"),
+        ).cast("string").alias("z"),
+    )
+    dim = (
+        sensitive_species.select(
+            F.lower(F.trim(F.col("scientificName"))).alias("__sens_name"),
+            rule.alias("__rule"),
+        )
+        .groupBy("__sens_name")
+        .agg(F.collect_list("__rule").alias("__rules"))
     )
     joined = records.join(
         F.broadcast(dim),
@@ -109,16 +127,29 @@ def apply_sensitivity(
         "left",
     ).drop("__sens_name")
 
-    in_zone = F.col("sens_zone").isNull() | (
-        F.col("sens_zone")
-        == F.coalesce(F.col("stateProvince"), F.lit(""))
+    state = (
+        F.coalesce(F.col("stateProvince"), F.lit(""))
         if "stateProvince" in records.columns
-        else F.lit(True)
+        else F.lit("")
+    )
+    applicable = F.filter(
+        F.col("__rules"), lambda r: r["z"].isNull() | (r["z"] == state)
+    )
+    # most restrictive applicable rule (largest blur distance), category
+    # as the deterministic tie-break — struct max orders field-by-field
+    best = F.array_max(
+        F.transform(applicable, lambda r: F.struct(r["m"].alias("m"), r["c"].alias("c")))
+    )
+    joined = (
+        joined.withColumn("sens_metres", best["m"])
+        .withColumn("sens_category", best["c"])
+        .drop("__rules")
     )
     lat = F.col(lat_col).cast("double")
     lon = F.col(lon_col).cast("double")
+    # zone applicability is already folded into the best-rule pick above
     is_sensitive = (
-        F.col("sens_metres").isNotNull() & lat.isNotNull() & lon.isNotNull() & in_zone
+        F.col("sens_metres").isNotNull() & lat.isNotNull() & lon.isNotNull()
     )
     blurred_lat = _blur(lat, F.col("sens_metres")).cast("string")
     blurred_lon = _blur(lon, F.col("sens_metres")).cast("string")

@@ -227,11 +227,19 @@ def process_event(raw: dict, today: _dt.date | None = None):
         if parsed is not None and parsed.end_date != parsed.start_date:
             processed["eventDateEnd"] = parsed.end_date
 
+    # REFERENCE PARITY (EventProcessor.scala:108 + :272): when the year
+    # validation rejects, INVALID_COLLECTION_DATE is appended with the
+    # same comment BOTH in the mainline block above and here — the
+    # reference emits the duplicate, so the assertion multiset keeps it
     if not valid_year and (not processed.get("eventDate") or comment != ""):
         assertions.append(QA.failed(C.INVALID_COLLECTION_DATE, comment))
         add_passed_invalid = False
 
-    # future-date check (tomorrow allowed) — EventProcessor.scala:276-279
+    # future-date check (tomorrow allowed) — EventProcessor.scala:276-279.
+    # REFERENCE PARITY: `date` is only set by the d/m/y construction, so a
+    # future date arriving via eventDate/verbatimEventDate strings is NOT
+    # caught here — the reference's verbatim branch never assigns `date`
+    # either, and mirrored tests pin the shared behavior
     if date is not None and date > today + _dt.timedelta(days=1):
         assertions.append(QA.failed(C.INVALID_COLLECTION_DATE, "Future date supplied"))
         add_passed_invalid = False
@@ -248,7 +256,7 @@ def process_event(raw: dict, today: _dt.date | None = None):
 
     _process_other_dates(raw, processed, assertions, current_year)
     _process_first_dates(processed, assertions)
-    _check_precision(raw, processed, assertions)
+    _check_precision(raw, processed, assertions, current_year)
 
     return processed, assertions
 
@@ -336,7 +344,8 @@ def _format_component_date(ev, fmt: str) -> str:
 
 
 def _reformat_to_precision(
-    processed, fmt: str, nullify_day: bool, nullify_month: bool, nullify_year: bool
+    processed, fmt: str, nullify_day: bool, nullify_month: bool, nullify_year: bool,
+    current_year: int | None = None,
 ):
     """EventProcessor.reformatToPrecision (EventProcessor.scala:534-645):
     reformat single dates to the precision's format, force-nullify
@@ -344,8 +353,11 @@ def _reformat_to_precision(
     datePrecision when none was supplied."""
     from biocache_store_spark.parsers.dates import parse_date
 
-    start = parse_date(processed.get("eventDate"))
-    end = parse_date(processed.get("eventDateEnd"))
+    # current_year rides through: parse_date's validity gate would
+    # otherwise fall back to the MACHINE clock, making datePrecision
+    # depend on when the job runs rather than the pipeline's pinned today
+    start = parse_date(processed.get("eventDate"), current_year)
+    end = parse_date(processed.get("eventDateEnd"), current_year)
     if start is not None and start.single_date and start.start_year:
         processed["eventDate"] = _format_component_date(start, fmt)
     if end is not None and end.single_date and end.start_year:
@@ -429,7 +441,7 @@ def _reformat_to_precision(
         processed["datePrecision"] = _NOT_SUPPLIED_P
 
 
-def _check_precision(raw, processed, assertions):
+def _check_precision(raw, processed, assertions, current_year=None):
     """EventProcessor.checkPrecision (EventProcessor.scala:479-521): map the
     raw datePrecision through the vocabulary and reformat; with no (or an
     unmatched) precision, reformat at day precision — which also runs the
@@ -445,25 +457,25 @@ def _check_precision(raw, processed, assertions):
                     f"Unrecognised date precision {raw_precision}",
                 )
             )
-            _reformat_to_precision(processed, "yyyy-MM-dd", False, False, False)
+            _reformat_to_precision(processed, "yyyy-MM-dd", False, False, False, current_year)
             return
         processed["datePrecision"] = term.canonical
         if term.canonical == _DAY_P:
-            _reformat_to_precision(processed, "yyyy-MM-dd", False, False, False)
+            _reformat_to_precision(processed, "yyyy-MM-dd", False, False, False, current_year)
         elif term.canonical == _MONTH_P:
-            _reformat_to_precision(processed, "yyyy-MM", True, False, False)
+            _reformat_to_precision(processed, "yyyy-MM", True, False, False, current_year)
         elif term.canonical == _YEAR_P:
-            _reformat_to_precision(processed, "yyyy", True, True, False)
+            _reformat_to_precision(processed, "yyyy", True, True, False, current_year)
         elif term.canonical == _DAY_RANGE_P:
             # yyyy-MM with the day KEPT is the reference's exact choice
             # (EventProcessor.scala:502-505) — internally odd for a
             # single-date record, but part of the parity contract
-            _reformat_to_precision(processed, "yyyy-MM", False, False, False)
+            _reformat_to_precision(processed, "yyyy-MM", False, False, False, current_year)
         elif term.canonical == _MONTH_RANGE_P:
-            _reformat_to_precision(processed, "yyyy-MM", True, False, False)
+            _reformat_to_precision(processed, "yyyy-MM", True, False, False, current_year)
         elif term.canonical == _YEAR_RANGE_P:
-            _reformat_to_precision(processed, "yyyy", True, True, True)
+            _reformat_to_precision(processed, "yyyy", True, True, True, current_year)
         else:
-            _reformat_to_precision(processed, "yyyy-MM-dd", False, False, False)
+            _reformat_to_precision(processed, "yyyy-MM-dd", False, False, False, current_year)
     else:
-        _reformat_to_precision(processed, "yyyy-MM-dd", False, False, False)
+        _reformat_to_precision(processed, "yyyy-MM-dd", False, False, False, current_year)

@@ -303,3 +303,67 @@ def test_build_index_deleted_date_string_filtered(spark):
     )
     idx = build_index(process_records(occ, today=dt.date(2026, 8, 14)))
     assert [r["id"] for r in idx.collect()] == ["o2"]
+
+
+def test_apply_sensitivity_multi_rule_no_row_inflation(spark):
+    """Multiple rules for one name (zoned sets) must pick ONE applicable
+    rule per record, never emit one row per rule."""
+    from biocache_store_spark.processors.enrichment import apply_sensitivity
+
+    records = spark.createDataFrame(
+        [("r1", "Litoria aurea", "-33.5", "151.2", "New South Wales"),
+         ("r2", "Litoria aurea", "-27.5", "153.0", "Queensland"),
+         ("r3", "Litoria aurea", "-37.8", "145.0", "Victoria")],
+        "rowKey string, scientificName string, decimalLatitude string, "
+        "decimalLongitude string, stateProvince string",
+    )
+    rules = spark.createDataFrame(
+        [("Litoria aurea", "VU", 10000.0, "New South Wales"),
+         ("Litoria aurea", "EN", 1000.0, "Queensland")],
+        "scientificName string, category string, "
+        "generalisationInMetres double, zone string",
+    )
+    out = apply_sensitivity(records, rules)
+    assert out.count() == 3  # one row per record, not per rule
+    rows = {r["rowKey"]: r for r in out.collect()}
+    assert rows["r1"]["sensitive"] and rows["r1"]["sens_category"] == "VU"
+    assert rows["r2"]["sensitive"] and rows["r2"]["sens_category"] == "EN"
+    assert not rows["r3"]["sensitive"]  # no rule for its zone
+
+
+def test_enrich_attribution_null_name_not_unknown(spark):
+    from biocache_store_spark.processors.enrichment import enrich_attribution
+
+    records = spark.createDataFrame(
+        [("o1", "dr1"), ("o2", "dr404")],
+        "occurrenceID string, dataResourceUid string",
+    )
+    dims = spark.createDataFrame(
+        [("dr1", None, "dp1", "Provider", ["hub1"])],
+        "dataResourceUid string, dataResourceName string, "
+        "dataProviderUid string, dataProviderName string, "
+        "dataHubUid array<string>",
+    )
+    out = {r["occurrenceID"]: r["assertions"] for r in
+           enrich_attribution(records, dims).collect()}
+    # registered resource with a null name: assertion PASSES (qa_status 1)
+    assert out["o1"][-1]["qa_status"] == 1
+    assert out["o2"][-1]["qa_status"] == 0  # genuinely unknown resource
+
+
+def test_enrich_classification_synonym_rows_no_inflation(spark):
+    from biocache_store_spark.processors.chain import enrich_classification
+
+    records = spark.createDataFrame(
+        [("o1", "Macropus rufus", None, None, None)],
+        "occurrenceID string, scientificName string, genus string, "
+        "specificEpithet string, kingdom string",
+    )
+    taxa = spark.createDataFrame(
+        [("lsid:1", "Macropus rufus", "species", 1, 2, "Red Kangaroo"),
+         ("lsid:1", "Osphranter rufus", "species", 1, 2, "Red Kangaroo")],
+        "taxonConceptID string, scientificName string, taxonRank string, "
+        "lft int, rgt int, vernacularName string",
+    )
+    out = enrich_classification(records, taxa)
+    assert out.count() == 1  # synonym rows share the concept: no inflation

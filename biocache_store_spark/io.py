@@ -53,8 +53,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn(
                 "ts",
+                # FLOOR division, not `div` (truncate-toward-zero): a
+                # pre-epoch nanosecond timestamp with a fractional-µs part
+                # would otherwise land 1 µs late vs DuckDB's nanosecond
+                # read. pmod keeps it in exact integer arithmetic.
                 F.expr(
-                    "timestampadd(MICROSECOND, ts div 1000,"
+                    "timestampadd(MICROSECOND, (ts - pmod(ts, 1000)) div 1000,"
                     " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
                 ),
             )

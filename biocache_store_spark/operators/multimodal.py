@@ -156,21 +156,26 @@ _MIME_EXTENSION_MAP = {
 }
 
 _EXTENSION_RE = re.compile(r"(\.[0-9A-Za-z\-_]+)(\?.*)?$")
-_NORM_RE = re.compile(r"[^a-zA-Z0-9]+")
+
+
+def _norm(value: str) -> str:
+    # the shared vocab normalization (parsers/vocab.py) — one rule, not
+    # a drifting private copy
+    from biocache_store_spark.parsers.vocab import normalize
+
+    return normalize(value)
 
 
 # normalized variant -> canonical, built once; setdefault keeps the FIRST
 # writer so subtype collisions resolve in the reference's block order
 _MIME_LOOKUP: dict[str, str] = {}
 for _canonical in _MIME_CANONICALS:
-    _MIME_LOOKUP.setdefault(_NORM_RE.sub("", _canonical).lower(), _canonical)
-    _MIME_LOOKUP.setdefault(
-        _NORM_RE.sub("", _canonical.split("/", 1)[1]).lower(), _canonical
-    )
+    _MIME_LOOKUP.setdefault(_norm(_canonical), _canonical)
+    _MIME_LOOKUP.setdefault(_norm(_canonical.split("/", 1)[1]), _canonical)
 
 
 def _match_mime_vocab(value: str) -> str | None:
-    norm = _NORM_RE.sub("", value).lower()
+    norm = _norm(value)
     return _MIME_LOOKUP.get(norm) if norm else None
 
 
@@ -218,10 +223,21 @@ def sha1_hex(data: bytes) -> str:
 
 def dedup_media(media_df: DataFrame) -> DataFrame:
     """Keep one row per distinct content hash (min media_id wins —
-    deterministic first-wins, as in the dedup representative rule)."""
+    deterministic first-wins, as in the dedup representative rule).
+
+    NULL-content rows (e.g. fetch_media failures, whose docstring routes
+    them here) keep per-record identity: md5(NULL) is NULL and a naive
+    hash partition would collapse every failed fetch into ONE surviving
+    row, silently dropping the rest."""
     from pyspark.sql.window import Window
 
-    hashed = add_content_hash(media_df)
+    hashed = add_content_hash(media_df).withColumn(
+        "content_hash",
+        F.coalesce(
+            F.col("content_hash"),
+            F.concat(F.lit("__null__"), F.col("media_id").cast("string")),
+        ),
+    )
     w = Window.partitionBy("content_hash").orderBy("media_id")
     return (
         hashed.withColumn("rn", F.row_number().over(w))
@@ -230,9 +246,7 @@ def dedup_media(media_df: DataFrame) -> DataFrame:
     )
 
 
-def decode_media(
-    media_df: DataFrame, real_decode: bool = False, batch_check: bool = False
-) -> DataFrame:
+def decode_media(media_df: DataFrame, real_decode: bool = False) -> DataFrame:
     """Arrow-batched decode stage: adds `features array<double>` and
     `content_length`. One mapInPandas pass; rows never leave the executor."""
     from biocache_store_spark.util import (
@@ -389,10 +403,15 @@ def thumbnail_media(
         if not resized:
             return content, w, h, False
         out = io.BytesIO()
-        img.resize((max(new_w, 1), max(new_h, 1)), image_mod.LANCZOS).save(
+        # record the ACTUAL emitted dimensions: scaled_dims' toInt
+        # truncation (reference parity) can yield 0 for extreme aspect
+        # ratios, but Pillow clamps to 1px — the row must describe the
+        # payload, not the arithmetic
+        emit_w, emit_h = max(new_w, 1), max(new_h, 1)
+        img.resize((emit_w, emit_h), image_mod.LANCZOS).save(
             out, format="JPEG"
         )
-        return out.getvalue(), new_w, new_h, True
+        return out.getvalue(), emit_w, emit_h, True
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
@@ -533,14 +552,19 @@ def frame_sample_plan(media_df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plumbing for video rows: expands each video into
     (media_id, frame_ts_ms) rows from metadata duration — the explode shape
     a real frame extractor plugs into."""
-    videos = media_df.filter(F.col("media_type") == "video")
+    # duration > 0 required: a zero-length video must yield no frames,
+    # consistent with NULL-duration rows (greatest(-1, 0) would otherwise
+    # mint a phantom frame at t=0 for "no playable content")
+    videos = media_df.filter(
+        (F.col("media_type") == "video") & (F.col("metadata.duration_ms") > 0)
+    )
     return videos.select(
         "media_id",
         "record_id",
         F.explode(
             F.sequence(
                 F.lit(0),
-                F.greatest(F.col("metadata.duration_ms") - 1, F.lit(0)),
+                F.col("metadata.duration_ms") - 1,
                 F.lit(every_ms),
             )
         ).alias("frame_ts_ms"),
@@ -579,8 +603,11 @@ def unpack_associated_media(col: F.Column) -> F.Column:
     s = col
     return (
         F.when(s.isNull() | (F.trim(s) == ""), F.array().cast("array<string>"))
-        .when(F.instr(s, "|") > 1, split_by(s, r"\|"))
-        .when(F.instr(s, ";") > 1, split_by(s, ";"))
-        .when(F.instr(s, ",") > 1, split_by(s, ","))
+        # instr is 1-BASED: > 0 means present anywhere, incl. a leading
+        # delimiter ('|a|b' must split; '> 1' skipped it and could even
+        # invert precedence onto a lower-priority delimiter)
+        .when(F.instr(s, "|") > 0, split_by(s, r"\|"))
+        .when(F.instr(s, ";") > 0, split_by(s, ";"))
+        .when(F.instr(s, ",") > 0, split_by(s, ","))
         .otherwise(F.array(F.trim(s)))
     )

@@ -1208,3 +1208,41 @@ def test_wkt_holes_rejected_cleanly(spark):
         parse_wkt_polygon(
             "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 3 3, 2 3, 2 2))"
         )
+
+
+def test_unpack_associated_media_leading_delimiter(spark):
+    from biocache_store_spark.operators.multimodal import unpack_associated_media
+
+    df = spark.createDataFrame(
+        [("|http://a.jpg|http://b.jpg",), ("a;b",)], "s string"
+    )
+    out = [r["m"] for r in df.select(
+        unpack_associated_media(F.col("s")).alias("m")).collect()]
+    assert out[0] == ["http://a.jpg", "http://b.jpg"]
+    assert out[1] == ["a", "b"]
+
+
+def test_dedup_media_null_content_rows_kept(spark):
+    from biocache_store_spark.operators.multimodal import MEDIA_SCHEMA, dedup_media
+
+    rows = [
+        ("m1", "r1", "image", "image/jpeg", None, (None, None, None, None, None, None)),
+        ("m2", "r2", "image", "image/jpeg", None, (None, None, None, None, None, None)),
+        ("m3", "r3", "image", "image/jpeg", b"x", (None, None, None, None, None, None)),
+    ]
+    out = {r["media_id"] for r in
+           dedup_media(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()}
+    assert out == {"m1", "m2", "m3"}  # failed fetches keep per-record rows
+
+
+def test_frame_sample_zero_duration_no_phantom(spark):
+    from biocache_store_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        frame_sample_plan,
+    )
+
+    rows = [("v0", "r1", "video", "video/mp4", b"",
+             (None, None, None, 0, None, None))]
+    assert frame_sample_plan(
+        spark.createDataFrame(rows, MEDIA_SCHEMA)
+    ).count() == 0

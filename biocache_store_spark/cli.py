@@ -490,6 +490,7 @@ def cmd_build_corpus(args) -> int:
         args.out,
         quality_threshold=args.quality_threshold,
         near_dup_threshold=args.near_dup_threshold,
+        max_bucket_size=args.max_bucket,
         mixture_weights=weights,
         token_budget=args.token_budget,
     )
@@ -797,6 +798,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sp.add_argument(
         "--near-dup-threshold", dest="near_dup_threshold", type=float, default=0.5
+    )
+    sp.add_argument(
+        "--max-bucket", dest="max_bucket", type=int, default=100_000,
+        help="drop LSH band-buckets larger than this (viral-bucket guard)",
     )
     sp.add_argument("--mixture", help="source=weight,... (with --token-budget)")
     sp.add_argument("--token-budget", dest="token_budget", type=int)

@@ -290,20 +290,20 @@ def write_lsh_index(
     mode="append" to accumulate a growing corpus index — each ingest
     appends its own signatures after probing.
 
-    The hash-family parameters are persisted in `_meta.json` on the
-    first write and validated on append and probe: an index probed or
-    extended with different num_hashes/bands/n would silently match
-    nothing (different hash families), so a mismatch raises instead.
+    The hash-family parameters are persisted as a one-row parquet
+    dataset under `meta/` on the first write and validated on append and
+    probe: an index probed or extended with different num_hashes/bands/n
+    would silently match nothing (different hash families), so a
+    mismatch raises instead. Meta goes through the same Spark writer as
+    the sig/bands data, so the index works on HDFS/S3 paths the driver's
+    local filesystem never sees.
     """
-    import json
-    import os
-
     from pyspark import StorageLevel
 
+    spark = docs.sparkSession
     meta = {"num_hashes": num_hashes, "bands": bands, "n": n}
-    meta_path = os.path.join(path, "_meta.json")
-    if mode == "append" and os.path.exists(meta_path):
-        _check_index_meta(meta_path, meta, "write_lsh_index(append)")
+    if mode == "append":
+        _check_index_meta(spark, path, meta, "write_lsh_index(append)")
     sig = signatures(docs, num_hashes, n, id_col, text_col, max_shingles)
     # persist: the sig plan feeds BOTH writes; without it the whole
     # shingle/md5/groupBy pass over the corpus runs twice per index build
@@ -314,18 +314,35 @@ def write_lsh_index(
         banded.write.mode(mode).partitionBy("band").parquet(path + "/bands")
     finally:
         sig.unpersist()
-    with open(meta_path, "w") as fh:
-        json.dump(meta, fh)
+    _write_index_meta(spark, path, meta)
 
 
-def _check_index_meta(meta_path: str, expected: dict, caller: str) -> None:
-    import json
+_META_SCHEMA = "num_hashes int, bands int, n int"
+
+
+def _write_index_meta(spark, path: str, meta: dict) -> None:
+    """One-row parquet dimension under `<index>/meta` — written with the
+    Spark writer so object-store index paths work end to end. Always
+    overwrite: append re-writes identical params (validated first)."""
+    spark.createDataFrame(
+        [(meta["num_hashes"], meta["bands"], meta["n"])], _META_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+
+
+def _read_index_meta(spark, path: str) -> dict | None:
+    from pyspark.errors import AnalysisException
 
     try:
-        with open(meta_path) as fh:
-            stored = json.load(fh)
-    except OSError:
-        return  # pre-meta index: accept, params were the caller's problem
+        rows = spark.read.parquet(path + "/meta").collect()
+    except AnalysisException:
+        return None  # pre-meta index: accept, params were the caller's problem
+    return rows[0].asDict() if rows else None
+
+
+def _check_index_meta(spark, path: str, expected: dict, caller: str) -> None:
+    stored = _read_index_meta(spark, path)
+    if stored is None:
+        return
     mismatched = {
         k: (stored.get(k), v) for k, v in expected.items() if stored.get(k) != v
     }
@@ -363,12 +380,11 @@ def probe_lsh_index(
     band-bucket fan-in), never the corpus. The hot-bucket cap applies to
     the combined band table, same trade as lsh_candidates.
     """
-    import os
-
     from pyspark import StorageLevel
 
     _check_index_meta(
-        os.path.join(path, "_meta.json"),
+        spark,
+        path,
         {"num_hashes": num_hashes, "bands": bands, "n": n},
         "probe_lsh_index",
     )

@@ -200,14 +200,17 @@ def combined_user_status(store: DataFrame) -> DataFrame:
         .when(F.col("latest_status").isNotNull(), F.col("latest_status"))
         .otherwise(F.lit(QA_NONE))
     )
-    # outstanding = unverified assertions PLUS assertions reopened by an
-    # OPEN_ISSUE verification — both at once, not either/or: a record can
-    # carry an unverified assertion AND a reopened one, and the reopened
-    # code must not vanish just because something else is also pending.
-    # reopen_codes is empty by construction unless a reopen exists, so
-    # the concat needs no gating; sorted for a deterministic array.
+    # outstanding is either/or, exactly as the reference computes it
+    # (OccurrenceDAOImpl.scala:1071-1082): unverified assertions when any
+    # exist; ONLY when all assertions are verified does an OPEN_ISSUE
+    # verification re-add (reopen) the assertions it points at. A record
+    # with both unverified and reopened assertions reports just the
+    # unverified ones — the scala `else` branch never runs when
+    # combinedUserAssertions is non-empty.
     outstanding_codes = F.array_sort(
-        F.concat(F.col("base_codes"), F.col("reopen_codes"))
+        F.when(F.col("base_count") > 0, F.col("base_codes"))
+        .when(F.col("any_open") == 1, F.col("reopen_codes"))
+        .otherwise(empty_codes)
     )
     return out.select(
         "rowKey",

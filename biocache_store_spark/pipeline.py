@@ -131,6 +131,7 @@ def build_corpus(
     out_dir: str,
     quality_threshold: float = 0.5,
     near_dup_threshold: float = 0.5,
+    max_bucket_size: int | None = 100_000,
     mixture_weights: dict[str, float] | None = None,
     token_budget: int | None = None,
 ):
@@ -217,7 +218,14 @@ def build_corpus(
     docs = stage(docs)
     manifests.append(stage_counts(docs, "3_exact_dedup"))
 
-    pairs = near_duplicates(docs, threshold=near_dup_threshold)
+    # max_bucket_size caps viral band-buckets (empty/boilerplate docs all
+    # hash to one bucket): uncapped, the posting-list stage collect_lists
+    # an entire such bucket into one aggregation buffer — the quadratic/
+    # OOM failure mode the cap exists to prevent. Default matches the
+    # near-dup-probe CLI; pass None only on corpora known bucket-clean.
+    pairs = near_duplicates(
+        docs, threshold=near_dup_threshold, max_bucket_size=max_bucket_size
+    )
     comp = connected_components(pairs, src="doc_a", dst="doc_b")
     keep_rep = component_representatives(
         comp, docs.select("doc_id", "quality_score")

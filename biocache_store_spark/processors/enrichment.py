@@ -127,14 +127,18 @@ def apply_sensitivity(
         "left",
     ).drop("__sens_name")
 
-    state = (
-        F.coalesce(F.col("stateProvince"), F.lit(""))
-        if "stateProvince" in records.columns
-        else F.lit("")
-    )
-    applicable = F.filter(
-        F.col("__rules"), lambda r: r["z"].isNull() | (r["z"] == state)
-    )
+    if "stateProvince" in records.columns:
+        state = F.coalesce(F.col("stateProvince"), F.lit(""))
+        applicable = F.filter(
+            F.col("__rules"), lambda r: r["z"].isNull() | (r["z"] == state)
+        )
+    else:
+        # Fail CLOSED: without a state column we cannot prove a zoned rule
+        # does NOT apply, so treat every rule as applicable and let the
+        # most-restrictive pick below blur the coordinates. The alternative
+        # (zoned rules never matching) would publish species protected only
+        # by zoned rules at full precision.
+        applicable = F.col("__rules")
     # most restrictive applicable rule (largest blur distance), category
     # as the deterministic tie-break — struct max orders field-by-field
     best = F.array_max(

@@ -52,23 +52,90 @@ def register(
     return wrap
 
 
-# The external driver oracle-checks a prefix of the registry (50 names in
-# rounds 2-3). Order the prefix by need: queries that have never had a
-# driver row come first, then everything else in registration order, and
-# shapes trivially re-derivable from other green rows (simple
-# scans/facets/set-ops, all green in CORRECTNESS_r02+r03) yield their
-# slots entirely.
+# The external driver oracle-checks a 50-slot prefix of the registry per
+# round. Round-6 rotation (VERDICT r5 "Next round" #1): the 58 entries
+# whose latest driver row predates round 5 fill the prefix — queries whose
+# behavior changed THIS round first, then the 11 r3-era shapes, then the
+# r4-era tier. Eight simple untouched r4-era shapes (positions 51-58)
+# overflow the prefix and rotate in next round; the 50 entries driver-green
+# in CORRECTNESS_r05 yield their slots entirely.
 HEAD: tuple[str, ...] = (
-    # red in r04 (oracle HUGEINT dtype, CAST fix this round) — re-check first
+    # behavior or oracle changed in round 6 — must re-check first
+    "user_assertion_lifecycle",   # outstanding-codes either/or restored
+    "sds_generalization",         # SDS zone fail-closed fix
+    "lsh_index_probe",            # index meta moved to Spark-written parquet
+    "minhash_near_duplicates",
+    "corpus_curation",
+    "taxon_name_match",           # fuzzy edit-distance tier added
+    "ngram_jaccard_pairs",        # dynamic candidate budget
+    "validation_rule_wkt",
+    # r3-era: last driver row in CORRECTNESS_r03
+    "facet_counts",
+    "top_k",
+    "set_union",
+    "set_except",
+    "anti_join_obsolete",
+    "distinct_values",
+    "grouped_stats",
+    "event_facet_counts",
+    "event_json_extract",
+    "event_hourly_histogram",
+    "range_filter_facet",
+    # r4-era: last driver row in CORRECTNESS_r04
+    "bm25_search",
+    "broadcast_enrich_revenue",
+    "chain_hybrid",
+    "chain_vocab_fields",
+    "collector_name_parse",
+    "coordinate_validation",
+    "countmin_heavy_hitters",
+    "date_precision_reformat",
+    "datum_reprojection",
+    "dwca_roundtrip",
+    "embedding_ann_topk",
+    "embedding_cosine_near_dup",
+    "embedding_cosine_neighbors",
+    "embedding_ivf_topk",
+    "embedding_label_centroid_norms",
+    "event_rollup_combined",
+    "exact_dedup",
+    "fuzzy_name_pairs",
+    "index_projection_facet",
+    "near_dup_components",
+    "ngram_decontamination",
+    "sample_layers_enrich",
+    "simhash_near_duplicates",
+    "state_centroid_inference",
+    "stored_query_bbox",
+    "streaming_event_windows",
+    "text_redact_pii",
+    "text_repetition_stats",
+    "tfidf_top_terms",
+    "utm_inverse",
+    "verbatim_coord_parse",
+    # --- 50-slot prefix ends here ---
+    # r4-era overflow: simple built-in shapes untouched since r4, rotate
+    # into the prefix next round
+    "text_simhash",
+    "text_fingerprint",
+    "text_language_id",
+    "text_quality_score",
+    "license_canonicalize",
+    "salted_skew_join",
+    "doc_chunking",
+    "stratified_sample",
+)
+
+DEPRIORITIZED: tuple[str, ...] = (
+    # all 50 driver-green in CORRECTNESS_r05 (hash+rows+schema) — they
+    # yield their prefix slots to the 58-entry rotation above.
     "span_dedup",
     "sequence_packing",
     "embedding_quantize",
-    # never driver-checked (local-green only through r04) — close the gap
     "bpe_token_stats",
     "coordinate_uncertainty_check",
     "grouped_percentiles",
     "habitat_biome_match",
-    # round-5 additions — no driver row yet (registered this round)
     "media_thumbnail_sizes",
     "lang_mismatch_report",
     "corpus_mixture_plan",
@@ -83,8 +150,6 @@ HEAD: tuple[str, ...] = (
     "model_quality_gate",
     "snapshot_diff_rollup",
     "gopher_quality_flags",
-    # refresh tier: last driver-green in r02/r03; re-green to guard
-    # against regressions now that every registry entry has evidence
     "dedup_occurrence_clusters",
     "fuzzy_date_parse",
     "gridref_parse",
@@ -114,70 +179,6 @@ HEAD: tuple[str, ...] = (
     "indexed_field_scan",
     "multiget",
     "point_lookup",
-    "range_filter_facet",
-    "facet_counts",
-    "distinct_values",
-    "top_k",
-    "set_union",
-    "set_except",
-    "anti_join_obsolete",
-    "grouped_stats",
-    "event_facet_counts",
-    "event_json_extract",
-    "event_hourly_histogram",
-)
-
-DEPRIORITIZED: tuple[str, ...] = (
-    # all driver-green in CORRECTNESS_r04 (hash+rows+schema) — cumulative
-    # evidence recorded; yield their prefix slots to the three CAST fixes,
-    # the four never-checked rows, and the r02/r03 refresh tier.
-    "corpus_curation",
-    "chain_hybrid",
-    "user_assertion_lifecycle",
-    "stored_query_bbox",
-    "validation_rule_wkt",
-    "date_precision_reformat",
-    "datum_reprojection",
-    "utm_inverse",
-    "collector_name_parse",
-    "coordinate_validation",
-    "text_language_id",
-    "text_quality_score",
-    "text_simhash",
-    "simhash_near_duplicates",
-    "text_fingerprint",
-    "embedding_cosine_neighbors",
-    "embedding_ann_topk",
-    "embedding_ivf_topk",
-    "embedding_label_centroid_norms",
-    "embedding_cosine_near_dup",
-    "streaming_event_windows",
-    "salted_skew_join",
-    "text_redact_pii",
-    "text_repetition_stats",
-    "near_dup_components",
-    "license_canonicalize",
-    "countmin_heavy_hitters",
-    "bm25_search",
-    "event_rollup_combined",
-    "lsh_index_probe",
-    "dwca_roundtrip",
-    "fuzzy_name_pairs",
-    "index_projection_facet",
-    "taxon_name_match",
-    "sds_generalization",
-    "sample_layers_enrich",
-    "verbatim_coord_parse",
-    "chain_vocab_fields",
-    "state_centroid_inference",
-    "ngram_decontamination",
-    "doc_chunking",
-    "stratified_sample",
-    "tfidf_top_terms",
-    "broadcast_enrich_revenue",
-    "exact_dedup",
-    "ngram_jaccard_pairs",
-    "minhash_near_duplicates",
 )
 
 

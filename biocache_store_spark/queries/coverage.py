@@ -1602,8 +1602,8 @@ def validation_rule_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN any_open THEN 50001
                     WHEN latest IS NOT NULL THEN latest
                     ELSE 50004 END AS user_assertion_status,
-               base + CASE WHEN any_open AND hasA THEN 1 ELSE 0 END
-                   AS outstanding_count,
+               CASE WHEN base > 0 THEN base
+                    WHEN any_open THEN 1 ELSE 0 END AS outstanding_count,
                CASE WHEN base = 0 AND NOT any_open AND latest = 50002
                     THEN 1 ELSE 0 END AS user_verified
         FROM calc

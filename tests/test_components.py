@@ -331,6 +331,29 @@ def test_apply_sensitivity_multi_rule_no_row_inflation(spark):
     assert not rows["r3"]["sensitive"]  # no rule for its zone
 
 
+def test_apply_sensitivity_fails_closed_without_state_column(spark):
+    """Records without a stateProvince column cannot prove a zoned rule
+    inapplicable — every rule applies (most restrictive wins), so species
+    protected only by zoned rules still get blurred."""
+    from biocache_store_spark.processors.enrichment import apply_sensitivity
+
+    records = spark.createDataFrame(
+        [("r1", "Litoria aurea", "-33.123456", "151.654321")],
+        "rowKey string, scientificName string, decimalLatitude string, "
+        "decimalLongitude string",
+    )
+    rules = spark.createDataFrame(
+        [("Litoria aurea", "VU", 10000.0, "New South Wales"),
+         ("Litoria aurea", "EN", 1000.0, "Queensland")],
+        "scientificName string, category string, "
+        "generalisationInMetres double, zone string",
+    )
+    row = apply_sensitivity(records, rules).collect()[0]
+    assert row["sensitive"]
+    assert row["sens_metres"] == 10000.0  # most restrictive of the two
+    assert row["decimalLatitude"] == "-33.1"
+
+
 def test_enrich_attribution_null_name_not_unknown(spark):
     from biocache_store_spark.processors.enrichment import enrich_attribution
 

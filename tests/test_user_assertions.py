@@ -109,6 +109,30 @@ def test_corrected(statuses):
     assert by_key["r5"]["user_assertion_status"] == QA_CORRECTED
 
 
+def test_unverified_suppresses_reopen(spark):
+    """Reopened codes only surface when NO unverified assertions remain:
+    getCombinedUserStatus adds the OPEN_ISSUE-related assertions in the
+    `else` branch (scala:1074-1080), which never runs while
+    combinedUserAssertions is non-empty — so a record with both reports
+    only the unverified codes, status UNCONFIRMED."""
+    store = add_user_assertions(
+        empty_store(spark),
+        _mk(
+            spark,
+            [
+                _qa("r6", "a6", 10, 0),  # verified then reopened below
+                _qa("r6", "b6", 11, 0),  # never verified
+                _qa("r6", "v6a", 50000, QA_VERIFIED, related="a6", rec=1),
+                _qa("r6", "v6b", 50000, QA_OPEN_ISSUE, related="a6", rec=2),
+            ],
+        ),
+    )
+    row = {r["rowKey"]: r for r in combined_user_status(store).collect()}["r6"]
+    assert row["user_assertion_status"] == QA_UNCONFIRMED
+    assert row["outstanding_codes"] == [11]
+    assert row["outstanding_count"] == 1
+
+
 def test_delete_recalculates(spark, statuses):
     """Deleting the open assertion flips r4 to VERIFIED; deleting r1's only
     assertion removes its status row entirely (-> QA_NONE via overlay)."""

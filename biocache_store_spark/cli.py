@@ -590,6 +590,69 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_load_dim(args) -> int:
+    """Dimension refresh (ConservationListLoader / HabitatLoader /
+    UpdateAttribution / taxon profiles): ingest a CSV/JSON dump into the
+    dim-table schema the chain consumes (sources/dim_loader.py)."""
+    spark = _spark(args)
+    from biocache_store_spark.sources import dim_loader
+
+    loaders = {
+        "taxon-profiles": dim_loader.load_taxon_profiles,
+        "conservation": dim_loader.load_conservation_list,
+        "habitat": dim_loader.load_habitat_dim,
+        "attribution": dim_loader.load_attribution_dim,
+    }
+    out = loaders[args.kind](spark, args.inp, fmt=args.format)
+    out.write.mode("overwrite").parquet(args.out)
+    return 0
+
+
+def cmd_media_references(args) -> int:
+    """load-media-references / the reference rebuild: regenerate the
+    per-record media-reference table from a media store
+    (operators/multimodal.py media_references — LoadMediaReferences.scala),
+    optionally overlaying it onto a records table."""
+    spark = _spark(args)
+    from biocache_store_spark.operators.multimodal import (
+        load_media_references,
+        media_references,
+    )
+
+    refs = media_references(_read(spark, args.store))
+    if args.records:
+        out = load_media_references(_read(spark, args.records), refs)
+    else:
+        out = refs
+    out.write.mode("overwrite").parquet(args.out)
+    return 0
+
+
+def cmd_migrate_media(args) -> int:
+    """migrate-media: fetch every associatedMedia file not already in the
+    media store and write the new store rows (MigrateMedia.scala sweep;
+    --dry-run counts instead of writing, like the reference's dryRun)."""
+    spark = _spark(args)
+    from pyspark.sql import functions as F
+
+    from biocache_store_spark.operators.multimodal import migrate_media
+
+    if not args.dry_run and not args.out:
+        print("migrate-media: --out is required unless --dry-run", file=sys.stderr)
+        return 2
+    stored = _read(spark, args.store) if args.store else None
+    new_rows = migrate_media(_read(spark, args.inp), stored)
+    if args.dry_run:
+        counts = new_rows.agg(
+            F.count(F.lit(1)).alias("to_migrate"),
+            F.sum(F.col("fetch_ok").cast("int")).alias("fetched"),
+        ).collect()[0]
+        print(json.dumps({k: counts[k] for k in ("to_migrate", "fetched")}, default=str))
+    else:
+        new_rows.write.mode("append").parquet(args.out)
+    return 0
+
+
 def cmd_describe(args) -> int:
     """DescribeResource / ListResources: schema + per-resource counts."""
     from pyspark.sql import functions as F
@@ -833,6 +896,39 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--target-files", dest="target_files", type=int, default=32)
     sp.add_argument("--max-records", dest="max_records", type=int, default=1_000_000)
     sp.add_argument("--partition-by", dest="partition_by")
+
+    sp = tool(
+        "load-dim",
+        cmd_load_dim,
+        "refresh a lookup dimension (conservation/habitat/attribution/taxon-profiles)",
+    )
+    sp.add_argument("--in", dest="inp", required=True)
+    sp.add_argument(
+        "--kind",
+        required=True,
+        choices=["taxon-profiles", "conservation", "habitat", "attribution"],
+    )
+    sp.add_argument("--format", default="csv", choices=["csv", "json"])
+    sp.add_argument("--out", required=True)
+
+    sp = tool(
+        "media-references",
+        cmd_media_references,
+        "rebuild per-record media references from a media store",
+    )
+    sp.add_argument("--store", required=True)
+    sp.add_argument("--records")
+    sp.add_argument("--out", required=True)
+
+    sp = tool(
+        "migrate-media",
+        cmd_migrate_media,
+        "fetch associatedMedia files missing from the media store",
+    )
+    sp.add_argument("--in", dest="inp", required=True)
+    sp.add_argument("--store")
+    sp.add_argument("--out")
+    sp.add_argument("--dry-run", dest="dry_run", action="store_true")
 
     sp = tool("describe", cmd_describe, "schema + per-resource counts")
     sp.add_argument("--in", dest="inp", required=True)

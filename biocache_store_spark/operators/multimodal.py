@@ -611,3 +611,104 @@ def unpack_associated_media(col: F.Column) -> F.Column:
         .when(F.instr(s, ",") > 0, split_by(s, ","))
         .otherwise(F.array(F.trim(s)))
     )
+
+
+# --- media maintenance ops (tool/LoadMediaReferences.scala,
+# --- tool/MigrateMedia.scala) -------------------------------------------
+
+
+def media_references(
+    stored: DataFrame,
+    record_id_col: str = "record_id",
+    media_id_col: str = "media_id",
+    mime_col: str = "mime_type",
+) -> DataFrame:
+    """Rebuild the per-record media-reference table from a media store.
+
+    The export LoadMediaReferences consumes is (record uuid, media uuid,
+    mime type); the tool buckets media ids into the record's `images` or
+    `sounds` column by mime prefix (LoadMediaReferences.scala:55-80).
+    This is that whole-table effect as ONE aggregation: group the store
+    on the record key and conditionally collect ids per media class
+    (anything non-image/non-sound lands in `videos`, the third media
+    column MediaStore carries). Arrays are sorted so a rebuild from the
+    same store is byte-identical regardless of partitioning.
+    """
+    mime = F.coalesce(F.col(mime_col), F.lit(""))
+    mid = F.col(media_id_col)
+    return stored.groupBy(F.col(record_id_col).alias("record_id")).agg(
+        F.sort_array(
+            F.collect_list(F.when(mime.startswith("image"), mid))
+        ).alias("images"),
+        F.sort_array(
+            F.collect_list(F.when(mime.startswith("audio"), mid))
+        ).alias("sounds"),
+        F.sort_array(
+            F.collect_list(
+                F.when(~mime.startswith("image") & ~mime.startswith("audio"), mid)
+            )
+        ).alias("videos"),
+    )
+
+
+def load_media_references(
+    records: DataFrame,
+    references: DataFrame,
+    record_id_col: str = "record_id",
+) -> DataFrame:
+    """Overlay a media-reference table onto the records table — the
+    LoadMediaReferences effect (replace the record's media columns with
+    the store's truth; records absent from the references keep empty
+    arrays, mirroring the reference's put of the full buffer). One left
+    broadcast-or-shuffle join on the record key; no per-record loop."""
+    refs = references.withColumnRenamed("record_id", record_id_col)
+    out = records.drop("images", "sounds", "videos").join(
+        refs, record_id_col, "left"
+    )
+    empty = F.array().cast("array<string>")
+    return (
+        out.withColumn("images", F.coalesce(F.col("images"), empty))
+        .withColumn("sounds", F.coalesce(F.col("sounds"), empty))
+        .withColumn("videos", F.coalesce(F.col("videos"), empty))
+    )
+
+
+def migrate_media(
+    records: DataFrame,
+    stored: DataFrame | None,
+    record_id_col: str = "record_id",
+    associated_media_col: str = "associatedMedia",
+    transport=default_transport,
+) -> DataFrame:
+    """Fetch every associatedMedia file not already in the media store —
+    the MigrateMedia sweep (MigrateMedia.scala:35-58: split
+    associatedMedia, skip alreadyStored, save the rest) as set algebra:
+    explode the unpacked media lists, anti-join the (record, url) pairs
+    already stored, and run the survivors through the distributed
+    fetch_media pass. Returns the NEW store rows (record_id, url,
+    content, mime_type, media_id = sha1 of content) ready to append;
+    failed fetches keep fetch_ok = false for the caller's retry/log
+    path. `stored` None means an empty store (first migration)."""
+    todo = records.select(
+        F.col(record_id_col).alias("record_id"),
+        F.explode(
+            unpack_associated_media(F.col(associated_media_col))
+        ).alias("url"),
+    ).dropDuplicates(["record_id", "url"])
+    if stored is not None:
+        # accept either this function's own flat output (url column) or
+        # the MEDIA_SCHEMA store (url nested under metadata)
+        stored_url = (
+            F.col("url") if "url" in stored.columns else F.col("metadata.url")
+        )
+        already = stored.select(F.col("record_id"), stored_url.alias("url"))
+        todo = todo.join(already, ["record_id", "url"], "left_anti")
+    fetched = fetch_media(todo, url_col="url", record_id_col="record_id")
+    return fetched.select(
+        "record_id",
+        "url",
+        "content",
+        "mime_type",
+        "fetch_ok",
+        F.when(F.col("fetch_ok"), F.sha1(F.col("content"))).alias("media_id"),
+    )

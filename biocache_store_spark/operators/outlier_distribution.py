@@ -74,10 +74,19 @@ def find_outliers(
     lat_col: str = "decimalLatitude",
     lon_col: str = "decimalLongitude",
     id_col: str = "occurrenceID",
+    max_distribution_rows: int = 50_000,
 ) -> DataFrame:
     """records x broadcast expert ranges -> (id, taxon, in_range,
     distance_outside_m). Records of taxa without an expert range are not
-    tested (reference: only taxa with distributions are checked)."""
+    tested (reference: only taxa with distributions are checked).
+
+    The expert-range table is a DIMENSION by contract (ALA ships ~1k
+    ranges) and is collected to the driver for the broadcast ring map;
+    `max_distribution_rows` makes that contract explicit — a table past
+    the guard raises instead of silently exhausting driver memory, and
+    the fix is to pre-aggregate/simplify the ranges (or raise the guard
+    deliberately), not to stream polygons through the executors row-wise.
+    """
     from biocache_store_spark.util import (
         ensure_min_parallelism,
         ensure_package_on_workers,
@@ -85,10 +94,21 @@ def find_outliers(
 
     ensure_package_on_workers(records.sparkSession)
     records = ensure_min_parallelism(records)
-    rings = {
-        r["taxonConceptID"]: parse_wkt_polygon(r["wkt"])
-        for r in distributions.select("taxonConceptID", "wkt").collect()
-    }
+    # limit(N+1) bounds the transferred rows even when the guard trips:
+    # the driver never materializes more than one row past the cap
+    dist_rows = (
+        distributions.select("taxonConceptID", "wkt")
+        .limit(max_distribution_rows + 1)
+        .collect()
+    )
+    if len(dist_rows) > max_distribution_rows:
+        raise ValueError(
+            f"find_outliers: distributions has more than "
+            f"{max_distribution_rows} rows; expert ranges are a "
+            "driver-broadcast dimension — simplify the table or raise "
+            "max_distribution_rows explicitly"
+        )
+    rings = {r["taxonConceptID"]: parse_wkt_polygon(r["wkt"]) for r in dist_rows}
     bc = records.sparkSession.sparkContext.broadcast(rings)
 
     # taxon restriction via a left-semi join against the (already-small)

@@ -3,8 +3,9 @@
 Ports the in-repo semantics of processor/ClassificationProcessor.scala and
 caches/ClassificationDAO.scala (the deep Lucene matcher lives in the
 external ala-name-matching library; its match ladder — exact name, then
-canonical genus+epithet, then phonetic, then vernacular, with homonym
-detection — is re-implemented here against a names dimension table):
+canonical genus+epithet, then phonetic, then fuzzy edit-distance within
+the genus-stem block, then vernacular, with homonym detection — is
+re-implemented here against a names dimension table):
 
   * hint parsing / conflict checks — ClassificationProcessor.parseHints
     / isMatchValid (ClassificationProcessor.scala:41-78);
@@ -166,6 +167,31 @@ def normalize_name(name: str | None) -> str | None:
     return re.sub(r"\s+", " ", name.strip().lower()) or None
 
 
+# fuzzy-tier budget: levenshtein(genus) + levenshtein(epithet) — the
+# Taxamatch/ALANameSearcher edit-distance tolerance for binomials
+FUZZY_MAX_DISTANCE = 2
+
+
+def levenshtein(a: str, b: str, cap: int | None = None) -> int:
+    """Plain edit distance with an optional early-exit cap (returns cap+1
+    once the distance provably exceeds it)."""
+    if a == b:
+        return 0
+    if cap is not None and abs(len(a) - len(b)) > cap:
+        return cap + 1
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        if cap is not None and min(cur) > cap:
+            return cap + 1
+        prev = cur
+    return prev[-1]
+
+
 @dataclass
 class MatchResult:
     result: dict | None
@@ -187,6 +213,7 @@ class NameIndex:
         self.by_name: dict[str, list[dict]] = {}
         self.by_canonical: dict[tuple, list[dict]] = {}
         self.by_phonetic: dict[tuple, list[dict]] = {}
+        self.by_genus_stem: dict[str, list[tuple]] = {}
         self.by_vernacular: dict[str, list[dict]] = {}
         for row in rows:
             self.by_lsid[row["lsid"]] = row
@@ -204,6 +231,11 @@ class NameIndex:
                     pkey = (phonetic_key(tokens[0]), phonetic_key(tokens[1]))
                     if pkey[0]:
                         self.by_phonetic.setdefault(pkey, []).append(row)
+                    # fuzzy tier blocking: 4-char genus stem, the same
+                    # block discipline the Spark tier uses
+                    self.by_genus_stem.setdefault(tokens[0][:4], []).append(
+                        (tokens[0], tokens[1], row)
+                    )
                 elif len(tokens) == 1:
                     pkey = (phonetic_key(tokens[0]), None)
                     if pkey[0]:
@@ -305,6 +337,30 @@ class NameIndex:
                 return self._accepted(row, "phoneticMatch", cl, count)
             if homonym:
                 return MatchResult(None, "noMatch", ["homonym"])
+            # tier 4: fuzzy — Taxamatch-style edit distance within the
+            # 4-char genus-stem block (the effect of the reference's
+            # Lucene ALANameSearcher fuzzy matching consumed via
+            # ClassificationDAO); min-distance candidates go through the
+            # same homonym resolution as the exact tiers
+            if len(tokens) == 2:
+                scored: list[tuple[int, dict]] = []
+                for g, e, row in self.by_genus_stem.get(tokens[0][:4], []):
+                    d = levenshtein(tokens[0], g, FUZZY_MAX_DISTANCE)
+                    if d <= FUZZY_MAX_DISTANCE:
+                        d += levenshtein(
+                            tokens[1], e, FUZZY_MAX_DISTANCE - d
+                        )
+                    if d <= FUZZY_MAX_DISTANCE:
+                        scored.append((d, row))
+                if scored:
+                    dmin = min(d for d, _ in scored)
+                    row, homonym = self._resolve(
+                        [r for d, r in scored if d == dmin], cl
+                    )
+                    if row is not None:
+                        return self._accepted(row, "fuzzyMatch", cl, count)
+                    if homonym:
+                        return MatchResult(None, "noMatch", ["homonym"])
         # attempt 3: vernacular last resort (ClassificationDAO.scala:136-143)
         vrow, vhomonym = self.search_common_name(cl.get("vernacularName"), cl)
         if vrow is not None:
@@ -449,18 +505,29 @@ def match_names_spark(
     genus_col: str = "genus",
     epithet_col: str = "specificEpithet",
     kingdom_col: str = "kingdom",
+    fuzzy_max_distance: int | None = 2,
 ):
     """Staged broadcast name-match ladder, fully JVM-side.
 
     Tiers: (1) exact normalized scientificName; (2) canonical
-    genus+specificEpithet. Homonym keys (same name, >1 kingdom in the
-    dimension) resolve through the record's kingdom when supplied and are
-    flagged `homonym` otherwise. Emits matched_lsid / matched_scientificName
-    / match_type ('exactMatch' | 'canonicalMatch' | null) / is_homonym.
+    genus+specificEpithet; (3) fuzzy — Taxamatch-style edit distance over
+    binomials, blocked on the 4-char genus stem with
+    levenshtein(genus) + levenshtein(epithet) <= fuzzy_max_distance (the
+    effect of the reference's Lucene ALANameSearcher fuzzy tier used by
+    ClassificationProcessor.scala:152-305; None disables). Homonym keys
+    (same name, >1 kingdom in the dimension — for the fuzzy tier, >1
+    distinct lsid at the minimal distance) resolve through the record's
+    kingdom when supplied and are flagged `homonym` otherwise. Emits
+    matched_lsid / matched_scientificName / match_type ('exactMatch' |
+    'canonicalMatch' | 'fuzzyMatch' | null) / is_homonym.
 
     The dimension is aggregated per key before broadcasting, so each tier
     is one broadcast hash join against a key-unique relation — no row
-    explosion, no shuffle of the record side.
+    explosion, no shuffle of the record side; the fuzzy tier's candidate
+    lists live inside one array column per stem block (genus-stem blocking
+    bounds them the way the dedup operator's blocking keys do), and the
+    levenshtein scoring is built-in expressions evaluated lazily only for
+    records the earlier tiers missed.
     """
     from pyspark.sql import functions as F
 
@@ -562,24 +629,141 @@ def match_names_spark(
         records.join(F.broadcast(d1), rec_name_key == F.col("__key1"), "left")
         .join(F.broadcast(d2), rec_canonical_key == F.col("__key2"), "left")
     )
-    t1 = resolve("__t1")
-    t2 = resolve("__t2")
-    chosen = F.coalesce(t1, t2)
-    out = (
-        out.withColumn("__chosen", chosen)
-        .withColumn(
-            "match_type",
-            F.when(t1.isNotNull() & ~t1.getField("homonym"), F.lit("exactMatch"))
-            .when(
-                t1.isNull() & t2.isNotNull() & ~t2.getField("homonym"),
-                F.lit("canonicalMatch"),
+
+    # tier 3: fuzzy within the genus-stem block. The dimension is one row
+    # per stem carrying all binomials as an array (collect_list after the
+    # same per-(name,kingdom) uniquing the exact tiers use), so the join
+    # is a broadcast hash join with zero row multiplication; scoring and
+    # the min-distance pick are array expressions over the block.
+    if fuzzy_max_distance is not None:
+        nm_toks = F.split(F.lower(F.trim(F.col("scientificName"))), r"\s+")
+        binom = (
+            names.select(
+                nm_toks.alias("__toks"),
+                F.lower(F.coalesce(F.col("kingdom"), F.lit(""))).alias("__kingdom"),
+                "lsid",
+                "scientificName",
+            )
+            .filter(F.size("__toks") == 2)
+            .select(
+                F.element_at("__toks", 1).alias("__g"),
+                F.element_at("__toks", 2).alias("__e"),
+                "__kingdom",
+                "lsid",
+                "scientificName",
+            )
+            .groupBy("__g", "__e", "__kingdom")
+            .agg(
+                F.min_by("lsid", "lsid").alias("__lsid"),
+                F.min_by("scientificName", "lsid").alias("__name"),
+            )
+        )
+        d3 = binom.groupBy(F.substring("__g", 1, 4).alias("__key3")).agg(
+            F.collect_list(
+                F.struct("__g", "__e", "__kingdom", "__lsid", "__name")
+            ).alias("__t3cands")
+        )
+        rec_toks = F.split(rec_name_key, r"\s+")
+        two_tok = F.size(rec_toks) == 2
+        rec_g = F.coalesce(
+            F.lower(F.trim(F.col(genus_col))),
+            F.when(two_tok, F.element_at(rec_toks, 1)),
+        )
+        rec_e = F.coalesce(
+            F.lower(F.trim(F.col(epithet_col))),
+            F.when(two_tok, F.element_at(rec_toks, 2)),
+        )
+        out = out.withColumn("__recg", rec_g).withColumn("__rece", rec_e)
+        fkey = F.when(
+            F.col("__recg").isNotNull() & F.col("__rece").isNotNull(),
+            F.substring(F.col("__recg"), 1, 4),
+        )
+        out = out.join(F.broadcast(d3), fkey == F.col("__key3"), "left")
+        # distance-scored candidates; named columns so codegen CSE shares
+        # the levenshtein work across the downstream expressions
+        out = out.withColumn(
+            "__t3valid",
+            F.filter(
+                F.transform(
+                    F.col("__t3cands"),
+                    lambda c: F.struct(
+                        (
+                            F.levenshtein(c["__g"], F.col("__recg"))
+                            + F.levenshtein(c["__e"], F.col("__rece"))
+                        ).alias("d"),
+                        c["__lsid"].alias("lsid"),
+                        c["__name"].alias("name"),
+                        c["__kingdom"].alias("kingdom"),
+                    ),
+                ),
+                lambda s: s["d"] <= F.lit(int(fuzzy_max_distance)),
             ),
         )
+        out = out.withColumn("__t3best", F.array_min("__t3valid"))
+        best = F.col("__t3best")
+        best_set = F.filter(
+            F.col("__t3valid"), lambda s: s["d"] == best["d"]
+        )
+        best_lsids = F.array_distinct(
+            F.transform(best_set, lambda s: s["lsid"])
+        )
+        k_set = F.filter(best_set, lambda s: s["kingdom"] == rec_kingdom)
+        k_best = F.array_min(k_set)
+        k_lsids = F.array_distinct(F.transform(k_set, lambda s: s["lsid"]))
+        t3 = F.when(
+            best.isNotNull(),
+            F.when(
+                F.size(best_lsids) == 1,
+                F.struct(
+                    best["lsid"].alias("lsid"),
+                    best["name"].alias("name"),
+                    F.lit(False).alias("homonym"),
+                ),
+            )
+            .when(
+                (rec_kingdom != "") & (F.size(k_lsids) == 1),
+                F.struct(
+                    k_best["lsid"].alias("lsid"),
+                    k_best["name"].alias("name"),
+                    F.lit(False).alias("homonym"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.lit(None).cast("string").alias("lsid"),
+                    F.lit(None).cast("string").alias("name"),
+                    F.lit(True).alias("homonym"),
+                ),
+            ),
+        )
+        t3_cleanup = ("__recg", "__rece", "__key3", "__t3cands", "__t3valid", "__t3best")
+    else:
+        t3 = None
+        t3_cleanup = ()
+
+    t1 = resolve("__t1")
+    t2 = resolve("__t2")
+    chosen = F.coalesce(t1, t2, t3) if t3 is not None else F.coalesce(t1, t2)
+    match_type = (
+        F.when(t1.isNotNull() & ~t1.getField("homonym"), F.lit("exactMatch"))
+        .when(
+            t1.isNull() & t2.isNotNull() & ~t2.getField("homonym"),
+            F.lit("canonicalMatch"),
+        )
+    )
+    if t3 is not None:
+        match_type = match_type.when(
+            t1.isNull() & t2.isNull() & t3.isNotNull() & ~t3.getField("homonym"),
+            F.lit("fuzzyMatch"),
+        )
+    out = (
+        out.withColumn("__chosen", chosen)
+        .withColumn("match_type", match_type)
         .withColumn("matched_lsid", F.col("__chosen").getField("lsid"))
         .withColumn("matched_scientificName", F.col("__chosen").getField("name"))
         .withColumn(
             "is_homonym", F.coalesce(F.col("__chosen").getField("homonym"), F.lit(False))
         )
-        .drop("__chosen", "__key1", "__key2")
+        .drop("__chosen", "__key1", "__key2", *t3_cleanup)
     )
     return out.drop(*[c for c in out.columns if c.startswith("__t1") or c.startswith("__t2")])

@@ -247,11 +247,13 @@ def index_projection_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
         "match_names_spark — the ClassificationProcessor/ClassificationDAO "
         "semantics, ClassificationProcessor.scala:152-305): staged "
         "broadcast joins on exact-normalized-name then canonical "
-        "genus+epithet keys, with homonym keys resolved through the "
-        "record's kingdom. Names dimension synthesized from part (first "
-        "two words of p_name; p_brand plays kingdom, so names spanning "
-        "brands are homonyms); records query in three modes: exact "
-        "name, case-folded name, genus+epithet only."
+        "genus+epithet keys, then the Taxamatch-style fuzzy tier "
+        "(genus-stem blocking, levenshtein budget 2), with homonym keys "
+        "resolved through the record's kingdom. Names dimension "
+        "synthesized from part (first two words of p_name; p_brand plays "
+        "kingdom, so names spanning brands are homonyms); records query "
+        "in four modes: exact name, case-folded name, genus+epithet "
+        "only, and an epithet typo that only the fuzzy tier can match."
     ),
     oracle="""
         WITH words AS (
@@ -270,7 +272,8 @@ def index_projection_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
         rec AS (
             SELECT p_partkey, nm,
                    CASE WHEN p_partkey % 2 = 0 THEN p_brand END AS kingdom,
-                   CASE WHEN p_partkey % 3 = 2 THEN 'canonicalMatch'
+                   CASE WHEN p_partkey % 4 = 2 THEN 'canonicalMatch'
+                        WHEN p_partkey % 4 = 3 THEN 'fuzzy'
                         ELSE 'exactMatch' END AS tier
             FROM words
         ),
@@ -280,6 +283,48 @@ def index_projection_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM rec r
             LEFT JOIN keyagg k ON r.nm = k.nm
             LEFT JOIN dim d ON r.nm = d.nm AND r.kingdom = d.kingdom
+            WHERE r.tier <> 'fuzzy'
+        ),
+        fcand AS (
+            SELECT r.p_partkey, r.kingdom AS rk, d.lsid, d.nm,
+                   d.kingdom AS dk,
+                   levenshtein(string_split(d.nm, ' ')[1],
+                               string_split(r.nm, ' ')[1])
+                 + levenshtein(string_split(d.nm, ' ')[2],
+                               string_split(r.nm, ' ')[2] || 'x') AS dist
+            FROM rec r JOIN dim d
+              ON substring(string_split(d.nm, ' ')[1], 1, 4)
+               = substring(string_split(r.nm, ' ')[1], 1, 4)
+            WHERE r.tier = 'fuzzy'
+        ),
+        fval AS (SELECT * FROM fcand WHERE dist <= 2),
+        fmin AS (SELECT p_partkey, MIN(dist) AS mind FROM fval GROUP BY 1),
+        fbest AS (
+            SELECT v.* FROM fval v
+            JOIN fmin m ON v.p_partkey = m.p_partkey AND v.dist = m.mind
+        ),
+        fagg AS (
+            SELECT p_partkey,
+                   COUNT(DISTINCT lsid) AS n_l,
+                   MIN(lsid) AS min_lsid,
+                   ARG_MIN(nm, lsid) AS min_nm,
+                   BOOL_OR(rk IS NOT NULL) AS has_k,
+                   COUNT(DISTINCT lsid) FILTER (WHERE dk = rk) AS k_n,
+                   MIN(lsid) FILTER (WHERE dk = rk) AS k_lsid,
+                   ARG_MIN(nm, lsid) FILTER (WHERE dk = rk) AS k_nm
+            FROM fbest GROUP BY p_partkey
+        ),
+        fres AS (
+            SELECT r.p_partkey,
+                   CASE WHEN f.n_l = 1 THEN f.min_lsid
+                        WHEN f.has_k AND f.k_n = 1 THEN f.k_lsid
+                   END AS matched_lsid,
+                   CASE WHEN f.n_l = 1 THEN f.min_nm
+                        WHEN f.has_k AND f.k_n = 1 THEN f.k_nm
+                   END AS matched_name,
+                   f.n_l
+            FROM rec r LEFT JOIN fagg f ON r.p_partkey = f.p_partkey
+            WHERE r.tier = 'fuzzy'
         )
         SELECT p_partkey,
                CASE WHEN n_candidates = 1 THEN any_lsid
@@ -290,6 +335,11 @@ def index_projection_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN tier END AS match_type,
                COALESCE(n_candidates > 1 AND kingdom_lsid IS NULL, FALSE) AS is_homonym
         FROM resolved
+        UNION ALL
+        SELECT p_partkey, matched_lsid, matched_name,
+               CASE WHEN matched_lsid IS NOT NULL THEN 'fuzzyMatch' END AS match_type,
+               (n_l IS NOT NULL AND matched_lsid IS NULL) AS is_homonym
+        FROM fres
     """,
 )
 def taxon_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,11 +361,15 @@ def taxon_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_brand").alias("kingdom"),
         )
     )
-    mode = F.pmod(F.col("p_partkey"), F.lit(3))
+    mode = F.pmod(F.col("p_partkey"), F.lit(4))
     records = words.select(
         "p_partkey",
         F.when(mode == 0, F.col("nm"))
         .when(mode == 1, F.upper(F.col("nm")))
+        # mode 3: epithet typo (trailing character) — misses the exact and
+        # canonical keys, lands in the same genus-stem fuzzy block at
+        # distance 1
+        .when(mode == 3, F.concat(F.col("nm"), F.lit("x")))
         .alias("scientificName"),
         F.when(mode == 2, F.element_at(F.split(F.col("nm"), " "), 1)).alias("genus"),
         F.when(mode == 2, F.element_at(F.split(F.col("nm"), " "), 2)).alias(

@@ -16,9 +16,21 @@ from biocache_store_spark.functions.text import shingle_df, token_count
 from biocache_store_spark.io import read_table
 from biocache_store_spark.queries import register
 
-# hot-shingle / hot-bucket guards (never bind at the test scale factors)
-_MAX_SHINGLE_DF = 1000
+# hot-bucket guard (never binds at the test scale factors)
 _MAX_BAND_BUCKET = 1000
+
+# n-gram Jaccard candidate budget: admit shingle-df tiers (ascending df)
+# while the cumulative candidate-pair count fits this many pairs PER
+# DOCUMENT. Unlike a static df cap, the admitted-df threshold is derived
+# from the corpus's own df histogram inside the plan, so the total
+# candidate volume stays O(budget × corpus) at any scale — the static
+# cap 1000 admitted 6.0 BILLION candidates at 500k docs (SCALE.md)
+# because a fixed df threshold admits ever-more near-cap buckets as the
+# corpus grows. 400/doc admits the full uncapped candidate set at the
+# test scale factors (sf0.1 carries 253/doc) and ~200M candidates at the
+# 500k-doc SCALE fixture (df cutoff ≈ 56) — comfortably inside the
+# volume the posting-list plan is measured to handle.
+_NGRAM_CANDIDATES_PER_DOC = 400
 
 # words(text) in DuckDB — keep in sync with functions/text.py `words`
 _TOKS = r"string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')"
@@ -189,11 +201,13 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(tool/DuplicationDetection.scala:966-1013). Distinct shingles are "
         "exploded and pairs built by shingle-equality join (the blocking "
         "key), so only documents sharing at least one shingle are compared — "
-        "never an all-pairs product. Shingles with document frequency above "
-        f"{_MAX_SHINGLE_DF} are dropped from the blocking join (a viral "
-        "3-gram makes a quadratic bucket at corpus scale); the cap does not "
-        "bind at the test scale factors (max df 25 at sf0.1), so results "
-        "are identical to the uncapped operator."
+        "never an all-pairs product. Viral shingles are dropped by a "
+        "DYNAMIC candidate budget: ascending-df tiers of the corpus's own "
+        "df histogram are admitted while the cumulative pair count fits "
+        f"{_NGRAM_CANDIDATES_PER_DOC} pairs/doc (computed in-plan from a "
+        "tiny histogram relation — no driver collect). The budget does "
+        "not bind at the test scale factors (max df 25 at sf0.1), so "
+        "results are identical to the uncapped operator."
     ),
     bench=True,
     oracle=r"""
@@ -231,6 +245,8 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     docs = read_table(spark, sf_dir, "documents")
     # n_sh rides along on every exploded row, so the posting list alone
     # yields intersection count AND both denominators — no counts branch,
@@ -244,22 +260,44 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hot-shingle guard becomes a free size(docs) filter.
     #   * size >= 2 drops singleton shingles (the vast majority) before
     #     any pair work;
-    #   * size <= _MAX_SHINGLE_DF is the viral-3-gram cap — a boilerplate
-    #     shingle shared by millions of documents makes a quadratic
-    #     bucket at corpus scale. NOTE with the cap bound, n_common
-    #     counts only non-viral common shingles — at the test SFs no
-    #     shingle reaches the cap (max df 25 at sf0.1) so the output
-    #     equals the uncapped operator exactly.
+    #   * the viral-3-gram guard is a DYNAMIC df threshold: the df
+    #     histogram (a tiny relation — one row per distinct df value) is
+    #     walked in ascending-df order and tiers are admitted while the
+    #     cumulative candidate count Σ n(df)·C(df,2) fits
+    #     _NGRAM_CANDIDATES_PER_DOC × n_docs. A boilerplate shingle
+    #     shared by millions of documents makes a quadratic bucket at
+    #     corpus scale, and a STATIC df cap admits ever-more near-cap
+    #     buckets as the corpus grows (the SCALE.md DNF) — the budget
+    #     form keeps total candidate volume linear in the corpus at any
+    #     scale. At the test SFs the budget admits every df tier (max df
+    #     25 at sf0.1), so the output equals the uncapped operator.
     # COUNT-FIRST prefilter before collect_list: counts aggregate with
-    # map-side partials, over-cap (and singleton) shingles drop via a
+    # map-side partials, over-budget (and singleton) shingles drop via a
     # left-semi join on the same `sh` partitioning, and only surviving
-    # shingles — each <= cap docs — are collected. Collecting before
-    # filtering would materialize an entire viral shingle's posting list
-    # in one aggregation buffer, the exact input the cap exists to drop.
+    # shingles are collected. Collecting before filtering would
+    # materialize an entire viral shingle's posting list in one
+    # aggregation buffer, the exact input the budget exists to drop.
+    # df_rel appears in both the histogram path and the admit path with
+    # an identical aggregation subtree, so exchange reuse computes the
+    # shingle groupBy once for both.
+    df_rel = shingles.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("__n"))
+    hist = (
+        df_rel.filter(F.col("__df") >= 2)
+        .groupBy("__df")
+        .agg(F.count(F.lit(1)).alias("__nsh"))
+    )
+    cum_w = Window.orderBy("__df").rowsBetween(Window.unboundedPreceding, 0)
+    tier_pairs = F.col("__nsh") * F.col("__df") * (F.col("__df") - 1) / 2
+    max_df = (
+        hist.withColumn("__cum", F.sum(tier_pairs).over(cum_w))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("__cum") <= _NGRAM_CANDIDATES_PER_DOC * F.col("__n"))
+        .agg(F.max("__df").alias("__max_df"))
+    )
     ok_shingles = (
-        shingles.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("__df"))
-        .filter((F.col("__df") >= 2) & (F.col("__df") <= _MAX_SHINGLE_DF))
+        df_rel.filter(F.col("__df") >= 2)
+        .join(F.broadcast(max_df), F.col("__df") <= F.col("__max_df"), "left_semi")
         .drop("__df")
     )
     posting = (

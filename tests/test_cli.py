@@ -410,3 +410,29 @@ def test_cli_ann_pipeline(spark, tmp_path, capsys):
             if l.startswith("{") and "query_id" in l]
     assert {r["query_id"] for r in rows} == {0, 1}
     assert all(1 <= r["rank"] <= 3 for r in rows)
+
+
+def test_cli_migrate_media_and_references(spark, tmp_path, capsys):
+    """migrate-media (dry-run count + real run) -> media-references
+    rebuild + overlay (MigrateMedia / LoadMediaReferences tools)."""
+    img = tmp_path / "m.jpg"
+    img.write_bytes(b"\xff\xd8migratebytes")
+    records_path = str(tmp_path / "records")
+    spark.createDataFrame(
+        [("r1", f"file://{img}")], "record_id string, associatedMedia string"
+    ).write.parquet(records_path)
+
+    assert main(["migrate-media", "--in", records_path, "--dry-run"]) == 0
+    assert json.loads(capsys.readouterr().out.strip()) == {
+        "to_migrate": 1, "fetched": 1,
+    }
+
+    store_path = str(tmp_path / "store")
+    assert main(["migrate-media", "--in", records_path, "--out", store_path]) == 0
+    refs_path = str(tmp_path / "refs")
+    assert main([
+        "media-references", "--store", store_path,
+        "--records", records_path, "--out", refs_path,
+    ]) == 0
+    out = spark.read.parquet(refs_path).collect()
+    assert len(out) == 1 and len(out[0]["images"]) == 1

@@ -1246,3 +1246,54 @@ def test_frame_sample_zero_duration_no_phantom(spark):
     assert frame_sample_plan(
         spark.createDataFrame(rows, MEDIA_SCHEMA)
     ).count() == 0
+
+
+def test_media_maintenance_round_trip(spark, tmp_path):
+    """migrate-media -> media_references -> load_media_references round
+    trip (tool/MigrateMedia.scala, tool/LoadMediaReferences.scala): the
+    first sweep fetches every associatedMedia file, the second sweep
+    against the resulting store fetches nothing, and the reference table
+    rebuilt from the store is deterministic and buckets ids by mime."""
+    from biocache_store_spark.operators.multimodal import (
+        load_media_references,
+        media_references,
+        migrate_media,
+    )
+
+    img = tmp_path / "a.jpg"
+    img.write_bytes(b"\xff\xd8imgbytes")
+    snd = tmp_path / "b.mp3"
+    snd.write_bytes(b"ID3soundbytes")
+    img2 = tmp_path / "c.png"
+    img2.write_bytes(b"\x89PNGother")
+    records = spark.createDataFrame(
+        [("r1", f"file://{img};file://{snd}"),
+         ("r2", f"file://{img2}"),
+         ("r3", None)],
+        "record_id string, associatedMedia string",
+    )
+
+    store = migrate_media(records, None).filter("fetch_ok").cache()
+    rows = {(r["record_id"], r["url"]): r for r in store.collect()}
+    assert len(rows) == 3
+    assert rows[("r1", f"file://{img}")]["mime_type"] == "image/jpeg"
+    assert rows[("r1", f"file://{snd}")]["mime_type"] == "audio/mpeg"
+    assert all(r["media_id"] is not None for r in rows.values())
+
+    # idempotent: a second sweep against the store has nothing to fetch
+    assert migrate_media(records, store).count() == 0
+
+    refs1 = media_references(store).collect()
+    refs2 = media_references(store.repartition(7)).collect()
+    assert sorted(map(str, refs1)) == sorted(map(str, refs2))  # deterministic
+
+    out = {
+        r["record_id"]: r
+        for r in load_media_references(records, media_references(store)).collect()
+    }
+    jpg_id = rows[("r1", f"file://{img}")]["media_id"]
+    mp3_id = rows[("r1", f"file://{snd}")]["media_id"]
+    assert out["r1"]["images"] == [jpg_id]
+    assert out["r1"]["sounds"] == [mp3_id]
+    assert out["r2"]["images"] == [rows[("r2", f"file://{img2}")]["media_id"]]
+    assert out["r3"]["images"] == [] and out["r3"]["sounds"] == []

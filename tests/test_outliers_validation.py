@@ -44,6 +44,28 @@ def test_find_outliers(spark):
     assert out["o2"]["distance_outside_m"] > 90000
 
 
+def test_find_outliers_dimension_size_guard(spark):
+    """The expert-range table is a driver-broadcast dimension; an
+    oversize table must raise (bounded collect), not exhaust the driver."""
+    from biocache_store_spark.operators.outlier_distribution import find_outliers
+
+    records = spark.createDataFrame(
+        [("o1", "lsid:0", "-35.0", "145.0")],
+        "occurrenceID string, taxonConceptID string, decimalLatitude string,"
+        " decimalLongitude string",
+    )
+    wkt = "POLYGON((140 -40, 150 -40, 150 -30, 140 -30, 140 -40))"
+    dist = spark.createDataFrame(
+        [(f"lsid:{i}", wkt) for i in range(5)],
+        "taxonConceptID string, wkt string",
+    )
+    with pytest.raises(ValueError, match="max_distribution_rows"):
+        find_outliers(records, dist, max_distribution_rows=4)
+    # at the guard boundary it still runs
+    out = find_outliers(records, dist, max_distribution_rows=5).collect()
+    assert len(out) == 1 and out[0]["in_range"]
+
+
 def test_validation_rule_apply_unapply(spark):
     from biocache_store_spark.operators.validation_rules import (
         ValidationRule,

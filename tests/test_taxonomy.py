@@ -123,6 +123,82 @@ def test_vernacular_last_resort():
     assert m.match_type == "vernacularMatch"
 
 
+def test_fuzzy_tier_epithet_typo():
+    # dropped letter in the epithet: not exact/canonical, and the phonetic
+    # fold can't repair an internal deletion — fuzzy edit distance can
+    m = INDEX.search({"scientificName": "Acridotheres tritis"})
+    assert m.result["lsid"] == "urn:8"
+    assert m.match_type == "fuzzyMatch"
+
+
+def test_fuzzy_tier_genus_typo():
+    # transposition inside the genus (same 4-char stem block)
+    m = INDEX.search({"scientificName": "Osphratner rufus"})
+    assert m.result["lsid"] == "urn:1"  # synonym chain NOT involved: direct hit
+    assert m.match_type == "fuzzyMatch"
+
+
+def test_fuzzy_tier_resolves_synonym():
+    # misspelled synonym ('rufas': substitution the phonetic fold can't
+    # repair — no gender ending to strip): fuzzy hit on Macropus rufus,
+    # then the normal synonym -> accepted resolution applies
+    m = INDEX.search({"scientificName": "Macropus rufas"})
+    assert m.result["lsid"] == "urn:1"
+    assert m.match_type == "fuzzyMatch"
+
+
+def test_fuzzy_tier_distance_cap():
+    # three edits: beyond the budget, must NOT match
+    m = INDEX.search({"scientificName": "Acridotheres trts"})
+    assert m.result is None
+    assert m.match_type == "noMatch"
+
+
+def test_fuzzy_tier_blocking_limits_recall():
+    # typo in the first four genus chars falls outside the stem block —
+    # documented recall trade of the blocking discipline
+    m = INDEX.search({"scientificName": "Scridotheres tristis"})
+    assert m.result is None
+
+
+def test_match_names_spark_fuzzy_tier(spark):
+    from biocache_store_spark.processors.taxonomy import match_names_spark
+
+    names = spark.createDataFrame(
+        [("l1", "Osphranter rufus", "Animalia"),
+         ("l2", "Thalia major", "Plantae"),
+         ("l3", "Thalia major", "Animalia")],
+        "lsid string, scientificName string, kingdom string",
+    )
+    records = spark.createDataFrame(
+        [("r1", "Osphranter rufas", None, None, None),   # fuzzy hit
+         ("r2", "Thalia majr", None, None, None),        # fuzzy tie -> homonym
+         ("r3", "Thalia majr", None, None, "Plantae"),   # kingdom resolves tie
+         ("r4", "Osphranter xyzzy", None, None, None),   # beyond the budget
+         ("r5", "Osphranter rufus", None, None, None)],  # exact tier wins
+        "id string, scientificName string, genus string, "
+        "specificEpithet string, kingdom string",
+    )
+    out = {r["id"]: r for r in match_names_spark(records, names).collect()}
+    assert out["r1"]["match_type"] == "fuzzyMatch"
+    assert out["r1"]["matched_lsid"] == "l1"
+    assert out["r2"]["is_homonym"] and out["r2"]["matched_lsid"] is None
+    assert out["r3"]["match_type"] == "fuzzyMatch"
+    assert out["r3"]["matched_lsid"] == "l2"
+    assert out["r4"]["matched_lsid"] is None and not out["r4"]["is_homonym"]
+    assert out["r5"]["match_type"] == "exactMatch"
+
+    # fuzzy disabled: r1/r3 fall back to no match
+    off = {
+        r["id"]: r
+        for r in match_names_spark(
+            records, names, fuzzy_max_distance=None
+        ).collect()
+    }
+    assert off["r1"]["matched_lsid"] is None
+    assert off["r5"]["match_type"] == "exactMatch"
+
+
 def test_constructed_name_from_higher_classification():
     # ClassificationDAO.scala:60-86 name construction
     assert construct_scientific_name(

@@ -653,6 +653,67 @@ def cmd_migrate_media(args) -> int:
     return 0
 
 
+def cmd_debug_record(args) -> int:
+    """debug-record (util/DebugRecord.scala): dump one record's raw
+    values, processed values and assertions as JSON, looked up by rowKey
+    with a uuid fallback (the reference's secondary-index lookup)."""
+    spark = _spark(args)
+    from pyspark.sql import functions as F
+
+    df = _read(spark, args.inp)
+    hit = df.filter(F.col("rowKey") == args.key) if "rowKey" in df.columns else None
+    rows = hit.limit(2).collect() if hit is not None else []
+    if not rows and "uuid" in df.columns:
+        rows = df.filter(F.col("uuid") == args.key).limit(2).collect()
+    if not rows:
+        print(json.dumps({"found": False, "key": args.key}))
+        return 1
+    rec = rows[0].asDict(recursive=True)
+    out = {"found": True, "key": args.key}
+    out["processed"] = rec.pop("processed", None)
+    out["assertions"] = rec.pop("assertions", None)
+    out["raw"] = rec
+    print(json.dumps(out, indent=2, default=str))
+    return 0
+
+
+def cmd_scan_records(args) -> int:
+    """scan-records (tool/ScanRecords.scala): one pass over a store
+    counting total rows, deleted rows, and per-aggregate-field counts —
+    a single groupBy job instead of the reference's threaded token-range
+    walk; --csv writes the per-field counts like the reference's
+    csvOutputFile."""
+    spark = _spark(args)
+    from pyspark.sql import functions as F
+
+    df = _read(spark, args.inp)
+    deleted = (
+        F.sum(
+            (F.col("deleted").isNotNull() & (F.col("deleted") != "")).cast("long")
+        )
+        if "deleted" in df.columns
+        else F.lit(0)
+    )
+    totals = df.agg(
+        F.count(F.lit(1)).alias("scanned"), deleted.alias("deleted")
+    ).collect()[0]
+    out = {"scanned": totals["scanned"], "deleted": totals["deleted"]}
+    if args.aggregate:
+        counts = (
+            df.groupBy(args.aggregate)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), args.aggregate)
+            .collect()
+        )
+        out["aggregate"] = {str(r[args.aggregate]): r["n"] for r in counts}
+        if args.csv:
+            with open(args.csv, "w") as fh:
+                for r in counts:
+                    fh.write(f"{r[args.aggregate]},{r['n']}\n")
+    print(json.dumps(out, default=str))
+    return 0
+
+
 def cmd_describe(args) -> int:
     """DescribeResource / ListResources: schema + per-resource counts."""
     from pyspark.sql import functions as F
@@ -929,6 +990,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--store")
     sp.add_argument("--out")
     sp.add_argument("--dry-run", dest="dry_run", action="store_true")
+
+    sp = tool("debug-record", cmd_debug_record, "dump one record (rowKey or uuid) as JSON")
+    sp.add_argument("--in", dest="inp", required=True)
+    sp.add_argument("--key", required=True)
+
+    sp = tool("scan-records", cmd_scan_records, "scan a store: totals, deleted, per-field counts")
+    sp.add_argument("--in", dest="inp", required=True)
+    sp.add_argument("--aggregate")
+    sp.add_argument("--csv")
 
     sp = tool("describe", cmd_describe, "schema + per-resource counts")
     sp.add_argument("--in", dest="inp", required=True)

@@ -103,3 +103,109 @@ def score_and_filter(
     return batch_score(df, model_loader, text_col, score_col).filter(
         F.col(score_col) >= threshold
     )
+
+
+# --- embedding models ----------------------------------------------------
+
+# An embedder takes a pandas Series of strings and returns a list of
+# equal-length float vectors (one per row). A loader builds one embedder
+# per partition-task, same lifecycle as Scorer.
+Embedder = Callable[[pd.Series], list]
+
+
+def fake_embedding_model(dim: int = 8) -> Callable[[], Embedder]:
+    """Loader factory for a deterministic stand-in embedder: each text
+    maps to a unit vector derived from its md5 digest — stable across
+    runs, partitionings and engines (the oracle-testable analog of
+    fake_quality_model), with the property near-dup pipelines need for
+    demos: IDENTICAL texts get identical vectors. Swap for
+    sentence_transformer_model in an environment that has the package."""
+
+    def load() -> Embedder:
+        def embed(texts: pd.Series) -> list:
+            import math
+
+            out = []
+            for t in texts:
+                digest = hashlib.md5(str(t if t is not None else "").encode()).digest()
+                # 4 bytes per component, centered; md5 re-hashed for dims > 4
+                raw = []
+                block = digest
+                while len(raw) < dim:
+                    for i in range(0, 16, 4):
+                        raw.append(int.from_bytes(block[i : i + 4], "big") / 2**32 - 0.5)
+                    block = hashlib.md5(block).digest()
+                vec = raw[:dim]
+                norm = math.sqrt(sum(v * v for v in vec)) or 1.0
+                out.append([float(v / norm) for v in vec])
+            return out
+
+        return embed
+
+    return load
+
+
+def sentence_transformer_model(
+    model_name: str = "all-MiniLM-L6-v2",
+) -> Callable[[], Embedder]:
+    """Loader factory for a real sentence-transformers embedder,
+    import-gated like the Pillow decode path (operators/multimodal.py):
+    the loader runs executor-side once per partition-task, so the model
+    weights are loaded from the executor's local cache and never ride
+    the closure. Raises NotImplementedError at LOAD time (executor) when
+    the package is absent — build pipelines against fake_embedding_model
+    in this sandbox."""
+
+    def load() -> Embedder:
+        try:
+            from sentence_transformers import SentenceTransformer  # type: ignore
+        except ImportError as exc:  # pragma: no cover - package not in sandbox
+            raise NotImplementedError(
+                "sentence-transformers is not installed; use "
+                "fake_embedding_model (deterministic) or install the "
+                "package where executors can load it"
+            ) from exc
+        model = SentenceTransformer(model_name)
+
+        def embed(texts: pd.Series) -> list:
+            vecs = model.encode(
+                [str(t) if t is not None else "" for t in texts],
+                normalize_embeddings=True,
+            )
+            return [[float(x) for x in v] for v in vecs]
+
+        return embed
+
+    return load
+
+
+def batch_embed(
+    df: DataFrame,
+    model_loader: Callable[[], Embedder] | None = None,
+    text_col: str = "text",
+    out_col: str = "embedding",
+    dim: int = 8,
+) -> DataFrame:
+    """Add an `array<float>` embedding column by encoding `text_col` —
+    the entry point of the ANN/SemDeDup family when the corpus arrives
+    as text. One Arrow-batched mapInPandas pass, loader once per
+    partition-task, no weights in the closure (the batch_score
+    discipline at vector granularity). The output column is exactly the
+    embeddings-table shape the similarity operators consume
+    (operators/similarity.py), so `batch_embed -> ivf_topk /
+    semantic_dedup / cosine near-dup` composes end-to-end."""
+    loader = model_loader or fake_embedding_model(dim)
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(out_col, T.ArrayType(T.FloatType()))]
+    )
+    in_cols = list(df.columns)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        embedder = loader()  # once per partition-task, executor-side
+        for pdf in batches:
+            out = pdf[in_cols].copy()
+            out[out_col] = embedder(pdf[text_col])
+            yield out
+
+    return df.mapInPandas(run, out_schema)

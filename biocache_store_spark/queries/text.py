@@ -31,6 +31,12 @@ _MAX_BAND_BUCKET = 1000
 # 500k-doc SCALE fixture (df cutoff ≈ 56) — comfortably inside the
 # volume the posting-list plan is measured to handle.
 _NGRAM_CANDIDATES_PER_DOC = 400
+# Below this corpus size the histogram pass costs more than it saves and
+# the static cap is measured safe (SCALE.md: static cap at 5k docs beats
+# dynamic 2.5 s vs 3.5 s; at 50k docs dynamic already wins 16 s vs 34 s)
+# — the single-pass static-cap plan is used instead.
+_NGRAM_BUDGET_MIN_DOCS = 20_000
+_NGRAM_STATIC_DF_CAP = 1000
 
 # words(text) in DuckDB — keep in sync with functions/text.py `words`
 _TOKS = r"string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')"
@@ -260,46 +266,57 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hot-shingle guard becomes a free size(docs) filter.
     #   * size >= 2 drops singleton shingles (the vast majority) before
     #     any pair work;
-    #   * the viral-3-gram guard is a DYNAMIC df threshold: the df
-    #     histogram (a tiny relation — one row per distinct df value) is
-    #     walked in ascending-df order and tiers are admitted while the
-    #     cumulative candidate count Σ n(df)·C(df,2) fits
-    #     _NGRAM_CANDIDATES_PER_DOC × n_docs. A boilerplate shingle
-    #     shared by millions of documents makes a quadratic bucket at
-    #     corpus scale, and a STATIC df cap admits ever-more near-cap
-    #     buckets as the corpus grows (the SCALE.md DNF) — the budget
-    #     form keeps total candidate volume linear in the corpus at any
-    #     scale. At the test SFs the budget admits every df tier (max df
-    #     25 at sf0.1), so the output equals the uncapped operator.
+    #   * the viral-3-gram guard is TWO-REGIME, picked by a parquet
+    #     metadata row count. Small corpora (n_docs <= the SCALE.md-
+    #     measured-safe 50k) keep the single-pass plan with the static
+    #     df cap 1000: every df tier a small corpus can produce is
+    #     per-bucket bounded (a full-cap bucket is >= 5% of the corpus),
+    #     and the second shingle pass the dynamic budget needs would
+    #     cost more than it saves (measured crossover in SCALE.md).
+    #     Large corpora switch to the DYNAMIC budget: the df histogram
+    #     (one row per distinct df value) is walked in ascending-df
+    #     order and tiers admitted while the cumulative candidate count
+    #     Σ n(df)·C(df,2) fits _NGRAM_CANDIDATES_PER_DOC × n_docs —
+    #     a STATIC cap admits ever-more near-cap buckets as the corpus
+    #     grows (6.0B candidates / DNF at 500k docs, SCALE.md), while
+    #     the budget keeps candidate volume linear in the corpus at any
+    #     scale (150 s at 500k docs, default setting). At the test SFs
+    #     neither guard binds (max df 25 at sf0.1), so the output equals
+    #     the uncapped operator and is regime-independent.
     # COUNT-FIRST prefilter before collect_list: counts aggregate with
     # map-side partials, over-budget (and singleton) shingles drop via a
     # left-semi join on the same `sh` partitioning, and only surviving
     # shingles are collected. Collecting before filtering would
     # materialize an entire viral shingle's posting list in one
     # aggregation buffer, the exact input the budget exists to drop.
-    # df_rel appears in both the histogram path and the admit path with
-    # an identical aggregation subtree, so exchange reuse computes the
-    # shingle groupBy once for both.
     df_rel = shingles.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
-    n_docs = docs.select(F.count(F.lit(1)).alias("__n"))
-    hist = (
-        df_rel.filter(F.col("__df") >= 2)
-        .groupBy("__df")
-        .agg(F.count(F.lit(1)).alias("__nsh"))
-    )
-    cum_w = Window.orderBy("__df").rowsBetween(Window.unboundedPreceding, 0)
-    tier_pairs = F.col("__nsh") * F.col("__df") * (F.col("__df") - 1) / 2
-    max_df = (
-        hist.withColumn("__cum", F.sum(tier_pairs).over(cum_w))
-        .crossJoin(F.broadcast(n_docs))
-        .filter(F.col("__cum") <= _NGRAM_CANDIDATES_PER_DOC * F.col("__n"))
-        .agg(F.max("__df").alias("__max_df"))
-    )
-    ok_shingles = (
-        df_rel.filter(F.col("__df") >= 2)
-        .join(F.broadcast(max_df), F.col("__df") <= F.col("__max_df"), "left_semi")
-        .drop("__df")
-    )
+    n_docs = docs.count()  # parquet footer count — cheap, and honest:
+    #                        the regime is derived from the corpus itself
+    if n_docs <= _NGRAM_BUDGET_MIN_DOCS:
+        ok_shingles = df_rel.filter(
+            (F.col("__df") >= 2) & (F.col("__df") <= _NGRAM_STATIC_DF_CAP)
+        ).drop("__df")
+    else:
+        hist = (
+            df_rel.filter(F.col("__df") >= 2)
+            .groupBy("__df")
+            .agg(F.count(F.lit(1)).alias("__nsh"))
+        )
+        cum_w = Window.orderBy("__df").rowsBetween(Window.unboundedPreceding, 0)
+        tier_pairs = F.col("__nsh") * F.col("__df") * (F.col("__df") - 1) / 2
+        budget = float(_NGRAM_CANDIDATES_PER_DOC) * n_docs
+        max_df = (
+            hist.withColumn("__cum", F.sum(tier_pairs).over(cum_w))
+            .filter(F.col("__cum") <= budget)
+            .agg(F.max("__df").alias("__max_df"))
+        )
+        ok_shingles = (
+            df_rel.filter(F.col("__df") >= 2)
+            .join(
+                F.broadcast(max_df), F.col("__df") <= F.col("__max_df"), "left_semi"
+            )
+            .drop("__df")
+        )
     posting = (
         shingles.join(ok_shingles.hint("shuffle_hash"), "sh", "left_semi")
         .groupBy("sh")

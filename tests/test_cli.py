@@ -436,3 +436,33 @@ def test_cli_migrate_media_and_references(spark, tmp_path, capsys):
     ]) == 0
     out = spark.read.parquet(refs_path).collect()
     assert len(out) == 1 and len(out[0]["images"]) == 1
+
+
+def test_cli_debug_and_scan(spark, tmp_path, capsys):
+    """debug-record (rowKey + uuid fallback) and scan-records (totals,
+    deleted, aggregate counts, csv) — util/DebugRecord.scala,
+    tool/ScanRecords.scala."""
+    store = str(tmp_path / "occ")
+    spark.createDataFrame(
+        [("rk1", "u1", "dr1", ""), ("rk2", "u2", "dr1", "2024-01-01"),
+         ("rk3", "u3", "dr2", "")],
+        "rowKey string, uuid string, dataResourceUid string, deleted string",
+    ).write.parquet(store)
+
+    assert main(["debug-record", "--in", store, "--key", "rk1"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["found"] and out["raw"]["uuid"] == "u1"
+    assert main(["debug-record", "--in", store, "--key", "u2"]) == 0
+    assert json.loads(capsys.readouterr().out)["raw"]["rowKey"] == "rk2"
+    assert main(["debug-record", "--in", store, "--key", "nope"]) == 1
+    capsys.readouterr()
+
+    csv = str(tmp_path / "counts.csv")
+    assert main([
+        "scan-records", "--in", store, "--aggregate", "dataResourceUid",
+        "--csv", csv,
+    ]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["scanned"] == 3 and out["deleted"] == 1
+    assert out["aggregate"] == {"dr1": 2, "dr2": 1}
+    assert open(csv).read().splitlines() == ["dr1,2", "dr2,1"]

@@ -1297,3 +1297,65 @@ def test_media_maintenance_round_trip(spark, tmp_path):
     assert out["r1"]["sounds"] == [mp3_id]
     assert out["r2"]["images"] == [rows[("r2", f"file://{img2}")]["media_id"]]
     assert out["r3"]["images"] == [] and out["r3"]["sounds"] == []
+
+
+def test_batch_embed_deterministic_unit_vectors(spark):
+    """batch_embed: md5-derived fake embedder is partitioning-independent,
+    unit-norm, identical texts -> identical vectors; the output column is
+    the embeddings-table shape the similarity operators consume."""
+    import math
+
+    from biocache_store_spark.operators.inference import batch_embed
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta"), (3, "gamma"), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: list(r["embedding"]) for r in batch_embed(docs).collect()}
+    out2 = {
+        r["doc_id"]: list(r["embedding"])
+        for r in batch_embed(docs.repartition(3)).collect()
+    }
+    assert out == out2
+    assert out[1] == out[2] and out[1] != out[3]
+    assert len(out[1]) == 8
+    assert math.isclose(sum(v * v for v in out[1]), 1.0, rel_tol=1e-5)
+    assert out[4] is not None  # None text embeds the empty string
+
+
+def test_batch_embed_feeds_similarity_family(spark):
+    """End-to-end: text -> batch_embed -> embedding-cosine near-dup.
+    Exact duplicate texts are cosine-1 near-dups of each other."""
+    from biocache_store_spark.operators.inference import batch_embed
+    from biocache_store_spark.operators.similarity import cosine_near_duplicates
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"),
+         (3, "completely different content here"), (4, "yet another document")],
+        "doc_id long, text string",
+    )
+    emb = batch_embed(docs, dim=16).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_duplicates(emb, dim=16, threshold=0.99).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(p == (1, 2) for p in pairs)
+
+
+def test_sentence_transformer_gated(spark):
+    """The real-model loader raises the import gate when the package is
+    absent (same convention as the Pillow decode gate)."""
+    import pytest as _pytest
+
+    from biocache_store_spark.operators.inference import (
+        sentence_transformer_model,
+    )
+
+    try:
+        import sentence_transformers  # type: ignore # noqa: F401
+    except ImportError:
+        with _pytest.raises(NotImplementedError, match="sentence-transformers"):
+            sentence_transformer_model()()

@@ -98,21 +98,32 @@ def test_ngram_jaccard_is_posting_list_with_count_first_cap(spark, sf_dir):
     builds (the admitted-df threshold and the doc count), never a
     record-sized nested-loop side. The single Window is the cumulative
     pair sum over the tiny df histogram."""
+    import biocache_store_spark.queries.text as qtext
     from biocache_store_spark.queries import load_all
 
     q = load_all()["ngram_jaccard_pairs"]
+    # small-corpus regime (test SFs): single-pass static-cap plan — one
+    # semi join, no window, no nested loop, no second shingle pass
     plan = _plan(q.spark_fn(spark, sf_dir))
-    # count-first prefilter on sh + the 1-row df-threshold semi
-    assert plan.count("LeftSemi") == 2
+    assert plan.count("LeftSemi") == 1
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan  # no pair-generating self-join
-    # every nested-loop join is a 1-row dimension build (threshold / count)
-    assert plan.count("BroadcastNestedLoopJoin") <= 2
-    # pairs are generated by the double explode of the posting lists
-    assert plan.count("Generate explode") >= 2
-    # histogram cumsum is the only window
-    assert plan.count("Window") <= 1
-    # the count agg runs BEFORE any collect_list in the plan tree
+    assert plan.count("Generate explode") >= 2  # posting-list double explode
     assert "collect_list" in plan
+    # large-corpus regime (forced): the dynamic budget adds the df
+    # histogram window + the 1-row admitted-df-threshold semi, and the
+    # only nested-loop join is that 1-row dimension build
+    orig = qtext._NGRAM_BUDGET_MIN_DOCS
+    qtext._NGRAM_BUDGET_MIN_DOCS = 0
+    try:
+        plan_big = _plan(q.spark_fn(spark, sf_dir))
+    finally:
+        qtext._NGRAM_BUDGET_MIN_DOCS = orig
+    assert plan_big.count("LeftSemi") == 2
+    assert plan_big.count("Window") == 1
+    assert plan_big.count("BroadcastNestedLoopJoin") == 1
+    assert "SortMergeJoin" not in plan_big
 
 
 def test_semantic_dedup_assignment_is_map_only(spark, sf_dir):

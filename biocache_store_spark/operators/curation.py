@@ -366,3 +366,47 @@ def bigram_lm_score(
         F.round(hits * F.lit(1.0) / n_bg, 4).alias("hit_rate"),
         F.round(numer * F.lit(1.0) / denom, 8).alias("lm_score"),
     )
+
+
+def plan_training_shards(
+    docs: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training-data export.
+
+    Tokenizer/packing pipelines want the corpus order-randomized and cut
+    into a fixed number of shards, reproducibly: shard = first md5 byte
+    of the document id mod n_shards, position = rank of the md5 hex
+    within the shard. Both are pure functions of the id, so the plan is
+    stable across runs, engines and partitionings — re-running the
+    export after an append only reshuffles within shards, and any
+    engine (or the DuckDB oracle) reproduces the exact layout.
+
+    The ordering window partitions BY SHARD, so the sort is n_shards
+    independent partition-local sorts, never a single global order-by;
+    shard sizes are balanced by the uniformity of md5. With `token_col`,
+    a running token offset within the shard rides along (the packing
+    cursor a sequence writer needs). Write the result with
+    `.repartition("shard").write.partitionBy("shard")` for one file
+    per shard.
+    """
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.col(id_col).cast("string"))
+    shard = F.pmod(
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int"), F.lit(n_shards)
+    )
+    out = docs.withColumn("__h", h).withColumn("shard", shard)
+    w = Window.partitionBy("shard").orderBy("__h", id_col)
+    out = out.withColumn("pos", F.row_number().over(w) - 1)
+    if token_col is not None:
+        cum = Window.partitionBy("shard").orderBy("__h", id_col).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        out = out.withColumn(
+            "token_offset",
+            F.coalesce(F.sum(F.col(token_col)).over(cum), F.lit(0)).cast("long"),
+        )
+    return out.drop("__h")

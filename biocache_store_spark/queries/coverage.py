@@ -2106,3 +2106,120 @@ def dwca_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return loaded.select(
         "occurrenceID", "scientificName", "basisOfRecord", "locality"
     )
+
+
+@register(
+    "media_reference_rollup",
+    doc=(
+        "Media-reference rebuild (operators/multimodal.py "
+        "media_references — tool/LoadMediaReferences.scala:55-80 mime "
+        "bucketing): a media store synthesized from customer (4 media "
+        "rows per record, mime class by key mod 3) rolls up to sorted "
+        "per-record images/sounds/videos arrays, exploded back to long "
+        "form for hash-stable comparison."
+    ),
+    oracle="""
+        WITH store AS (
+            SELECT 'r' || CAST(c_custkey // 4 AS VARCHAR) AS record_id,
+                   'm' || CAST(c_custkey AS VARCHAR) AS media_id,
+                   CASE c_custkey % 3
+                        WHEN 0 THEN 'image/jpeg'
+                        WHEN 1 THEN 'audio/mpeg'
+                        ELSE 'video/mp4' END AS mime_type
+            FROM customer
+        )
+        SELECT record_id,
+               CASE WHEN mime_type LIKE 'image%' THEN 'images'
+                    WHEN mime_type LIKE 'audio%' THEN 'sounds'
+                    ELSE 'videos' END AS media_class,
+               media_id
+        FROM store
+    """,
+)
+def media_reference_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.multimodal import media_references
+
+    customer = read_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    store = customer.select(
+        F.concat(F.lit("r"), (k / 4).cast("long").cast("string")).alias("record_id"),
+        F.concat(F.lit("m"), k.cast("string")).alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image/jpeg"), F.lit("audio/mpeg"), F.lit("video/mp4")),
+            (F.pmod(k, F.lit(3)) + 1).cast("int"),
+        ).alias("mime_type"),
+    )
+    refs = media_references(store)
+    classes = F.array(
+        F.struct(F.lit("images").alias("cls"), F.col("images").alias("ids")),
+        F.struct(F.lit("sounds").alias("cls"), F.col("sounds").alias("ids")),
+        F.struct(F.lit("videos").alias("cls"), F.col("videos").alias("ids")),
+    )
+    return (
+        refs.select("record_id", F.explode(classes).alias("c"))
+        .select(
+            "record_id",
+            F.col("c.cls").alias("media_class"),
+            F.explode("c.ids").alias("media_id"),
+        )
+    )
+
+
+@register(
+    "text_embedding_vectors",
+    doc=(
+        "Deterministic text-embedding kernel (operators/inference.py "
+        "batch_embed + fake_embedding_model): md5-derived 4-dim unit "
+        "vectors computed in an Arrow-batched mapInPandas pass with "
+        "once-per-partition model load. The oracle replays the exact "
+        "arithmetic — hex-digit reconstruction of the four 32-bit digest "
+        "words, fixed-order norm, float32 storage truncation — so the "
+        "whole embed path is value-hash-checkable, not just row-counted."
+    ),
+    oracle="""
+        WITH h AS (
+            SELECT doc_id, md5(COALESCE(text, '')) AS hx FROM documents
+        ),
+        comps AS (
+            SELECT doc_id, i,
+                   SUM((strpos('0123456789abcdef', substr(hx, 8*i + k, 1)) - 1)
+                       * POWER(16, 8 - k)) / 4294967296.0 - 0.5 AS c
+            FROM h,
+                 UNNEST(generate_series(0, 3)) AS t(i),
+                 UNNEST(generate_series(1, 8)) AS u(k)
+            GROUP BY doc_id, i
+        ),
+        wide AS (
+            SELECT doc_id,
+                   MAX(CASE WHEN i = 0 THEN c END) AS c0,
+                   MAX(CASE WHEN i = 1 THEN c END) AS c1,
+                   MAX(CASE WHEN i = 2 THEN c END) AS c2,
+                   MAX(CASE WHEN i = 3 THEN c END) AS c3
+            FROM comps GROUP BY doc_id
+        ),
+        normed AS (
+            SELECT doc_id, c0, c1, c2, c3,
+                   CASE WHEN sqrt(c0*c0 + c1*c1 + c2*c2 + c3*c3) = 0 THEN 1.0
+                        ELSE sqrt(c0*c0 + c1*c1 + c2*c2 + c3*c3) END AS nrm
+            FROM wide
+        )
+        SELECT doc_id,
+               ROUND(CAST(CAST(c0 / nrm AS REAL) AS DOUBLE), 6) + 0.0 AS e0,
+               ROUND(CAST(CAST(c1 / nrm AS REAL) AS DOUBLE), 6) + 0.0 AS e1,
+               ROUND(CAST(CAST(c2 / nrm AS REAL) AS DOUBLE), 6) + 0.0 AS e2,
+               ROUND(CAST(CAST(c3 / nrm AS REAL) AS DOUBLE), 6) + 0.0 AS e3
+        FROM normed
+    """,
+)
+def text_embedding_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.inference import batch_embed
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = batch_embed(docs, dim=4)
+    cols = [
+        (F.round(F.element_at("embedding", i + 1).cast("double"), 6) + 0.0).alias(
+            f"e{i}"
+        )
+        for i in range(4)
+    ]
+    return emb.select("doc_id", *cols)

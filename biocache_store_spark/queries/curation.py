@@ -990,3 +990,49 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_stop.alias("ok_stopwords"),
         (ok_wc & ok_mwl & ok_swr & ok_stop).alias("gopher_pass"),
     )
+
+
+@register(
+    "training_shard_plan",
+    doc=(
+        "Deterministic global shuffle + sharding for training export "
+        "(operators/curation.py plan_training_shards): shard = first md5 "
+        "byte of doc_id mod 8, position = md5-hex rank within the shard, "
+        "token_offset = running token total before this document — the "
+        "(shard, pos, cursor) layout a tokenizer/packing writer consumes. "
+        "All three are pure functions of the ids, so the layout is "
+        "reproducible across runs/engines and the ordering sort is "
+        "per-shard (8 partition-local sorts), never a global order-by."
+    ),
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, len({_TOKS}) AS n_tok,
+                   md5(CAST(doc_id AS VARCHAR)) AS h
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, n_tok, h,
+                   ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                    + strpos('0123456789abcdef', substr(h, 2, 1)) - 1) % 8
+                       AS shard
+            FROM t
+        )
+        SELECT doc_id, shard,
+               ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1
+                   AS pos,
+               CAST(COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY shard ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS token_offset
+        FROM s
+    """,
+)
+def training_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.functions.text import token_count
+    from biocache_store_spark.operators.curation import plan_training_shards
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tok")
+    )
+    out = plan_training_shards(docs, n_shards=8, token_col="n_tok")
+    return out.select("doc_id", "shard", "pos", "token_offset")

@@ -267,3 +267,27 @@ def test_bpe_tokens_cross_engine_parity(spark):
     assert got["it's Tom's 42nd try"][0] == [
         "it", "'s", " Tom", "'s", " 42", "nd", " try",
     ]
+
+
+def test_plan_training_shards_layout(spark):
+    """plan_training_shards: deterministic across partitionings, dense
+    0-based positions per shard, token_offset = prefix sum of sizes."""
+    from biocache_store_spark.operators.curation import plan_training_shards
+
+    docs = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("n_tok")
+    )
+    a = plan_training_shards(docs, 4, token_col="n_tok").collect()
+    b = plan_training_shards(docs.repartition(13), 4, token_col="n_tok").collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) <= set(range(4)) and len(by_shard) == 4
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["pos"])
+        assert [r["pos"] for r in rows] == list(range(len(rows)))
+        off = 0
+        for r in rows:
+            assert r["token_offset"] == off
+            off += r["n_tok"]

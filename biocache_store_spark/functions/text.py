@@ -126,7 +126,7 @@ def shingle_df(
 
 
 def punct_ratio(text: Column) -> Column:
-    """Fraction of characters that are not ASCII alphanumeric or
+    r"""Fraction of characters that are not ASCII alphanumeric or
     whitespace. The ASCII class is INTENTIONAL: Unicode \p{L} tables can
     differ between Spark's Java regex and DuckDB's RE2, which would break
     the engine-exact oracles — the cost is that accented letters count as

@@ -259,6 +259,34 @@ DOC_STREAM_SCHEMA = T.StructType(
 )
 
 
+def _marker_path(spark: SparkSession, index_path: str, batch_id: int):
+    """(FileSystem, Path) for the per-batch append marker, resolved via
+    the Hadoop FileSystem API so the idempotence guard works on any
+    Hadoop-visible filesystem (local, HDFS, s3a) — a local open() would
+    silently never guard an object-store index path. The underscore
+    prefix keeps Spark's parquet discovery ignoring the marker."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(
+        index_path, f"_batch_{batch_id}_appended"
+    )
+    fs = path.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    return fs, path
+
+
+def _marker_exists(spark: SparkSession, index_path: str, batch_id: int) -> bool:
+    fs, path = _marker_path(spark, index_path, batch_id)
+    return fs.exists(path)
+
+
+def _commit_marker(spark: SparkSession, index_path: str, batch_id: int) -> None:
+    # committed AFTER the append: a crash between append and marker can
+    # double a batch's rows once; both probe paths dedup on read
+    fs, path = _marker_path(spark, index_path, batch_id)
+    fs.create(path, True).close()
+
+
 def near_dup_stream(
     spark: SparkSession,
     staging_dir: str,
@@ -310,12 +338,6 @@ def near_dup_stream(
         # see the (single, bounded) inflation.
         if not batch.take(1):
             return
-        # marker via local-FS open(): correct for POSIX-visible index
-        # paths (incl. NFS/fuse mounts); an object-store index would
-        # swap these two lines for the Hadoop FileSystem API — the
-        # underscore prefix keeps Spark's parquet discovery ignoring it
-        # either way
-        marker = os.path.join(index_path, f"_batch_{batch_id}_appended")
         batch = batch.persist()
         try:
             pairs = probe_lsh_index(
@@ -328,10 +350,9 @@ def near_dup_stream(
             pairs.write.mode("overwrite").parquet(
                 os.path.join(pairs_dir, f"batch={batch_id}")
             )
-            if not os.path.exists(marker):
+            if not _marker_exists(spark, index_path, batch_id):
                 write_lsh_index(batch, index_path, mode="append")
-                with open(marker, "w") as fh:
-                    fh.write("done")
+                _commit_marker(spark, index_path, batch_id)
         finally:
             batch.unpersist()
 
@@ -392,7 +413,6 @@ def semantic_dedup_stream(
     def handle(batch: DataFrame, batch_id: int) -> None:
         if not batch.take(1):
             return
-        marker = os.path.join(index_path, f"_batch_{batch_id}_appended")
         batch = batch.persist()
         try:
             queries = batch.select(
@@ -424,11 +444,10 @@ def semantic_dedup_stream(
             decisions.write.mode("overwrite").parquet(
                 os.path.join(decisions_dir, f"batch={batch_id}")
             )
-            if not os.path.exists(marker):
+            if not _marker_exists(spark, index_path, batch_id):
                 centroids = spark.read.parquet(index_path + "/centroids")
                 write_ivf_index(batch, centroids, index_path, mode="append")
-                with open(marker, "w") as fh:
-                    fh.write("done")
+                _commit_marker(spark, index_path, batch_id)
         finally:
             batch.unpersist()
 

@@ -53,10 +53,10 @@ def register(
 
 
 # The external driver oracle-checks a 50-slot prefix of the registry per
-# round. Round-6 rotation (VERDICT r5 "Next round" #1): the 58 entries
-# whose latest driver row predates round 5 fill the prefix — queries whose
-# behavior changed THIS round first, then the 11 r3-era shapes, then the
-# r4-era tier. Eight simple untouched r4-era shapes (positions 51-58)
+# round. Round-6 rotation (VERDICT r5 "Next round" #1): queries whose
+# behavior changed this round first, then the three never-driver-checked
+# round-6 additions, then the stale tiers (11 r3-era shapes before the
+# r4-era tier). Eleven simple untouched r4-era shapes (positions 51-61)
 # overflow the prefix and rotate in next round; the 50 entries driver-green
 # in CORRECTNESS_r05 yield their slots entirely.
 HEAD: tuple[str, ...] = (
@@ -69,6 +69,10 @@ HEAD: tuple[str, ...] = (
     "taxon_name_match",           # fuzzy edit-distance tier added
     "ngram_jaccard_pairs",        # dynamic candidate budget
     "validation_rule_wkt",
+    # new in round 6 — never driver-checked, ahead of the refresh tier
+    "media_reference_rollup",
+    "text_embedding_vectors",
+    "training_shard_plan",
     # r3-era: last driver row in CORRECTNESS_r03
     "facet_counts",
     "top_k",
@@ -110,12 +114,12 @@ HEAD: tuple[str, ...] = (
     "streaming_event_windows",
     "text_redact_pii",
     "text_repetition_stats",
-    "tfidf_top_terms",
-    "utm_inverse",
-    "verbatim_coord_parse",
     # --- 50-slot prefix ends here ---
     # r4-era overflow: simple built-in shapes untouched since r4, rotate
     # into the prefix next round
+    "tfidf_top_terms",
+    "utm_inverse",
+    "verbatim_coord_parse",
     "text_simhash",
     "text_fingerprint",
     "text_language_id",

@@ -283,20 +283,27 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     #     scale (150 s at 500k docs, default setting). At the test SFs
     #     neither guard binds (max df 25 at sf0.1), so the output equals
     #     the uncapped operator and is regime-independent.
-    # COUNT-FIRST prefilter before collect_list: counts aggregate with
-    # map-side partials, over-budget (and singleton) shingles drop via a
-    # left-semi join on the same `sh` partitioning, and only surviving
-    # shingles are collected. Collecting before filtering would
-    # materialize an entire viral shingle's posting list in one
-    # aggregation buffer, the exact input the budget exists to drop.
-    df_rel = shingles.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+    # The COUNT-FIRST discipline (prefilter before collect_list so a
+    # viral shingle's posting list never materializes in one aggregation
+    # buffer) is load-bearing ONLY in the dynamic regime, where df is
+    # unbounded. In the static regime df <= n_docs <= 20k bounds every
+    # posting buffer to a few hundred KB, so the guard folds into the
+    # ONE collecting aggregation as a size() post-filter — one shingle
+    # pass and one exchange total, instead of a second scan + regex +
+    # explode pass feeding a count relation and a left-semi join.
     n_docs = docs.count()  # parquet footer count — cheap, and honest:
     #                        the regime is derived from the corpus itself
     if n_docs <= _NGRAM_BUDGET_MIN_DOCS:
-        ok_shingles = df_rel.filter(
-            (F.col("__df") >= 2) & (F.col("__df") <= _NGRAM_STATIC_DF_CAP)
-        ).drop("__df")
+        posting = (
+            shingles.groupBy("sh")
+            .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("docs"))
+            .filter(
+                (F.size("docs") >= 2)
+                & (F.size("docs") <= _NGRAM_STATIC_DF_CAP)
+            )
+        )
     else:
+        df_rel = shingles.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
         hist = (
             df_rel.filter(F.col("__df") >= 2)
             .groupBy("__df")
@@ -317,11 +324,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .drop("__df")
         )
-    posting = (
-        shingles.join(ok_shingles.hint("shuffle_hash"), "sh", "left_semi")
-        .groupBy("sh")
-        .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("docs"))
-    )
+        posting = (
+            shingles.join(ok_shingles.hint("shuffle_hash"), "sh", "left_semi")
+            .groupBy("sh")
+            .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("docs"))
+        )
     # plain explode is safe HERE: the generator argument is the
     # materialized `docs` attribute from the aggregation, so the
     # size()>0 filter Catalyst infers is a cheap attribute check — the

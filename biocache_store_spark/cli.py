@@ -319,6 +319,69 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_resource_cleanup(args) -> int:
+    """resource-cleanup (tool/ResourceCleanupTask.scala): rows marks the
+    resource's stale records deleted (and reinstates refreshed ones),
+    columns nulls obsolete raw columns, delete moves flagged+stale
+    records to the dellog. --test prints what would change and writes
+    nothing, like the reference's --test flag."""
+    from biocache_store_spark.operators.maintenance import (
+        cleanup_columns,
+        cleanup_rows,
+        remove_deleted_records,
+    )
+
+    if not args.test and not args.out:
+        print("resource-cleanup: --out is required unless --test", file=sys.stderr)
+        return 2
+    if args.type in ("rows", "delete") and not args.date:
+        print("resource-cleanup: --date is required for rows/delete", file=sys.stderr)
+        return 2
+    spark = _spark(args)
+    df = _read(spark, args.inp)
+    if args.type == "rows":
+        out, log = cleanup_rows(df, args.dr, args.date)
+        label = "changes"
+    elif args.type == "columns":
+        if not args.cols:
+            print("resource-cleanup columns: --cols is required", file=sys.stderr)
+            return 2
+        out, log = cleanup_columns(
+            df, args.dr, _split(args.cols), keep=not args.delcols
+        )
+        label = "columns cleared"
+    elif args.type == "delete":
+        out, log = remove_deleted_records(df, args.dr, args.date)
+        label = "removed"
+    else:
+        print(f"resource-cleanup: unknown type {args.type!r}", file=sys.stderr)
+        return 2
+    n = log.count()
+    if args.test:
+        print(f"[test] {label}: {n} (nothing written)")
+        for row in log.limit(20).collect():
+            print("  ", row.asDict())
+        return 0
+    out.write.mode("overwrite").parquet(args.out)
+    if args.log:
+        log.write.mode("overwrite").parquet(args.log)
+    print(f"resource-cleanup {args.type} on {args.dr}: {label}: {n} -> {args.out}")
+    return 0
+
+
+def cmd_remap_unique_key(args) -> int:
+    """remap-unique-id (util/RemapUniqueKey.scala): mint new unique ids
+    from a changed field list and write the uniqueID -> rowKey mapping."""
+    from biocache_store_spark.operators.maintenance import remap_unique_keys
+
+    spark = _spark(args)
+    df = _read(spark, args.inp)
+    mapping = remap_unique_keys(df, _split(args.drs), _split(args.fields))
+    mapping.write.mode("overwrite").parquet(args.out)
+    print(f"remapped {mapping.count()} keys -> {args.out}")
+    return 0
+
+
 # ------------------------------------------------------------ inspection
 
 
@@ -850,6 +913,35 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--key-col", dest="key_col", default="rowKey")
     sp.add_argument("--out", required=True)
     sp.add_argument("--dellog", help="write the deletion log here")
+
+    sp = tool(
+        "resource-cleanup",
+        cmd_resource_cleanup,
+        "mark/strip/remove a resource's stale records or columns",
+    )
+    sp.add_argument("--in", dest="inp", required=True)
+    sp.add_argument("--dr", required=True)
+    sp.add_argument("--type", choices=("rows", "columns", "delete"), required=True)
+    sp.add_argument("--date", help="last load date (ISO); cutoff for rows/delete")
+    sp.add_argument("--cols", help="comma-separated column list (columns mode)")
+    sp.add_argument(
+        "--delcols",
+        action="store_true",
+        help="treat --cols as a delete list instead of a keep list",
+    )
+    sp.add_argument("--test", action="store_true", help="report only, write nothing")
+    sp.add_argument("--out")
+    sp.add_argument("--log", help="write the change/delete log here")
+
+    sp = tool(
+        "remap-unique-key",
+        cmd_remap_unique_key,
+        "mint unique ids from a new field list; write uniqueID->rowKey map",
+    )
+    sp.add_argument("--in", dest="inp", required=True)
+    sp.add_argument("--drs", required=True, help="comma-separated resource uids")
+    sp.add_argument("--fields", required=True, help="comma-separated id fields")
+    sp.add_argument("--out", required=True)
 
     sp = tool("lsh-index", cmd_lsh_index, "documents store -> persisted LSH index")
     sp.add_argument("--in", dest="inp", required=True)

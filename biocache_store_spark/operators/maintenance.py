@@ -107,3 +107,189 @@ def snapshot_diff(
         F.coalesce(F.col("__old_id"), F.col("__new_id")).alias(id_col),
         status.alias("status"),
     )
+
+
+# --- resource cleanup (tool/ResourceCleanupTask.scala) -------------------
+
+# columns the reference never strips (ResourceCleanupTask.scala:135,
+# valuesToIgnore) plus the identity/partition columns this engine adds
+_CLEANUP_PROTECTED = ("rowKey", "uuid", "originalSensitiveValues", "dataResourceUid")
+
+
+def cleanup_rows(
+    table: DataFrame,
+    data_resource_uid: str,
+    last_load_date: str,
+    dr_col: str = "dataResourceUid",
+    modified_col: str = "lastModifiedTime",
+    deleted_col: str = "deleted",
+    delete_time: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """`resource-cleanup ... rows`: mark the resource's records deleted
+    when not reloaded since `last_load_date`, and REINSTATE previously
+    deleted records the latest load did refresh — the two branches of
+    ResourceCleanupTask.modifyRecord (ResourceCleanupTask.scala:308-348,
+    incl. the no-lastModified branch, which deletes unconditionally).
+
+    The deleted flag follows the store's string convention (a deletion
+    date; empty/'false' = live). Returns (rewritten table, changes log
+    with rowKey + action 'deleted'|'reinstated') — one projection pass,
+    no paging loop; at scale this is a partition-pruned rewrite when the
+    store is partitioned by resource."""
+    in_dr = F.col(dr_col) == data_resource_uid
+    lm = F.col(modified_col).cast("string")
+    stale = lm.isNull() | (lm == "") | (lm < last_load_date)
+    was_deleted = ~F.coalesce(F.col(deleted_col).cast("string"), F.lit("")).isin(
+        "", "false"
+    )
+    when_deleted = (
+        F.lit(delete_time)
+        if delete_time is not None
+        else F.date_format(F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    )
+    action = F.when(in_dr & stale & ~was_deleted, F.lit("deleted")).when(
+        in_dr & ~stale & was_deleted, F.lit("reinstated")
+    )
+    new_flag = (
+        F.when(~in_dr, F.col(deleted_col))
+        .when(stale, F.when(was_deleted, F.col(deleted_col)).otherwise(when_deleted))
+        .otherwise(F.lit(""))
+    )
+    rewritten = table.withColumn(deleted_col, new_flag)
+    changes = (
+        table.withColumn("__action", action)
+        .filter(F.col("__action").isNotNull())
+        .select("rowKey", F.col("__action").alias("action"))
+    )
+    return rewritten, changes
+
+
+def cleanup_columns(
+    table: DataFrame,
+    data_resource_uid: str,
+    columns: list[str],
+    keep: bool = True,
+    dr_col: str = "dataResourceUid",
+    protected: tuple[str, ...] = _CLEANUP_PROTECTED,
+) -> tuple[DataFrame, DataFrame]:
+    """`resource-cleanup ... columns`: null out raw columns on the
+    resource's records — keep=True clears every non-protected column NOT
+    in `columns` (removeRawRecordColumnsNotInList,
+    ResourceCleanupTask.scala:126-166), keep=False clears exactly the
+    listed columns (removeSpecifiedColumns, :168-199). The Cassandra
+    deleteColumns-per-record loop becomes one conditional projection;
+    other resources' records pass through untouched. Returns (rewritten
+    table, report of column -> records cleared) — the tool's summary
+    log as a DataFrame."""
+    in_dr = F.col(dr_col) == data_resource_uid
+    if keep:
+        targets = [
+            c for c in table.columns if c not in columns and c not in protected
+        ]
+    else:
+        targets = [c for c in table.columns if c in columns and c not in protected]
+    rewritten = table.select(
+        *[
+            F.when(in_dr, F.lit(None))
+            .otherwise(F.col(c))
+            .cast(dict(table.dtypes)[c])
+            .alias(c)
+            if c in targets
+            else F.col(c)
+            for c in table.columns
+        ]
+    )
+    if targets:
+        report = (
+            table.filter(in_dr)
+            .select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.when(
+                                F.col(c).isNotNull(), F.lit(c)
+                            )
+                            for c in targets
+                        ]
+                    )
+                ).alias("column")
+            )
+            .filter(F.col("column").isNotNull())
+            .groupBy("column")
+            .agg(F.count(F.lit(1)).alias("records_cleared"))
+        )
+    else:
+        report = table.sparkSession.createDataFrame(
+            [], "column string, records_cleared long"
+        )
+    return rewritten, report
+
+
+def remove_deleted_records(
+    table: DataFrame,
+    data_resource_uid: str,
+    last_load_date: str,
+    dr_col: str = "dataResourceUid",
+    modified_col: str = "lastModifiedTime",
+    deleted_col: str = "deleted",
+    key_col: str = "rowKey",
+) -> tuple[DataFrame, DataFrame]:
+    """`resource-cleanup ... delete`: physically remove the resource's
+    records that are BOTH flagged deleted and stale (last modified
+    before `last_load_date`), returning (remaining, delete log) — the
+    occ -> dellog move of ResourceCleanupTask.removeDeletedRecords
+    (ResourceCleanupTask.scala:352-385) with the same double condition
+    (the deleted flag alone is not enough; a record refreshed after the
+    date survives even if still flagged)."""
+    is_deleted = ~F.coalesce(F.col(deleted_col).cast("string"), F.lit("")).isin(
+        "", "false"
+    )
+    lm = F.col(modified_col).cast("string")
+    cond = (
+        (F.col(dr_col) == data_resource_uid)
+        & is_deleted
+        & lm.isNotNull()
+        & (lm < last_load_date)
+    )
+    remaining = table.filter(~F.coalesce(cond, F.lit(False)))
+    dellog = table.filter(F.coalesce(cond, F.lit(False))).select(
+        F.col(key_col).alias("deleted_key"),
+        F.current_timestamp().alias("deleted_at"),
+    )
+    return remaining, dellog
+
+
+def remap_unique_keys(
+    records: DataFrame,
+    data_resource_uids: list[str],
+    fields: list[str],
+    dr_col: str = "dataResourceUid",
+    key_col: str = "rowKey",
+) -> DataFrame:
+    """`remap-unique-id` (util/RemapUniqueKey.scala:33-47): when a
+    dataset's unique-key field list changes (e.g. catalogNumber ->
+    occurrenceID), mint the NEW unique id from the new field list and
+    emit the occ_uuid mapping table (uniqueID -> rowKey) that lets
+    lookups under the new key reach the existing records. The id is
+    createUniqueID with stripSpaces (OccurrenceDAOImpl.scala:163-169):
+    'dr|term1|...|termN' with ALL whitespace removed. Records whose
+    identifying terms are all empty are skipped, as the reference skips
+    them. One filtered projection — the paging loop and per-record put
+    become a DataFrame the caller persists (or feeds to upsert)."""
+    terms = [
+        F.coalesce(F.col(f).cast("string"), F.lit(""))
+        if f in records.columns
+        else F.lit("")
+        for f in fields
+    ]
+    any_term = F.lit(False)
+    for t in terms:
+        any_term = any_term | (t != "")
+    unique_id = F.regexp_replace(
+        F.trim(F.concat_ws("|", F.col(dr_col), *terms)), r"\s", ""
+    )
+    return (
+        records.filter(F.col(dr_col).isin(list(data_resource_uids)))
+        .filter(any_term)
+        .select(unique_id.alias("uniqueID"), F.col(key_col).alias(key_col))
+    )

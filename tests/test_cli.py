@@ -466,3 +466,57 @@ def test_cli_debug_and_scan(spark, tmp_path, capsys):
     assert out["scanned"] == 3 and out["deleted"] == 1
     assert out["aggregate"] == {"dr1": 2, "dr2": 1}
     assert open(csv).read().splitlines() == ["dr1,2", "dr2,1"]
+
+
+def test_cli_resource_cleanup_and_remap(spark, tmp_path, capsys):
+    """resource-cleanup rows/delete + remap-unique-key round trip
+    (tool/ResourceCleanupTask.scala, util/RemapUniqueKey.scala)."""
+    store = str(tmp_path / "store")
+    spark.createDataFrame(
+        [
+            ("r1", "dr1", "2024-01-01T00:00:00Z", "", "AB 1"),
+            ("r2", "dr1", "2024-06-01T00:00:00Z", "", "CD2"),
+            ("r3", "dr2", "2024-01-01T00:00:00Z", "", "EF3"),
+        ],
+        "rowKey string, dataResourceUid string, lastModifiedTime string,"
+        " deleted string, catalogNumber string",
+    ).write.parquet(store)
+
+    # --test mode writes nothing
+    capsys.readouterr()
+    assert main([
+        "resource-cleanup", "--in", store, "--dr", "dr1", "--type", "rows",
+        "--date", "2024-05-01T00:00:00Z", "--test",
+    ]) == 0
+    assert "[test] changes: 1" in capsys.readouterr().out
+
+    marked = str(tmp_path / "marked")
+    assert main([
+        "resource-cleanup", "--in", store, "--dr", "dr1", "--type", "rows",
+        "--date", "2024-05-01T00:00:00Z", "--out", marked,
+    ]) == 0
+    flags = {
+        r["rowKey"]: r["deleted"] for r in spark.read.parquet(marked).collect()
+    }
+    assert flags["r1"] != "" and flags["r2"] == "" and flags["r3"] == ""
+
+    cleaned = str(tmp_path / "cleaned")
+    dellog = str(tmp_path / "dellog")
+    assert main([
+        "resource-cleanup", "--in", marked, "--dr", "dr1", "--type", "delete",
+        "--date", "2025-01-01T00:00:00Z", "--out", cleaned, "--log", dellog,
+    ]) == 0
+    assert {r["rowKey"] for r in spark.read.parquet(cleaned).collect()} == {
+        "r2", "r3"
+    }
+    assert [r["deleted_key"] for r in spark.read.parquet(dellog).collect()] == ["r1"]
+
+    mapping = str(tmp_path / "mapping")
+    assert main([
+        "remap-unique-key", "--in", store, "--drs", "dr1",
+        "--fields", "catalogNumber", "--out", mapping,
+    ]) == 0
+    rows = {
+        r["uniqueID"]: r["rowKey"] for r in spark.read.parquet(mapping).collect()
+    }
+    assert rows == {"dr1|AB1": "r1", "dr1|CD2": "r2"}

@@ -199,3 +199,103 @@ def test_arrow_cosine_null_inputs(spark):
     }
     assert rows[1] is not None
     assert rows[2] is None and rows[3] is None
+
+
+def test_cleanup_rows_delete_and_reinstate(spark):
+    from biocache_store_spark.operators.maintenance import cleanup_rows
+
+    table = spark.createDataFrame(
+        [
+            # stale + live -> deleted
+            ("r1", "dr1", "2024-01-01T00:00:00Z", ""),
+            # fresh + deleted -> reinstated
+            ("r2", "dr1", "2024-06-01T00:00:00Z", "2024-02-02T00:00:00Z"),
+            # no lastModified -> deleted unconditionally
+            ("r3", "dr1", None, ""),
+            # stale + already deleted -> unchanged (keeps original date)
+            ("r4", "dr1", "2024-01-01T00:00:00Z", "2024-02-02T00:00:00Z"),
+            # other resource -> untouched even though stale
+            ("r5", "dr2", "2024-01-01T00:00:00Z", ""),
+        ],
+        "rowKey string, dataResourceUid string, lastModifiedTime string, deleted string",
+    )
+    out, changes = cleanup_rows(
+        table, "dr1", "2024-05-01T00:00:00Z", delete_time="2024-07-01T00:00:00Z"
+    )
+    flags = {r["rowKey"]: r["deleted"] for r in out.collect()}
+    assert flags["r1"] == "2024-07-01T00:00:00Z"
+    assert flags["r2"] == ""
+    assert flags["r3"] == "2024-07-01T00:00:00Z"
+    assert flags["r4"] == "2024-02-02T00:00:00Z"
+    assert flags["r5"] == ""
+    acts = {r["rowKey"]: r["action"] for r in changes.collect()}
+    assert acts == {"r1": "deleted", "r3": "deleted", "r2": "reinstated"}
+
+
+def test_cleanup_columns_keep_and_delete_lists(spark):
+    from biocache_store_spark.operators.maintenance import cleanup_columns
+
+    table = spark.createDataFrame(
+        [
+            ("r1", "dr1", "cat1", "loc1", 1),
+            ("r2", "dr1", None, "loc2", 2),
+            ("r3", "dr2", "cat3", "loc3", 3),
+        ],
+        "rowKey string, dataResourceUid string, catalogNumber string,"
+        " locality string, version int",
+    )
+    # keep-list: only locality survives on dr1 rows; protected cols stay
+    out, report = cleanup_columns(table, "dr1", ["locality"], keep=True)
+    rows = {r["rowKey"]: r for r in out.collect()}
+    assert rows["r1"]["catalogNumber"] is None and rows["r1"]["version"] is None
+    assert rows["r1"]["locality"] == "loc1" and rows["r1"]["rowKey"] == "r1"
+    assert rows["r3"]["catalogNumber"] == "cat3"  # other resource untouched
+    rep = {r["column"]: r["records_cleared"] for r in report.collect()}
+    assert rep == {"catalogNumber": 1, "version": 2}  # r2's catalogNumber was null
+    # delete-list: exactly the listed column clears; schema/dtypes keep
+    out2, _ = cleanup_columns(table, "dr1", ["version"], keep=False)
+    rows2 = {r["rowKey"]: r for r in out2.collect()}
+    assert rows2["r1"]["version"] is None and rows2["r1"]["catalogNumber"] == "cat1"
+    assert dict(out2.dtypes)["version"] == "int"
+
+
+def test_remove_deleted_records_double_condition(spark):
+    from biocache_store_spark.operators.maintenance import remove_deleted_records
+
+    table = spark.createDataFrame(
+        [
+            ("r1", "dr1", "2024-01-01T00:00:00Z", "2024-02-01T00:00:00Z"),  # goes
+            ("r2", "dr1", "2024-06-01T00:00:00Z", "2024-02-01T00:00:00Z"),  # fresh
+            ("r3", "dr1", "2024-01-01T00:00:00Z", ""),                      # live
+            ("r4", "dr2", "2024-01-01T00:00:00Z", "2024-02-01T00:00:00Z"),  # other dr
+        ],
+        "rowKey string, dataResourceUid string, lastModifiedTime string, deleted string",
+    )
+    remaining, dellog = remove_deleted_records(table, "dr1", "2024-05-01T00:00:00Z")
+    assert {r["rowKey"] for r in remaining.collect()} == {"r2", "r3", "r4"}
+    assert [r["deleted_key"] for r in dellog.collect()] == ["r1"]
+
+
+def test_remap_unique_keys_strip_spaces_and_empty_skip(spark):
+    from biocache_store_spark.operators.maintenance import remap_unique_keys
+
+    records = spark.createDataFrame(
+        [
+            ("k1", "dr1", "AB 12", "Museum X"),
+            ("k2", "dr1", None, ""),      # all terms empty -> skipped
+            ("k3", "dr2", "CD34", "Y"),   # resource not selected
+        ],
+        "rowKey string, dataResourceUid string, catalogNumber string,"
+        " institutionCode string",
+    )
+    out = remap_unique_keys(
+        records, ["dr1"], ["catalogNumber", "institutionCode"]
+    )
+    rows = out.collect()
+    # whitespace stripped everywhere, reference createUniqueID stripSpaces=true
+    assert [(r["uniqueID"], r["rowKey"]) for r in rows] == [
+        ("dr1|AB12|MuseumX", "k1")
+    ]
+    # a missing field column reads as empty, not an analysis error
+    out2 = remap_unique_keys(records, ["dr1"], ["occurrenceID", "catalogNumber"])
+    assert [r["uniqueID"] for r in out2.collect()] == ["dr1||AB12"]

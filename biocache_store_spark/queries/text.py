@@ -33,7 +33,9 @@ _MAX_BAND_BUCKET = 1000
 _NGRAM_CANDIDATES_PER_DOC = 400
 # Below this corpus size the histogram pass costs more than it saves and
 # the static cap is measured safe (SCALE.md: static cap at 5k docs beats
-# dynamic 2.5 s vs 3.5 s; at 50k docs dynamic already wins 16 s vs 34 s)
+# dynamic 1.2 s vs 3.5 s at 5k docs with the single-pass static plan;
+# at 50k docs dynamic wins 16 s vs 34 s even against the older two-pass
+# static shape)
 # — the single-pass static-cap plan is used instead.
 _NGRAM_BUDGET_MIN_DOCS = 20_000
 _NGRAM_STATIC_DF_CAP = 1000

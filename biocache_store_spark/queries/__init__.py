@@ -73,6 +73,7 @@ HEAD: tuple[str, ...] = (
     "media_reference_rollup",
     "text_embedding_vectors",
     "training_shard_plan",
+    "bpe_merge_training",
     # r3-era: last driver row in CORRECTNESS_r03
     "facet_counts",
     "top_k",
@@ -113,10 +114,10 @@ HEAD: tuple[str, ...] = (
     "stored_query_bbox",
     "streaming_event_windows",
     "text_redact_pii",
-    "text_repetition_stats",
     # --- 50-slot prefix ends here ---
     # r4-era overflow: simple built-in shapes untouched since r4, rotate
     # into the prefix next round
+    "text_repetition_stats",
     "tfidf_top_terms",
     "utm_inverse",
     "verbatim_coord_parse",

@@ -1036,3 +1036,75 @@ def training_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = plan_training_shards(docs, n_shards=8, token_col="n_tok")
     return out.select("doc_id", "shard", "pos", "token_offset")
+
+
+@register(
+    "bpe_merge_training",
+    doc=(
+        "In-engine BPE merge training (operators/bpe.py "
+        "train_bpe_merges): 3 merge rounds over the documents corpus — "
+        "word-frequency dim once, then per-round vocab-scale pair "
+        "counts, deterministic argmax (count DESC, pair ASC) and greedy "
+        "left-to-right non-overlapping merge. The oracle replays all "
+        "three rounds in SQL (list_reduce fold with a space-separated "
+        "accumulator), pinning tie-breaks AND merge semantics, not just "
+        "the counts."
+    ),
+    oracle=r"""
+        WITH wf AS (
+            SELECT w AS word, COUNT(*) AS freq
+            FROM (SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w
+                  FROM documents)
+            WHERE w <> '' GROUP BY w
+        ),
+        w0 AS (
+            SELECT freq, list_append(string_split(word, ''), '</w>') AS syms
+            FROM wf
+        ),
+        p1 AS (
+            SELECT syms[i] AS l, syms[i+1] AS r, SUM(freq) AS cnt
+            FROM w0, UNNEST(generate_series(1, len(syms) - 1)) AS t(i)
+            GROUP BY 1, 2
+        ),
+        b1 AS (SELECT l, r, cnt FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+        w1 AS (
+            SELECT freq, string_split(list_reduce(syms, (acc, x) ->
+                CASE WHEN regexp_extract(acc, '([^ ]*)$', 1) = b.l AND x = b.r
+                     THEN acc || x ELSE acc || ' ' || x END), ' ') AS syms
+            FROM w0, b1 b
+        ),
+        p2 AS (
+            SELECT syms[i] AS l, syms[i+1] AS r, SUM(freq) AS cnt
+            FROM w1, UNNEST(generate_series(1, len(syms) - 1)) AS t(i)
+            GROUP BY 1, 2
+        ),
+        b2 AS (SELECT l, r, cnt FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
+        w2 AS (
+            SELECT freq, string_split(list_reduce(syms, (acc, x) ->
+                CASE WHEN regexp_extract(acc, '([^ ]*)$', 1) = b.l AND x = b.r
+                     THEN acc || x ELSE acc || ' ' || x END), ' ') AS syms
+            FROM w1, b2 b
+        ),
+        p3 AS (
+            SELECT syms[i] AS l, syms[i+1] AS r, SUM(freq) AS cnt
+            FROM w2, UNNEST(generate_series(1, len(syms) - 1)) AS t(i)
+            GROUP BY 1, 2
+        ),
+        b3 AS (SELECT l, r, cnt FROM p3 ORDER BY cnt DESC, l, r LIMIT 1)
+        SELECT 0 AS rank, l AS left_sym, r AS right_sym, l || r AS merged,
+               CAST(cnt AS BIGINT) AS pair_count FROM b1
+        UNION ALL SELECT 1, l, r, l || r, CAST(cnt AS BIGINT) FROM b2
+        UNION ALL SELECT 2, l, r, l || r, CAST(cnt AS BIGINT) FROM b3
+    """,
+)
+def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.bpe import train_bpe_merges
+
+    docs = read_table(spark, sf_dir, "documents")
+    return train_bpe_merges(docs, 3).select(
+        "rank",
+        F.col("left").alias("left_sym"),
+        F.col("right").alias("right_sym"),
+        "merged",
+        "pair_count",
+    )

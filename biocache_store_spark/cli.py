@@ -562,6 +562,39 @@ def cmd_build_corpus(args) -> int:
     return 0
 
 
+def cmd_train_bpe(args) -> int:
+    """In-engine BPE merge training (operators/bpe.py): corpus ->
+    merge-rule table the export/encode tools consume."""
+    spark = _spark(args)
+    from biocache_store_spark.operators.bpe import train_bpe_merges
+
+    docs = _read(spark, args.inp)
+    merges = train_bpe_merges(
+        docs, args.n_merges, max_words=args.max_words
+    )
+    merges.coalesce(1).write.mode("overwrite").parquet(args.out)
+    n = merges.count()
+    print(f"learned {n} merges -> {args.out}")
+    return 0
+
+
+def cmd_export_shards(args) -> int:
+    """Training-shard export (pipeline.py export_training_shards):
+    deterministic shuffle + shard + packing cursor, optionally
+    BPE-encoding with a learned merges table first."""
+    spark = _spark(args)
+    from biocache_store_spark.pipeline import export_training_shards
+
+    docs = _read(spark, args.inp)
+    merges = spark.read.parquet(args.merges) if args.merges else None
+    summary = export_training_shards(
+        spark, docs, args.out, n_shards=args.n_shards, merges=merges
+    )
+    for row in summary.orderBy("shard").collect():
+        print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
 def cmd_ivf_index(args) -> int:
     """Build or append the persisted IVF index from an embeddings store
     (operators/similarity.py write_ivf_index); centroids come from a
@@ -1021,6 +1054,25 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sp.add_argument("--mixture", help="source=weight,... (with --token-budget)")
     sp.add_argument("--token-budget", dest="token_budget", type=int)
+
+    sp = tool("train-bpe", cmd_train_bpe, "corpus -> BPE merge-rule table")
+    sp.add_argument("--in", dest="inp", required=True)
+    sp.add_argument("--n-merges", dest="n_merges", type=int, required=True)
+    sp.add_argument(
+        "--max-words", dest="max_words", type=int,
+        help="bound the word-frequency dim (top-N by frequency)",
+    )
+    sp.add_argument("--out", required=True)
+
+    sp = tool(
+        "export-shards",
+        cmd_export_shards,
+        "deterministic shard export (+optional BPE encode)",
+    )
+    sp.add_argument("--in", dest="inp", required=True)
+    sp.add_argument("--n-shards", dest="n_shards", type=int, default=8)
+    sp.add_argument("--merges", help="train-bpe output; encode before sharding")
+    sp.add_argument("--out", required=True)
 
     sp = tool("ivf-index", cmd_ivf_index, "embeddings -> persisted IVF index")
     sp.add_argument("--in", dest="inp", required=True)

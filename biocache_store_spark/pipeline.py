@@ -273,3 +273,53 @@ def build_corpus(
     for df in persisted:
         df.unpersist()
     return manifest
+
+
+def export_training_shards(
+    spark,
+    docs,
+    out_dir: str,
+    n_shards: int = 8,
+    merges=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """The final mile of the corpus build: order-randomize the kept
+    documents and cut them into `n_shards` reproducible shards for a
+    tokenizer/packing writer (operators/curation.py
+    plan_training_shards). With a `merges` table (train_bpe_merges) the
+    documents are BPE-encoded first and the packing cursor counts BPE
+    symbols; otherwise it counts whitespace tokens. Written
+    `partitionBy("shard")` after a shard repartition, so each shard is
+    its own file set and a downstream writer streams one shard per
+    task. Returns the per-shard summary (shard, n_docs, n_tokens) read
+    back from the written output — verifying the files, not the plan."""
+    from pyspark.sql import functions as F
+
+    from biocache_store_spark.functions.text import token_count
+    from biocache_store_spark.operators.bpe import apply_bpe
+    from biocache_store_spark.operators.curation import plan_training_shards
+
+    if merges is not None:
+        docs = apply_bpe(docs, merges, text_col=text_col)
+        tok_col = "bpe_tokens_count"
+    else:
+        docs = docs.withColumn("__n_tok", token_count(F.col(text_col)))
+        tok_col = "__n_tok"
+    planned = plan_training_shards(docs, n_shards, id_col=id_col, token_col=tok_col)
+    (
+        planned.withColumnRenamed(tok_col, "n_tok")
+        .repartition("shard")
+        .sortWithinPartitions("pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )

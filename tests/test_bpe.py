@@ -124,3 +124,42 @@ def test_word_freq_max_words_bound(spark):
 @pytest.fixture(scope="module")
 def sf_dir():
     return "/root/testdata/sf0.001"
+
+
+def test_cli_train_bpe_and_export_shards(spark, tmp_path):
+    """train-bpe -> export-shards round trip: shards partition the
+    corpus, positions are dense per shard, and the token cursor is the
+    running sum of the previous documents' BPE token counts."""
+    from biocache_store_spark.cli import main
+
+    store = str(tmp_path / "docs")
+    texts = ["low lower newest"] * 4 + ["widest newest low"] * 4
+    _corpus(spark, texts).write.parquet(store)
+
+    merges_path = str(tmp_path / "merges")
+    assert main(
+        ["train-bpe", "--in", store, "--n-merges", "6", "--out", merges_path]
+    ) == 0
+    assert spark.read.parquet(merges_path).count() == 6
+
+    shards = str(tmp_path / "shards")
+    assert main([
+        "export-shards", "--in", store, "--n-shards", "2",
+        "--merges", merges_path, "--out", shards,
+    ]) == 0
+    out = spark.read.parquet(shards)
+    assert out.count() == 8
+    rows = sorted(
+        out.select("shard", "pos", "n_tok", "token_offset").collect(),
+        key=lambda r: (r["shard"], r["pos"]),
+    )
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) <= {0, 1}
+    for shard_rows in by_shard.values():
+        cursor = 0
+        for i, r in enumerate(shard_rows):
+            assert r["pos"] == i
+            assert r["token_offset"] == cursor
+            cursor += r["n_tok"]

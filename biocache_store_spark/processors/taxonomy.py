@@ -656,11 +656,16 @@ def match_names_spark(
             .agg(
                 F.min_by("lsid", "lsid").alias("__lsid"),
                 F.min_by("scientificName", "lsid").alias("__name"),
+                # distinct lsids sharing this (name, kingdom): >1 means an
+                # in-kingdom homonym no hint can resolve — the same
+                # __n_in_kingdom discipline the exact tiers keep, which a
+                # bare min_by collapse would silently hide
+                F.count_distinct("lsid").alias("__nl"),
             )
         )
         d3 = binom.groupBy(F.substring("__g", 1, 4).alias("__key3")).agg(
             F.collect_list(
-                F.struct("__g", "__e", "__kingdom", "__lsid", "__name")
+                F.struct("__g", "__e", "__kingdom", "__lsid", "__name", "__nl")
             ).alias("__t3cands")
         )
         rec_toks = F.split(rec_name_key, r"\s+")
@@ -694,6 +699,7 @@ def match_names_spark(
                         c["__lsid"].alias("lsid"),
                         c["__name"].alias("name"),
                         c["__kingdom"].alias("kingdom"),
+                        c["__nl"].alias("nl"),
                     ),
                 ),
                 lambda s: s["d"] <= F.lit(int(fuzzy_max_distance)),
@@ -710,10 +716,14 @@ def match_names_spark(
         k_set = F.filter(best_set, lambda s: s["kingdom"] == rec_kingdom)
         k_best = F.array_min(k_set)
         k_lsids = F.array_distinct(F.transform(k_set, lambda s: s["lsid"]))
+        # a candidate row carrying an in-kingdom homonym (nl > 1) can
+        # never be a confident match: its min_by lsid hides siblings
+        no_hidden = F.size(F.filter(best_set, lambda s: s["nl"] > 1)) == 0
+        k_no_hidden = F.size(F.filter(k_set, lambda s: s["nl"] > 1)) == 0
         t3 = F.when(
             best.isNotNull(),
             F.when(
-                F.size(best_lsids) == 1,
+                (F.size(best_lsids) == 1) & no_hidden,
                 F.struct(
                     best["lsid"].alias("lsid"),
                     best["name"].alias("name"),
@@ -721,7 +731,7 @@ def match_names_spark(
                 ),
             )
             .when(
-                (rec_kingdom != "") & (F.size(k_lsids) == 1),
+                (rec_kingdom != "") & (F.size(k_lsids) == 1) & k_no_hidden,
                 F.struct(
                     k_best["lsid"].alias("lsid"),
                     k_best["name"].alias("name"),

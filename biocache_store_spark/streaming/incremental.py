@@ -259,6 +259,16 @@ DOC_STREAM_SCHEMA = T.StructType(
 )
 
 
+def _index_dir_exists(spark: SparkSession, index_path: str, sub: str) -> bool:
+    """Seed-index existence check through the Hadoop FileSystem API —
+    os.path.isdir would reject a perfectly good s3a:// or hdfs:// index
+    the local filesystem never sees."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(index_path, sub)
+    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs.exists(path)
+
+
 def _marker_path(spark: SparkSession, index_path: str, batch_id: int):
     """(FileSystem, Path) for the per-batch append marker, resolved via
     the Hadoop FileSystem API so the idempotence guard works on any
@@ -320,7 +330,7 @@ def near_dup_stream(
         write_lsh_index,
     )
 
-    if not os.path.isdir(os.path.join(index_path, "sig")):
+    if not _index_dir_exists(spark, index_path, "sig"):
         raise ValueError(
             f"near_dup_stream: no LSH index at {index_path!r}; seed it with "
             "write_lsh_index on the initial corpus before streaming"
@@ -403,7 +413,7 @@ def semantic_dedup_stream(
         write_ivf_index,
     )
 
-    if not os.path.isdir(os.path.join(index_path, "cells")):
+    if not _index_dir_exists(spark, index_path, "cells"):
         raise ValueError(
             f"semantic_dedup_stream: no IVF index at {index_path!r}; seed it "
             "with write_ivf_index on the initial corpus before streaming"

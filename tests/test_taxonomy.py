@@ -294,3 +294,32 @@ def test_phonetic_key_folds():
     assert phonetic_key("novemaculeatus") == phonetic_key("novemaculeata")
     assert phonetic_key("Caeruleus") == phonetic_key("coeruleus")
     assert phonetic_key(None) is None
+
+
+def test_match_names_spark_fuzzy_in_kingdom_homonym(spark):
+    """Two distinct lsids sharing one (name, kingdom) are an in-kingdom
+    homonym no hint can resolve — the fuzzy tier must flag it like the
+    exact tiers (and the Python NameIndex _resolve) do, not collapse it
+    to the min lsid and report a confident typo match."""
+    from biocache_store_spark.processors.taxonomy import match_names_spark
+
+    names = spark.createDataFrame(
+        [("l1", "Abies alba", "Plantae"),
+         ("l2", "Abies alba", "Plantae"),     # same name+kingdom, other lsid
+         ("l3", "Abies magnifica", "Plantae")],
+        "lsid string, scientificName string, kingdom string",
+    )
+    records = spark.createDataFrame(
+        [("r1", "Abies albax", None, None, None),      # typo -> dup target
+         ("r2", "Abies albax", None, None, "Plantae"), # kingdom can't help
+         ("r3", "Abies magnifica", None, None, None),  # exact, unaffected
+         ("r4", "Abies magnifcia", None, None, None)], # typo -> clean target
+        "id string, scientificName string, genus string, "
+        "specificEpithet string, kingdom string",
+    )
+    out = {r["id"]: r for r in match_names_spark(records, names).collect()}
+    assert out["r1"]["matched_lsid"] is None and out["r1"]["is_homonym"]
+    assert out["r2"]["matched_lsid"] is None and out["r2"]["is_homonym"]
+    assert out["r3"]["match_type"] == "exactMatch"
+    assert out["r4"]["match_type"] == "fuzzyMatch"
+    assert out["r4"]["matched_lsid"] == "l3"

@@ -356,15 +356,22 @@ def cmd_resource_cleanup(args) -> int:
     else:
         print(f"resource-cleanup: unknown type {args.type!r}", file=sys.stderr)
         return 2
-    n = log.count()
-    if args.test:
-        print(f"[test] {label}: {n} (nothing written)")
-        for row in log.limit(20).collect():
-            print("  ", row.asDict())
-        return 0
-    out.write.mode("overwrite").parquet(args.out)
-    if args.log:
-        log.write.mode("overwrite").parquet(args.log)
+    # the log is small (one row per change) — persist it so the count,
+    # the preview and the optional log write don't each re-run the full
+    # cleanup transform over a store that may be TBs
+    log.persist()
+    try:
+        n = log.count()
+        if args.test:
+            print(f"[test] {label}: {n} (nothing written)")
+            for row in log.limit(20).collect():
+                print("  ", row.asDict())
+            return 0
+        out.write.mode("overwrite").parquet(args.out)
+        if args.log:
+            log.write.mode("overwrite").parquet(args.log)
+    finally:
+        log.unpersist()
     print(f"resource-cleanup {args.type} on {args.dr}: {label}: {n} -> {args.out}")
     return 0
 
@@ -378,7 +385,10 @@ def cmd_remap_unique_key(args) -> int:
     df = _read(spark, args.inp)
     mapping = remap_unique_keys(df, _split(args.drs), _split(args.fields))
     mapping.write.mode("overwrite").parquet(args.out)
-    print(f"remapped {mapping.count()} keys -> {args.out}")
+    # count the WRITTEN parquet (row-group metadata, no recompute) rather
+    # than re-running the remap transform a second time
+    n = spark.read.parquet(args.out).count()
+    print(f"remapped {n} keys -> {args.out}")
     return 0
 
 
@@ -731,21 +741,48 @@ def cmd_migrate_media(args) -> int:
     spark = _spark(args)
     from pyspark.sql import functions as F
 
-    from biocache_store_spark.operators.multimodal import migrate_media
+    from biocache_store_spark.operators.multimodal import (
+        migrate_media,
+        migrate_media_candidates,
+    )
 
     if not args.dry_run and not args.out:
         print("migrate-media: --out is required unless --dry-run", file=sys.stderr)
         return 2
     stored = _read(spark, args.store) if args.store else None
-    new_rows = migrate_media(_read(spark, args.inp), stored)
+    records = _read(spark, args.inp)
     if args.dry_run:
+        # the reference's dryRun counts candidates WITHOUT fetching —
+        # counting over migrate_media output would execute the entire
+        # backlog's downloads just to preview it
+        n = migrate_media_candidates(records, stored).count()
+        print(json.dumps({"to_migrate": n}))
+        return 0
+    new_rows = migrate_media(records, stored)
+    # one fetch pass feeds both the append and the counts
+    new_rows.persist()
+    try:
         counts = new_rows.agg(
             F.count(F.lit(1)).alias("to_migrate"),
             F.sum(F.col("fetch_ok").cast("int")).alias("fetched"),
         ).collect()[0]
-        print(json.dumps({k: counts[k] for k in ("to_migrate", "fetched")}, default=str))
-    else:
-        new_rows.write.mode("append").parquet(args.out)
+        # append ONLY successful fetches: a failed (record, url) row in
+        # the store would satisfy the candidate anti-join and block every
+        # future retry of that URL
+        new_rows.filter(F.col("fetch_ok")).write.mode("append").parquet(args.out)
+    finally:
+        new_rows.unpersist()
+    failed = counts["to_migrate"] - (counts["fetched"] or 0)
+    print(
+        json.dumps(
+            {
+                "to_migrate": counts["to_migrate"],
+                "fetched": counts["fetched"],
+                "failed": failed,
+            },
+            default=str,
+        )
+    )
     return 0
 
 
@@ -782,11 +819,12 @@ def cmd_scan_records(args) -> int:
     spark = _spark(args)
     from pyspark.sql import functions as F
 
+    from biocache_store_spark.operators.maintenance import is_deleted_flag
+
     df = _read(spark, args.inp)
+    # the store's shared flag convention: ''/'false' rows are LIVE
     deleted = (
-        F.sum(
-            (F.col("deleted").isNotNull() & (F.col("deleted") != "")).cast("long")
-        )
+        F.sum(is_deleted_flag(F.col("deleted")).cast("long"))
         if "deleted" in df.columns
         else F.lit(0)
     )

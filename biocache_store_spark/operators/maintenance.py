@@ -13,7 +13,7 @@ Ports of the reference's delete/upsert surface (SURVEY.md §2.2):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -111,9 +111,40 @@ def snapshot_diff(
 
 # --- resource cleanup (tool/ResourceCleanupTask.scala) -------------------
 
-# columns the reference never strips (ResourceCleanupTask.scala:135,
-# valuesToIgnore) plus the identity/partition columns this engine adds
-_CLEANUP_PROTECTED = ("rowKey", "uuid", "originalSensitiveValues", "dataResourceUid")
+# columns the reference never strips (ResourceCleanupTask.scala:133,
+# valuesToIgnore) plus the identity/partition columns this engine adds,
+# PLUS the store's bookkeeping columns. The reference only ever deletes
+# fields for which `fullRecord.hasNestedProperty(fieldName)` holds
+# (ResourceCleanupTask.scala:140) — i.e. raw DwC record properties —
+# so lifecycle columns like the deleted flag and lastModifiedTime are
+# structurally immune there. This engine stores them alongside the raw
+# columns in one table, so they must be protected explicitly: nulling
+# lastModifiedTime would make a later `rows` cleanup treat every record
+# as stale (its no-lastModified branch deletes unconditionally), and
+# nulling `deleted`/`processed`/`assertions` destroys store state no
+# column cleanup is licensed to touch.
+_CLEANUP_PROTECTED = (
+    "rowKey",
+    "uuid",
+    "originalSensitiveValues",
+    "dataResourceUid",
+    "deleted",
+    "dateDeleted",
+    "lastModifiedTime",
+    "firstLoaded",
+    "processed",
+    "assertions",
+    "userAssertions",
+)
+
+
+def is_deleted_flag(col: Column) -> Column:
+    """The store's deleted-flag convention in one place: the flag holds a
+    deletion-date STRING, so any value other than null/''/'false' means
+    deleted ('false' is accepted so BooleanType columns cast cleanly).
+    Shared by cleanup_rows, remove_deleted_records, the index projection
+    and the scan-records CLI so no consumer re-implements the test."""
+    return ~F.coalesce(col.cast("string"), F.lit("")).isin("", "false")
 
 
 def cleanup_rows(
@@ -139,9 +170,7 @@ def cleanup_rows(
     in_dr = F.col(dr_col) == data_resource_uid
     lm = F.col(modified_col).cast("string")
     stale = lm.isNull() | (lm == "") | (lm < last_load_date)
-    was_deleted = ~F.coalesce(F.col(deleted_col).cast("string"), F.lit("")).isin(
-        "", "false"
-    )
+    was_deleted = is_deleted_flag(F.col(deleted_col))
     when_deleted = (
         F.lit(delete_time)
         if delete_time is not None
@@ -241,9 +270,7 @@ def remove_deleted_records(
     (ResourceCleanupTask.scala:352-385) with the same double condition
     (the deleted flag alone is not enough; a record refreshed after the
     date survives even if still flagged)."""
-    is_deleted = ~F.coalesce(F.col(deleted_col).cast("string"), F.lit("")).isin(
-        "", "false"
-    )
+    is_deleted = is_deleted_flag(F.col(deleted_col))
     lm = F.col(modified_col).cast("string")
     cond = (
         (F.col(dr_col) == data_resource_uid)

@@ -673,6 +673,34 @@ def load_media_references(
     )
 
 
+def migrate_media_candidates(
+    records: DataFrame,
+    stored: DataFrame | None,
+    record_id_col: str = "record_id",
+    associated_media_col: str = "associatedMedia",
+) -> DataFrame:
+    """The (record_id, url) pairs a migration sweep would fetch — the
+    candidate set of MigrateMedia.scala:35-58 (split associatedMedia,
+    skip alreadyStored) WITHOUT running any transport, so the CLI's
+    --dry-run can count the backlog exactly like the reference's dryRun:
+    no download, no bytes moved. `stored` None means an empty store."""
+    todo = records.select(
+        F.col(record_id_col).alias("record_id"),
+        F.explode(
+            unpack_associated_media(F.col(associated_media_col))
+        ).alias("url"),
+    ).dropDuplicates(["record_id", "url"])
+    if stored is not None:
+        # accept either migrate_media's own flat output (url column) or
+        # the MEDIA_SCHEMA store (url nested under metadata)
+        stored_url = (
+            F.col("url") if "url" in stored.columns else F.col("metadata.url")
+        )
+        already = stored.select(F.col("record_id"), stored_url.alias("url"))
+        todo = todo.join(already, ["record_id", "url"], "left_anti")
+    return todo
+
+
 def migrate_media(
     records: DataFrame,
     stored: DataFrame | None,
@@ -681,29 +709,22 @@ def migrate_media(
     transport=default_transport,
 ) -> DataFrame:
     """Fetch every associatedMedia file not already in the media store —
-    the MigrateMedia sweep (MigrateMedia.scala:35-58: split
-    associatedMedia, skip alreadyStored, save the rest) as set algebra:
-    explode the unpacked media lists, anti-join the (record, url) pairs
-    already stored, and run the survivors through the distributed
-    fetch_media pass. Returns the NEW store rows (record_id, url,
-    content, mime_type, media_id = sha1 of content) ready to append;
-    failed fetches keep fetch_ok = false for the caller's retry/log
-    path. `stored` None means an empty store (first migration)."""
-    todo = records.select(
-        F.col(record_id_col).alias("record_id"),
-        F.explode(
-            unpack_associated_media(F.col(associated_media_col))
-        ).alias("url"),
-    ).dropDuplicates(["record_id", "url"])
-    if stored is not None:
-        # accept either this function's own flat output (url column) or
-        # the MEDIA_SCHEMA store (url nested under metadata)
-        stored_url = (
-            F.col("url") if "url" in stored.columns else F.col("metadata.url")
-        )
-        already = stored.select(F.col("record_id"), stored_url.alias("url"))
-        todo = todo.join(already, ["record_id", "url"], "left_anti")
-    fetched = fetch_media(todo, url_col="url", record_id_col="record_id")
+    the MigrateMedia sweep (MigrateMedia.scala:35-58) as set algebra:
+    migrate_media_candidates picks the (record, url) pairs, then the
+    distributed fetch_media pass downloads them. Returns the NEW store
+    rows (record_id, url, content, mime_type, media_id = sha1 of
+    content); failed fetches keep fetch_ok = false for the caller's
+    retry/log path — callers appending to the store must append ONLY the
+    fetch_ok rows, or the anti-join above will treat the failure as
+    already-stored and never retry it (the CLI does exactly this
+    split). `stored` None means an empty store (first migration)."""
+    todo = migrate_media_candidates(
+        records, stored, record_id_col=record_id_col,
+        associated_media_col=associated_media_col,
+    )
+    fetched = fetch_media(
+        todo, url_col="url", record_id_col="record_id", transport=transport
+    )
     return fetched.select(
         "record_id",
         "url",

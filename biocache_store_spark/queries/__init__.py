@@ -54,9 +54,9 @@ def register(
 
 # The external driver oracle-checks a 50-slot prefix of the registry per
 # round. Round-6 rotation (VERDICT r5 "Next round" #1): queries whose
-# behavior changed this round first, then the three never-driver-checked
+# behavior changed this round first, then the four never-driver-checked
 # round-6 additions, then the stale tiers (11 r3-era shapes before the
-# r4-era tier). Eleven simple untouched r4-era shapes (positions 51-61)
+# r4-era tier). Twelve simple untouched r4-era shapes (positions 51-62)
 # overflow the prefix and rotate in next round; the 50 entries driver-green
 # in CORRECTNESS_r05 yield their slots entirely.
 HEAD: tuple[str, ...] = (

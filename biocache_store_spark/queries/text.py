@@ -269,9 +269,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   * size >= 2 drops singleton shingles (the vast majority) before
     #     any pair work;
     #   * the viral-3-gram guard is TWO-REGIME, picked by a parquet
-    #     metadata row count. Small corpora (n_docs <= the SCALE.md-
-    #     measured-safe 50k) keep the single-pass plan with the static
-    #     df cap 1000: every df tier a small corpus can produce is
+    #     metadata row count. Small corpora (n_docs <=
+    #     _NGRAM_BUDGET_MIN_DOCS = 20k; SCALE.md puts the measured
+    #     crossover between 5k and 50k docs and the constant sits
+    #     conservatively inside it) keep the single-pass plan with the
+    #     static df cap 1000: every df tier a small corpus can produce is
     #     per-bucket bounded (a full-cap bucket is >= 5% of the corpus),
     #     and the second shingle pass the dynamic budget needs would
     #     cost more than it saves (measured crossover in SCALE.md).

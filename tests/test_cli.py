@@ -422,13 +422,16 @@ def test_cli_migrate_media_and_references(spark, tmp_path, capsys):
         [("r1", f"file://{img}")], "record_id string, associatedMedia string"
     ).write.parquet(records_path)
 
+    # dry-run counts candidates WITHOUT fetching (the reference's dryRun):
+    # no fetched/failed keys because no transport ran
     assert main(["migrate-media", "--in", records_path, "--dry-run"]) == 0
-    assert json.loads(capsys.readouterr().out.strip()) == {
-        "to_migrate": 1, "fetched": 1,
-    }
+    assert json.loads(capsys.readouterr().out.strip()) == {"to_migrate": 1}
 
     store_path = str(tmp_path / "store")
     assert main(["migrate-media", "--in", records_path, "--out", store_path]) == 0
+    assert json.loads(capsys.readouterr().out.strip()) == {
+        "to_migrate": 1, "fetched": 1, "failed": 0,
+    }
     refs_path = str(tmp_path / "refs")
     assert main([
         "media-references", "--store", store_path,
@@ -438,6 +441,34 @@ def test_cli_migrate_media_and_references(spark, tmp_path, capsys):
     assert len(out) == 1 and len(out[0]["images"]) == 1
 
 
+def test_cli_migrate_media_failed_fetch_stays_retryable(spark, tmp_path, capsys):
+    """A failed fetch must NOT enter the store: a null-content row would
+    satisfy the candidate anti-join and permanently block retrying that
+    URL. The failed pair stays a candidate for the next sweep."""
+    img = tmp_path / "ok.jpg"
+    img.write_bytes(b"\xff\xd8okbytes")
+    records_path = str(tmp_path / "records")
+    spark.createDataFrame(
+        [("r1", f"file://{img}"), ("r2", f"file://{tmp_path}/missing.jpg")],
+        "record_id string, associatedMedia string",
+    ).write.parquet(records_path)
+
+    store_path = str(tmp_path / "store")
+    assert main(["migrate-media", "--in", records_path, "--out", store_path]) == 0
+    assert json.loads(capsys.readouterr().out.strip()) == {
+        "to_migrate": 2, "fetched": 1, "failed": 1,
+    }
+    stored = spark.read.parquet(store_path)
+    assert [r["record_id"] for r in stored.collect()] == ["r1"]
+
+    # second sweep against the store: the failed URL is STILL a candidate
+    assert main([
+        "migrate-media", "--in", records_path, "--store", store_path,
+        "--dry-run",
+    ]) == 0
+    assert json.loads(capsys.readouterr().out.strip()) == {"to_migrate": 1}
+
+
 def test_cli_debug_and_scan(spark, tmp_path, capsys):
     """debug-record (rowKey + uuid fallback) and scan-records (totals,
     deleted, aggregate counts, csv) — util/DebugRecord.scala,
@@ -445,7 +476,11 @@ def test_cli_debug_and_scan(spark, tmp_path, capsys):
     store = str(tmp_path / "occ")
     spark.createDataFrame(
         [("rk1", "u1", "dr1", ""), ("rk2", "u2", "dr1", "2024-01-01"),
-         ("rk3", "u3", "dr2", "")],
+         ("rk3", "u3", "dr2", ""),
+         # 'false' is LIVE under the store's shared flag convention
+         # (operators/maintenance.py is_deleted_flag) — scan-records must
+         # agree with cleanup/index, not re-implement the test
+         ("rk4", "u4", "dr2", "false")],
         "rowKey string, uuid string, dataResourceUid string, deleted string",
     ).write.parquet(store)
 
@@ -463,9 +498,9 @@ def test_cli_debug_and_scan(spark, tmp_path, capsys):
         "--csv", csv,
     ]) == 0
     out = json.loads(capsys.readouterr().out)
-    assert out["scanned"] == 3 and out["deleted"] == 1
-    assert out["aggregate"] == {"dr1": 2, "dr2": 1}
-    assert open(csv).read().splitlines() == ["dr1,2", "dr2,1"]
+    assert out["scanned"] == 4 and out["deleted"] == 1
+    assert out["aggregate"] == {"dr1": 2, "dr2": 2}
+    assert open(csv).read().splitlines() == ["dr1,2", "dr2,2"]
 
 
 def test_cli_resource_cleanup_and_remap(spark, tmp_path, capsys):

@@ -259,6 +259,42 @@ def test_cleanup_columns_keep_and_delete_lists(spark):
     assert dict(out2.dtypes)["version"] == "int"
 
 
+def test_cleanup_columns_protects_bookkeeping(spark):
+    """Keep-mode must never null the store's lifecycle columns: the
+    reference only strips FullRecord raw properties
+    (ResourceCleanupTask.scala:140 hasNestedProperty guard), so deleted /
+    lastModifiedTime / processed are structurally immune there. Nulling
+    lastModifiedTime here would make a later rows-cleanup delete the
+    whole resource unconditionally (its no-lastModified branch)."""
+    from biocache_store_spark.operators.maintenance import (
+        cleanup_columns,
+        cleanup_rows,
+    )
+
+    table = spark.createDataFrame(
+        [("r1", "dr1", "cat1", "", "2024-06-01T00:00:00Z", "proc1")],
+        "rowKey string, dataResourceUid string, catalogNumber string,"
+        " deleted string, lastModifiedTime string, processed string",
+    )
+    out, report = cleanup_columns(table, "dr1", ["nothing_kept"], keep=True)
+    row = out.collect()[0]
+    assert row["catalogNumber"] is None  # raw column: cleared
+    assert row["deleted"] == ""  # bookkeeping: untouched
+    assert row["lastModifiedTime"] == "2024-06-01T00:00:00Z"
+    assert row["processed"] == "proc1"
+    assert {r["column"] for r in report.collect()} == {"catalogNumber"}
+    # the poison sequence from the review: columns cleanup then rows
+    # cleanup — the record was refreshed after last_load_date, so it
+    # must survive, which requires lastModifiedTime to have survived
+    rewritten, changes = cleanup_rows(out, "dr1", "2024-01-01T00:00:00Z")
+    assert rewritten.collect()[0]["deleted"] == ""
+    assert changes.count() == 0
+    # delete-mode can't strip protected columns either, even if listed
+    out2, _ = cleanup_columns(table, "dr1", ["deleted", "catalogNumber"], keep=False)
+    row2 = out2.collect()[0]
+    assert row2["deleted"] == "" and row2["catalogNumber"] is None
+
+
 def test_remove_deleted_records_double_condition(spark):
     from biocache_store_spark.operators.maintenance import remove_deleted_records
 

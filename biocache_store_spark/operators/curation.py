@@ -24,6 +24,8 @@ once on the stratum key with a single window pass.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -366,6 +368,144 @@ def bigram_lm_score(
         F.round(hits * F.lit(1.0) / n_bg, 4).alias("hit_rate"),
         F.round(numer * F.lit(1.0) / denom, 8).alias("lm_score"),
     )
+
+
+def hashed_feature_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hex: int = 3,
+) -> DataFrame:
+    """Hashed n-gram bag features: every word unigram ('u|tok') and
+    bigram ('b|w1 w2') of a document, hashed into 16^n_hex buckets by
+    the first n_hex chars of its md5 hex — the feature family of DSIR
+    (Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling"). Buckets are STRING keys (hex prefixes) so any engine
+    reproduces them exactly; multiplicity is preserved (bag, not set).
+    Returns (id, bucket) one row per feature OCCURRENCE — callers
+    aggregate map-side before any shuffle. Documents with no tokens
+    contribute no rows."""
+    toks = F.filter(words(F.col(text_col)), lambda t: t != "")
+    with_toks = docs.select(F.col(id_col), toks.alias("__toks"))
+    uni = F.transform(F.col("__toks"), lambda t: F.concat(F.lit("u|"), t))
+    bi = F.when(
+        F.size("__toks") > 1,
+        F.expr(
+            "transform(sequence(0, size(__toks)-2),"
+            " i -> concat('b|', __toks[i], ' ', __toks[i+1]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = with_toks.select(
+        F.col(id_col), F.explode(F.concat(uni, bi)).alias("__f")
+    )
+    return exploded.select(
+        F.col(id_col), F.substring(F.md5("__f"), 1, n_hex).alias("bucket")
+    )
+
+
+def dsir_importance(
+    train_docs: DataFrame,
+    target_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hex: int = 3,
+) -> DataFrame:
+    """DSIR-style importance weighting over hashed n-gram bag features
+    (Xie et al. 2023): score each raw-corpus document by how much more
+    probable its features are under the TARGET (trusted) corpus's
+    hashed-n-gram distribution than under the raw corpus's own.
+
+    Engine-exact deviation, documented: exact DSIR uses the log-ratio
+    sum Σ c_f·(log p_f − log q_f) (a geometric mean of per-feature
+    ratios) — transcendental and summation-order-sensitive. Following
+    this module's rational-arithmetic discipline (see bigram_lm_score),
+    the score here is the ARITHMETIC-mean analog with the same add-one
+    smoothing over B = 16^n_hex buckets:
+
+        importance = [Σ c_b·(cp_b+1)] · (Nq+B)
+                     ─────────────────────────
+                     [Σ c_b·(cq_b+1)] · (Np+B)
+
+    i.e. the ratio of the document's mean smoothed target-probability to
+    its mean smoothed raw-probability. Integer sums in any order, ONE
+    double expression at the end — bit-identical across engines and
+    partitionings, and monotone in the same direction as the DSIR
+    weight (>1 = more target-like).
+
+    Scale shape: the target corpus is a dimension by construction (a
+    trusted corpus, not the 100 TB raw set), and BOTH per-bucket count
+    tables collapse to at most B = 16^n_hex rows (4096 at the default)
+    with map-side partial aggregation, so they broadcast; the only
+    full-size shuffle is the per-document bucket rollup on the doc key.
+    Documents with no features are omitted (no tokens = no evidence).
+
+    Returns (id, n_feats, importance) with importance rounded to 8."""
+    b_total = 16**n_hex
+    tgt = hashed_feature_buckets(target_docs, id_col, text_col, n_hex)
+    raw = hashed_feature_buckets(train_docs, id_col, text_col, n_hex)
+    # ONE feature pass over each corpus: the per-doc rollup is the only
+    # corpus-size aggregation; cq/nq fold further from its output and
+    # np from cp (<= B-row inputs), so the raw-corpus explode+shuffle is
+    # shared by all three via exchange reuse rather than recomputed
+    doc = raw.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("c"))
+    cp = tgt.groupBy("bucket").agg(F.count(F.lit(1)).alias("cp"))
+    np_ = cp.agg(F.sum("cp").alias("np"))
+    cq = doc.groupBy("bucket").agg(F.sum("c").alias("cq"))
+    nq = cq.agg(F.sum("cq").alias("nq"))
+    joined = (
+        doc.join(F.broadcast(cp), "bucket", "left")
+        .join(F.broadcast(cq), "bucket", "left")
+        .crossJoin(F.broadcast(np_))
+        .crossJoin(F.broadcast(nq))
+    )
+    num = F.sum(F.col("c") * (F.coalesce(F.col("cp"), F.lit(0)) + 1))
+    den = F.sum(F.col("c") * (F.coalesce(F.col("cq"), F.lit(0)) + 1))
+    # np/nq are constant within every group; first() keeps them through
+    # the aggregation without a re-join
+    importance = F.round(
+        (num.cast("double") * (F.first("nq") + F.lit(b_total)).cast("double"))
+        / (den.cast("double") * (F.first("np") + F.lit(b_total)).cast("double")),
+        8,
+    )
+    return joined.groupBy(id_col).agg(
+        F.sum("c").alias("n_feats"), importance.alias("importance")
+    )
+
+
+def dsir_select(
+    weights: DataFrame,
+    top_fraction: float | None = None,
+    threshold: float | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Select documents by importance weight — the resampling step of
+    DSIR, deterministic (no Gumbel noise; ties broken by id so any
+    engine reproduces the exact selection).
+
+    Two regimes, exactly one of which must be given:
+      * threshold — keep importance >= threshold. The 100 TB path: a
+        pure filter, no global ordering; derive the threshold once from
+        a quantile of the weight distribution (approx on a sample, or
+        exact via the top_fraction path on a small slice).
+      * top_fraction — keep the exact top ceil(fraction·n) by
+        (importance DESC, id). Exact selection requires a total order,
+        which Spark computes as an unpartitioned window (single-task
+        sort over (id, importance) pairs only — narrow rows, but still
+        a one-node sort): right for dimension-to-moderate inputs and
+        for deriving thresholds, not for the full 100 TB corpus.
+
+    Returns the input plus rank (top_fraction regime only) and a
+    `selected` boolean."""
+    from pyspark.sql.window import Window
+
+    if (top_fraction is None) == (threshold is None):
+        raise ValueError("dsir_select: give exactly one of top_fraction/threshold")
+    if threshold is not None:
+        return weights.withColumn("selected", F.col("importance") >= threshold)
+    w = Window.orderBy(F.col("importance").desc(), F.col(id_col))
+    ranked = weights.withColumn("rank", F.row_number().over(w))
+    k = math.ceil(weights.count() * top_fraction)
+    return ranked.withColumn("selected", F.col("rank") <= F.lit(int(k)))
 
 
 def plan_training_shards(

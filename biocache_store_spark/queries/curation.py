@@ -1108,3 +1108,91 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merged",
         "pair_count",
     )
+
+
+@register(
+    "dsir_selection",
+    doc=(
+        "DSIR-style data selection by importance resampling "
+        "(operators/curation.py dsir_importance/dsir_select; Xie et al. "
+        "2023): hashed n-gram bag features (word unigrams+bigrams md5-"
+        "hashed into 4096 hex-prefix buckets), per-document importance = "
+        "ratio of mean add-one-smoothed target-corpus probability to mean "
+        "raw-corpus probability of its features (the module's rational-"
+        "arithmetic analog of the DSIR log-ratio — integer sums, one "
+        "double expression), then exact deterministic top-25% selection "
+        "ranked by (importance DESC, doc_id). Source 'src0' stands in as "
+        "the trusted target corpus. Scale shape: both per-bucket count "
+        "tables collapse to <= 4096 rows and broadcast; the only corpus-"
+        "size shuffle is the per-document bucket rollup; at 100 TB the "
+        "selection step switches to dsir_select's threshold regime (pure "
+        "filter, no total order)."
+    ),
+    oracle=rf"""
+        WITH w AS (
+            SELECT doc_id, source,
+                   list_filter({_TOKS}, t -> t <> '') AS toks
+            FROM documents
+        ),
+        uni AS (
+            SELECT doc_id, source, 'u|' || t AS f
+            FROM (SELECT doc_id, source, unnest(toks) AS t FROM w)
+        ),
+        bi AS (
+            SELECT doc_id, source, 'b|' || toks[i] || ' ' || toks[i+1] AS f
+            FROM (SELECT doc_id, source, toks,
+                         unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS i
+                  FROM w)
+        ),
+        feats AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+        bucketed AS (
+            SELECT doc_id, source, substr(md5(f), 1, 3) AS b FROM feats
+        ),
+        tgt AS (SELECT b, COUNT(*) AS cp FROM bucketed WHERE source = 'src0' GROUP BY b),
+        tgt_tot AS (SELECT COUNT(*) AS np FROM bucketed WHERE source = 'src0'),
+        rawb AS (SELECT b, COUNT(*) AS cq FROM bucketed WHERE source <> 'src0' GROUP BY b),
+        raw_tot AS (SELECT COUNT(*) AS nq FROM bucketed WHERE source <> 'src0'),
+        doc AS (
+            SELECT doc_id, b, COUNT(*) AS c FROM bucketed
+            WHERE source <> 'src0' GROUP BY doc_id, b
+        ),
+        scored AS (
+            SELECT d.doc_id,
+                   CAST(SUM(d.c) AS BIGINT) AS n_feats,
+                   ROUND(
+                       (CAST(SUM(d.c * (COALESCE(t.cp, 0) + 1)) AS DOUBLE)
+                        * CAST(ANY_VALUE(r2.nq) + 4096 AS DOUBLE))
+                       / (CAST(SUM(d.c * (COALESCE(r.cq, 0) + 1)) AS DOUBLE)
+                          * CAST(ANY_VALUE(t2.np) + 4096 AS DOUBLE)),
+                       8) AS importance
+            FROM doc d
+            LEFT JOIN tgt t USING (b)
+            LEFT JOIN rawb r USING (b)
+            CROSS JOIN tgt_tot t2
+            CROSS JOIN raw_tot r2
+            GROUP BY d.doc_id
+        ),
+        ranked AS (
+            SELECT doc_id, n_feats, importance,
+                   ROW_NUMBER() OVER (ORDER BY importance DESC, doc_id) AS rank,
+                   COUNT(*) OVER () AS n
+            FROM scored
+        )
+        SELECT doc_id, n_feats, importance, CAST(rank AS INT) AS rank,
+               rank <= CAST(CEIL(n * 0.25) AS BIGINT) AS selected
+        FROM ranked
+    """,
+)
+def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.curation import (
+        dsir_importance,
+        dsir_select,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    weights = dsir_importance(train, target)
+    return dsir_select(weights, top_fraction=0.25).select(
+        "doc_id", "n_feats", "importance", "rank", "selected"
+    )

@@ -291,3 +291,50 @@ def test_plan_training_shards_layout(spark):
         for r in rows:
             assert r["token_offset"] == off
             off += r["n_tok"]
+
+
+def test_dsir_importance_ranks_target_like_docs(spark):
+    """DSIR importance (operators/curation.py dsir_importance): a raw
+    document built from the target corpus's vocabulary must outscore one
+    from a disjoint vocabulary; weights are partitioning-independent and
+    docs with no tokens are omitted."""
+    from biocache_store_spark.operators.curation import (
+        dsir_importance,
+        dsir_select,
+    )
+
+    target = spark.createDataFrame(
+        [(100 + i, "the quick brown fox jumps over the lazy dog") for i in range(4)],
+        "doc_id int, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),   # target-like
+            (2, "zzz qqq vvv kkk www yyy"),          # disjoint vocab
+            (3, ""),                                  # no features -> omitted
+        ],
+        "doc_id int, text string",
+    )
+    w = {r["doc_id"]: r for r in dsir_importance(train, target).collect()}
+    assert set(w) == {1, 2}
+    assert w[1]["importance"] > w[2]["importance"]
+    # partitioning independence (the integer-sum discipline)
+    w7 = {
+        r["doc_id"]: r["importance"]
+        for r in dsir_importance(train.repartition(7), target.repartition(5)).collect()
+    }
+    assert w7 == {k: r["importance"] for k, r in w.items()}
+    # threshold regime: pure filter, no rank column
+    sel = dsir_select(
+        dsir_importance(train, target), threshold=w[1]["importance"]
+    )
+    picked = {r["doc_id"] for r in sel.collect() if r["selected"]}
+    assert picked == {1}
+    assert "rank" not in sel.columns
+    # exactly one of the two regimes must be given
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dsir_select(dsir_importance(train, target))
+    with _pytest.raises(ValueError):
+        dsir_select(dsir_importance(train, target), top_fraction=0.5, threshold=1.0)

@@ -91,21 +91,26 @@ def test_sketch_estimate_join_broadcasts_the_sketch(spark, sf_dir):
 def test_ngram_jaccard_is_posting_list_with_count_first_cap(spark, sf_dir):
     """ngram_jaccard_pairs must keep the budgeted posting-list shape (r6):
     pairs come from double-exploding per-shingle doc lists — no pair
-    self-join, no sort-merge join — the df guard runs COUNT-FIRST (count
-    aggregate + left-semi prefilter on `sh`) so collect_list never
-    materializes a viral shingle's full posting list in one aggregation
-    buffer, and the dynamic candidate budget resolves to 1-row broadcast
-    builds (the admitted-df threshold and the doc count), never a
-    record-sized nested-loop side. The single Window is the cumulative
-    pair sum over the tiny df histogram."""
+    self-join, no sort-merge join. In the large-corpus (dynamic-budget)
+    regime the df guard runs COUNT-FIRST (count aggregate + left-semi
+    prefilter on `sh`) so collect_list never materializes a viral
+    shingle's full posting list in one aggregation buffer, and the
+    dynamic candidate budget resolves to 1-row broadcast builds (the
+    admitted-df threshold and the doc count), never a record-sized
+    nested-loop side; the single Window is the cumulative pair sum over
+    the tiny df histogram. In the small-corpus (static) regime df is
+    corpus-bounded, so the guard folds into the one collecting
+    aggregation as a size() filter — no second shingle pass."""
     import biocache_store_spark.queries.text as qtext
     from biocache_store_spark.queries import load_all
 
     q = load_all()["ngram_jaccard_pairs"]
-    # small-corpus regime (test SFs): single-pass static-cap plan — one
-    # semi join, no window, no nested loop, no second shingle pass
+    # small-corpus regime (test SFs): single-pass static-cap plan — the df
+    # guard is folded into the collecting aggregation as a size() filter
+    # (no semi join, no window, no nested loop, no second shingle pass)
     plan = _plan(q.spark_fn(spark, sf_dir))
-    assert plan.count("LeftSemi") == 1
+    assert plan.count("LeftSemi") == 0
+    assert "size(docs" in plan  # folded df guard on the posting list
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan  # no pair-generating self-join

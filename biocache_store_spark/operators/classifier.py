@@ -1,0 +1,142 @@
+"""In-engine multinomial Naive Bayes text classifier over hashed n-gram
+bag features — the model-based quality/language/domain filter of
+large-corpus curation pipelines (the role fastText classifiers play in
+CCNet-style curation), trained and applied entirely in DataFrame ops.
+
+Why Naive Bayes and not logistic regression: training is pure counting —
+one groupBy per statistic, integer arithmetic, no iterative float
+updates — so the trained model reproduces bit-identically on any engine
+and any partitioning, and both training and scoring replay in ANSI SQL
+(exact DuckDB oracle, not a statistical test). The reference has no
+classifier; this extends the engine the way its vocab machinery would
+need at training-data scale.
+
+Feature family: the hashed word-unigram/bigram bag of
+operators/curation.py `hashed_feature_buckets` (DSIR's features) —
+16^n_hex hex-prefix string buckets, multiplicity preserved.
+
+Scoring rule (engine-exact deviation, documented): exact multinomial NB
+ranks labels by log prior + Σ c_b·log p(b|label) — transcendental and
+summation-order-sensitive. Following this package's rational-arithmetic
+discipline (operators/curation.py bigram_lm_score, dsir_importance), the
+score is the ARITHMETIC-mean analog with add-one smoothing over
+B = 16^n_hex buckets:
+
+    score(label) = d_l · [Σ_b c_b·(c_lb + 1)]
+                   ────────────────────────────
+                        D · (n_l + B)
+
+where c_b = the document's count of bucket b, c_lb = training count of
+bucket b under the label, n_l = total training feature count under the
+label, d_l = training docs with the label, D = total training docs.
+Integer sums in any order, ONE double expression per (doc, label) at the
+end — bit-identical across engines — and monotone in the same direction
+as the NB posterior (prior x mean smoothed likelihood). The predicted
+label is the deterministic argmax (score DESC, label ASC).
+
+Scale shape: the model is a dimension by construction — at most
+B·L + L rows (4096·labels at the default) with map-side partial
+aggregation, so both model relations broadcast; the only corpus-size
+shuffles are the per-document bucket rollup and the per-document argmax
+(both keyed on the doc id). The label dim enters scoring as an L-row
+broadcast nested loop — dimension-sized by definition, the same accepted
+shape as the package's other scalar/dim broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from biocache_store_spark.operators.curation import hashed_feature_buckets
+
+
+def train_nb(
+    docs: DataFrame,
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hex: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Train the classifier: count features per (label, bucket).
+
+    Returns (model, labels):
+      * model  — (label, bucket, c_lb): training feature counts,
+        <= L·16^n_hex rows;
+      * labels — (label, n_l, d_l): per-label feature totals and doc
+        counts, L rows. Rows with a NULL label are excluded (no class
+        evidence); documents with no tokens still count toward d_l (the
+        prior sees them) but contribute no feature mass.
+    """
+    labeled = docs.filter(F.col(label_col).isNotNull())
+    feats = hashed_feature_buckets(labeled, id_col, text_col, n_hex).join(
+        labeled.select(F.col(id_col), F.col(label_col).alias("label")),
+        id_col,
+    )
+    model = feats.groupBy("label", "bucket").agg(
+        F.count(F.lit(1)).alias("c_lb")
+    )
+    n_l = model.groupBy("label").agg(F.sum("c_lb").alias("n_l"))
+    d_l = labeled.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("d_l")
+    )
+    # labels whose every training doc was empty get n_l = 0 (smoothing
+    # alone scores them), not a dropped class
+    labels = d_l.join(n_l, "label", "left").fillna(0, subset=["n_l"])
+    return model, labels
+
+
+def nb_classify(
+    docs: DataFrame,
+    model: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hex: int = 3,
+) -> DataFrame:
+    """Score every document against every label and keep the argmax.
+
+    Returns (id, label, score, n_feats): the winning label per document
+    with its rounded score. Documents with no features are omitted (no
+    evidence — same contract as dsir_importance); ties break on label
+    ascending so any engine reproduces the exact prediction.
+    """
+    b_total = 16**n_hex
+    doc = (
+        hashed_feature_buckets(docs, id_col, text_col, n_hex)
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    d_total = labels.agg(F.sum("d_l").alias("d_total"))
+    # every (doc-bucket, label) pair: the L-row label dim fans out the
+    # doc rollup, then the broadcast model supplies c_lb (absent = 0)
+    scored = (
+        doc.crossJoin(F.broadcast(labels))
+        .join(F.broadcast(model), ["bucket", "label"], "left")
+        .crossJoin(F.broadcast(d_total))
+    )
+    num = F.sum(F.col("c") * (F.coalesce(F.col("c_lb"), F.lit(0)) + 1))
+    score = (
+        (F.first("d_l").cast("double") * num.cast("double"))
+        / (
+            F.first("d_total").cast("double")
+            * (F.first("n_l") + F.lit(b_total)).cast("double")
+        )
+    )
+    per_label = scored.groupBy(id_col, "label").agg(
+        F.sum("c").alias("n_feats"), score.alias("score")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("label").asc()
+    )
+    return (
+        per_label.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            id_col,
+            "label",
+            F.round(F.col("score"), 10).alias("score"),
+            "n_feats",
+        )
+    )

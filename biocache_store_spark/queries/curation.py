@@ -1196,3 +1196,105 @@ def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(weights, top_fraction=0.25).select(
         "doc_id", "n_feats", "importance", "rank", "selected"
     )
+
+
+@register(
+    "nb_lang_classify",
+    doc=(
+        "In-engine multinomial Naive Bayes classification "
+        "(operators/classifier.py train_nb/nb_classify) — the model-based "
+        "quality/language/domain filter role of fastText classifiers in "
+        "CCNet-style curation, as pure counting: train on even-doc_id "
+        "documents labeled by lang over hashed unigram+bigram bag features "
+        "(4096 hex-prefix buckets), score odd-doc_id documents with the "
+        "package's rational-arithmetic NB analog (prior x mean add-one-"
+        "smoothed likelihood; integer sums, one double expression), keep "
+        "the deterministic argmax label, and report agreement with the "
+        "actual lang column. Scale shape: the model is <= labels x 4096 "
+        "rows + an L-row label dim — all broadcast; the only corpus-size "
+        "shuffles are the per-document bucket rollup and the per-document "
+        "argmax."
+    ),
+    oracle=rf"""
+        WITH w AS (
+            SELECT doc_id, lang,
+                   list_filter({_TOKS}, t -> t <> '') AS toks
+            FROM documents
+        ),
+        uni AS (
+            SELECT doc_id, lang, 'u|' || t AS f
+            FROM (SELECT doc_id, lang, unnest(toks) AS t FROM w)
+        ),
+        bi AS (
+            SELECT doc_id, lang, 'b|' || toks[i] || ' ' || toks[i+1] AS f
+            FROM (SELECT doc_id, lang, toks,
+                         unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS i
+                  FROM w)
+        ),
+        feats AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+        bucketed AS (
+            SELECT doc_id, lang, substr(md5(f), 1, 3) AS b FROM feats
+        ),
+        model AS (
+            SELECT lang AS label, b, COUNT(*) AS c_lb FROM bucketed
+            WHERE doc_id % 2 = 0 GROUP BY lang, b
+        ),
+        n_l AS (SELECT label, SUM(c_lb) AS n_l FROM model GROUP BY label),
+        d_l AS (
+            SELECT lang AS label, COUNT(*) AS d_l FROM documents
+            WHERE doc_id % 2 = 0 AND lang IS NOT NULL GROUP BY lang
+        ),
+        labels AS (
+            SELECT d.label, d.d_l, COALESCE(n.n_l, 0) AS n_l
+            FROM d_l d LEFT JOIN n_l n USING (label)
+        ),
+        d_total AS (SELECT SUM(d_l) AS d_total FROM labels),
+        doc AS (
+            SELECT doc_id, b, COUNT(*) AS c FROM bucketed
+            WHERE doc_id % 2 = 1 GROUP BY doc_id, b
+        ),
+        per_label AS (
+            SELECT d.doc_id, l.label,
+                   CAST(SUM(d.c) AS BIGINT) AS n_feats,
+                   (CAST(ANY_VALUE(l.d_l) AS DOUBLE)
+                    * CAST(SUM(d.c * (COALESCE(m.c_lb, 0) + 1)) AS DOUBLE))
+                   / (CAST(ANY_VALUE(t.d_total) AS DOUBLE)
+                      * CAST(ANY_VALUE(l.n_l) + 4096 AS DOUBLE)) AS score
+            FROM doc d
+            CROSS JOIN labels l
+            LEFT JOIN model m ON m.b = d.b AND m.label = l.label
+            CROSS JOIN d_total t
+            GROUP BY d.doc_id, l.label
+        ),
+        argmax AS (
+            SELECT doc_id, label, score, n_feats,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY score DESC, label ASC
+                   ) AS rn
+            FROM per_label
+        )
+        SELECT a.doc_id, a.label AS predicted,
+               ROUND(a.score, 10) AS score, a.n_feats,
+               d.lang AS actual, a.label = d.lang AS correct
+        FROM argmax a JOIN documents d USING (doc_id)
+        WHERE a.rn = 1
+    """,
+)
+def nb_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.classifier import nb_classify, train_nb
+
+    docs = read_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    model, labels = train_nb(train, label_col="lang")
+    predicted = nb_classify(test, model, labels)
+    return predicted.join(
+        docs.select("doc_id", F.col("lang").alias("actual")), "doc_id"
+    ).select(
+        "doc_id",
+        F.col("label").alias("predicted"),
+        "score",
+        "n_feats",
+        "actual",
+        (F.col("label") == F.col("actual")).alias("correct"),
+    )

@@ -39,6 +39,8 @@ BNLJ_OK = {
     # via mapInPandas now; a BNLJ reappearing there is the measured 19x
     # quadratic regressing and must flag loudly.
     "bigram_lm_score": "broadcasts the 1-row vocabulary-size scalar (V) of the reference LM",
+    "dsir_selection": "broadcasts the two 1-row feature-total scalars (Np, Nq); the bucket-count sides are <=4096-row BroadcastHashJoins",
+    "nb_lang_classify": "broadcasts the L-row label dim (5 rows) and the 1-row training-doc-total scalar; the model side is a <=Lx4096-row BroadcastHashJoin",
 }
 
 

@@ -588,6 +588,87 @@ def cmd_train_bpe(args) -> int:
     return 0
 
 
+def cmd_train_classifier(args) -> int:
+    """In-engine Naive Bayes training (operators/classifier.py
+    train_nb): labeled documents -> persisted model the classify tool
+    consumes."""
+    spark = _spark(args)
+    from biocache_store_spark.operators.classifier import (
+        train_nb,
+        write_nb_model,
+    )
+
+    docs = _read(spark, args.inp)
+    model, labels = train_nb(
+        docs, label_col=args.label_col, n_hex=args.n_hex
+    )
+    write_nb_model(
+        model, labels, args.out, n_hex=args.n_hex, label_col=args.label_col
+    )
+    for row in labels.orderBy("label").collect():
+        print(json.dumps(row.asDict()))
+    return 0
+
+
+def cmd_classify(args) -> int:
+    """Score documents against a persisted Naive Bayes model
+    (operators/classifier.py nb_classify) — the model-based
+    quality/language/domain gate of the curation pipeline."""
+    from pyspark.sql import functions as F
+
+    spark = _spark(args)
+    from biocache_store_spark.operators.classifier import (
+        nb_classify,
+        read_nb_model,
+    )
+
+    model, labels, n_hex = read_nb_model(spark, args.model)
+    out = nb_classify(_read(spark, args.inp), model, labels, n_hex=n_hex)
+    if args.keep_label:
+        out = out.filter(F.col("label") == args.keep_label)
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+        print(f"classified -> {args.out}")
+    else:
+        for row in out.orderBy("doc_id").limit(args.limit).collect():
+            print(json.dumps(row.asDict()))
+    return 0
+
+
+def cmd_dsir_select(args) -> int:
+    """DSIR importance-weighted selection (operators/curation.py
+    dsir_importance/dsir_select): score a raw corpus against a trusted
+    target corpus, keep by threshold (the 100 TB path) or exact
+    top-fraction."""
+    from pyspark.sql import functions as F
+
+    spark = _spark(args)
+    from biocache_store_spark.operators.curation import (
+        dsir_importance,
+        dsir_select,
+    )
+
+    if (args.threshold is None) == (args.top_fraction is None):
+        print("give exactly one of --threshold / --top-fraction", file=sys.stderr)
+        return 2
+    weights = dsir_importance(
+        _read(spark, args.inp), _read(spark, args.target), n_hex=args.n_hex
+    )
+    sel = dsir_select(
+        weights, top_fraction=args.top_fraction, threshold=args.threshold
+    )
+    kept = sel.filter(F.col("selected"))
+    if args.out:
+        kept.write.mode("overwrite").parquet(args.out)
+    n_kept = kept.count()
+    print(
+        json.dumps(
+            {"selected": n_kept, "scored": sel.count(), "out": args.out}
+        )
+    )
+    return 0
+
+
 def cmd_export_shards(args) -> int:
     """Training-shard export (pipeline.py export_training_shards):
     deterministic shuffle + shard + packing cursor, optionally
@@ -1101,6 +1182,43 @@ def build_parser() -> argparse.ArgumentParser:
         help="bound the word-frequency dim (top-N by frequency)",
     )
     sp.add_argument("--out", required=True)
+
+    sp = tool(
+        "train-classifier",
+        cmd_train_classifier,
+        "labeled documents -> persisted Naive Bayes model",
+    )
+    sp.add_argument("--in", dest="inp", required=True)
+    sp.add_argument("--label-col", dest="label_col", default="label")
+    sp.add_argument("--n-hex", dest="n_hex", type=int, default=3)
+    sp.add_argument("--out", required=True)
+
+    sp = tool(
+        "classify",
+        cmd_classify,
+        "score documents against a persisted Naive Bayes model",
+    )
+    sp.add_argument("--in", dest="inp", required=True)
+    sp.add_argument("--model", required=True, help="train-classifier output")
+    sp.add_argument(
+        "--keep-label",
+        dest="keep_label",
+        help="emit only documents whose argmax label matches (gate mode)",
+    )
+    sp.add_argument("--limit", type=int, default=20)
+    sp.add_argument("--out")
+
+    sp = tool(
+        "dsir-select",
+        cmd_dsir_select,
+        "DSIR importance-weighted selection vs a target corpus",
+    )
+    sp.add_argument("--in", dest="inp", required=True)
+    sp.add_argument("--target", required=True, help="trusted target corpus")
+    sp.add_argument("--n-hex", dest="n_hex", type=int, default=3)
+    sp.add_argument("--threshold", type=float)
+    sp.add_argument("--top-fraction", dest="top_fraction", type=float)
+    sp.add_argument("--out")
 
     sp = tool(
         "export-shards",

@@ -140,3 +140,39 @@ def nb_classify(
             "n_feats",
         )
     )
+
+
+_NB_META_SCHEMA = "n_hex int, label_col string"
+
+
+def write_nb_model(
+    model: DataFrame,
+    labels: DataFrame,
+    path: str,
+    n_hex: int = 3,
+    label_col: str = "label",
+) -> None:
+    """Persist a trained classifier: `model/` (label, bucket, c_lb),
+    `labels/` (label, n_l, d_l), and a one-row `meta/` parquet dimension
+    recording the feature-hash width — written with the Spark writer so
+    object-store model paths work end to end (same discipline as
+    operators/minhash.py write_lsh_index). Training is counting, so
+    "retrain" is the honest update path — no append mode."""
+    spark = model.sparkSession
+    model.coalesce(1).write.mode("overwrite").parquet(path + "/model")
+    labels.coalesce(1).write.mode("overwrite").parquet(path + "/labels")
+    spark.createDataFrame(
+        [(n_hex, label_col)], _NB_META_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+
+
+def read_nb_model(spark, path: str) -> tuple[DataFrame, DataFrame, int]:
+    """Load a persisted classifier; returns (model, labels, n_hex). A
+    model scored with a different hash width would silently mismatch
+    every bucket, so n_hex travels with the model, not the caller."""
+    meta = spark.read.parquet(path + "/meta").collect()[0]
+    return (
+        spark.read.parquet(path + "/model"),
+        spark.read.parquet(path + "/labels"),
+        int(meta["n_hex"]),
+    )

@@ -555,3 +555,82 @@ def test_cli_resource_cleanup_and_remap(spark, tmp_path, capsys):
         r["uniqueID"]: r["rowKey"] for r in spark.read.parquet(mapping).collect()
     }
     assert rows == {"dr1|AB1": "r1", "dr1|CD2": "r2"}
+
+
+def test_cli_classifier_lifecycle(spark, tmp_path, capsys):
+    """train-classifier -> classify: the model-based filtering
+    lifecycle through a persisted model (n_hex travels in meta/)."""
+    train_store = str(tmp_path / "train")
+    test_store = str(tmp_path / "test")
+    model_path = str(tmp_path / "nbmodel")
+    spark.createDataFrame(
+        [
+            (1, "apple banana cherry apple", "fruit"),
+            (2, "banana cherry date banana", "fruit"),
+            (3, "carrot potato onion carrot", "veg"),
+            (4, "potato onion leek potato", "veg"),
+        ],
+        "doc_id long, text string, label string",
+    ).write.parquet(train_store)
+    spark.createDataFrame(
+        [(10, "apple cherry"), (11, "potato onion")],
+        "doc_id long, text string",
+    ).write.parquet(test_store)
+
+    capsys.readouterr()
+    assert main([
+        "train-classifier", "--in", train_store,
+        "--n-hex", "2", "--out", model_path,
+    ]) == 0
+    printed = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert {r["label"] for r in printed} == {"fruit", "veg"}
+    meta = spark.read.parquet(model_path + "/meta").collect()[0]
+    assert meta["n_hex"] == 2
+
+    assert main([
+        "classify", "--in", test_store, "--model", model_path,
+    ]) == 0
+    out = {
+        r["doc_id"]: r["label"]
+        for r in map(json.loads, capsys.readouterr().out.strip().splitlines())
+    }
+    assert out == {10: "fruit", 11: "veg"}
+
+    # gate mode: keep only one label, write parquet
+    kept_path = str(tmp_path / "kept")
+    assert main([
+        "classify", "--in", test_store, "--model", model_path,
+        "--keep-label", "veg", "--out", kept_path,
+    ]) == 0
+    kept = spark.read.parquet(kept_path)
+    assert [r["doc_id"] for r in kept.collect()] == [11]
+
+
+def test_cli_dsir_select(spark, tmp_path, capsys):
+    """dsir-select: threshold regime end-to-end; exactly one selection
+    flag is required."""
+    raw_store = str(tmp_path / "raw")
+    target_store = str(tmp_path / "target")
+    out_path = str(tmp_path / "selected")
+    spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "zzz qqq vvv www")],
+        "doc_id long, text string",
+    ).write.parquet(raw_store)
+    spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    ).write.parquet(target_store)
+
+    assert main([
+        "dsir-select", "--in", raw_store, "--target", target_store,
+    ]) == 2  # neither flag
+
+    capsys.readouterr()
+    assert main([
+        "dsir-select", "--in", raw_store, "--target", target_store,
+        "--threshold", "1.0", "--out", out_path,
+    ]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["scored"] == 2
+    kept = spark.read.parquet(out_path)
+    assert [r["doc_id"] for r in kept.collect()] == [1]

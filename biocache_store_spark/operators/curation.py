@@ -435,31 +435,34 @@ def dsir_importance(
     Scale shape: the target corpus is a dimension by construction (a
     trusted corpus, not the 100 TB raw set), and BOTH per-bucket count
     tables collapse to at most B = 16^n_hex rows (4096 at the default)
-    with map-side partial aggregation, so they broadcast; the only
-    full-size shuffle is the per-document bucket rollup on the doc key.
+    with map-side partial aggregation, so they broadcast. Scoring joins
+    each feature OCCURRENCE to the broadcast stats and sums straight to
+    the doc key — Σ_b c_b·(x_b+1) = Σ_occurrences (x_b+1), so no
+    (doc, bucket) rollup exists: that rollup barely reduces (most
+    bucket multiplicities are 1, measured ~64M occurrences -> 47M
+    groups at 500k docs) and would shuffle nearly the whole exploded
+    relation, while groupBy(doc) map-side-combines occurrences to one
+    row per document before the only corpus-size shuffle. The corpus
+    is scanned twice (once for its own histogram, once for scoring) —
+    the honest minimum, since q must be complete before any score.
     Documents with no features are omitted (no tokens = no evidence).
 
     Returns (id, n_feats, importance) with importance rounded to 8."""
     b_total = 16**n_hex
     tgt = hashed_feature_buckets(target_docs, id_col, text_col, n_hex)
     raw = hashed_feature_buckets(train_docs, id_col, text_col, n_hex)
-    # ONE feature pass over each corpus: the per-doc rollup is the only
-    # corpus-size aggregation; cq/nq fold further from its output and
-    # np from cp (<= B-row inputs), so the raw-corpus explode+shuffle is
-    # shared by all three via exchange reuse rather than recomputed
-    doc = raw.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("c"))
     cp = tgt.groupBy("bucket").agg(F.count(F.lit(1)).alias("cp"))
     np_ = cp.agg(F.sum("cp").alias("np"))
-    cq = doc.groupBy("bucket").agg(F.sum("c").alias("cq"))
+    cq = raw.groupBy("bucket").agg(F.count(F.lit(1)).alias("cq"))
     nq = cq.agg(F.sum("cq").alias("nq"))
     joined = (
-        doc.join(F.broadcast(cp), "bucket", "left")
+        raw.join(F.broadcast(cp), "bucket", "left")
         .join(F.broadcast(cq), "bucket", "left")
         .crossJoin(F.broadcast(np_))
         .crossJoin(F.broadcast(nq))
     )
-    num = F.sum(F.col("c") * (F.coalesce(F.col("cp"), F.lit(0)) + 1))
-    den = F.sum(F.col("c") * (F.coalesce(F.col("cq"), F.lit(0)) + 1))
+    num = F.sum(F.coalesce(F.col("cp"), F.lit(0)) + 1)
+    den = F.sum(F.coalesce(F.col("cq"), F.lit(0)) + 1)
     # np/nq are constant within every group; first() keeps them through
     # the aggregation without a re-join
     importance = F.round(
@@ -468,7 +471,7 @@ def dsir_importance(
         8,
     )
     return joined.groupBy(id_col).agg(
-        F.sum("c").alias("n_feats"), importance.alias("importance")
+        F.count(F.lit(1)).alias("n_feats"), importance.alias("importance")
     )
 
 

@@ -1124,7 +1124,8 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ranked by (importance DESC, doc_id). Source 'src0' stands in as "
         "the trusted target corpus. Scale shape: both per-bucket count "
         "tables collapse to <= 4096 rows and broadcast; the only corpus-"
-        "size shuffle is the per-document bucket rollup; at 100 TB the "
+        "size shuffle is the occurrence-to-doc reduction (map-side "
+        "combined; no (doc,bucket) rollup — it barely reduces); at 100 TB the "
         "selection step switches to dsir_select's threshold regime (pure "
         "filter, no total order)."
     ),
@@ -1212,7 +1213,8 @@ def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the deterministic argmax label, and report agreement with the "
         "actual lang column. Scale shape: the model is <= labels x 4096 "
         "rows + an L-row label dim — all broadcast; the only corpus-size "
-        "shuffles are the per-document bucket rollup and the per-document "
+        "shuffles are the occurrence-to-doc reduction (the label-pivoted "
+        "wide model keeps per-label sums as columns) and the per-document "
         "argmax."
     ),
     oracle=rf"""

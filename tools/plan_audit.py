@@ -40,7 +40,9 @@ BNLJ_OK = {
     # quadratic regressing and must flag loudly.
     "bigram_lm_score": "broadcasts the 1-row vocabulary-size scalar (V) of the reference LM",
     "dsir_selection": "broadcasts the two 1-row feature-total scalars (Np, Nq); the bucket-count sides are <=4096-row BroadcastHashJoins",
-    "nb_lang_classify": "broadcasts the L-row label dim (5 rows) and the 1-row training-doc-total scalar; the model side is a <=Lx4096-row BroadcastHashJoin",
+    # NOTE: nb_lang_classify is intentionally NOT allowlisted — the
+    # pivoted wide model keeps its plan BNLJ-free; a BNLJ reappearing
+    # there is the measured occurrence x label fan-out regressing.
 }
 
 

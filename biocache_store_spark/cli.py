@@ -648,24 +648,25 @@ def cmd_dsir_select(args) -> int:
         dsir_select,
     )
 
-    if (args.threshold is None) == (args.top_fraction is None):
-        print("give exactly one of --threshold / --top-fraction", file=sys.stderr)
-        return 2
     weights = dsir_importance(
         _read(spark, args.inp), _read(spark, args.target), n_hex=args.n_hex
     )
+    # persist: the two-corpus-scan importance job feeds the write and
+    # both summary counts — unpersisted it would run up to three times
     sel = dsir_select(
         weights, top_fraction=args.top_fraction, threshold=args.threshold
-    )
-    kept = sel.filter(F.col("selected"))
-    if args.out:
-        kept.write.mode("overwrite").parquet(args.out)
-    n_kept = kept.count()
-    print(
-        json.dumps(
-            {"selected": n_kept, "scored": sel.count(), "out": args.out}
+    ).persist()
+    try:
+        kept = sel.filter(F.col("selected"))
+        if args.out:
+            kept.write.mode("overwrite").parquet(args.out)
+        print(
+            json.dumps(
+                {"selected": kept.count(), "scored": sel.count(), "out": args.out}
+            )
         )
-    )
+    finally:
+        sel.unpersist()
     return 0
 
 
@@ -1216,8 +1217,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--in", dest="inp", required=True)
     sp.add_argument("--target", required=True, help="trusted target corpus")
     sp.add_argument("--n-hex", dest="n_hex", type=int, default=3)
-    sp.add_argument("--threshold", type=float)
-    sp.add_argument("--top-fraction", dest="top_fraction", type=float)
+    grp = sp.add_mutually_exclusive_group(required=True)
+    grp.add_argument("--threshold", type=float)
+    grp.add_argument("--top-fraction", dest="top_fraction", type=float)
     sp.add_argument("--out")
 
     sp = tool(

@@ -69,10 +69,14 @@ def train_nb(
         evidence); documents with no tokens still count toward d_l (the
         prior sees them) but contribute no feature mass.
     """
-    labeled = docs.filter(F.col(label_col).isNotNull())
-    feats = hashed_feature_buckets(labeled, id_col, text_col, n_hex).join(
-        labeled.select(F.col(id_col), F.col(label_col).alias("label")),
-        id_col,
+    labeled = docs.filter(F.col(label_col).isNotNull()).withColumn(
+        "label", F.col(label_col)
+    )
+    # the label rides the feature explode (carry_cols), so training is
+    # one groupBy with map-side combine — never a join back onto the
+    # occurrence-scale relation
+    feats = hashed_feature_buckets(
+        labeled, id_col, text_col, n_hex, carry_cols=("label",)
     )
     model = feats.groupBy("label", "bucket").agg(
         F.count(F.lit(1)).alias("c_lb")

@@ -24,8 +24,6 @@ once on the stratum key with a single window pass.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -375,6 +373,7 @@ def hashed_feature_buckets(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_hex: int = 3,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Hashed n-gram bag features: every word unigram ('u|tok') and
     bigram ('b|w1 w2') of a document, hashed into 16^n_hex buckets by
@@ -382,11 +381,14 @@ def hashed_feature_buckets(
     (Xie et al. 2023, "Data Selection for Language Models via Importance
     Resampling"). Buckets are STRING keys (hex prefixes) so any engine
     reproduces them exactly; multiplicity is preserved (bag, not set).
-    Returns (id, bucket) one row per feature OCCURRENCE — callers
-    aggregate map-side before any shuffle. Documents with no tokens
-    contribute no rows."""
+    Returns (id, *carry_cols, bucket) one row per feature OCCURRENCE —
+    callers aggregate map-side before any shuffle; carry_cols ride the
+    explode so callers never join row attributes (e.g. a training
+    label) back onto the occurrence-scale relation. Documents with no
+    tokens contribute no rows."""
+    carried = [F.col(c) for c in carry_cols]
     toks = F.filter(words(F.col(text_col)), lambda t: t != "")
-    with_toks = docs.select(F.col(id_col), toks.alias("__toks"))
+    with_toks = docs.select(F.col(id_col), *carried, toks.alias("__toks"))
     uni = F.transform(F.col("__toks"), lambda t: F.concat(F.lit("u|"), t))
     bi = F.when(
         F.size("__toks") > 1,
@@ -396,10 +398,12 @@ def hashed_feature_buckets(
         ),
     ).otherwise(F.array().cast("array<string>"))
     exploded = with_toks.select(
-        F.col(id_col), F.explode(F.concat(uni, bi)).alias("__f")
+        F.col(id_col), *carried, F.explode(F.concat(uni, bi)).alias("__f")
     )
     return exploded.select(
-        F.col(id_col), F.substring(F.md5("__f"), 1, n_hex).alias("bucket")
+        F.col(id_col),
+        *carried,
+        F.substring(F.md5("__f"), 1, n_hex).alias("bucket"),
     )
 
 
@@ -452,7 +456,19 @@ def dsir_importance(
     tgt = hashed_feature_buckets(target_docs, id_col, text_col, n_hex)
     raw = hashed_feature_buckets(train_docs, id_col, text_col, n_hex)
     cp = tgt.groupBy("bucket").agg(F.count(F.lit(1)).alias("cp"))
-    np_ = cp.agg(F.sum("cp").alias("np"))
+    # a featureless target (empty, or all-blank text) has no evidence to
+    # weight against; without this guard every importance would be NULL
+    # and downstream selection would silently rank by id alone —
+    # coalesce short-circuits, so raise_error fires only on NULL
+    np_ = cp.agg(F.sum("cp").alias("np")).select(
+        F.coalesce(
+            F.col("np"),
+            F.expr(
+                "CAST(raise_error('dsir_importance: target corpus has"
+                " no features') AS BIGINT)"
+            ),
+        ).alias("np")
+    )
     cq = raw.groupBy("bucket").agg(F.count(F.lit(1)).alias("cq"))
     nq = cq.agg(F.sum("cq").alias("nq"))
     joined = (
@@ -505,10 +521,17 @@ def dsir_select(
         raise ValueError("dsir_select: give exactly one of top_fraction/threshold")
     if threshold is not None:
         return weights.withColumn("selected", F.col("importance") >= threshold)
+    # rank and the total row count ride ONE window pass (the count's
+    # frame is unbounded over the same ordering) — no separate eager
+    # count() action recomputing the whole importance pipeline
     w = Window.orderBy(F.col("importance").desc(), F.col(id_col))
-    ranked = weights.withColumn("rank", F.row_number().over(w))
-    k = math.ceil(weights.count() * top_fraction)
-    return ranked.withColumn("selected", F.col("rank") <= F.lit(int(k)))
+    n = F.count(F.lit(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    k = F.ceil(n * F.lit(float(top_fraction)))
+    return weights.withColumn("rank", F.row_number().over(w)).withColumn(
+        "selected", F.col("rank") <= k
+    )
 
 
 def plan_training_shards(

@@ -20,6 +20,32 @@ from biocache_store_spark.queries import register
 _TOKS = r"string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')"
 
 
+def _hashed_feature_cte(carry: str) -> str:
+    """The tokenize -> unigram/bigram -> md5-bucket CTE chain shared by
+    the DSIR and NB oracles (mirrors operators/curation.py
+    hashed_feature_buckets); `carry` is the documents attribute carried
+    through the explode (the DSIR source split / the NB label)."""
+    return rf"""w AS (
+            SELECT doc_id, {carry},
+                   list_filter({_TOKS}, t -> t <> '') AS toks
+            FROM documents
+        ),
+        uni AS (
+            SELECT doc_id, {carry}, 'u|' || t AS f
+            FROM (SELECT doc_id, {carry}, unnest(toks) AS t FROM w)
+        ),
+        bi AS (
+            SELECT doc_id, {carry}, 'b|' || toks[i] || ' ' || toks[i+1] AS f
+            FROM (SELECT doc_id, {carry}, toks,
+                         unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS i
+                  FROM w)
+        ),
+        feats AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+        bucketed AS (
+            SELECT doc_id, {carry}, substr(md5(f), 1, 3) AS b FROM feats
+        )"""
+
+
 @register(
     "ngram_decontamination",
     doc=(
@@ -1130,25 +1156,7 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         "filter, no total order)."
     ),
     oracle=rf"""
-        WITH w AS (
-            SELECT doc_id, source,
-                   list_filter({_TOKS}, t -> t <> '') AS toks
-            FROM documents
-        ),
-        uni AS (
-            SELECT doc_id, source, 'u|' || t AS f
-            FROM (SELECT doc_id, source, unnest(toks) AS t FROM w)
-        ),
-        bi AS (
-            SELECT doc_id, source, 'b|' || toks[i] || ' ' || toks[i+1] AS f
-            FROM (SELECT doc_id, source, toks,
-                         unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS i
-                  FROM w)
-        ),
-        feats AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
-        bucketed AS (
-            SELECT doc_id, source, substr(md5(f), 1, 3) AS b FROM feats
-        ),
+        WITH {_hashed_feature_cte("source")},
         tgt AS (SELECT b, COUNT(*) AS cp FROM bucketed WHERE source = 'src0' GROUP BY b),
         tgt_tot AS (SELECT COUNT(*) AS np FROM bucketed WHERE source = 'src0'),
         rawb AS (SELECT b, COUNT(*) AS cq FROM bucketed WHERE source <> 'src0' GROUP BY b),
@@ -1218,25 +1226,7 @@ def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "argmax."
     ),
     oracle=rf"""
-        WITH w AS (
-            SELECT doc_id, lang,
-                   list_filter({_TOKS}, t -> t <> '') AS toks
-            FROM documents
-        ),
-        uni AS (
-            SELECT doc_id, lang, 'u|' || t AS f
-            FROM (SELECT doc_id, lang, unnest(toks) AS t FROM w)
-        ),
-        bi AS (
-            SELECT doc_id, lang, 'b|' || toks[i] || ' ' || toks[i+1] AS f
-            FROM (SELECT doc_id, lang, toks,
-                         unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS i
-                  FROM w)
-        ),
-        feats AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
-        bucketed AS (
-            SELECT doc_id, lang, substr(md5(f), 1, 3) AS b FROM feats
-        ),
+        WITH {_hashed_feature_cte("lang")},
         model AS (
             SELECT lang AS label, b, COUNT(*) AS c_lb FROM bucketed
             WHERE doc_id % 2 = 0 GROUP BY lang, b

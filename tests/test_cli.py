@@ -621,9 +621,15 @@ def test_cli_dsir_select(spark, tmp_path, capsys):
         "doc_id long, text string",
     ).write.parquet(target_store)
 
-    assert main([
-        "dsir-select", "--in", raw_store, "--target", target_store,
-    ]) == 2  # neither flag
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):  # neither flag: argparse rejects
+        main(["dsir-select", "--in", raw_store, "--target", target_store])
+    with _pytest.raises(SystemExit):  # both flags: mutually exclusive
+        main([
+            "dsir-select", "--in", raw_store, "--target", target_store,
+            "--threshold", "1.0", "--top-fraction", "0.5",
+        ])
 
     capsys.readouterr()
     assert main([

@@ -338,3 +338,19 @@ def test_dsir_importance_ranks_target_like_docs(spark):
         dsir_select(dsir_importance(train, target))
     with _pytest.raises(ValueError):
         dsir_select(dsir_importance(train, target), top_fraction=0.5, threshold=1.0)
+
+
+def test_dsir_importance_featureless_target_raises(spark):
+    """A target corpus with no features (empty or all-blank text) has no
+    evidence to weight against — the operator must raise, not emit NULL
+    importances that downstream selection would silently rank by id."""
+    import pytest as _pytest
+
+    from biocache_store_spark.operators.curation import dsir_importance
+
+    target = spark.createDataFrame([(1, "   ")], "doc_id int, text string")
+    train = spark.createDataFrame(
+        [(2, "hello world")], "doc_id int, text string"
+    )
+    with _pytest.raises(Exception, match="no features"):
+        dsir_importance(train, target).collect()

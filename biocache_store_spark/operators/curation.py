@@ -494,7 +494,7 @@ def dsir_importance(
 def dsir_select(
     weights: DataFrame,
     top_fraction: float | None = None,
-    threshold: float | None = None,
+    threshold: "float | Column | None" = None,
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Select documents by importance weight — the resampling step of
@@ -502,10 +502,12 @@ def dsir_select(
     engine reproduces the exact selection).
 
     Two regimes, exactly one of which must be given:
-      * threshold — keep importance >= threshold. The 100 TB path: a
-        pure filter, no global ordering; derive the threshold once from
-        a quantile of the weight distribution (approx on a sample, or
-        exact via the top_fraction path on a small slice).
+      * threshold — keep importance >= threshold (a float, or a Column
+        such as a broadcast-joined histogram_threshold edge). The
+        100 TB path: a pure filter, no global ordering; derive the
+        threshold once from operators/sketch.py histogram_threshold
+        (fixed-grid histogram, no total order) or exact via the
+        top_fraction path on a small slice.
       * top_fraction — keep the exact top ceil(fraction·n) by
         (importance DESC, id). Exact selection requires a total order,
         which Spark computes as an unpartitioned window (single-task

@@ -106,3 +106,76 @@ def estimate_counts(
     return out.withColumn("cms_est", est).drop(
         *[f"__cms_c{d}" for d in range(depth)]
     )
+
+
+def histogram_threshold(
+    values: DataFrame,
+    fraction: float,
+    lo: float,
+    hi: float,
+    n_bins: int = 1000,
+    value_col: str = "importance",
+) -> DataFrame:
+    """Derive a keep-threshold for the top `fraction` of a value column
+    from a FIXED-GRID histogram — the 100 TB replacement for an exact
+    rank: no total order anywhere, just one bounded groupBy (<= n_bins
+    rows, map-side combined) and a window over the tiny histogram.
+
+    The threshold is the lower edge of the highest bin at which the
+    from-the-top cumulative count reaches ceil(fraction * total), so
+    `value >= threshold` keeps AT LEAST the requested fraction,
+    over-selecting by at most one bin's worth (tighten with n_bins).
+    Values outside [lo, hi) clamp into the edge bins: everything >= hi
+    is always kept, everything < lo is kept only if the whole range is.
+
+    Determinism: the bin index and both edges are single double
+    expressions over plan literals, so any engine reproduces the exact
+    threshold — unlike percentile_approx, whose sketch is
+    implementation-defined. Returns one row:
+    (threshold, covered, total) — covered = rows at or above it.
+    """
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError("histogram_threshold: fraction must be in (0, 1]")
+    if not hi > lo:
+        raise ValueError("histogram_threshold: need hi > lo")
+    v, lo_l, hi_l, nb = (
+        F.col(value_col),
+        F.lit(float(lo)),
+        F.lit(float(hi)),
+        F.lit(float(n_bins)),
+    )
+    bin_ = F.least(
+        F.greatest(
+            F.floor(((v - lo_l) * nb) / (hi_l - lo_l)).cast("int"), F.lit(0)
+        ),
+        F.lit(n_bins - 1),
+    )
+    hist = values.groupBy(bin_.alias("bin")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    from pyspark.sql.window import Window
+
+    w_cum = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "bin",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("total"),
+    )
+    k = F.ceil(F.col("total") * F.lit(float(fraction)))
+    return (
+        cum.filter(F.col("cum") >= k)
+        .groupBy()
+        .agg(
+            (
+                lo_l
+                + F.max("bin").cast("double") * (hi_l - lo_l) / nb
+            ).alias("threshold"),
+            F.min("cum").alias("covered"),
+            F.first("total").alias("total"),
+        )
+    )

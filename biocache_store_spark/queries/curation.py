@@ -46,6 +46,36 @@ def _hashed_feature_cte(carry: str) -> str:
         )"""
 
 
+# The DSIR per-document scoring chain over `bucketed` (source = 'src0'
+# is the trusted target split) — shared by the exact-rank and the
+# histogram-threshold selection oracles; mirrors operators/curation.py
+# dsir_importance.
+_DSIR_SCORED_CTE = r"""tgt AS (SELECT b, COUNT(*) AS cp FROM bucketed WHERE source = 'src0' GROUP BY b),
+        tgt_tot AS (SELECT COUNT(*) AS np FROM bucketed WHERE source = 'src0'),
+        rawb AS (SELECT b, COUNT(*) AS cq FROM bucketed WHERE source <> 'src0' GROUP BY b),
+        raw_tot AS (SELECT COUNT(*) AS nq FROM bucketed WHERE source <> 'src0'),
+        doc AS (
+            SELECT doc_id, b, COUNT(*) AS c FROM bucketed
+            WHERE source <> 'src0' GROUP BY doc_id, b
+        ),
+        scored AS (
+            SELECT d.doc_id,
+                   CAST(SUM(d.c) AS BIGINT) AS n_feats,
+                   ROUND(
+                       (CAST(SUM(d.c * (COALESCE(t.cp, 0) + 1)) AS DOUBLE)
+                        * CAST(ANY_VALUE(r2.nq) + 4096 AS DOUBLE))
+                       / (CAST(SUM(d.c * (COALESCE(r.cq, 0) + 1)) AS DOUBLE)
+                          * CAST(ANY_VALUE(t2.np) + 4096 AS DOUBLE)),
+                       8) AS importance
+            FROM doc d
+            LEFT JOIN tgt t USING (b)
+            LEFT JOIN rawb r USING (b)
+            CROSS JOIN tgt_tot t2
+            CROSS JOIN raw_tot r2
+            GROUP BY d.doc_id
+        )"""
+
+
 @register(
     "ngram_decontamination",
     doc=(
@@ -1157,30 +1187,7 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     oracle=rf"""
         WITH {_hashed_feature_cte("source")},
-        tgt AS (SELECT b, COUNT(*) AS cp FROM bucketed WHERE source = 'src0' GROUP BY b),
-        tgt_tot AS (SELECT COUNT(*) AS np FROM bucketed WHERE source = 'src0'),
-        rawb AS (SELECT b, COUNT(*) AS cq FROM bucketed WHERE source <> 'src0' GROUP BY b),
-        raw_tot AS (SELECT COUNT(*) AS nq FROM bucketed WHERE source <> 'src0'),
-        doc AS (
-            SELECT doc_id, b, COUNT(*) AS c FROM bucketed
-            WHERE source <> 'src0' GROUP BY doc_id, b
-        ),
-        scored AS (
-            SELECT d.doc_id,
-                   CAST(SUM(d.c) AS BIGINT) AS n_feats,
-                   ROUND(
-                       (CAST(SUM(d.c * (COALESCE(t.cp, 0) + 1)) AS DOUBLE)
-                        * CAST(ANY_VALUE(r2.nq) + 4096 AS DOUBLE))
-                       / (CAST(SUM(d.c * (COALESCE(r.cq, 0) + 1)) AS DOUBLE)
-                          * CAST(ANY_VALUE(t2.np) + 4096 AS DOUBLE)),
-                       8) AS importance
-            FROM doc d
-            LEFT JOIN tgt t USING (b)
-            LEFT JOIN rawb r USING (b)
-            CROSS JOIN tgt_tot t2
-            CROSS JOIN raw_tot r2
-            GROUP BY d.doc_id
-        ),
+        {_DSIR_SCORED_CTE},
         ranked AS (
             SELECT doc_id, n_feats, importance,
                    ROW_NUMBER() OVER (ORDER BY importance DESC, doc_id) AS rank,
@@ -1289,4 +1296,82 @@ def nb_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_feats",
         "actual",
         (F.col("label") == F.col("actual")).alias("correct"),
+    )
+
+
+@register(
+    "dsir_threshold_select",
+    doc=(
+        "DSIR selection by histogram-derived threshold — the full "
+        "100 TB path with NO total order anywhere (operators/sketch.py "
+        "histogram_threshold + operators/curation.py dsir_select "
+        "threshold regime): importance weights bin into a fixed "
+        "1000-bin grid over [0, 4) (one bounded groupBy), the keep-"
+        "threshold for the top 25% is the lower edge of the highest "
+        "bin whose from-the-top cumulative count reaches ceil(0.25*n), "
+        "and selection is a pure broadcast-compare filter. Over-selects "
+        "by at most one bin's worth vs the exact-rank dsir_selection. "
+        "All bin indices and edges are single double expressions over "
+        "plan literals, so the threshold reproduces exactly in any "
+        "engine."
+    ),
+    oracle=rf"""
+        WITH {_hashed_feature_cte("source")},
+        {_DSIR_SCORED_CTE},
+        binned AS (
+            SELECT doc_id, n_feats, importance,
+                   LEAST(GREATEST(CAST(FLOOR(((importance - CAST(0 AS DOUBLE))
+                                              * CAST(1000 AS DOUBLE))
+                                             / (CAST(4 AS DOUBLE) - CAST(0 AS DOUBLE)))
+                                       AS INT), 0), 999) AS bin
+            FROM scored
+        ),
+        hist AS (SELECT bin, COUNT(*) AS c FROM binned GROUP BY bin),
+        cum AS (
+            SELECT bin,
+                   SUM(c) OVER (ORDER BY bin DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   SUM(c) OVER () AS total
+            FROM hist
+        ),
+        th AS (
+            SELECT CAST(0 AS DOUBLE)
+                   + CAST(MAX(bin) AS DOUBLE)
+                     * (CAST(4 AS DOUBLE) - CAST(0 AS DOUBLE))
+                     / CAST(1000 AS DOUBLE) AS threshold
+            FROM cum
+            WHERE cum >= CEIL(total * CAST(0.25 AS DOUBLE))
+        )
+        SELECT s.doc_id, s.n_feats, s.importance,
+               ROUND(t.threshold, 8) AS threshold,
+               s.importance >= t.threshold AS selected
+        FROM scored s CROSS JOIN th t
+    """,
+)
+def dsir_threshold_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.curation import (
+        dsir_importance,
+        dsir_select,
+    )
+    from biocache_store_spark.operators.sketch import histogram_threshold
+
+    docs = read_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    # persist: the importance job feeds BOTH the histogram derivation
+    # and the final compare — the production shape checkpoints the
+    # weight table once, never recomputes the two-corpus scan
+    weights = dsir_importance(train, target).persist()
+    th = histogram_threshold(weights, 0.25, 0.0, 4.0, 1000)
+    with_th = weights.crossJoin(
+        F.broadcast(th.select(F.col("threshold").alias("__th")))
+    )
+    return dsir_select(
+        with_th, threshold=F.col("__th")
+    ).select(
+        "doc_id",
+        "n_feats",
+        "importance",
+        F.round(F.col("__th"), 8).alias("threshold"),
+        "selected",
     )

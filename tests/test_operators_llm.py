@@ -1359,3 +1359,46 @@ def test_sentence_transformer_gated(spark):
     except ImportError:
         with _pytest.raises(NotImplementedError, match="sentence-transformers"):
             sentence_transformer_model()()
+
+
+def test_histogram_threshold_covers_fraction_and_clamps(spark):
+    """histogram_threshold (operators/sketch.py): the derived edge keeps
+    AT LEAST the requested fraction, over-selecting by at most one bin;
+    out-of-range values clamp into the edge bins; the result is
+    partitioning-independent; bad parameters raise."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from biocache_store_spark.operators.sketch import histogram_threshold
+
+    # values 0.005, 0.015, ..., 0.995 — one per bin at n_bins=100
+    vals = spark.range(100).select(
+        ((F.col("id").cast("double") + F.lit(0.5)) / 100.0).alias("importance")
+    )
+    th = histogram_threshold(vals, 0.25, 0.0, 1.0, n_bins=100).collect()[0]
+    assert th["total"] == 100
+    assert th["covered"] == 25  # exactly ceil(0.25*100) at one-per-bin
+    kept = vals.filter(F.col("importance") >= th["threshold"]).count()
+    assert kept == 25
+    # partitioning independence
+    th7 = histogram_threshold(
+        vals.repartition(7), 0.25, 0.0, 1.0, n_bins=100
+    ).collect()[0]
+    assert th7["threshold"] == th["threshold"]
+
+    # clamping: values >= hi land in the top bin and are always kept
+    spread = spark.createDataFrame(
+        [(99.0,), (5.0,), (0.5,), (-3.0,)], "importance double"
+    )
+    th2 = histogram_threshold(spread, 0.5, 0.0, 1.0, n_bins=10).collect()[0]
+    kept2 = {
+        r["importance"]
+        for r in spread.filter(F.col("importance") >= th2["threshold"]).collect()
+    }
+    assert {99.0, 5.0} <= kept2 and -3.0 not in kept2
+
+    with _pytest.raises(ValueError):
+        histogram_threshold(vals, 0.0, 0.0, 1.0)
+    with _pytest.raises(ValueError):
+        histogram_threshold(vals, 0.5, 1.0, 1.0)

@@ -467,3 +467,65 @@ def semantic_dedup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def classify_stream(
+    spark: SparkSession,
+    staging_dir: str,
+    model_path: str,
+    predictions_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType = DOC_STREAM_SCHEMA,
+    keep_label: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming model-based gating — the classifier twin of
+    `near_dup_stream`: each microbatch of arriving documents (JSONL
+    drops) is scored against the persisted Naive Bayes model
+    (operators/classifier.py), and (doc_id, label, score, n_feats[,
+    keep]) accumulates under `predictions_dir` partitioned by batch
+    (idempotent under replay: a batch-scoped overwrite). With
+    `keep_label` set this is the streaming quality/language gate: `keep`
+    = argmax label matches.
+
+    The model is READ-ONLY — counting-based training means "retrain and
+    re-point" is the update path, so unlike the dedup streams there is
+    no append step and no marker protocol; per-batch cost is one
+    broadcast join of the batch's feature occurrences against the
+    <= L x 4096-row model. Train with write_nb_model first. Documents
+    with no tokens are omitted from predictions (no evidence — the
+    batch-vs-stream equivalence contract of nb_classify).
+    """
+    import os
+
+    from biocache_store_spark.operators.classifier import (
+        nb_classify,
+        read_nb_model,
+    )
+
+    if not _index_dir_exists(spark, model_path, "model"):
+        raise ValueError(
+            f"classify_stream: no NB model at {model_path!r}; train it "
+            "with train_nb + write_nb_model before streaming"
+        )
+    model, labels, n_hex = read_nb_model(spark, model_path)
+    model = model.persist()
+    labels = labels.persist()
+    raw = spark.readStream.schema(schema).json(staging_dir)
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        out = nb_classify(batch, model, labels, n_hex=n_hex)
+        if keep_label is not None:
+            out = out.withColumn("keep", F.col("label") == keep_label)
+        out.write.mode("overwrite").parquet(
+            os.path.join(predictions_dir, f"batch={batch_id}")
+        )
+
+    writer = raw.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

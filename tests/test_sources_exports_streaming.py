@@ -1211,3 +1211,75 @@ def test_dwca_missing_identity_raises_clearly(spark, tmp_path):
     (d / "occ.csv").write_text("name\nMacropus rufus\n")
     with _pytest.raises(ValueError, match="identity terms"):
         load_archive(spark, str(d), "dr1")
+
+
+def test_classify_stream_matches_batch_and_gates(spark, tmp_path):
+    """Document drops scored against the persisted NB model: streaming
+    predictions equal a batch nb_classify over the same rows (the
+    equivalence contract), keep_label gates, an empty-text doc is
+    omitted, and a missing model raises before the stream starts."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from biocache_store_spark.operators.classifier import (
+        nb_classify,
+        read_nb_model,
+        train_nb,
+        write_nb_model,
+    )
+    from biocache_store_spark.streaming.incremental import classify_stream
+
+    train = spark.createDataFrame(
+        [
+            (1, "apple banana cherry apple", "fruit"),
+            (2, "banana cherry date banana", "fruit"),
+            (3, "carrot potato onion carrot", "veg"),
+            (4, "potato onion leek potato", "veg"),
+        ],
+        "doc_id long, text string, label string",
+    )
+    model_path = str(tmp_path / "nb")
+    m, l = train_nb(train, label_col="label")
+    write_nb_model(m, l, model_path)
+
+    with _pytest.raises(ValueError, match="no NB model"):
+        classify_stream(
+            spark, str(tmp_path / "nowhere"), str(tmp_path / "missing"),
+            str(tmp_path / "p0"), str(tmp_path / "c0"),
+        )
+
+    staging = tmp_path / "staging"
+    staging.mkdir()
+    (staging / "d1.jsonl").write_text("\n".join(
+        _json.dumps(d) for d in [
+            {"doc_id": 10, "text": "apple cherry banana", "source": "s"},
+            {"doc_id": 11, "text": "onion potato", "source": "s"},
+            {"doc_id": 12, "text": "", "source": "s"},
+        ]
+    ))
+    preds = str(tmp_path / "preds")
+    q = classify_stream(
+        spark, str(staging), model_path, preds, str(tmp_path / "c1"),
+        keep_label="fruit",
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["label"], r["score"], r["keep"])
+        for r in spark.read.parquet(preds).collect()
+    }
+    assert set(got) == {10, 11}
+    assert got[10][0] == "fruit" and got[10][2] is True
+    assert got[11][0] == "veg" and got[11][2] is False
+
+    # streaming == batch equivalence on (label, score)
+    batch_docs = spark.createDataFrame(
+        [(10, "apple cherry banana"), (11, "onion potato")],
+        "doc_id long, text string",
+    )
+    m2, l2, n_hex = read_nb_model(spark, model_path)
+    batch = {
+        r["doc_id"]: (r["label"], r["score"])
+        for r in nb_classify(batch_docs, m2, l2, n_hex=n_hex).collect()
+    }
+    assert {k: v[:2] for k, v in got.items()} == batch

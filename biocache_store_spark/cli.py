@@ -557,6 +557,17 @@ def cmd_build_corpus(args) -> int:
             kv.split("=")[0]: float(kv.split("=")[1])
             for kv in _split(args.mixture)
         }
+    for a, b, what in (
+        (args.nb_model, args.nb_keep_label, "--nb-model and --nb-keep-label"),
+        (args.dsir_target, args.dsir_threshold, "--dsir-target and --dsir-threshold"),
+    ):
+        if (a is None) != (b is None):
+            print(
+                f"build-corpus: {what} must be given together "
+                "(one alone would silently skip the gate)",
+                file=sys.stderr,
+            )
+            return 2
     manifest = build_corpus(
         spark,
         docs,
@@ -566,6 +577,12 @@ def cmd_build_corpus(args) -> int:
         max_bucket_size=args.max_bucket,
         mixture_weights=weights,
         token_budget=args.token_budget,
+        nb_model_path=args.nb_model,
+        nb_keep_label=args.nb_keep_label,
+        dsir_target=(
+            _read(spark, args.dsir_target) if args.dsir_target else None
+        ),
+        dsir_threshold=args.dsir_threshold,
     )
     for row in manifest.orderBy("stage", "source").collect():
         print(json.dumps(row.asDict(), default=str))
@@ -1174,6 +1191,16 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sp.add_argument("--mixture", help="source=weight,... (with --token-budget)")
     sp.add_argument("--token-budget", dest="token_budget", type=int)
+    sp.add_argument(
+        "--nb-model", dest="nb_model",
+        help="train-classifier output; gate on its argmax (with --nb-keep-label)",
+    )
+    sp.add_argument("--nb-keep-label", dest="nb_keep_label")
+    sp.add_argument(
+        "--dsir-target", dest="dsir_target",
+        help="trusted target corpus store; DSIR gate (with --dsir-threshold)",
+    )
+    sp.add_argument("--dsir-threshold", dest="dsir_threshold", type=float)
 
     sp = tool("train-bpe", cmd_train_bpe, "corpus -> BPE merge-rule table")
     sp.add_argument("--in", dest="inp", required=True)

@@ -134,12 +134,21 @@ def build_corpus(
     max_bucket_size: int | None = 100_000,
     mixture_weights: dict[str, float] | None = None,
     token_budget: int | None = None,
+    nb_model_path: str | None = None,
+    nb_keep_label: str | None = None,
+    dsir_target=None,
+    dsir_threshold: float | None = None,
 ):
     """The end-to-end training-corpus build, composed from the tested
     operators — what a data-engineering user actually runs nightly:
 
       1. heuristic quality gate   (text_quality_score weighted score)
+      1b. optional model gate     (persisted NB classifier argmax ==
+          nb_keep_label; nb_model_path + nb_keep_label together)
       2. language gate            (declared lang == n-gram prediction)
+      2b. optional DSIR gate      (importance vs dsir_target >=
+          dsir_threshold — the threshold regime, no total order;
+          derive the threshold with histogram_threshold offline)
       3. exact dedup              (md5 groupBy, keep min doc_id)
       4. near-dup clusters        (MinHash+LSH -> connected components)
          with the highest-QUALITY member kept per cluster
@@ -186,7 +195,16 @@ def build_corpus(
     persisted: list = []
 
     def stage(df):
+        # persist AND materialize: later stages branch over this frame
+        # (DSIR reads it twice, CC loops over it, the manifest counts
+        # it), and branches of one action can launch as concurrent AQE
+        # stages — over an unmaterialized cache each would recompute
+        # the full upstream lineage in parallel (measured: the gated
+        # build went from >300 s to ~35 s at sf0.001 with the eager
+        # fill). The count reads what the cache just wrote — one cheap
+        # pass per stage, never a lineage replay.
         df = df.persist()
+        df.count()
         persisted.append(df)
         return df
 
@@ -200,6 +218,27 @@ def build_corpus(
     docs = stage(docs)
     manifests.append(stage_counts(docs, "1_quality"))
 
+    if (nb_model_path is None) != (nb_keep_label is None):
+        raise ValueError(
+            "build_corpus: nb_model_path and nb_keep_label must be given "
+            "together (one without the other silently skips the stage)"
+        )
+    if nb_model_path is not None:
+        from biocache_store_spark.operators.classifier import (
+            nb_classify,
+            read_nb_model,
+        )
+
+        model, labels, n_hex = read_nb_model(spark, nb_model_path)
+        kept = (
+            nb_classify(docs, model, labels, n_hex=n_hex)
+            .filter(F.col("label") == nb_keep_label)
+            .select("doc_id")
+        )
+        docs = docs.join(kept, "doc_id")
+        docs = stage(docs)
+        manifests.append(stage_counts(docs, "1b_model_gate"))
+
     lang_ok = _langid_scored(docs.select("doc_id", "text", "lang")).select(
         "doc_id", _predicted_lang().alias("__pred")
     )
@@ -211,6 +250,27 @@ def build_corpus(
     ).drop("__pred")
     docs = stage(docs)
     manifests.append(stage_counts(docs, "2_language"))
+
+    if (dsir_target is None) != (dsir_threshold is None):
+        raise ValueError(
+            "build_corpus: dsir_target and dsir_threshold must be given "
+            "together (one without the other silently skips the stage)"
+        )
+    if dsir_target is not None:
+        from biocache_store_spark.operators.curation import (
+            dsir_importance,
+            dsir_select,
+        )
+
+        weights = dsir_importance(docs, dsir_target)
+        kept = (
+            dsir_select(weights, threshold=dsir_threshold)
+            .filter(F.col("selected"))
+            .select("doc_id")
+        )
+        docs = docs.join(kept, "doc_id")
+        docs = stage(docs)
+        manifests.append(stage_counts(docs, "2b_dsir_gate"))
 
     h = F.md5("text")
     first = docs.groupBy(h.alias("__h")).agg(F.min("doc_id").alias("doc_id"))

@@ -205,3 +205,64 @@ def test_build_corpus_requires_both_mixture_args(spark, tmp_path):
     with _pytest.raises(ValueError, match="together"):
         build_corpus(spark, docs, str(tmp_path / "c"),
                      mixture_weights={"s": 1.0})
+
+
+def test_build_corpus_model_and_dsir_gates(spark, tmp_path):
+    """The optional 1b (NB model) and 2b (DSIR threshold) gates: each
+    stage appears in the manifest, shrinks the corpus monotonically,
+    the model gate's count equals a directly computed nb_classify keep
+    set (exact wiring — the fixture's lang column is independent of its
+    text, so the classifier correctly predicts the prior and a
+    'shrinks strictly' assertion would test the data, not the gate),
+    and half-given arguments raise instead of silently skipping."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from biocache_store_spark.operators.classifier import (
+        nb_classify,
+        read_nb_model,
+        train_nb,
+        write_nb_model,
+    )
+    from biocache_store_spark.pipeline import build_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    target = docs.filter(F.col("source") == "src0")
+
+    model_path = str(tmp_path / "nb")
+    m, l = train_nb(docs.select("doc_id", "text", F.col("lang").alias("label")))
+    write_nb_model(m, l, model_path)
+
+    out = str(tmp_path / "corpus")
+    manifest = build_corpus(
+        spark, docs, out,
+        quality_threshold=0.0,
+        nb_model_path=model_path, nb_keep_label="en",
+        dsir_target=target, dsir_threshold=0.5,
+    )
+    rows = manifest.collect()
+    stages = {r["stage"] for r in rows}
+    assert {"1b_model_gate", "2b_dsir_gate"} <= stages
+    per_stage = {
+        s: sum(r["n_docs"] for r in rows if r["stage"] == s) for s in stages
+    }
+    order = ["0_input", "1_quality", "1b_model_gate", "2_language",
+             "2b_dsir_gate", "3_exact_dedup", "4_near_dup"]
+    for a, b in zip(order, order[1:]):
+        assert per_stage[b] <= per_stage[a]
+    # exact wiring: quality_threshold=0.0 keeps every doc, so the model
+    # gate's manifest count must equal nb_classify's argmax-'en' count
+    # over the full corpus
+    m2, l2, n_hex = read_nb_model(spark, model_path)
+    expected = (
+        nb_classify(docs, m2, l2, n_hex=n_hex)
+        .filter(F.col("label") == "en")
+        .count()
+    )
+    assert per_stage["1b_model_gate"] == expected
+
+    with _pytest.raises(ValueError, match="nb_model_path"):
+        build_corpus(spark, docs, str(tmp_path / "x1"), nb_model_path=model_path)
+    with _pytest.raises(ValueError, match="dsir_target"):
+        build_corpus(spark, docs, str(tmp_path / "x2"), dsir_threshold=0.5)

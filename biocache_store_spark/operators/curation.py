@@ -578,3 +578,116 @@ def plan_training_shards(
             F.coalesce(F.sum(F.col(token_col)).over(cum), F.lit(0)).cast("long"),
         )
     return out.drop("__h")
+
+
+_DSIR_META_SCHEMA = "n_hex int"
+
+
+def write_dsir_stats(
+    target_docs: DataFrame,
+    raw_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hex: int = 3,
+) -> None:
+    """Persist the DSIR scoring state: `cp/` (target-corpus bucket
+    histogram — fixed once the trusted corpus is chosen), `cq/`
+    (raw-corpus bucket histogram, append-grown by arriving batches),
+    and a one-row `meta/` parquet recording the feature-hash width
+    (same discipline as operators/minhash.py write_lsh_index — all
+    through the Spark writer so object-store paths work).
+
+    Both histograms are <= 16^n_hex rows after map-side partial
+    aggregation, so the persisted state is KB-sized however large the
+    corpus: this is what makes incremental DSIR (dsir probe streams)
+    per-batch cost proportional to the batch. `cq/` accumulates one
+    <= 16^n_hex-row file set per append; readers SUM by bucket, so
+    appends never need the history rewritten (compact by rewriting
+    `cq/` if file counts ever matter)."""
+    spark = target_docs.sparkSession
+    tgt = hashed_feature_buckets(target_docs, id_col, text_col, n_hex)
+    raw = hashed_feature_buckets(raw_docs, id_col, text_col, n_hex)
+    tgt.groupBy("bucket").agg(F.count(F.lit(1)).alias("cp")).coalesce(
+        1
+    ).write.mode("overwrite").parquet(path + "/cp")
+    raw.groupBy("bucket").agg(F.count(F.lit(1)).alias("cq")).coalesce(
+        1
+    ).write.mode("overwrite").parquet(path + "/cq/part=seed")
+    spark.createDataFrame([(n_hex,)], _DSIR_META_SCHEMA).coalesce(
+        1
+    ).write.mode("overwrite").parquet(path + "/meta")
+
+
+def append_dsir_stats(
+    new_docs: DataFrame,
+    path: str,
+    part: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Fold a new raw batch into the persisted `cq/` histogram — one
+    <= 16^n_hex-row write, cost proportional to the batch. `part` names
+    the batch's partition directory (`cq/part=<part>/`) and the write
+    OVERWRITES it, so replaying the same batch (streaming at-least-once)
+    re-folds identical counts instead of doubling them — the counts
+    analog of the dedup-on-read guard the LSH/IVF appends rely on. The
+    target side (`cp/`) never changes; re-point the index at a new
+    trusted corpus by rebuilding with write_dsir_stats."""
+    spark = new_docs.sparkSession
+    if "=" in part or "/" in part:
+        raise ValueError("append_dsir_stats: part must be a plain label")
+    n_hex = int(spark.read.parquet(path + "/meta").collect()[0]["n_hex"])
+    feats = hashed_feature_buckets(new_docs, id_col, text_col, n_hex)
+    feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("cq")).coalesce(
+        1
+    ).write.mode("overwrite").parquet(path + f"/cq/part={part}")
+
+
+def probe_dsir_stats(
+    spark,
+    path: str,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents against the persisted DSIR state: identical
+    formula (and bit-identical output) to dsir_importance over the
+    corpus the stats were built from — the equivalence the streaming
+    tests pin — but reading two <= 16^n_hex-row histograms instead of
+    re-scanning the corpus. The probe batch must already be folded
+    into `cq/` (append_dsir_stats) for exact batch parity, matching
+    batch mode where every scored document's features are part of q."""
+    b_src = spark.read.parquet(path + "/cq").groupBy("bucket").agg(
+        F.sum("cq").alias("cq")
+    )
+    cp = spark.read.parquet(path + "/cp")
+    n_hex = int(spark.read.parquet(path + "/meta").collect()[0]["n_hex"])
+    b_total = 16**n_hex
+    np_ = cp.agg(F.sum("cp").alias("np")).select(
+        F.coalesce(
+            F.col("np"),
+            F.expr(
+                "CAST(raise_error('probe_dsir_stats: stored target"
+                " histogram is empty') AS BIGINT)"
+            ),
+        ).alias("np")
+    )
+    nq = b_src.agg(F.sum("cq").alias("nq"))
+    raw = hashed_feature_buckets(docs, id_col, text_col, n_hex)
+    joined = (
+        raw.join(F.broadcast(cp), "bucket", "left")
+        .join(F.broadcast(b_src), "bucket", "left")
+        .crossJoin(F.broadcast(np_))
+        .crossJoin(F.broadcast(nq))
+    )
+    num = F.sum(F.coalesce(F.col("cp"), F.lit(0)) + 1)
+    den = F.sum(F.coalesce(F.col("cq"), F.lit(0)) + 1)
+    importance = F.round(
+        (num.cast("double") * (F.first("nq") + F.lit(b_total)).cast("double"))
+        / (den.cast("double") * (F.first("np") + F.lit(b_total)).cast("double")),
+        8,
+    )
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_feats"), importance.alias("importance")
+    )

@@ -529,3 +529,67 @@ def classify_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dsir_stream(
+    spark: SparkSession,
+    staging_dir: str,
+    stats_path: str,
+    weights_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType = DOC_STREAM_SCHEMA,
+    threshold: float | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming incremental DSIR maintenance — the importance-weighting
+    twin of `near_dup_stream`: each microbatch of arriving raw documents
+    is folded into the persisted `cq/` histogram (a <= 16^n_hex-row
+    partition-scoped overwrite — replay-idempotent by construction, no
+    marker protocol needed for COUNTS), then scored against the updated
+    stats, so a batch's weights equal a batch-mode dsir_importance over
+    corpus-so-far + batch (the equivalence the tests pin). Weights
+    accumulate under `weights_dir` partitioned by batch; with
+    `threshold` set each row also carries the keep decision (the pure-
+    filter 100 TB selection regime). Per-batch cost is proportional to
+    the batch — the corpus only ever participates as its KB-sized
+    histogram. Seed with write_dsir_stats first.
+    """
+    import os
+
+    from biocache_store_spark.operators.curation import (
+        append_dsir_stats,
+        probe_dsir_stats,
+    )
+
+    if not _index_dir_exists(spark, stats_path, "cp"):
+        raise ValueError(
+            f"dsir_stream: no DSIR stats at {stats_path!r}; seed them with "
+            "write_dsir_stats on the target + initial corpus first"
+        )
+    raw = spark.readStream.schema(schema).json(staging_dir)
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        batch = batch.persist()
+        try:
+            # fold first, then score: batch mode counts every scored
+            # document's own features in q, so the probe must too
+            append_dsir_stats(batch, stats_path, part=f"batch{batch_id}")
+            weights = probe_dsir_stats(spark, stats_path, batch)
+            if threshold is not None:
+                weights = weights.withColumn(
+                    "selected", F.col("importance") >= threshold
+                )
+            weights.write.mode("overwrite").parquet(
+                os.path.join(weights_dir, f"batch={batch_id}")
+            )
+        finally:
+            batch.unpersist()
+
+    writer = raw.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

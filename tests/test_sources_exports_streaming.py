@@ -1283,3 +1283,90 @@ def test_classify_stream_matches_batch_and_gates(spark, tmp_path):
         for r in nb_classify(batch_docs, m2, l2, n_hex=n_hex).collect()
     }
     assert {k: v[:2] for k, v in got.items()} == batch
+
+
+def test_dsir_stream_equals_batch_recompute(spark, tmp_path):
+    """Incremental DSIR: drop-1 weights equal batch dsir_importance over
+    seed+drop1; after drop 2, probing drop-2 docs equals batch over
+    seed+drop1+drop2 — the probe-vs-recompute equivalence of the LSH
+    index family, at histogram (KB) cost. Replaying a batch folds
+    identical counts (partition overwrite), not doubles."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from biocache_store_spark.operators.curation import (
+        dsir_importance,
+        write_dsir_stats,
+    )
+    from biocache_store_spark.streaming.incremental import dsir_stream
+
+    target = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    seed = spark.createDataFrame(
+        [(1, "the quick brown fox runs"), (2, "zzz qqq vvv www")],
+        "doc_id long, text string",
+    )
+    stats = str(tmp_path / "stats")
+    write_dsir_stats(target, seed, stats)
+
+    staging = tmp_path / "staging"
+    staging.mkdir()
+    d1 = [
+        {"doc_id": 10, "text": "the lazy dog jumps", "source": "s"},
+        {"doc_id": 11, "text": "kkk lll mmm nnn", "source": "s"},
+    ]
+    (staging / "d1.jsonl").write_text(
+        "\n".join(_json.dumps(d) for d in d1)
+    )
+    weights_dir = str(tmp_path / "weights")
+    q = dsir_stream(
+        spark, str(staging), stats, weights_dir, str(tmp_path / "c1"),
+        threshold=1.0,
+    )
+    q.awaitTermination(120)
+
+    got1 = {
+        r["doc_id"]: (r["importance"], r["selected"])
+        for r in spark.read.parquet(weights_dir).collect()
+    }
+    batch_docs_1 = seed.unionByName(
+        spark.createDataFrame(
+            [(d["doc_id"], d["text"]) for d in d1], "doc_id long, text string"
+        )
+    )
+    exp1 = {
+        r["doc_id"]: r["importance"]
+        for r in dsir_importance(batch_docs_1, target).collect()
+    }
+    assert {k: v[0] for k, v in got1.items()} == {
+        k: v for k, v in exp1.items() if k in (10, 11)
+    }
+    assert got1[10][0] > got1[11][0]  # target-like outscores disjoint
+    for _id, (imp, sel) in got1.items():
+        assert sel == (imp >= 1.0)
+
+    # drop 2: scored against stats INCLUDING drop 1
+    d2 = [{"doc_id": 20, "text": "the quick dog", "source": "s"}]
+    (staging / "d2.jsonl").write_text(_json.dumps(d2[0]))
+    q2 = dsir_stream(
+        spark, str(staging), stats, weights_dir, str(tmp_path / "c1"),
+        threshold=1.0,
+    )
+    q2.awaitTermination(120)
+    got2 = {
+        r["doc_id"]: r["importance"]
+        for r in spark.read.parquet(weights_dir).collect()
+    }
+    all_docs = batch_docs_1.unionByName(
+        spark.createDataFrame(
+            [(d2[0]["doc_id"], d2[0]["text"])], "doc_id long, text string"
+        )
+    )
+    exp2 = {
+        r["doc_id"]: r["importance"]
+        for r in dsir_importance(all_docs, target).collect()
+    }
+    assert got2[20] == exp2[20]

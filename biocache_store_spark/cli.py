@@ -535,6 +535,64 @@ def cmd_stream_near_dup(args) -> int:
     return 0
 
 
+def cmd_stream_classify(args) -> int:
+    """Incremental model-gate tick (streaming/incremental.py
+    classify_stream): score new JSONL document drops against the
+    persisted NB model, accumulate per-batch predictions, exit when
+    drained."""
+    spark = _spark(args)
+    from biocache_store_spark.streaming.incremental import classify_stream
+
+    q = classify_stream(
+        spark,
+        args.staging,
+        args.model,
+        args.predictions,
+        args.checkpoint,
+        keep_label=args.keep_label,
+        available_now=True,
+    )
+    q.awaitTermination()
+    return 0
+
+
+def cmd_dsir_stats(args) -> int:
+    """Seed the persisted DSIR scoring state (operators/curation.py
+    write_dsir_stats): target + initial raw corpus -> cp/cq histograms
+    the dsir probe stream folds into."""
+    spark = _spark(args)
+    from biocache_store_spark.operators.curation import write_dsir_stats
+
+    write_dsir_stats(
+        _read(spark, args.target),
+        _read(spark, args.inp),
+        args.out,
+        n_hex=args.n_hex,
+    )
+    print(f"dsir stats -> {args.out}")
+    return 0
+
+
+def cmd_stream_dsir(args) -> int:
+    """Incremental DSIR tick (streaming/incremental.py dsir_stream):
+    fold new JSONL document drops into the persisted cq histogram, score
+    them, accumulate per-batch weights, exit when drained."""
+    spark = _spark(args)
+    from biocache_store_spark.streaming.incremental import dsir_stream
+
+    q = dsir_stream(
+        spark,
+        args.staging,
+        args.stats,
+        args.weights,
+        args.checkpoint,
+        threshold=args.threshold,
+        available_now=True,
+    )
+    q.awaitTermination()
+    return 0
+
+
 def cmd_build_corpus(args) -> int:
     """The nightly training-corpus build (pipeline.py build_corpus):
     quality gate -> language gate -> exact dedup -> near-dup cluster
@@ -1175,6 +1233,30 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--pairs", required=True)
     sp.add_argument("--checkpoint", required=True)
     sp.add_argument("--threshold", type=float, default=0.5)
+
+    sp = tool(
+        "stream-classify", cmd_stream_classify, "availableNow model-gate tick"
+    )
+    sp.add_argument("--staging", required=True)
+    sp.add_argument("--model", required=True, help="train-classifier output")
+    sp.add_argument("--predictions", required=True)
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--keep-label", dest="keep_label")
+
+    sp = tool(
+        "dsir-stats", cmd_dsir_stats, "seed persisted DSIR cp/cq histograms"
+    )
+    sp.add_argument("--in", dest="inp", required=True, help="initial raw corpus")
+    sp.add_argument("--target", required=True, help="trusted target corpus")
+    sp.add_argument("--n-hex", dest="n_hex", type=int, default=3)
+    sp.add_argument("--out", required=True)
+
+    sp = tool("stream-dsir", cmd_stream_dsir, "availableNow DSIR weight tick")
+    sp.add_argument("--staging", required=True)
+    sp.add_argument("--stats", required=True, help="dsir-stats output")
+    sp.add_argument("--weights", required=True)
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--threshold", type=float)
 
     sp = tool("build-corpus", cmd_build_corpus, "quality->lang->dedup corpus build")
     sp.add_argument("--in", dest="inp", required=True)

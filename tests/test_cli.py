@@ -640,3 +640,56 @@ def test_cli_dsir_select(spark, tmp_path, capsys):
     assert summary["scored"] == 2
     kept = spark.read.parquet(out_path)
     assert [r["doc_id"] for r in kept.collect()] == [1]
+
+
+def test_cli_dsir_and_classify_stream_ticks(spark, tmp_path, capsys):
+    """dsir-stats -> stream-dsir and train-classifier -> stream-classify:
+    the incremental curation loop end-to-end through the CLI."""
+    target_store = str(tmp_path / "target")
+    seed_store = str(tmp_path / "seed")
+    spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    ).write.parquet(target_store)
+    spark.createDataFrame(
+        [(1, "the quick brown fox runs", "fruit"),
+         (2, "zzz qqq vvv www", "veg")],
+        "doc_id long, text string, label string",
+    ).write.parquet(seed_store)
+
+    stats = str(tmp_path / "stats")
+    assert main([
+        "dsir-stats", "--in", seed_store, "--target", target_store,
+        "--out", stats,
+    ]) == 0
+    assert spark.read.parquet(stats + "/cp").count() > 0
+
+    staging = tmp_path / "staging"
+    staging.mkdir()
+    (staging / "d.jsonl").write_text(json.dumps(
+        {"doc_id": 10, "text": "the lazy dog jumps", "source": "s"}
+    ))
+    weights = str(tmp_path / "weights")
+    assert main([
+        "stream-dsir", "--staging", str(staging), "--stats", stats,
+        "--weights", weights, "--checkpoint", str(tmp_path / "c1"),
+        "--threshold", "0.5",
+    ]) == 0
+    rows = spark.read.parquet(weights).collect()
+    assert [r["doc_id"] for r in rows] == [10]
+    assert "selected" in rows[0].asDict()
+
+    model = str(tmp_path / "nb")
+    assert main([
+        "train-classifier", "--in", seed_store, "--out", model,
+    ]) == 0
+    preds = str(tmp_path / "preds")
+    assert main([
+        "stream-classify", "--staging", str(staging), "--model", model,
+        "--predictions", preds, "--checkpoint", str(tmp_path / "c2"),
+        "--keep-label", "fruit",
+    ]) == 0
+    got = {r["doc_id"]: r["keep"] for r in spark.read.parquet(preds).collect()}
+    # doc 10 shares 'the' with the fruit-labeled seed doc and nothing
+    # with the veg-labeled one, so the argmax is 'fruit' -> kept
+    assert got == {10: True}

@@ -604,8 +604,19 @@ def write_dsir_stats(
     per-batch cost proportional to the batch. `cq/` accumulates one
     <= 16^n_hex-row file set per append; readers SUM by bucket, so
     appends never need the history rewritten (compact by rewriting
-    `cq/` if file counts ever matter)."""
+    `cq/` if file counts ever matter).
+
+    A rebuild DELETES the whole `cq/` tree first: overwriting only the
+    seed partition would leave prior runs' `cq/part=*` folds mixed into
+    the fresh state (and, after an n_hex change, buckets of a different
+    hash width) — every later probe would silently score against a
+    corrupted histogram."""
     spark = target_docs.sparkSession
+    jvm = spark._jvm
+    cq_root = jvm.org.apache.hadoop.fs.Path(path, "cq")
+    fs = cq_root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(cq_root):
+        fs.delete(cq_root, True)
     tgt = hashed_feature_buckets(target_docs, id_col, text_col, n_hex)
     raw = hashed_feature_buckets(raw_docs, id_col, text_col, n_hex)
     tgt.groupBy("bucket").agg(F.count(F.lit(1)).alias("cp")).coalesce(

@@ -126,13 +126,19 @@ def histogram_threshold(
     `value >= threshold` keeps AT LEAST the requested fraction,
     over-selecting by at most one bin's worth (tighten with n_bins).
     Values outside [lo, hi) clamp into the edge bins: everything >= hi
-    is always kept, everything < lo is kept only if the whole range is.
+    is always kept; when the cut lands in the BOTTOM bin the grid can
+    no longer discriminate and the threshold degenerates to -Infinity —
+    everything is kept, INCLUDING values below lo (the edge `lo` itself
+    would silently exclude below-lo rows that were counted toward the
+    fraction, breaking the at-least guarantee).
 
     Determinism: the bin index and both edges are single double
     expressions over plan literals, so any engine reproduces the exact
     threshold — unlike percentile_approx, whose sketch is
     implementation-defined. Returns one row:
-    (threshold, covered, total) — covered = rows at or above it.
+    (threshold, covered, total) — covered = binned rows at or above the
+    cut bin. Empty input raises (no distribution to derive from) rather
+    than returning a NULL threshold that would silently select nothing.
     """
     if not 0.0 < fraction <= 1.0:
         raise ValueError("histogram_threshold: fraction must be in (0, 1]")
@@ -167,14 +173,24 @@ def histogram_threshold(
         F.sum("c").over(w_all).alias("total"),
     )
     k = F.ceil(F.col("total") * F.lit(float(fraction)))
+    edge = lo_l + F.max("bin").cast("double") * (hi_l - lo_l) / nb
+    # bottom-bin degeneracy: bin 0 holds [lo, lo+w) AND every clamped
+    # below-lo value, so its edge must be -inf, not lo; empty input
+    # leaves max(bin) NULL — raise instead of emitting a NULL threshold
+    threshold = F.when(
+        F.max("bin").isNull(),
+        F.expr(
+            "CAST(raise_error('histogram_threshold: no values to"
+            " derive a threshold from') AS DOUBLE)"
+        ),
+    ).otherwise(
+        F.when(F.max("bin") == 0, F.lit(float("-inf"))).otherwise(edge)
+    )
     return (
         cum.filter(F.col("cum") >= k)
         .groupBy()
         .agg(
-            (
-                lo_l
-                + F.max("bin").cast("double") * (hi_l - lo_l) / nb
-            ).alias("threshold"),
+            threshold.alias("threshold"),
             F.min("cum").alias("covered"),
             F.first("total").alias("total"),
         )

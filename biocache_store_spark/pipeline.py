@@ -164,6 +164,27 @@ def build_corpus(
     """
     from pyspark.sql import functions as F
 
+    # pure argument validation belongs BEFORE any compute: at target
+    # scale the stages below each materialize a full corpus pass, and a
+    # half-given gate pair must not surface hours into the build
+    if (nb_model_path is None) != (nb_keep_label is None):
+        raise ValueError(
+            "build_corpus: nb_model_path and nb_keep_label must be given "
+            "together (one without the other silently skips the stage)"
+        )
+    if (dsir_target is None) != (dsir_threshold is None):
+        raise ValueError(
+            "build_corpus: dsir_target and dsir_threshold must be given "
+            "together (one without the other silently skips the stage)"
+        )
+    if mixture_weights is not None or token_budget is not None:
+        if mixture_weights is None or token_budget is None:
+            raise ValueError(
+                "build_corpus: mixture_weights and token_budget must be "
+                "given together (one without the other silently skips the "
+                "stage)"
+            )
+
     from biocache_store_spark.operators.components import (
         component_representatives,
         connected_components,
@@ -218,11 +239,6 @@ def build_corpus(
     docs = stage(docs)
     manifests.append(stage_counts(docs, "1_quality"))
 
-    if (nb_model_path is None) != (nb_keep_label is None):
-        raise ValueError(
-            "build_corpus: nb_model_path and nb_keep_label must be given "
-            "together (one without the other silently skips the stage)"
-        )
     if nb_model_path is not None:
         from biocache_store_spark.operators.classifier import (
             nb_classify,
@@ -251,11 +267,6 @@ def build_corpus(
     docs = stage(docs)
     manifests.append(stage_counts(docs, "2_language"))
 
-    if (dsir_target is None) != (dsir_threshold is None):
-        raise ValueError(
-            "build_corpus: dsir_target and dsir_threshold must be given "
-            "together (one without the other silently skips the stage)"
-        )
     if dsir_target is not None:
         from biocache_store_spark.operators.curation import (
             dsir_importance,
@@ -296,7 +307,7 @@ def build_corpus(
     docs = stage(docs)
     manifests.append(stage_counts(docs, "4_near_dup"))
 
-    if mixture_weights is not None and token_budget is not None:
+    if mixture_weights is not None:
         plan = plan_mixture(docs, mixture_weights, token_budget)
         # apply each source's sample_rate as a deterministic md5 keep —
         # stratified_sample's hash discipline: strict `<` against a
@@ -319,11 +330,6 @@ def build_corpus(
         ).drop("__thr")
         docs = stage(docs)
         manifests.append(stage_counts(docs, "5_mixture"))
-    elif mixture_weights is not None or token_budget is not None:
-        raise ValueError(
-            "build_corpus: mixture_weights and token_budget must be given "
-            "together (one without the other silently skips the stage)"
-        )
 
     manifest = manifests[0]
     for m in manifests[1:]:

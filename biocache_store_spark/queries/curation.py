@@ -1335,10 +1335,11 @@ def nb_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM hist
         ),
         th AS (
-            SELECT CAST(0 AS DOUBLE)
-                   + CAST(MAX(bin) AS DOUBLE)
-                     * (CAST(4 AS DOUBLE) - CAST(0 AS DOUBLE))
-                     / CAST(1000 AS DOUBLE) AS threshold
+            SELECT CASE WHEN MAX(bin) = 0 THEN CAST('-Infinity' AS DOUBLE)
+                   ELSE CAST(0 AS DOUBLE)
+                        + CAST(MAX(bin) AS DOUBLE)
+                          * (CAST(4 AS DOUBLE) - CAST(0 AS DOUBLE))
+                          / CAST(1000 AS DOUBLE) END AS threshold
             FROM cum
             WHERE cum >= CEIL(total * CAST(0.25 AS DOUBLE))
         )
@@ -1358,20 +1359,22 @@ def dsir_threshold_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     target = docs.filter(F.col("source") == "src0")
     train = docs.filter(F.col("source") != "src0")
-    # persist: the importance job feeds BOTH the histogram derivation
-    # and the final compare — the production shape checkpoints the
-    # weight table once, never recomputes the two-corpus scan
-    weights = dsir_importance(train, target).persist()
-    th = histogram_threshold(weights, 0.25, 0.0, 4.0, 1000)
-    with_th = weights.crossJoin(
-        F.broadcast(th.select(F.col("threshold").alias("__th")))
+    weights = dsir_importance(train, target)
+    # the threshold is collected eagerly (one scalar): a persist here
+    # would leak a cached corpus-sized frame into the shared session
+    # with no owner to unpersist it, and an UNmaterialized cache lets
+    # the histogram and compare branches race into recomputing the
+    # importance scan concurrently. Production checkpoints the weight
+    # table instead (see dsir_select docstring); two passes is the
+    # honest lazy-query shape.
+    th_val = float(
+        histogram_threshold(weights, 0.25, 0.0, 4.0, 1000)
+        .collect()[0]["threshold"]
     )
-    return dsir_select(
-        with_th, threshold=F.col("__th")
-    ).select(
+    return dsir_select(weights, threshold=th_val).select(
         "doc_id",
         "n_feats",
         "importance",
-        F.round(F.col("__th"), 8).alias("threshold"),
+        F.round(F.lit(th_val), 8).alias("threshold"),
         "selected",
     )

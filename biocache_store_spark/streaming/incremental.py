@@ -508,9 +508,11 @@ def classify_stream(
             f"classify_stream: no NB model at {model_path!r}; train it "
             "with train_nb + write_nb_model before streaming"
         )
+    # no persist: the model relations are <= L x 4096-row parquet reads
+    # per microbatch (negligible), and a cache pinned here would outlive
+    # the availableNow query in a long-lived driver with no owner to
+    # unpersist it
     model, labels, n_hex = read_nb_model(spark, model_path)
-    model = model.persist()
-    labels = labels.persist()
     raw = spark.readStream.schema(schema).json(staging_dir)
 
     def handle(batch: DataFrame, batch_id: int) -> None:
@@ -566,6 +568,16 @@ def dsir_stream(
             f"dsir_stream: no DSIR stats at {stats_path!r}; seed them with "
             "write_dsir_stats on the target + initial corpus first"
         )
+    # partition labels are namespaced by a run id derived from the
+    # checkpoint path: Spark restarts batch_id at 0 whenever a stream
+    # gets a fresh checkpoint, and a bare `batch0` label would then
+    # OVERWRITE the counts an earlier run already folded (deleting
+    # history, unlike the LSH/IVF appends). Same checkpoint -> same run
+    # id, so replay idempotence is preserved; new checkpoint -> new
+    # namespace, so prior folds survive.
+    import hashlib
+
+    run_id = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
     raw = spark.readStream.schema(schema).json(staging_dir)
 
     def handle(batch: DataFrame, batch_id: int) -> None:
@@ -575,14 +587,16 @@ def dsir_stream(
         try:
             # fold first, then score: batch mode counts every scored
             # document's own features in q, so the probe must too
-            append_dsir_stats(batch, stats_path, part=f"batch{batch_id}")
+            append_dsir_stats(
+                batch, stats_path, part=f"r{run_id}b{batch_id}"
+            )
             weights = probe_dsir_stats(spark, stats_path, batch)
             if threshold is not None:
                 weights = weights.withColumn(
                     "selected", F.col("importance") >= threshold
                 )
             weights.write.mode("overwrite").parquet(
-                os.path.join(weights_dir, f"batch={batch_id}")
+                os.path.join(weights_dir, f"run={run_id}", f"batch={batch_id}")
             )
         finally:
             batch.unpersist()

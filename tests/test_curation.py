@@ -354,3 +354,55 @@ def test_dsir_importance_featureless_target_raises(spark):
     )
     with _pytest.raises(Exception, match="no features"):
         dsir_importance(train, target).collect()
+
+
+def test_write_dsir_stats_rebuild_clears_old_folds(spark, tmp_path):
+    """Rebuilding the DSIR stats must DELETE prior cq/part=* folds:
+    probing after a rebuild scores against the fresh corpus only, never
+    a mix of old-run counts (the silent-corruption case)."""
+    from pyspark.sql import functions as F
+
+    from biocache_store_spark.operators.curation import (
+        append_dsir_stats,
+        dsir_importance,
+        probe_dsir_stats,
+        write_dsir_stats,
+    )
+
+    target = spark.createDataFrame(
+        [(100, "the quick brown fox")], "doc_id long, text string"
+    )
+    seed = spark.createDataFrame(
+        [(1, "the quick fox"), (2, "zzz qqq www")], "doc_id long, text string"
+    )
+    stats = str(tmp_path / "stats")
+    write_dsir_stats(target, seed, stats)
+    append_dsir_stats(
+        spark.createDataFrame([(3, "ppp rrr sss")], "doc_id long, text string"),
+        stats,
+        part="old",
+    )
+    # rebuild on a different corpus: old folds must vanish
+    seed2 = spark.createDataFrame(
+        [(4, "the lazy dog"), (5, "aaa bbb ccc")], "doc_id long, text string"
+    )
+    write_dsir_stats(target, seed2, stats)
+    parts = {
+        r["part"]
+        for r in spark.read.parquet(stats + "/cq").select("part").distinct().collect()
+    }
+    assert parts == {"seed"}
+    probe = {
+        r["doc_id"]: r["importance"]
+        for r in probe_dsir_stats(spark, stats, seed2).collect()
+    }
+    batch = {
+        r["doc_id"]: r["importance"]
+        for r in dsir_importance(seed2, target).collect()
+    }
+    assert probe == batch
+    # part labels that would break partition-dir parsing are rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="plain label"):
+        append_dsir_stats(seed2, stats, part="a=b")

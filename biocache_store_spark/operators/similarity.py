@@ -784,3 +784,68 @@ def centroids_df(
         ]
     )
     return spark.createDataFrame(list(zip(cells, book)), schema)
+
+
+def semantic_decontamination(
+    train: DataFrame,
+    eval_set: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = DEFAULT_PLANES,
+    max_bucket: int = 100_000,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-level benchmark decontamination — the semantic twin of
+    operators/curation.py ngram_overlap: for every training vector that
+    shares a random-hyperplane bucket with an evaluation vector, report
+    its closest eval neighbor and flag cosine >= threshold (a paraphrased
+    eval item that n-gram overlap misses). Candidate generation is the
+    cross-set join WITHIN buckets only — never train x eval all-pairs,
+    and never train x train (dedup's job, not this one's).
+
+    Scale shape: eval sets are small by construction but are NOT assumed
+    broadcastable — the join is bucket-keyed shuffle-hash like
+    cosine_near_duplicates, and the cap drops buckets whose EVAL side
+    exceeds max_bucket (the train side may be arbitrarily hot; cost per
+    bucket is |train| x |eval|, so bounding the eval side bounds the
+    fan-out per training row). The argmax is ordered by the ROUNDED
+    cosine then eval id, so the reported neighbor reproduces exactly in
+    SQL (full-precision ordering would tie-break on engine ulps).
+
+    Returns (id, eval_id, cos_sim, contaminated) — one row per training
+    vector that had at least one same-bucket eval candidate; vectors
+    with no candidate are clean by construction and absent.
+    """
+    from pyspark.sql.window import Window
+
+    planes = hyperplanes(dim, n_planes)
+    t = train.select(
+        F.col(id_col), F.col(embedding_col).alias("__emb_t")
+    ).withColumn("bucket", _bucket_expr(F.col("__emb_t"), planes))
+    e = eval_set.select(
+        F.col(id_col).alias("eval_id"),
+        F.col(embedding_col).alias("__emb_e"),
+    ).withColumn("bucket", _bucket_expr(F.col("__emb_e"), planes))
+    sizes = e.groupBy("bucket").agg(F.count(F.lit(1)).alias("__n"))
+    e = e.join(
+        F.broadcast(sizes.filter(F.col("__n") <= max_bucket)), "bucket"
+    ).drop("__n")
+    sim = cosine_similarity_arrow(F.col("__emb_t"), F.col("__emb_e"))
+    cand = (
+        t.join(e.hint("shuffle_hash"), ["bucket"])
+        .withColumn("cos_sim", F.round(F.coalesce(sim, F.lit(-2.0)), 4))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("eval_id").asc()
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            id_col,
+            "eval_id",
+            "cos_sim",
+            (F.col("cos_sim") >= threshold).alias("contaminated"),
+        )
+    )

@@ -54,9 +54,9 @@ def register(
 
 # The external driver oracle-checks a 50-slot prefix of the registry per
 # round. Round-6 rotation (VERDICT r5 "Next round" #1): queries whose
-# behavior changed this round first, then the seven never-driver-checked
+# behavior changed this round first, then the eight never-driver-checked
 # round-6 additions, then the stale tiers (11 r3-era shapes before the
-# r4-era tier). Fifteen simple untouched r4-era shapes (positions 51-65)
+# r4-era tier). Sixteen simple untouched r4-era shapes (positions 51-66)
 # overflow the prefix and rotate in next round; the 50 entries driver-green
 # in CORRECTNESS_r05 yield their slots entirely.
 HEAD: tuple[str, ...] = (
@@ -77,6 +77,7 @@ HEAD: tuple[str, ...] = (
     "dsir_selection",
     "nb_lang_classify",
     "dsir_threshold_select",
+    "semantic_decontamination",
     # r3-era: last driver row in CORRECTNESS_r03
     "facet_counts",
     "top_k",
@@ -113,10 +114,10 @@ HEAD: tuple[str, ...] = (
     "ngram_decontamination",
     "sample_layers_enrich",
     "simhash_near_duplicates",
-    "state_centroid_inference",
     # --- 50-slot prefix ends here ---
     # r4-era overflow: simple built-in shapes untouched since r4, rotate
     # into the prefix next round
+    "state_centroid_inference",
     "stored_query_bbox",
     "streaming_event_windows",
     "text_redact_pii",

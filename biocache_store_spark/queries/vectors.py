@@ -623,3 +623,83 @@ def kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.select("vec_id", "cell_id").join(sizes, "cell_id").select(
         "vec_id", "cell_id", "n_members"
     )
+
+
+def _semantic_decon_oracle(
+    dim: int = 64, n_planes: int = 4, threshold: float = 0.25
+) -> str:
+    """Exact DuckDB replay of semantic decontamination (same plane-literal
+    technique as _near_dup_oracle; the argmax orders by ROUNDED cosine then
+    eval id, exactly as the operator does)."""
+    from biocache_store_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes)
+    bits = "\n            || ".join(
+        "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
+        + ",".join(repr(v) for v in plane)
+        + "]::DOUBLE[]) > 0 THEN '1' ELSE '0' END)"
+        for plane in planes
+    )
+    return f"""
+        WITH b AS (
+            SELECT vec_id, label, embedding,
+                   {bits} AS bucket
+            FROM embeddings
+        ),
+        ev AS (
+            SELECT * FROM (
+                SELECT vec_id AS eval_id, embedding, bucket,
+                       COUNT(*) OVER (PARTITION BY bucket) AS n
+                FROM b WHERE label = 0
+            ) WHERE n <= 100000
+        ),
+        tr AS (SELECT vec_id, embedding, bucket FROM b WHERE label <> 0),
+        cand AS (
+            SELECT t.vec_id, e.eval_id,
+                   ROUND(list_cosine_similarity(t.embedding::DOUBLE[],
+                                                e.embedding::DOUBLE[]), 4)
+                     AS cos_sim
+            FROM tr t JOIN ev e ON t.bucket = e.bucket
+        ),
+        best AS (
+            SELECT vec_id, eval_id, cos_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY cos_sim DESC, eval_id ASC
+                   ) AS rn
+            FROM cand
+        )
+        SELECT vec_id, eval_id, cos_sim,
+               cos_sim >= CAST({threshold} AS DOUBLE) AS contaminated
+        FROM best WHERE rn = 1
+    """
+
+
+@register(
+    "semantic_decontamination",
+    doc=(
+        "Embedding-level benchmark decontamination (operators/similarity.py "
+        "semantic_decontamination): the semantic twin of "
+        "ngram_decontamination — label-0 vectors stand in as the eval "
+        "benchmark, every other vector reports its closest same-LSH-bucket "
+        "eval neighbor (rounded-cosine argmax, eval-id tie-break) and is "
+        "flagged when cosine >= 0.25 (the synthetic corpus's near-dup bar; "
+        "~0.95 on real embeddings). Candidates are bucket-local cross-set "
+        "pairs only — never all-pairs, never train x train — with the "
+        "eval-side bucket cap bounding per-row fan-out at 100 TB."
+    ),
+    oracle=_semantic_decon_oracle(),
+)
+def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.similarity import (
+        semantic_decontamination as _decon,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return _decon(
+        emb.filter(F.col("label") != 0),
+        emb.filter(F.col("label") == 0),
+        dim=64,
+        threshold=0.25,
+        n_planes=4,
+    )

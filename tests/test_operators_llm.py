@@ -1402,3 +1402,59 @@ def test_histogram_threshold_covers_fraction_and_clamps(spark):
         histogram_threshold(vals, 0.0, 0.0, 1.0)
     with _pytest.raises(ValueError):
         histogram_threshold(vals, 0.5, 1.0, 1.0)
+
+
+def test_semantic_decontamination_cross_set_only(spark):
+    """semantic_decontamination (operators/similarity.py): reports the
+    closest same-bucket EVAL neighbor per training vector — never a
+    train-train pair — flags cosine >= threshold, omits training vectors
+    with no same-bucket eval candidate, and drops eval buckets over the
+    cap."""
+    from pyspark.sql import functions as F
+
+    from biocache_store_spark.operators.similarity import (
+        semantic_decontamination,
+    )
+
+    # 2-d vectors: bucket = sign pattern vs md5-seeded planes; vectors
+    # on opposite sides of every plane never share a bucket
+    train = spark.createDataFrame(
+        [(1, [1.0, 0.01]), (2, [0.99, 0.0]), (3, [-1.0, -0.01])],
+        "vec_id long, embedding array<float>",
+    )
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.9, 0.1])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semantic_decontamination(
+            train, ev, dim=2, threshold=0.99
+        ).collect()
+    }
+    # ids 1 and 2 point the same way as the eval vectors; 3 is opposite
+    assert set(out) <= {1, 2}
+    for r in out.values():
+        assert r["eval_id"] in (100, 101)  # never a train id
+        assert r["contaminated"] == (r["cos_sim"] >= 0.99)
+    assert out[2]["eval_id"] == 100 and out[2]["contaminated"]
+
+    # eval-side cap: both eval vectors point the same way, so they share
+    # a bucket; with max_bucket=1 that bucket is dropped and NO training
+    # vector has any candidate left
+    from biocache_store_spark.operators.similarity import (
+        _bucket_expr,
+        hyperplanes,
+    )
+
+    ev_buckets = {
+        r["b"]
+        for r in ev.select(
+            _bucket_expr(F.col("embedding"), hyperplanes(2, 4)).alias("b")
+        ).collect()
+    }
+    assert len(ev_buckets) == 1  # fixture premise
+    dropped = semantic_decontamination(
+        train, ev, dim=2, threshold=0.5, max_bucket=1
+    ).collect()
+    assert dropped == []

@@ -655,10 +655,13 @@ def _semantic_decon_oracle(
         ),
         tr AS (SELECT vec_id, embedding, bucket FROM b WHERE label <> 0),
         cand AS (
+            -- COALESCE mirrors the operator's null-tolerant sentinel: a
+            -- NULL embedding still joins (it buckets to all-'0' on both
+            -- engines) and must score -2.0 here too, not NULL
             SELECT t.vec_id, e.eval_id,
-                   ROUND(list_cosine_similarity(t.embedding::DOUBLE[],
-                                                e.embedding::DOUBLE[]), 4)
-                     AS cos_sim
+                   ROUND(COALESCE(list_cosine_similarity(
+                             t.embedding::DOUBLE[], e.embedding::DOUBLE[]),
+                         CAST(-2.0 AS DOUBLE)), 4) AS cos_sim
             FROM tr t JOIN ev e ON t.bucket = e.bucket
         ),
         best AS (

@@ -1429,7 +1429,7 @@ def test_semantic_decontamination_cross_set_only(spark):
     out = {
         r["vec_id"]: r
         for r in semantic_decontamination(
-            train, ev, dim=2, threshold=0.99
+            train, ev, dim=2, threshold=0.99, n_planes=4
         ).collect()
     }
     # ids 1 and 2 point the same way as the eval vectors; 3 is opposite
@@ -1453,8 +1453,8 @@ def test_semantic_decontamination_cross_set_only(spark):
             _bucket_expr(F.col("embedding"), hyperplanes(2, 4)).alias("b")
         ).collect()
     }
-    assert len(ev_buckets) == 1  # fixture premise
+    assert len(ev_buckets) == 1  # fixture premise (same 4 planes as below)
     dropped = semantic_decontamination(
-        train, ev, dim=2, threshold=0.5, max_bucket=1
+        train, ev, dim=2, threshold=0.5, n_planes=4, max_bucket=1
     ).collect()
     assert dropped == []

@@ -693,3 +693,47 @@ def test_cli_dsir_and_classify_stream_ticks(spark, tmp_path, capsys):
     # doc 10 shares 'the' with the fruit-labeled seed doc and nothing
     # with the veg-labeled one, so the argmax is 'fruit' -> kept
     assert got == {10: True}
+
+
+def test_cli_build_corpus_gate_flags(spark, tmp_path, capsys):
+    """build-corpus --nb-model/--nb-keep-label and --dsir-target/
+    --dsir-threshold: the gate stages appear in the manifest, and a
+    half-given pair exits 2 before any compute."""
+    docs_store = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            (i, f"alpha beta w{i} gamma delta epsilon", "en", "srcA", 30)
+            for i in range(10)
+        ]
+        + [
+            (100 + i, f"zzz qqq w{i} vvv www yyy", "de", "srcB", 24)
+            for i in range(10)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(docs_store)
+
+    model = str(tmp_path / "nb")
+    assert main([
+        "train-classifier", "--in", docs_store, "--label-col", "lang",
+        "--out", model,
+    ]) == 0
+
+    assert main([
+        "build-corpus", "--in", docs_store, "--out", str(tmp_path / "x"),
+        "--nb-model", model,
+    ]) == 2  # half-given pair rejected before any Spark job
+
+    capsys.readouterr()
+    out = str(tmp_path / "corpus")
+    assert main([
+        "build-corpus", "--in", docs_store, "--out", out,
+        "--quality-threshold", "0.0",
+        "--nb-model", model, "--nb-keep-label", "en",
+        "--dsir-target", docs_store, "--dsir-threshold", "0.5",
+    ]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    stages = {json.loads(l)["stage"] for l in lines}
+    assert {"1b_model_gate", "2b_dsir_gate"} <= stages
+    # the en-gate drops the de-labeled half (disjoint vocab -> separable)
+    kept = spark.read.parquet(out + "/documents")
+    assert {r["lang"] for r in kept.collect()} == {"en"}

@@ -120,12 +120,25 @@ def _dims_from_args(spark, args):
 def cmd_process(args) -> int:
     """ProcessRecords / ProcessLocalRecords (processing/RecordProcessor
     via tool/ProcessRecords.scala): raw store -> processed store through
-    the 12-stage chain (+ optional enrichment dims)."""
+    the 12-stage chain (+ optional enrichment dims). --uuids scopes to a
+    comma-separated uuid/rowKey list (tool/ProcessUuids.scala)."""
     from biocache_store_spark.exports.exporters import write_occurrence_store
     from biocache_store_spark.pipeline import run_pipeline
 
     spark = _spark(args)
     raw = _apply_query(_read(spark, args.inp), args.query)
+    if args.uuids:
+        from pyspark.sql import functions as F
+
+        wanted = _split(args.uuids)
+        keys = [c for c in ("uuid", "rowKey") if c in raw.columns]
+        if not keys:
+            print("process: store has neither uuid nor rowKey", file=sys.stderr)
+            return 2
+        cond = F.col(keys[0]).isin(wanted)
+        for c in keys[1:]:
+            cond = cond | F.col(c).isin(wanted)
+        raw = raw.filter(cond)
     processed = run_pipeline(
         raw, _dims_from_args(spark, args), hybrid_chain=not args.no_hybrid
     )
@@ -1082,6 +1095,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--in", dest="inp", required=True)
     sp.add_argument("--out", required=True)
     sp.add_argument("--query", help="SOLR-syntax scope filter")
+    sp.add_argument(
+        "--uuids", help="comma-separated uuid/rowKey scope (ProcessUuids)"
+    )
     sp.add_argument("--no-hybrid", action="store_true")
     dim_opts(sp)
 

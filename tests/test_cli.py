@@ -737,3 +737,22 @@ def test_cli_build_corpus_gate_flags(spark, tmp_path, capsys):
     # the en-gate drops the de-labeled half (disjoint vocab -> separable)
     kept = spark.read.parquet(out + "/documents")
     assert {r["lang"] for r in kept.collect()} == {"en"}
+
+
+def test_cli_process_uuid_scope(spark, tmp_path):
+    """process --uuids: scope the chain to a comma-separated uuid/rowKey
+    list (the reference's process-uuids tool)."""
+    raw_store = str(tmp_path / "raw")
+    main([
+        "load-dwca", "--archive", FIXTURE_DWCA, "--dr", "dr0",
+        "--unique-terms", "occurrenceID", "--out", raw_store,
+    ])
+    uuids = [r["uuid"] for r in spark.read.parquet(raw_store).collect()]
+    out = str(tmp_path / "processed")
+    assert main([
+        "process", "--in", raw_store, "--uuids", ",".join(uuids[:2]),
+        "--out", out,
+    ]) == 0
+    got = spark.read.parquet(out)
+    assert got.count() == 2
+    assert {r["uuid"] for r in got.collect()} == set(uuids[:2])

@@ -114,6 +114,7 @@ def _dims_from_args(spark, args):
         sensitive_species=opt(getattr(args, "sds", None)),
         cl_layers=opt(getattr(args, "cl_layers", None)),
         el_layers=opt(getattr(args, "el_layers", None)),
+        state_layer=getattr(args, "state_layer", None),
     )
 
 
@@ -1072,6 +1073,10 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--sds", help="sensitive-species dim parquet")
         sp.add_argument("--cl-layers", dest="cl_layers", help="cl layer dim parquet")
         sp.add_argument("--el-layers", dest="el_layers", help="el layer dim parquet")
+        sp.add_argument(
+            "--state-layer", dest="state_layer",
+            help="cl layerID whose names are states (layer.state.province)",
+        )
 
     sp = tool("load-dwca", cmd_load_dwca, "DwC-A dir -> occurrence store")
     sp.add_argument("--archive", required=True)

@@ -49,6 +49,15 @@ class Dimensions:
     cl_layers: DataFrame | None = None
     el_layers: DataFrame | None = None
     default_values_by_resource: dict | None = None
+    # the cl layerID whose polygon names ARE state/province names (the
+    # reference's `layer.state.province` Config.stateProvinceLayerID,
+    # e.g. cl22 = aus1). When set alongside sensitive_species +
+    # cl_layers, records lacking a raw stateProvince get their state
+    # resolved from coordinates BEFORE sensitivity runs — the
+    # SensitivityProcessor-after-LocationProcessor ordering of the
+    # reference (SDSServiceTest.scala): without it, a coordinates-only
+    # record inside a sensitive zone would publish at full precision.
+    state_layer: str | None = None
 
 
 def run_pipeline(
@@ -63,6 +72,47 @@ def run_pipeline(
     last over the final coordinates."""
     dims = dims or Dimensions()
     df = raw
+    if (
+        dims.sensitive_species is not None
+        and dims.cl_layers is not None
+        and dims.state_layer is not None
+        and "stateProvince" in df.columns
+        and "decimalLatitude" in df.columns
+        and "decimalLongitude" in df.columns
+    ):
+        # resolve the layer state for records lacking a raw
+        # stateProvince so zone-scoped sensitivity rules see it (see
+        # Dimensions.state_layer). Distinct points only, one polygon
+        # layer — dimension-sized work even at full corpus scale.
+        from pyspark.sql import functions as F
+
+        state_dim = dims.cl_layers.filter(
+            F.col("layerID") == dims.state_layer
+        )
+        pts = distinct_points(df)
+        sampled = sample_points(pts, state_dim, None).select(
+            F.col("lat").alias("__st_lat"),
+            F.col("lon").alias("__st_lon"),
+            F.element_at("cl", dims.state_layer).alias("__layer_state"),
+        )
+        df = (
+            df.join(
+                sampled,
+                (F.col("decimalLatitude").cast("double") == F.col("__st_lat"))
+                & (F.col("decimalLongitude").cast("double") == F.col("__st_lon")),
+                "left",
+            )
+            .withColumn(
+                "stateProvince",
+                F.coalesce(
+                    F.when(F.col("stateProvince") == "", None).otherwise(
+                        F.col("stateProvince")
+                    ),
+                    F.col("__layer_state"),
+                ),
+            )
+            .drop("__st_lat", "__st_lon", "__layer_state")
+        )
     if dims.sensitive_species is not None:
         if "generalisation" in dims.sensitive_species.columns:
             # full SDS rule shape (zone-scoped conservation instances,

@@ -302,3 +302,55 @@ def test_taxon_hints_rank_case_insensitive():
     assert ok
     bad, label = is_match_valid({"kingdom": "Plantae"}, hints)
     assert not bad and "Plantae" in label
+
+
+def test_state_resolved_from_layer_before_sensitivity(spark, rules):
+    """SDSServiceTest.scala mirror: a record with COORDINATES but no raw
+    stateProvince must still trip the zone-scoped rule — the pipeline
+    resolves the state from the designated cl layer (the reference's
+    LocationProcessor-before-SensitivityProcessor ordering via
+    Config.stateProvinceLayerID) before sensitivity runs. Records with a
+    raw state keep it; without a state_layer dim the blank-state record
+    publishes unprotected (the gap the wiring closes)."""
+    from pyspark.sql import functions as F
+
+    from biocache_store_spark.pipeline import Dimensions, run_pipeline
+
+    # an NSW bounding box covering (146.921099, -31.2532183)
+    cl = spark.createDataFrame(
+        [("cl22", "New South Wales",
+          "POLYGON((141 -37.5, 153.6 -37.5, 153.6 -28, 141 -28, 141 -37.5))")],
+        "layerID string, name string, wkt string",
+    )
+    records = spark.createDataFrame(
+        [
+            # SDSServiceTest's Diuris disposita: coords only, no raw state
+            ("r1", "Diuris disposita", "lsid:167966", None, None,
+             "-31.2532183", "146.921099", None, None, None, None),
+            # raw state present: must be kept, not overwritten
+            ("r2", "Diuris disposita", "lsid:167966", "Queensland", None,
+             "-31.2532183", "146.921099", None, None, None, None),
+        ],
+        "rowKey string, scientificName string, taxonConceptID string, "
+        "stateProvince string, country string, decimalLatitude string, "
+        "decimalLongitude string, coordinateUncertaintyInMeters string, "
+        "eventDate string, day string, month string",
+    )
+    out = run_pipeline(
+        records,
+        Dimensions(sensitive_species=rules, cl_layers=cl, state_layer="cl22"),
+    )
+    got = {r["rowKey"]: r for r in out.collect()}
+    # r1: state resolved from the layer -> WITHHOLD rule fires
+    assert got["r1"]["sensitive"] is True
+    assert got["r1"]["decimalLatitude"] is None  # withheld
+    assert "withheld" in got["r1"]["informationWithheld"]
+    # r2: raw state wins; Queensland is outside the rule's zone
+    assert got["r2"]["sensitive"] is False
+
+    # without the state_layer wiring the blank-state record is unprotected
+    out2 = run_pipeline(
+        records, Dimensions(sensitive_species=rules, cl_layers=cl)
+    )
+    got2 = {r["rowKey"]: r for r in out2.collect()}
+    assert got2["r1"]["sensitive"] is False

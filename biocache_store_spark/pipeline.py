@@ -163,6 +163,24 @@ def run_pipeline(
         points = distinct_points(processed)
         samples = sample_points(points, dims.cl_layers, dims.el_layers)
         processed = enrich_records(processed, samples)
+        if dims.state_layer is not None and "stateProvince" in processed.columns:
+            # the chain's location stage canonicalizes a raw state only
+            # for no-coordinate records (LocationProcessor does the rest
+            # via its layer intersect, which the Spark path expresses as
+            # this sampling join) — so fill the processed state from the
+            # designated state layer where it is still blank, exactly
+            # what the reference's intersect would have written
+            from pyspark.sql import functions as F
+
+            processed = processed.withColumn(
+                "stateProvince",
+                F.coalesce(
+                    F.when(F.col("stateProvince") == "", None).otherwise(
+                        F.col("stateProvince")
+                    ),
+                    F.element_at("cl", dims.state_layer),
+                ),
+            )
     return processed
 
 

@@ -354,3 +354,30 @@ def test_state_resolved_from_layer_before_sensitivity(spark, rules):
     )
     got2 = {r["rowKey"]: r for r in out2.collect()}
     assert got2["r1"]["sensitive"] is False
+
+
+def test_index_state_filled_from_layer_for_coordinate_records(spark):
+    """The chain canonicalizes a raw state only for no-coordinate records
+    (its layer intersect is the sampling join) — with Dimensions.state_layer
+    set, a coordinates-only record's processed stateProvince comes from the
+    state layer polygon, as the reference's LocationProcessor intersect
+    writes it."""
+    from pyspark.sql import functions as F
+
+    from biocache_store_spark.pipeline import Dimensions, run_pipeline
+
+    cl = spark.createDataFrame(
+        [("cl22", "New South Wales",
+          "POLYGON((141 -37.5, 153.6 -37.5, 153.6 -28, 141 -28, 141 -37.5))")],
+        "layerID string, name string, wkt string",
+    )
+    records = spark.createDataFrame(
+        [("r1", "-31.25", "146.92", None)],
+        "rowKey string, decimalLatitude string, decimalLongitude string, "
+        "stateProvince string",
+    )
+    out = run_pipeline(records, Dimensions(cl_layers=cl, state_layer="cl22"))
+    assert out.collect()[0]["stateProvince"] == "New South Wales"
+    # without the designated layer the gap remains (documented chain shape)
+    out2 = run_pipeline(records, Dimensions(cl_layers=cl))
+    assert out2.collect()[0]["stateProvince"] is None

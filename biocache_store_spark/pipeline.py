@@ -181,6 +181,27 @@ def run_pipeline(
                     F.element_at("cl", dims.state_layer),
                 ),
             )
+            if "country" in processed.columns:
+                # the reference infers country from the resolved state
+                # (StateProvinceToCountry); 8-entry literal map, codegen
+                from itertools import chain as _chain
+
+                from biocache_store_spark.processors.location import (
+                    STATE_TO_COUNTRY,
+                )
+
+                s2c = F.create_map(
+                    *[F.lit(v) for v in _chain(*STATE_TO_COUNTRY.items())]
+                )
+                processed = processed.withColumn(
+                    "country",
+                    F.coalesce(
+                        F.when(F.col("country") == "", None).otherwise(
+                            F.col("country")
+                        ),
+                        s2c[F.col("stateProvince")],
+                    ),
+                )
     return processed
 
 

@@ -372,12 +372,15 @@ def test_index_state_filled_from_layer_for_coordinate_records(spark):
         "layerID string, name string, wkt string",
     )
     records = spark.createDataFrame(
-        [("r1", "-31.25", "146.92", None)],
+        [("r1", "-31.25", "146.92", None, None)],
         "rowKey string, decimalLatitude string, decimalLongitude string, "
-        "stateProvince string",
+        "stateProvince string, country string",
     )
     out = run_pipeline(records, Dimensions(cl_layers=cl, state_layer="cl22"))
-    assert out.collect()[0]["stateProvince"] == "New South Wales"
+    row = out.collect()[0]
+    assert row["stateProvince"] == "New South Wales"
+    # country inferred from the resolved state (StateProvinceToCountry)
+    assert row["country"] == "Australia"
     # without the designated layer the gap remains (documented chain shape)
     out2 = run_pipeline(records, Dimensions(cl_layers=cl))
     assert out2.collect()[0]["stateProvince"] is None

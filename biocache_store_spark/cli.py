@@ -1010,11 +1010,21 @@ def cmd_scan_records(args) -> int:
             .orderBy(F.desc("n"), args.aggregate)
             .collect()
         )
-        out["aggregate"] = {str(r[args.aggregate]): r["n"] for r in counts}
+        # NULL group values get their own field, never the string "None"
+        # (which would collide with a real 'None' value in the data)
+        out["aggregate"] = {
+            str(r[args.aggregate]): r["n"]
+            for r in counts
+            if r[args.aggregate] is not None
+        }
+        null_n = sum(r["n"] for r in counts if r[args.aggregate] is None)
+        if null_n:
+            out["aggregate_null"] = null_n
         if args.csv:
             with open(args.csv, "w") as fh:
                 for r in counts:
-                    fh.write(f"{r[args.aggregate]},{r['n']}\n")
+                    key = "" if r[args.aggregate] is None else r[args.aggregate]
+                    fh.write(f"{key},{r['n']}\n")
     print(json.dumps(out, default=str))
     return 0
 

@@ -545,9 +545,9 @@ def plan_training_shards(
     """Deterministic global shuffle + sharding for training-data export.
 
     Tokenizer/packing pipelines want the corpus order-randomized and cut
-    into a fixed number of shards, reproducibly: shard = first md5 byte
-    of the document id mod n_shards, position = rank of the md5 hex
-    within the shard. Both are pure functions of the id, so the plan is
+    into a fixed number of shards, reproducibly: shard = first 4 md5
+    bytes of the document id mod n_shards, position = rank of the md5
+    hex within the shard. Both are pure functions of the id, so the plan is
     stable across runs, engines and partitionings — re-running the
     export after an append only reshuffles within shards, and any
     engine (or the DuckDB oracle) reproduces the exact layout.
@@ -562,10 +562,13 @@ def plan_training_shards(
     """
     from pyspark.sql.window import Window
 
+    # 8 hex chars (32 bits) before the mod: a single byte (0-255) would
+    # leave shards 256+ permanently empty for n_shards > 256 and skew the
+    # distribution whenever 256 % n_shards != 0.
     h = F.md5(F.col(id_col).cast("string"))
     shard = F.pmod(
-        F.conv(F.substring(h, 1, 2), 16, 10).cast("int"), F.lit(n_shards)
-    )
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"), F.lit(n_shards)
+    ).cast("int")
     out = docs.withColumn("__h", h).withColumn("shard", shard)
     w = Window.partitionBy("shard").orderBy("__h", id_col)
     out = out.withColumn("pos", F.row_number().over(w) - 1)

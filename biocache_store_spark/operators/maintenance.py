@@ -170,7 +170,12 @@ def cleanup_rows(
     in_dr = F.col(dr_col) == data_resource_uid
     lm = F.col(modified_col).cast("string")
     stale = lm.isNull() | (lm == "") | (lm < last_load_date)
-    was_deleted = is_deleted_flag(F.col(deleted_col))
+    # string view of the flag up front: the rewrite mixes existing values
+    # with a deletion-date string and '', so a BooleanType input column
+    # must be widened to string BEFORE the when/otherwise (mixing boolean
+    # and string branches fails analysis)
+    old_flag = F.col(deleted_col).cast("string")
+    was_deleted = is_deleted_flag(old_flag)
     when_deleted = (
         F.lit(delete_time)
         if delete_time is not None
@@ -180,8 +185,8 @@ def cleanup_rows(
         in_dr & ~stale & was_deleted, F.lit("reinstated")
     )
     new_flag = (
-        F.when(~in_dr, F.col(deleted_col))
-        .when(stale, F.when(was_deleted, F.col(deleted_col)).otherwise(when_deleted))
+        F.when(~in_dr, old_flag)
+        .when(stale, F.when(was_deleted, old_flag).otherwise(when_deleted))
         .otherwise(F.lit(""))
     )
     rewritten = table.withColumn(deleted_col, new_flag)

@@ -72,6 +72,13 @@ def run_pipeline(
     last over the final coordinates."""
     dims = dims or Dimensions()
     df = raw
+    # sensitivity reads the state through this column; defaults to the raw
+    # field and is upgraded to the layer-resolved value below. Kept OUT of
+    # stateProvince itself so the raw column stays verbatim provider data
+    # (the reference only ever writes the intersect result to processed —
+    # mutating raw would make a later reprocess treat the inferred state
+    # as verbatim).
+    sens_state_col = "stateProvince"
     if (
         dims.sensitive_species is not None
         and dims.cl_layers is not None
@@ -95,6 +102,7 @@ def run_pipeline(
             F.col("lon").alias("__st_lon"),
             F.element_at("cl", dims.state_layer).alias("__layer_state"),
         )
+        sens_state_col = "__resolved_state"
         df = (
             df.join(
                 sampled,
@@ -103,7 +111,7 @@ def run_pipeline(
                 "left",
             )
             .withColumn(
-                "stateProvince",
+                sens_state_col,
                 F.coalesce(
                     F.when(F.col("stateProvince") == "", None).otherwise(
                         F.col("stateProvince")
@@ -126,13 +134,28 @@ def run_pipeline(
             )
             if id_col is None:
                 df = df.withColumn("__sds_id", F.monotonically_increasing_id())
-                df = apply_sds(df, dims.sensitive_species, id_col="__sds_id").drop(
-                    "__sds_id"
-                )
+                df = apply_sds(
+                    df,
+                    dims.sensitive_species,
+                    id_col="__sds_id",
+                    state_col=sens_state_col,
+                ).drop("__sds_id")
             else:
-                df = apply_sds(df, dims.sensitive_species, id_col=id_col)
+                df = apply_sds(
+                    df,
+                    dims.sensitive_species,
+                    id_col=id_col,
+                    state_col=sens_state_col,
+                )
         else:
-            df = apply_sensitivity(df, dims.sensitive_species)
+            df = apply_sensitivity(
+                df, dims.sensitive_species, state_col=sens_state_col
+            )
+    # __resolved_state (when present) rides through the chain so the
+    # processed-state fill below can consume the raw-coordinate intersect
+    # even where SDS has since withheld/blurred the processed coordinates
+    # (the reference's LocationProcessor writes the intersect result
+    # before SensitivityProcessor generalizes).
     # the chain emits its own assertions column; stash any pre-chain
     # assertions (e.g. sensitivity) and concat afterwards
     pre_assertions = "assertions" in df.columns
@@ -172,13 +195,19 @@ def run_pipeline(
             # what the reference's intersect would have written
             from pyspark.sql import functions as F
 
+            fills = [F.element_at("cl", dims.state_layer)]
+            if "__resolved_state" in processed.columns:
+                # raw-coordinate intersect, carried past SDS: covers
+                # records whose processed coordinates were withheld or
+                # blurred after the state had already been resolved
+                fills.append(F.col("__resolved_state"))
             processed = processed.withColumn(
                 "stateProvince",
                 F.coalesce(
                     F.when(F.col("stateProvince") == "", None).otherwise(
                         F.col("stateProvince")
                     ),
-                    F.element_at("cl", dims.state_layer),
+                    *fills,
                 ),
             )
             if "country" in processed.columns:
@@ -202,6 +231,8 @@ def run_pipeline(
                         s2c[F.col("stateProvince")],
                     ),
                 )
+    if "__resolved_state" in processed.columns:
+        processed = processed.drop("__resolved_state")
     return processed
 
 

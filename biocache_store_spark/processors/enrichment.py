@@ -91,6 +91,7 @@ def apply_sensitivity(
     name_col: str = "scientificName",
     lat_col: str = "decimalLatitude",
     lon_col: str = "decimalLongitude",
+    state_col: str = "stateProvince",
 ) -> DataFrame:
     """Broadcast sensitivity join + coordinate generalization.
 
@@ -127,8 +128,8 @@ def apply_sensitivity(
         "left",
     ).drop("__sens_name")
 
-    if "stateProvince" in records.columns:
-        state = F.coalesce(F.col("stateProvince"), F.lit(""))
+    if state_col in records.columns:
+        state = F.coalesce(F.col(state_col), F.lit(""))
         applicable = F.filter(
             F.col("__rules"), lambda r: r["z"].isNull() | (r["z"] == state)
         )

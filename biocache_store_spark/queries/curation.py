@@ -1052,8 +1052,8 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     "training_shard_plan",
     doc=(
         "Deterministic global shuffle + sharding for training export "
-        "(operators/curation.py plan_training_shards): shard = first md5 "
-        "byte of doc_id mod 8, position = md5-hex rank within the shard, "
+        "(operators/curation.py plan_training_shards): shard = first 4 "
+        "md5 bytes of doc_id mod 8, position = md5-hex rank in the shard, "
         "token_offset = running token total before this document — the "
         "(shard, pos, cursor) layout a tokenizer/packing writer consumes. "
         "All three are pure functions of the ids, so the layout is "
@@ -1068,9 +1068,8 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         s AS (
             SELECT doc_id, n_tok, h,
-                   ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
-                    + strpos('0123456789abcdef', substr(h, 2, 1)) - 1) % 8
-                       AS shard
+                   CAST(CAST(concat('0x', substr(h, 1, 8)) AS BIGINT) % 8
+                        AS INTEGER) AS shard
             FROM t
         )
         SELECT doc_id, shard,

@@ -321,10 +321,17 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("__cum") <= budget)
             .agg(F.max("__df").alias("__max_df"))
         )
+        # Coalesce to 2: if even the smallest tier (df=2) blows the budget
+        # the max() aggregates over zero rows and __max_df is NULL — a
+        # NULL threshold would admit NO shingles and the query would
+        # silently return zero pairs. Degrade to the minimum tier instead:
+        # df=2 candidate volume is at most n_shingles, already linear.
         ok_shingles = (
             df_rel.filter(F.col("__df") >= 2)
             .join(
-                F.broadcast(max_df), F.col("__df") <= F.col("__max_df"), "left_semi"
+                F.broadcast(max_df),
+                F.col("__df") <= F.coalesce(F.col("__max_df"), F.lit(2)),
+                "left_semi",
             )
             .drop("__df")
         )

@@ -293,6 +293,19 @@ def test_plan_training_shards_layout(spark):
             off += r["n_tok"]
 
 
+def test_plan_training_shards_wide_shard_count(spark):
+    """Shard id draws on 4 md5 bytes, so n_shards > 256 populates shards
+    above 255 (a single-byte hash would leave them permanently empty)."""
+    from biocache_store_spark.operators.curation import plan_training_shards
+
+    docs = spark.range(0, 400).select(F.col("id").alias("doc_id"))
+    shards = {
+        r["shard"] for r in plan_training_shards(docs, 512).select("shard").collect()
+    }
+    assert max(shards) >= 256
+    assert min(shards) >= 0 and max(shards) < 512
+
+
 def test_dsir_importance_ranks_target_like_docs(spark):
     """DSIR importance (operators/curation.py dsir_importance): a raw
     document built from the target corpus's vocabulary must outscore one

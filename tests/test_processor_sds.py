@@ -345,6 +345,12 @@ def test_state_resolved_from_layer_before_sensitivity(spark, rules):
     assert got["r1"]["sensitive"] is True
     assert got["r1"]["decimalLatitude"] is None  # withheld
     assert "withheld" in got["r1"]["informationWithheld"]
+    # the resolved state reaches the PROCESSED record even though the
+    # coordinates were withheld before the enrichment sampling ran (the
+    # reference writes the intersect result before SDS generalizes); it
+    # rides a temp column, never the raw stateProvince field
+    assert got["r1"]["stateProvince"] == "New South Wales"
+    assert "__resolved_state" not in out.columns
     # r2: raw state wins; Queensland is outside the rule's zone
     assert got["r2"]["sensitive"] is False
 

@@ -279,6 +279,7 @@ def write_lsh_index(
     text_col: str = "text",
     max_shingles: int | None = None,
     mode: str = "overwrite",
+    allow_legacy: bool = False,
 ) -> None:
     """Persist the near-dup LSH index: the signature relation (with the
     shingle sets the verification join needs) under `sig/`, and the
@@ -303,7 +304,9 @@ def write_lsh_index(
     spark = docs.sparkSession
     meta = {"num_hashes": num_hashes, "bands": bands, "n": n}
     if mode == "append":
-        _check_index_meta(spark, path, meta, "write_lsh_index(append)")
+        _check_index_meta(
+            spark, path, meta, "write_lsh_index(append)", allow_legacy
+        )
     sig = signatures(docs, num_hashes, n, id_col, text_col, max_shingles)
     # persist: the sig plan feeds BOTH writes; without it the whole
     # shingle/md5/groupBy pass over the corpus runs twice per index build
@@ -335,13 +338,33 @@ def _read_index_meta(spark, path: str) -> dict | None:
     try:
         rows = spark.read.parquet(path + "/meta").collect()
     except AnalysisException:
-        return None  # pre-meta index: accept, params were the caller's problem
+        return None  # pre-meta (legacy) index — callers decide the policy
     return rows[0].asDict() if rows else None
 
 
-def _check_index_meta(spark, path: str, expected: dict, caller: str) -> None:
+def _check_index_meta(
+    spark, path: str, expected: dict, caller: str, allow_legacy: bool = False
+) -> None:
+    """Validate the caller's hash-family params against the stored index.
+
+    A missing `meta` dataset (an index written before meta existed) is
+    REJECTED by default: probing it with mismatched num_hashes/bands/n
+    would silently return garbage pairs, which is worse than an error.
+    `allow_legacy=True` accepts the index AND backfills `meta` with the
+    caller's params, so the trust-me escape hatch is one-time — every
+    later probe/append is validated against what this caller asserted.
+    """
     stored = _read_index_meta(spark, path)
     if stored is None:
+        if not allow_legacy:
+            raise ValueError(
+                f"{caller}: index at {path!r} has no meta dataset (written "
+                f"before hash-family params were persisted); its "
+                f"num_hashes/bands/n cannot be validated and a mismatch "
+                f"would silently return wrong pairs. Pass allow_legacy=True "
+                f"to accept it with the current params (this backfills meta)."
+            )
+        _write_index_meta(spark, path, expected)
         return
     mismatched = {
         k: (stored.get(k), v) for k, v in expected.items() if stored.get(k) != v
@@ -365,6 +388,7 @@ def probe_lsh_index(
     text_col: str = "text",
     max_bucket_size: int | None = None,
     max_shingles: int | None = None,
+    allow_legacy: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs of `new_docs` against the persisted index AND
     within the new batch, without touching stored text: only the new
@@ -387,6 +411,7 @@ def probe_lsh_index(
         path,
         {"num_hashes": num_hashes, "bands": bands, "n": n},
         "probe_lsh_index",
+        allow_legacy,
     )
     # persist: the batch signature plan feeds banding AND the set union,
     # and the candidate plan feeds the id-restriction union twice plus

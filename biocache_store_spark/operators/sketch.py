@@ -108,6 +108,69 @@ def estimate_counts(
     )
 
 
+def _hist_bin(value_col: str, lo: float, hi: float, n_bins: int):
+    """The fixed-grid bin index: clamp(floor((v-lo)*nb/(hi-lo)), 0, nb-1).
+    Shared by the cut plan and the refinement's bin-0 membership filter so
+    membership is decided by the EXACT same double expression."""
+    v, lo_l, hi_l, nb = (
+        F.col(value_col),
+        F.lit(float(lo)),
+        F.lit(float(hi)),
+        F.lit(float(n_bins)),
+    )
+    return F.least(
+        F.greatest(
+            F.floor(((v - lo_l) * nb) / (hi_l - lo_l)).cast("int"), F.lit(0)
+        ),
+        F.lit(n_bins - 1),
+    )
+
+
+def _cum_hist(
+    values: DataFrame, lo: float, hi: float, n_bins: int, value_col: str
+) -> DataFrame:
+    """<= n_bins rows: (bin, from-the-top cumulative count, total)."""
+    from pyspark.sql.window import Window
+
+    hist = values.groupBy(
+        _hist_bin(value_col, lo, hi, n_bins).alias("bin")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return hist.select(
+        "bin",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("total"),
+    )
+
+
+def _cut_from_rows(rows, fraction: float):
+    """Driver-side replica of the cut pick over the collected (tiny)
+    cumulative histogram: (cut_bin, covered, total). Python floats ARE
+    IEEE doubles, so ceil(total * fraction) reproduces the plan exactly."""
+    import math
+
+    # NULL values bin to a NULL group: it never wins the cut (mirrors
+    # F.max's null-skipping in the lazy plan) but its cum row still
+    # participates in `covered` like any other admitted row
+    if not rows or all(r["bin"] is None for r in rows):
+        raise ValueError(
+            "histogram_threshold: no values to derive a threshold from"
+        )
+    total = rows[0]["total"]
+    k = math.ceil(total * float(fraction))
+    admitted = [r for r in rows if r["cum"] >= k]
+    return (
+        max(r["bin"] for r in admitted if r["bin"] is not None),
+        min(r["cum"] for r in admitted),
+        total,
+    )
+
+
 def histogram_threshold(
     values: DataFrame,
     fraction: float,
@@ -115,6 +178,7 @@ def histogram_threshold(
     hi: float,
     n_bins: int = 1000,
     value_col: str = "importance",
+    refine: int = 1,
 ) -> DataFrame:
     """Derive a keep-threshold for the top `fraction` of a value column
     from a FIXED-GRID histogram — the 100 TB replacement for an exact
@@ -126,72 +190,98 @@ def histogram_threshold(
     `value >= threshold` keeps AT LEAST the requested fraction,
     over-selecting by at most one bin's worth (tighten with n_bins).
     Values outside [lo, hi) clamp into the edge bins: everything >= hi
-    is always kept; when the cut lands in the BOTTOM bin the grid can
-    no longer discriminate and the threshold degenerates to -Infinity —
-    everything is kept, INCLUDING values below lo (the edge `lo` itself
-    would silently exclude below-lo rows that were counted toward the
-    fraction, breaking the at-least guarantee).
+    is always kept. When the cut lands in the BOTTOM bin the grid can
+    no longer discriminate there (bin 0 holds [lo, lo+w) AND every
+    clamped below-lo value), so with `refine` >= 1 ONE refinement pass
+    re-histograms just the bin-0 rows over [min(bin-0 values), lo+w) —
+    two extra bounded aggregations — and cuts inside it; only if that
+    refined cut is again degenerate (or refine=0) does the threshold
+    fall back to keep-everything: min(bin-0 values) when known (refined
+    path), -Infinity in the refine=0 legacy plan.
 
     Determinism: the bin index and both edges are single double
-    expressions over plan literals, so any engine reproduces the exact
+    expressions over plan literals (the driver-side refinement replays
+    the identical IEEE arithmetic), so any engine reproduces the exact
     threshold — unlike percentile_approx, whose sketch is
     implementation-defined. Returns one row:
     (threshold, covered, total) — covered = binned rows at or above the
-    cut bin. Empty input raises (no distribution to derive from) rather
+    cut. Empty input raises (no distribution to derive from) rather
     than returning a NULL threshold that would silently select nothing.
+    With refine >= 1 the result is computed eagerly (the collected
+    histogram is <= n_bins rows — dimension-sized by construction);
+    refine=0 keeps the fully-lazy single-plan shape.
     """
     if not 0.0 < fraction <= 1.0:
         raise ValueError("histogram_threshold: fraction must be in (0, 1]")
     if not hi > lo:
         raise ValueError("histogram_threshold: need hi > lo")
-    v, lo_l, hi_l, nb = (
-        F.col(value_col),
-        F.lit(float(lo)),
-        F.lit(float(hi)),
-        F.lit(float(n_bins)),
-    )
-    bin_ = F.least(
-        F.greatest(
-            F.floor(((v - lo_l) * nb) / (hi_l - lo_l)).cast("int"), F.lit(0)
-        ),
-        F.lit(n_bins - 1),
-    )
-    hist = values.groupBy(bin_.alias("bin")).agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    from pyspark.sql.window import Window
-
-    w_cum = Window.orderBy(F.col("bin").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_all = Window.orderBy(F.col("bin").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cum = hist.select(
-        "bin",
-        F.sum("c").over(w_cum).alias("cum"),
-        F.sum("c").over(w_all).alias("total"),
-    )
-    k = F.ceil(F.col("total") * F.lit(float(fraction)))
-    edge = lo_l + F.max("bin").cast("double") * (hi_l - lo_l) / nb
-    # bottom-bin degeneracy: bin 0 holds [lo, lo+w) AND every clamped
-    # below-lo value, so its edge must be -inf, not lo; empty input
-    # leaves max(bin) NULL — raise instead of emitting a NULL threshold
-    threshold = F.when(
-        F.max("bin").isNull(),
-        F.expr(
-            "CAST(raise_error('histogram_threshold: no values to"
-            " derive a threshold from') AS DOUBLE)"
-        ),
-    ).otherwise(
-        F.when(F.max("bin") == 0, F.lit(float("-inf"))).otherwise(edge)
-    )
-    return (
-        cum.filter(F.col("cum") >= k)
-        .groupBy()
-        .agg(
-            threshold.alias("threshold"),
-            F.min("cum").alias("covered"),
-            F.first("total").alias("total"),
+    cum = _cum_hist(values, lo, hi, n_bins, value_col)
+    if refine <= 0:
+        k = F.ceil(F.col("total") * F.lit(float(fraction)))
+        lo_l, hi_l, nb = F.lit(float(lo)), F.lit(float(hi)), F.lit(float(n_bins))
+        edge = lo_l + F.max("bin").cast("double") * (hi_l - lo_l) / nb
+        threshold = F.when(
+            F.max("bin").isNull(),
+            F.expr(
+                "CAST(raise_error('histogram_threshold: no values to"
+                " derive a threshold from') AS DOUBLE)"
+            ),
+        ).otherwise(
+            F.when(F.max("bin") == 0, F.lit(float("-inf"))).otherwise(edge)
         )
+        return (
+            cum.filter(F.col("cum") >= k)
+            .groupBy()
+            .agg(
+                threshold.alias("threshold"),
+                F.min("cum").alias("covered"),
+                F.first("total").alias("total"),
+            )
+        )
+    rows = cum.collect()
+    cut_bin, covered, total = _cut_from_rows(rows, fraction)
+    if cut_bin > 0:
+        threshold = lo + cut_bin * (hi - lo) / n_bins
+    else:
+        # refinement: the cut fell in bin 0. Re-histogram ONLY the bin-0
+        # rows over [their true minimum, lo+w) and cut inside it — the
+        # membership filter reuses the pass-1 bin expression so float
+        # edge cases cannot shift rows between passes. `above`/`n0` come
+        # from the cum rows directly so NULL-value rows (which bin to a
+        # NULL group and can never be selected by a >= compare) are
+        # excluded from both the numerator and the denominator.
+        import math
+
+        above = max(
+            (
+                r["cum"]
+                for r in rows
+                if r["bin"] is not None and r["bin"] >= 1
+            ),
+            default=0,
+        )
+        cum_bin0 = next(r["cum"] for r in rows if r["bin"] == 0)
+        n0 = cum_bin0 - above
+        k_rem = min(n0, math.ceil(total * float(fraction)) - above)
+        subset = values.filter(_hist_bin(value_col, lo, hi, n_bins) == 0)
+        lo2 = subset.agg(
+            F.min(F.col(value_col).cast("double")).alias("m")
+        ).collect()[0]["m"]
+        hi2 = lo + (hi - lo) / n_bins  # bin 0's upper edge
+        if lo2 is not None and hi2 > lo2:
+            rows2 = _cum_hist(subset, lo2, hi2, n_bins, value_col).collect()
+            cut2, covered2, _ = _cut_from_rows(rows2, k_rem / n0)
+            covered = above + covered2
+            # refined bottom bin: nothing exists below lo2, so lo2 IS
+            # keep-everything-in-bin-0, finite — never -inf
+            threshold = (
+                lo2 + cut2 * (hi2 - lo2) / n_bins if cut2 > 0 else lo2
+            )
+        else:
+            # all bin-0 values identical (or non-finite min): the bin
+            # cannot be subdivided; keep it whole at its exact value
+            threshold = lo2 if lo2 is not None else float("-inf")
+    return values.sparkSession.createDataFrame(
+        [(float(threshold), int(covered), int(total))],
+        "threshold double, covered long, total long",
     )

@@ -1136,6 +1136,36 @@ def test_lsh_index_rejects_mismatched_params(spark, tmp_path):
         write_lsh_index(docs, path, n=5, mode="append")
 
 
+def test_lsh_index_rejects_legacy_index_without_meta(spark, tmp_path):
+    """An index lacking the meta dataset (pre-meta layout) must FAIL the
+    probe by default — its hash-family params cannot be validated and a
+    silent mismatch returns garbage pairs. allow_legacy=True accepts it
+    once and backfills meta with the caller's params, after which a
+    mismatched probe is caught like any other."""
+    import shutil
+
+    from biocache_store_spark.operators.minhash import (
+        probe_lsh_index,
+        write_lsh_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "lsh_legacy")
+    write_lsh_index(docs, path, n=3)
+    shutil.rmtree(path + "/meta")  # simulate a pre-meta index layout
+    with pytest.raises(ValueError, match="allow_legacy"):
+        probe_lsh_index(spark, path, docs, n=3)
+    with pytest.raises(ValueError, match="allow_legacy"):
+        write_lsh_index(docs, path, n=3, mode="append")
+    # the escape hatch accepts AND backfills meta...
+    assert probe_lsh_index(spark, path, docs, n=3, allow_legacy=True).count() >= 0
+    # ...so a later mismatched probe is validated against the backfill
+    with pytest.raises(ValueError, match="hash-family"):
+        probe_lsh_index(spark, path, docs, n=5)
+
+
 def test_cms_bucket_hex_validated_and_probe_rows_preserved(spark):
     from biocache_store_spark.operators.sketch import (
         count_min_sketch,
@@ -1402,6 +1432,47 @@ def test_histogram_threshold_covers_fraction_and_clamps(spark):
         histogram_threshold(vals, 0.0, 0.0, 1.0)
     with _pytest.raises(ValueError):
         histogram_threshold(vals, 0.5, 1.0, 1.0)
+
+
+def test_histogram_threshold_bottom_bin_refinement(spark):
+    """When the cut lands in the BOTTOM bin, one refinement pass
+    re-histograms the bin-0 rows over [their min, lo+w) and cuts inside
+    it — the threshold stays finite, discriminates below-lo values, and
+    keeps at least the requested fraction; refine=0 reproduces the
+    legacy -inf keep-everything plan."""
+    from pyspark.sql import functions as F
+
+    from biocache_store_spark.operators.sketch import histogram_threshold
+
+    # 100 values spread over [-0.05, 0.05): with grid [0, 1) x 10 bins
+    # ALL land in bin 0 (below-lo clamps + sub-width values), so any cut
+    # lands in the bottom bin
+    vals = spark.range(100).select(
+        (F.col("id").cast("double") / 1000.0 - F.lit(0.05)).alias("importance")
+    )
+    th = histogram_threshold(vals, 0.25, 0.0, 1.0, n_bins=10).collect()[0]
+    assert th["total"] == 100
+    assert th["threshold"] != float("-inf")
+    kept = vals.filter(F.col("importance") >= th["threshold"]).count()
+    assert kept >= 25  # at-least guarantee survives the refinement
+    # over-select bounded by one REFINED bin's worth (values span ~2/3 of
+    # the refined grid -> ~15 per bin), vs keep-everything's 100
+    assert kept <= 40
+    # the refined threshold may legitimately sit below lo: the below-lo
+    # rows were counted toward the fraction and remain selectable
+    assert th["threshold"] < 1.0 / 10
+
+    # legacy single-plan shape keeps the documented -inf degeneracy
+    th0 = histogram_threshold(
+        vals, 0.25, 0.0, 1.0, n_bins=10, refine=0
+    ).collect()[0]
+    assert th0["threshold"] == float("-inf")
+
+    # degenerate refinement: every bin-0 value identical -> the bin
+    # cannot be subdivided; threshold = that exact value (finite)
+    same = spark.createDataFrame([(0.01,)] * 5 + [(0.9,)], "importance double")
+    th_same = histogram_threshold(same, 0.9, 0.0, 1.0, n_bins=10).collect()[0]
+    assert th_same["threshold"] == 0.01
 
 
 def test_semantic_decontamination_cross_set_only(spark):

@@ -267,13 +267,21 @@ def cmd_export(args) -> int:
 
 def cmd_export_dwca(args) -> int:
     """DwCACreator (export/DwCACreator.scala): store -> Darwin Core
-    Archive zip (meta.xml + eml.xml + occurrence.csv)."""
+    Archive zip (meta.xml + eml.xml + occurrence.csv; with --media also
+    image.csv + the Multimedia extension, :407-494)."""
     from biocache_store_spark.exports.exporters import create_dwca
 
     spark = _spark(args)
     df = _apply_query(_read(spark, args.inp), args.query)
-    create_dwca(df, _split(args.fields), args.out)
-    print(f"dwca -> {args.out}")
+    media = _read(spark, args.media) if getattr(args, "media", None) else None
+    create_dwca(
+        df,
+        _split(args.fields),
+        args.out,
+        multimedia=media,
+        core_id_col=args.core_id if media is not None else None,
+    )
+    print(f"dwca -> {args.out}" + (" (+multimedia)" if media is not None else ""))
     return 0
 
 
@@ -1154,6 +1162,19 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--fields", required=True)
     sp.add_argument("--query")
     sp.add_argument("--out", required=True)
+    sp.add_argument(
+        "--media",
+        help="media-descriptor parquet (one row per record x media; "
+        "identifier/creator/.../references columns) -> image.csv + "
+        "Multimedia meta.xml extension",
+    )
+    sp.add_argument(
+        "--core-id",
+        dest="core_id",
+        default="occurrenceID",
+        help="field linking media rows to core records (written as the "
+        "archive's core id column)",
+    )
 
     sp = tool("dedup-detect", cmd_dedup_detect, "grouped duplicate detection")
     sp.add_argument("--in", dest="inp", required=True)

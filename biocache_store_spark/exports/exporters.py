@@ -65,9 +65,28 @@ _DWCA_META_TEMPLATE = """<archive xmlns="http://rs.tdwg.org/dwc/text/">
     <files><location>occurrence.csv</location></files>
     <id index="0"/>
 {fields}
-  </core>
+  </core>{extension}
 </archive>
 """
+
+# the Multimedia extension block the reference's addMetaWithMultimedia
+# emits (export/DwCACreator.scala:407-481): image.csv keyed by coreid,
+# field 0 doubling as the literal `id` term, fields 1-9 the dcterms
+# media descriptors
+_DWCA_MULTIMEDIA_ROW_TYPE = "http://rs.gbif.org/terms/1.0/Multimedia"
+DWCA_MULTIMEDIA_FIELDS = [
+    "identifier", "creator", "created", "title", "format",
+    "license", "rights", "rightsHolder", "references",
+]
+_DWCA_MULTIMEDIA_TEMPLATE = """
+  <extension encoding="UTF-8" fieldsTerminatedBy="," linesTerminatedBy="\\n"
+        fieldsEnclosedBy="&quot;" ignoreHeaderLines="1"
+        rowType="{row_type}">
+    <files><location>image.csv</location></files>
+    <coreid index="0"/>
+    <field index="0" term="id"/>
+{fields}
+  </extension>"""
 
 
 # Dublin Core terms that appear in occurrence archives: these live in the
@@ -78,6 +97,8 @@ _DCTERMS = frozenset(
     {
         "accessRights", "bibliographicCitation", "language", "license",
         "modified", "references", "rights", "rightsHolder", "source", "type",
+        # the Multimedia extension descriptors (DwCACreator.scala:461-470)
+        "identifier", "creator", "created", "title", "format",
     }
 )
 
@@ -95,20 +116,53 @@ def create_dwca(
     zip_path: str,
     eml: str = "<eml/>",
     max_rows: int | None = None,
+    multimedia: DataFrame | None = None,
+    core_id_col: str | None = None,
 ) -> str:
     """DwCACreator: write one Darwin Core Archive zip for the DataFrame.
 
     The data rows stream through toLocalIterator (bounded driver memory);
     for per-resource archives at scale, partition the input by
     dataResourceUid first and call this per partition output.
+
+    With `multimedia`, the archive additionally carries the GBIF
+    Multimedia extension the reference's addMetaWithMultimedia /
+    addImageExportsToArchives pair emits (export/DwCACreator.scala:
+    407-494): an `image.csv` keyed by the core id plus the extension
+    block in meta.xml. `multimedia` rows need `core_id_col` (linking
+    them to core records) plus any subset of DWCA_MULTIMEDIA_FIELDS —
+    absent descriptors are written empty. `core_id_col` names the field
+    written as the core id column (the reference's uuid-at-index-0
+    convention); a media-bearing archive requires it so extension rows
+    can actually resolve. Without it the id column falls back to the
+    row index (the legacy media-less layout).
     """
+    if multimedia is not None and core_id_col is None:
+        raise ValueError(
+            "create_dwca: multimedia rows need core_id_col so image.csv "
+            "can link to core records (row-index ids are not stable keys)"
+        )
+    if core_id_col is not None and core_id_col not in df.columns:
+        raise ValueError(
+            f"create_dwca: core_id_col {core_id_col!r} not in the DataFrame"
+        )
     field_lines = "\n".join(
         f'    <field index="{i + 1}" term="{_term_uri(t)}"/>'
         for i, t in enumerate(fields)
     )
-    meta = _DWCA_META_TEMPLATE.format(fields=field_lines)
+    extension = ""
+    if multimedia is not None:
+        ext_lines = "\n".join(
+            f'    <field index="{i + 1}" term="{_term_uri(t)}"/>'
+            for i, t in enumerate(DWCA_MULTIMEDIA_FIELDS)
+        )
+        extension = _DWCA_MULTIMEDIA_TEMPLATE.format(
+            row_type=_DWCA_MULTIMEDIA_ROW_TYPE, fields=ext_lines
+        )
+    meta = _DWCA_META_TEMPLATE.format(fields=field_lines, extension=extension)
     os.makedirs(os.path.dirname(zip_path) or ".", exist_ok=True)
-    rows = df.select(*fields).toLocalIterator()
+    id_cols = [core_id_col] if core_id_col is not None else []
+    rows = df.select(*id_cols, *fields).toLocalIterator()
     with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
         zf.writestr("meta.xml", meta)
         zf.writestr("eml.xml", eml)
@@ -122,9 +176,33 @@ def create_dwca(
             for i, row in enumerate(rows):
                 if max_rows is not None and i >= max_rows:
                     break
-                writer.writerow([i] + ["" if v is None else v for v in row])
+                vals = ["" if v is None else v for v in row]
+                if core_id_col is None:
+                    vals = [i] + vals
+                writer.writerow(vals)
             text.flush()
             text.detach()
+        if multimedia is not None:
+            media_cols = [
+                F.col(core_id_col).cast("string"),
+                *[
+                    (
+                        F.col(t).cast("string")
+                        if t in multimedia.columns
+                        else F.lit(None).cast("string")
+                    )
+                    for t in DWCA_MULTIMEDIA_FIELDS
+                ],
+            ]
+            media_rows = multimedia.select(*media_cols).toLocalIterator()
+            with zf.open("image.csv", mode="w") as entry:
+                text = io.TextIOWrapper(entry, encoding="utf-8", newline="")
+                writer = csv.writer(text, lineterminator="\n")
+                writer.writerow(["id"] + DWCA_MULTIMEDIA_FIELDS)
+                for row in media_rows:
+                    writer.writerow(["" if v is None else v for v in row])
+                text.flush()
+                text.detach()
     return zip_path
 
 

@@ -2046,26 +2046,47 @@ def media_thumbnail_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dwca_roundtrip",
     doc=(
-        "Darwin Core Archive round trip under the external hash gate: "
-        "occurrence-shaped records synthesized from customer are written "
-        "as a DwC-A zip (exports/exporters.py create_dwca — meta.xml + "
-        "eml + occurrence.csv, export/DwCACreator.scala), the zip is "
-        "extracted and re-loaded through the archive loader "
+        "Darwin Core Archive round trip under the external hash gate, "
+        "WITH the GBIF Multimedia extension: occurrence-shaped records "
+        "synthesized from customer are written as a DwC-A zip "
+        "(exports/exporters.py create_dwca — meta.xml + eml + "
+        "occurrence.csv + image.csv, export/DwCACreator.scala:407-494), "
+        "the zip is extracted and re-loaded through the archive loader "
         "(sources/dwca.py load_archive — meta.xml-driven star schema, "
-        "load/DwCALoader.scala), and the loaded rows are returned. The "
-        "oracle derives the same projection straight from customer, so "
-        "any drift in either the writer's CSV/meta conventions or the "
-        "loader's parsing breaks the hash. All-string fields keep the "
-        "comparison formatting-free."
+        "load/DwCALoader.scala), and the loaded rows are returned in "
+        "long form (one row per record x media, media-less records with "
+        "NULL media columns). Even-key records carry one image, "
+        "mod-4 records a second — so the extension fan-out, the coreid "
+        "link and the media-less left join are all under the hash. The "
+        "oracle derives the same relation straight from customer."
     ),
     oracle="""
-        SELECT 'c' || CAST(c_custkey AS VARCHAR) AS occurrenceID,
-               'Species ' || CAST(c_custkey % 50 AS VARCHAR) AS scientificName,
-               CASE c_custkey % 3 WHEN 0 THEN 'PreservedSpecimen'
-                                  WHEN 1 THEN 'HumanObservation'
-                                  ELSE 'MachineObservation' END AS basisOfRecord,
-               c_mktsegment AS locality
-        FROM customer
+        WITH recs AS (
+            SELECT 'c' || CAST(c_custkey AS VARCHAR) AS occurrenceID,
+                   'Species ' || CAST(c_custkey % 50 AS VARCHAR) AS scientificName,
+                   CASE c_custkey % 3 WHEN 0 THEN 'PreservedSpecimen'
+                                      WHEN 1 THEN 'HumanObservation'
+                                      ELSE 'MachineObservation' END AS basisOfRecord,
+                   c_mktsegment AS locality
+            FROM customer
+        ),
+        media AS (
+            SELECT 'c' || CAST(c_custkey AS VARCHAR) AS occurrenceID,
+                   'http://media/m' || CAST(c_custkey AS VARCHAR) || '-1'
+                       AS media_identifier,
+                   'image/jpeg' AS media_format,
+                   'CC-BY 4.0' AS media_license
+            FROM customer WHERE c_custkey % 2 = 0
+            UNION ALL
+            SELECT 'c' || CAST(c_custkey AS VARCHAR),
+                   'http://media/m' || CAST(c_custkey AS VARCHAR) || '-2',
+                   'image/png',
+                   'CC-BY-NC 4.0'
+            FROM customer WHERE c_custkey % 4 = 0
+        )
+        SELECT r.occurrenceID, r.scientificName, r.basisOfRecord, r.locality,
+               m.media_identifier, m.media_format, m.media_license
+        FROM recs r LEFT JOIN media m ON r.occurrenceID = m.occurrenceID
     """,
 )
 def dwca_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2076,13 +2097,12 @@ def dwca_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biocache_store_spark.sources.dwca import load_archive
 
     customer = read_table(spark, sf_dir, "customer")
-    shape = F.pmod(F.col("c_custkey"), F.lit(3))
+    k = F.col("c_custkey")
+    shape = F.pmod(k, F.lit(3))
     recs = customer.select(
-        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias(
-            "occurrenceID"
-        ),
+        F.concat(F.lit("c"), k.cast("string")).alias("occurrenceID"),
         F.concat(
-            F.lit("Species "), F.pmod(F.col("c_custkey"), F.lit(50)).cast("string")
+            F.lit("Species "), F.pmod(k, F.lit(50)).cast("string")
         ).alias("scientificName"),
         F.when(shape == 0, "PreservedSpecimen")
         .when(shape == 1, "HumanObservation")
@@ -2090,12 +2110,30 @@ def dwca_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("basisOfRecord"),
         F.col("c_mktsegment").alias("locality"),
     )
+    media_one = customer.filter(F.pmod(k, F.lit(2)) == 0).select(
+        F.concat(F.lit("c"), k.cast("string")).alias("occurrenceID"),
+        F.concat(
+            F.lit("http://media/m"), k.cast("string"), F.lit("-1")
+        ).alias("identifier"),
+        F.lit("image/jpeg").alias("format"),
+        F.lit("CC-BY 4.0").alias("license"),
+    )
+    media_two = customer.filter(F.pmod(k, F.lit(4)) == 0).select(
+        F.concat(F.lit("c"), k.cast("string")).alias("occurrenceID"),
+        F.concat(
+            F.lit("http://media/m"), k.cast("string"), F.lit("-2")
+        ).alias("identifier"),
+        F.lit("image/png").alias("format"),
+        F.lit("CC-BY-NC 4.0").alias("license"),
+    )
     work = tempfile.mkdtemp(prefix="dwca_rt_")
     zip_path = work + "/archive.zip"
     create_dwca(
         recs,
         ["occurrenceID", "scientificName", "basisOfRecord", "locality"],
         zip_path,
+        multimedia=media_one.unionByName(media_two),
+        core_id_col="occurrenceID",
     )
     extract_dir = work + "/extracted"
     with zipfile.ZipFile(zip_path) as zf:
@@ -2103,8 +2141,17 @@ def dwca_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     loaded = load_archive(
         spark, extract_dir, "dr-roundtrip", unique_terms=["occurrenceID"]
     )
+    m = F.explode_outer("multimedia").alias("m")
     return loaded.select(
-        "occurrenceID", "scientificName", "basisOfRecord", "locality"
+        "occurrenceID", "scientificName", "basisOfRecord", "locality", m
+    ).select(
+        "occurrenceID",
+        "scientificName",
+        "basisOfRecord",
+        "locality",
+        F.col("m.identifier").alias("media_identifier"),
+        F.col("m.format").alias("media_format"),
+        F.col("m.license").alias("media_license"),
     )
 
 

@@ -139,6 +139,75 @@ def test_exports(spark, tmp_path):
     shutil.rmtree(extract_dir)
 
 
+def test_create_dwca_multimedia_extension(spark, tmp_path):
+    """create_dwca with `multimedia` emits the reference's Multimedia
+    extension layout (export/DwCACreator.scala:407-494): image.csv keyed
+    by the core id, the extension block in meta.xml, absent descriptor
+    columns written empty — and our own loader star-joins the extension
+    rows back onto their core records."""
+    import shutil
+
+    from biocache_store_spark.exports.exporters import create_dwca
+    from biocache_store_spark.sources.dwca import load_archive
+
+    df = spark.createDataFrame(
+        [("o1", "Aus bus"), ("o2", "Cus dus")],
+        "occurrenceID string, scientificName string",
+    )
+    media = spark.createDataFrame(
+        [
+            ("o1", "http://img/1.jpg", "image/jpeg", "CC-BY"),
+            ("o1", "http://img/2.png", "image/png", "CC0"),
+        ],
+        "occurrenceID string, identifier string, format string, license string",
+    )
+    zip_path = str(tmp_path / "mm.zip")
+    create_dwca(
+        df,
+        ["occurrenceID", "scientificName"],
+        zip_path,
+        multimedia=media,
+        core_id_col="occurrenceID",
+    )
+    with zipfile.ZipFile(zip_path) as zf:
+        assert set(zf.namelist()) == {
+            "meta.xml", "eml.xml", "occurrence.csv", "image.csv"
+        }
+        meta = zf.read("meta.xml").decode()
+        assert "http://rs.gbif.org/terms/1.0/Multimedia" in meta
+        assert "<location>image.csv</location>" in meta
+        assert '<coreid index="0"/>' in meta
+        assert "http://purl.org/dc/terms/identifier" in meta
+        # core id column carries the record id, not a row index
+        occ = zf.read("occurrence.csv").decode()
+        assert occ.splitlines()[1].startswith("o1,o1,")
+        img = zf.read("image.csv").decode().splitlines()
+        assert img[0] == (
+            "id,identifier,creator,created,title,format,license,rights,"
+            "rightsHolder,references"
+        )
+        # absent descriptors (creator/created/title/...) written empty
+        assert "o1,http://img/1.jpg,,,,image/jpeg,CC-BY,,," in img
+
+    extract_dir = str(tmp_path / "mm_extracted")
+    with zipfile.ZipFile(zip_path) as zf:
+        zf.extractall(extract_dir)
+    back = load_archive(spark, extract_dir, "dr-mm", ["occurrenceID"])
+    rows = {r["occurrenceID"]: r for r in back.collect()}
+    got_media = {m["identifier"] for m in rows["o1"]["multimedia"]}
+    assert got_media == {"http://img/1.jpg", "http://img/2.png"}
+    assert rows["o2"]["multimedia"] is None  # media-less record: left join
+    shutil.rmtree(extract_dir)
+
+    # multimedia without a core id is an error, not a broken archive
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="core_id_col"):
+        create_dwca(
+            df, ["occurrenceID"], str(tmp_path / "bad.zip"), multimedia=media
+        )
+
+
 def test_streaming_incremental(spark, tmp_path):
     from biocache_store_spark.streaming.incremental import process_staging_stream
 

@@ -290,13 +290,42 @@ def cmd_export_dwca(args) -> int:
 
 def cmd_dedup_detect(args) -> int:
     """DuplicationDetection (tool/DuplicationDetection.scala): grouped
-    duplicate detection -> (group keys, status R/D1/D2/U) store."""
-    from biocache_store_spark.operators.dedup import detect_duplicates
+    duplicate detection -> (group keys, status R/D1/D2/U) store.
+
+    Scoped/incremental modes (the reference's -g/-f/--inc options +
+    IncrementalDuplicationDetection): --lsids / --lsid-file name the
+    taxa to re-run; --since derives them from records modified since the
+    last detection; --prev merges the re-run into a standing duplicate
+    store (touched taxa replaced wholesale, untouched pass through)."""
+    from biocache_store_spark.operators.dedup import (
+        detect_duplicates,
+        detect_duplicates_scoped,
+        merge_dedup_results,
+        touched_taxa,
+    )
 
     spark = _spark(args)
-    out = detect_duplicates(_read(spark, args.inp))
+    df = _read(spark, args.inp)
+    taxa = None
+    if getattr(args, "lsids", None):
+        taxa = spark.createDataFrame(
+            [(x,) for x in _split(args.lsids)], "taxon string"
+        )
+    elif getattr(args, "lsid_file", None):
+        with open(args.lsid_file) as fh:
+            ids = [line.strip() for line in fh if line.strip()]
+        taxa = spark.createDataFrame([(x,) for x in ids], "taxon string")
+    elif getattr(args, "since", None):
+        taxa = touched_taxa(df, args.since, modified_col=args.modified_col)
+    if taxa is None:
+        out = detect_duplicates(df)
+    else:
+        out = detect_duplicates_scoped(df, taxa)
+        if getattr(args, "prev", None):
+            out = merge_dedup_results(_read(spark, args.prev), out, taxa)
     out.write.mode("overwrite").parquet(args.out)
-    print(f"duplicates {args.inp} -> {args.out}")
+    scope = "full" if taxa is None else "scoped"
+    print(f"duplicates ({scope}) {args.inp} -> {args.out}")
     return 0
 
 
@@ -1179,6 +1208,26 @@ def build_parser() -> argparse.ArgumentParser:
     sp = tool("dedup-detect", cmd_dedup_detect, "grouped duplicate detection")
     sp.add_argument("--in", dest="inp", required=True)
     sp.add_argument("--out", required=True)
+    sp.add_argument(
+        "--lsids", help="comma-separated taxon ids to re-run (reference -g)"
+    )
+    sp.add_argument(
+        "--lsid-file", dest="lsid_file",
+        help="file of taxon ids, one per line (reference -f)",
+    )
+    sp.add_argument(
+        "--since",
+        help="re-run only taxa with records modified since this date "
+        "(reference --inc / IncrementalDuplicationDetection)",
+    )
+    sp.add_argument(
+        "--modified-col", dest="modified_col", default="lastModifiedTime",
+        help="column --since compares against",
+    )
+    sp.add_argument(
+        "--prev",
+        help="previous duplicate store to merge the scoped re-run into",
+    )
 
     sp = tool("jackknife", cmd_jackknife, "per-group jackknife outlier stats")
     sp.add_argument("--in", dest="inp", required=True)

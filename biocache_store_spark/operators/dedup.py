@@ -376,3 +376,71 @@ def detect_duplicates(
     return selected.groupBy("g_taxon", "g_year", "g_month", "g_day").applyInPandas(
         run, schema=schema
     )
+
+
+def touched_taxa(
+    df: DataFrame,
+    since: str | None = None,
+    modified_col: str = "lastModifiedTime",
+    taxon_col: str = "taxonConceptID",
+) -> DataFrame:
+    """Distinct taxa owning records loaded/modified since `since` — the
+    species list an incremental duplication-detection re-run must cover
+    (IncrementalDuplicationDetection.scala:22-28 appends
+    `last_load_date:[since TO *]` when picking work). One distinct over
+    the changed slice; `since=None` means every taxon (the --all run).
+    Returns a one-column frame named `taxon`."""
+    scoped = df
+    if since is not None:
+        scoped = df.filter(F.col(modified_col).cast("string") >= since)
+    return (
+        scoped.filter(F.col(taxon_col).isNotNull())
+        .select(F.col(taxon_col).cast("string").alias("taxon"))
+        .distinct()
+    )
+
+
+def detect_duplicates_scoped(
+    df: DataFrame,
+    taxa: DataFrame,
+    taxon_col: str = "taxonConceptID",
+    **kwargs,
+) -> DataFrame:
+    """Duplicate detection restricted to the given taxa (`taxon` column).
+
+    Duplicate clusters are strictly within-taxon (the group key leads
+    with the lsid), so running the detector over ALL records of ONLY the
+    touched species reproduces exactly the full run's rows for those
+    species — the reference's incremental mode re-downloads the touched
+    taxon's complete record set for the same reason
+    (IncrementalDuplicationDetection.scala:17-30: the date filter picks
+    the species, never truncates its records). The scope filter is a
+    left-semi join the optimizer broadcasts when the species list is
+    dim-sized; at 100 TB an ingest touches a tiny fraction of taxa, so
+    the re-run cost is proportional to the CHANGED species' records,
+    not the corpus."""
+    scope = taxa.select(F.col("taxon").cast("string").alias("__scope_taxon"))
+    scoped = df.join(
+        scope,
+        F.col(taxon_col).cast("string") == F.col("__scope_taxon"),
+        "left_semi",
+    )
+    return detect_duplicates(scoped, taxon_col=taxon_col, **kwargs)
+
+
+def merge_dedup_results(
+    previous: DataFrame, incremental: DataFrame, taxa: DataFrame
+) -> DataFrame:
+    """Fold an incremental re-run into the standing duplicate store:
+    previous rows for the touched taxa are dropped wholesale (their
+    clusters were recomputed from scratch — including records that LEFT
+    a cluster, the obsolete-revert case `anti_join_obsolete` applies to
+    the occurrence store) and the re-run rows take their place. Rows for
+    untouched taxa pass through unchanged, so merge(full-run-at-T0,
+    incremental-since-T0) == full-run-now for any store whose changes
+    all carry a modified time."""
+    scope = taxa.select(F.col("taxon").cast("string").alias("__scope_taxon"))
+    kept = previous.join(
+        scope, previous["taxon"] == F.col("__scope_taxon"), "left_anti"
+    )
+    return kept.unionByName(incremental)

@@ -135,6 +135,19 @@ def test_cli_dedup_and_jackknife(spark, tmp_path):
     assert statuses["o3"] == "U"
     assert sorted(statuses[k] for k in ("o1", "o2")) == ["D1", "R"]
 
+    # scoped re-run (--lsids) merged into the standing store (--prev):
+    # only t1 recomputed, t2's row passes through; equals the full run
+    scoped_out = str(tmp_path / "dups_scoped")
+    assert main([
+        "dedup-detect", "--in", store, "--out", scoped_out,
+        "--lsids", "t1", "--prev", dup_out,
+    ]) == 0
+    merged = {
+        r["row_key"]: r["status"]
+        for r in spark.read.parquet(scoped_out).collect()
+    }
+    assert merged == statuses
+
     jk_store = str(tmp_path / "vals")
     spark.createDataFrame(
         [("g1", float(v)) for v in range(1, 26)] + [("g1", 500.0)],

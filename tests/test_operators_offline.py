@@ -193,6 +193,66 @@ def test_detect_duplicates_spark(spark):
     assert out["o4"]["status"] == "U"  # different group (taxon)
 
 
+def test_incremental_dedup_equals_full_rerun(spark):
+    """IncrementalDuplicationDetection mirror: after an ingest touches one
+    species, a scoped re-run over that species (derived via touched_taxa
+    from the modified time) merged into the standing duplicate store
+    equals a full from-scratch re-run — including a record that LEFT its
+    cluster (the obsolete-revert case) and untouched taxa passing
+    through unchanged."""
+    from biocache_store_spark.operators.dedup import (
+        detect_duplicates,
+        detect_duplicates_scoped,
+        merge_dedup_results,
+        touched_taxa,
+    )
+
+    schema = (
+        "occurrenceID string, dataResourceUid string, taxonConceptID string, "
+        "year string, month string, day string, decimalLatitude string, "
+        "decimalLongitude string, recordedBy string, recordNumber string, "
+        "catalogNumber string, lastModifiedTime string"
+    )
+    t0_rows = [
+        # lsid:1 — o1/o2 duplicates at T0
+        ("o1", "dr1", "lsid:1", "2000", "01", "05", "-35.21667", "144.81060", "Smith, J.", None, None, "2026-01-01"),
+        ("o2", "dr1", "lsid:1", "2000", "01", "05", "-35.2", "144.8", "Smyth, J.", None, None, "2026-01-01"),
+        # lsid:2 — untouched forever
+        ("o4", "dr2", "lsid:2", "2000", "01", "05", "-35.2", "144.8", "Smith, J.", None, None, "2026-01-01"),
+        ("o5", "dr2", "lsid:2", "2000", "01", "05", "-35.2", "144.8", "Smith, J.", None, None, "2026-01-01"),
+    ]
+    t1_rows = [
+        # o2 reloaded with a corrected date: it LEAVES o1's cluster
+        ("o1", "dr1", "lsid:1", "2000", "01", "05", "-35.21667", "144.81060", "Smith, J.", None, None, "2026-01-01"),
+        ("o2", "dr1", "lsid:1", "2001", "03", "09", "-35.2", "144.8", "Smyth, J.", None, None, "2026-02-01"),
+        # and a NEW record joins o1's group
+        ("o3", "dr3", "lsid:1", "2000", "01", "05", "-35.2", "144.8", "Smith, J.", None, None, "2026-02-01"),
+        ("o4", "dr2", "lsid:2", "2000", "01", "05", "-35.2", "144.8", "Smith, J.", None, None, "2026-01-01"),
+        ("o5", "dr2", "lsid:2", "2000", "01", "05", "-35.2", "144.8", "Smith, J.", None, None, "2026-01-01"),
+    ]
+    store_t0 = spark.createDataFrame(t0_rows, schema)
+    store_t1 = spark.createDataFrame(t1_rows, schema)
+    prev = detect_duplicates(store_t0)
+
+    taxa = touched_taxa(store_t1, since="2026-01-15")
+    assert [r["taxon"] for r in taxa.collect()] == ["lsid:1"]
+
+    inc = detect_duplicates_scoped(store_t1, taxa)
+    # the scoped run covers ALL of lsid:1's records, so its rows equal
+    # the full re-run's rows for that species
+    full = detect_duplicates(store_t1)
+    key = lambda r: (r["taxon"], r["row_key"])  # noqa: E731
+    assert sorted(map(str, sorted(inc.collect(), key=key))) == sorted(
+        map(str, sorted(full.filter("taxon = 'lsid:1'").collect(), key=key))
+    )
+    # merged standing store == full from-scratch recompute
+    merged = merge_dedup_results(prev, inc, taxa)
+    assert sorted(map(str, merged.collect())) == sorted(map(str, full.collect()))
+    # and the departed record is demoted back to U (obsolete revert)
+    got = {r["row_key"]: r["status"] for r in merged.collect()}
+    assert got["o2"] == "U" and got["o1"] == "R" and got["o3"] == "D2"
+
+
 def test_jackknife_spark(spark):
     from biocache_store_spark.operators.jackknife import jackknife_stats
 

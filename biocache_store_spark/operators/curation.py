@@ -413,6 +413,7 @@ def dsir_importance(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_hex: int = 3,
+    mode: str = "rational",
 ) -> DataFrame:
     """DSIR-style importance weighting over hashed n-gram bag features
     (Xie et al. 2023): score each raw-corpus document by how much more
@@ -451,7 +452,20 @@ def dsir_importance(
     the honest minimum, since q must be complete before any score.
     Documents with no features are omitted (no tokens = no evidence).
 
+    mode="log_ratio" (opt-in) computes the PUBLISHED estimator instead:
+    Σ_f c_f·(log p̂_f − log q̂_f) with the same add-one smoothing —
+    citable as DSIR proper. It is a float log-sum, so the result is
+    summation-order-sensitive (±1ulp across partitionings) and carries
+    no SQL oracle; the rational default stays the oracle-checked mode.
+    Both modes rank separable corpora identically (test-verified); the
+    plan shape (broadcast stats, straight-to-doc reduction) is shared.
+
     Returns (id, n_feats, importance) with importance rounded to 8."""
+    if mode not in ("rational", "log_ratio"):
+        raise ValueError(
+            f"dsir_importance: unknown mode {mode!r} "
+            "(expected 'rational' or 'log_ratio')"
+        )
     b_total = 16**n_hex
     tgt = hashed_feature_buckets(target_docs, id_col, text_col, n_hex)
     raw = hashed_feature_buckets(train_docs, id_col, text_col, n_hex)
@@ -477,15 +491,30 @@ def dsir_importance(
         .crossJoin(F.broadcast(np_))
         .crossJoin(F.broadcast(nq))
     )
-    num = F.sum(F.coalesce(F.col("cp"), F.lit(0)) + 1)
-    den = F.sum(F.coalesce(F.col("cq"), F.lit(0)) + 1)
-    # np/nq are constant within every group; first() keeps them through
-    # the aggregation without a re-join
-    importance = F.round(
-        (num.cast("double") * (F.first("nq") + F.lit(b_total)).cast("double"))
-        / (den.cast("double") * (F.first("np") + F.lit(b_total)).cast("double")),
-        8,
-    )
+    smoothed_cp = F.coalesce(F.col("cp"), F.lit(0)) + 1
+    smoothed_cq = F.coalesce(F.col("cq"), F.lit(0)) + 1
+    if mode == "log_ratio":
+        # Σ_occ [log(cp_b+1) − log(cq_b+1)] + n_feats·[log(Nq+B) − log(Np+B)]
+        # = Σ_f c_f·(log p̂_f − log q̂_f) — Xie et al.'s importance weight
+        per_occ = F.log(smoothed_cp.cast("double")) - F.log(
+            smoothed_cq.cast("double")
+        )
+        const = F.log((F.first("nq") + F.lit(b_total)).cast("double")) - F.log(
+            (F.first("np") + F.lit(b_total)).cast("double")
+        )
+        importance = F.round(
+            F.sum(per_occ) + F.count(F.lit(1)).cast("double") * const, 8
+        )
+    else:
+        num = F.sum(smoothed_cp)
+        den = F.sum(smoothed_cq)
+        # np/nq are constant within every group; first() keeps them through
+        # the aggregation without a re-join
+        importance = F.round(
+            (num.cast("double") * (F.first("nq") + F.lit(b_total)).cast("double"))
+            / (den.cast("double") * (F.first("np") + F.lit(b_total)).cast("double")),
+            8,
+        )
     return joined.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_feats"), importance.alias("importance")
     )

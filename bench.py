@@ -64,16 +64,22 @@ def main() -> int:
     )
     _force(near_duplicates(synth, threshold=0.1))
 
-    # two timed executions per query, report the min: the minimum of N runs
-    # is the standard steady-state estimator — it measures the plan while
-    # discarding one-off interference (GC pause, compile, a noisy-neighbor
-    # burst on the host), which a single sample cannot distinguish from
-    # real cost
-    # the two samples run as two FULL passes (not back-to-back) so one
-    # tens-of-seconds interference burst cannot land on both samples of
-    # the same query
+    # three timed executions per query, report the min: the minimum of N
+    # runs is the standard steady-state estimator — it measures the plan
+    # while discarding one-off interference (GC pause, compile, a
+    # noisy-neighbor burst on the host), which a single sample cannot
+    # distinguish from real cost
+    # the samples run as FULL passes (not back-to-back) so one
+    # tens-of-seconds interference burst cannot land on every sample of
+    # the same query; a forced JVM GC between passes keeps the garbage of
+    # 13 queries x N executions in one shared JVM from landing as pauses
+    # inside the NEXT pass's timings (isolated fresh-session runs measure
+    # the same plans ~10-20% faster than late-pass shared-session runs —
+    # that gap is session accumulation, not plan cost; see SCALE.md)
     timings: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
+        if _pass:
+            spark.sparkContext._jvm.System.gc()
         for name, q in bench_queries.items():
             start = time.perf_counter()
             _force(q.spark_fn(spark, data_dir))

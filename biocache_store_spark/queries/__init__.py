@@ -53,70 +53,22 @@ def register(
 
 
 # The external driver oracle-checks a 50-slot prefix of the registry per
-# round. Round-6 rotation (VERDICT r5 "Next round" #1): queries whose
-# behavior changed this round first, then the eight never-driver-checked
-# round-6 additions, then the stale tiers (11 r3-era shapes before the
-# r4-era tier). Sixteen simple untouched r4-era shapes (positions 51-66)
-# overflow the prefix and rotate in next round; the 50 entries driver-green
-# in CORRECTNESS_r05 yield their slots entirely.
+# round. Round-7 rotation (VERDICT r6 "Next round" #1): the seven queries
+# whose behavior or oracle changed this round first, then the sixteen
+# r4-era entries that overflowed round 6's prefix (closing the staleness
+# rotation — after this round every registry entry has driver evidence
+# from round 5 or later), then 27 r5-era refreshes. The 50 entries
+# driver-green in CORRECTNESS_r06 yield their slots.
 HEAD: tuple[str, ...] = (
-    # behavior or oracle changed in round 6 — must re-check first
-    "user_assertion_lifecycle",   # outstanding-codes either/or restored
-    "sds_generalization",         # SDS zone fail-closed fix
-    "lsh_index_probe",            # index meta moved to Spark-written parquet
-    "minhash_near_duplicates",
-    "corpus_curation",
-    "taxon_name_match",           # fuzzy edit-distance tier added
-    "ngram_jaccard_pairs",        # dynamic candidate budget
-    "validation_rule_wkt",
-    # new in round 6 — never driver-checked, ahead of the refresh tier
-    "media_reference_rollup",
-    "text_embedding_vectors",
-    "training_shard_plan",
-    "bpe_merge_training",
-    "dsir_selection",
-    "nb_lang_classify",
-    "dsir_threshold_select",
-    "semantic_decontamination",
-    # r3-era: last driver row in CORRECTNESS_r03
-    "facet_counts",
-    "top_k",
-    "set_union",
-    "set_except",
-    "anti_join_obsolete",
-    "distinct_values",
-    "grouped_stats",
-    "event_facet_counts",
-    "event_json_extract",
-    "event_hourly_histogram",
-    "range_filter_facet",
-    # r4-era: last driver row in CORRECTNESS_r04
-    "bm25_search",
-    "broadcast_enrich_revenue",
-    "chain_hybrid",
-    "chain_vocab_fields",
-    "collector_name_parse",
-    "coordinate_validation",
-    "countmin_heavy_hitters",
-    "date_precision_reformat",
-    "datum_reprojection",
-    "dwca_roundtrip",
-    "embedding_ann_topk",
-    "embedding_cosine_near_dup",
-    "embedding_cosine_neighbors",
-    "embedding_ivf_topk",
-    "embedding_label_centroid_norms",
-    "event_rollup_combined",
-    "exact_dedup",
-    "fuzzy_name_pairs",
-    "index_projection_facet",
-    "near_dup_components",
-    "ngram_decontamination",
-    "sample_layers_enrich",
-    "simhash_near_duplicates",
-    # --- 50-slot prefix ends here ---
-    # r4-era overflow: simple built-in shapes untouched since r4, rotate
-    # into the prefix next round
+    # behavior or oracle changed in round 7 — must re-check first
+    "dwca_roundtrip",        # + Multimedia extension (image.csv in the hash)
+    "training_shard_plan",   # shard now from 4 md5 bytes (oracle updated)
+    "dsir_threshold_select", # histogram_threshold refine=1 default
+    "dsir_selection",        # dsir_importance smoothing-term refactor
+    "ngram_jaccard_pairs",   # dynamic-budget NULL fallback to df=2
+    "lsh_index_probe",       # legacy-index meta rejection
+    "sds_generalization",    # apply_sds state_col threading
+    # r4-era: the sixteen entries that overflowed round 6's prefix
     "state_centroid_inference",
     "stored_query_bbox",
     "streaming_event_windows",
@@ -133,11 +85,7 @@ HEAD: tuple[str, ...] = (
     "salted_skew_join",
     "doc_chunking",
     "stratified_sample",
-)
-
-DEPRIORITIZED: tuple[str, ...] = (
-    # all 50 driver-green in CORRECTNESS_r05 (hash+rows+schema) — they
-    # yield their prefix slots to the 58-entry rotation above.
+    # r5-era refreshes (checked r5, untouched since — oldest evidence next)
     "span_dedup",
     "sequence_packing",
     "embedding_quantize",
@@ -165,6 +113,8 @@ DEPRIORITIZED: tuple[str, ...] = (
     "expert_outlier_flags",
     "jackknife_outlier_stats",
     "maintenance_delete_upsert",
+    # --- 50-slot prefix ends here ---
+    # r5-era remainder: rotate into the prefix next round
     "event_sessionization",
     "media_decode_meta",
     "assertion_rollup",
@@ -188,6 +138,54 @@ DEPRIORITIZED: tuple[str, ...] = (
     "indexed_field_scan",
     "multiget",
     "point_lookup",
+)
+
+DEPRIORITIZED: tuple[str, ...] = (
+    # all driver-green in CORRECTNESS_r06 (hash+rows+schema) and untouched
+    # this round — they yield their prefix slots to the rotation above.
+    "user_assertion_lifecycle",
+    "minhash_near_duplicates",
+    "corpus_curation",
+    "taxon_name_match",
+    "validation_rule_wkt",
+    "media_reference_rollup",
+    "text_embedding_vectors",
+    "bpe_merge_training",
+    "nb_lang_classify",
+    "semantic_decontamination",
+    "facet_counts",
+    "top_k",
+    "set_union",
+    "set_except",
+    "anti_join_obsolete",
+    "distinct_values",
+    "grouped_stats",
+    "event_facet_counts",
+    "event_json_extract",
+    "event_hourly_histogram",
+    "range_filter_facet",
+    "bm25_search",
+    "broadcast_enrich_revenue",
+    "chain_hybrid",
+    "chain_vocab_fields",
+    "collector_name_parse",
+    "coordinate_validation",
+    "countmin_heavy_hitters",
+    "date_precision_reformat",
+    "datum_reprojection",
+    "embedding_ann_topk",
+    "embedding_cosine_near_dup",
+    "embedding_cosine_neighbors",
+    "embedding_ivf_topk",
+    "embedding_label_centroid_norms",
+    "event_rollup_combined",
+    "exact_dedup",
+    "fuzzy_name_pairs",
+    "index_projection_facet",
+    "near_dup_components",
+    "ngram_decontamination",
+    "sample_layers_enrich",
+    "simhash_near_duplicates",
 )
 
 

@@ -1391,6 +1391,77 @@ def test_sentence_transformer_gated(spark):
             sentence_transformer_model()()
 
 
+def _has_sentence_transformers() -> bool:
+    try:
+        import sentence_transformers  # type: ignore # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_sentence_transformers(),
+    reason="sentence-transformers not installed (opt-in real-model path)",
+)
+def test_real_model_embed_dedup_pipeline(spark):
+    """Opt-in executed evidence for the REAL-model path: a tiny corpus
+    runs batch_embed(sentence_transformer_model) -> cosine_near_duplicates
+    -> kmeans_train -> semantic_dedup end to end. Paraphrase pairs must
+    out-score unrelated pairs and identical texts must dedup; the fake
+    embedder covers the same plumbing deterministically in sandboxes
+    without the package."""
+    from biocache_store_spark.operators.inference import (
+        batch_embed,
+        sentence_transformer_model,
+    )
+    from biocache_store_spark.operators.similarity import (
+        cosine_near_duplicates,
+        kmeans_train,
+        semantic_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a cat sits on the mat"),
+            (2, "a cat sits on the mat"),  # exact duplicate of 1
+            (3, "the stock market fell sharply today"),
+            (4, "equity prices dropped steeply this afternoon"),  # ~3
+            (5, "photosynthesis converts sunlight into energy"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = batch_embed(
+        docs, model_loader=sentence_transformer_model(), dim=384
+    ).select(F.col("doc_id").alias("vec_id"), "embedding")
+    emb = emb.persist()
+    dim = len(emb.first()["embedding"])
+    # identical texts -> identical vectors -> same LSH bucket at any
+    # plane count; the exact-dup pair must survive the bucketed operator
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in cosine_near_duplicates(emb, dim=dim, threshold=0.95).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.99
+    # semantic sanity of the real model, checked driver-side (5 vectors):
+    # the paraphrase pair is closer than any unrelated pair
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    cos = lambda a, b: sum(x * y for x, y in zip(a, b))  # noqa: E731 (unit vectors)
+    sims = {
+        (i, j): cos(vecs[i], vecs[j])
+        for i in vecs
+        for j in vecs
+        if i < j
+    }
+    assert sims[(3, 4)] > max(
+        s for p, s in sims.items() if p not in ((1, 2), (3, 4))
+    )
+    cents = kmeans_train(emb, k=2, iters=1)
+    dedup = {r["vec_id"]: r["keep"] for r in semantic_dedup(emb, cents, 0.99).collect()}
+    assert dedup[1] is True and dedup[2] is False  # greedy-by-id prune
+    emb.unpersist()
+
+
 def test_histogram_threshold_covers_fraction_and_clamps(spark):
     """histogram_threshold (operators/sketch.py): the derived edge keeps
     AT LEAST the requested fraction, over-selecting by at most one bin;

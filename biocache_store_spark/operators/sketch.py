@@ -148,12 +148,12 @@ def _cum_hist(
     )
 
 
-def _cut_from_rows(rows, fraction: float):
+def _cut_from_rows(rows, k: int):
     """Driver-side replica of the cut pick over the collected (tiny)
-    cumulative histogram: (cut_bin, covered, total). Python floats ARE
-    IEEE doubles, so ceil(total * fraction) reproduces the plan exactly."""
-    import math
-
+    cumulative histogram, for an INTEGER target count k:
+    (cut_bin, covered, total). k stays an integer end to end so the
+    refinement's second pass cuts at exactly k_rem — re-deriving it as
+    ceil(n0 * (k_rem/n0)) could land one off under IEEE rounding."""
     # NULL values bin to a NULL group: it never wins the cut (mirrors
     # F.max's null-skipping in the lazy plan) but its cum row still
     # participates in `covered` like any other admitted row
@@ -162,7 +162,6 @@ def _cut_from_rows(rows, fraction: float):
             "histogram_threshold: no values to derive a threshold from"
         )
     total = rows[0]["total"]
-    k = math.ceil(total * float(fraction))
     admitted = [r for r in rows if r["cum"] >= k]
     return (
         max(r["bin"] for r in admitted if r["bin"] is not None),
@@ -238,8 +237,13 @@ def histogram_threshold(
                 F.first("total").alias("total"),
             )
         )
+    import math
+
     rows = cum.collect()
-    cut_bin, covered, total = _cut_from_rows(rows, fraction)
+    k1 = (
+        math.ceil(rows[0]["total"] * float(fraction)) if rows else 0
+    )  # Python floats ARE IEEE doubles: reproduces the plan's ceil exactly
+    cut_bin, covered, total = _cut_from_rows(rows, k1)
     if cut_bin > 0:
         threshold = lo + cut_bin * (hi - lo) / n_bins
     else:
@@ -250,8 +254,6 @@ def histogram_threshold(
         # from the cum rows directly so NULL-value rows (which bin to a
         # NULL group and can never be selected by a >= compare) are
         # excluded from both the numerator and the denominator.
-        import math
-
         above = max(
             (
                 r["cum"]
@@ -262,7 +264,7 @@ def histogram_threshold(
         )
         cum_bin0 = next(r["cum"] for r in rows if r["bin"] == 0)
         n0 = cum_bin0 - above
-        k_rem = min(n0, math.ceil(total * float(fraction)) - above)
+        k_rem = min(n0, k1 - above)
         subset = values.filter(_hist_bin(value_col, lo, hi, n_bins) == 0)
         lo2 = subset.agg(
             F.min(F.col(value_col).cast("double")).alias("m")
@@ -270,7 +272,7 @@ def histogram_threshold(
         hi2 = lo + (hi - lo) / n_bins  # bin 0's upper edge
         if lo2 is not None and hi2 > lo2:
             rows2 = _cum_hist(subset, lo2, hi2, n_bins, value_col).collect()
-            cut2, covered2, _ = _cut_from_rows(rows2, k_rem / n0)
+            cut2, covered2, _ = _cut_from_rows(rows2, k_rem)
             covered = above + covered2
             # refined bottom bin: nothing exists below lo2, so lo2 IS
             # keep-everything-in-bin-0, finite — never -inf

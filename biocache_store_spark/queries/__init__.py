@@ -60,6 +60,9 @@ def register(
 # from round 5 or later), then 27 r5-era refreshes. The 50 entries
 # driver-green in CORRECTNESS_r06 yield their slots.
 HEAD: tuple[str, ...] = (
+    # NEW in round 7 — never driver-checked
+    "dedup_incremental_merge",       # incremental == full-run oracle
+    "histogram_threshold_refined",   # bottom-bin two-pass derivation
     # behavior or oracle changed in round 7 — must re-check first
     "dwca_roundtrip",        # + Multimedia extension (image.csv in the hash)
     "training_shard_plan",   # shard now from 4 md5 bytes (oracle updated)
@@ -111,10 +114,10 @@ HEAD: tuple[str, ...] = (
     "fuzzy_date_parse",
     "gridref_parse",
     "expert_outlier_flags",
-    "jackknife_outlier_stats",
-    "maintenance_delete_upsert",
     # --- 50-slot prefix ends here ---
     # r5-era remainder: rotate into the prefix next round
+    "jackknife_outlier_stats",
+    "maintenance_delete_upsert",
     "event_sessionization",
     "media_decode_meta",
     "assertion_rollup",

@@ -498,6 +498,127 @@ def dedup_occurrence_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_occ_synthesis(customer):
+    """The dedup_occurrence_clusters record synthesis, shared with the
+    incremental variant so both queries detect over the identical store."""
+    cid = F.expr("c_custkey DIV 4")
+    member = F.expr("c_custkey % 4")
+    lat_int = F.expr("(c_custkey DIV 4) DIV 25").cast("int")
+    lon_int = cid.cast("int")
+    return customer.select(
+        F.format_string("c%09d", F.col("c_custkey")).alias("occurrenceID"),
+        F.col("c_mktsegment").alias("dataResourceUid"),
+        F.pmod(cid, F.lit(25)).cast("string").alias("taxonConceptID"),
+        F.lit("2000").alias("year"),
+        F.lit("01").alias("month"),
+        F.lit("05").alias("day"),
+        F.when(member == 0, F.concat(lat_int.cast("string"), F.lit(".01")))
+        .otherwise(lat_int.cast("string"))
+        .alias("decimalLatitude"),
+        F.when(member == 0, F.concat(lon_int.cast("string"), F.lit(".01")))
+        .otherwise(lon_int.cast("string"))
+        .alias("decimalLongitude"),
+        F.concat(F.lit("Collector-"), cid.cast("string")).alias("recordedBy"),
+        F.lit(None).cast("string").alias("recordNumber"),
+        F.lit(None).cast("string").alias("catalogNumber"),
+        # the incremental fixture: clusters whose cid % 5 == 0 had their
+        # high-precision member (m == 0) arrive in a LATER load. taxon =
+        # cid % 25, so taxa {0,5,10,15,20} are touched (every one of
+        # their clusters gained a record) and the other 20 taxa are not.
+        F.when(
+            (F.pmod(cid, F.lit(5)) == 0) & (member == 0), F.lit("2026-02-01")
+        )
+        .otherwise(F.lit("2026-01-01"))
+        .alias("lastModifiedTime"),
+    )
+
+
+@register(
+    "dedup_incremental_merge",
+    doc=(
+        "Incremental duplication detection under the external hash gate "
+        "(operators/dedup.py touched_taxa + detect_duplicates_scoped + "
+        "merge_dedup_results — tool/IncrementalDuplicationDetection.scala): "
+        "a T0 store missing the later-loaded records is fully detected, "
+        "then the T1 ingest's touched taxa (derived from lastModifiedTime) "
+        "are re-detected over ALL their records and merged into the "
+        "standing result, touched taxa replaced wholesale. The later "
+        "arrivals are each cluster's HIGH-PRECISION member, so the merge "
+        "must flip representatives and dup-type codes, and the departed-"
+        "record revert is exercised structurally (T0 rows for touched taxa "
+        "are dropped, never patched). The oracle is the FULL-run ground "
+        "truth on the T1 store — the hash asserts incremental == full, the "
+        "correctness contract of the reference's --inc mode."
+    ),
+    oracle="""
+        WITH occ AS (
+            SELECT printf('c%09d', c_custkey) AS row_key,
+                   c_mktsegment AS druid,
+                   c_custkey // 4 AS cid,
+                   c_custkey % 4 AS m
+            FROM customer
+        ),
+        rec AS (
+            SELECT row_key, druid, cid,
+                   CAST(cid % 25 AS VARCHAR) AS taxon,
+                   CASE WHEN m = 0 THEN 2 ELSE 0 END AS prec0
+            FROM occ
+        ),
+        cl AS (
+            SELECT *,
+                   COUNT(*) OVER (PARTITION BY cid) AS n,
+                   MIN(row_key) OVER (PARTITION BY cid) AS rep_key,
+                   MAX(prec0) OVER (PARTITION BY cid) AS max_prec,
+                   FIRST_VALUE(druid) OVER (
+                       PARTITION BY cid ORDER BY row_key
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                   ) AS rep_druid
+            FROM rec
+        )
+        SELECT taxon,
+               '2000' AS year, '01' AS month, '05' AS day,
+               row_key,
+               CASE WHEN n = 1 THEN 'U'
+                    WHEN row_key = rep_key THEN 'R'
+                    WHEN druid = rep_druid THEN 'D1'
+                    ELSE 'D2' END AS status,
+               CASE WHEN n > 1 AND row_key <> rep_key THEN rep_key END AS duplicate_of,
+               CASE WHEN n = 1 OR row_key = rep_key THEN ''
+                    WHEN max_prec = 2 THEN '5,6'
+                    ELSE '4,6' END AS dup_types,
+               CAST(CASE WHEN n > 1 AND row_key = rep_key THEN max_prec
+                         ELSE 0 END AS INTEGER) AS precision
+        FROM cl
+    """,
+)
+def dedup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.dedup import (
+        detect_duplicates,
+        detect_duplicates_scoped,
+        merge_dedup_results,
+        touched_taxa,
+    )
+
+    customer = read_table(spark, sf_dir, "customer")
+    t1 = _dedup_occ_synthesis(customer)
+    t0 = t1.filter(F.col("lastModifiedTime") < "2026-01-15")
+    prev = detect_duplicates(t0)
+    taxa = touched_taxa(t1, since="2026-01-15")
+    inc = detect_duplicates_scoped(t1, taxa)
+    merged = merge_dedup_results(prev, inc, taxa)
+    return merged.select(
+        "taxon",
+        "year",
+        "month",
+        "day",
+        "row_key",
+        "status",
+        "duplicate_of",
+        F.array_join(F.col("dup_types").cast("array<string>"), ",").alias("dup_types"),
+        "precision",
+    )
+
+
 @register(
     "sds_generalization",
     doc=(

@@ -1377,3 +1377,87 @@ def dsir_threshold_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(th_val), 8).alias("threshold"),
         "selected",
     )
+
+
+@register(
+    "histogram_threshold_refined",
+    doc=(
+        "Bottom-bin refinement of the fixed-grid threshold "
+        "(operators/sketch.py histogram_threshold, refine=1): the fixture "
+        "puts EVERY value inside the coarse grid's bottom bin (importance "
+        "= (c_custkey % 1000)/10000 < 0.1 on a [0,1) x 10 grid at any "
+        "scale factor), so the pass-1 cut degenerates and the operator "
+        "re-histograms the bin-0 rows over [min(values), lo+w) and cuts "
+        "inside it — a finite discriminating threshold where the legacy "
+        "plan returned keep-everything -inf. The oracle replays the "
+        "refinement pass in SQL (same IEEE bin/edge arithmetic), so the "
+        "hash pins the two-pass derivation, the covered/total counts and "
+        "the >= selection exactly."
+    ),
+    oracle="""
+        WITH vals AS (
+            SELECT c_custkey AS id,
+                   CAST(c_custkey % 1000 AS DOUBLE) / CAST(10000 AS DOUBLE)
+                       AS importance
+            FROM customer
+        ),
+        agg AS (SELECT MIN(importance) AS lo2, COUNT(*) AS n FROM vals),
+        binned AS (
+            SELECT v.importance,
+                   LEAST(GREATEST(CAST(FLOOR(
+                       ((v.importance - a.lo2) * CAST(10 AS DOUBLE))
+                       / ((CAST(0 AS DOUBLE)
+                           + (CAST(1 AS DOUBLE) - CAST(0 AS DOUBLE))
+                             / CAST(10 AS DOUBLE)) - a.lo2)
+                   ) AS INT), 0), 9) AS bin
+            FROM vals v CROSS JOIN agg a
+        ),
+        hist AS (SELECT bin, COUNT(*) AS c FROM binned GROUP BY bin),
+        cum AS (
+            SELECT bin,
+                   SUM(c) OVER (ORDER BY bin DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum,
+                   SUM(c) OVER () AS total
+            FROM hist
+        ),
+        th AS (
+            SELECT CASE WHEN MAX(c2.bin) = 0 THEN a.lo2
+                        ELSE a.lo2 + CAST(MAX(c2.bin) AS DOUBLE)
+                             * ((CAST(0 AS DOUBLE)
+                                 + (CAST(1 AS DOUBLE) - CAST(0 AS DOUBLE))
+                                   / CAST(10 AS DOUBLE)) - a.lo2)
+                             / CAST(10 AS DOUBLE) END AS threshold,
+                   CAST(MIN(c2.cum) AS BIGINT) AS covered,
+                   CAST(MAX(c2.total) AS BIGINT) AS total
+            FROM cum c2 CROSS JOIN agg a
+            WHERE c2.cum >= CEIL(c2.total * CAST(0.25 AS DOUBLE))
+            GROUP BY a.lo2
+        )
+        SELECT v.id, v.importance,
+               ROUND(t.threshold, 8) AS threshold,
+               v.importance >= t.threshold AS selected,
+               t.covered, t.total
+        FROM vals v CROSS JOIN th t
+    """,
+)
+def histogram_threshold_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.sketch import histogram_threshold
+
+    customer = read_table(spark, sf_dir, "customer")
+    vals = customer.select(
+        F.col("c_custkey").alias("id"),
+        (
+            F.pmod(F.col("c_custkey"), F.lit(1000)).cast("double")
+            / F.lit(10000).cast("double")
+        ).alias("importance"),
+    )
+    th = histogram_threshold(vals, 0.25, 0.0, 1.0, n_bins=10)
+    return vals.crossJoin(F.broadcast(th)).select(
+        "id",
+        "importance",
+        F.round(F.col("threshold"), 8).alias("threshold"),
+        (F.col("importance") >= F.col("threshold")).alias("selected"),
+        "covered",
+        "total",
+    )

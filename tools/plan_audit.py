@@ -41,6 +41,7 @@ BNLJ_OK = {
     "bigram_lm_score": "broadcasts the 1-row vocabulary-size scalar (V) of the reference LM",
     "dsir_selection": "broadcasts the two 1-row feature-total scalars (Np, Nq); the bucket-count sides are <=4096-row BroadcastHashJoins",
     "dsir_threshold_select": "broadcasts the 1-row histogram threshold plus the cached importance pipeline's 1-row Np/Nq scalars (weights persisted, computed once)",
+    "histogram_threshold_refined": "broadcasts the 1-row refined threshold onto the value relation (crossJoin of a scalar)",
     # NOTE: nb_lang_classify is intentionally NOT allowlisted — the
     # pivoted wide model keeps its plan BNLJ-free; a BNLJ reappearing
     # there is the measured occurrence x label fan-out regressing.

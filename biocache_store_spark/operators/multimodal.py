@@ -651,6 +651,31 @@ def media_references(
     )
 
 
+def multimedia_descriptor_rows(
+    stored: DataFrame,
+    record_id_col: str = "record_id",
+) -> DataFrame:
+    """Media store -> the long-form descriptor rows the DwC-A creator's
+    Multimedia extension consumes (exports/exporters.py create_dwca
+    `multimedia=`): one row per stored media file with the dcterms
+    columns image.csv carries. Mirrors what the reference's
+    addImageExportsToArchives splices in from the image service export
+    (export/DwCACreator.scala:483-494) — identifier = the stored URL,
+    format = the sniffed mime type; rows that never fetched cleanly
+    (fetch_ok = false) are excluded like the store-append path excludes
+    them. Accepts both migrate_media output and the MEDIA_SCHEMA store
+    (url nested under metadata)."""
+    url = F.col("url") if "url" in stored.columns else F.col("metadata.url")
+    out = stored
+    if "fetch_ok" in stored.columns:
+        out = out.filter(F.col("fetch_ok"))
+    return out.select(
+        F.col(record_id_col).cast("string").alias(record_id_col),
+        url.cast("string").alias("identifier"),
+        F.col("mime_type").cast("string").alias("format"),
+    )
+
+
 def load_media_references(
     records: DataFrame,
     references: DataFrame,

@@ -208,6 +208,52 @@ def test_create_dwca_multimedia_extension(spark, tmp_path):
         )
 
 
+def test_media_store_to_dwca_multimedia(spark, tmp_path):
+    """Media store -> multimedia_descriptor_rows -> create_dwca: the
+    addImageExportsToArchives analog (DwCACreator.scala:483-494) —
+    stored media ride into image.csv as identifier/format rows, failed
+    fetches excluded."""
+    from biocache_store_spark.exports.exporters import create_dwca
+    from biocache_store_spark.operators.multimodal import (
+        multimedia_descriptor_rows,
+    )
+
+    store = spark.createDataFrame(
+        [
+            ("o1", "http://img/a.jpg", b"x", "image/jpeg", True, "m1"),
+            ("o1", "http://img/broken.jpg", None, None, False, None),
+            ("o2", "http://snd/b.mp3", b"y", "audio/mpeg", True, "m2"),
+        ],
+        "record_id string, url string, content binary, mime_type string, "
+        "fetch_ok boolean, media_id string",
+    )
+    rows = {
+        (r["record_id"], r["identifier"], r["format"])
+        for r in multimedia_descriptor_rows(store).collect()
+    }
+    assert rows == {
+        ("o1", "http://img/a.jpg", "image/jpeg"),
+        ("o2", "http://snd/b.mp3", "audio/mpeg"),
+    }
+    df = spark.createDataFrame(
+        [("o1", "Aus bus"), ("o2", "Cus dus")],
+        "occurrenceID string, scientificName string",
+    )
+    zip_path = str(tmp_path / "store_mm.zip")
+    create_dwca(
+        df,
+        ["occurrenceID", "scientificName"],
+        zip_path,
+        multimedia=multimedia_descriptor_rows(store).withColumnRenamed(
+            "record_id", "occurrenceID"
+        ),
+        core_id_col="occurrenceID",
+    )
+    img = zipfile.ZipFile(zip_path).read("image.csv").decode()
+    assert "o1,http://img/a.jpg,,,,image/jpeg,,,," in img
+    assert "broken" not in img
+
+
 def test_streaming_incremental(spark, tmp_path):
     from biocache_store_spark.streaming.incremental import process_staging_stream
 

@@ -586,6 +586,28 @@ def cmd_stream_near_dup(args) -> int:
     return 0
 
 
+def cmd_stream_dedup_occ(args) -> int:
+    """Incremental duplication-detection tick (streaming/incremental.py
+    occurrence_dedup_stream): append new JSONL occurrence drops to the
+    store, re-detect their touched taxa over the updated store, merge
+    into the versioned standing duplicate store, exit when drained."""
+    spark = _spark(args)
+    from biocache_store_spark.streaming.incremental import (
+        occurrence_dedup_stream,
+    )
+
+    q = occurrence_dedup_stream(
+        spark,
+        args.staging,
+        args.store,
+        args.dups,
+        args.checkpoint,
+        available_now=True,
+    )
+    q.awaitTermination()
+    return 0
+
+
 def cmd_stream_classify(args) -> int:
     """Incremental model-gate tick (streaming/incremental.py
     classify_stream): score new JSONL document drops against the
@@ -1334,6 +1356,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--pairs", required=True)
     sp.add_argument("--checkpoint", required=True)
     sp.add_argument("--threshold", type=float, default=0.5)
+
+    sp = tool(
+        "stream-dedup-occ", cmd_stream_dedup_occ,
+        "availableNow incremental duplication-detection tick",
+    )
+    sp.add_argument("--staging", required=True)
+    sp.add_argument("--store", required=True)
+    sp.add_argument("--dups", required=True)
+    sp.add_argument("--checkpoint", required=True)
 
     sp = tool(
         "stream-classify", cmd_stream_classify, "availableNow model-gate tick"

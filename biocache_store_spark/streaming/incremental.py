@@ -607,3 +607,108 @@ def dsir_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+OCCURRENCE_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("occurrenceID", T.StringType()),
+        T.StructField("dataResourceUid", T.StringType()),
+        T.StructField("taxonConceptID", T.StringType()),
+        T.StructField("year", T.StringType()),
+        T.StructField("month", T.StringType()),
+        T.StructField("day", T.StringType()),
+        T.StructField("decimalLatitude", T.StringType()),
+        T.StructField("decimalLongitude", T.StringType()),
+        T.StructField("recordedBy", T.StringType()),
+        T.StructField("recordNumber", T.StringType()),
+        T.StructField("catalogNumber", T.StringType()),
+    ]
+)
+
+
+def _latest_dup_version(spark: SparkSession, dup_dir: str) -> str | None:
+    """Newest `v=<n>` subdirectory of the standing duplicate store, via the
+    Hadoop FileSystem API (works on local/HDFS/s3a alike); None when the
+    store has no committed version yet."""
+    jvm = spark._jvm
+    base = jvm.org.apache.hadoop.fs.Path(dup_dir)
+    fs = base.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(base):
+        return None
+    best = None
+    for status in fs.listStatus(base):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith("v="):
+            try:
+                n = int(name[2:])
+            except ValueError:
+                continue
+            if best is None or n > best:
+                best = n
+    return None if best is None else f"{dup_dir}/v={best}"
+
+
+def occurrence_dedup_stream(
+    spark: SparkSession,
+    staging_dir: str,
+    store_dir: str,
+    dup_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType = OCCURRENCE_STREAM_SCHEMA,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming incremental duplication detection — the occurrence twin
+    of `near_dup_stream` and the streaming composition of
+    tool/IncrementalDuplicationDetection.scala: each microbatch of
+    arriving records (JSONL drops) is appended to the occurrence store,
+    its DISTINCT TAXA are re-detected over the updated store
+    (detect_duplicates_scoped — all of the touched species' records,
+    never just the batch), and the result is merged into the standing
+    duplicate store (merge_dedup_results). Per-microbatch cost is
+    proportional to the touched species' records, never the corpus.
+
+    State lives in files, versioned for at-least-once safety:
+      * the store append writes an overwrite-idempotent
+        `batch=<id>` subdirectory (a replay rewrites the same rows);
+      * the duplicate store is APPEND-ONLY versioned `v=<batch_id>`
+        directories — the merge reads the latest committed version and
+        writes the next, so a crash mid-write can never corrupt the
+        version being read (the read-modify-overwrite race a single
+        directory would have), and a replay overwrites its own version
+        with identical rows. Consumers read `_latest_dup_version`.
+    """
+    import os
+
+    from biocache_store_spark.operators.dedup import (
+        detect_duplicates_scoped,
+        merge_dedup_results,
+        touched_taxa,
+    )
+
+    raw = spark.readStream.schema(schema).json(staging_dir)
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        batch.write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"batch={batch_id}")
+        )
+        store = spark.read.parquet(store_dir)
+        taxa = touched_taxa(batch, since=None)
+        inc = detect_duplicates_scoped(store, taxa)
+        prev_dir = _latest_dup_version(spark, dup_dir)
+        merged = (
+            inc
+            if prev_dir is None
+            else merge_dedup_results(spark.read.parquet(prev_dir), inc, taxa)
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(dup_dir, f"v={batch_id}")
+        )
+
+    writer = raw.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

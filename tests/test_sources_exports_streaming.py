@@ -1076,6 +1076,63 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert spark.sql("SELECT * FROM dedup_stream_sink").count() == 2
 
 
+def test_occurrence_dedup_stream_equals_batch_recompute(spark, tmp_path):
+    """occurrence_dedup_stream: after two drops (the second adds a new
+    higher-precision member to an existing cluster AND an unrelated
+    taxon), the latest version of the standing duplicate store equals a
+    full from-scratch detect_duplicates over the accumulated store —
+    the streaming composition of IncrementalDuplicationDetection."""
+    import json
+
+    from biocache_store_spark.operators.dedup import detect_duplicates
+    from biocache_store_spark.streaming.incremental import (
+        _latest_dup_version,
+        occurrence_dedup_stream,
+    )
+
+    def rec(oid, dr, taxon, lat, lon):
+        return {
+            "occurrenceID": oid, "dataResourceUid": dr,
+            "taxonConceptID": taxon, "year": "2000", "month": "01",
+            "day": "05", "decimalLatitude": lat, "decimalLongitude": lon,
+            "recordedBy": "Smith, J.", "recordNumber": None,
+            "catalogNumber": None,
+        }
+
+    staging = tmp_path / "occ_staging"
+    staging.mkdir()
+    drop1 = [
+        rec("o1", "dr1", "t1", "-35.2", "144.8"),
+        rec("o2", "dr1", "t1", "-35.2", "144.8"),
+        rec("o5", "dr2", "t2", "-30.0", "140.0"),
+    ]
+    drop2 = [
+        rec("o0", "dr2", "t1", "-35.21667", "144.81060"),  # precise, new rep
+        rec("o9", "dr1", "t3", "-20.0", "130.0"),          # fresh taxon
+    ]
+    (staging / "d1.jsonl").write_text("\n".join(json.dumps(r) for r in drop1))
+
+    store_dir = str(tmp_path / "occ_store")
+    dup_dir = str(tmp_path / "occ_dups")
+    ckpt = str(tmp_path / "occ_ckpt")
+    q = occurrence_dedup_stream(spark, str(staging), store_dir, dup_dir, ckpt)
+    q.awaitTermination(120)
+    (staging / "d2.jsonl").write_text("\n".join(json.dumps(r) for r in drop2))
+    q2 = occurrence_dedup_stream(spark, str(staging), store_dir, dup_dir, ckpt)
+    q2.awaitTermination(120)
+
+    latest = _latest_dup_version(spark, dup_dir)
+    assert latest is not None
+    merged = spark.read.parquet(latest)
+    full = detect_duplicates(
+        spark.read.parquet(store_dir).drop("batch")
+    )
+    assert sorted(map(str, merged.collect())) == sorted(map(str, full.collect()))
+    got = {r["row_key"]: r["status"] for r in merged.collect()}
+    # the later high-precision arrival became t1's representative
+    assert got["o0"] == "R" and got["o1"] in ("D1", "D2") and got["o9"] == "U"
+
+
 def test_near_dup_stream_matches_direct_probe(spark, tmp_path):
     """Streaming drops probed against the seeded LSH index produce
     exactly the pairs a direct probe_lsh_index call finds, and the

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 __version__ = "0.5.0"
@@ -322,6 +323,18 @@ def cmd_dedup_detect(args) -> int:
     else:
         out = detect_duplicates_scoped(df, taxa)
         if getattr(args, "prev", None):
+            if os.path.abspath(args.prev) == os.path.abspath(args.out):
+                # the merge reads --prev lazily while --out overwrites it:
+                # same path trips Spark's self-overwrite guard (or worse,
+                # races the delete). The streaming twin versions v=<n>
+                # directories for exactly this reason.
+                print(
+                    "dedup-detect: --out must differ from --prev (the "
+                    "merge reads the previous store lazily while writing "
+                    "the new one; write to a fresh directory and swap)",
+                    file=sys.stderr,
+                )
+                return 2
             out = merge_dedup_results(_read(spark, args.prev), out, taxa)
     out.write.mode("overwrite").parquet(args.out)
     scope = "full" if taxa is None else "scoped"

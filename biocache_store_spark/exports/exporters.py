@@ -146,6 +146,15 @@ def create_dwca(
         raise ValueError(
             f"create_dwca: core_id_col {core_id_col!r} not in the DataFrame"
         )
+    # validate the media side BEFORE any byte is written: failing on the
+    # media select after occurrence.csv streamed would leave a finalized
+    # zip whose meta.xml declares an image.csv that does not exist
+    if multimedia is not None and core_id_col not in multimedia.columns:
+        raise ValueError(
+            f"create_dwca: core_id_col {core_id_col!r} not in the "
+            f"multimedia DataFrame (columns: {multimedia.columns}) — "
+            "rename the media id column to match the core id field"
+        )
     field_lines = "\n".join(
         f'    <field index="{i + 1}" term="{_term_uri(t)}"/>'
         for i, t in enumerate(fields)

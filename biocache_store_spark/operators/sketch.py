@@ -118,12 +118,15 @@ def _hist_bin(value_col: str, lo: float, hi: float, n_bins: int):
         F.lit(float(hi)),
         F.lit(float(n_bins)),
     )
+    # clamp BEFORE the int cast: floor() yields BIGINT, and an extreme
+    # value (-inf clamps in as Long.MIN_VALUE) would overflow the ANSI
+    # int cast before least/greatest ever ran
     return F.least(
         F.greatest(
-            F.floor(((v - lo_l) * nb) / (hi_l - lo_l)).cast("int"), F.lit(0)
+            F.floor(((v - lo_l) * nb) / (hi_l - lo_l)), F.lit(0).cast("bigint")
         ),
-        F.lit(n_bins - 1),
-    )
+        F.lit(n_bins - 1).cast("bigint"),
+    ).cast("int")
 
 
 def _cum_hist(
@@ -154,20 +157,24 @@ def _cut_from_rows(rows, k: int):
     (cut_bin, covered, total). k stays an integer end to end so the
     refinement's second pass cuts at exactly k_rem — re-deriving it as
     ceil(n0 * (k_rem/n0)) could land one off under IEEE rounding."""
-    # NULL values bin to a NULL group: it never wins the cut (mirrors
-    # F.max's null-skipping in the lazy plan) but its cum row still
-    # participates in `covered` like any other admitted row
+    # NULL bins cannot arise from _hist_bin (greatest(NULL, 0) = 0 clamps
+    # NULL values into bin 0); the None-guards here are defensive, for
+    # any future bin expression that does emit a NULL group
     if not rows or all(r["bin"] is None for r in rows):
         raise ValueError(
             "histogram_threshold: no values to derive a threshold from"
         )
     total = rows[0]["total"]
     admitted = [r for r in rows if r["cum"] >= k]
-    return (
-        max(r["bin"] for r in admitted if r["bin"] is not None),
-        min(r["cum"] for r in admitted),
-        total,
-    )
+    bins = [r["bin"] for r in admitted if r["bin"] is not None]
+    if not bins:
+        # only the NULL-bin row reaches the target count (NULL values
+        # outnumber the non-NULL total): same designed error the lazy
+        # plan's raise_error emits for this input, not a bare max() crash
+        raise ValueError(
+            "histogram_threshold: no values to derive a threshold from"
+        )
+    return (max(bins), min(r["cum"] for r in admitted), total)
 
 
 def histogram_threshold(
@@ -270,7 +277,11 @@ def histogram_threshold(
             F.min(F.col(value_col).cast("double")).alias("m")
         ).collect()[0]["m"]
         hi2 = lo + (hi - lo) / n_bins  # bin 0's upper edge
-        if lo2 is not None and hi2 > lo2:
+        # math.isfinite: a -inf value clamps into bin 0 and passes the
+        # hi2 > lo2 test, but a grid anchored at -inf makes every edge
+        # expression -inf + inf = NaN and 'value >= NaN' silently selects
+        # NOTHING — the exact failure this function exists to prevent
+        if lo2 is not None and math.isfinite(lo2) and hi2 > lo2:
             rows2 = _cum_hist(subset, lo2, hi2, n_bins, value_col).collect()
             cut2, covered2, _ = _cut_from_rows(rows2, k_rem)
             covered = above + covered2
@@ -280,9 +291,14 @@ def histogram_threshold(
                 lo2 + cut2 * (hi2 - lo2) / n_bins if cut2 > 0 else lo2
             )
         else:
-            # all bin-0 values identical (or non-finite min): the bin
-            # cannot be subdivided; keep it whole at its exact value
-            threshold = lo2 if lo2 is not None else float("-inf")
+            # the bin cannot be subdivided: all values identical (keep
+            # them at their exact value) or the minimum is -inf (a grid
+            # anchored there is NaN everywhere — fall back to the legacy
+            # keep-everything threshold rather than an empty selection)
+            threshold = (
+                lo2 if lo2 is not None and math.isfinite(lo2)
+                else float("-inf")
+            )
     return values.sparkSession.createDataFrame(
         [(float(threshold), int(covered), int(total))],
         "threshold double, covered long, total long",

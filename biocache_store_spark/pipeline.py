@@ -195,12 +195,16 @@ def run_pipeline(
             # what the reference's intersect would have written
             from pyspark.sql import functions as F
 
-            fills = [F.element_at("cl", dims.state_layer)]
+            # precedence mirrors the reference's processor order: the
+            # raw-coordinate intersect (LocationProcessor runs BEFORE
+            # SensitivityProcessor) wins over the post-chain sampling,
+            # which ran on the PROCESSED coordinates — for a blurred
+            # record near a border that sampling can land in the wrong
+            # polygon, and for a withheld record it returns nothing
+            fills = []
             if "__resolved_state" in processed.columns:
-                # raw-coordinate intersect, carried past SDS: covers
-                # records whose processed coordinates were withheld or
-                # blurred after the state had already been resolved
                 fills.append(F.col("__resolved_state"))
+            fills.append(F.element_at("cl", dims.state_layer))
             processed = processed.withColumn(
                 "stateProvince",
                 F.coalesce(

@@ -457,31 +457,12 @@ def dedup_occurrence_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biocache_store_spark.operators.dedup import detect_duplicates
 
     customer = read_table(spark, sf_dir, "customer")
-    cid = F.expr("c_custkey DIV 4")
-    member = F.expr("c_custkey % 4")
     # cluster coordinates are globally unique (lon = cid), so the spatial
     # gate always rejects cross-cluster pairs at rung 0 at ANY scale factor —
     # fuzzy-collector near-misses between "Collector-25"/"Collector-50" can
-    # never merge clusters
-    lat_int = F.expr("(c_custkey DIV 4) DIV 25").cast("int")
-    lon_int = cid.cast("int")
-    occ = customer.select(
-        F.format_string("c%09d", F.col("c_custkey")).alias("occurrenceID"),
-        F.col("c_mktsegment").alias("dataResourceUid"),
-        F.pmod(cid, F.lit(25)).cast("string").alias("taxonConceptID"),
-        F.lit("2000").alias("year"),
-        F.lit("01").alias("month"),
-        F.lit("05").alias("day"),
-        F.when(member == 0, F.concat(lat_int.cast("string"), F.lit(".01")))
-        .otherwise(lat_int.cast("string"))
-        .alias("decimalLatitude"),
-        F.when(member == 0, F.concat(lon_int.cast("string"), F.lit(".01")))
-        .otherwise(lon_int.cast("string"))
-        .alias("decimalLongitude"),
-        F.concat(F.lit("Collector-"), cid.cast("string")).alias("recordedBy"),
-        F.lit(None).cast("string").alias("recordNumber"),
-        F.lit(None).cast("string").alias("catalogNumber"),
-    )
+    # never merge clusters (see _dedup_occ_synthesis, shared with the
+    # incremental variant; the lastModifiedTime it adds is ignored here)
+    occ = _dedup_occ_synthesis(customer)
     res = detect_duplicates(occ)
     # the driver's canonicalizer cannot hash array cells: emit dup_types as a
     # sorted comma-joined string (the library API keeps the typed array)

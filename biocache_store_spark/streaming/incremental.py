@@ -626,10 +626,16 @@ OCCURRENCE_STREAM_SCHEMA = T.StructType(
 )
 
 
-def _latest_dup_version(spark: SparkSession, dup_dir: str) -> str | None:
+def _latest_dup_version(
+    spark: SparkSession, dup_dir: str, before: int | None = None
+) -> str | None:
     """Newest `v=<n>` subdirectory of the standing duplicate store, via the
     Hadoop FileSystem API (works on local/HDFS/s3a alike); None when the
-    store has no committed version yet."""
+    store has no committed version yet. `before` bounds the search to
+    versions < that batch id — an at-least-once REPLAY of batch N must
+    read its PREDECESSOR, never the (possibly partial) v=N it is about to
+    overwrite: reading and overwriting the same path either trips Spark's
+    self-overwrite guard every restart or races the delete."""
     jvm = spark._jvm
     base = jvm.org.apache.hadoop.fs.Path(dup_dir)
     fs = base.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
@@ -642,6 +648,8 @@ def _latest_dup_version(spark: SparkSession, dup_dir: str) -> str | None:
             try:
                 n = int(name[2:])
             except ValueError:
+                continue
+            if before is not None and n >= before:
                 continue
             if best is None or n > best:
                 best = n
@@ -693,10 +701,25 @@ def occurrence_dedup_stream(
         batch.write.mode("overwrite").parquet(
             os.path.join(store_dir, f"batch={batch_id}")
         )
-        store = spark.read.parquet(store_dir)
+        # upsert view of the append-only store: a re-delivered record
+        # (same occurrenceID in a later batch — a corrected reload) must
+        # supersede its older versions, or detection would see phantom
+        # same-id duplicates. The `batch` partition column is the
+        # arrival order, so argmax-by-batch per id IS the upsert.
+        from pyspark.sql.window import Window
+
+        raw_store = spark.read.parquet(store_dir)
+        w = Window.partitionBy("occurrenceID").orderBy(F.col("batch").desc())
+        store = (
+            raw_store.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "batch")
+        )
         taxa = touched_taxa(batch, since=None)
         inc = detect_duplicates_scoped(store, taxa)
-        prev_dir = _latest_dup_version(spark, dup_dir)
+        # strictly-earlier version only: a replay of batch N must merge
+        # against N's predecessor, not the v=N it is about to overwrite
+        prev_dir = _latest_dup_version(spark, dup_dir, before=batch_id)
         merged = (
             inc
             if prev_dir is None

@@ -1545,6 +1545,37 @@ def test_histogram_threshold_bottom_bin_refinement(spark):
     th_same = histogram_threshold(same, 0.9, 0.0, 1.0, n_bins=10).collect()[0]
     assert th_same["threshold"] == 0.01
 
+    # a -inf value clamps into bin 0: the refinement must NOT anchor its
+    # grid there (every edge would be NaN and 'value >= NaN' selects
+    # NOTHING) — it falls back to keep-everything, the legacy semantics
+    with_inf = spark.createDataFrame(
+        [(float("-inf"),)] + [(v / 1000.0,) for v in range(50)],
+        "importance double",
+    )
+    th_inf = histogram_threshold(with_inf, 0.9, 0.0, 1.0, n_bins=10).collect()[0]
+    assert th_inf["threshold"] == float("-inf")
+    kept_inf = with_inf.filter(
+        F.col("importance") >= th_inf["threshold"]
+    ).count()
+    assert kept_inf == 51  # nothing silently dropped
+
+    # NULL values clamp into bin 0 (greatest(NULL, 0) = 0 — the grid
+    # expression's documented behavior, identical in the legacy plan);
+    # when they dominate the cut the refinement finds no finite minimum
+    # and falls back to keep-everything, matching refine=0 exactly
+    mostly_null = spark.createDataFrame(
+        [(None,)] * 6 + [(0.35,)] * 4, "importance double"
+    )
+    th_null = histogram_threshold(mostly_null, 0.5, 0.0, 1.0, n_bins=10)
+    th_null0 = histogram_threshold(
+        mostly_null, 0.5, 0.0, 1.0, n_bins=10, refine=0
+    )
+    assert (
+        th_null.collect()[0]["threshold"]
+        == th_null0.collect()[0]["threshold"]
+        == float("-inf")
+    )
+
 
 def test_semantic_decontamination_cross_set_only(spark):
     """semantic_decontamination (operators/similarity.py): reports the

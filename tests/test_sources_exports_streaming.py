@@ -1132,6 +1132,27 @@ def test_occurrence_dedup_stream_equals_batch_recompute(spark, tmp_path):
     # the later high-precision arrival became t1's representative
     assert got["o0"] == "R" and got["o1"] in ("D1", "D2") and got["o9"] == "U"
 
+    # drop 3 RE-DELIVERS o1 with a corrected (far-away) location: the
+    # upsert view must supersede the old o1 — one dup row per record id,
+    # o1 leaves the cluster — never a phantom same-id duplicate pair
+    (staging / "d3.jsonl").write_text(
+        json.dumps(rec("o1", "dr1", "t1", "-10.0", "120.0"))
+    )
+    q3 = occurrence_dedup_stream(spark, str(staging), store_dir, dup_dir, ckpt)
+    q3.awaitTermination(120)
+    merged3 = spark.read.parquet(_latest_dup_version(spark, dup_dir))
+    rows3 = merged3.collect()
+    assert len(rows3) == len({r["row_key"] for r in rows3})  # one row per id
+    got3 = {r["row_key"]: r["status"] for r in rows3}
+    assert got3["o1"] == "U" and got3["o0"] == "R" and got3["o2"] in ("D1", "D2")
+    # strictly-earlier predecessor rule: a replay of the latest batch id
+    # must read the version BEFORE it, never its own output
+    import re as _re
+
+    latest_n = int(_re.search(r"v=(\d+)$", _latest_dup_version(spark, dup_dir)).group(1))
+    prev = _latest_dup_version(spark, dup_dir, before=latest_n)
+    assert prev is not None and prev != _latest_dup_version(spark, dup_dir)
+
 
 def test_near_dup_stream_matches_direct_probe(spark, tmp_path):
     """Streaming drops probed against the seeded LSH index produce

@@ -383,6 +383,44 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_delete_column(args) -> int:
+    """delete-column (tool/DeleteLocalColumn.scala): clear the listed
+    columns on EVERY record — the whole-table variant of resource-cleanup
+    columns (the reference's per-node token-range scan is one projection
+    here)."""
+    from biocache_store_spark.operators.maintenance import cleanup_columns
+
+    spark = _spark(args)
+    df = _read(spark, args.inp)
+    out, report = cleanup_columns(
+        df, None, _split(args.cols), keep=False
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    for row in report.collect():
+        print(f"  {row['column']}: {row['records_cleared']} cleared")
+    print(f"delete-column {args.cols} -> {args.out}")
+    return 0
+
+
+def cmd_rename_columns(args) -> int:
+    """rename-columns (tool/RenameColumns.scala): move values from old
+    column names to new ones and drop the old columns — the layer-id
+    migration shape, one projection instead of a paged per-cell sweep."""
+    from biocache_store_spark.operators.maintenance import rename_columns
+
+    mapping = dict(
+        pair.split("=", 1) for pair in _split(args.colmap) if "=" in pair
+    )
+    if not mapping:
+        print("rename-columns: --map needs old=new pairs", file=sys.stderr)
+        return 2
+    spark = _spark(args)
+    out = rename_columns(_read(spark, args.inp), mapping)
+    out.write.mode("overwrite").parquet(args.out)
+    print(f"rename-columns {len(mapping)} pairs -> {args.out}")
+    return 0
+
+
 def cmd_resource_cleanup(args) -> int:
     """resource-cleanup (tool/ResourceCleanupTask.scala): rows marks the
     resource's stale records deleted (and reinstates refreshed ones),
@@ -1296,6 +1334,27 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--test", action="store_true", help="report only, write nothing")
     sp.add_argument("--out")
     sp.add_argument("--log", help="write the change/delete log here")
+
+    sp = tool(
+        "delete-column",
+        cmd_delete_column,
+        "clear columns on EVERY record (whole-table DeleteLocalColumn)",
+    )
+    sp.add_argument("--in", dest="inp", required=True)
+    sp.add_argument("--cols", required=True, help="comma-separated columns to clear")
+    sp.add_argument("--out", required=True)
+
+    sp = tool(
+        "rename-columns",
+        cmd_rename_columns,
+        "move values to new column names and drop the old (RenameColumns)",
+    )
+    sp.add_argument("--in", dest="inp", required=True)
+    sp.add_argument(
+        "--map", dest="colmap", required=True,
+        help="comma-separated old=new pairs (e.g. aus1=cl22,ibra_merged=cl20)",
+    )
+    sp.add_argument("--out", required=True)
 
     sp = tool(
         "remap-unique-key",

@@ -200,7 +200,7 @@ def cleanup_rows(
 
 def cleanup_columns(
     table: DataFrame,
-    data_resource_uid: str,
+    data_resource_uid: str | None,
     columns: list[str],
     keep: bool = True,
     dr_col: str = "dataResourceUid",
@@ -214,8 +214,17 @@ def cleanup_columns(
     deleteColumns-per-record loop becomes one conditional projection;
     other resources' records pass through untouched. Returns (rewritten
     table, report of column -> records cleared) — the tool's summary
-    log as a DataFrame."""
-    in_dr = F.col(dr_col) == data_resource_uid
+    log as a DataFrame.
+
+    `data_resource_uid=None` clears the columns on EVERY record — the
+    whole-table variant (DeleteLocalColumn, tool/DeleteLocalColumn.scala:
+    12-69): the reference's per-node token-range full scan is just the
+    same projection without the resource predicate here."""
+    in_dr = (
+        F.lit(True)
+        if data_resource_uid is None
+        else F.col(dr_col) == data_resource_uid
+    )
     if keep:
         targets = [
             c for c in table.columns if c not in columns and c not in protected
@@ -257,6 +266,30 @@ def cleanup_columns(
             [], "column string, records_cleared long"
         )
     return rewritten, report
+
+
+def rename_columns(
+    table: DataFrame, mapping: dict[str, str]
+) -> DataFrame:
+    """Column-rename sweep (tool/RenameColumns.scala:11-50: the layer-name
+    -> cl/el-id migration): for every (old, new) pair whose old column
+    exists, move the value to the new name and drop the old column. The
+    reference pages every record and puts/deletes per cell; here it is
+    one projection. When the NEW name already exists, a record's old
+    value wins where present (the reference's unconditional put), and
+    existing new-column values survive where the old cell was absent —
+    per-record merge semantics, not a blanket overwrite. Pass the site's
+    own layer map; the reference's default map is deployment config."""
+    out = table
+    for old, new in mapping.items():
+        if old not in out.columns or old == new:
+            continue
+        if new in out.columns:
+            out = out.withColumn(new, F.coalesce(F.col(old), F.col(new)))
+        else:
+            out = out.withColumn(new, F.col(old))
+        out = out.drop(old)
+    return out
 
 
 def remove_deleted_records(

@@ -259,6 +259,45 @@ def test_cleanup_columns_keep_and_delete_lists(spark):
     assert dict(out2.dtypes)["version"] == "int"
 
 
+def test_cleanup_columns_all_resources(spark):
+    """data_resource_uid=None clears the columns on EVERY record — the
+    whole-table DeleteLocalColumn variant."""
+    from biocache_store_spark.operators.maintenance import cleanup_columns
+
+    table = spark.createDataFrame(
+        [("r1", "dr1", "cat1"), ("r3", "dr2", "cat3")],
+        "rowKey string, dataResourceUid string, catalogNumber string",
+    )
+    out, report = cleanup_columns(table, None, ["catalogNumber"], keep=False)
+    assert {r["catalogNumber"] for r in out.collect()} == {None}
+    rep = {r["column"]: r["records_cleared"] for r in report.collect()}
+    assert rep == {"catalogNumber": 2}
+
+
+def test_rename_columns_merge_semantics(spark):
+    """rename_columns (tool/RenameColumns.scala): values move to the new
+    name, the old column drops; when the new name already exists, a
+    record's old value wins where present and the existing new value
+    survives where the old cell was absent; absent olds and identity
+    pairs are no-ops."""
+    from biocache_store_spark.operators.maintenance import rename_columns
+
+    table = spark.createDataFrame(
+        [("r1", "1.5", None), ("r2", None, "2.5"), ("r3", "3.0", "9.9")],
+        "rowKey string, aus1 string, cl22 string",
+    )
+    out = rename_columns(
+        table, {"aus1": "cl22", "missing_col": "cl99", "rowKey": "rowKey"}
+    )
+    assert "aus1" not in out.columns and "cl99" not in out.columns
+    rows = {r["rowKey"]: r["cl22"] for r in out.collect()}
+    assert rows == {"r1": "1.5", "r2": "2.5", "r3": "3.0"}
+    # plain rename when the target does not exist yet
+    out2 = rename_columns(table, {"aus1": "cl23"})
+    assert "cl23" in out2.columns and "aus1" not in out2.columns
+    assert {r["cl23"] for r in out2.collect()} == {"1.5", None, "3.0"}
+
+
 def test_cleanup_columns_protects_bookkeeping(spark):
     """Keep-mode must never null the store's lifecycle columns: the
     reference only strips FullRecord raw properties

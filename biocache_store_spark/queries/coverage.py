@@ -2156,6 +2156,70 @@ def dwca_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "endemism_density_layers",
+    doc=(
+        "Calculated spatial layers (operators/calculated_layers.py — "
+        "tool/CalculatedLayerHelper.scala's endemism tool): per grid "
+        "cell, occurrence density, species richness and weighted "
+        "endemism = sum over the cell's species of 1/(cells the species "
+        "occupies), in integer micro-units (floor(1e6/n_cells) addends "
+        "make the per-cell sum an INTEGER sum — bit-identical under any "
+        "partitioning/engine, unlike a float reciprocal sum). The "
+        "reference's per-species SOLR facet walk with driver-memory "
+        "cell maps becomes three aggregations; the fixture derives "
+        "species and cells from customer so single-cell endemics and "
+        "cosmopolitan species both occur."
+    ),
+    oracle="""
+        WITH occ AS (
+            SELECT 'sp' || CAST(c_custkey % 40 AS VARCHAR) AS species,
+                   CAST(c_custkey % 10 AS VARCHAR) || ','
+                       || CAST(c_custkey % 7 AS VARCHAR) AS cell
+            FROM customer
+        ),
+        pairs AS (SELECT DISTINCT species, cell FROM occ),
+        scc AS (
+            SELECT species, COUNT(*) AS n_cells FROM pairs GROUP BY species
+        ),
+        cell_stats AS (
+            SELECT cell, COUNT(DISTINCT species) AS n_species,
+                   COUNT(*) AS n_occurrences
+            FROM occ GROUP BY cell
+        ),
+        endem AS (
+            SELECT p.cell,
+                   CAST(SUM(CAST(FLOOR(CAST(1000000 AS DOUBLE) / s.n_cells)
+                                 AS BIGINT)) AS BIGINT) AS endemism_micro
+            FROM pairs p JOIN scc s ON p.species = s.species
+            GROUP BY p.cell
+        )
+        SELECT c.cell, c.n_species, c.n_occurrences, e.endemism_micro
+        FROM cell_stats c JOIN endem e ON c.cell = e.cell
+    """,
+)
+def endemism_density_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.calculated_layers import (
+        calculated_layers,
+    )
+
+    customer = read_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    occ = customer.select(
+        F.concat(F.lit("sp"), F.pmod(k, F.lit(40)).cast("string")).alias(
+            "species_guid"
+        ),
+        F.concat(
+            F.pmod(k, F.lit(10)).cast("string"),
+            F.lit(","),
+            F.pmod(k, F.lit(7)).cast("string"),
+        ).alias("cell"),
+    )
+    return calculated_layers(occ).select(
+        "cell", "n_species", "n_occurrences", "endemism_micro"
+    )
+
+
+@register(
     "media_reference_rollup",
     doc=(
         "Media-reference rebuild (operators/multimodal.py "

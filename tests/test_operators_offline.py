@@ -253,6 +253,45 @@ def test_incremental_dedup_equals_full_rerun(spark):
     assert got["o2"] == "U" and got["o1"] == "R" and got["o3"] == "D2"
 
 
+def test_calculated_layers_endemism(spark):
+    """calculated_layers (tool/CalculatedLayerHelper.scala): per-cell
+    density, richness, and integer micro-endemism; a single-cell endemic
+    contributes the full scale, a two-cell species half per cell;
+    rows missing species or cell are excluded; grid_cell rounds
+    coordinates to the ladder resolution and nulls invalid ones."""
+    from biocache_store_spark.operators.calculated_layers import (
+        calculated_layers,
+        grid_cell,
+        species_cell_counts,
+    )
+
+    occ = spark.createDataFrame(
+        [
+            ("sp1", "A"), ("sp1", "A"),   # endemic to A, 2 occurrences
+            ("sp2", "A"), ("sp2", "B"),   # spans A and B
+            (None, "A"), ("sp3", None),   # excluded
+        ],
+        "species_guid string, cell string",
+    )
+    scc = {
+        r["species"]: r["n_cells"]
+        for r in species_cell_counts(occ, cell_col="cell").collect()
+    }
+    assert scc == {"sp1": 1, "sp2": 2}
+    out = {r["cell"]: r for r in calculated_layers(occ).collect()}
+    assert out["A"]["n_occurrences"] == 3 and out["A"]["n_species"] == 2
+    assert out["A"]["endemism_micro"] == 1_000_000 + 500_000
+    assert out["B"]["endemism_micro"] == 500_000
+    assert set(out) == {"A", "B"}
+
+    pts = spark.createDataFrame(
+        [("-35.21667", "144.81061"), ("bad", "144.8")],
+        "decimalLatitude string, decimalLongitude string",
+    )
+    cells = [r["c"] for r in pts.select(grid_cell().alias("c")).collect()]
+    assert cells == ["-35.217,144.811", None]
+
+
 def test_jackknife_spark(spark):
     from biocache_store_spark.operators.jackknife import jackknife_stats
 

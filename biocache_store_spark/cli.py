@@ -383,6 +383,28 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_import(args) -> int:
+    """import (tool/ImportUtil.scala, dev migration only): headerless
+    delimited file + explicit column list -> parquet store, id column
+    copied to rowKey; the reference's '|' quote and '$' escape defaults."""
+    from biocache_store_spark.sources.csv_loader import import_table
+
+    spark = _spark(args)
+    out = import_table(
+        spark,
+        args.path,
+        _split(args.columns),
+        id_column_idx=args.id_idx,
+        delimiter=args.separator,
+        quote=args.quotechar,
+        escape=args.escapechar,
+        has_header=args.header,
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    print(f"imported {args.path} -> {args.out}")
+    return 0
+
+
 def cmd_delete_column(args) -> int:
     """delete-column (tool/DeleteLocalColumn.scala): clear the listed
     columns on EVERY record — the whole-table variant of resource-cleanup
@@ -1334,6 +1356,19 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--test", action="store_true", help="report only, write nothing")
     sp.add_argument("--out")
     sp.add_argument("--log", help="write the change/delete log here")
+
+    sp = tool(
+        "import", cmd_import,
+        "raw migration import: headerless delimited file + column list",
+    )
+    sp.add_argument("--path", required=True)
+    sp.add_argument("--columns", required=True, help="comma-separated names")
+    sp.add_argument("--id-idx", dest="id_idx", type=int, default=0)
+    sp.add_argument("--separator", default="\t")
+    sp.add_argument("--quotechar", default="|")
+    sp.add_argument("--escapechar", default="$")
+    sp.add_argument("--header", action="store_true", help="skip a header line")
+    sp.add_argument("--out", required=True)
 
     sp = tool(
         "delete-column",

@@ -127,3 +127,47 @@ def load_csv(
     )
     mapped = map_headers(df, strict=strict)
     return add_record_identity(mapped, data_resource_uid, unique_terms)
+
+
+def import_table(
+    spark: SparkSession,
+    path: str,
+    columns: list[str],
+    id_column_idx: int = 0,
+    delimiter: str = "\t",
+    quote: str = "|",
+    escape: str = "$",
+    has_header: bool = False,
+) -> DataFrame:
+    """Raw migration import (tool/ImportUtil.scala:20-113, the dev-only
+    `import` tool): headerless delimited files with an EXPLICIT column
+    list and the reference's exotic defaults (tab separator, '|' quote,
+    '$' escape), the id column copied to rowKey. No DwC header mapping,
+    no uuid minting — this bypasses the loader conventions on purpose,
+    exactly like the reference's migration path. `has_header` replaces
+    the reference's linesToSkip=1 case (the names are still taken from
+    `columns`, positionally)."""
+    if not columns:
+        raise ValueError("import_table: an explicit column list is required")
+    if not 0 <= id_column_idx < len(columns):
+        raise ValueError(
+            f"import_table: id_column_idx {id_column_idx} outside the "
+            f"{len(columns)}-column list"
+        )
+    df = (
+        spark.read.option("header", has_header)
+        .option("delimiter", delimiter)
+        .option("quote", quote)
+        .option("escape", escape)
+        .csv(path)
+    )
+    raw_cols = df.columns
+    if len(raw_cols) < len(columns):
+        raise ValueError(
+            f"import_table: file has {len(raw_cols)} columns, "
+            f"{len(columns)} names given"
+        )
+    named = df.select(
+        *[df[raw_cols[i]].alias(name) for i, name in enumerate(columns)]
+    )
+    return named.withColumn("rowKey", F.col(columns[id_column_idx]))

@@ -42,6 +42,33 @@ def test_csv_loader(spark, tmp_path):
     assert rows["o2"]["uuid"] == mint_uuid("dr1|o2")
 
 
+def test_import_table_migration_loader(spark, tmp_path):
+    """import_table (tool/ImportUtil.scala): headerless tab-separated
+    file + explicit positional column list, the reference's '|' quote
+    and '$' escape, id column copied to rowKey; bad argument shapes
+    raise before any read."""
+    import pytest as _pytest
+
+    from biocache_store_spark.sources.csv_loader import import_table
+
+    p = tmp_path / "migrate.tsv"
+    p.write_text(
+        "k1\t|Macropus rufus|\t-35.2\n"
+        "k2\tEmu\t-30.0\n"
+    )
+    df = import_table(
+        spark, str(p), ["uuid", "scientificName", "decimalLatitude"]
+    )
+    rows = {r["rowKey"]: r for r in df.collect()}
+    assert set(rows) == {"k1", "k2"}
+    assert rows["k1"]["scientificName"] == "Macropus rufus"  # quote stripped
+    assert rows["k2"]["uuid"] == "k2" and rows["k2"]["rowKey"] == "k2"
+    with _pytest.raises(ValueError, match="column list"):
+        import_table(spark, str(p), [])
+    with _pytest.raises(ValueError, match="id_column_idx"):
+        import_table(spark, str(p), ["a", "b"], id_column_idx=5)
+
+
 def test_dwca_loader(spark):
     from biocache_store_spark.sources.dwca import load_archive, parse_meta
 

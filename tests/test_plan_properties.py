@@ -131,6 +131,42 @@ def test_ngram_jaccard_is_posting_list_with_count_first_cap(spark, sf_dir):
     assert "SortMergeJoin" not in plan_big
 
 
+def test_ngram_budget_overflow_degrades_to_min_tier(spark, tmp_path):
+    """When even the smallest df tier exceeds the candidate budget, the
+    admitted-df threshold coalesces to 2 — the query degrades to the
+    minimum tier instead of silently returning ZERO pairs (the NULL
+    threshold regression: max over an empty tier set admits nothing)."""
+    import biocache_store_spark.queries.text as qtext
+    from biocache_store_spark.queries import load_all
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),  # exact pair, df=2 shingles
+            (3, "one two three four five"),
+            (4, "unrelated words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    q = load_all()["ngram_jaccard_pairs"]
+    orig_min, orig_budget = (
+        qtext._NGRAM_BUDGET_MIN_DOCS,
+        qtext._NGRAM_CANDIDATES_PER_DOC,
+    )
+    # force the dynamic regime AND a budget no tier can fit
+    qtext._NGRAM_BUDGET_MIN_DOCS = 0
+    qtext._NGRAM_CANDIDATES_PER_DOC = 0
+    try:
+        rows = q.spark_fn(spark, str(tmp_path)).collect()
+    finally:
+        qtext._NGRAM_BUDGET_MIN_DOCS = orig_min
+        qtext._NGRAM_CANDIDATES_PER_DOC = orig_budget
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in rows] == [
+        (1, 2, 1.0)
+    ]
+
+
 def test_semantic_dedup_assignment_is_map_only(spark, sf_dir):
     """semantic_dedup (r5) must keep the matrix-form assignment: no
     broadcast join materializing N x k scored rows (the measured

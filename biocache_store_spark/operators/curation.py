@@ -207,6 +207,85 @@ def stratified_sample(
     return df.filter(bucket < thr)
 
 
+def extract_domain(url):
+    """Host of a URL column, lowercased, leading 'www.' stripped — pure
+    built-ins (parse_url is JVM-side), NULL for unparseable values. The
+    key every URL-curation stage groups on."""
+    col = F.col(url) if isinstance(url, str) else url
+    # try_parse_url: web-crawl URL columns ALWAYS contain garbage, and
+    # ANSI parse_url would fail the whole job on the first bad row
+    host = F.lower(F.try_parse_url(col, F.lit("HOST")))
+    return F.when(
+        host.startswith("www."), host.substr(F.lit(5), F.length(host))
+    ).otherwise(host)
+
+
+def filter_blocked_domains(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Drop documents whose URL's domain is on a blocklist (one `domain`
+    column) — the URL-filtering stage every web-scale corpus build runs
+    (C4/RefinedWeb/Gopher all begin here). A left_anti on the extracted
+    domain; blocklists are dim-sized, so the optimizer broadcasts."""
+    return (
+        docs.withColumn("__domain", extract_domain(url_col))
+        .join(
+            blocklist.select(F.lower(F.col("domain")).alias("__domain")),
+            "__domain",
+            "left_anti",
+        )
+        .drop("__domain")
+    )
+
+
+def cap_per_domain(
+    docs: DataFrame,
+    max_docs: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most `max_docs` documents per domain, deterministically
+    (the first `max_docs` by id) — the domain-domination guard
+    (RefinedWeb's per-domain caps): without it one mirror farm or SEO
+    host dominates the corpus after dedup.
+
+    COUNT-FIRST shape (the repo's hot-key discipline): domains are
+    counted with map-side partial aggregation, UNDER-cap domains — the
+    overwhelming majority — pass through a left-semi join wholesale
+    with NO sort, and only the few over-cap domains' rows pay the
+    row_number window. A single global window would instead sort every
+    domain's rows, and a viral domain's partition lands in one task for
+    sorting that under this split happens only where the cap actually
+    binds."""
+    from pyspark.sql.window import Window
+
+    if max_docs < 1:
+        raise ValueError("cap_per_domain: max_docs must be >= 1")
+    all_keyed = docs.withColumn("__domain", extract_domain(url_col))
+    # unparseable URLs have no domain to cap ON: they pass through
+    # untouched (a NULL key would silently vanish in the semi-joins) —
+    # dropping junk-URL rows is a quality filter's decision, not the
+    # domination guard's
+    no_domain = all_keyed.filter(F.col("__domain").isNull())
+    keyed = all_keyed.filter(F.col("__domain").isNotNull())
+    counts = keyed.groupBy("__domain").agg(F.count(F.lit(1)).alias("__n"))
+    under = counts.filter(F.col("__n") <= max_docs).select("__domain")
+    over = counts.filter(F.col("__n") > max_docs).select("__domain")
+    pass_through = keyed.join(under.hint("shuffle_hash"), "__domain", "left_semi")
+    w = Window.partitionBy("__domain").orderBy(id_col)
+    capped = (
+        keyed.join(over.hint("shuffle_hash"), "__domain", "left_semi")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_docs)
+        .drop("__rn")
+    )
+    return (
+        pass_through.unionByName(capped).unionByName(no_domain).drop("__domain")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int = 200,

@@ -64,6 +64,7 @@ HEAD: tuple[str, ...] = (
     "dedup_incremental_merge",       # incremental == full-run oracle
     "histogram_threshold_refined",   # bottom-bin two-pass derivation
     "endemism_density_layers",       # calculated-layer aggregations
+    "domain_cap_filter",             # URL blocklist + per-domain cap
     # behavior or oracle changed in round 7 — must re-check first
     "dwca_roundtrip",        # + Multimedia extension (image.csv in the hash)
     "training_shard_plan",   # shard now from 4 md5 bytes (oracle updated)
@@ -113,9 +114,9 @@ HEAD: tuple[str, ...] = (
     "gopher_quality_flags",
     "dedup_occurrence_clusters",
     "fuzzy_date_parse",
-    "gridref_parse",
     # --- 50-slot prefix ends here ---
     # r5-era remainder: rotate into the prefix next round
+    "gridref_parse",
     "expert_outlier_flags",
     "jackknife_outlier_stats",
     "maintenance_delete_upsert",

@@ -1380,6 +1380,68 @@ def dsir_threshold_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "domain_cap_filter",
+    doc=(
+        "URL-domain curation (operators/curation.py extract_domain + "
+        "filter_blocked_domains + cap_per_domain): the web-corpus "
+        "front-door stages every large-scale build runs — drop blocklisted "
+        "domains (broadcast anti-join), then keep at most K documents per "
+        "domain, deterministically the first K by id (the domain-"
+        "domination guard). The cap is COUNT-FIRST: under-cap domains "
+        "pass wholesale with no sort; only over-cap domains' rows pay the "
+        "row_number window. URLs are synthesized from doc ids (every 5th "
+        "carries a www. prefix, which must strip to the same domain); the "
+        "Spark side parses them with parse_url, the oracle derives the "
+        "domain arithmetically — the hash pins the extraction too."
+    ),
+    oracle="""
+        WITH urls AS (
+            SELECT doc_id,
+                   'd' || CAST(doc_id % 37 AS VARCHAR) || '.example.com'
+                       AS domain
+            FROM documents
+        ),
+        allowed AS (
+            SELECT * FROM urls
+            WHERE domain NOT IN ('d0.example.com', 'd5.example.com')
+        ),
+        ranked AS (
+            SELECT doc_id, domain,
+                   ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id)
+                       AS rn
+            FROM allowed
+        )
+        SELECT doc_id, domain FROM ranked WHERE rn <= 30
+    """,
+)
+def domain_cap_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.curation import (
+        cap_per_domain,
+        extract_domain,
+        filter_blocked_domains,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://"),
+            F.when(F.pmod(k, F.lit(5)) == 0, F.lit("www.")).otherwise(F.lit("")),
+            F.lit("d"),
+            F.pmod(k, F.lit(37)).cast("string"),
+            F.lit(".example.com/p/"),
+            k.cast("string"),
+        ).alias("url"),
+    )
+    blocklist = spark.createDataFrame(
+        [("d0.example.com",), ("d5.example.com",)], "domain string"
+    )
+    out = cap_per_domain(filter_blocked_domains(urls, blocklist), 30)
+    return out.select("doc_id", extract_domain("url").alias("domain"))
+
+
+@register(
     "histogram_threshold_refined",
     doc=(
         "Bottom-bin refinement of the fixed-grid threshold "

@@ -269,6 +269,46 @@ def test_bpe_tokens_cross_engine_parity(spark):
     ]
 
 
+def test_domain_curation_blocklist_and_cap(spark):
+    """URL-domain curation: extract_domain strips www. and lowercases;
+    filter_blocked_domains drops blocklisted domains; cap_per_domain
+    keeps the first K docs per domain by id — under-cap domains pass
+    wholesale, over-cap domains truncate deterministically."""
+    from biocache_store_spark.operators.curation import (
+        cap_per_domain,
+        extract_domain,
+        filter_blocked_domains,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "http://www.Spam.example/x"),
+            (2, "http://spam.example/y"),
+            (3, "http://a.example/1"),
+            (4, "http://a.example/2"),
+            (5, "http://www.a.example/3"),
+            (6, "http://b.example/1"),
+            (7, "not a url"),
+        ],
+        "doc_id long, url string",
+    )
+    doms = {
+        r["doc_id"]: r["d"]
+        for r in docs.select("doc_id", extract_domain("url").alias("d")).collect()
+    }
+    assert doms[1] == "spam.example" and doms[5] == "a.example"
+    assert doms[7] is None
+    block = spark.createDataFrame([("spam.example",)], "domain string")
+    unblocked = filter_blocked_domains(docs, block)
+    assert {r["doc_id"] for r in unblocked.collect()} == {3, 4, 5, 6, 7}
+    capped = cap_per_domain(unblocked, 2)
+    assert {r["doc_id"] for r in capped.collect()} == {3, 4, 6, 7}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_docs"):
+        cap_per_domain(docs, 0)
+
+
 def test_plan_training_shards_layout(spark):
     """plan_training_shards: deterministic across partitionings, dense
     0-based positions per shard, token_offset = prefix sum of sizes."""

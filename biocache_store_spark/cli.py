@@ -410,17 +410,32 @@ def cmd_delete_column(args) -> int:
     columns on EVERY record — the whole-table variant of resource-cleanup
     columns (the reference's per-node token-range scan is one projection
     here)."""
-    from biocache_store_spark.operators.maintenance import cleanup_columns
+    from biocache_store_spark.operators.maintenance import (
+        _CLEANUP_PROTECTED,
+        cleanup_columns,
+    )
 
     spark = _spark(args)
     df = _read(spark, args.inp)
-    out, report = cleanup_columns(
-        df, None, _split(args.cols), keep=False
-    )
+    requested = _split(args.cols)
+    # surface what cleanup_columns will silently skip: protected
+    # bookkeeping columns and names the table doesn't have — an exit-0
+    # run that cleared nothing must never look like success
+    skipped = [
+        c for c in requested if c not in df.columns or c in _CLEANUP_PROTECTED
+    ]
+    effective = [c for c in requested if c not in skipped]
+    for c in skipped:
+        why = "protected" if c in _CLEANUP_PROTECTED else "not in table"
+        print(f"delete-column: skipping {c!r} ({why})", file=sys.stderr)
+    if not effective:
+        print("delete-column: no clearable columns named", file=sys.stderr)
+        return 2
+    out, report = cleanup_columns(df, None, effective, keep=False)
     out.write.mode("overwrite").parquet(args.out)
     for row in report.collect():
         print(f"  {row['column']}: {row['records_cleared']} cleared")
-    print(f"delete-column {args.cols} -> {args.out}")
+    print(f"delete-column {','.join(effective)} -> {args.out}")
     return 0
 
 
@@ -430,11 +445,20 @@ def cmd_rename_columns(args) -> int:
     migration shape, one projection instead of a paged per-cell sweep."""
     from biocache_store_spark.operators.maintenance import rename_columns
 
-    mapping = dict(
-        pair.split("=", 1) for pair in _split(args.colmap) if "=" in pair
-    )
-    if not mapping:
-        print("rename-columns: --map needs old=new pairs", file=sys.stderr)
+    pairs = _split(args.colmap)
+    bad = [p for p in pairs if "=" not in p]
+    if bad or not pairs:
+        # a malformed pair silently dropped would skip half a migration
+        print(
+            f"rename-columns: --map needs old=new pairs (bad: {bad})",
+            file=sys.stderr,
+        )
+        return 2
+    mapping = dict(p.split("=", 1) for p in pairs)
+    if len(mapping) != len(pairs):
+        print(
+            "rename-columns: duplicate old names in --map", file=sys.stderr
+        )
         return 2
     spark = _spark(args)
     out = rename_columns(_read(spark, args.inp), mapping)

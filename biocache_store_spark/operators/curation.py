@@ -207,6 +207,12 @@ def stratified_sample(
     return df.filter(bucket < thr)
 
 
+def _strip_www(host):
+    return F.when(
+        host.startswith("www."), host.substr(F.lit(5), F.length(host))
+    ).otherwise(host)
+
+
 def extract_domain(url):
     """Host of a URL column, lowercased, leading 'www.' stripped — pure
     built-ins (parse_url is JVM-side), NULL for unparseable values. The
@@ -214,10 +220,7 @@ def extract_domain(url):
     col = F.col(url) if isinstance(url, str) else url
     # try_parse_url: web-crawl URL columns ALWAYS contain garbage, and
     # ANSI parse_url would fail the whole job on the first bad row
-    host = F.lower(F.try_parse_url(col, F.lit("HOST")))
-    return F.when(
-        host.startswith("www."), host.substr(F.lit(5), F.length(host))
-    ).otherwise(host)
+    return _strip_www(F.lower(F.try_parse_url(col, F.lit("HOST"))))
 
 
 def filter_blocked_domains(
@@ -229,10 +232,16 @@ def filter_blocked_domains(
     column) — the URL-filtering stage every web-scale corpus build runs
     (C4/RefinedWeb/Gopher all begin here). A left_anti on the extracted
     domain; blocklists are dim-sized, so the optimizer broadcasts."""
+    # the blocklist side gets the SAME normalization as the extracted
+    # domains (lowercase + www-strip): real-world blocklists routinely
+    # carry 'www.' entries, which would otherwise never match the
+    # always-stripped document side and silently pass blocked content
     return (
         docs.withColumn("__domain", extract_domain(url_col))
         .join(
-            blocklist.select(F.lower(F.col("domain")).alias("__domain")),
+            blocklist.select(
+                _strip_www(F.lower(F.col("domain"))).alias("__domain")
+            ),
             "__domain",
             "left_anti",
         )

@@ -272,24 +272,47 @@ def rename_columns(
     table: DataFrame, mapping: dict[str, str]
 ) -> DataFrame:
     """Column-rename sweep (tool/RenameColumns.scala:11-50: the layer-name
-    -> cl/el-id migration): for every (old, new) pair whose old column
-    exists, move the value to the new name and drop the old column. The
-    reference pages every record and puts/deletes per cell; here it is
-    one projection. When the NEW name already exists, a record's old
-    value wins where present (the reference's unconditional put), and
-    existing new-column values survive where the old cell was absent —
-    per-record merge semantics, not a blanket overwrite. Pass the site's
-    own layer map; the reference's default map is deployment config."""
-    out = table
-    for old, new in mapping.items():
-        if old not in out.columns or old == new:
-            continue
-        if new in out.columns:
-            out = out.withColumn(new, F.coalesce(F.col(old), F.col(new)))
+    -> cl/el-id migration): every old column's ORIGINAL values move to
+    the new name and the old column drops — one projection built from
+    the original table, so the whole mapping applies SIMULTANEOUSLY.
+    Chained maps ({a->b, b->c}) and swaps ({a->b, b->a}) therefore
+    behave like the reference's snapshot semantics (it reads each
+    record's map once, then puts from that snapshot), where a sequential
+    withColumn chain would feed one rename's output into the next and
+    silently destroy data. When the NEW name already exists and is NOT
+    itself renamed away, a record's old value wins where present and the
+    existing value survives where the old cell was absent (the
+    reference's per-cell put). Two olds mapping to one new would be an
+    ambiguous merge — rejected. Pass the site's own layer map; the
+    reference's default map is deployment config."""
+    mapping = {
+        o: n for o, n in mapping.items() if o in table.columns and o != n
+    }
+    targets = list(mapping.values())
+    if len(set(targets)) != len(targets):
+        dupes = sorted({t for t in targets if targets.count(t) > 1})
+        raise ValueError(
+            f"rename_columns: multiple old columns map to {dupes} — an "
+            "ambiguous merge; rename them in separate passes"
+        )
+    inv = {n: o for o, n in mapping.items()}
+    cols = []
+    for c in table.columns:
+        if c in inv:
+            # this position receives old's ORIGINAL values; if the
+            # existing column isn't itself renamed away, it survives
+            # where the old cell was absent
+            moved = F.col(inv[c])
+            value = moved if c in mapping else F.coalesce(moved, F.col(c))
+            cols.append(value.alias(c))
+        elif c in mapping:
+            continue  # renamed away; its target is emitted elsewhere
         else:
-            out = out.withColumn(new, F.col(old))
-        out = out.drop(old)
-    return out
+            cols.append(F.col(c))
+    for o, n in mapping.items():
+        if n not in table.columns:  # brand-new target: append
+            cols.append(F.col(o).alias(n))
+    return table.select(*cols)
 
 
 def remove_deleted_records(

@@ -162,10 +162,14 @@ def import_table(
         .csv(path)
     )
     raw_cols = df.columns
-    if len(raw_cols) < len(columns):
+    # exact-width contract, BOTH directions: a file wider than the name
+    # list means a stale column list (or delimiter damage) and silently
+    # dropping the trailing fields would corrupt the migration
+    if len(raw_cols) != len(columns):
         raise ValueError(
             f"import_table: file has {len(raw_cols)} columns, "
-            f"{len(columns)} names given"
+            f"{len(columns)} names given — the positional list must "
+            "match the file exactly"
         )
     named = df.select(
         *[df[raw_cols[i]].alias(name) for i, name in enumerate(columns)]

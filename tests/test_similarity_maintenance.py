@@ -298,6 +298,32 @@ def test_rename_columns_merge_semantics(spark):
     assert {r["cl23"] for r in out2.collect()} == {"1.5", None, "3.0"}
 
 
+def test_rename_columns_simultaneous_chain_and_swap(spark):
+    """The mapping applies SIMULTANEOUSLY over the original snapshot:
+    {a->b, b->c} moves a's values to b and b's ORIGINAL values to c (a
+    sequential chain would pipe a through b into c and lose b's column);
+    {a->b, b->a} is a clean swap; two olds to one new is rejected."""
+    import pytest as _pytest
+
+    from biocache_store_spark.operators.maintenance import rename_columns
+
+    table = spark.createDataFrame(
+        [("A1", "B1"), ("A2", "B2")], "a string, b string"
+    )
+    chained = rename_columns(table, {"a": "b", "b": "c"})
+    assert set(chained.columns) == {"b", "c"}
+    got = sorted((r["b"], r["c"]) for r in chained.collect())
+    assert got == [("A1", "B1"), ("A2", "B2")]
+
+    swapped = rename_columns(table, {"a": "b", "b": "a"})
+    assert set(swapped.columns) == {"a", "b"}
+    got2 = sorted((r["a"], r["b"]) for r in swapped.collect())
+    assert got2 == [("B1", "A1"), ("B2", "A2")]
+
+    with _pytest.raises(ValueError, match="ambiguous"):
+        rename_columns(table, {"a": "c", "b": "c"})
+
+
 def test_cleanup_columns_protects_bookkeeping(spark):
     """Keep-mode must never null the store's lifecycle columns: the
     reference only strips FullRecord raw properties

@@ -260,38 +260,39 @@ def cap_per_domain(
     (RefinedWeb's per-domain caps): without it one mirror farm or SEO
     host dominates the corpus after dedup.
 
-    COUNT-FIRST shape (the repo's hot-key discipline): domains are
-    counted with map-side partial aggregation, UNDER-cap domains — the
-    overwhelming majority — pass through a left-semi join wholesale
-    with NO sort, and only the few over-cap domains' rows pay the
-    row_number window. A single global window would instead sort every
-    domain's rows, and a viral domain's partition lands in one task for
-    sorting that under this split happens only where the cap actually
-    binds."""
+    ONE window over the domain key, measured against a count-first
+    split (count domains, pass under-cap domains through semi-joins,
+    window only the over-cap rows — the shape the hot-key discipline
+    suggests): at 20M rows with HALF the corpus in one viral domain the
+    split read 11.4 s vs the plain window's 2.3 s (SCALE.md round 7) —
+    its three URL-parsing scans and two shuffle joins cost far more
+    than the sorts it skips, and it cannot avoid the one sort that
+    matters anyway (over-cap domains still window, and row_number's
+    per-domain sort lands in one task under EITHER shape). The honest
+    skew ceiling is therefore the window's: a domain's rows sort in a
+    single task (10M rows ≈ 2 s; a pathological 10^9-row domain needs
+    a pre-filter or a coarser key before this operator, documented in
+    DEPLOY.md). Unparseable URLs (NULL domain) pass through untouched —
+    there is no domain to dominate ON, and dropping junk-URL rows is a
+    quality filter's decision, not the guard's."""
     from pyspark.sql.window import Window
 
     if max_docs < 1:
         raise ValueError("cap_per_domain: max_docs must be >= 1")
-    all_keyed = docs.withColumn("__domain", extract_domain(url_col))
-    # unparseable URLs have no domain to cap ON: they pass through
-    # untouched (a NULL key would silently vanish in the semi-joins) —
-    # dropping junk-URL rows is a quality filter's decision, not the
-    # domination guard's
-    no_domain = all_keyed.filter(F.col("__domain").isNull())
-    keyed = all_keyed.filter(F.col("__domain").isNotNull())
-    counts = keyed.groupBy("__domain").agg(F.count(F.lit(1)).alias("__n"))
-    under = counts.filter(F.col("__n") <= max_docs).select("__domain")
-    over = counts.filter(F.col("__n") > max_docs).select("__domain")
-    pass_through = keyed.join(under.hint("shuffle_hash"), "__domain", "left_semi")
-    w = Window.partitionBy("__domain").orderBy(id_col)
-    capped = (
-        keyed.join(over.hint("shuffle_hash"), "__domain", "left_semi")
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= max_docs)
-        .drop("__rn")
+    keyed = docs.withColumn("__domain", extract_domain(url_col))
+    # NULL domains get a PER-ROW sentinel partition ('\\x00' cannot open a
+    # real hostname): each junk-URL row is its own 1-row window (rn = 1,
+    # always kept) instead of every NULL pooling into one skewed
+    # partition that a garbage-heavy crawl would sort in a single task
+    part = F.coalesce(
+        F.col("__domain"),
+        F.concat(F.lit("\x00"), F.col(id_col).cast("string")),
     )
+    w = Window.partitionBy(part).orderBy(id_col)
     return (
-        pass_through.unionByName(capped).unionByName(no_domain).drop("__domain")
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_docs)
+        .drop("__rn", "__domain")
     )
 
 

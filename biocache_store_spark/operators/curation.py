@@ -263,18 +263,20 @@ def cap_per_domain(
     ONE window over the domain key, measured against a count-first
     split (count domains, pass under-cap domains through semi-joins,
     window only the over-cap rows — the shape the hot-key discipline
-    suggests): at 20M rows with HALF the corpus in one viral domain the
-    split read 11.4 s vs the plain window's 2.3 s (SCALE.md round 7) —
-    its three URL-parsing scans and two shuffle joins cost far more
-    than the sorts it skips, and it cannot avoid the one sort that
-    matters anyway (over-cap domains still window, and row_number's
-    per-domain sort lands in one task under EITHER shape). The honest
-    skew ceiling is therefore the window's: a domain's rows sort in a
-    single task (10M rows ≈ 2 s; a pathological 10^9-row domain needs
-    a pre-filter or a coarser key before this operator, documented in
-    DEPLOY.md). Unparseable URLs (NULL domain) pass through untouched —
-    there is no domain to dominate ON, and dropping junk-URL rows is a
-    quality filter's decision, not the guard's."""
+    suggests): at 20M rows with HALF the corpus in one viral domain
+    (idle box, min-of-3; SCALE.md round 7) the split read 13.5 s vs
+    2.4 s for a plain window and 2.7 s for this sentinel-keyed form —
+    the split's three URL-parsing scans and two shuffle joins cost far
+    more than the sorts it skips, and it cannot avoid the one sort
+    that matters anyway (over-cap domains still window, and
+    row_number's per-domain sort lands in one task under EITHER
+    shape). The honest skew ceiling is therefore the window's: a
+    domain's rows sort in a single task (10M rows ≈ 2 s; a
+    pathological 10^9-row domain needs a pre-filter or a coarser key
+    before this operator — see the SCALE.md round-7 entry).
+    Unparseable URLs (NULL domain) pass through untouched — there is
+    no domain to dominate ON, and dropping junk-URL rows is a quality
+    filter's decision, not the guard's."""
     from pyspark.sql.window import Window
 
     if max_docs < 1:
@@ -283,10 +285,19 @@ def cap_per_domain(
     # NULL domains get a PER-ROW sentinel partition ('\\x00' cannot open a
     # real hostname): each junk-URL row is its own 1-row window (rn = 1,
     # always kept) instead of every NULL pooling into one skewed
-    # partition that a garbage-heavy crawl would sort in a single task
+    # partition that a garbage-heavy crawl would sort in a single task.
+    # The id side is itself coalesced (concat of a NULL id would return
+    # NULL and re-pool those rows): a NULL-id junk row falls back to a
+    # per-row monotonic id, keeping the pass-through guarantee.
     part = F.coalesce(
         F.col("__domain"),
-        F.concat(F.lit("\x00"), F.col(id_col).cast("string")),
+        F.concat(
+            F.lit("\x00"),
+            F.coalesce(
+                F.col(id_col).cast("string"),
+                F.monotonically_increasing_id().cast("string"),
+            ),
+        ),
     )
     w = Window.partitionBy(part).orderBy(id_col)
     return (

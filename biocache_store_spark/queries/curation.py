@@ -1387,9 +1387,11 @@ def dsir_threshold_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "front-door stages every large-scale build runs — drop blocklisted "
         "domains (broadcast anti-join), then keep at most K documents per "
         "domain, deterministically the first K by id (the domain-"
-        "domination guard). The cap is COUNT-FIRST: under-cap domains "
-        "pass wholesale with no sort; only over-cap domains' rows pay the "
-        "row_number window. URLs are synthesized from doc ids (every 5th "
+        "domination guard). The cap is ONE sentinel-keyed window — the "
+        "measured-best of three forms (SCALE.md round 7; the count-first "
+        "split was 5x slower and rejected); NULL-domain rows get per-row "
+        "sentinel partitions so junk URLs pass through without pooling "
+        "into one skewed sort. URLs are synthesized from doc ids (every 5th "
         "carries a www. prefix, which must strip to the same domain); the "
         "Spark side parses them with parse_url, the oracle derives the "
         "domain arithmetically — the hash pins the extraction too."

@@ -303,6 +303,19 @@ def test_domain_curation_blocklist_and_cap(spark):
     assert {r["doc_id"] for r in unblocked.collect()} == {3, 4, 5, 6, 7}
     capped = cap_per_domain(unblocked, 2)
     assert {r["doc_id"] for r in capped.collect()} == {3, 4, 6, 7}
+    # www-prefixed BLOCKLIST entries normalize like the document side
+    block_www = spark.createDataFrame([("www.spam.example",)], "domain string")
+    assert {
+        r["doc_id"] for r in filter_blocked_domains(docs, block_www).collect()
+    } == {3, 4, 5, 6, 7}
+    # junk URLs pass the cap untouched even when BOTH domain and id are
+    # NULL (the sentinel key falls back to a per-row monotonic id)
+    junk = spark.createDataFrame(
+        [(None, "no url 1"), (None, "no url 2"), (None, "no url 3"),
+         (8, "http://c.example/1")],
+        "doc_id long, url string",
+    )
+    assert cap_per_domain(junk, 1).count() == 4
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="max_docs"):

@@ -42,6 +42,41 @@ def test_csv_loader(spark, tmp_path):
     assert rows["o2"]["uuid"] == mint_uuid("dr1|o2")
 
 
+def test_resolve_multimedia_locations(spark, tmp_path):
+    """DwCALoaderTest 'locate multimedia 1-3' mirror: absolute identifiers
+    (any scheme, query strings intact) pass through, bare filenames
+    resolve to file:// under the archive dir, NULL identifiers stay
+    NULL."""
+    import os
+
+    from biocache_store_spark.sources.dwca import (
+        resolve_multimedia_locations,
+    )
+
+    df = spark.createDataFrame(
+        [(
+            "o1",
+            [
+                {"identifier": "672737.jpg"},
+                {"identifier": "http://localhost/no.where/nothing.png"},
+                {"identifier": "http://localhost/nowhere/something.gif?format=gif"},
+                {"identifier": None},
+            ],
+        )],
+        "occurrenceID string, multimedia array<struct<identifier string>>",
+    )
+    arch = str(tmp_path / "arch")
+    out = resolve_multimedia_locations(df, arch).collect()[0]["multimedia"]
+    base = "file://" + os.path.abspath(arch) + "/"
+    assert out[0]["location"] == base + "672737.jpg"
+    assert out[1]["location"] == "http://localhost/no.where/nothing.png"
+    assert (
+        out[2]["location"]
+        == "http://localhost/nowhere/something.gif?format=gif"
+    )
+    assert out[3]["location"] is None
+
+
 def test_import_table_migration_loader(spark, tmp_path):
     """import_table (tool/ImportUtil.scala): headerless tab-separated
     file + explicit positional column list, the reference's '|' quote

@@ -215,6 +215,87 @@ def create_dwca(
     return zip_path
 
 
+_DWCA_EVENT_META_TEMPLATE = """<archive xmlns="http://rs.tdwg.org/dwc/text/">
+  <core encoding="UTF-8" fieldsTerminatedBy="," linesTerminatedBy="\\n"
+        fieldsEnclosedBy="&quot;" ignoreHeaderLines="1"
+        rowType="http://rs.tdwg.org/dwc/terms/Event">
+    <files><location>event.csv</location></files>
+    <id index="0"/>
+{event_fields}
+  </core>
+  <extension encoding="UTF-8" fieldsTerminatedBy="," linesTerminatedBy="\\n"
+        fieldsEnclosedBy="&quot;" ignoreHeaderLines="1"
+        rowType="http://rs.tdwg.org/dwc/terms/Occurrence">
+    <files><location>occurrence.csv</location></files>
+    <coreid index="0"/>
+{occurrence_fields}
+  </extension>
+</archive>
+"""
+
+
+def create_event_dwca(
+    events: DataFrame,
+    event_fields: list[str],
+    occurrences: DataFrame,
+    occurrence_fields: list[str],
+    zip_path: str,
+    event_id_col: str,
+    core_id_col: str,
+    eml: str = "<eml/>",
+) -> str:
+    """Write a GBIF sampling-event Darwin Core Archive zip: an Event core
+    (`event.csv`, `<id index=0>`) plus an Occurrence extension
+    (`occurrence.csv`, `<coreid index=0>` linking each occurrence to its
+    parent event). This is the publishing shape the reference LOADS via
+    EventCoreExtractor (load/DwCALoader.scala:522-600) — the creator side
+    exists here so event-core round trips can be fixture-generated and
+    tested without an external IPT.
+
+    `event_id_col` names the events column written as the core id;
+    `core_id_col` names the occurrences column written as the coreid.
+    Both data files stream through toLocalIterator (bounded driver
+    memory), like create_dwca.
+    """
+    for col, df, side in (
+        (event_id_col, events, "events"),
+        (core_id_col, occurrences, "occurrences"),
+    ):
+        if col not in df.columns:
+            raise ValueError(
+                f"create_event_dwca: id column {col!r} not in the {side} "
+                f"DataFrame (columns: {df.columns})"
+            )
+    meta = _DWCA_EVENT_META_TEMPLATE.format(
+        event_fields="\n".join(
+            f'    <field index="{i + 1}" term="{_term_uri(t)}"/>'
+            for i, t in enumerate(event_fields)
+        ),
+        occurrence_fields="\n".join(
+            f'    <field index="{i + 1}" term="{_term_uri(t)}"/>'
+            for i, t in enumerate(occurrence_fields)
+        ),
+    )
+    os.makedirs(os.path.dirname(zip_path) or ".", exist_ok=True)
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("meta.xml", meta)
+        zf.writestr("eml.xml", eml)
+        for name, df, id_col, fields in (
+            ("event.csv", events, event_id_col, event_fields),
+            ("occurrence.csv", occurrences, core_id_col, occurrence_fields),
+        ):
+            rows = df.select(id_col, *fields).toLocalIterator()
+            with zf.open(name, mode="w") as entry:
+                text = io.TextIOWrapper(entry, encoding="utf-8", newline="")
+                writer = csv.writer(text, lineterminator="\n")
+                writer.writerow(["id"] + fields)
+                for row in rows:
+                    writer.writerow(["" if v is None else v for v in row])
+                text.flush()
+                text.detach()
+    return zip_path
+
+
 # ExportAllSpatialSpecies.scala:63-90 — the per-species spatial dump columns
 # (point ladder + el layer samples + dedup keys), sanitized names
 ALL_SPATIAL_SPECIES_FIELDS = [

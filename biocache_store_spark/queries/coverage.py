@@ -2156,6 +2156,132 @@ def dwca_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dwca_event_core_roundtrip",
+    doc=(
+        "Event-core (GBIF sampling-event) Darwin Core Archive round trip: "
+        "events synthesized from customer and occurrences from orders are "
+        "written as an Event-core archive with an Occurrence extension "
+        "(exports/exporters.py create_event_dwca), then re-loaded through "
+        "load_archive, which must choose the event-core path "
+        "(sources/dwca.py _load_event_core — EventCoreExtractor parity, "
+        "load/DwCALoader.scala:522-600, extractor choice :194-197). Under "
+        "the hash: the occurrence-extension fan-out (each extension row = "
+        "one record), parent-event term inheritance (eventDate, "
+        "stateProvince), the last-wins conflict rule on `locality` (a "
+        "non-blank EVENT value overrides the occurrence value; a blank "
+        "event value falls back to the occurrence value; blank-on-both = "
+        "NULL — the reference's recordTuples++eventTuples toMap with "
+        "isNotBlank guards), orphan occurrence rows (coreid matching no "
+        "event, every o_orderkey%100==0) dropped by the star join, and "
+        "events without occurrences emitting nothing. The oracle derives "
+        "the same relation straight from orders x customer."
+    ),
+    oracle="""
+        WITH ev AS (
+            SELECT 'e' || CAST(c_custkey AS VARCHAR) AS event_key,
+                   '2020-' || lpad(CAST(1 + c_custkey % 12 AS VARCHAR),
+                                   2, '0') AS event_date,
+                   CASE WHEN c_custkey % 5 = 0 THEN ''
+                        ELSE c_mktsegment END AS ev_locality,
+                   'State ' || CAST(c_custkey % 8 AS VARCHAR)
+                       AS state_province
+            FROM customer
+        ),
+        occ AS (
+            SELECT CASE WHEN o_orderkey % 100 = 0
+                        THEN 'orphan-' || CAST(o_orderkey AS VARCHAR)
+                        ELSE 'e' || CAST(o_custkey AS VARCHAR)
+                   END AS event_key,
+                   'o' || CAST(o_orderkey AS VARCHAR) AS occurrence_id,
+                   'Species ' || CAST(o_orderkey % 50 AS VARCHAR)
+                       AS scientific_name,
+                   CASE WHEN o_orderkey % 3 = 0
+                        THEN 'occ-loc-' || CAST(o_orderkey % 11 AS VARCHAR)
+                        ELSE '' END AS occ_locality
+            FROM orders
+        )
+        SELECT o.event_key, o.occurrence_id, o.scientific_name,
+               e.event_date,
+               COALESCE(NULLIF(TRIM(e.ev_locality), ''),
+                        NULLIF(TRIM(o.occ_locality), '')) AS locality,
+               e.state_province
+        FROM occ o JOIN ev e ON o.event_key = e.event_key
+    """,
+)
+def dwca_event_core_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import zipfile
+
+    from biocache_store_spark.exports.exporters import create_event_dwca
+    from biocache_store_spark.sources.dwca import load_archive
+
+    customer = read_table(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    events = customer.select(
+        F.concat(F.lit("e"), ck.cast("string")).alias("eventID"),
+        F.concat(
+            F.lit("2020-"),
+            F.lpad((F.lit(1) + F.pmod(ck, F.lit(12))).cast("string"), 2, "0"),
+        ).alias("eventDate"),
+        # %5==0 events carry a BLANK locality: the conflict rule must
+        # fall back to the occurrence-side value for those
+        F.when(F.pmod(ck, F.lit(5)) == 0, F.lit("")).otherwise(
+            F.col("c_mktsegment")
+        ).alias("locality"),
+        F.concat(F.lit("State "), F.pmod(ck, F.lit(8)).cast("string")).alias(
+            "stateProvince"
+        ),
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    occurrences = orders.select(
+        # every 100th occurrence is an orphan: its coreid matches no
+        # event row, so the star join must drop it
+        F.when(
+            F.pmod(ok, F.lit(100)) == 0,
+            F.concat(F.lit("orphan-"), ok.cast("string")),
+        )
+        .otherwise(F.concat(F.lit("e"), F.col("o_custkey").cast("string")))
+        .alias("coreid"),
+        F.concat(F.lit("o"), ok.cast("string")).alias("occurrenceID"),
+        F.concat(
+            F.lit("Species "), F.pmod(ok, F.lit(50)).cast("string")
+        ).alias("scientificName"),
+        F.when(
+            F.pmod(ok, F.lit(3)) == 0,
+            F.concat(F.lit("occ-loc-"), F.pmod(ok, F.lit(11)).cast("string")),
+        )
+        .otherwise(F.lit(""))
+        .alias("locality"),
+    )
+    work = tempfile.mkdtemp(prefix="dwca_event_rt_")
+    zip_path = work + "/archive.zip"
+    create_event_dwca(
+        events,
+        ["eventDate", "locality", "stateProvince"],
+        occurrences,
+        ["occurrenceID", "scientificName", "locality"],
+        zip_path,
+        event_id_col="eventID",
+        core_id_col="coreid",
+    )
+    extract_dir = work + "/extracted"
+    with zipfile.ZipFile(zip_path) as zf:
+        zf.extractall(extract_dir)
+    loaded = load_archive(
+        spark, extract_dir, "dr-event-rt", unique_terms=["occurrenceID"]
+    )
+    return loaded.select(
+        F.col("coreID").alias("event_key"),
+        F.col("occurrenceID").alias("occurrence_id"),
+        F.col("scientificName").alias("scientific_name"),
+        F.col("eventDate").alias("event_date"),
+        "locality",
+        F.col("stateProvince").alias("state_province"),
+    )
+
+
+@register(
     "endemism_density_layers",
     doc=(
         "Calculated spatial layers (operators/calculated_layers.py — "

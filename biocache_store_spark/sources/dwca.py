@@ -197,6 +197,79 @@ def resolve_multimedia_locations(
     return df.withColumn(column, F.transform(F.col(column), locate))
 
 
+def _simple_row_type(row_type: str) -> str:
+    """'http://rs.tdwg.org/dwc/terms/Occurrence' -> 'occurrence'."""
+    return row_type.rstrip("/").rsplit("/", 1)[-1].lower()
+
+
+def _blank_to_null(c):
+    # StringUtils.isNotBlank parity: whitespace-only == absent
+    return F.nullif(F.trim(c), F.lit(""))
+
+
+def _load_event_core(
+    spark: SparkSession, archive_dir: str, desc: ArchiveDescriptor
+) -> DataFrame:
+    """Event-core archive -> occurrence rows inheriting parent event terms.
+
+    EventCoreExtractor parity (load/DwCALoader.scala:522-600; extractor
+    choice :194-197): when meta.xml declares an Event core, the OUTPUT
+    records are the Occurrence-EXTENSION rows, star-joined back to their
+    parent event, with the event's terms appended to each record. The
+    reference appends eventTuples after recordTuples and converts with
+    `.toMap` (last wins), and blank values are never added
+    (StringUtils.isNotBlank guard, DwCALoader.scala:555-565) — so on a
+    term both sides declare, a NON-BLANK event value overrides the
+    occurrence value, a blank one falls back to the occurrence value, and
+    blank-on-both means absent (NULL). Events without occurrence rows
+    emit nothing, and occurrence rows whose coreid matches no event are
+    never visited by the star iteration — hence the inner join.
+
+    Multimedia and other extensions are NOT loaded for event cores,
+    matching the reference's core-rowType gate (DwCALoader.scala:287-295
+    only loads multimedia when the core is Occurrence/SimpleDarwinRecord).
+    """
+    occ_fd = next(
+        (
+            e
+            for e in desc.extensions
+            if _simple_row_type(e.row_type) == "occurrence"
+        ),
+        None,
+    )
+    if occ_fd is None:
+        raise ValueError(
+            "load_archive: event-core archive has no Occurrence extension "
+            "— there are no occurrence records to load "
+            f"(extensions: {[e.row_type for e in desc.extensions]})"
+        )
+    event = _read_file(spark, archive_dir, desc.core, "coreID")
+    occ = _read_file(spark, archive_dir, occ_fd, "coreID")
+    occ_terms = [c for c in occ.columns if c != "coreID"]
+    event_terms = [c for c in event.columns if c != "coreID"]
+    overlap = set(occ_terms) & set(event_terms)
+    # prefix event columns so the join never has ambiguous names
+    event = event.select(
+        "coreID", *[event[c].alias(f"__event_{c}") for c in event_terms]
+    )
+    joined = occ.join(event, "coreID", "inner")
+    cols = [F.col("coreID")]
+    for c in occ_terms:
+        if c in overlap:
+            cols.append(
+                F.coalesce(
+                    _blank_to_null(F.col(f"__event_{c}")),
+                    _blank_to_null(F.col(c)),
+                ).alias(c)
+            )
+        else:
+            cols.append(F.col(c))
+    cols.extend(
+        F.col(f"__event_{c}").alias(c) for c in event_terms if c not in overlap
+    )
+    return joined.select(*cols)
+
+
 def load_archive(
     spark: SparkSession,
     archive_dir: str,
@@ -206,11 +279,33 @@ def load_archive(
 ) -> DataFrame:
     """Extracted DwC-A directory -> occurrence DataFrame with identity.
 
-    Extension rows (e.g. multimedia) are aggregated per core record into
-    array<struct> columns named by the extension row type's simple name —
-    the fan-out join the reference does row-by-row (DwCALoader.scala:522-648).
+    Occurrence-core archives: extension rows (e.g. multimedia) are
+    aggregated per core record into array<struct> columns named by the
+    extension row type's simple name — the fan-out join the reference does
+    row-by-row (DwCALoader.scala:611-648).
+
+    Event-core archives (meta.xml core rowType = Event): the Occurrence
+    extension is the fact side — each extension row becomes one occurrence
+    record inheriting (and on conflict being overridden by) its parent
+    event's non-blank terms, per EventCoreExtractor
+    (load/DwCALoader.scala:522-600). Other extensions are skipped for
+    event cores, matching the reference's core-rowType multimedia gate.
     """
     desc = parse_meta(archive_dir)
+    if _simple_row_type(desc.core.row_type) == "event":
+        core = _load_event_core(spark, archive_dir, desc)
+        if unique_terms is None:
+            unique_terms = (
+                ["occurrenceID"] if "occurrenceID" in core.columns else ["coreID"]
+            )
+        missing = [t for t in unique_terms if t not in core.columns]
+        if missing:
+            raise ValueError(
+                f"load_archive: identity terms {missing} not present in the "
+                "event-core star schema — pass unique_terms naming columns "
+                "the occurrence extension or event core has"
+            )
+        return add_record_identity(core, data_resource_uid, unique_terms)
     core = _read_file(spark, archive_dir, desc.core, "coreID")
     if collect_extensions:
         for ext in desc.extensions:

@@ -12,6 +12,28 @@ from biocache_store_spark.cli import main
 FIXTURE_DWCA = os.path.join(os.path.dirname(__file__), "fixtures", "test-dwca")
 
 
+def test_cli_load_dwca_event_core(spark, tmp_path):
+    """`load-dwca` on an event-core (sampling-event) archive: the loader
+    must pick the event-core path and store one record per
+    occurrence-extension row with event terms inherited."""
+    from test_sources_exports_streaming import _write_event_archive
+
+    archive = tmp_path / "event-archive"
+    archive.mkdir()
+    _write_event_archive(archive)
+    out = str(tmp_path / "raw")
+    assert main([
+        "load-dwca", "--archive", str(archive), "--dr", "drE",
+        "--unique-terms", "occurrenceID", "--out", out,
+    ]) == 0
+    raw = spark.read.parquet(out)
+    rows = {r["occurrenceID"]: r for r in raw.collect()}
+    assert set(rows) == {"o1", "o2", "o3", "o4"}
+    assert rows["o1"]["stateProvince"] == "NSW"
+    assert rows["o1"]["locality"] == "Site A"
+    assert rows["o1"]["rowKey"] == "drE|o1"
+
+
 def test_cli_load_process_index_facet_lifecycle(spark, tmp_path, capsys):
     """load-dwca -> process -> index -> facet: the `biocache ingest`
     loop as four separate tools sharing parquet stores."""

@@ -992,6 +992,157 @@ def test_dwca_fields_enclosed_by_empty_disables_quoting(spark, tmp_path):
     assert out["2"] == "plain place"
 
 
+_EVENT_META = (
+    '<archive xmlns="http://rs.tdwg.org/dwc/text/">'
+    '<core rowType="http://rs.tdwg.org/dwc/terms/Event" ignoreHeaderLines="1">'
+    "<files><location>event.csv</location></files>"
+    '<id index="0"/>'
+    '<field index="1" term="http://rs.tdwg.org/dwc/terms/eventDate"/>'
+    '<field index="2" term="http://rs.tdwg.org/dwc/terms/locality"/>'
+    '<field index="3" term="http://rs.tdwg.org/dwc/terms/stateProvince"/>'
+    "</core>"
+    '<extension rowType="http://rs.tdwg.org/dwc/terms/Occurrence" '
+    'ignoreHeaderLines="1">'
+    "<files><location>occurrence.csv</location></files>"
+    '<coreid index="0"/>'
+    '<field index="1" term="http://rs.tdwg.org/dwc/terms/occurrenceID"/>'
+    '<field index="2" term="http://rs.tdwg.org/dwc/terms/scientificName"/>'
+    '<field index="3" term="http://rs.tdwg.org/dwc/terms/locality"/>'
+    "</extension></archive>"
+)
+
+
+def _write_event_archive(tmp_path):
+    (tmp_path / "meta.xml").write_text(_EVENT_META)
+    (tmp_path / "event.csv").write_text(
+        "id,eventDate,locality,stateProvince\n"
+        "e1,2021-03-04,Site A,NSW\n"
+        "e2,2021-05-06,,VIC\n"  # blank event locality: occurrence wins
+        "e3,2021-07-08,Site C,QLD\n"  # no occurrences: emits nothing
+    )
+    (tmp_path / "occurrence.csv").write_text(
+        "coreid,occurrenceID,scientificName,locality\n"
+        "e1,o1,Macropus rufus,occ place\n"  # event Site A overrides
+        "e1,o2,Vombatus ursinus,\n"
+        "e2,o3,Macropus rufus,kept locality\n"
+        "e2,o4,Dromaius novaehollandiae,   \n"  # blank both sides: NULL
+        "e-missing,o5,Orphanus maximus,nowhere\n"  # orphan: dropped
+    )
+
+
+def test_dwca_event_core_loader(spark, tmp_path):
+    """EventCoreExtractor parity (load/DwCALoader.scala:522-600): the
+    Occurrence-extension rows fan out against the Event core, inherit
+    the parent event's terms, and on a term both sides declare the
+    NON-BLANK event value wins (recordTuples++eventTuples toMap with
+    isNotBlank guards)."""
+    from biocache_store_spark.sources.dwca import load_archive
+
+    _write_event_archive(tmp_path)
+    df = load_archive(spark, str(tmp_path), "drE", ["occurrenceID"])
+    rows = {r["occurrenceID"]: r for r in df.collect()}
+    # fan-out: one record per occurrence row; orphan o5 and event e3 gone
+    assert set(rows) == {"o1", "o2", "o3", "o4"}
+    # event terms inherited
+    assert rows["o1"]["eventDate"] == "2021-03-04"
+    assert rows["o1"]["stateProvince"] == "NSW"
+    assert rows["o3"]["stateProvince"] == "VIC"
+    # conflict rule: non-blank event locality overrides the occurrence's
+    assert rows["o1"]["locality"] == "Site A"
+    assert rows["o2"]["locality"] == "Site A"
+    # blank event locality falls back to the occurrence value
+    assert rows["o3"]["locality"] == "kept locality"
+    # blank on both sides = absent
+    assert rows["o4"]["locality"] is None
+    # identity runs on the fanned-out records
+    assert rows["o1"]["rowKey"] == "drE|o1"
+    assert rows["o1"]["coreID"] == "e1"
+
+
+def test_dwca_event_core_requires_occurrence_extension(spark, tmp_path):
+    from biocache_store_spark.sources.dwca import load_archive
+
+    (tmp_path / "meta.xml").write_text(
+        '<archive xmlns="http://rs.tdwg.org/dwc/text/">'
+        '<core rowType="http://rs.tdwg.org/dwc/terms/Event" '
+        'ignoreHeaderLines="1">'
+        "<files><location>event.csv</location></files>"
+        '<id index="0"/>'
+        '<field index="1" term="http://rs.tdwg.org/dwc/terms/eventDate"/>'
+        "</core></archive>"
+    )
+    (tmp_path / "event.csv").write_text("id,eventDate\ne1,2021-01-01\n")
+    with pytest.raises(ValueError, match="no Occurrence extension"):
+        load_archive(spark, str(tmp_path), "drE")
+
+
+def test_dwca_event_core_skips_multimedia(spark, tmp_path):
+    """The reference only loads multimedia when the core is an
+    Occurrence/SimpleDarwinRecord (DwCALoader.scala:287-295): an
+    event-core archive's Multimedia extension must NOT surface."""
+    from biocache_store_spark.sources.dwca import load_archive
+
+    _write_event_archive(tmp_path)
+    meta = _EVENT_META.replace(
+        "</extension></archive>",
+        "</extension>"
+        '<extension rowType="http://rs.gbif.org/terms/1.0/Multimedia" '
+        'ignoreHeaderLines="1">'
+        "<files><location>image.csv</location></files>"
+        '<coreid index="0"/>'
+        '<field index="1" term="http://purl.org/dc/terms/identifier"/>'
+        "</extension></archive>",
+    )
+    (tmp_path / "meta.xml").write_text(meta)
+    (tmp_path / "image.csv").write_text(
+        "id,identifier\ne1,http://images.example/e1.jpg\n"
+    )
+    df = load_archive(spark, str(tmp_path), "drE", ["occurrenceID"])
+    assert "multimedia" not in df.columns
+    assert df.count() == 4
+
+
+def test_create_event_dwca_roundtrip(spark, tmp_path):
+    """create_event_dwca writes an Event-core zip that load_archive
+    fans back out through the event-core path."""
+    import zipfile
+
+    from biocache_store_spark.exports.exporters import create_event_dwca
+    from biocache_store_spark.sources.dwca import load_archive, parse_meta
+
+    events = spark.createDataFrame(
+        [("ev1", "2022-02-02", "Gully"), ("ev2", "2022-03-03", "Ridge")],
+        "eventID string, eventDate string, locality string",
+    )
+    occurrences = spark.createDataFrame(
+        [("ev1", "occA", "Petaurus breviceps"),
+         ("ev1", "occB", "Macropus rufus"),
+         ("ev2", "occC", "Vombatus ursinus")],
+        "coreid string, occurrenceID string, scientificName string",
+    )
+    zip_path = str(tmp_path / "event_archive.zip")
+    create_event_dwca(
+        events, ["eventDate", "locality"],
+        occurrences, ["occurrenceID", "scientificName"],
+        zip_path, event_id_col="eventID", core_id_col="coreid",
+    )
+    extract = tmp_path / "extracted"
+    with zipfile.ZipFile(zip_path) as zf:
+        zf.extractall(extract)
+    desc = parse_meta(str(extract))
+    assert desc.core.row_type.endswith("/Event")
+    back = load_archive(spark, str(extract), "drZ", ["occurrenceID"])
+    rows = {r["occurrenceID"]: r for r in back.collect()}
+    assert set(rows) == {"occA", "occB", "occC"}
+    assert rows["occA"]["locality"] == "Gully"
+    assert rows["occC"]["eventDate"] == "2022-03-03"
+    with pytest.raises(ValueError, match="id column"):
+        create_event_dwca(
+            events, ["eventDate"], occurrences, ["occurrenceID"],
+            zip_path, event_id_col="nope", core_id_col="coreid",
+        )
+
+
 def test_export_facet_without_counts(spark, tmp_path):
     from biocache_store_spark.exports.exporters import export_facet
 

@@ -302,6 +302,8 @@ def cmd_dedup_detect(args) -> int:
         detect_duplicates,
         detect_duplicates_scoped,
         merge_dedup_results,
+        reassigned_taxa,
+        touched_record_ids,
         touched_taxa,
     )
 
@@ -318,6 +320,16 @@ def cmd_dedup_detect(args) -> int:
         taxa = spark.createDataFrame([(x,) for x in ids], "taxon string")
     elif getattr(args, "since", None):
         taxa = touched_taxa(df, args.since, modified_col=args.modified_col)
+        if getattr(args, "prev", None):
+            # a changed record may have MOVED species: union the old taxa
+            # still holding it in the standing store, so their clusters
+            # are recomputed instead of keeping a stale row
+            changed = touched_record_ids(
+                df, args.since, modified_col=args.modified_col
+            )
+            taxa = taxa.unionByName(
+                reassigned_taxa(_read(spark, args.prev), changed)
+            ).distinct()
     if taxa is None:
         out = detect_duplicates(df)
     else:

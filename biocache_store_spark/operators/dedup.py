@@ -378,6 +378,36 @@ def detect_duplicates(
     )
 
 
+def _modified_since(df: DataFrame, since: str, modified_col: str) -> DataFrame:
+    """Rows whose `modified_col` is at or after `since`, compared AS
+    TIMESTAMPS: string comparison is only correct for ISO-formatted
+    values, and a store whose modified column arrived as e.g. `d/M/yyyy`
+    strings would scope silently wrong. `since` is validated driver-side;
+    a non-NULL stored value that does not parse as a timestamp fails
+    loudly instead of silently dropping out of scope."""
+    import datetime as _dt
+
+    try:
+        _dt.datetime.fromisoformat(since)
+    except ValueError:
+        raise ValueError(
+            f"since={since!r} is not an ISO date/datetime "
+            "(expected e.g. '2024-01-31' or '2024-01-31T12:00:00')"
+        ) from None
+    mod = F.col(modified_col)
+    mod_ts = mod.cast("string").try_cast("timestamp")
+    checked = F.when(
+        mod.isNotNull() & mod_ts.isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(f"unparseable {modified_col} (not a timestamp): "),
+                mod.cast("string"),
+            )
+        ).cast("timestamp"),
+    ).otherwise(mod_ts)
+    return df.filter(checked >= F.lit(since).cast("timestamp"))
+
+
 def touched_taxa(
     df: DataFrame,
     since: str | None = None,
@@ -385,17 +415,61 @@ def touched_taxa(
     taxon_col: str = "taxonConceptID",
 ) -> DataFrame:
     """Distinct taxa owning records loaded/modified since `since` — the
-    species list an incremental duplication-detection re-run must cover
-    (IncrementalDuplicationDetection.scala:22-28 appends
-    `last_load_date:[since TO *]` when picking work). One distinct over
-    the changed slice; `since=None` means every taxon (the --all run).
+    species list an incremental duplication-detection re-run must cover.
+    (The reference's incremental filter is applied to the SUBSPECIES
+    record downloads — IncrementalDuplicationDetection.scala:22-28
+    appends `last_load_date:[since TO *]` to those download queries,
+    truncating that taxon's record set; the semantics here are the
+    stronger re-run-ALL-records-of-touched-taxa form, which is what the
+    incremental==full merge invariant requires.) One distinct over the
+    changed slice; `since=None` means every taxon (the --all run).
     Returns a one-column frame named `taxon`."""
     scoped = df
     if since is not None:
-        scoped = df.filter(F.col(modified_col).cast("string") >= since)
+        scoped = _modified_since(df, since, modified_col)
     return (
         scoped.filter(F.col(taxon_col).isNotNull())
         .select(F.col(taxon_col).cast("string").alias("taxon"))
+        .distinct()
+    )
+
+
+def touched_record_ids(
+    df: DataFrame,
+    since: str | None = None,
+    modified_col: str = "lastModifiedTime",
+    id_col: str = "occurrenceID",
+) -> DataFrame:
+    """Distinct record ids modified since `since`, as a one-column frame
+    named `row_key` — the join side for `reassigned_taxa`."""
+    scoped = df
+    if since is not None:
+        scoped = _modified_since(df, since, modified_col)
+    return (
+        scoped.filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col).cast("string").alias("row_key"))
+        .distinct()
+    )
+
+
+def reassigned_taxa(previous: DataFrame, changed_ids: DataFrame) -> DataFrame:
+    """The OLD taxa of records that may have moved species: taxa owning
+    rows in the standing duplicate store (`previous`) for any changed
+    record id (`changed_ids`, one `row_key` column).
+
+    A re-delivered/reprocessed record can carry a NEW taxonConceptID; the
+    upserted occurrence store then only shows the new taxon, but the
+    standing duplicate store still holds the record under its old one.
+    Scoping the re-detection by the changed records' CURRENT taxa alone
+    would leave that old taxon's clusters stale (a duplicate row_key
+    under the old taxon, and un-recomputed statuses for the records that
+    remain there). Union these taxa into the scope so the old species'
+    clusters are recomputed too — that is what keeps incremental == full.
+    The semi join broadcasts the changed-id side when it is batch-sized."""
+    ids = changed_ids.select(F.col("row_key").cast("string").alias("row_key"))
+    return (
+        previous.join(ids, "row_key", "left_semi")
+        .select(F.col("taxon").cast("string").alias("taxon"))
         .distinct()
     )
 
@@ -411,14 +485,16 @@ def detect_duplicates_scoped(
     Duplicate clusters are strictly within-taxon (the group key leads
     with the lsid), so running the detector over ALL records of ONLY the
     touched species reproduces exactly the full run's rows for those
-    species — the reference's incremental mode re-downloads the touched
-    taxon's complete record set for the same reason
-    (IncrementalDuplicationDetection.scala:17-30: the date filter picks
-    the species, never truncates its records). The scope filter is a
-    left-semi join the optimizer broadcasts when the species list is
-    dim-sized; at 100 TB an ingest touches a tiny fraction of taxa, so
-    the re-run cost is proportional to the CHANGED species' records,
-    not the corpus."""
+    species. (This is deliberately STRONGER than the reference's
+    incremental mode: IncrementalDuplicationDetection.scala:22-28
+    appends `last_load_date:[since TO *]` to the SUBSPECIES record
+    downloads, truncating that taxon's record set — which can miss
+    duplicates pairing a new record with an old one; re-running the
+    touched taxon's complete records is what makes incremental == full
+    hold exactly.) The scope filter is a left-semi join the optimizer
+    broadcasts when the species list is dim-sized; at 100 TB an ingest
+    touches a tiny fraction of taxa, so the re-run cost is proportional
+    to the CHANGED species' records, not the corpus."""
     scope = taxa.select(F.col("taxon").cast("string").alias("__scope_taxon"))
     scoped = df.join(
         scope,
@@ -438,9 +514,22 @@ def merge_dedup_results(
     the occurrence store) and the re-run rows take their place. Rows for
     untouched taxa pass through unchanged, so merge(full-run-at-T0,
     incremental-since-T0) == full-run-now for any store whose changes
-    all carry a modified time."""
+    all carry a modified time.
+
+    Callers deriving `taxa` from changed records must include the
+    records' OLD taxa too (see `reassigned_taxa`) — otherwise a record
+    that moved species leaves its old taxon's clusters stale. As a
+    safety net against exactly that, previous rows whose row_key
+    reappears in the incremental result are also dropped (the full
+    recompute would never emit a record under two taxa), so even a
+    batch-only scope cannot produce duplicate row_keys — though the old
+    taxon's REMAINING records still need the scope fix to be recomputed."""
     scope = taxa.select(F.col("taxon").cast("string").alias("__scope_taxon"))
     kept = previous.join(
         scope, previous["taxon"] == F.col("__scope_taxon"), "left_anti"
     )
+    cols = kept.columns
+    kept = kept.join(
+        incremental.select("row_key").distinct(), "row_key", "left_anti"
+    ).select(*cols)  # the name-keyed join moves row_key first; restore order
     return kept.unionByName(incremental)

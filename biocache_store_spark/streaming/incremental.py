@@ -656,6 +656,82 @@ def _latest_dup_version(
     return None if best is None else f"{dup_dir}/v={best}"
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), p
+
+
+def _checkpoint_query_id(spark: SparkSession, checkpoint_dir: str) -> str | None:
+    """The streaming query id from `<checkpoint>/metadata` — stable across
+    restarts of the same checkpoint, fresh when the checkpoint is wiped.
+    None if the metadata file does not exist (stream not started yet)."""
+    import json
+
+    fs, p = _hadoop_fs(spark, checkpoint_dir + "/metadata")
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        content = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return json.loads(content).get("id")
+
+
+def _guard_dup_epoch(
+    spark: SparkSession,
+    dup_dir: str,
+    checkpoint_dir: str,
+    batch_id: int,
+    prev_dir: str | None,
+) -> None:
+    """Refuse to write into a duplicate store from another checkpoint
+    epoch. Batch ids restart at 0 when the checkpoint is wiped; if the
+    store/dup dirs were kept, the new batch 0 would read no predecessor
+    (silently dropping every untouched taxon from the new latest version)
+    and overwrite the old v=0. The epoch is the streaming query id
+    (stable per checkpoint), recorded as an `_epoch_<id>` marker dir on
+    first write. Legacy stores without a marker are validated by the
+    version numbers instead: versions the current batch does not follow
+    (all >= batch_id) mean the ids restarted."""
+    query_id = _checkpoint_query_id(spark, checkpoint_dir)
+    fs, base = _hadoop_fs(spark, dup_dir)
+    epoch: str | None = None
+    if fs.exists(base):
+        for status in fs.listStatus(base):
+            name = status.getPath().getName()
+            if name.startswith("_epoch_"):
+                epoch = name[len("_epoch_"):]
+                break
+    if epoch is not None and query_id is not None and epoch != query_id:
+        raise RuntimeError(
+            f"occurrence_dedup_stream: duplicate store {dup_dir} belongs "
+            f"to checkpoint epoch {epoch} but this stream's checkpoint is "
+            f"{query_id} — the checkpoint was wiped while the store was "
+            "kept. Batch ids restarted, so merging would silently drop "
+            "every untouched taxon and overwrite old versions. Start with "
+            "fresh store/dup dirs, or restore the original checkpoint."
+        )
+    if epoch is None:
+        if prev_dir is None and _latest_dup_version(spark, dup_dir) is not None:
+            raise RuntimeError(
+                f"occurrence_dedup_stream: duplicate store {dup_dir} has "
+                f"versions the current batch (id={batch_id}) does not "
+                "follow, and no epoch marker — the checkpoint was likely "
+                "wiped while the store was kept. Start with fresh "
+                "store/dup dirs, or restore the original checkpoint."
+            )
+        if query_id is not None:
+            fs.mkdirs(
+                spark._jvm.org.apache.hadoop.fs.Path(
+                    f"{dup_dir}/_epoch_{query_id}"
+                )
+            )
+
+
 def occurrence_dedup_stream(
     spark: SparkSession,
     staging_dir: str,
@@ -669,11 +745,16 @@ def occurrence_dedup_stream(
     of `near_dup_stream` and the streaming composition of
     tool/IncrementalDuplicationDetection.scala: each microbatch of
     arriving records (JSONL drops) is appended to the occurrence store,
-    its DISTINCT TAXA are re-detected over the updated store
+    its DISTINCT TAXA — unioned with the OLD taxa of any re-delivered
+    record, so a record that moved species gets both its old and new
+    species recomputed — are re-detected over the updated store
     (detect_duplicates_scoped — all of the touched species' records,
     never just the batch), and the result is merged into the standing
     duplicate store (merge_dedup_results). Per-microbatch cost is
     proportional to the touched species' records, never the corpus.
+    An epoch marker ties the duplicate store to its checkpoint: wiping
+    the checkpoint while keeping the store fails loudly instead of
+    silently restarting batch ids over old versions.
 
     State lives in files, versioned for at-least-once safety:
       * the store append writes an overwrite-idempotent
@@ -715,11 +796,29 @@ def occurrence_dedup_stream(
             .filter(F.col("__rn") == 1)
             .drop("__rn", "batch")
         )
-        taxa = touched_taxa(batch, since=None)
+        # scope = the batch's taxa UNION the batch records' OLD taxa from
+        # superseded store versions: a re-delivered record can move to a
+        # NEW taxonConceptID, and the old species' clusters must be
+        # recomputed too or the merged store keeps a stale row for the
+        # moved record (and stale statuses for the records remaining
+        # there), breaking incremental == full
+        superseded = raw_store.filter(F.col("batch") < batch_id).join(
+            batch.select(
+                F.col("occurrenceID").cast("string").alias("occurrenceID")
+            ).distinct(),
+            "occurrenceID",
+            "left_semi",
+        )
+        taxa = (
+            touched_taxa(batch, since=None)
+            .unionByName(touched_taxa(superseded, since=None))
+            .distinct()
+        )
         inc = detect_duplicates_scoped(store, taxa)
         # strictly-earlier version only: a replay of batch N must merge
         # against N's predecessor, not the v=N it is about to overwrite
         prev_dir = _latest_dup_version(spark, dup_dir, before=batch_id)
+        _guard_dup_epoch(spark, dup_dir, checkpoint_dir, batch_id, prev_dir)
         merged = (
             inc
             if prev_dir is None

@@ -170,6 +170,32 @@ def test_cli_dedup_and_jackknife(spark, tmp_path):
     }
     assert merged == statuses
 
+    # --since + --prev with a taxon MOVE: o2 re-identified t1 -> t2; the
+    # CLI must union the old taxon from the standing store so t1's
+    # remaining record reverts and no stale (t1, o2) row survives
+    store2 = str(tmp_path / "occ2")
+    spark.createDataFrame(
+        [
+            ("t1", "2001", "1", "2", "-35.1", "144.2", "Smith, J.", "r1", "c1", "o1", "dr0", "2026-01-01"),
+            ("t2", "2002", "3", "4", "-30.0", "140.0", "Jones, K.", "r2", "c2", "o2", "dr0", "2026-02-01"),
+            ("t2", "2002", "3", "4", "-30.0", "140.0", "Jones, K.", "r2", "c2", "o3", "dr0", "2026-01-01"),
+        ],
+        "taxonConceptID string, year string, month string, day string,"
+        " decimalLatitude string, decimalLongitude string, recordedBy string,"
+        " recordNumber string, catalogNumber string, occurrenceID string,"
+        " dataResourceUid string, lastModifiedTime string",
+    ).write.mode("overwrite").parquet(store2)
+    moved_out = str(tmp_path / "dups_moved")
+    assert main([
+        "dedup-detect", "--in", store2, "--out", moved_out,
+        "--since", "2026-01-15", "--prev", dup_out,
+    ]) == 0
+    moved = spark.read.parquet(moved_out).collect()
+    keys = {(r["taxon"], r["row_key"]) for r in moved}
+    assert ("t2", "o2") in keys and ("t1", "o2") not in keys
+    st = {r["row_key"]: r["status"] for r in moved}
+    assert st["o1"] == "U" and sorted((st["o2"], st["o3"])) == ["D1", "R"]
+
     jk_store = str(tmp_path / "vals")
     spark.createDataFrame(
         [("g1", float(v)) for v in range(1, 26)] + [("g1", 500.0)],

@@ -1366,6 +1366,110 @@ def test_occurrence_dedup_stream_equals_batch_recompute(spark, tmp_path):
     prev = _latest_dup_version(spark, dup_dir, before=latest_n)
     assert prev is not None and prev != _latest_dup_version(spark, dup_dir)
 
+    # drop 4 MOVES o5 to a new taxon (t2 -> t3): the scope must include
+    # the OLD taxon from the superseded store rows, so the merged store
+    # drops t2's stale row for o5 and recomputes t3 — incremental == full
+    # must survive taxon reassignment
+    (staging / "d4.jsonl").write_text(
+        json.dumps(rec("o5", "dr2", "t3", "-20.0", "130.0"))
+    )
+    q4 = occurrence_dedup_stream(spark, str(staging), store_dir, dup_dir, ckpt)
+    q4.awaitTermination(120)
+    merged4 = spark.read.parquet(_latest_dup_version(spark, dup_dir))
+    from pyspark.sql.window import Window as _W
+
+    raw4 = spark.read.parquet(store_dir)
+    upserted4 = (
+        raw4.withColumn(
+            "__rn",
+            F.row_number().over(
+                _W.partitionBy("occurrenceID").orderBy(F.col("batch").desc())
+            ),
+        )
+        .filter("__rn = 1")
+        .drop("__rn", "batch")
+    )
+    full4 = detect_duplicates(upserted4)
+    assert sorted(map(str, merged4.collect())) == sorted(
+        map(str, full4.collect())
+    )
+    by_key4 = {(r["taxon"], r["row_key"]) for r in merged4.collect()}
+    assert ("t3", "o5") in by_key4 and ("t2", "o5") not in by_key4
+    # o5 and o9 now share t3's group and coordinates: they pair up
+    got4 = {r["row_key"]: r["status"] for r in merged4.collect()}
+    assert {got4["o5"], got4["o9"]} <= {"R", "D1", "D2"}
+
+
+def test_occurrence_dedup_stream_epoch_guard(spark, tmp_path):
+    """Wiping the checkpoint while keeping the duplicate store must fail
+    loudly: batch ids restart at 0 and a silent run would merge against
+    no predecessor (dropping every untouched taxon) and overwrite v=0."""
+    import json
+    import shutil
+
+    from py4j.protocol import Py4JJavaError
+
+    from biocache_store_spark.streaming.incremental import (
+        occurrence_dedup_stream,
+    )
+
+    def rec(oid, taxon):
+        return {
+            "occurrenceID": oid, "dataResourceUid": "dr1",
+            "taxonConceptID": taxon, "year": "2000", "month": "01",
+            "day": "05", "decimalLatitude": "-35.2",
+            "decimalLongitude": "144.8", "recordedBy": "Smith, J.",
+            "recordNumber": None, "catalogNumber": None,
+        }
+
+    staging = tmp_path / "staging"
+    staging.mkdir()
+    (staging / "d1.jsonl").write_text(json.dumps(rec("o1", "t1")))
+    store_dir = str(tmp_path / "store")
+    dup_dir = str(tmp_path / "dups")
+    ckpt = str(tmp_path / "ckpt")
+    q = occurrence_dedup_stream(spark, str(staging), store_dir, dup_dir, ckpt)
+    q.awaitTermination(120)
+    assert os.path.isdir(os.path.join(dup_dir, "v=0"))
+    epoch_dirs = [d for d in os.listdir(dup_dir) if d.startswith("_epoch_")]
+    assert len(epoch_dirs) == 1
+
+    # same checkpoint restarts are fine (same epoch)
+    (staging / "d2.jsonl").write_text(json.dumps(rec("o2", "t1")))
+    q2 = occurrence_dedup_stream(spark, str(staging), store_dir, dup_dir, ckpt)
+    q2.awaitTermination(120)
+
+    # wiped checkpoint + kept dup store: the new query id mismatches the
+    # recorded epoch and the stream must die loudly
+    shutil.rmtree(ckpt)
+    (staging / "d3.jsonl").write_text(json.dumps(rec("o3", "t1")))
+    q3 = occurrence_dedup_stream(spark, str(staging), store_dir, dup_dir, ckpt)
+    with pytest.raises(Exception, match="epoch"):
+        try:
+            q3.awaitTermination(120)
+        except Py4JJavaError as ex:  # surface the java message for match
+            raise RuntimeError(str(ex)) from ex
+
+    # legacy store (no epoch marker) + wiped checkpoint: version-number
+    # heuristic catches it too
+    legacy_dup = str(tmp_path / "dups_legacy")
+    shutil.copytree(dup_dir, legacy_dup)
+    for d in os.listdir(legacy_dup):
+        if d.startswith("_epoch_"):
+            shutil.rmtree(os.path.join(legacy_dup, d))
+    ckpt2 = str(tmp_path / "ckpt2")
+    staging2 = tmp_path / "staging2"
+    staging2.mkdir()
+    (staging2 / "d1.jsonl").write_text(json.dumps(rec("o4", "t1")))
+    q4 = occurrence_dedup_stream(
+        spark, str(staging2), str(tmp_path / "store2"), legacy_dup, ckpt2
+    )
+    with pytest.raises(Exception, match="epoch|does not follow"):
+        try:
+            q4.awaitTermination(120)
+        except Py4JJavaError as ex:
+            raise RuntimeError(str(ex)) from ex
+
 
 def test_near_dup_stream_matches_direct_probe(spark, tmp_path):
     """Streaming drops probed against the seeded LSH index produce

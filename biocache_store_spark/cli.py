@@ -368,6 +368,75 @@ def cmd_jackknife(args) -> int:
     return 0
 
 
+def cmd_outlier_detect(args) -> int:
+    """Record-level jackknife outlier detection with a persisted store
+    (outliers/ReverseJacknifeProcessor.scala storeResultsWithStats +
+    dao/OutlierStatsDAO.scala): detect over layer value columns, or
+    incrementally re-detect the groups touched since --since and merge
+    into the standing store (--prev), touched groups replaced wholesale
+    — including the OLD groups of records that moved (reassignment)."""
+    from pyspark.sql import functions as F
+
+    from biocache_store_spark.operators.dedup import touched_record_ids
+    from biocache_store_spark.operators.outlier_store import (
+        jackknife_record_outliers,
+        merge_outlier_results,
+    )
+
+    spark = _spark(args)
+    df = _read(spark, args.inp)
+    group_cols = _split(args.group_cols)
+    detect = lambda d: jackknife_record_outliers(  # noqa: E731
+        d,
+        group_cols,
+        _split(args.layer_cols),
+        args.id_col,
+        cell_col=args.cell_col,
+    )
+    if getattr(args, "since", None):
+        if not getattr(args, "prev", None):
+            print(
+                "outlier-detect: --since needs --prev (the standing store "
+                "the incremental re-run merges into)",
+                file=sys.stderr,
+            )
+            return 2
+        if os.path.abspath(args.prev) == os.path.abspath(args.out):
+            print(
+                "outlier-detect: --out must differ from --prev (the merge "
+                "reads the previous store lazily while writing the new "
+                "one; write to a fresh directory and swap)",
+                file=sys.stderr,
+            )
+            return 2
+        prev = _read(spark, args.prev)
+        from biocache_store_spark.operators.dedup import _modified_since
+
+        changed = _modified_since(df, args.since, args.modified_col)
+        groups = changed.select(
+            *[F.col(c).cast("string").alias(c) for c in group_cols]
+        ).distinct()
+        # old groups of moved records, from the standing store
+        changed_ids = touched_record_ids(
+            df, args.since, modified_col=args.modified_col, id_col=args.id_col
+        )
+        old_groups = (
+            prev.join(changed_ids, "row_key", "left_semi")
+            .select(*group_cols)
+            .distinct()
+        )
+        groups = groups.unionByName(old_groups).distinct()
+        inc = detect(df.join(groups, group_cols, "left_semi"))
+        out = merge_outlier_results(prev, inc, groups, group_cols)
+        scope = "incremental"
+    else:
+        out = detect(df)
+        scope = "full"
+    out.write.mode("overwrite").parquet(args.out)
+    print(f"outliers ({scope}) {args.inp} -> {args.out}")
+    return 0
+
+
 def cmd_delete(args) -> int:
     """DeleteRecords / DeleteLocalDataResource (tool/DeleteRecords):
     delete by keys or by query, with the surviving store written out."""
@@ -1364,6 +1433,23 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--in", dest="inp", required=True)
     sp.add_argument("--group-cols", dest="group_cols", required=True)
     sp.add_argument("--value-col", dest="value_col", required=True)
+    sp.add_argument("--out", required=True)
+
+    sp = tool(
+        "outlier-detect",
+        cmd_outlier_detect,
+        "record-level jackknife outliers with a persisted store",
+    )
+    sp.add_argument("--in", dest="inp", required=True)
+    sp.add_argument("--group-cols", dest="group_cols", required=True)
+    sp.add_argument("--layer-cols", dest="layer_cols", required=True)
+    sp.add_argument("--id-col", dest="id_col", default="occurrenceID")
+    sp.add_argument("--cell-col", dest="cell_col", default=None)
+    sp.add_argument("--since", default=None, help="re-detect groups touched since")
+    sp.add_argument(
+        "--modified-col", dest="modified_col", default="lastModifiedTime"
+    )
+    sp.add_argument("--prev", default=None, help="standing outlier store to merge into")
     sp.add_argument("--out", required=True)
 
     sp = tool("delete", cmd_delete, "delete by keys or query")

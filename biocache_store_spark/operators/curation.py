@@ -286,20 +286,27 @@ def cap_per_domain(
     # real hostname): each junk-URL row is its own 1-row window (rn = 1,
     # always kept) instead of every NULL pooling into one skewed
     # partition that a garbage-heavy crawl would sort in a single task.
-    # The id side is itself coalesced (concat of a NULL id would return
-    # NULL and re-pool those rows): a NULL-id junk row falls back to a
-    # per-row monotonic id, keeping the pass-through guarantee.
+    # The monotonic id is appended UNCONDITIONALLY: keying the sentinel
+    # by id alone would pool junk rows SHARING an id value and silently
+    # cap them, and the pass-through guarantee must not depend on id
+    # hygiene. (Task retries may renumber the monotonic ids, but every
+    # sentinel partition stays single-row — rn = 1 regardless — so the
+    # output is retry-deterministic anyway.)
     part = F.coalesce(
         F.col("__domain"),
         F.concat(
-            F.lit("\x00"),
-            F.coalesce(
-                F.col(id_col).cast("string"),
-                F.monotonically_increasing_id().cast("string"),
-            ),
+            F.lit("\x00"), F.monotonically_increasing_id().cast("string")
         ),
     )
-    w = Window.partitionBy(part).orderBy(id_col)
+    # "first max_docs by id, deterministically" must hold on dirty input
+    # too: Spark sorts ASC NULLS FIRST by default, which would hand
+    # NULL-id rows the cap slots ahead of every real id — so NULLs sort
+    # LAST, and a content hash breaks ties among them (rows identical in
+    # every column remain interchangeable, so the surviving multiset is
+    # still deterministic under any partitioning).
+    w = Window.partitionBy(part).orderBy(
+        F.col(id_col).asc_nulls_last(), F.xxhash64(*docs.columns)
+    )
     return (
         keyed.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= max_docs)

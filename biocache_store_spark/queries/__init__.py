@@ -53,69 +53,21 @@ def register(
 
 
 # The external driver oracle-checks a 50-slot prefix of the registry per
-# round. Round-7 rotation (VERDICT r6 "Next round" #1): the seven queries
-# whose behavior or oracle changed this round first, then the sixteen
-# r4-era entries that overflowed round 6's prefix (closing the staleness
-# rotation — after this round every registry entry has driver evidence
-# from round 5 or later), then 27 r5-era refreshes. The 50 entries
-# driver-green in CORRECTNESS_r06 yield their slots.
+# round. Round-8 rotation (VERDICT r7 "Next round" #2): the two new
+# queries and three whose behavior changed this round first, then ALL 27
+# r5-era refreshes (the post-marker remainder VERDICT r7 listed — after
+# this round every entry's driver evidence is r6 or newer), then 18
+# r6-era refreshes. The remaining 25 r6-era entries stay deprioritized
+# and rotate next round alongside any round-9 changes.
 HEAD: tuple[str, ...] = (
-    # NEW in round 7 — never driver-checked
-    "dedup_incremental_merge",       # incremental == full-run oracle
-    "histogram_threshold_refined",   # bottom-bin two-pass derivation
-    "endemism_density_layers",       # calculated-layer aggregations
-    "domain_cap_filter",             # URL blocklist + per-domain cap
-    # behavior or oracle changed in round 7 — must re-check first
-    "dwca_roundtrip",        # + Multimedia extension (image.csv in the hash)
-    "training_shard_plan",   # shard now from 4 md5 bytes (oracle updated)
-    "dsir_threshold_select", # histogram_threshold refine=1 default
-    "dsir_selection",        # dsir_importance smoothing-term refactor
-    "ngram_jaccard_pairs",   # dynamic-budget NULL fallback to df=2
-    "lsh_index_probe",       # legacy-index meta rejection
-    "sds_generalization",    # apply_sds state_col threading
-    # r4-era: the sixteen entries that overflowed round 6's prefix
-    "state_centroid_inference",
-    "stored_query_bbox",
-    "streaming_event_windows",
-    "text_redact_pii",
-    "text_repetition_stats",
-    "tfidf_top_terms",
-    "utm_inverse",
-    "verbatim_coord_parse",
-    "text_simhash",
-    "text_fingerprint",
-    "text_language_id",
-    "text_quality_score",
-    "license_canonicalize",
-    "salted_skew_join",
-    "doc_chunking",
-    "stratified_sample",
-    # r5-era refreshes (checked r5, untouched since — oldest evidence next)
-    "span_dedup",
-    "sequence_packing",
-    "embedding_quantize",
-    "bpe_token_stats",
-    "coordinate_uncertainty_check",
-    "grouped_percentiles",
-    "habitat_biome_match",
-    "media_thumbnail_sizes",
-    "lang_mismatch_report",
-    "corpus_mixture_plan",
-    "dup_inflation_by_source",
-    "boilerplate_removal",
-    "semantic_dedup",
-    "bigram_lm_score",
-    "dedup_representative",
-    "embedding_pq_topk",
-    "kmeans_cells",
-    "facet_rollup",
-    "model_quality_gate",
-    "snapshot_diff_rollup",
-    "gopher_quality_flags",
-    "dedup_occurrence_clusters",
-    "fuzzy_date_parse",
-    # --- 50-slot prefix ends here ---
-    # r5-era remainder: rotate into the prefix next round
+    # NEW in round 8 — never driver-checked
+    "dwca_event_core_roundtrip",  # EventCoreExtractor parity round trip
+    "outlier_store_merge",        # persisted outlier store, inc == full
+    # behavior changed in round 8 — must re-check first
+    "dedup_incremental_merge",  # merge_dedup_results row_key anti-join
+    "domain_cap_filter",        # cap ordering: nulls-last + content tiebreak
+    "dwca_roundtrip",           # load_archive core-rowType dispatch added
+    # r5-era refreshes (oldest evidence in the registry)
     "gridref_parse",
     "expert_outlier_flags",
     "jackknife_outlier_stats",
@@ -143,11 +95,7 @@ HEAD: tuple[str, ...] = (
     "indexed_field_scan",
     "multiget",
     "point_lookup",
-)
-
-DEPRIORITIZED: tuple[str, ...] = (
-    # all driver-green in CORRECTNESS_r06 (hash+rows+schema) and untouched
-    # this round — they yield their prefix slots to the rotation above.
+    # r6-era refreshes (first 18 of the r6-green set; the other 25 next)
     "user_assertion_lifecycle",
     "minhash_near_duplicates",
     "corpus_curation",
@@ -166,6 +114,14 @@ DEPRIORITIZED: tuple[str, ...] = (
     "distinct_values",
     "grouped_stats",
     "event_facet_counts",
+    # --- 50-slot prefix ends here ---
+)
+
+DEPRIORITIZED: tuple[str, ...] = (
+    # driver-green in CORRECTNESS_r07 (the r7 prefix) or r6 (the r6-era
+    # remainder below) and untouched this round — they yield their
+    # prefix slots to the rotation above.
+    # r6-era remainder (rotate into the prefix in round 9):
     "event_json_extract",
     "event_hourly_histogram",
     "range_filter_facet",
@@ -191,6 +147,54 @@ DEPRIORITIZED: tuple[str, ...] = (
     "ngram_decontamination",
     "sample_layers_enrich",
     "simhash_near_duplicates",
+    # checked green in r7, unchanged in round 8:
+    "histogram_threshold_refined",
+    "endemism_density_layers",
+    "training_shard_plan",
+    "dsir_threshold_select",
+    "dsir_selection",
+    "ngram_jaccard_pairs",
+    "lsh_index_probe",
+    "sds_generalization",
+    "state_centroid_inference",
+    "stored_query_bbox",
+    "streaming_event_windows",
+    "text_redact_pii",
+    "text_repetition_stats",
+    "tfidf_top_terms",
+    "utm_inverse",
+    "verbatim_coord_parse",
+    "text_simhash",
+    "text_fingerprint",
+    "text_language_id",
+    "text_quality_score",
+    "license_canonicalize",
+    "salted_skew_join",
+    "doc_chunking",
+    "stratified_sample",
+    "span_dedup",
+    "sequence_packing",
+    "embedding_quantize",
+    "bpe_token_stats",
+    "coordinate_uncertainty_check",
+    "grouped_percentiles",
+    "habitat_biome_match",
+    "media_thumbnail_sizes",
+    "lang_mismatch_report",
+    "corpus_mixture_plan",
+    "dup_inflation_by_source",
+    "boilerplate_removal",
+    "semantic_dedup",
+    "bigram_lm_score",
+    "dedup_representative",
+    "embedding_pq_topk",
+    "kmeans_cells",
+    "facet_rollup",
+    "model_quality_gate",
+    "snapshot_diff_rollup",
+    "gopher_quality_flags",
+    "dedup_occurrence_clusters",
+    "fuzzy_date_parse",
 )
 
 

@@ -152,6 +152,169 @@ def jackknife_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "outlier_store_merge",
+    doc=(
+        "Persisted record-level outlier store with incremental merge "
+        "(operators/outlier_store.py — ReverseJacknifeProcessor.scala "
+        "storeResultsWithStats :324-412 / dao/OutlierStatsDAO.scala): a "
+        "T0 store (records modified before the cutoff) is fully "
+        "detected, the T1 ingest's touched groups are re-detected over "
+        "ALL their records and merged in (touched groups replaced "
+        "wholesale, untouched pass through, moved row_keys scrubbed). "
+        "Synthetic extremes are injected into BOTH touched and untouched "
+        "groups across two layers, so inherited rows and recomputed rows "
+        "both carry outliers under the hash. Values are FLOORED to "
+        "integers-as-doubles so both engines' means are exact sums. The "
+        "oracle is the FULL-run ground truth on the T1 store — the hash "
+        "asserts incremental merge == full recompute, with record-level "
+        "outlier membership by VALUE (the reference maps outlier values "
+        "back to cells, performJacknife :433-463)."
+    ),
+    oracle="""
+        WITH rec AS (
+            SELECT l_returnflag || '_' || CAST(l_orderkey % 4 AS VARCHAR)
+                       AS taxon,
+                   CAST(l_orderkey AS VARCHAR) || '-'
+                       || CAST(l_linenumber AS VARCHAR) || '-'
+                       || CAST(l_partkey AS VARCHAR) || '-'
+                       || CAST(l_suppkey AS VARCHAR) || '-'
+                       || CAST(CAST(l_quantity AS INTEGER) AS VARCHAR) || '-'
+                       || CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+                               AS VARCHAR) AS row_key,
+                   FLOOR(l_extendedprice
+                         * CASE WHEN l_orderkey % 501 = 0 AND l_linenumber = 1
+                                THEN 12 ELSE 1 END) AS el_price,
+                   FLOOR(l_extendedprice
+                         * (CAST(1.0 AS DOUBLE) - l_discount)
+                         * CASE WHEN l_orderkey % 703 = 0 AND l_linenumber = 1
+                                THEN 15 ELSE 1 END) AS el_net
+            FROM lineitem
+        ),
+        long AS (
+            SELECT taxon, 'el_price' AS layer, row_key, el_price AS v FROM rec
+            UNION ALL
+            SELECT taxon, 'el_net' AS layer, row_key, el_net AS v FROM rec
+        ),
+        s AS (
+            SELECT *, COUNT(*) OVER w AS n, AVG(v) OVER w AS mean_v,
+                   MIN(v) OVER w AS min_v, MAX(v) OVER w AS max_v,
+                   STDDEV_POP(v) OVER w AS sd_v
+            FROM long WINDOW w AS (PARTITION BY taxon, layer)
+        ),
+        y AS (
+            SELECT *,
+              (0.95 * sqrt(n) + 0.2) * ((max_v - min_v)
+                  / CAST(50.0 AS DOUBLE)) AS threshold,
+              CASE WHEN v < mean_v THEN
+                     (LEAD(v) OVER (PARTITION BY taxon, layer
+                                    ORDER BY v, row_key) - v) * (mean_v - v)
+                   WHEN v > mean_v THEN
+                     (v - LAG(v) OVER (PARTITION BY taxon, layer
+                                       ORDER BY v, row_key)) * (v - mean_v)
+                   ELSE CAST(0.0 AS DOUBLE) END / sd_v AS c
+            FROM s WHERE max_v > min_v AND n >= 20
+        ),
+        cuts AS (
+            SELECT taxon, layer,
+                   MAX(CASE WHEN v < mean_v AND c > threshold THEN v END)
+                       AS lo_val,
+                   MIN(CASE WHEN v > mean_v AND c > threshold THEN v END)
+                       AS hi_val
+            FROM y GROUP BY taxon, layer
+        ),
+        flagged AS (
+            SELECT y.*,
+                   ((cuts.lo_val IS NOT NULL AND y.v <= cuts.lo_val)
+                    OR (cuts.hi_val IS NOT NULL AND y.v >= cuts.hi_val))
+                       AS flag
+            FROM y JOIN cuts USING (taxon, layer)
+        ),
+        fs AS (
+            SELECT taxon, layer,
+                   SUM(CASE WHEN flag THEN 1 ELSE 0 END) > MAX(n) // 2
+                       AS failsafe
+            FROM flagged GROUP BY taxon, layer
+        )
+        SELECT f.taxon, f.layer, f.row_key, f.v AS val,
+               (f.flag AND NOT fs.failsafe) AS is_outlier,
+               f.n AS sample_size,
+               ROUND(f.threshold, 4) + 0.0 AS threshold,
+               fs.failsafe AS trigger_failsafe
+        FROM flagged f JOIN fs USING (taxon, layer)
+    """,
+)
+def outlier_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.outlier_store import (
+        jackknife_record_outliers,
+        merge_outlier_results,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    ok = F.col("l_orderkey")
+    boost = lambda m, x: F.when(  # noqa: E731
+        (F.pmod(ok, F.lit(m)) == 0) & (F.col("l_linenumber") == 1), F.lit(x)
+    ).otherwise(F.lit(1))
+    recs = li.select(
+        F.concat(
+            F.col("l_returnflag"),
+            F.lit("_"),
+            F.pmod(ok, F.lit(4)).cast("string"),
+        ).alias("taxon"),
+        # the synthetic lineitem table does NOT keep (orderkey,
+        # linenumber) unique, so the record id folds in enough columns to
+        # be a real key at every SF (FLOOR, not ROUND: identical IEEE
+        # doubles floor identically in both engines)
+        F.concat_ws(
+            "-",
+            ok.cast("string"),
+            F.col("l_linenumber").cast("string"),
+            F.col("l_partkey").cast("string"),
+            F.col("l_suppkey").cast("string"),
+            F.col("l_quantity").cast("int").cast("string"),
+            F.floor(F.col("l_extendedprice") * 100).cast("bigint").cast("string"),
+        ).alias("oid"),
+        F.floor(F.col("l_extendedprice") * boost(501, 12))
+        .cast("double")
+        .alias("el_price"),
+        F.floor(
+            F.col("l_extendedprice")
+            * (F.lit(1.0) - F.col("l_discount"))
+            * boost(703, 15)
+        )
+        .cast("double")
+        .alias("el_net"),
+        # orderkey%10==0 records arrive at T1: only their taxa
+        # (suffix _0/_2 — multiples of 10 are even) are touched
+        F.when(F.pmod(ok, F.lit(10)) == 0, F.lit("2026-02-01"))
+        .otherwise(F.lit("2026-01-01"))
+        .alias("lastModifiedTime"),
+    )
+    detect = lambda d: jackknife_record_outliers(  # noqa: E731
+        d, ["taxon"], ["el_price", "el_net"], "oid"
+    )
+    t1 = recs
+    t0 = recs.filter(F.col("lastModifiedTime") < "2026-01-15")
+    prev = detect(t0)
+    groups = (
+        t1.filter(F.col("lastModifiedTime") >= "2026-01-15")
+        .select("taxon")
+        .distinct()
+    )
+    inc = detect(t1.join(groups, "taxon", "left_semi"))
+    merged = merge_outlier_results(prev, inc, groups, ["taxon"])
+    return merged.select(
+        "taxon",
+        "layer",
+        "row_key",
+        F.col("value").alias("val"),
+        "is_outlier",
+        F.col("sample_size").cast("long").alias("sample_size"),
+        (F.round("threshold", 4) + F.lit(0.0)).alias("threshold"),
+        "trigger_failsafe",
+    )
+
+
 _QID_QUERY = "o_orderpriority:1-URGENT AND o_totalprice:[100000 TO *]"
 
 

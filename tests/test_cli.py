@@ -196,6 +196,62 @@ def test_cli_dedup_and_jackknife(spark, tmp_path):
     st = {r["row_key"]: r["status"] for r in moved}
     assert st["o1"] == "U" and sorted((st["o2"], st["o3"])) == ["D1", "R"]
 
+    # outlier-detect: full run, then an incremental --since/--prev merge
+    # that must equal a full recompute
+    occ3 = str(tmp_path / "occ3")
+    rows3 = [("tA", f"a{i}", f"a{i}", float(i + 1), "2026-01-01") for i in range(25)]
+    rows3.append(("tA", "aX", "aX", 500.0, "2026-01-01"))
+    rows3 += [("tB", f"b{i}", f"b{i}", float(i + 1), "2026-01-01") for i in range(25)]
+    # T1 adds an extreme to tB only
+    rows3.append(("tB", "bX", "bX", 400.0, "2026-02-01"))
+    spark.createDataFrame(
+        [(t, o, c, v, m) for (t, o, c, v, m) in rows3],
+        "taxon string, oid string, cid string, el1 double,"
+        " lastModifiedTime string",
+    ).write.mode("overwrite").parquet(occ3)
+    full_out = str(tmp_path / "outliers_full")
+    assert main([
+        "outlier-detect", "--in", occ3, "--group-cols", "taxon",
+        "--layer-cols", "el1", "--id-col", "oid", "--out", full_out,
+    ]) == 0
+    full_rows = spark.read.parquet(full_out)
+    assert {
+        r["row_key"] for r in full_rows.filter("is_outlier").collect()
+    } == {"aX", "bX"}
+
+    # standing store = full detect over T0 (drop the T1 arrival)
+    t0_store = str(tmp_path / "occ3_t0")
+    spark.read.parquet(occ3).filter(
+        "lastModifiedTime < '2026-01-15'"
+    ).write.parquet(t0_store)
+    prev_out = str(tmp_path / "outliers_prev")
+    assert main([
+        "outlier-detect", "--in", t0_store, "--group-cols", "taxon",
+        "--layer-cols", "el1", "--id-col", "oid", "--out", prev_out,
+    ]) == 0
+    inc_out = str(tmp_path / "outliers_inc")
+    assert main([
+        "outlier-detect", "--in", occ3, "--group-cols", "taxon",
+        "--layer-cols", "el1", "--id-col", "oid", "--out", inc_out,
+        "--since", "2026-01-15", "--prev", prev_out,
+    ]) == 0
+    merged = spark.read.parquet(inc_out)
+    key = lambda r: (r["taxon"], r["layer"], r["row_key"])  # noqa: E731
+    assert sorted(map(str, sorted(merged.collect(), key=key))) == sorted(
+        map(str, sorted(full_rows.collect(), key=key))
+    )
+    # --since without --prev and --prev==--out both refuse
+    assert main([
+        "outlier-detect", "--in", occ3, "--group-cols", "taxon",
+        "--layer-cols", "el1", "--id-col", "oid", "--out", inc_out,
+        "--since", "2026-01-15",
+    ]) == 2
+    assert main([
+        "outlier-detect", "--in", occ3, "--group-cols", "taxon",
+        "--layer-cols", "el1", "--id-col", "oid", "--out", prev_out,
+        "--since", "2026-01-15", "--prev", prev_out,
+    ]) == 2
+
     jk_store = str(tmp_path / "vals")
     spark.createDataFrame(
         [("g1", float(v)) for v in range(1, 26)] + [("g1", 500.0)],

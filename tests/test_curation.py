@@ -322,6 +322,47 @@ def test_domain_curation_blocklist_and_cap(spark):
         cap_per_domain(docs, 0)
 
 
+def test_cap_per_domain_dirty_input_determinism(spark):
+    """The 'first K by id, deterministically' contract on dirty input:
+    NULL-id rows must NOT win cap slots ahead of real ids (ASC NULLS
+    FIRST would), ties among NULL-id rows resolve deterministically by
+    content, and NULL-domain rows sharing one id value all pass through
+    (the sentinel is per-row, never pooled by id)."""
+    from biocache_store_spark.operators.curation import cap_per_domain
+
+    rows = [
+        (1, "http://d.example/1", "a"),
+        (2, "http://d.example/2", "b"),
+        (None, "http://d.example/3", "c"),
+        (None, "http://d.example/4", "d"),
+        (None, "http://d.example/5", "e"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    # cap 2: both real ids survive, no NULL-id row sneaks in
+    got = cap_per_domain(docs, 2).collect()
+    assert sorted(r["doc_id"] for r in got) == [1, 2]
+    # cap 3: the one surviving NULL-id row is the same under repeated
+    # runs and different partitionings (content-hash tiebreak)
+    survivors = set()
+    for n_parts in (1, 7):
+        out = cap_per_domain(docs.repartition(n_parts), 3).collect()
+        ids = sorted((r["doc_id"] is None, r["text"]) for r in out)
+        survivors.add(tuple(ids))
+    assert len(survivors) == 1
+    assert sum(1 for isnull, _ in next(iter(survivors)) if isnull) == 1
+
+    # NULL-domain rows POOLING one id value: all pass through, cap or no
+    junk = spark.createDataFrame(
+        [(9, "junk one"), (9, "junk two"), (9, "junk three"),
+         (9, "http://ok.example/a"), (9, "http://ok.example/b")],
+        "doc_id long, url string",
+    )
+    out = cap_per_domain(junk, 1).collect()
+    # 3 junk rows pass through + 1 of the 2 ok.example rows
+    assert len(out) == 4
+    assert sum(1 for r in out if r["url"].startswith("junk")) == 3
+
+
 def test_plan_training_shards_layout(spark):
     """plan_training_shards: deterministic across partitionings, dense
     0-based positions per shard, token_offset = prefix sum of sizes."""

@@ -197,3 +197,106 @@ def test_qid_store_put_get_round_trip(spark, tmp_path):
     )
     kept = {r["v"] for r in df.filter(got.predicate()).collect()}
     assert kept == {"x"}  # inside bbox, both coords present
+
+
+def test_jackknife_record_outliers_cells_and_layers(spark):
+    """Record-level jackknife (operators/outlier_store.py): outlier VALUES
+    map back to cells and every record in a flagged cell is an outlier
+    (performJacknife, ReverseJacknifeProcessor.scala:433-463); a
+    zero-range layer is never tested; under-threshold groups drop."""
+    from biocache_store_spark.operators.outlier_store import (
+        jackknife_record_outliers,
+        outlier_for_layers,
+    )
+
+    rows = [
+        ("t1", f"r{i}", f"cell{i}", float(i + 1), 3.0) for i in range(25)
+    ]
+    # the extreme lives in cell25; record rY sits in the SAME cell with a
+    # different value — cell membership must flag it too
+    rows.append(("t1", "rX", "cell25", 500.0, 3.0))
+    rows.append(("t1", "rY", "cell25", 501.0, 3.0))
+    # a second taxon with too few samples: never tested
+    rows += [("t2", f"s{i}", f"c{i}", float(i), 3.0) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "taxon string, oid string, cid string, el1 double, el2 double"
+    )
+    out = jackknife_record_outliers(
+        df, ["taxon"], ["el1", "el2"], "oid", cell_col="cid"
+    )
+    rows_out = out.collect()
+    # el2 is constant (threshold 0) and t2 is under-threshold: only t1/el1
+    assert {(r["taxon"], r["layer"]) for r in rows_out} == {("t1", "el1")}
+    got = {r["row_key"]: r["is_outlier"] for r in rows_out}
+    assert got["rX"] and got["rY"]  # cell-mates flagged together
+    assert not any(got[f"r{i}"] for i in range(25))
+    # the cell sample is MIN(value): the group's max_value is the sampled
+    # 500.0, not rY's 501.0
+    assert {r["max_value"] for r in rows_out} == {500.0}
+    ofl = {r["row_key"]: r for r in outlier_for_layers(out).collect()}
+    assert set(ofl) == {"rX", "rY"}
+    assert ofl["rX"]["outlier_for_layers"] == ["el1"]
+    assert ofl["rX"]["outlier_for_layers_count"] == 1
+
+
+def test_outlier_store_incremental_merge_equals_full(spark):
+    """The duplicates-store pattern applied to outliers: T1 adds records
+    to one taxon; re-detecting only the touched taxon and merging into
+    the T0 store equals a full T1 recompute, the revert set names the
+    record that stopped being an outlier, and untouched taxa pass
+    through unchanged."""
+    from biocache_store_spark.operators.outlier_store import (
+        jackknife_record_outliers,
+        merge_outlier_results,
+        obsolete_outlier_records,
+    )
+
+    detect = lambda d: jackknife_record_outliers(  # noqa: E731
+        d, ["taxon"], ["el1"], "oid"
+    )
+    # t1 at T0: spread 1..25 plus a mild extreme 60 -> 60 is an outlier
+    t0_rows = [("t1", f"r{i}", float(i + 1)) for i in range(25)]
+    t0_rows.append(("t1", "rX", 60.0))
+    # tU: untouched taxon with its own outlier
+    t0_rows += [("tU", f"u{i}", float(i + 1)) for i in range(25)]
+    t0_rows.append(("tU", "uX", 500.0))
+    # T1 adds values 26..59 to t1: the gap closes and rX stops being an
+    # outlier
+    t1_rows = t0_rows + [
+        ("t1", f"n{i}", float(26 + i)) for i in range(34)
+    ]
+    t0 = spark.createDataFrame(t0_rows, "taxon string, oid string, el1 double")
+    t1 = spark.createDataFrame(t1_rows, "taxon string, oid string, el1 double")
+
+    prev = detect(t0)
+    assert {
+        r["row_key"] for r in prev.filter("is_outlier").collect()
+    } == {"rX", "uX"}
+
+    groups = spark.createDataFrame([("t1",)], "taxon string")
+    inc = detect(t1.join(groups, "taxon", "left_semi"))
+    merged = merge_outlier_results(prev, inc, groups, ["taxon"])
+    full = detect(t1)
+    key = lambda r: (r["taxon"], r["layer"], r["row_key"])  # noqa: E731
+    assert sorted(map(str, sorted(merged.collect(), key=key))) == sorted(
+        map(str, sorted(full.collect(), key=key))
+    )
+    # revert set: rX left the outlier set, uX (untouched) did not
+    gone = {r["row_key"] for r in obsolete_outlier_records(prev, merged).collect()}
+    assert gone == {"rX"}
+
+
+def test_outlier_stats_table_projection(spark):
+    from biocache_store_spark.operators.outlier_store import (
+        jackknife_record_outliers,
+        outlier_stats_table,
+    )
+
+    rows = [("t1", f"r{i}", float(i + 1)) for i in range(25)]
+    rows.append(("t1", "rX", 500.0))
+    df = spark.createDataFrame(rows, "taxon string, oid string, el1 double")
+    rec = jackknife_record_outliers(df, ["taxon"], ["el1"], "oid")
+    st = outlier_stats_table(rec, ["taxon"]).collect()
+    assert len(st) == 1
+    assert st[0]["taxon"] == "t1" and st[0]["layer"] == "el1"
+    assert st[0]["sample_size"] == 26

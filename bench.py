@@ -64,11 +64,15 @@ def main() -> int:
     )
     _force(near_duplicates(synth, threshold=0.1))
 
-    # three timed executions per query, report the min: the minimum of N
-    # runs is the standard steady-state estimator — it measures the plan
-    # while discarding one-off interference (GC pause, compile, a
-    # noisy-neighbor burst on the host), which a single sample cannot
-    # distinguish from real cost
+    # three timed executions per query; BOTH estimators are reported so
+    # rounds measured under different conventions stay comparable:
+    #   * queries / value        — min-of-3, the steady-state estimator
+    #     (discards one-off interference a single sample cannot
+    #     distinguish from plan cost: GC pause, compile, a noisy-neighbor
+    #     burst);
+    #   * queries_first_pass / value_first_pass — the first warm pass,
+    #     the single-pass convention BENCH_r01-r06 used (BASELINE.md's 2x
+    #     bar was anchored on it).
     # the samples run as FULL passes (not back-to-back) so one
     # tens-of-seconds interference burst cannot land on every sample of
     # the same query; a forced JVM GC between passes keeps the garbage of
@@ -77,6 +81,7 @@ def main() -> int:
     # the same plans ~10-20% faster than late-pass shared-session runs —
     # that gap is session accumulation, not plan cost; see SCALE.md)
     timings: dict[str, float] = {}
+    first_pass: dict[str, float] = {}
     for _pass in range(3):
         if _pass:
             spark.sparkContext._jvm.System.gc()
@@ -84,13 +89,18 @@ def main() -> int:
             start = time.perf_counter()
             _force(q.spark_fn(spark, data_dir))
             sec = time.perf_counter() - start
+            if _pass == 0:
+                first_pass[name] = round(sec, 3)
             timings[name] = round(min(timings.get(name, float("inf")), sec), 3)
 
     result = {
         "metric": "headline_queries_total_wall_clock",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        "estimator": "min_of_3_passes",
         "queries": timings,
+        "value_first_pass": round(sum(first_pass.values()), 3),
+        "queries_first_pass": first_pass,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(result))

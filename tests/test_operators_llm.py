@@ -1631,3 +1631,84 @@ def test_semantic_decontamination_cross_set_only(spark):
         train, ev, dim=2, threshold=0.5, n_planes=4, max_bucket=1
     ).collect()
     assert dropped == []
+
+
+def _has_pillow() -> bool:
+    try:
+        import PIL  # type: ignore # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _make_png(width: int, height: int, rgb=(200, 30, 30)) -> bytes:
+    """A real, valid RGB PNG built with stdlib only (zlib + struct), so
+    the opt-in Pillow test does not need Pillow to CREATE its fixture."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    row = b"\x00" + bytes(rgb) * width  # filter 0 + RGB pixels
+    idat = zlib.compress(row * height)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.skipif(
+    not _has_pillow(),
+    reason="Pillow not installed (opt-in real-decode path)",
+)
+def test_real_pillow_decode_and_thumbnail(spark):
+    """Opt-in executed evidence for the REAL media decoder (the
+    Thumbnailer.scala JAI/ImageIO analog): decode_media(real_decode=True)
+    must read the actual pixel dimensions and colors out of a genuine
+    PNG, and thumbnail_media must emit really-resized JPEG renditions
+    whose bytes differ from the placeholder path."""
+    from biocache_store_spark.operators.multimodal import (
+        decode_media,
+        thumbnail_media,
+    )
+
+    png = _make_png(640, 480, rgb=(200, 30, 30))
+    media = spark.createDataFrame(
+        [("m1", "r1", "image", "image/png", png)],
+        "media_id string, record_id string, media_type string,"
+        " mime_type string, content binary",
+    ).withColumn(
+        "metadata",
+        F.struct(
+            F.lit(None).cast("string").alias("url"),
+            F.lit(640).cast("int").alias("width"),
+            F.lit(480).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit(None).cast("string").alias("creator"),
+            F.lit(None).cast("string").alias("license"),
+        ),
+    )
+    feats = decode_media(media, real_decode=True).collect()[0]["features"]
+    # [w/1e4, h/1e4, mean R, mean G, mean B, aspect, ...]
+    assert abs(feats[0] - 0.064) < 1e-6 and abs(feats[1] - 0.048) < 1e-6
+    assert feats[2] > 0.7 and feats[3] < 0.2 and feats[4] < 0.2  # red image
+    assert abs(feats[5] - 640 / 480) < 1e-6
+
+    thumbs = {r["size_name"]: r for r in thumbnail_media(media).collect()}
+    assert thumbs["thumb"]["real_resize"] and thumbs["thumb"]["resized"]
+    assert (thumbs["thumb"]["width"], thumbs["thumb"]["height"]) == (100, 75)
+    # the payload is a real JPEG, not the md5 placeholder
+    assert bytes(thumbs["thumb"]["content"])[:2] == b"\xff\xd8"
+    # the 'large' edge (650) exceeds both dims: copy-unchanged branch
+    assert not thumbs["large"]["resized"]
+    assert bytes(thumbs["large"]["content"]) == png

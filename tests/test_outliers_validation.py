@@ -300,3 +300,63 @@ def test_outlier_stats_table_projection(spark):
     assert len(st) == 1
     assert st[0]["taxon"] == "t1" and st[0]["layer"] == "el1"
     assert st[0]["sample_size"] == 26
+
+
+def test_window_jackknife_equals_python_kernel(spark):
+    """jackknife_record_outliers' window-based cutoffs must produce
+    exactly the Python reference kernel's outputs — stats, per-sample
+    flags (by value membership) and failsafe — across shapes with
+    duplicates, both-tail extremes, failsafe groups and near-threshold
+    gaps."""
+    import random
+
+    from biocache_store_spark.operators.jackknife import jackknife
+    from biocache_store_spark.operators.outlier_store import (
+        jackknife_record_outliers,
+    )
+
+    rng = random.Random(8)
+    groups = {}
+    # g0: spread + high extreme; g1: duplicates + low extreme;
+    # g2: bimodal (failsafe); g3: uniform with duplicate runs;
+    # g4-g9: random mixtures
+    groups["g0"] = [float(i) for i in range(30)] + [400.0]
+    groups["g1"] = [10.0] * 10 + [float(10 + i) for i in range(15)] + [-300.0]
+    groups["g2"] = [1.0 * i for i in range(12)] + [500.0 + i for i in range(12)]
+    groups["g3"] = [float(i // 3) for i in range(36)]
+    for k in range(4, 10):
+        n = rng.randint(20, 120)
+        vals = [round(rng.gauss(100, 15), 1) for _ in range(n)]
+        for _ in range(rng.randint(0, 3)):
+            vals.append(round(rng.choice([-1, 1]) * rng.uniform(300, 900), 1))
+        groups[f"g{k}"] = vals
+    rows = [
+        (g, f"{g}-{i}", v)
+        for g, vals in groups.items()
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "taxon string, oid string, el1 double")
+    got = jackknife_record_outliers(df, ["taxon"], ["el1"], "oid")
+    by_group = {}
+    for r in got.collect():
+        by_group.setdefault(r["taxon"], []).append(r)
+
+    for g, vals in groups.items():
+        stats = jackknife(vals)
+        if stats is None or stats.threshold <= 0:
+            assert g not in by_group  # untested group emits nothing
+            continue
+        assert g in by_group, g
+        grows = by_group[g]
+        assert len(grows) == len(vals)
+        r0 = grows[0]
+        assert r0["sample_size"] == stats.sample_size
+        assert abs(r0["mean_value"] - stats.mean) < 1e-9 * max(1, abs(stats.mean))
+        assert abs(r0["std_dev"] - stats.std_dev) < 1e-9 * max(1, stats.std_dev)
+        assert abs(r0["threshold"] - stats.threshold) < 1e-9 * max(1, stats.threshold)
+        assert r0["trigger_failsafe"] == stats.trigger_failsafe
+        want = set(stats.outlier_values)
+        for r in grows:
+            assert r["is_outlier"] == (r["value"] in want), (
+                g, r["row_key"], r["value"], sorted(want)
+            )

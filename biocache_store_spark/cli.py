@@ -176,10 +176,14 @@ def cmd_index(args) -> int:
     spark = _spark(args)
     processed = _read(spark, args.inp)
     assertions = _read(spark, args.assertions) if args.assertions else None
+    outliers = (
+        _read(spark, args.outliers) if getattr(args, "outliers", None) else None
+    )
     idx = build_index(
         processed,
         include_deleted=args.include_deleted,
         user_assertions=assertions,
+        outliers=outliers,
     )
     idx.write.mode("overwrite").parquet(args.out)
     print(f"indexed {args.inp} -> {args.out}")
@@ -739,6 +743,42 @@ def cmd_stream_ingest(args) -> int:
 
     q = process_staging_stream(
         spark, args.staging, args.out, args.checkpoint, available_now=True
+    )
+    q.awaitTermination()
+    return 0
+
+
+def cmd_stream_outliers(args) -> int:
+    """Incremental jackknife-outlier tick (streaming/incremental.py
+    occurrence_outlier_stream): append new JSONL occurrence drops to the
+    store, re-detect their touched groups (plus moved records' old
+    groups) over the updated store, merge into the versioned standing
+    outlier store, exit when drained."""
+    spark = _spark(args)
+    from pyspark.sql import types as T
+
+    from biocache_store_spark.streaming.incremental import (
+        occurrence_outlier_stream,
+    )
+
+    layers = _split(args.layer_cols)
+    schema = T.StructType(
+        [T.StructField(args.group_col, T.StringType()),
+         T.StructField(args.id_col, T.StringType())]
+        + [T.StructField(c, T.DoubleType()) for c in layers]
+    )
+    q = occurrence_outlier_stream(
+        spark,
+        args.staging,
+        args.store,
+        args.outliers,
+        args.checkpoint,
+        schema=schema,
+        layer_cols=layers,
+        group_col=args.group_col,
+        id_col=args.id_col,
+        cell_col=args.cell_col,
+        available_now=True,
     )
     q.awaitTermination()
     return 0
@@ -1362,6 +1402,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--in", dest="inp", required=True)
     sp.add_argument("--out", required=True)
     sp.add_argument("--assertions", help="user-assertion store parquet")
+    sp.add_argument(
+        "--outliers",
+        help="persisted outlier store parquet (outlier-detect output) -> "
+        "outlier_layer / outlier_layer_count index fields",
+    )
     sp.add_argument("--include-deleted", action="store_true")
 
     sp = tool("ingest", cmd_ingest, "load -> process -> index")
@@ -1594,6 +1639,19 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--store", required=True)
     sp.add_argument("--dups", required=True)
     sp.add_argument("--checkpoint", required=True)
+
+    sp = tool(
+        "stream-outliers", cmd_stream_outliers,
+        "availableNow incremental jackknife-outlier tick",
+    )
+    sp.add_argument("--staging", required=True)
+    sp.add_argument("--store", required=True)
+    sp.add_argument("--outliers", required=True)
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--layer-cols", dest="layer_cols", default="el1,el2")
+    sp.add_argument("--group-col", dest="group_col", default="taxonConceptID")
+    sp.add_argument("--id-col", dest="id_col", default="occurrenceID")
+    sp.add_argument("--cell-col", dest="cell_col", default=None)
 
     sp = tool(
         "stream-classify", cmd_stream_classify, "availableNow model-gate tick"

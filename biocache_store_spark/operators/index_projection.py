@@ -145,6 +145,7 @@ def build_index(
     include_deleted: bool = False,
     user_assertions: DataFrame | None = None,
     key_col: str = "id",
+    outliers: DataFrame | None = None,
 ) -> DataFrame:
     """processed occurrences (output of processors.chain.process_records,
     optionally enriched) -> the flat index table.
@@ -157,6 +158,12 @@ def build_index(
     doc key; the store's rowKey values must match it — SolrIndexDAO's
     userAssertions /
     userVerified doc fields, dao/OccurrenceDAOImpl.scala:1089-1160).
+
+    `outliers`: optional persisted outlier store (operators/
+    outlier_store.py record rows, or its outlier_for_layers() rollup),
+    joined on `key_col` to emit the reference's outlier_layer multivalue
+    and outlier_layer_count SOLR fields (IndexDAO.scala:662-670,
+    :844-845); records absent from the store index count 0.
 
     The column set is DATA-driven: operators/index_schema.py ports the
     reference's headerAttributes mapping table (IndexDAO.scala:212-466,
@@ -375,6 +382,36 @@ def build_index(
         )
 
         out = overlay_user_status(out, user_assertions, key_col=key_col)
+    if outliers is not None:
+        # outlier overlay (IndexDAO.scala:662-670, emit :844-845): the
+        # offline jackknife results join onto the index as the
+        # outlier_layer multivalue + its count — the Spark-shaped twin of
+        # the reference's outlierForLayers occ column, sourced straight
+        # from the persisted outlier store (operators/outlier_store.py)
+        # instead of a per-record column write. `outliers` accepts either
+        # the record-level store (is_outlier rows) or the
+        # outlier_for_layers() rollup.
+        if "outlier_for_layers" not in outliers.columns:
+            from biocache_store_spark.operators.outlier_store import (
+                outlier_for_layers,
+            )
+
+            outliers = outlier_for_layers(outliers)
+        ofl = outliers.select(
+            F.col("row_key").alias("__ofl_key"),
+            F.col("outlier_for_layers").alias("outlier_layer"),
+            F.col("outlier_for_layers_count")
+            .cast("int")
+            .alias("outlier_layer_count"),
+        )
+        out = (
+            out.join(ofl, out[key_col] == F.col("__ofl_key"), "left")
+            .drop("__ofl_key")
+            .withColumn(
+                "outlier_layer_count",
+                F.coalesce(F.col("outlier_layer_count"), F.lit(0)),
+            )
+        )
     return out
 
 

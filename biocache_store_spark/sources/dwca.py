@@ -295,9 +295,19 @@ def load_archive(
     if _simple_row_type(desc.core.row_type) == "event":
         core = _load_event_core(spark, archive_dir, desc)
         if unique_terms is None:
-            unique_terms = (
-                ["occurrenceID"] if "occurrenceID" in core.columns else ["coreID"]
-            )
+            # NO coreID fallback here: coreID is the parent EVENT id,
+            # shared by every occurrence fanned out of that event —
+            # minting identity from it would give sibling records the
+            # same rowKey/uuid and the store upsert would silently
+            # collapse them
+            if "occurrenceID" not in core.columns:
+                raise ValueError(
+                    "load_archive: event-core archive's Occurrence "
+                    "extension declares no occurrenceID — pass "
+                    "unique_terms naming columns that identify one "
+                    "occurrence row (the event id alone does not)"
+                )
+            unique_terms = ["occurrenceID"]
         missing = [t for t in unique_terms if t not in core.columns]
         if missing:
             raise ValueError(

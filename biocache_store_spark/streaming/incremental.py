@@ -708,7 +708,7 @@ def _guard_dup_epoch(
                 break
     if epoch is not None and query_id is not None and epoch != query_id:
         raise RuntimeError(
-            f"occurrence_dedup_stream: duplicate store {dup_dir} belongs "
+            f"streaming store maintenance: versioned store {dup_dir} belongs "
             f"to checkpoint epoch {epoch} but this stream's checkpoint is "
             f"{query_id} — the checkpoint was wiped while the store was "
             "kept. Batch ids restarted, so merging would silently drop "
@@ -718,7 +718,7 @@ def _guard_dup_epoch(
     if epoch is None:
         if prev_dir is None and _latest_dup_version(spark, dup_dir) is not None:
             raise RuntimeError(
-                f"occurrence_dedup_stream: duplicate store {dup_dir} has "
+                f"streaming store maintenance: versioned store {dup_dir} has "
                 f"versions the current batch (id={batch_id}) does not "
                 "follow, and no epoch marker — the checkpoint was likely "
                 "wiped while the store was kept. Start with fresh "
@@ -826,6 +826,110 @@ def occurrence_dedup_stream(
         )
         merged.write.mode("overwrite").parquet(
             os.path.join(dup_dir, f"v={batch_id}")
+        )
+
+    writer = raw.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+OUTLIER_STREAM_SCHEMA = T.StructType(
+    [T.StructField("taxonConceptID", T.StringType()),
+     T.StructField("occurrenceID", T.StringType())]
+    + [T.StructField(f"el{i}", T.DoubleType()) for i in range(1, 3)]
+)
+
+
+def occurrence_outlier_stream(
+    spark: SparkSession,
+    staging_dir: str,
+    store_dir: str,
+    outlier_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType = OUTLIER_STREAM_SCHEMA,
+    layer_cols: list[str] | None = None,
+    group_col: str = "taxonConceptID",
+    id_col: str = "occurrenceID",
+    cell_col: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming jackknife-outlier maintenance — the outlier twin of
+    `occurrence_dedup_stream`, completing the persisted-outlier-store
+    lifecycle (ReverseJacknifeProcessor storeResultsWithStats) as a
+    stream: each microbatch of arriving records is appended to the
+    occurrence store, the batch's DISTINCT GROUPS — unioned with the OLD
+    groups of any re-delivered record — are re-detected over ALL their
+    records in the upserted store, and the result merges into the
+    standing versioned outlier store (touched groups replaced wholesale,
+    moved row_keys scrubbed). The same at-least-once safety as the dedup
+    twin: overwrite-idempotent `batch=<id>` store appends, append-only
+    `v=<batch_id>` outlier versions merged against the strictly-earlier
+    predecessor, and the checkpoint-epoch guard refusing wiped-checkpoint
+    /kept-store mismatches. Per-microbatch cost is proportional to the
+    touched groups' records, never the corpus."""
+    import os
+
+    from biocache_store_spark.operators.outlier_store import (
+        jackknife_record_outliers,
+        merge_outlier_results,
+    )
+
+    layers = layer_cols or [
+        f.name for f in schema.fields if isinstance(f.dataType, T.DoubleType)
+    ]
+    raw = spark.readStream.schema(schema).json(staging_dir)
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        batch.write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"batch={batch_id}")
+        )
+        from pyspark.sql.window import Window
+
+        raw_store = spark.read.parquet(store_dir)
+        w = Window.partitionBy(id_col).orderBy(F.col("batch").desc())
+        store = (
+            raw_store.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "batch")
+        )
+        groups = (
+            batch.filter(F.col(group_col).isNotNull())
+            .select(F.col(group_col).cast("string").alias(group_col))
+            .distinct()
+        )
+        superseded = raw_store.filter(F.col("batch") < batch_id).join(
+            batch.select(F.col(id_col).cast("string").alias(id_col)).distinct(),
+            id_col,
+            "left_semi",
+        )
+        groups = groups.unionByName(
+            superseded.filter(F.col(group_col).isNotNull())
+            .select(F.col(group_col).cast("string").alias(group_col))
+            .distinct()
+        ).distinct()
+        scoped = store.join(groups, group_col, "left_semi")
+        inc = jackknife_record_outliers(
+            scoped, [group_col], layers, id_col, cell_col=cell_col
+        )
+        prev_dir = _latest_dup_version(spark, outlier_dir, before=batch_id)
+        _guard_dup_epoch(spark, outlier_dir, checkpoint_dir, batch_id, prev_dir)
+        merged = (
+            inc
+            if prev_dir is None
+            else merge_outlier_results(
+                spark.read.parquet(prev_dir),
+                inc,
+                groups,
+                [group_col],
+            )
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(outlier_dir, f"v={batch_id}")
         )
 
     writer = raw.writeStream.foreachBatch(handle).option(

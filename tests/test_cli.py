@@ -873,3 +873,24 @@ def test_cli_process_uuid_scope(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 2
     assert {r["uuid"] for r in got.collect()} == set(uuids[:2])
+
+
+def test_cli_stream_outliers(spark, tmp_path):
+    """stream-outliers: one availableNow tick detects outliers over the
+    drained drops and writes the versioned store."""
+    staging = tmp_path / "staging"
+    staging.mkdir()
+    rows = [{"occurrenceID": f"r{i}", "taxonConceptID": "t1",
+             "el1": float(i + 1), "el2": 3.0} for i in range(25)]
+    rows.append({"occurrenceID": "rX", "taxonConceptID": "t1",
+                 "el1": 400.0, "el2": 3.0})
+    (staging / "d1.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
+    assert main([
+        "stream-outliers", "--staging", str(staging),
+        "--store", str(tmp_path / "store"),
+        "--outliers", str(tmp_path / "outliers"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+    ]) == 0
+    got = spark.read.parquet(str(tmp_path / "outliers" / "v=0"))
+    flagged = {r["row_key"] for r in got.filter("is_outlier").collect()}
+    assert flagged == {"rX"}

@@ -360,3 +360,41 @@ def test_window_jackknife_equals_python_kernel(spark):
             assert r["is_outlier"] == (r["value"] in want), (
                 g, r["row_key"], r["value"], sorted(want)
             )
+
+
+def test_index_outlier_overlay(spark):
+    """The persisted outlier store rides onto the index build as the
+    reference's outlier_layer / outlier_layer_count SOLR fields
+    (IndexDAO.scala:662-670, :844-845); records absent from the store
+    index count 0, and the raw record-level store and its
+    outlier_for_layers() rollup both work as the overlay input."""
+    from biocache_store_spark.operators.index_projection import build_index
+    from biocache_store_spark.operators.outlier_store import (
+        jackknife_record_outliers,
+        outlier_for_layers,
+    )
+    from biocache_store_spark.processors.chain import process_records
+
+    occ = [("t1", f"r{i}", float(i + 1), float(i + 1)) for i in range(25)]
+    occ.append(("t1", "rX", 500.0, 400.0))  # outlier on both layers
+    store = jackknife_record_outliers(
+        spark.createDataFrame(
+            occ, "taxon string, oid string, el1 double, el2 double"
+        ),
+        ["taxon"],
+        ["el1", "el2"],
+        "oid",
+    )
+    raw = spark.createDataFrame(
+        [("rX", "dr1", "PreservedSpecimen"), ("r0", "dr1", "HumanObservation"),
+         ("zz", "dr1", "MachineObservation")],
+        ["occurrenceID", "dataResourceUid", "basisOfRecord"],
+    )
+    for overlay in (store, outlier_for_layers(store)):
+        idx = build_index(process_records(raw), outliers=overlay)
+        rows = {r["id"]: r for r in idx.collect()}
+        assert rows["rX"]["outlier_layer"] == ["el1", "el2"]
+        assert rows["rX"]["outlier_layer_count"] == 2
+        assert rows["r0"]["outlier_layer"] is None
+        assert rows["r0"]["outlier_layer_count"] == 0
+        assert rows["zz"]["outlier_layer_count"] == 0

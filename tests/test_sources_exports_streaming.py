@@ -1076,6 +1076,26 @@ def test_dwca_event_core_requires_occurrence_extension(spark, tmp_path):
         load_archive(spark, str(tmp_path), "drE")
 
 
+def test_dwca_event_core_refuses_event_id_identity(spark, tmp_path):
+    """The default identity must never be the parent event id: sibling
+    occurrences would share a rowKey and upserts would collapse them."""
+    from biocache_store_spark.sources.dwca import load_archive
+
+    _write_event_archive(tmp_path)
+    meta = _EVENT_META.replace(
+        '<field index="1" term="http://rs.tdwg.org/dwc/terms/occurrenceID"/>',
+        '<field index="1" term="http://rs.tdwg.org/dwc/terms/otherCatalogNumbers"/>',
+    )
+    (tmp_path / "meta.xml").write_text(meta)
+    with pytest.raises(ValueError, match="occurrenceID"):
+        load_archive(spark, str(tmp_path), "drE")
+    # explicit unique_terms still work
+    df = load_archive(
+        spark, str(tmp_path), "drE", unique_terms=["otherCatalogNumbers"]
+    )
+    assert df.count() == 4
+
+
 def test_dwca_event_core_skips_multimedia(spark, tmp_path):
     """The reference only loads multimedia when the core is an
     Occurrence/SimpleDarwinRecord (DwCALoader.scala:287-295): an
@@ -1880,3 +1900,70 @@ def test_dsir_stream_equals_batch_recompute(spark, tmp_path):
         for r in dsir_importance(all_docs, target).collect()
     }
     assert got2[20] == exp2[20]
+
+
+def test_occurrence_outlier_stream_equals_batch_recompute(spark, tmp_path):
+    """occurrence_outlier_stream: after two drops (the second adds a new
+    extreme to one taxon AND moves a record between taxa), the latest
+    version of the standing outlier store equals a full from-scratch
+    jackknife_record_outliers over the upserted store."""
+    import json
+
+    from pyspark.sql.window import Window as _W
+
+    from biocache_store_spark.operators.outlier_store import (
+        jackknife_record_outliers,
+    )
+    from biocache_store_spark.streaming.incremental import (
+        _latest_dup_version,
+        occurrence_outlier_stream,
+    )
+
+    def rec(oid, taxon, v1, v2):
+        return {"occurrenceID": oid, "taxonConceptID": taxon,
+                "el1": v1, "el2": v2}
+
+    staging = tmp_path / "staging"
+    staging.mkdir()
+    drop1 = [rec(f"a{i}", "tA", float(i + 1), float(i + 1)) for i in range(25)]
+    drop1 += [rec(f"b{i}", "tB", float(i + 1), 3.0) for i in range(25)]
+    drop1.append(rec("aX", "tA", 400.0, 5.0))  # tA el1 outlier
+    (staging / "d1.jsonl").write_text("\n".join(json.dumps(r) for r in drop1))
+
+    store_dir = str(tmp_path / "store")
+    out_dir = str(tmp_path / "outliers")
+    ckpt = str(tmp_path / "ckpt")
+    q = occurrence_outlier_stream(spark, str(staging), store_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    v0 = spark.read.parquet(_latest_dup_version(spark, out_dir))
+    got0 = {r["row_key"] for r in v0.filter("is_outlier").collect()}
+    assert got0 == {"aX"}
+
+    # drop 2: tB gains an extreme, and aX is re-delivered under tB (taxon
+    # move) with an unremarkable value — tA must be recomputed too and
+    # aX's old tA rows scrubbed
+    drop2 = [rec("bX", "tB", 400.0, 3.0), rec("aX", "tB", 12.0, 3.0)]
+    (staging / "d2.jsonl").write_text("\n".join(json.dumps(r) for r in drop2))
+    q2 = occurrence_outlier_stream(spark, str(staging), store_dir, out_dir, ckpt)
+    q2.awaitTermination(120)
+
+    merged = spark.read.parquet(_latest_dup_version(spark, out_dir))
+    raw = spark.read.parquet(store_dir)
+    upserted = (
+        raw.withColumn(
+            "__rn",
+            F.row_number().over(
+                _W.partitionBy("occurrenceID").orderBy(F.col("batch").desc())
+            ),
+        )
+        .filter("__rn = 1")
+        .drop("__rn", "batch")
+    )
+    full = jackknife_record_outliers(
+        upserted, ["taxonConceptID"], ["el1", "el2"], "occurrenceID"
+    )
+    assert sorted(map(str, merged.collect())) == sorted(map(str, full.collect()))
+    keys = {(r["taxonConceptID"], r["row_key"]) for r in merged.collect()}
+    assert ("tB", "aX") in keys and ("tA", "aX") not in keys
+    got = {r["row_key"] for r in merged.filter("is_outlier").collect()}
+    assert got == {"bX"}  # aX left tA; tB's new extreme flags

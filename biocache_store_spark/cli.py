@@ -434,9 +434,28 @@ def cmd_outlier_detect(args) -> int:
         out = merge_outlier_results(prev, inc, groups, group_cols)
         scope = "incremental"
     else:
+        prev = None
         out = detect(df)
         scope = "full"
     out.write.mode("overwrite").parquet(args.out)
+    if getattr(args, "revert_out", None):
+        # the reference's reset list (storeResultsWithStats :382-412):
+        # records that stopped being outliers, for assertion/column revert
+        if prev is None:
+            print(
+                "outlier-detect: --revert-out needs --since/--prev (the "
+                "revert set is a diff against the previous store)",
+                file=sys.stderr,
+            )
+            return 2
+        from biocache_store_spark.operators.outlier_store import (
+            obsolete_outlier_records,
+        )
+
+        obsolete_outlier_records(
+            prev, spark.read.parquet(args.out)
+        ).write.mode("overwrite").parquet(args.revert_out)
+        print(f"outlier reverts -> {args.revert_out}")
     print(f"outliers ({scope}) {args.inp} -> {args.out}")
     return 0
 
@@ -1495,6 +1514,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--modified-col", dest="modified_col", default="lastModifiedTime"
     )
     sp.add_argument("--prev", default=None, help="standing outlier store to merge into")
+    sp.add_argument(
+        "--revert-out", dest="revert_out", default=None,
+        help="also write the no-longer-outlier record ids (reset list)",
+    )
     sp.add_argument("--out", required=True)
 
     sp = tool("delete", cmd_delete, "delete by keys or query")

@@ -200,7 +200,7 @@ def test_cli_dedup_and_jackknife(spark, tmp_path):
     # that must equal a full recompute
     occ3 = str(tmp_path / "occ3")
     rows3 = [("tA", f"a{i}", f"a{i}", float(i + 1), "2026-01-01") for i in range(25)]
-    rows3.append(("tA", "aX", "aX", 500.0, "2026-01-01"))
+    rows3.append(("tA", "aX", "aX", 60.0, "2026-01-01"))
     rows3 += [("tB", f"b{i}", f"b{i}", float(i + 1), "2026-01-01") for i in range(25)]
     # T1 adds an extreme to tB only
     rows3.append(("tB", "bX", "bX", 400.0, "2026-02-01"))
@@ -240,6 +240,29 @@ def test_cli_dedup_and_jackknife(spark, tmp_path):
     assert sorted(map(str, sorted(merged.collect(), key=key))) == sorted(
         map(str, sorted(full_rows.collect(), key=key))
     )
+    # a later ingest fills tA's gap: aX stops being an outlier and the
+    # --revert-out diff (the reference's reset list) must name it
+    occ4 = str(tmp_path / "occ4")
+    rows4 = rows3 + [
+        ("tA", f"g{i}", f"g{i}", float(26 + i), "2026-03-01")
+        for i in range(34)
+    ]
+    spark.createDataFrame(
+        rows4,
+        "taxon string, oid string, cid string, el1 double,"
+        " lastModifiedTime string",
+    ).write.mode("overwrite").parquet(occ4)
+    inc2_out = str(tmp_path / "outliers_inc2")
+    revert_out = str(tmp_path / "outlier_reverts")
+    assert main([
+        "outlier-detect", "--in", occ4, "--group-cols", "taxon",
+        "--layer-cols", "el1", "--id-col", "oid", "--out", inc2_out,
+        "--since", "2026-02-15", "--prev", inc_out,
+        "--revert-out", revert_out,
+    ]) == 0
+    reverts = {r["row_key"] for r in spark.read.parquet(revert_out).collect()}
+    assert reverts == {"aX"}
+
     # --since without --prev and --prev==--out both refuse
     assert main([
         "outlier-detect", "--in", occ3, "--group-cols", "taxon",

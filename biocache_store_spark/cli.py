@@ -184,6 +184,7 @@ def cmd_index(args) -> int:
         include_deleted=args.include_deleted,
         user_assertions=assertions,
         outliers=outliers,
+        key_col=args.key_col,
     )
     idx.write.mode("overwrite").parquet(args.out)
     print(f"indexed {args.inp} -> {args.out}")
@@ -387,6 +388,13 @@ def cmd_outlier_detect(args) -> int:
         merge_outlier_results,
     )
 
+    if getattr(args, "revert_out", None) and not getattr(args, "since", None):
+        print(
+            "outlier-detect: --revert-out needs --since/--prev (the "
+            "revert set is a diff against the previous store)",
+            file=sys.stderr,
+        )
+        return 2
     spark = _spark(args)
     df = _read(spark, args.inp)
     group_cols = _split(args.group_cols)
@@ -414,12 +422,16 @@ def cmd_outlier_detect(args) -> int:
             )
             return 2
         prev = _read(spark, args.prev)
-        from biocache_store_spark.operators.dedup import _modified_since
+        from biocache_store_spark.operators.dedup import modified_since
 
-        changed = _modified_since(df, args.since, args.modified_col)
+        changed = modified_since(df, args.since, args.modified_col)
+        # NULL-group rows are never tested (the detector drops them), so
+        # they must never enter the scope either: the merge's null-safe
+        # anti-join would drop previous NULL-group rows wholesale while
+        # the null-UNSAFE semi-join re-detects nothing to replace them
         groups = changed.select(
             *[F.col(c).cast("string").alias(c) for c in group_cols]
-        ).distinct()
+        ).na.drop(subset=group_cols).distinct()
         # old groups of moved records, from the standing store
         changed_ids = touched_record_ids(
             df, args.since, modified_col=args.modified_col, id_col=args.id_col
@@ -427,6 +439,7 @@ def cmd_outlier_detect(args) -> int:
         old_groups = (
             prev.join(changed_ids, "row_key", "left_semi")
             .select(*group_cols)
+            .na.drop(subset=group_cols)
             .distinct()
         )
         groups = groups.unionByName(old_groups).distinct()
@@ -441,13 +454,6 @@ def cmd_outlier_detect(args) -> int:
     if getattr(args, "revert_out", None):
         # the reference's reset list (storeResultsWithStats :382-412):
         # records that stopped being outliers, for assertion/column revert
-        if prev is None:
-            print(
-                "outlier-detect: --revert-out needs --since/--prev (the "
-                "revert set is a diff against the previous store)",
-                file=sys.stderr,
-            )
-            return 2
         from biocache_store_spark.operators.outlier_store import (
             obsolete_outlier_records,
         )
@@ -784,6 +790,8 @@ def cmd_stream_outliers(args) -> int:
     schema = T.StructType(
         [T.StructField(args.group_col, T.StringType()),
          T.StructField(args.id_col, T.StringType())]
+        + ([T.StructField(args.cell_col, T.StringType())]
+           if args.cell_col else [])
         + [T.StructField(c, T.DoubleType()) for c in layers]
     )
     q = occurrence_outlier_stream(
@@ -1425,6 +1433,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--outliers",
         help="persisted outlier store parquet (outlier-detect output) -> "
         "outlier_layer / outlier_layer_count index fields",
+    )
+    sp.add_argument(
+        "--key-col", dest="key_col", default="id",
+        help="index column the assertion/outlier overlays join on; the "
+        "overlay store's row_key values must be THIS column's values "
+        "(the default 'id' is the minted record uuid — an outlier store "
+        "keyed by occurrenceID needs --key-col occurrence_id, or run "
+        "outlier-detect with --id-col uuid)",
     )
     sp.add_argument("--include-deleted", action="store_true")
 

@@ -302,10 +302,30 @@ def cap_per_domain(
     # too: Spark sorts ASC NULLS FIRST by default, which would hand
     # NULL-id rows the cap slots ahead of every real id — so NULLs sort
     # LAST, and a content hash breaks ties among them (rows identical in
-    # every column remain interchangeable, so the surviving multiset is
-    # still deterministic under any partitioning).
+    # every hashable column remain interchangeable, so the surviving
+    # multiset is still deterministic under any partitioning). MapType
+    # columns are excluded from the hash — xxhash64 rejects them (maps
+    # have no canonical element order), and a metadata map column must
+    # not make the cap throw.
+    def _hashable(dt) -> bool:
+        from pyspark.sql import types as T
+
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return _hashable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(_hashable(f.dataType) for f in dt.fields)
+        return True
+
+    tiebreak_cols = [
+        f.name for f in docs.schema.fields if _hashable(f.dataType)
+    ]
+    tiebreak = (
+        F.xxhash64(*tiebreak_cols) if tiebreak_cols else F.lit(0)
+    )
     w = Window.partitionBy(part).orderBy(
-        F.col(id_col).asc_nulls_last(), F.xxhash64(*docs.columns)
+        F.col(id_col).asc_nulls_last(), tiebreak
     )
     return (
         keyed.withColumn("__rn", F.row_number().over(w))

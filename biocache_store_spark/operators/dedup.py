@@ -378,7 +378,7 @@ def detect_duplicates(
     )
 
 
-def _modified_since(df: DataFrame, since: str, modified_col: str) -> DataFrame:
+def modified_since(df: DataFrame, since: str, modified_col: str) -> DataFrame:
     """Rows whose `modified_col` is at or after `since`, compared AS
     TIMESTAMPS: string comparison is only correct for ISO-formatted
     values, and a store whose modified column arrived as e.g. `d/M/yyyy`
@@ -426,7 +426,7 @@ def touched_taxa(
     Returns a one-column frame named `taxon`."""
     scoped = df
     if since is not None:
-        scoped = _modified_since(df, since, modified_col)
+        scoped = modified_since(df, since, modified_col)
     return (
         scoped.filter(F.col(taxon_col).isNotNull())
         .select(F.col(taxon_col).cast("string").alias("taxon"))
@@ -444,7 +444,7 @@ def touched_record_ids(
     named `row_key` — the join side for `reassigned_taxa`."""
     scoped = df
     if since is not None:
-        scoped = _modified_since(df, since, modified_col)
+        scoped = modified_since(df, since, modified_col)
     return (
         scoped.filter(F.col(id_col).isNotNull())
         .select(F.col(id_col).cast("string").alias("row_key"))

@@ -99,7 +99,13 @@ def jackknife_record_outliers(
     cell = (
         F.col(cell_col) if cell_col is not None else F.col(id_col)
     ).cast("string")
-    long = df.select(
+    # group-less records are never tested — the reference iterates ACTUAL
+    # taxon ids (ReverseJacknifeProcessor reads per-taxon runs), and a
+    # NULL group would otherwise form its own phantom test population
+    grouped = df
+    for g in group_cols:
+        grouped = grouped.filter(F.col(g).isNotNull())
+    long = grouped.select(
         *group_cols,
         F.col(id_col).cast("string").alias("row_key"),
         cell.alias("cell"),

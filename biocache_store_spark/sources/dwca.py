@@ -203,8 +203,11 @@ def _simple_row_type(row_type: str) -> str:
 
 
 def _blank_to_null(c):
-    # StringUtils.isNotBlank parity: whitespace-only == absent
-    return F.nullif(F.trim(c), F.lit(""))
+    # StringUtils.isNotBlank parity: whitespace-only == absent. The
+    # ORIGINAL (untrimmed) value is preserved when non-blank — the
+    # reference's guard only decides presence, it never rewrites the
+    # stored property.
+    return F.when(F.trim(c) == "", F.lit(None)).otherwise(c)
 
 
 def _load_event_core(
@@ -253,6 +256,9 @@ def _load_event_core(
         "coreID", *[event[c].alias(f"__event_{c}") for c in event_terms]
     )
     joined = occ.join(event, "coreID", "inner")
+    # the isNotBlank guard applies to EVERY term, not just conflicting
+    # ones: the reference never adds a blank property to the record map,
+    # so whitespace-only values load as absent (NULL) on both sides
     cols = [F.col("coreID")]
     for c in occ_terms:
         if c in overlap:
@@ -263,9 +269,11 @@ def _load_event_core(
                 ).alias(c)
             )
         else:
-            cols.append(F.col(c))
+            cols.append(_blank_to_null(F.col(c)).alias(c))
     cols.extend(
-        F.col(f"__event_{c}").alias(c) for c in event_terms if c not in overlap
+        _blank_to_null(F.col(f"__event_{c}")).alias(c)
+        for c in event_terms
+        if c not in overlap
     )
     return joined.select(*cols)
 

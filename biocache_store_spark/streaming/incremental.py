@@ -636,9 +636,7 @@ def _latest_dup_version(
     read its PREDECESSOR, never the (possibly partial) v=N it is about to
     overwrite: reading and overwriting the same path either trips Spark's
     self-overwrite guard every restart or races the delete."""
-    jvm = spark._jvm
-    base = jvm.org.apache.hadoop.fs.Path(dup_dir)
-    fs = base.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs, base = _hadoop_fs(spark, dup_dir)
     if not fs.exists(base):
         return None
     best = None
@@ -766,66 +764,101 @@ def occurrence_dedup_stream(
         directory would have), and a replay overwrites its own version
         with identical rows. Consumers read `_latest_dup_version`.
     """
-    import os
-
     from biocache_store_spark.operators.dedup import (
         detect_duplicates_scoped,
         merge_dedup_results,
-        touched_taxa,
     )
 
+    return _versioned_maintenance_stream(
+        spark,
+        staging_dir,
+        store_dir,
+        dup_dir,
+        checkpoint_dir,
+        schema,
+        id_col="occurrenceID",
+        group_col="taxonConceptID",
+        detect_fn=lambda store, groups: detect_duplicates_scoped(
+            store, groups.withColumnRenamed("taxonConceptID", "taxon")
+        ),
+        merge_fn=lambda prev, inc, groups: merge_dedup_results(
+            prev, inc, groups.withColumnRenamed("taxonConceptID", "taxon")
+        ),
+        available_now=available_now,
+    )
+
+
+def _versioned_maintenance_stream(
+    spark: SparkSession,
+    staging_dir: str,
+    store_dir: str,
+    versioned_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType,
+    id_col: str,
+    group_col: str,
+    detect_fn,
+    merge_fn,
+    available_now: bool,
+) -> StreamingQuery:
+    """Shared skeleton of the streaming incremental-maintenance twins
+    (occurrence_dedup_stream / occurrence_outlier_stream): drain JSONL
+    drops, append each microbatch to the occurrence store as an
+    overwrite-idempotent `batch=<id>` partition, build the upsert view
+    (argmax-by-batch per id — a re-delivered record supersedes its older
+    versions), scope = the batch's groups UNION the superseded rows' OLD
+    groups (a moved record's old group must be recomputed too or
+    incremental != full), `detect_fn(store, groups)` recomputes them,
+    and `merge_fn(prev, inc, groups)` folds the result into the
+    append-only versioned store against the strictly-earlier predecessor
+    (a replay of batch N must never read the v=N it overwrites). The
+    checkpoint-epoch guard runs BEFORE any write — including the store
+    append, so a wiped-checkpoint restart cannot clobber the old epoch's
+    `batch=0` records before failing."""
+    import os
+
     raw = spark.readStream.schema(schema).json(staging_dir)
+
+    def touched(df: DataFrame) -> DataFrame:
+        return (
+            df.filter(F.col(group_col).isNotNull())
+            .select(F.col(group_col).cast("string").alias(group_col))
+            .distinct()
+        )
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         if not batch.take(1):
             return
+        prev_dir = _latest_dup_version(spark, versioned_dir, before=batch_id)
+        _guard_dup_epoch(
+            spark, versioned_dir, checkpoint_dir, batch_id, prev_dir
+        )
         batch.write.mode("overwrite").parquet(
             os.path.join(store_dir, f"batch={batch_id}")
         )
-        # upsert view of the append-only store: a re-delivered record
-        # (same occurrenceID in a later batch — a corrected reload) must
-        # supersede its older versions, or detection would see phantom
-        # same-id duplicates. The `batch` partition column is the
-        # arrival order, so argmax-by-batch per id IS the upsert.
         from pyspark.sql.window import Window
 
         raw_store = spark.read.parquet(store_dir)
-        w = Window.partitionBy("occurrenceID").orderBy(F.col("batch").desc())
+        w = Window.partitionBy(id_col).orderBy(F.col("batch").desc())
         store = (
             raw_store.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn", "batch")
         )
-        # scope = the batch's taxa UNION the batch records' OLD taxa from
-        # superseded store versions: a re-delivered record can move to a
-        # NEW taxonConceptID, and the old species' clusters must be
-        # recomputed too or the merged store keeps a stale row for the
-        # moved record (and stale statuses for the records remaining
-        # there), breaking incremental == full
         superseded = raw_store.filter(F.col("batch") < batch_id).join(
-            batch.select(
-                F.col("occurrenceID").cast("string").alias("occurrenceID")
-            ).distinct(),
-            "occurrenceID",
+            batch.select(F.col(id_col).cast("string").alias(id_col)).distinct(),
+            id_col,
             "left_semi",
         )
-        taxa = (
-            touched_taxa(batch, since=None)
-            .unionByName(touched_taxa(superseded, since=None))
-            .distinct()
-        )
-        inc = detect_duplicates_scoped(store, taxa)
-        # strictly-earlier version only: a replay of batch N must merge
-        # against N's predecessor, not the v=N it is about to overwrite
-        prev_dir = _latest_dup_version(spark, dup_dir, before=batch_id)
-        _guard_dup_epoch(spark, dup_dir, checkpoint_dir, batch_id, prev_dir)
+        groups = touched(batch).unionByName(touched(superseded)).distinct()
+        inc = detect_fn(store, groups)
         merged = (
             inc
             if prev_dir is None
-            else merge_dedup_results(spark.read.parquet(prev_dir), inc, taxa)
+            else merge_fn(spark.read.parquet(prev_dir), inc, groups)
         )
         merged.write.mode("overwrite").parquet(
-            os.path.join(dup_dir, f"v={batch_id}")
+            os.path.join(versioned_dir, f"v={batch_id}")
         )
 
     writer = raw.writeStream.foreachBatch(handle).option(
@@ -870,8 +903,6 @@ def occurrence_outlier_stream(
     predecessor, and the checkpoint-epoch guard refusing wiped-checkpoint
     /kept-store mismatches. Per-microbatch cost is proportional to the
     touched groups' records, never the corpus."""
-    import os
-
     from biocache_store_spark.operators.outlier_store import (
         jackknife_record_outliers,
         merge_outlier_results,
@@ -880,61 +911,25 @@ def occurrence_outlier_stream(
     layers = layer_cols or [
         f.name for f in schema.fields if isinstance(f.dataType, T.DoubleType)
     ]
-    raw = spark.readStream.schema(schema).json(staging_dir)
 
-    def handle(batch: DataFrame, batch_id: int) -> None:
-        if not batch.take(1):
-            return
-        batch.write.mode("overwrite").parquet(
-            os.path.join(store_dir, f"batch={batch_id}")
-        )
-        from pyspark.sql.window import Window
-
-        raw_store = spark.read.parquet(store_dir)
-        w = Window.partitionBy(id_col).orderBy(F.col("batch").desc())
-        store = (
-            raw_store.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn", "batch")
-        )
-        groups = (
-            batch.filter(F.col(group_col).isNotNull())
-            .select(F.col(group_col).cast("string").alias(group_col))
-            .distinct()
-        )
-        superseded = raw_store.filter(F.col("batch") < batch_id).join(
-            batch.select(F.col(id_col).cast("string").alias(id_col)).distinct(),
-            id_col,
-            "left_semi",
-        )
-        groups = groups.unionByName(
-            superseded.filter(F.col(group_col).isNotNull())
-            .select(F.col(group_col).cast("string").alias(group_col))
-            .distinct()
-        ).distinct()
+    def detect(store: DataFrame, groups: DataFrame) -> DataFrame:
         scoped = store.join(groups, group_col, "left_semi")
-        inc = jackknife_record_outliers(
+        return jackknife_record_outliers(
             scoped, [group_col], layers, id_col, cell_col=cell_col
         )
-        prev_dir = _latest_dup_version(spark, outlier_dir, before=batch_id)
-        _guard_dup_epoch(spark, outlier_dir, checkpoint_dir, batch_id, prev_dir)
-        merged = (
-            inc
-            if prev_dir is None
-            else merge_outlier_results(
-                spark.read.parquet(prev_dir),
-                inc,
-                groups,
-                [group_col],
-            )
-        )
-        merged.write.mode("overwrite").parquet(
-            os.path.join(outlier_dir, f"v={batch_id}")
-        )
 
-    writer = raw.writeStream.foreachBatch(handle).option(
-        "checkpointLocation", checkpoint_dir
+    return _versioned_maintenance_stream(
+        spark,
+        staging_dir,
+        store_dir,
+        outlier_dir,
+        checkpoint_dir,
+        schema,
+        id_col=id_col,
+        group_col=group_col,
+        detect_fn=detect,
+        merge_fn=lambda prev, inc, groups: merge_outlier_results(
+            prev, inc, groups, [group_col]
+        ),
+        available_now=available_now,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

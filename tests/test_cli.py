@@ -904,15 +904,17 @@ def test_cli_stream_outliers(spark, tmp_path):
     staging = tmp_path / "staging"
     staging.mkdir()
     rows = [{"occurrenceID": f"r{i}", "taxonConceptID": "t1",
-             "el1": float(i + 1), "el2": 3.0} for i in range(25)]
+             "cellID": f"c{i}", "el1": float(i + 1), "el2": 3.0}
+            for i in range(25)]
     rows.append({"occurrenceID": "rX", "taxonConceptID": "t1",
-                 "el1": 400.0, "el2": 3.0})
+                 "cellID": "cX", "el1": 400.0, "el2": 3.0})
     (staging / "d1.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
     assert main([
         "stream-outliers", "--staging", str(staging),
         "--store", str(tmp_path / "store"),
         "--outliers", str(tmp_path / "outliers"),
         "--checkpoint", str(tmp_path / "ckpt"),
+        "--cell-col", "cellID",
     ]) == 0
     got = spark.read.parquet(str(tmp_path / "outliers" / "v=0"))
     flagged = {r["row_key"] for r in got.filter("is_outlier").collect()}

@@ -577,3 +577,19 @@ def test_write_dsir_stats_rebuild_clears_old_folds(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="plain label"):
         append_dsir_stats(seed2, stats, part="a=b")
+
+
+def test_cap_per_domain_map_column_survives(spark):
+    """A MapType metadata column must not make the cap throw: the
+    deterministic tiebreak hashes only hashable columns."""
+    from pyspark.sql import functions as F
+
+    from biocache_store_spark.operators.curation import cap_per_domain
+
+    docs = spark.createDataFrame(
+        [(1, "http://a.example/1"), (2, "http://a.example/2"),
+         (3, "http://a.example/3")],
+        "doc_id long, url string",
+    ).withColumn("meta", F.create_map(F.lit("k"), F.col("doc_id").cast("string")))
+    got = cap_per_domain(docs, 2).collect()
+    assert sorted(r["doc_id"] for r in got) == [1, 2]

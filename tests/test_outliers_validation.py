@@ -398,3 +398,30 @@ def test_index_outlier_overlay(spark):
         assert rows["r0"]["outlier_layer"] is None
         assert rows["r0"]["outlier_layer_count"] == 0
         assert rows["zz"]["outlier_layer_count"] == 0
+
+
+def test_outlier_null_group_rows_never_tested_or_lost(spark):
+    """NULL-group records are never tested (reference iterates actual
+    taxa), and an incremental merge whose scope is derived from changed
+    records must not drop them either way (the null-safe anti-join +
+    null-unsafe semi-join trap)."""
+    from biocache_store_spark.operators.outlier_store import (
+        jackknife_record_outliers,
+        merge_outlier_results,
+    )
+
+    rows = [("t1", f"r{i}", float(i + 1)) for i in range(25)]
+    rows.append(("t1", "rX", 400.0))
+    rows += [(None, f"n{i}", float(i)) for i in range(30)]  # group-less
+    df = spark.createDataFrame(rows, "taxon string, oid string, el1 double")
+    out = jackknife_record_outliers(df, ["taxon"], ["el1"], "oid")
+    assert out.filter("taxon IS NULL").count() == 0  # never tested
+    # scope with a NULL row (the pre-fix CLI shape): merge must still
+    # round-trip the previous rows because prev never holds NULL groups
+    prev = out
+    groups = spark.createDataFrame([("t1",), (None,)], "taxon string")
+    inc = jackknife_record_outliers(
+        df.join(groups.na.drop(), "taxon", "left_semi"), ["taxon"], ["el1"], "oid"
+    )
+    merged = merge_outlier_results(prev, inc, groups, ["taxon"])
+    assert merged.count() == prev.count()

@@ -443,7 +443,13 @@ def cmd_outlier_detect(args) -> int:
             .distinct()
         )
         groups = groups.unionByName(old_groups).distinct()
-        inc = detect(df.join(groups, group_cols, "left_semi"))
+        if len(group_cols) == 1:
+            from biocache_store_spark.operators.dedup import scope_to_groups
+
+            scoped_df = scope_to_groups(df, groups, group_cols[0])
+        else:  # isin is single-column; multi-col scopes semi-join
+            scoped_df = df.join(groups, group_cols, "left_semi")
+        inc = detect(scoped_df)
         out = merge_outlier_results(prev, inc, groups, group_cols)
         scope = "incremental"
     else:

@@ -474,6 +474,47 @@ def reassigned_taxa(previous: DataFrame, changed_ids: DataFrame) -> DataFrame:
     )
 
 
+#: scope lists at or under this size are collected and pushed as a STATIC
+#: isin partition filter; larger lists fall back to the semi join
+SCOPE_STATIC_MAX = 10_000
+
+
+def scope_to_groups(
+    df: DataFrame,
+    groups: DataFrame,
+    col_name: str,
+    group_col: str | None = None,
+    max_static: int | None = SCOPE_STATIC_MAX,
+) -> DataFrame:
+    """Restrict `df` to rows whose `col_name` appears in `groups`.
+
+    An incremental re-run's scope list is dim-sized by construction (the
+    species touched by one ingest), but a left-semi join against it does
+    NOT partition-prune a `partitionBy(taxon)` store — Spark's dynamic
+    partition pruning declines unfiltered dim sides, so the scoped scan
+    silently reads every file (measured: PartitionFilters carries only
+    isnotnull). When the list fits `max_static`, collect it and push a
+    static `isin` — that lands in PartitionFilters and the scan touches
+    ONLY the touched groups' files, which is the property DEPLOY.md's
+    store-layout table promises. Larger lists (the --all run) fall back
+    to the semi join. The collect is bounded by max_static + 1 rows —
+    the same dim-sized-collect class as the layer/centroid dims."""
+    key = group_col or col_name
+    if max_static is not None:
+        vals = [
+            r[0]
+            for r in groups.select(key).limit(max_static + 1).collect()
+        ]
+        if len(vals) <= max_static:
+            return df.filter(F.col(col_name).isin(vals))
+    scope = groups.select(F.col(key).cast("string").alias("__scope_key"))
+    return df.join(
+        scope,
+        F.col(col_name).cast("string") == F.col("__scope_key"),
+        "left_semi",
+    )
+
+
 def detect_duplicates_scoped(
     df: DataFrame,
     taxa: DataFrame,
@@ -491,16 +532,13 @@ def detect_duplicates_scoped(
     downloads, truncating that taxon's record set — which can miss
     duplicates pairing a new record with an old one; re-running the
     touched taxon's complete records is what makes incremental == full
-    hold exactly.) The scope filter is a left-semi join the optimizer
-    broadcasts when the species list is dim-sized; at 100 TB an ingest
-    touches a tiny fraction of taxa, so the re-run cost is proportional
-    to the CHANGED species' records, not the corpus."""
-    scope = taxa.select(F.col("taxon").cast("string").alias("__scope_taxon"))
-    scoped = df.join(
-        scope,
-        F.col(taxon_col).cast("string") == F.col("__scope_taxon"),
-        "left_semi",
-    )
+    hold exactly.) The scope filter is `scope_to_groups`: a static isin
+    when the species list is dim-sized — which PARTITION-PRUNES a
+    taxon-partitioned store, unlike the semi join — with a broadcast
+    semi-join fallback for huge lists; at 100 TB an ingest touches a
+    tiny fraction of taxa, so the re-run cost is proportional to the
+    CHANGED species' FILES, not the corpus."""
+    scoped = scope_to_groups(df, taxa, taxon_col, group_col="taxon")
     return detect_duplicates(scoped, taxon_col=taxon_col, **kwargs)
 
 

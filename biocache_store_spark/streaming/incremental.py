@@ -913,7 +913,9 @@ def occurrence_outlier_stream(
     ]
 
     def detect(store: DataFrame, groups: DataFrame) -> DataFrame:
-        scoped = store.join(groups, group_col, "left_semi")
+        from biocache_store_spark.operators.dedup import scope_to_groups
+
+        scoped = scope_to_groups(store, groups, group_col)
         return jackknife_record_outliers(
             scoped, [group_col], layers, id_col, cell_col=cell_col
         )

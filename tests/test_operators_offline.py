@@ -735,3 +735,55 @@ def test_rollup_incremental_refresh_keeps_boundary_day_hours(spark, tmp_path):
     )
     hours = sorted(r["hour_bucket"].hour for r in out.collect())
     assert hours == [1, 5, 7, 9]  # early hours survived the refresh
+
+
+def test_scoped_detection_partition_prunes(spark, tmp_path):
+    """DEPLOY.md's store-layout promise, pinned: on a taxon-partitioned
+    store, the incremental scope must land in the scan's
+    PartitionFilters (static isin via scope_to_groups) so only touched
+    species' files are read — the left-semi join alone does NOT get
+    dynamic partition pruning (unfiltered dim side) and silently scans
+    everything."""
+    import re
+
+    from biocache_store_spark.operators.dedup import (
+        detect_duplicates_scoped,
+        scope_to_groups,
+    )
+
+    store_dir = str(tmp_path / "occ")
+    rows = [
+        (f"t{i % 20}", f"o{i}", "2001", "1", "2", "-35.1", "144.2",
+         "Smith", "r", "c", "dr")
+        for i in range(400)
+    ]
+    spark.createDataFrame(
+        rows,
+        "taxonConceptID string, occurrenceID string, year string,"
+        " month string, day string, decimalLatitude string,"
+        " decimalLongitude string, recordedBy string, recordNumber string,"
+        " catalogNumber string, dataResourceUid string",
+    ).write.partitionBy("taxonConceptID").parquet(store_dir)
+    store = spark.read.parquet(store_dir)
+    taxa = spark.createDataFrame([("t3",), ("t7",)], "taxon string")
+
+    scoped = scope_to_groups(store, taxa, "taxonConceptID", group_col="taxon")
+    plan = scoped._jdf.queryExecution().executedPlan().toString()
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "taxonConceptID" in pf and ("t3" in pf or "IN" in pf.upper()), pf
+    assert scoped.count() == 40
+    # and the end-to-end scoped detection returns exactly those taxa
+    out = detect_duplicates_scoped(store, taxa)
+    assert {r["taxon"] for r in out.select("taxon").distinct().collect()} == {
+        "t3", "t7",
+    }
+    # a scope larger than the static cap falls back to the semi join
+    from pyspark.sql import functions as F
+
+    big = spark.range(20_001).select(
+        F.concat(F.lit("x"), F.col("id").cast("string")).alias("taxon")
+    )
+    fallback = scope_to_groups(
+        store, big, "taxonConceptID", group_col="taxon", max_static=20_000
+    )
+    assert "Join LeftSemi" in fallback._jdf.queryExecution().optimizedPlan().toString()

@@ -472,6 +472,27 @@ def cmd_outlier_detect(args) -> int:
     return 0
 
 
+def cmd_mark_outliers(args) -> int:
+    """Apply persisted outlier results to a processed store as system
+    assertions (ReverseJacknifeProcessor storeResultsWithStats :370-410:
+    DETECTED_OUTLIER 'Outlier for N layers' on outliers, flipped to
+    PASSED for records in the revert list)."""
+    from biocache_store_spark.operators.outlier_store import (
+        apply_outlier_assertions,
+    )
+
+    spark = _spark(args)
+    store = _read(spark, args.inp)
+    outliers = _read(spark, args.outliers)
+    reverts = _read(spark, args.reverts) if args.reverts else None
+    out = apply_outlier_assertions(
+        store, outliers, reverts, key_col=args.key_col
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    print(f"outlier assertions applied {args.inp} -> {args.out}")
+    return 0
+
+
 def cmd_delete(args) -> int:
     """DeleteRecords / DeleteLocalDataResource (tool/DeleteRecords):
     delete by keys or by query, with the surviving store written out."""
@@ -1540,6 +1561,16 @@ def build_parser() -> argparse.ArgumentParser:
         "--revert-out", dest="revert_out", default=None,
         help="also write the no-longer-outlier record ids (reset list)",
     )
+    sp.add_argument("--out", required=True)
+
+    sp = tool(
+        "mark-outliers", cmd_mark_outliers,
+        "apply outlier results to a processed store as system assertions",
+    )
+    sp.add_argument("--in", dest="inp", required=True)
+    sp.add_argument("--outliers", required=True, help="outlier store or rollup parquet")
+    sp.add_argument("--reverts", default=None, help="revert list parquet (outlier-detect --revert-out)")
+    sp.add_argument("--key-col", dest="key_col", default="occurrenceID")
     sp.add_argument("--out", required=True)
 
     sp = tool("delete", cmd_delete, "delete by keys or query")

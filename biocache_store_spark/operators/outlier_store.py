@@ -323,6 +323,76 @@ def obsolete_outlier_records(
     return prev_ids.join(cur_ids, "row_key", "left_anti")
 
 
+def apply_outlier_assertions(
+    store: DataFrame,
+    record_outliers: DataFrame,
+    reverts: DataFrame | None = None,
+    key_col: str = "rowKey",
+    assertions_col: str = "assertions",
+) -> DataFrame:
+    """Mark up a processed store with the outlier results as SYSTEM
+    assertions — the last mile of storeResultsWithStats
+    (ReverseJacknifeProcessor.scala:370-380: addSystemAssertion
+    DETECTED_OUTLIER 'Outlier for N layers'; reset path :402-410:
+    replaceExistCode flips the code to PASSED for records that stopped
+    being outliers).
+
+    `record_outliers` is the record-level store (or the
+    outlier_for_layers rollup); `reverts` the obsolete_outlier_records
+    diff. Any existing DETECTED_OUTLIER entry is replaced, never
+    duplicated (the reference's replaceExistCode semantics), and rows in
+    neither frame keep their assertions untouched. Array surgery is all
+    JVM-side (filter + array_append); the rollup and revert sides are
+    dim-or-ingest-sized joins."""
+    from biocache_store_spark.processors.assertions import AssertionCodes
+
+    code = AssertionCodes.DETECTED_OUTLIER.code
+    name = AssertionCodes.DETECTED_OUTLIER.name
+    if "outlier_for_layers" not in record_outliers.columns:
+        record_outliers = outlier_for_layers(record_outliers)
+    rollup = record_outliers.select(
+        F.col("row_key").alias("__ofl_key"),
+        F.col("outlier_for_layers_count").cast("int").alias("__ofl_n"),
+    )
+    out = store.join(
+        rollup, store[key_col] == F.col("__ofl_key"), "left"
+    ).drop("__ofl_key")
+    if reverts is not None:
+        rv = reverts.select(
+            F.col("row_key").alias("__rv_key"), F.lit(True).alias("__revert")
+        )
+        out = out.join(rv, out[key_col] == F.col("__rv_key"), "left").drop(
+            "__rv_key"
+        )
+    else:
+        out = out.withColumn("__revert", F.lit(None).cast("boolean"))
+    cleaned = F.filter(
+        F.col(assertions_col), lambda a: a["code"] != F.lit(code)
+    )
+    failed = F.struct(
+        F.lit(code).alias("code"),
+        F.lit(name).alias("name"),
+        F.lit(0).alias("qa_status"),
+        F.concat(
+            F.lit("Outlier for "), F.col("__ofl_n"), F.lit(" layers")
+        ).alias("comment"),
+    )
+    passed = F.struct(
+        F.lit(code).alias("code"),
+        F.lit(name).alias("name"),
+        F.lit(1).alias("qa_status"),
+        F.lit("").alias("comment"),
+    )
+    new_assertions = (
+        F.when(F.col("__ofl_n").isNotNull(), F.array_append(cleaned, failed))
+        .when(F.col("__revert"), F.array_append(cleaned, passed))
+        .otherwise(F.col(assertions_col))
+    )
+    return out.withColumn(assertions_col, new_assertions).drop(
+        "__ofl_n", "__revert"
+    )
+
+
 def outlier_stats_table(record_outliers: DataFrame, group_cols: list[str]) -> DataFrame:
     """The per-(group, layer) stats projection of the record store — what
     OutlierStatsDAO.getJackKnifeStatsFor serves. One row per group x

@@ -919,3 +919,34 @@ def test_cli_stream_outliers(spark, tmp_path):
     got = spark.read.parquet(str(tmp_path / "outliers" / "v=0"))
     flagged = {r["row_key"] for r in got.filter("is_outlier").collect()}
     assert flagged == {"rX"}
+
+
+def test_cli_mark_outliers(spark, tmp_path):
+    """mark-outliers: processed store + outlier rollup + reverts ->
+    assertions updated in place."""
+    from biocache_store_spark.processors.chain import process_records
+
+    raw = spark.createDataFrame(
+        [("rX", "dr1", "PreservedSpecimen"), ("rGone", "dr1", "HumanObservation")],
+        ["occurrenceID", "dataResourceUid", "basisOfRecord"],
+    )
+    store = str(tmp_path / "processed")
+    process_records(raw).write.parquet(store)
+    rollup = str(tmp_path / "rollup")
+    spark.createDataFrame(
+        [("rX", ["el1"], 1)],
+        "row_key string, outlier_for_layers array<string>,"
+        " outlier_for_layers_count int",
+    ).write.parquet(rollup)
+    reverts = str(tmp_path / "reverts")
+    spark.createDataFrame([("rGone",)], "row_key string").write.parquet(reverts)
+    out = str(tmp_path / "marked")
+    assert main([
+        "mark-outliers", "--in", store, "--outliers", rollup,
+        "--reverts", reverts, "--out", out,
+    ]) == 0
+    rows = {r["occurrenceID"]: r for r in spark.read.parquet(out).collect()}
+    ox = [a for a in rows["rX"]["assertions"] if a["name"] == "detectedOutlier"]
+    assert len(ox) == 1 and ox[0]["qa_status"] == 0
+    og = [a for a in rows["rGone"]["assertions"] if a["name"] == "detectedOutlier"]
+    assert len(og) == 1 and og[0]["qa_status"] == 1

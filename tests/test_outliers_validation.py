@@ -425,3 +425,48 @@ def test_outlier_null_group_rows_never_tested_or_lost(spark):
     )
     merged = merge_outlier_results(prev, inc, groups, ["taxon"])
     assert merged.count() == prev.count()
+
+
+def test_apply_outlier_assertions_lifecycle(spark):
+    """storeResultsWithStats' assertion last mile: outliers get a FAILED
+    DETECTED_OUTLIER with the 'Outlier for N layers' comment (replacing
+    any existing entry, never duplicating), reverted records flip to
+    PASSED, untouched records keep their assertions verbatim."""
+    from biocache_store_spark.operators.outlier_store import (
+        apply_outlier_assertions,
+    )
+    from biocache_store_spark.processors.assertions import AssertionCodes
+    from biocache_store_spark.processors.chain import process_records
+
+    raw = spark.createDataFrame(
+        [("rX", "dr1", "PreservedSpecimen"),
+         ("rGone", "dr1", "HumanObservation"),
+         ("rPlain", "dr1", "MachineObservation")],
+        ["occurrenceID", "dataResourceUid", "basisOfRecord"],
+    )
+    store = process_records(raw)
+    rollup = spark.createDataFrame(
+        [("rX", ["el1", "el2"], 2)],
+        "row_key string, outlier_for_layers array<string>,"
+        " outlier_for_layers_count int",
+    )
+    reverts = spark.createDataFrame([("rGone",)], "row_key string")
+    # run twice: the second application must REPLACE, not duplicate
+    out = apply_outlier_assertions(store, rollup, reverts, key_col="occurrenceID")
+    out = apply_outlier_assertions(out, rollup, reverts, key_col="occurrenceID")
+    rows = {r["occurrenceID"]: r for r in out.collect()}
+    code = AssertionCodes.DETECTED_OUTLIER.code
+
+    def entries(r):
+        return [a for a in r["assertions"] if a["code"] == code]
+
+    ex = entries(rows["rX"])
+    assert len(ex) == 1 and ex[0]["qa_status"] == 0
+    assert ex[0]["comment"] == "Outlier for 2 layers"
+    eg = entries(rows["rGone"])
+    assert len(eg) == 1 and eg[0]["qa_status"] == 1
+    assert entries(rows["rPlain"]) == []
+    # non-outlier assertions untouched
+    base = {a["name"] for r in store.collect()
+            if r["occurrenceID"] == "rPlain" for a in r["assertions"]}
+    assert {a["name"] for a in rows["rPlain"]["assertions"]} == base

@@ -442,7 +442,7 @@ def cmd_outlier_detect(args) -> int:
             .na.drop(subset=group_cols)
             .distinct()
         )
-        groups = groups.unionByName(old_groups).distinct()
+        groups = groups.unionByName(old_groups).distinct().persist()
         if len(group_cols) == 1:
             from biocache_store_spark.operators.dedup import scope_to_groups
 
@@ -481,6 +481,15 @@ def cmd_mark_outliers(args) -> int:
         apply_outlier_assertions,
     )
 
+    inputs = [args.inp, args.outliers] + ([args.reverts] if args.reverts else [])
+    if any(os.path.abspath(p) == os.path.abspath(args.out) for p in inputs):
+        print(
+            "mark-outliers: --out must differ from every input (the plan "
+            "reads them lazily while the overwrite deletes the target; "
+            "write to a fresh directory and swap)",
+            file=sys.stderr,
+        )
+        return 2
     spark = _spark(args)
     store = _read(spark, args.inp)
     outliers = _read(spark, args.outliers)

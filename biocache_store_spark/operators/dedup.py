@@ -500,13 +500,22 @@ def scope_to_groups(
     to the semi join. The collect is bounded by max_static + 1 rows —
     the same dim-sized-collect class as the layer/centroid dims."""
     key = group_col or col_name
+    # BOTH paths compare as strings, like the original semi join — a
+    # native-typed isin would coerce differently (int 7 matching '07')
+    # and results would silently change when a scope list crosses the
+    # static threshold. A cast over a partition column still lands in
+    # PartitionFilters (pruning evaluates any partition-column-only
+    # predicate), which the pin test asserts.
     if max_static is not None:
         vals = [
             r[0]
-            for r in groups.select(key).limit(max_static + 1).collect()
+            for r in groups.select(F.col(key).cast("string"))
+            .limit(max_static + 1)
+            .collect()
         ]
+        vals = [v for v in vals if v is not None]  # NULL never matches
         if len(vals) <= max_static:
-            return df.filter(F.col(col_name).isin(vals))
+            return df.filter(F.col(col_name).cast("string").isin(vals))
     scope = groups.select(F.col(key).cast("string").alias("__scope_key"))
     return df.join(
         scope,

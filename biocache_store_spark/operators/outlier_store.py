@@ -344,7 +344,11 @@ def apply_outlier_assertions(
     neither frame keep their assertions untouched. Array surgery is all
     JVM-side (filter + array_append); the rollup and revert sides are
     dim-or-ingest-sized joins."""
-    from biocache_store_spark.processors.assertions import AssertionCodes
+    from biocache_store_spark.processors.assertions import (
+        FAILED,
+        PASSED,
+        AssertionCodes,
+    )
 
     code = AssertionCodes.DETECTED_OUTLIER.code
     name = AssertionCodes.DETECTED_OUTLIER.name
@@ -366,13 +370,18 @@ def apply_outlier_assertions(
         )
     else:
         out = out.withColumn("__revert", F.lit(None).cast("boolean"))
-    cleaned = F.filter(
-        F.col(assertions_col), lambda a: a["code"] != F.lit(code)
+    # null-safe: filter(NULL) and array_append(NULL, x) both return NULL,
+    # which would silently DROP the outlier markup on rows whose
+    # assertions column is null (same hazard append_assertion guards)
+    existing = F.coalesce(
+        F.col(assertions_col),
+        F.array().cast(store.schema[assertions_col].dataType),
     )
+    cleaned = F.filter(existing, lambda a: a["code"] != F.lit(code))
     failed = F.struct(
         F.lit(code).alias("code"),
         F.lit(name).alias("name"),
-        F.lit(0).alias("qa_status"),
+        F.lit(FAILED).alias("qa_status"),
         F.concat(
             F.lit("Outlier for "), F.col("__ofl_n"), F.lit(" layers")
         ).alias("comment"),
@@ -380,7 +389,7 @@ def apply_outlier_assertions(
     passed = F.struct(
         F.lit(code).alias("code"),
         F.lit(name).alias("name"),
-        F.lit(1).alias("qa_status"),
+        F.lit(PASSED).alias("qa_status"),
         F.lit("").alias("comment"),
     )
     new_assertions = (

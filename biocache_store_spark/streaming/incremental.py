@@ -850,16 +850,23 @@ def _versioned_maintenance_stream(
             id_col,
             "left_semi",
         )
-        groups = touched(batch).unionByName(touched(superseded)).distinct()
-        inc = detect_fn(store, groups)
-        merged = (
-            inc
-            if prev_dir is None
-            else merge_fn(spark.read.parquet(prev_dir), inc, groups)
+        # persist: the groups plan embeds a store scan and is evaluated
+        # by the scope push-down, the detection AND the merge
+        groups = (
+            touched(batch).unionByName(touched(superseded)).distinct().persist()
         )
-        merged.write.mode("overwrite").parquet(
-            os.path.join(versioned_dir, f"v={batch_id}")
-        )
+        try:
+            inc = detect_fn(store, groups)
+            merged = (
+                inc
+                if prev_dir is None
+                else merge_fn(spark.read.parquet(prev_dir), inc, groups)
+            )
+            merged.write.mode("overwrite").parquet(
+                os.path.join(versioned_dir, f"v={batch_id}")
+            )
+        finally:
+            groups.unpersist()
 
     writer = raw.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

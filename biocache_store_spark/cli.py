@@ -502,6 +502,34 @@ def cmd_mark_outliers(args) -> int:
     return 0
 
 
+def cmd_mark_duplicates(args) -> int:
+    """Apply duplicate-detection results to a processed store — the
+    reference's per-record write-back (DuplicationDetection.scala
+    :588-651) plus revertNonDuplicateRecords (:754-763): R/D status,
+    associated occurrences, dup types, INFERRED_DUPLICATE_RECORD
+    assertions; reverted records get the columns cleared and the
+    assertion removed."""
+    from biocache_store_spark.operators.dedup import apply_duplicate_markup
+
+    inputs = [args.inp, args.dups] + ([args.reverts] if args.reverts else [])
+    if any(os.path.abspath(p) == os.path.abspath(args.out) for p in inputs):
+        print(
+            "mark-duplicates: --out must differ from every input (the "
+            "plan reads them lazily while the overwrite deletes the "
+            "target; write to a fresh directory and swap)",
+            file=sys.stderr,
+        )
+        return 2
+    spark = _spark(args)
+    store = _read(spark, args.inp)
+    dups = _read(spark, args.dups)
+    reverts = _read(spark, args.reverts) if args.reverts else None
+    out = apply_duplicate_markup(store, dups, reverts, key_col=args.key_col)
+    out.write.mode("overwrite").parquet(args.out)
+    print(f"duplicate markup applied {args.inp} -> {args.out}")
+    return 0
+
+
 def cmd_delete(args) -> int:
     """DeleteRecords / DeleteLocalDataResource (tool/DeleteRecords):
     delete by keys or by query, with the surviving store written out."""
@@ -1579,6 +1607,16 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--in", dest="inp", required=True)
     sp.add_argument("--outliers", required=True, help="outlier store or rollup parquet")
     sp.add_argument("--reverts", default=None, help="revert list parquet (outlier-detect --revert-out)")
+    sp.add_argument("--key-col", dest="key_col", default="occurrenceID")
+    sp.add_argument("--out", required=True)
+
+    sp = tool(
+        "mark-duplicates", cmd_mark_duplicates,
+        "apply duplicate results to a processed store (columns + assertions)",
+    )
+    sp.add_argument("--in", dest="inp", required=True)
+    sp.add_argument("--dups", required=True, help="duplicate store parquet (dedup-detect output)")
+    sp.add_argument("--reverts", default=None, help="no-longer-duplicate record ids parquet")
     sp.add_argument("--key-col", dest="key_col", default="occurrenceID")
     sp.add_argument("--out", required=True)
 

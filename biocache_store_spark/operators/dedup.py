@@ -580,3 +580,164 @@ def merge_dedup_results(
         incremental.select("row_key").distinct(), "row_key", "left_anti"
     ).select(*cols)  # the name-keyed join moves row_key first; restore order
     return kept.unionByName(incremental)
+
+
+def duplicate_markup(dup_results: DataFrame) -> DataFrame:
+    """Per-record duplication columns from a duplicate-store result —
+    what DuplicationDetection writes onto each occ record for indexing
+    (tool/DuplicationDetection.scala:588-633): the representative gets
+    duplicationStatus 'R' and associatedOccurrences = its members
+    pipe-joined; each duplicate gets 'D', associatedOccurrences = the
+    representative's id, and duplicationType = its dup-type ids (the
+    reference stores a JSON array string; here pipe-joined, which the
+    index projection's multivalue splitter consumes directly).
+    Untested/unique records ('U') produce no markup row."""
+    dups = dup_results.filter(F.col("status").isin("D1", "D2"))
+    reps = dup_results.filter(F.col("status") == "R")
+    # rename the grouped key: members shares lineage with reps (both
+    # derive from dup_results), and a same-named join column would
+    # resolve ambiguously
+    members = dups.groupBy(
+        F.col("duplicate_of").alias("__rep_key")
+    ).agg(
+        F.array_join(F.sort_array(F.collect_list("row_key")), "|").alias(
+            "associatedOccurrences"
+        )
+    )
+    rep_m = reps.join(
+        members, reps["row_key"] == F.col("__rep_key"), "left"
+    ).select(
+        reps["row_key"].alias("row_key"),
+        F.lit("R").alias("duplicationStatus"),
+        F.col("associatedOccurrences"),
+        F.lit(None).cast("string").alias("duplicationType"),
+    )
+    dup_m = dups.select(
+        "row_key",
+        F.lit("D").alias("duplicationStatus"),
+        F.col("duplicate_of").alias("associatedOccurrences"),
+        F.array_join(
+            F.transform(F.col("dup_types"), lambda t: t.cast("string")), "|"
+        ).alias("duplicationType"),
+    )
+    return rep_m.unionByName(dup_m)
+
+
+def obsolete_duplicate_records(
+    previous: DataFrame, current: DataFrame
+) -> DataFrame:
+    """Record ids duplicate-marked (R or D) in the previous result but no
+    longer in the current one — revertNonDuplicateRecords' diff
+    (DuplicationDetection.scala:754-763: delete the three duplication
+    columns, remove the INFERRED_DUPLICATE_RECORD assertion)."""
+    marked = lambda d: (  # noqa: E731
+        d.filter(F.col("status") != "U").select("row_key").distinct()
+    )
+    return marked(previous).join(marked(current), "row_key", "left_anti")
+
+
+def apply_duplicate_markup(
+    store: DataFrame,
+    dup_results: DataFrame,
+    reverts: DataFrame | None = None,
+    key_col: str = "rowKey",
+    assertions_col: str = "assertions",
+) -> DataFrame:
+    """Mark up a processed store with duplicate-detection results — the
+    write-back DuplicationDetection does per record (:588-651) and the
+    revert (:754-763), as one join pass:
+
+      * records in the markup get duplicationStatus / associatedOccurrences
+        / duplicationType set (replacing any previous values), and 'D'
+        records additionally get a failed INFERRED_DUPLICATE_RECORD
+        assertion ('Record has been inferred as closely related to <rep>'),
+        replacing any existing entry of that code;
+      * records in `reverts` (see obsolete_duplicate_records) get the
+        three columns cleared and the assertion REMOVED — the reference
+        deletes the column and calls removeSystemAssertion, unlike the
+        outlier reset which flips to passed;
+      * everything else passes through verbatim.
+
+    `dup_results` accepts the raw duplicate store (markup derived via
+    duplicate_markup) or a pre-built markup frame."""
+    from biocache_store_spark.processors.assertions import (
+        FAILED,
+        AssertionCodes,
+    )
+
+    if "duplicationStatus" not in dup_results.columns:
+        markup = duplicate_markup(dup_results)
+    else:
+        markup = dup_results
+    markup = markup.select(
+        F.col("row_key").alias("__dm_key"),
+        F.col("duplicationStatus").alias("__dm_status"),
+        F.col("associatedOccurrences").alias("__dm_assoc"),
+        F.col("duplicationType").alias("__dm_types"),
+    )
+    out = store.join(
+        markup, store[key_col] == F.col("__dm_key"), "left"
+    ).drop("__dm_key")
+    if reverts is not None:
+        rv = reverts.select(
+            F.col("row_key").alias("__rv_key"), F.lit(True).alias("__revert")
+        )
+        out = out.join(rv, out[key_col] == F.col("__rv_key"), "left").drop(
+            "__rv_key"
+        )
+    else:
+        out = out.withColumn("__revert", F.lit(None).cast("boolean"))
+
+    def updated(col_name: str, new_val) -> F.Column:
+        existing = (
+            F.col(col_name)
+            if col_name in store.columns
+            else F.lit(None).cast("string")
+        )
+        return (
+            F.when(F.col("__dm_status").isNotNull(), new_val)
+            .when(F.col("__revert"), F.lit(None).cast("string"))
+            .otherwise(existing)
+        )
+
+    out = (
+        out.withColumn(
+            "duplicationStatus", updated("duplicationStatus", F.col("__dm_status"))
+        )
+        .withColumn(
+            "associatedOccurrences",
+            updated("associatedOccurrences", F.col("__dm_assoc")),
+        )
+        .withColumn(
+            "duplicationType", updated("duplicationType", F.col("__dm_types"))
+        )
+    )
+    code = AssertionCodes.INFERRED_DUPLICATE_RECORD.code
+    name = AssertionCodes.INFERRED_DUPLICATE_RECORD.name
+    existing_arr = F.coalesce(
+        F.col(assertions_col),
+        F.array().cast(store.schema[assertions_col].dataType),
+    )
+    cleaned = F.filter(existing_arr, lambda a: a["code"] != F.lit(code))
+    dup_assertion = F.struct(
+        F.lit(code).alias("code"),
+        F.lit(name).alias("name"),
+        F.lit(FAILED).alias("qa_status"),
+        F.concat(
+            F.lit("Record has been inferred as closely related to "),
+            F.col("__dm_assoc"),
+        ).alias("comment"),
+    )
+    new_assertions = (
+        F.when(
+            F.col("__dm_status") == "D", F.array_append(cleaned, dup_assertion)
+        )
+        .when(
+            F.col("__dm_status").isNotNull() | F.coalesce(F.col("__revert"), F.lit(False)),
+            cleaned,  # R rows and reverts carry no duplicate assertion
+        )
+        .otherwise(F.col(assertions_col))
+    )
+    return out.withColumn(assertions_col, new_assertions).drop(
+        "__dm_status", "__dm_assoc", "__dm_types", "__revert"
+    )

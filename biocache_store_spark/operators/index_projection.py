@@ -73,6 +73,12 @@ _MATCHED_PARSED = {
     "left": "matched_lft",
     "right": "matched_rgt",
     "vernacularName": "matched_vernacularName",
+    # offline duplicate markup (apply_duplicate_markup) lands as
+    # top-level columns; the index reads them as the parsed values
+    # (duplicate_status / duplicate_record / duplicate_type)
+    "duplicationStatus": "duplicationStatus",
+    "associatedOccurrences": "associatedOccurrences",
+    "duplicationType": "duplicationType",
 }
 
 # cassandra-field aliases onto this engine's raw column names

@@ -950,3 +950,40 @@ def test_cli_mark_outliers(spark, tmp_path):
     assert len(ox) == 1 and ox[0]["qa_status"] == 0
     og = [a for a in rows["rGone"]["assertions"] if a["name"] == "detectedOutlier"]
     assert len(og) == 1 and og[0]["qa_status"] == 1
+
+
+def test_cli_mark_duplicates(spark, tmp_path):
+    """mark-duplicates: processed store + dedup-detect output + reverts
+    -> duplication columns and assertions applied."""
+    from biocache_store_spark.processors.chain import process_records
+
+    raw = spark.createDataFrame(
+        [(k, "dr1", "PreservedSpecimen") for k in ("o1", "o2", "o9")],
+        ["occurrenceID", "dataResourceUid", "basisOfRecord"],
+    )
+    store = str(tmp_path / "processed")
+    process_records(raw).write.parquet(store)
+    dups = str(tmp_path / "dups")
+    spark.createDataFrame(
+        [("t1", "2000", "01", "05", "o1", "R", None, [], 4),
+         ("t1", "2000", "01", "05", "o2", "D1", "o1", [4], 0)],
+        "taxon string, year string, month string, day string,"
+        " row_key string, status string, duplicate_of string,"
+        " dup_types array<int>, precision int",
+    ).write.parquet(dups)
+    reverts = str(tmp_path / "reverts")
+    spark.createDataFrame([("o9",)], "row_key string").write.parquet(reverts)
+    out = str(tmp_path / "marked")
+    assert main([
+        "mark-duplicates", "--in", store, "--dups", dups,
+        "--reverts", reverts, "--out", out,
+    ]) == 0
+    rows = {r["occurrenceID"]: r for r in spark.read.parquet(out).collect()}
+    assert rows["o1"]["duplicationStatus"] == "R"
+    assert rows["o2"]["duplicationStatus"] == "D"
+    assert rows["o2"]["duplicationType"] == "4"
+    assert rows["o9"]["duplicationStatus"] is None
+    # --out == --in refused
+    assert main([
+        "mark-duplicates", "--in", store, "--dups", dups, "--out", store,
+    ]) == 2

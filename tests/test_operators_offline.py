@@ -787,3 +787,76 @@ def test_scoped_detection_partition_prunes(spark, tmp_path):
         store, big, "taxonConceptID", group_col="taxon", max_static=20_000
     )
     assert "Join LeftSemi" in fallback._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_apply_duplicate_markup_lifecycle(spark):
+    """DuplicationDetection's per-record write-back (:588-651) + revert
+    (:754-763): R rows get the member list, D rows the representative +
+    types + INFERRED_DUPLICATE_RECORD assertion (replaced, never
+    duplicated), reverted rows get the columns cleared and the assertion
+    REMOVED, everyone else passes through — and the index projection
+    serves the columns as duplicate_status / duplicate_record /
+    duplicate_type."""
+    from biocache_store_spark.operators.dedup import (
+        apply_duplicate_markup,
+        duplicate_markup,
+        obsolete_duplicate_records,
+    )
+    from biocache_store_spark.operators.index_projection import build_index
+    from biocache_store_spark.processors.assertions import AssertionCodes
+    from biocache_store_spark.processors.chain import process_records
+
+    dup_rows = [
+        ("t1", "2000", "01", "05", "o1", "R", None, [], 4),
+        ("t1", "2000", "01", "05", "o2", "D1", "o1", [4, 6], 0),
+        ("t1", "2000", "01", "05", "o3", "D2", "o1", [5], 0),
+        ("t2", "2000", "01", "05", "o4", "U", None, [], 0),
+    ]
+    dup_schema = (
+        "taxon string, year string, month string, day string,"
+        " row_key string, status string, duplicate_of string,"
+        " dup_types array<int>, precision int"
+    )
+    dups = spark.createDataFrame(dup_rows, dup_schema)
+    m = {r["row_key"]: r for r in duplicate_markup(dups).collect()}
+    assert m["o1"]["duplicationStatus"] == "R"
+    assert m["o1"]["associatedOccurrences"] == "o2|o3"
+    assert m["o2"]["associatedOccurrences"] == "o1"
+    assert m["o2"]["duplicationType"] == "4|6"
+    assert "o4" not in m
+
+    raw = spark.createDataFrame(
+        [(k, "dr1", "PreservedSpecimen") for k in ("o1", "o2", "o3", "o4", "o9")],
+        ["occurrenceID", "dataResourceUid", "basisOfRecord"],
+    )
+    store = process_records(raw)
+    # previous run had o9 marked; now it is not -> revert
+    prev = spark.createDataFrame(
+        [("t3", "2000", "01", "05", "o9", "D1", "oX", [4], 0)], dup_schema
+    )
+    reverts = obsolete_duplicate_records(prev, dups)
+    assert [r["row_key"] for r in reverts.collect()] == ["o9"]
+
+    out = apply_duplicate_markup(store, dups, reverts, key_col="occurrenceID")
+    out = apply_duplicate_markup(out, dups, reverts, key_col="occurrenceID")
+    rows = {r["occurrenceID"]: r for r in out.collect()}
+    assert rows["o1"]["duplicationStatus"] == "R"
+    assert rows["o2"]["duplicationStatus"] == "D"
+    assert rows["o2"]["associatedOccurrences"] == "o1"
+    assert rows["o9"]["duplicationStatus"] is None  # reverted / cleared
+    assert rows["o4"]["duplicationStatus"] is None  # never marked
+    code = AssertionCodes.INFERRED_DUPLICATE_RECORD.code
+    dup_asserts = {
+        k: [a for a in rows[k]["assertions"] if a["code"] == code]
+        for k in rows
+    }
+    assert len(dup_asserts["o2"]) == 1  # replaced, not duplicated
+    assert "closely related to o1" in dup_asserts["o2"][0]["comment"]
+    assert dup_asserts["o1"] == [] and dup_asserts["o9"] == []
+
+    idx = {r["occurrence_id"]: r for r in build_index(out).collect()}
+    assert idx["o2"]["duplicate_status"] == "D"
+    assert idx["o2"]["duplicate_record"] == "o1"
+    assert sorted(idx["o2"]["duplicate_type"]) == ["4", "6"]
+    assert idx["o1"]["duplicate_status"] == "R"
+    assert idx["o9"]["duplicate_status"] is None

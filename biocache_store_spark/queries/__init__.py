@@ -53,16 +53,18 @@ def register(
 
 
 # The external driver oracle-checks a 50-slot prefix of the registry per
-# round. Round-8 rotation (VERDICT r7 "Next round" #2): the two new
+# round. Round-8 rotation (VERDICT r7 "Next round" #2): the four new
 # queries and three whose behavior changed this round first, then ALL 27
 # r5-era refreshes (the post-marker remainder VERDICT r7 listed — after
-# this round every entry's driver evidence is r6 or newer), then 18
-# r6-era refreshes. The remaining 25 r6-era entries stay deprioritized
+# this round every entry's driver evidence is r6 or newer), then 16
+# r6-era refreshes. The remaining 27 r6-era entries stay deprioritized
 # and rotate next round alongside any round-9 changes.
 HEAD: tuple[str, ...] = (
     # NEW in round 8 — never driver-checked
     "dwca_event_core_roundtrip",  # EventCoreExtractor parity round trip
     "outlier_store_merge",        # persisted outlier store, inc == full
+    "duplicate_markup_writeback", # per-record duplicate write-back
+    "outlier_assertion_markup",   # assertion replace/revert semantics
     # behavior changed in round 8 — must re-check first
     "dedup_incremental_merge",  # merge_dedup_results row_key anti-join
     "domain_cap_filter",        # cap ordering: nulls-last + content tiebreak
@@ -95,7 +97,7 @@ HEAD: tuple[str, ...] = (
     "indexed_field_scan",
     "multiget",
     "point_lookup",
-    # r6-era refreshes (first 18 of the r6-green set; the other 25 next)
+    # r6-era refreshes (first 16 of the r6-green set; the other 27 next)
     "user_assertion_lifecycle",
     "minhash_near_duplicates",
     "corpus_curation",
@@ -112,8 +114,6 @@ HEAD: tuple[str, ...] = (
     "set_except",
     "anti_join_obsolete",
     "distinct_values",
-    "grouped_stats",
-    "event_facet_counts",
     # --- 50-slot prefix ends here ---
 )
 
@@ -122,6 +122,8 @@ DEPRIORITIZED: tuple[str, ...] = (
     # remainder below) and untouched this round — they yield their
     # prefix slots to the rotation above.
     # r6-era remainder (rotate into the prefix in round 9):
+    "grouped_stats",
+    "event_facet_counts",
     "event_json_extract",
     "event_hourly_histogram",
     "range_filter_facet",

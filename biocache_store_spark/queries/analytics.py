@@ -315,6 +315,175 @@ def outlier_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "duplicate_markup_writeback",
+    doc=(
+        "Duplicate write-back under the external hash gate "
+        "(operators/dedup.py duplicate_markup + apply_duplicate_markup — "
+        "DuplicationDetection.scala:588-651's per-record occ writes): the "
+        "detected clusters are applied to a record store, so the hash "
+        "pins the representative's pipe-joined member list, each "
+        "duplicate's representative link and dup-type ids, the "
+        "INFERRED_DUPLICATE_RECORD assertion presence, and the NULL "
+        "markup on unique records. The oracle derives the same relation "
+        "from the cluster arithmetic."
+    ),
+    oracle="""
+        WITH occ AS (
+            SELECT printf('c%09d', c_custkey) AS row_key,
+                   c_mktsegment AS druid,
+                   c_custkey // 4 AS cid,
+                   c_custkey % 4 AS m
+            FROM customer
+        ),
+        rec AS (
+            SELECT row_key, druid, cid,
+                   CASE WHEN m = 0 THEN 2 ELSE 0 END AS prec0
+            FROM occ
+        ),
+        cl AS (
+            SELECT *,
+                   COUNT(*) OVER (PARTITION BY cid) AS n,
+                   MIN(row_key) OVER (PARTITION BY cid) AS rep_key,
+                   MAX(prec0) OVER (PARTITION BY cid) AS max_prec
+            FROM rec
+        ),
+        st AS (
+            SELECT *,
+                   CASE WHEN n = 1 THEN 'U'
+                        WHEN row_key = rep_key THEN 'R'
+                        ELSE 'D' END AS status,
+                   CASE WHEN max_prec = 2 THEN '5|6' ELSE '4|6' END AS dt
+            FROM cl
+        ),
+        members AS (
+            SELECT cid,
+                   STRING_AGG(row_key, '|' ORDER BY row_key) AS member_list
+            FROM st WHERE status = 'D' GROUP BY cid
+        )
+        SELECT s.row_key,
+               CASE WHEN s.status IN ('R', 'D') THEN s.status END
+                   AS dup_status,
+               CASE WHEN s.status = 'R' THEN mem.member_list
+                    WHEN s.status = 'D' THEN s.rep_key END AS assoc,
+               CASE WHEN s.status = 'D' THEN s.dt END AS dup_type,
+               (s.status = 'D') AS has_dup_assertion
+        FROM st s LEFT JOIN members mem ON s.cid = mem.cid
+    """,
+)
+def duplicate_markup_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.dedup import (
+        apply_duplicate_markup,
+        detect_duplicates,
+    )
+    from biocache_store_spark.processors.assertions import AssertionCodes
+    from biocache_store_spark.processors.chain import ASSERTION_TYPE
+
+    customer = read_table(spark, sf_dir, "customer")
+    occ = _dedup_occ_synthesis(customer)
+    dups = detect_duplicates(occ)
+    store = occ.select(
+        F.col("occurrenceID").alias("row_key"),
+        F.array().cast(ASSERTION_TYPE).alias("assertions"),
+    )
+    marked = apply_duplicate_markup(store, dups, key_col="row_key")
+    code = AssertionCodes.INFERRED_DUPLICATE_RECORD.code
+    return marked.select(
+        "row_key",
+        F.col("duplicationStatus").alias("dup_status"),
+        F.col("associatedOccurrences").alias("assoc"),
+        F.col("duplicationType").alias("dup_type"),
+        F.exists(
+            F.col("assertions"), lambda a: a["code"] == F.lit(code)
+        ).alias("has_dup_assertion"),
+    )
+
+
+@register(
+    "outlier_assertion_markup",
+    doc=(
+        "Outlier assertion write-back under the external hash gate "
+        "(operators/outlier_store.py apply_outlier_assertions — "
+        "ReverseJacknifeProcessor.scala:370-410): a synthetic rollup "
+        "(every 7th record an outlier for custkey%3+1 layers) and revert "
+        "list (every 11th, unless also an outlier) are applied to a "
+        "record store whose even records carry a pre-existing "
+        "DETECTED_OUTLIER entry — so the hash pins the replace-never-"
+        "duplicate rule, the failed 'Outlier for N layers' comment, the "
+        "passed revert flip, and untouched rows keeping their entry."
+    ),
+    oracle="""
+        WITH rec AS (
+            SELECT 'c' || CAST(c_custkey AS VARCHAR) AS row_key,
+                   c_custkey % 7 = 0 AS is_out,
+                   c_custkey % 11 = 0 AS in_revert,
+                   c_custkey % 2 = 0 AS pre_marked,
+                   CAST(c_custkey % 3 + 1 AS INTEGER) AS n_layers
+            FROM customer
+        )
+        SELECT row_key,
+               CASE WHEN is_out THEN 0
+                    WHEN in_revert THEN 1
+                    WHEN pre_marked THEN 0 END AS qa_status,
+               CASE WHEN is_out
+                        THEN 'Outlier for ' || CAST(n_layers AS VARCHAR)
+                             || ' layers'
+                    WHEN in_revert THEN ''
+                    WHEN pre_marked THEN 'stale' END AS comment,
+               CAST(is_out OR in_revert OR pre_marked AS BOOLEAN)
+                   AS has_entry
+        FROM rec
+    """,
+)
+def outlier_assertion_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.outlier_store import (
+        apply_outlier_assertions,
+    )
+    from biocache_store_spark.processors.assertions import AssertionCodes
+    from biocache_store_spark.processors.chain import ASSERTION_TYPE
+
+    code = AssertionCodes.DETECTED_OUTLIER.code
+    name = AssertionCodes.DETECTED_OUTLIER.name
+    customer = read_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    key = F.concat(F.lit("c"), k.cast("string"))
+    # even records carry a stale pre-existing DETECTED_OUTLIER entry that
+    # the markup must REPLACE (outliers/reverts) or leave alone (others)
+    pre = F.struct(
+        F.lit(code).alias("code"),
+        F.lit(name).alias("name"),
+        F.lit(0).alias("qa_status"),
+        F.lit("stale").alias("comment"),
+    )
+    store = customer.select(
+        key.alias("row_key"),
+        F.when(
+            F.pmod(k, F.lit(2)) == 0, F.array(pre).cast(ASSERTION_TYPE)
+        )
+        .otherwise(F.array().cast(ASSERTION_TYPE))
+        .alias("assertions"),
+    )
+    rollup = customer.filter(F.pmod(k, F.lit(7)) == 0).select(
+        key.alias("row_key"),
+        F.array(F.lit("el1")).alias("outlier_for_layers"),
+        (F.pmod(k, F.lit(3)) + 1).cast("int").alias(
+            "outlier_for_layers_count"
+        ),
+    )
+    reverts = customer.filter(
+        (F.pmod(k, F.lit(11)) == 0) & (F.pmod(k, F.lit(7)) != 0)
+    ).select(key.alias("row_key"))
+    marked = apply_outlier_assertions(store, rollup, reverts, key_col="row_key")
+    entry = F.filter(F.col("assertions"), lambda a: a["code"] == F.lit(code))
+    first = F.try_element_at(entry, F.lit(1))  # ANSI: empty array must yield NULL
+    return marked.select(
+        "row_key",
+        first["qa_status"].alias("qa_status"),
+        first["comment"].alias("comment"),
+        (F.size(entry) == 1).alias("has_entry"),
+    )
+
+
 _QID_QUERY = "o_orderpriority:1-URGENT AND o_totalprice:[100000 TO *]"
 
 

@@ -35,6 +35,11 @@ class FileDescriptor:
     ignore_header_lines: int = 0
     id_index: int | None = None  # core: <id index>; extension: <coreid index>
     fields: dict[int, str] = field(default_factory=dict)  # column index -> term
+    # DwC-text default values (the gbif dwca-io reader the reference uses
+    # supplies these automatically): term -> constant for index-less
+    # fields; term -> fallback for indexed fields whose value is missing
+    defaults: dict[str, str] = field(default_factory=dict)
+    field_defaults: dict[str, str] = field(default_factory=dict)
 
 
 def _decode_delim(s: str | None) -> str:
@@ -69,10 +74,19 @@ def _parse_file_element(el) -> FileDescriptor:
     for field_el in el.findall(f"{_NS}field"):
         idx = field_el.get("index")
         term_uri = field_el.get("term", "")
-        if idx is None:
-            continue  # default-value fields not yet supported
         term = match_term(term_uri) or term_uri.rsplit("/", 1)[-1]
+        default = field_el.get("default")
+        if idx is None:
+            # index-less field: a CONSTANT column (IPT emits these for
+            # archive-wide values like institutionCode)
+            if default is not None:
+                fd.defaults[term] = default
+            continue
         fd.fields[int(idx)] = term
+        if default is not None:
+            # indexed field with a default: the value falls back to it
+            # when the cell is missing (DwC-text spec)
+            fd.field_defaults[term] = default
     return fd
 
 
@@ -168,9 +182,19 @@ def _read_file(
         seen.add(id_alias)
     for idx, term in sorted(fd.fields.items()):
         if idx < len(raw_cols) and term not in seen:
-            cols.append(df[raw_cols[idx]].alias(term))
+            col = df[raw_cols[idx]]
+            if term in fd.field_defaults:
+                col = F.coalesce(col, F.lit(fd.field_defaults[term]))
+            cols.append(col.alias(term))
             seen.add(term)
-    return df.select(*cols)
+    out = df.select(*cols)
+    # index-less default fields become constant columns (unless an
+    # indexed field already claimed the term)
+    for term, value in fd.defaults.items():
+        if term not in seen:
+            out = out.withColumn(term, F.lit(value))
+            seen.add(term)
+    return out
 
 
 def resolve_multimedia_locations(

@@ -1967,3 +1967,39 @@ def test_occurrence_outlier_stream_equals_batch_recompute(spark, tmp_path):
     assert ("tB", "aX") in keys and ("tA", "aX") not in keys
     got = {r["row_key"] for r in merged.filter("is_outlier").collect()}
     assert got == {"bX"}  # aX left tA; tB's new extreme flags
+
+
+def test_dwca_default_value_fields(spark, tmp_path):
+    """DwC-text default values (gbif dwca-io supplies them automatically
+    in the reference's reader): an index-less field becomes a constant
+    column, and an indexed field with a default falls back to it when
+    the cell is missing."""
+    from biocache_store_spark.sources.dwca import load_archive, parse_meta
+
+    (tmp_path / "meta.xml").write_text(
+        '<archive xmlns="http://rs.tdwg.org/dwc/text/">'
+        '<core rowType="http://rs.tdwg.org/dwc/terms/Occurrence" '
+        'ignoreHeaderLines="1">'
+        "<files><location>occ.csv</location></files>"
+        '<id index="0"/>'
+        '<field index="1" term="http://rs.tdwg.org/dwc/terms/occurrenceID"/>'
+        '<field index="2" term="http://rs.tdwg.org/dwc/terms/basisOfRecord" '
+        'default="HumanObservation"/>'
+        '<field term="http://rs.tdwg.org/dwc/terms/institutionCode" '
+        'default="MV"/>'
+        "</core></archive>"
+    )
+    (tmp_path / "occ.csv").write_text(
+        "id,occurrenceID,basisOfRecord\n"
+        "1,o1,PreservedSpecimen\n"
+        "2,o2,\n"  # empty cell: the field default applies
+    )
+    desc = parse_meta(str(tmp_path))
+    assert desc.core.defaults == {"institutionCode": "MV"}
+    assert desc.core.field_defaults == {"basisOfRecord": "HumanObservation"}
+    df = load_archive(spark, str(tmp_path), "drD", ["occurrenceID"])
+    rows = {r["occurrenceID"]: r for r in df.collect()}
+    assert rows["o1"]["basisOfRecord"] == "PreservedSpecimen"
+    assert rows["o2"]["basisOfRecord"] == "HumanObservation"
+    assert rows["o1"]["institutionCode"] == "MV"
+    assert rows["o2"]["institutionCode"] == "MV"

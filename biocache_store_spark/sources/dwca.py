@@ -33,6 +33,7 @@ class FileDescriptor:
     quote: str = '"'
     escape: str | None = None  # fieldsEscapedBy; None = escape-by-doubled-quote
     ignore_header_lines: int = 0
+    encoding: str = "UTF-8"
     id_index: int | None = None  # core: <id index>; extension: <coreid index>
     fields: dict[int, str] = field(default_factory=dict)  # column index -> term
     # DwC-text default values (the gbif dwca-io reader the reference uses
@@ -65,6 +66,7 @@ def _parse_file_element(el) -> FileDescriptor:
         quote=quote,
         escape=_decode_delim(escaped) if escaped else None,
         ignore_header_lines=int(el.get("ignoreHeaderLines", "0")),
+        encoding=el.get("encoding") or "UTF-8",
     )
     id_el = el.find(f"{_NS}id")
     if id_el is None:
@@ -137,9 +139,9 @@ def _read_file(
             # check would then consider valid forever
             tmp_fd, tmp_path = tempfile.mkstemp(dir=cache_dir, suffix=".part")
             try:
-                with open(path, encoding="utf-8", errors="replace") as src, open(
-                    tmp_fd, "w", encoding="utf-8"
-                ) as dst:
+                with open(
+                    path, encoding=fd.encoding, errors="replace"
+                ) as src, open(tmp_fd, "w", encoding=fd.encoding) as dst:
                     for _ in range(fd.ignore_header_lines - 1):
                         src.readline()
                     for line in src:
@@ -153,6 +155,9 @@ def _read_file(
     reader = (
         spark.read.option("header", fd.ignore_header_lines > 0)
         .option("delimiter", fd.delimiter)
+        # meta.xml's declared file encoding (IPT emits ISO-8859-1
+        # archives); Spark decodes per-file, no transcoding copy needed
+        .option("encoding", fd.encoding)
     )
     if fd.quote == "":
         # explicit no-enclosure: empty quote option = quoting disabled

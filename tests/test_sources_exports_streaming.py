@@ -2003,3 +2003,34 @@ def test_dwca_default_value_fields(spark, tmp_path):
     assert rows["o2"]["basisOfRecord"] == "HumanObservation"
     assert rows["o1"]["institutionCode"] == "MV"
     assert rows["o2"]["institutionCode"] == "MV"
+
+
+def test_dwca_declared_encoding(spark, tmp_path):
+    """meta.xml's encoding attribute is honored: an ISO-8859-1 archive
+    (IPT emits these) loads its accented values intact instead of
+    mojibake from a UTF-8 misread."""
+    from biocache_store_spark.sources.dwca import load_archive, parse_meta
+
+    (tmp_path / "meta.xml").write_text(
+        '<archive xmlns="http://rs.tdwg.org/dwc/text/">'
+        '<core rowType="http://rs.tdwg.org/dwc/terms/Occurrence" '
+        'encoding="ISO-8859-1" ignoreHeaderLines="1">'
+        "<files><location>occ.csv</location></files>"
+        '<id index="0"/>'
+        '<field index="1" term="http://rs.tdwg.org/dwc/terms/occurrenceID"/>'
+        '<field index="2" term="http://rs.tdwg.org/dwc/terms/recordedBy"/>'
+        "</core></archive>"
+    )
+    (tmp_path / "occ.csv").write_bytes(
+        "id|occurrenceID|recordedBy\n1|o1|Muñoz, J.\n".encode("iso-8859-1")
+    )
+    # pipe delimiter so the comma inside the name stays literal
+    meta = (tmp_path / "meta.xml").read_text().replace(
+        'encoding="ISO-8859-1"',
+        'encoding="ISO-8859-1" fieldsTerminatedBy="|"',
+    )
+    (tmp_path / "meta.xml").write_text(meta)
+    assert parse_meta(str(tmp_path)).core.encoding == "ISO-8859-1"
+    df = load_archive(spark, str(tmp_path), "drE8", ["occurrenceID"])
+    row = df.collect()[0]
+    assert row["recordedBy"] == "Muñoz, J."

@@ -472,6 +472,23 @@ def cmd_outlier_detect(args) -> int:
     return 0
 
 
+def _refuse_inplace_out(tool: str, inputs: list[str], out: str) -> bool:
+    """True (and an explanatory stderr line) when --out collides with any
+    input path: the plan reads inputs lazily while mode('overwrite')
+    deletes the target — at best Spark's self-overwrite guard trips, at
+    worst a partially-deleted store. realpath, so symlinked aliases of
+    the same directory are caught too."""
+    if any(os.path.realpath(p) == os.path.realpath(out) for p in inputs):
+        print(
+            f"{tool}: --out must differ from every input (the plan reads "
+            "them lazily while the overwrite deletes the target; write "
+            "to a fresh directory and swap)",
+            file=sys.stderr,
+        )
+        return True
+    return False
+
+
 def cmd_mark_outliers(args) -> int:
     """Apply persisted outlier results to a processed store as system
     assertions (ReverseJacknifeProcessor storeResultsWithStats :370-410:
@@ -482,13 +499,7 @@ def cmd_mark_outliers(args) -> int:
     )
 
     inputs = [args.inp, args.outliers] + ([args.reverts] if args.reverts else [])
-    if any(os.path.abspath(p) == os.path.abspath(args.out) for p in inputs):
-        print(
-            "mark-outliers: --out must differ from every input (the plan "
-            "reads them lazily while the overwrite deletes the target; "
-            "write to a fresh directory and swap)",
-            file=sys.stderr,
-        )
+    if _refuse_inplace_out("mark-outliers", inputs, args.out):
         return 2
     spark = _spark(args)
     store = _read(spark, args.inp)
@@ -512,13 +523,7 @@ def cmd_mark_duplicates(args) -> int:
     from biocache_store_spark.operators.dedup import apply_duplicate_markup
 
     inputs = [args.inp, args.dups] + ([args.reverts] if args.reverts else [])
-    if any(os.path.abspath(p) == os.path.abspath(args.out) for p in inputs):
-        print(
-            "mark-duplicates: --out must differ from every input (the "
-            "plan reads them lazily while the overwrite deletes the "
-            "target; write to a fresh directory and swap)",
-            file=sys.stderr,
-        )
+    if _refuse_inplace_out("mark-duplicates", inputs, args.out):
         return 2
     spark = _spark(args)
     store = _read(spark, args.inp)

@@ -658,6 +658,12 @@ def apply_duplicate_markup(
         outlier reset which flips to passed;
       * everything else passes through verbatim.
 
+    The markup lands in `_p`-SUFFIXED columns (duplicationStatus_p,
+    associatedOccurrences_p, duplicationType_p) — the flat-store twin of
+    the reference's ":p" (processed) column qualifier — so the RAW DwC
+    `associatedOccurrences` term a record may legitimately carry is
+    never read as, or clobbered by, detection output.
+
     `dup_results` accepts the raw duplicate store (markup derived via
     duplicate_markup) or a pre-built markup frame."""
     from biocache_store_spark.processors.assertions import (
@@ -702,14 +708,15 @@ def apply_duplicate_markup(
 
     out = (
         out.withColumn(
-            "duplicationStatus", updated("duplicationStatus", F.col("__dm_status"))
+            "duplicationStatus_p",
+            updated("duplicationStatus_p", F.col("__dm_status")),
         )
         .withColumn(
-            "associatedOccurrences",
-            updated("associatedOccurrences", F.col("__dm_assoc")),
+            "associatedOccurrences_p",
+            updated("associatedOccurrences_p", F.col("__dm_assoc")),
         )
         .withColumn(
-            "duplicationType", updated("duplicationType", F.col("__dm_types"))
+            "duplicationType_p", updated("duplicationType_p", F.col("__dm_types"))
         )
     )
     code = AssertionCodes.INFERRED_DUPLICATE_RECORD.code

@@ -74,11 +74,13 @@ _MATCHED_PARSED = {
     "right": "matched_rgt",
     "vernacularName": "matched_vernacularName",
     # offline duplicate markup (apply_duplicate_markup) lands as
-    # top-level columns; the index reads them as the parsed values
+    # _p-suffixed top-level columns (never the raw DwC term names — a
+    # record's verbatim associatedOccurrences must not read as detection
+    # output); the index serves them as the parsed values
     # (duplicate_status / duplicate_record / duplicate_type)
-    "duplicationStatus": "duplicationStatus",
-    "associatedOccurrences": "associatedOccurrences",
-    "duplicationType": "duplicationType",
+    "duplicationStatus": "duplicationStatus_p",
+    "associatedOccurrences": "associatedOccurrences_p",
+    "duplicationType": "duplicationType_p",
 }
 
 # cassandra-field aliases onto this engine's raw column names

@@ -390,9 +390,9 @@ def duplicate_markup_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
     code = AssertionCodes.INFERRED_DUPLICATE_RECORD.code
     return marked.select(
         "row_key",
-        F.col("duplicationStatus").alias("dup_status"),
-        F.col("associatedOccurrences").alias("assoc"),
-        F.col("duplicationType").alias("dup_type"),
+        F.col("duplicationStatus_p").alias("dup_status"),
+        F.col("associatedOccurrences_p").alias("assoc"),
+        F.col("duplicationType_p").alias("dup_type"),
         F.exists(
             F.col("assertions"), lambda a: a["code"] == F.lit(code)
         ).alias("has_dup_assertion"),

@@ -126,7 +126,12 @@ def _read_file(
 
         cache_dir = os.path.join(tempfile.gettempdir(), "biocache_dwca_strip")
         os.makedirs(cache_dir, exist_ok=True)
-        digest = hashlib.md5(os.path.abspath(path).encode()).hexdigest()
+        # the key folds in the DECLARED ENCODING: a meta.xml-only encoding
+        # fix (data file untouched, mtime unchanged) must not re-serve a
+        # copy transcoded under the old declaration
+        digest = hashlib.md5(
+            f"{os.path.abspath(path)}|{fd.encoding}".encode()
+        ).hexdigest()
         stripped = os.path.join(
             cache_dir, f"{digest}.skip{fd.ignore_header_lines - 1}"
         )
@@ -139,9 +144,14 @@ def _read_file(
             # check would then consider valid forever
             tmp_fd, tmp_path = tempfile.mkstemp(dir=cache_dir, suffix=".part")
             try:
+                # errors="replace" on BOTH ends: the decode can produce
+                # U+FFFD, which charsets like cp1252 cannot encode — a
+                # strict dst would crash the whole load on one bad byte
                 with open(
                     path, encoding=fd.encoding, errors="replace"
-                ) as src, open(tmp_fd, "w", encoding=fd.encoding) as dst:
+                ) as src, open(
+                    tmp_fd, "w", encoding=fd.encoding, errors="replace"
+                ) as dst:
                     for _ in range(fd.ignore_header_lines - 1):
                         src.readline()
                     for line in src:
@@ -189,13 +199,19 @@ def _read_file(
         if idx < len(raw_cols) and term not in seen:
             col = df[raw_cols[idx]]
             if term in fd.field_defaults:
-                col = F.coalesce(col, F.lit(fd.field_defaults[term]))
+                # dwca-io treats EMPTY as unsupplied too, not just null
+                col = F.coalesce(
+                    F.nullif(col, F.lit("")),
+                    F.lit(fd.field_defaults[term]),
+                )
             cols.append(col.alias(term))
             seen.add(term)
     out = df.select(*cols)
-    # index-less default fields become constant columns (unless an
-    # indexed field already claimed the term)
-    for term, value in fd.defaults.items():
+    # index-less default fields become constant columns, and an indexed
+    # field whose declared index exceeds the file's column count
+    # (ragged/truncated archive) still gets its default — dwca-io
+    # supplies it for every row either way
+    for term, value in {**fd.field_defaults, **fd.defaults}.items():
         if term not in seen:
             out = out.withColumn(term, F.lit(value))
             seen.add(term)

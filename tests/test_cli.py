@@ -979,10 +979,10 @@ def test_cli_mark_duplicates(spark, tmp_path):
         "--reverts", reverts, "--out", out,
     ]) == 0
     rows = {r["occurrenceID"]: r for r in spark.read.parquet(out).collect()}
-    assert rows["o1"]["duplicationStatus"] == "R"
-    assert rows["o2"]["duplicationStatus"] == "D"
-    assert rows["o2"]["duplicationType"] == "4"
-    assert rows["o9"]["duplicationStatus"] is None
+    assert rows["o1"]["duplicationStatus_p"] == "R"
+    assert rows["o2"]["duplicationStatus_p"] == "D"
+    assert rows["o2"]["duplicationType_p"] == "4"
+    assert rows["o9"]["duplicationStatus_p"] is None
     # --out == --in refused
     assert main([
         "mark-duplicates", "--in", store, "--dups", dups, "--out", store,

@@ -840,11 +840,11 @@ def test_apply_duplicate_markup_lifecycle(spark):
     out = apply_duplicate_markup(store, dups, reverts, key_col="occurrenceID")
     out = apply_duplicate_markup(out, dups, reverts, key_col="occurrenceID")
     rows = {r["occurrenceID"]: r for r in out.collect()}
-    assert rows["o1"]["duplicationStatus"] == "R"
-    assert rows["o2"]["duplicationStatus"] == "D"
-    assert rows["o2"]["associatedOccurrences"] == "o1"
-    assert rows["o9"]["duplicationStatus"] is None  # reverted / cleared
-    assert rows["o4"]["duplicationStatus"] is None  # never marked
+    assert rows["o1"]["duplicationStatus_p"] == "R"
+    assert rows["o2"]["duplicationStatus_p"] == "D"
+    assert rows["o2"]["associatedOccurrences_p"] == "o1"
+    assert rows["o9"]["duplicationStatus_p"] is None  # reverted / cleared
+    assert rows["o4"]["duplicationStatus_p"] is None  # never marked
     code = AssertionCodes.INFERRED_DUPLICATE_RECORD.code
     dup_asserts = {
         k: [a for a in rows[k]["assertions"] if a["code"] == code]

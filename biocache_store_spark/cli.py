@@ -395,6 +395,13 @@ def cmd_outlier_detect(args) -> int:
             file=sys.stderr,
         )
         return 2
+    # --in as well as --prev: the merged plan lazily scans the INPUT store
+    # too while mode('overwrite') deletes --out, so an in-place invocation
+    # hits the same self-overwrite/partial-delete hazard the mark-* tools
+    # guard against (realpath, so symlinked aliases are caught)
+    inputs = [args.inp] + ([args.prev] if getattr(args, "prev", None) else [])
+    if _refuse_inplace_out("outlier-detect", inputs, args.out):
+        return 2
     spark = _spark(args)
     df = _read(spark, args.inp)
     group_cols = _split(args.group_cols)
@@ -410,14 +417,6 @@ def cmd_outlier_detect(args) -> int:
             print(
                 "outlier-detect: --since needs --prev (the standing store "
                 "the incremental re-run merges into)",
-                file=sys.stderr,
-            )
-            return 2
-        if os.path.abspath(args.prev) == os.path.abspath(args.out):
-            print(
-                "outlier-detect: --out must differ from --prev (the merge "
-                "reads the previous store lazily while writing the new "
-                "one; write to a fresh directory and swap)",
                 file=sys.stderr,
             )
             return 2

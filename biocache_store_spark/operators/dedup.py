@@ -507,14 +507,18 @@ def scope_to_groups(
     # PartitionFilters (pruning evaluates any partition-column-only
     # predicate), which the pin test asserts.
     if max_static is not None:
-        vals = [
-            r[0]
-            for r in groups.select(F.col(key).cast("string"))
+        rows = (
+            groups.select(F.col(key).cast("string"))
             .limit(max_static + 1)
             .collect()
-        ]
-        vals = [v for v in vals if v is not None]  # NULL never matches
-        if len(vals) <= max_static:
+        )
+        # truncation test on the RAW collected count, BEFORE dropping
+        # NULLs: a page of max_static+1 rows means the scope list was
+        # truncated, and building the isin from it would silently drop
+        # scope groups (breaking incremental == full) whenever the
+        # dropped NULLs masked the overflow
+        if len(rows) <= max_static:
+            vals = [r[0] for r in rows if r[0] is not None]  # NULL never matches
             return df.filter(F.col(col_name).cast("string").isin(vals))
     scope = groups.select(F.col(key).cast("string").alias("__scope_key"))
     return df.join(

@@ -75,10 +75,15 @@ def find_outliers(
     lon_col: str = "decimalLongitude",
     id_col: str = "occurrenceID",
     max_distribution_rows: int = 50_000,
+    uncertainty_col: str | None = None,
 ) -> DataFrame:
     """records x broadcast expert ranges -> (id, taxon, in_range,
     distance_outside_m). Records of taxa without an expert range are not
     tested (reference: only taxa with distributions are checked).
+    `uncertainty_col` (optional) passes the record's
+    coordinateUncertaintyInMeters through to an `uncertainty_m` output
+    column — the outlier-vs-uncertainty test downstream
+    (expert_outlier_records) needs it without re-joining the record side.
 
     The expert-range table is a DIMENSION by contract (ALA ships ~1k
     ranges) and is collected to the driver for the broadcast ring map;
@@ -117,12 +122,18 @@ def find_outliers(
     taxon_keys = distributions.select(
         F.col("taxonConceptID").cast("string").alias("taxon")
     ).distinct()
+    extra = (
+        [F.col(uncertainty_col).cast("double").alias("uncertainty_m")]
+        if uncertainty_col is not None
+        else []
+    )
     subset = (
         records.select(
             F.col(id_col).cast("string").alias("occurrence_id"),
             F.col(taxon_col).cast("string").alias("taxon"),
             F.col(lat_col).cast("double").alias("lat"),
             F.col(lon_col).cast("double").alias("lon"),
+            *extra,
         )
         .filter(F.col("lat").isNotNull() & F.col("lon").isNotNull())
         .join(F.broadcast(taxon_keys), "taxon", "left_semi")
@@ -130,14 +141,15 @@ def find_outliers(
     if not rings:
         subset = subset.filter(F.lit(False))
 
-    schema = T.StructType(
-        [
-            T.StructField("occurrence_id", T.StringType()),
-            T.StructField("taxon", T.StringType()),
-            T.StructField("in_range", T.BooleanType()),
-            T.StructField("distance_outside_m", T.DoubleType()),
-        ]
-    )
+    fields = [
+        T.StructField("occurrence_id", T.StringType()),
+        T.StructField("taxon", T.StringType()),
+        T.StructField("in_range", T.BooleanType()),
+        T.StructField("distance_outside_m", T.DoubleType()),
+    ]
+    if uncertainty_col is not None:
+        fields.append(T.StructField("uncertainty_m", T.DoubleType()))
+    schema = T.StructType(fields)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         local = bc.value
@@ -146,13 +158,220 @@ def find_outliers(
                 distance_outside_m(lon, lat, local[taxon])
                 for taxon, lat, lon in zip(pdf["taxon"], pdf["lat"], pdf["lon"])
             ]
-            yield pd.DataFrame(
-                {
-                    "occurrence_id": pdf["occurrence_id"],
-                    "taxon": pdf["taxon"],
-                    "in_range": [d == 0.0 for d in dist],
-                    "distance_outside_m": [round(d, 1) for d in dist],
-                }
-            )
+            out = {
+                "occurrence_id": pdf["occurrence_id"],
+                "taxon": pdf["taxon"],
+                "in_range": [d == 0.0 for d in dist],
+                "distance_outside_m": [round(d, 1) for d in dist],
+            }
+            if uncertainty_col is not None:
+                out["uncertainty_m"] = pdf["uncertainty_m"]
+            yield pd.DataFrame(out)
 
     return subset.mapInPandas(run, schema=schema)
+
+
+#: the reference's distanceThreshold default: an occurrence is only an
+#: outlier when it sits more than 50 km outside the expert range beyond
+#: its own coordinate uncertainty (ExpertDistributionOutlierTool.scala:51)
+DISTANCE_THRESHOLD_M = 50_000.0
+
+
+def expert_outlier_records(
+    records: DataFrame,
+    distributions: DataFrame,
+    distance_threshold_m: float = DISTANCE_THRESHOLD_M,
+    taxon_col: str = "taxonConceptID",
+    lat_col: str = "decimalLatitude",
+    lon_col: str = "decimalLongitude",
+    id_col: str = "occurrenceID",
+    uncertainty_col: str = "coordinateUncertaintyInMeters",
+    max_distribution_rows: int = 50_000,
+) -> DataFrame:
+    """The persistable record-level expert-distribution outlier result —
+    one row per TESTED record (a record of a taxon with an expert range
+    and non-null coordinates), the relation the reference spreads across
+    the `distribution_outliers` column family plus the per-record occ
+    writes (tool/ExpertDistributionOutlierTool.scala markOutlierOccurrences
+    :459-510).
+
+    Outlier rule (:474-480): the metre distance is rounded, and the record
+    is an outlier iff `round(distance) > 0` AND
+    `round(distance) - coordinateUncertaintyInMeters > distance_threshold_m`
+    (null uncertainty reads as 0, the reference's getOrElse("0")). Tested
+    records that fail the rule are the PASSED set QaPasser marks.
+    `distance_outside_km` carries the reference's stored value —
+    `round(metres / 1000)` (:487-488) — only on outlier rows.
+
+    Scale shape: one broadcast-dim pass over the record table
+    (find_outliers); the store is ingest-proportional (tested records
+    only) and merges incrementally via merge_outlier_results with
+    group_cols=['taxon'] — the same versioned replace-touched-groups
+    contract the jackknife and duplicate stores use."""
+    if uncertainty_col not in records.columns:
+        records = records.withColumn(
+            uncertainty_col, F.lit(None).cast("double")
+        )
+    tested = find_outliers(
+        records,
+        distributions,
+        taxon_col=taxon_col,
+        lat_col=lat_col,
+        lon_col=lon_col,
+        id_col=id_col,
+        max_distribution_rows=max_distribution_rows,
+        uncertainty_col=uncertainty_col,
+    )
+    rounded = F.round(F.col("distance_outside_m"), 0)
+    is_outlier = (rounded > 0) & (
+        (rounded - F.coalesce(F.col("uncertainty_m"), F.lit(0.0)))
+        > F.lit(float(distance_threshold_m))
+    )
+    return tested.select(
+        F.col("taxon"),
+        F.col("occurrence_id").alias("row_key"),
+        "in_range",
+        "distance_outside_m",
+        F.when(
+            is_outlier,
+            F.round(F.col("distance_outside_m") / 1000.0, 0).cast("bigint"),
+        ).alias("distance_outside_km"),
+        is_outlier.alias("is_outlier"),
+    )
+
+
+def distribution_outliers_rollup(record_store: DataFrame) -> DataFrame:
+    """Per-taxon sorted outlier row-key list — the `distribution_outliers`
+    column family the reference keys by lsid (conf/cassandra3_schema.txt:26,
+    written at ExpertDistributionOutlierTool.scala:538-540 as a JSON array
+    per taxon). One row per taxon that currently HAS outliers."""
+    return (
+        record_store.filter(F.col("is_outlier"))
+        .groupBy("taxon")
+        .agg(
+            F.sort_array(F.collect_set("row_key")).alias("outlier_row_keys"),
+            F.countDistinct("row_key").cast("int").alias("outlier_count"),
+        )
+    )
+
+
+def apply_expert_outlier_markup(
+    store: DataFrame,
+    record_store: DataFrame,
+    reverts: DataFrame | None = None,
+    key_col: str = "rowKey",
+    assertions_col: str = "assertions",
+) -> DataFrame:
+    """Write the expert-distribution results onto a processed store — the
+    per-record half of markOutlierOccurrences
+    (tool/ExpertDistributionOutlierTool.scala:459-528) as one join pass:
+
+      * outliers get `distanceOutsideExpertRange_p` = round(m/1000) km as
+        a string (:487-488, the reference's km.toString put) and a FAILED
+        SPECIES_OUTSIDE_EXPERT_RANGE assertion
+        '<rounded> metres outside of expert distribution range' replacing
+        any existing entry of that code (:484 replaceExistCode=true);
+      * tested non-outliers get the PASSED entry QaPasser writes (:87,
+        qa/QaPasser.scala markRecords) and the distance column CLEARED —
+        the end state the reference reaches via its reset diff + passer;
+      * records in `reverts` (obsolete_expert_outliers: outliers in the
+        previous store, absent from the current one — e.g. no longer
+        tested) get the column cleared and the assertion REMOVED
+        (:525-526 deleteColumns + removeSystemAssertion — removal, not a
+        passed flip, unlike the jackknife reset);
+      * everything else passes through verbatim.
+
+    The distance lands in the `_p`-suffixed column (the flat-store twin of
+    the reference's ':p' qualifier), which the index projection serves as
+    `distance_outside_expert_range` (IndexDAO.scala:282,733). Array
+    surgery is JVM-side; the record-store and revert sides join as
+    ingest-sized relations."""
+    from biocache_store_spark.processors.assertions import (
+        FAILED,
+        PASSED,
+        AssertionCodes,
+    )
+
+    code = AssertionCodes.SPECIES_OUTSIDE_EXPERT_RANGE.code
+    name = AssertionCodes.SPECIES_OUTSIDE_EXPERT_RANGE.name
+    marks = record_store.select(
+        F.col("row_key").alias("__eo_key"),
+        F.col("is_outlier").alias("__eo_out"),
+        F.round(F.col("distance_outside_m"), 0).cast("bigint").alias(
+            "__eo_m"
+        ),
+        F.col("distance_outside_km").cast("string").alias("__eo_km"),
+    )
+    out = store.join(
+        marks, store[key_col] == F.col("__eo_key"), "left"
+    ).drop("__eo_key")
+    if reverts is not None:
+        rv = reverts.select(
+            F.col("row_key").alias("__rv_key"), F.lit(True).alias("__revert")
+        )
+        out = out.join(rv, out[key_col] == F.col("__rv_key"), "left").drop(
+            "__rv_key"
+        )
+    else:
+        out = out.withColumn("__revert", F.lit(None).cast("boolean"))
+    dist_col = "distanceOutsideExpertRange_p"
+    existing_dist = (
+        F.col(dist_col)
+        if dist_col in store.columns
+        else F.lit(None).cast("string")
+    )
+    out = out.withColumn(
+        dist_col,
+        F.when(F.coalesce(F.col("__eo_out"), F.lit(False)), F.col("__eo_km"))
+        .when(
+            F.col("__eo_out").isNotNull()
+            | F.coalesce(F.col("__revert"), F.lit(False)),
+            F.lit(None).cast("string"),
+        )
+        .otherwise(existing_dist),
+    )
+    # null-safe: filter(NULL)/array_append(NULL, x) return NULL, silently
+    # dropping the markup on rows whose assertions column is null
+    existing_arr = F.coalesce(
+        F.col(assertions_col),
+        F.array().cast(store.schema[assertions_col].dataType),
+    )
+    cleaned = F.filter(existing_arr, lambda a: a["code"] != F.lit(code))
+    failed = F.struct(
+        F.lit(code).alias("code"),
+        F.lit(name).alias("name"),
+        F.lit(FAILED).alias("qa_status"),
+        F.concat(
+            F.col("__eo_m"),
+            F.lit(" metres outside of expert distribution range"),
+        ).alias("comment"),
+    )
+    passed = F.struct(
+        F.lit(code).alias("code"),
+        F.lit(name).alias("name"),
+        F.lit(PASSED).alias("qa_status"),
+        F.lit("").alias("comment"),
+    )
+    new_assertions = (
+        F.when(F.coalesce(F.col("__eo_out"), F.lit(False)), F.array_append(cleaned, failed))
+        .when(F.col("__eo_out").isNotNull(), F.array_append(cleaned, passed))
+        .when(F.coalesce(F.col("__revert"), F.lit(False)), cleaned)
+        .otherwise(F.col(assertions_col))
+    )
+    return out.withColumn(assertions_col, new_assertions).drop(
+        "__eo_out", "__eo_m", "__eo_km", "__revert"
+    )
+
+
+def obsolete_expert_outliers(
+    previous: DataFrame, current: DataFrame
+) -> DataFrame:
+    """Record ids flagged outliers in the previous store but no longer in
+    the current one — the reference's `oldRowKeys diff newOutlierRowKeys`
+    reset set (:515-528). Same diff as the jackknife store's, re-exported
+    under the family's own name."""
+    from biocache_store_spark.operators.outlier_store import (
+        obsolete_outlier_records,
+    )
+
+    return obsolete_outlier_records(previous, current)

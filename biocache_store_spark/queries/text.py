@@ -1231,10 +1231,17 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = tfs.filter(
         sum(F.col(f"tf_{t}") for t in _BM25_TERMS) > 0
     ).withColumn("score", F.round(score, 4))
+    # top-k as orderBy().limit(k) — TakeOrderedAndProject, per-partition
+    # heaps — NOT a global row_number window over every matching document
+    # (which moves the whole scored relation to ONE task; at corpus scale a
+    # common query term makes that task the job). The single-partition
+    # window then ranks only the k surviving rows (pq_topk's pattern,
+    # operators/similarity.py).
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 15)
+        scored.orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(15)
+        .withColumn("rank", F.row_number().over(w))
         .select("doc_id", "score", "rank")
     )
 

@@ -636,22 +636,30 @@ def _latest_dup_version(
     read its PREDECESSOR, never the (possibly partial) v=N it is about to
     overwrite: reading and overwriting the same path either trips Spark's
     self-overwrite guard every restart or races the delete."""
+    best = None
+    for n in _dup_version_numbers(spark, dup_dir):
+        if before is not None and n >= before:
+            continue
+        if best is None or n > best:
+            best = n
+    return None if best is None else f"{dup_dir}/v={best}"
+
+
+def _dup_version_numbers(spark: SparkSession, dup_dir: str) -> list[int]:
+    """All committed `v=<n>` version numbers of a versioned store, sorted
+    ascending; [] when the store directory does not exist yet."""
     fs, base = _hadoop_fs(spark, dup_dir)
     if not fs.exists(base):
-        return None
-    best = None
+        return []
+    out = []
     for status in fs.listStatus(base):
         name = status.getPath().getName()
         if status.isDirectory() and name.startswith("v="):
             try:
-                n = int(name[2:])
+                out.append(int(name[2:]))
             except ValueError:
                 continue
-            if before is not None and n >= before:
-                continue
-            if best is None or n > best:
-                best = n
-    return None if best is None else f"{dup_dir}/v={best}"
+    return sorted(out)
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
@@ -715,13 +723,22 @@ def _guard_dup_epoch(
         )
     if epoch is None:
         if prev_dir is None and _latest_dup_version(spark, dup_dir) is not None:
-            raise RuntimeError(
-                f"streaming store maintenance: versioned store {dup_dir} has "
-                f"versions the current batch (id={batch_id}) does not "
-                "follow, and no epoch marker — the checkpoint was likely "
-                "wiped while the store was kept. Start with fresh "
-                "store/dup dirs, or restore the original checkpoint."
-            )
+            # one legitimate shape slips through the version heuristic: a
+            # pre-marker store whose stream crashed after writing v=0 but
+            # before the checkpoint commit replays batch 0 at-least-once
+            # with v=0 already on disk. When v=0 is the ONLY version the
+            # replay is a self-overwrite of identical rows (idempotent) —
+            # refusing it would block restart until manual intervention.
+            versions = _dup_version_numbers(spark, dup_dir)
+            if batch_id != 0 or versions != [0]:
+                raise RuntimeError(
+                    f"streaming store maintenance: versioned store {dup_dir} "
+                    f"has versions the current batch (id={batch_id}) does "
+                    "not follow, and no epoch marker — the checkpoint was "
+                    "likely wiped while the store was kept. Start with "
+                    "fresh store/dup dirs, or restore the original "
+                    "checkpoint."
+                )
         if query_id is not None:
             fs.mkdirs(
                 spark._jvm.org.apache.hadoop.fs.Path(

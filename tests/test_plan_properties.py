@@ -57,6 +57,19 @@ def test_top_k_is_take_ordered_not_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_bm25_top_k_is_take_ordered_not_global_window(spark, sf_dir):
+    from biocache_store_spark.queries import load_all
+
+    q = load_all()["bm25_search"]
+    plan = _plan(q.spark_fn(spark, sf_dir))
+    # the top-15 must come from TakeOrderedAndProject (per-partition
+    # heaps); a row_number window over EVERY scored document would move
+    # the whole matching relation to one task — at corpus scale a common
+    # query term makes that task the job. The rank window that remains
+    # runs over the 15 surviving rows only, AFTER the limit.
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_projected_scan_prunes_columns_and_pushes_filters(spark, sf_dir):
     from biocache_store_spark.io import read_table
     from pyspark.sql import functions as F

@@ -512,6 +512,129 @@ def cmd_mark_outliers(args) -> int:
     return 0
 
 
+def cmd_expert_outlier_detect(args) -> int:
+    """Expert-distribution outlier detection with a persisted record
+    store (tool/ExpertDistributionOutlierTool.scala:106-575 + the
+    distribution_outliers column family): test records against their
+    taxon's expert range, or incrementally re-test the taxa touched since
+    --since and merge into the standing store (--prev), touched taxa
+    replaced wholesale — including the OLD taxa of records that moved."""
+    from pyspark.sql import functions as F
+
+    from biocache_store_spark.operators.dedup import touched_record_ids
+    from biocache_store_spark.operators.outlier_distribution import (
+        distribution_outliers_rollup,
+        expert_outlier_records,
+        obsolete_expert_outliers,
+    )
+    from biocache_store_spark.operators.outlier_store import (
+        merge_outlier_results,
+    )
+
+    if getattr(args, "revert_out", None) and not getattr(args, "since", None):
+        print(
+            "expert-outlier-detect: --revert-out needs --since/--prev "
+            "(the revert set is a diff against the previous store)",
+            file=sys.stderr,
+        )
+        return 2
+    inputs = [args.inp, args.distributions] + (
+        [args.prev] if getattr(args, "prev", None) else []
+    )
+    if _refuse_inplace_out("expert-outlier-detect", inputs, args.out):
+        return 2
+    spark = _spark(args)
+    df = _read(spark, args.inp)
+    dists = _read(spark, args.distributions)
+    detect = lambda d: expert_outlier_records(  # noqa: E731
+        d,
+        dists,
+        distance_threshold_m=args.threshold,
+        taxon_col=args.taxon_col,
+        lat_col=args.lat_col,
+        lon_col=args.lon_col,
+        id_col=args.id_col,
+        uncertainty_col=args.uncertainty_col,
+    )
+    if getattr(args, "since", None):
+        if not getattr(args, "prev", None):
+            print(
+                "expert-outlier-detect: --since needs --prev (the standing "
+                "store the incremental re-run merges into)",
+                file=sys.stderr,
+            )
+            return 2
+        prev = _read(spark, args.prev)
+        from biocache_store_spark.operators.dedup import (
+            modified_since,
+            scope_to_groups,
+        )
+
+        changed = modified_since(df, args.since, args.modified_col)
+        # NULL-taxon rows are never tested, so they never enter the scope
+        groups = (
+            changed.select(F.col(args.taxon_col).cast("string").alias("taxon"))
+            .na.drop(subset=["taxon"])
+            .distinct()
+        )
+        changed_ids = touched_record_ids(
+            df, args.since, modified_col=args.modified_col, id_col=args.id_col
+        )
+        old_groups = (
+            prev.join(changed_ids, "row_key", "left_semi")
+            .select("taxon")
+            .na.drop(subset=["taxon"])
+            .distinct()
+        )
+        groups = groups.unionByName(old_groups).distinct().persist()
+        scoped = scope_to_groups(df, groups, args.taxon_col, group_col="taxon")
+        inc = detect(scoped)
+        out = merge_outlier_results(prev, inc, groups, ["taxon"])
+        scope = "incremental"
+    else:
+        prev = None
+        out = detect(df)
+        scope = "full"
+    out.write.mode("overwrite").parquet(args.out)
+    current = spark.read.parquet(args.out)
+    if getattr(args, "revert_out", None):
+        obsolete_expert_outliers(prev, current).write.mode(
+            "overwrite"
+        ).parquet(args.revert_out)
+        print(f"expert-outlier reverts -> {args.revert_out}")
+    if getattr(args, "rollup_out", None):
+        distribution_outliers_rollup(current).write.mode(
+            "overwrite"
+        ).parquet(args.rollup_out)
+        print(f"distribution_outliers rollup -> {args.rollup_out}")
+    print(f"expert outliers ({scope}) {args.inp} -> {args.out}")
+    return 0
+
+
+def cmd_mark_expert_outliers(args) -> int:
+    """Apply the persisted expert-distribution results to a processed
+    store (markOutlierOccurrences' per-record half: distance column +
+    SPECIES_OUTSIDE_EXPERT_RANGE failed/passed assertions, reverts
+    cleared + assertion removed)."""
+    from biocache_store_spark.operators.outlier_distribution import (
+        apply_expert_outlier_markup,
+    )
+
+    inputs = [args.inp, args.outliers] + ([args.reverts] if args.reverts else [])
+    if _refuse_inplace_out("mark-expert-outliers", inputs, args.out):
+        return 2
+    spark = _spark(args)
+    store = _read(spark, args.inp)
+    outliers = _read(spark, args.outliers)
+    reverts = _read(spark, args.reverts) if args.reverts else None
+    out = apply_expert_outlier_markup(
+        store, outliers, reverts, key_col=args.key_col
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    print(f"expert-outlier markup applied {args.inp} -> {args.out}")
+    return 0
+
+
 def cmd_mark_duplicates(args) -> int:
     """Apply duplicate-detection results to a processed store — the
     reference's per-record write-back (DuplicationDetection.scala
@@ -1611,6 +1734,61 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--in", dest="inp", required=True)
     sp.add_argument("--outliers", required=True, help="outlier store or rollup parquet")
     sp.add_argument("--reverts", default=None, help="revert list parquet (outlier-detect --revert-out)")
+    sp.add_argument("--key-col", dest="key_col", default="occurrenceID")
+    sp.add_argument("--out", required=True)
+
+    sp = tool(
+        "expert-outlier-detect",
+        cmd_expert_outlier_detect,
+        "expert-distribution outliers with a persisted record store",
+    )
+    sp.add_argument("--in", dest="inp", required=True)
+    sp.add_argument(
+        "--distributions", required=True,
+        help="expert-range dim parquet (taxonConceptID, wkt)",
+    )
+    sp.add_argument("--taxon-col", dest="taxon_col", default="taxonConceptID")
+    sp.add_argument("--lat-col", dest="lat_col", default="decimalLatitude")
+    sp.add_argument("--lon-col", dest="lon_col", default="decimalLongitude")
+    sp.add_argument("--id-col", dest="id_col", default="occurrenceID")
+    sp.add_argument(
+        "--uncertainty-col", dest="uncertainty_col",
+        default="coordinateUncertaintyInMeters",
+    )
+    sp.add_argument(
+        "--threshold", type=float, default=50_000.0,
+        help="metres outside the range beyond the record's uncertainty "
+        "before it is an outlier (reference --thresh, default 50 km)",
+    )
+    sp.add_argument("--since", default=None, help="re-test taxa touched since")
+    sp.add_argument(
+        "--modified-col", dest="modified_col", default="lastModifiedTime"
+    )
+    sp.add_argument("--prev", default=None, help="standing store to merge into")
+    sp.add_argument(
+        "--revert-out", dest="revert_out", default=None,
+        help="also write the no-longer-outlier record ids (reset list)",
+    )
+    sp.add_argument(
+        "--rollup-out", dest="rollup_out", default=None,
+        help="also write the per-taxon outlier row-key rollup "
+        "(distribution_outliers parity)",
+    )
+    sp.add_argument("--out", required=True)
+
+    sp = tool(
+        "mark-expert-outliers", cmd_mark_expert_outliers,
+        "apply expert-distribution results to a processed store",
+    )
+    sp.add_argument("--in", dest="inp", required=True)
+    sp.add_argument(
+        "--outliers", required=True,
+        help="expert-outlier record store parquet (expert-outlier-detect output)",
+    )
+    sp.add_argument(
+        "--reverts", default=None,
+        help="revert list parquet (expert-outlier-detect --revert-out)",
+    )
     sp.add_argument("--key-col", dest="key_col", default="occurrenceID")
     sp.add_argument("--out", required=True)
 

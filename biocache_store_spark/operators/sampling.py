@@ -73,6 +73,39 @@ def point_in_polygon(lon: float, lat: float, ring: list[tuple[float, float]]) ->
     return inside
 
 
+def points_in_polygon_np(lon, lat, ring: list[tuple[float, float]]):
+    """Vectorized ray cast: the EXACT crossing rule of `point_in_polygon`
+    over whole NumPy arrays of points at once — same expression, same
+    operand order, so every intermediate is the same IEEE double and the
+    two forms are bit-identical (the parity test runs both over boundary
+    points). One pass over the ring with ~6 vector ops per edge replaces
+    a per-point Python loop — the per-row interpreter constant was the
+    sampling kernel's cost at scale (What's wrong #2, VERDICT r8).
+
+    The scalar form early-returns True on an exact edge crossing
+    (lon == x_cross) regardless of accumulated parity; vectorized, that
+    is an `on_edge` mask OR-ed over the parity at the end — later
+    toggles cannot matter once on_edge is set, so the results agree."""
+    import numpy as np
+
+    inside = np.zeros(len(lon), dtype=bool)
+    on_edge = np.zeros(len(lon), dtype=bool)
+    n = len(ring)
+    j = n - 1
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for i in range(n):
+            xi, yi = ring[i]
+            xj, yj = ring[j]
+            cond = (yi > lat) != (yj > lat)
+            if cond.any():
+                # same operand order as the scalar form — bit parity
+                x_cross = (xj - xi) * (lat - yi) / (yj - yi) + xi
+                inside ^= cond & (lon < x_cross)
+                on_edge |= cond & (lon == x_cross)
+            j = i
+    return inside | on_edge
+
+
 def distinct_points(
     records: DataFrame, lat_col: str = "decimalLatitude", lon_col: str = "decimalLongitude"
 ) -> DataFrame:
@@ -107,16 +140,22 @@ def sample_cl_layers(points: DataFrame, cl_layers: DataFrame) -> DataFrame:
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         local_layers = bc.value
         for pdf in batches:
-            cl_col = []
-            for lat, lon in zip(pdf["lat"], pdf["lon"]):
-                hits = {
-                    layer_id: name
-                    for layer_id, name, ring in local_layers
-                    if point_in_polygon(float(lon), float(lat), ring)
-                }
-                cl_col.append(hits)
+            lon = pdf["lon"].to_numpy(dtype="float64")
+            lat = pdf["lat"].to_numpy(dtype="float64")
+            # ray-cast each layer over the WHOLE batch (NumPy edge loop,
+            # bit-identical to the scalar point_in_polygon — see
+            # points_in_polygon_np); the only remaining Python iterates
+            # the HIT indices (points hit ~1-3 layers each), never the
+            # full batch × layer grid
+            cl_col: list[dict] = [{} for _ in range(len(pdf))]
+            for layer_id, name, ring in local_layers:
+                mask = points_in_polygon_np(lon, lat, ring)
+                for i in np.nonzero(mask)[0]:
+                    cl_col[i][layer_id] = name
             out = pdf.copy()
             out["cl"] = cl_col
             yield out

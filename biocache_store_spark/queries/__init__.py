@@ -53,81 +53,29 @@ def register(
 
 
 # The external driver oracle-checks a 50-slot prefix of the registry per
-# round. Round-8 rotation (VERDICT r7 "Next round" #2): the four new
-# queries and three whose behavior changed this round first, then ALL 27
-# r5-era refreshes (the post-marker remainder VERDICT r7 listed — after
-# this round every entry's driver evidence is r6 or newer), then 16
-# r6-era refreshes. The remaining 27 r6-era entries stay deprioritized
-# and rotate next round alongside any round-9 changes.
+# round. Round-9 rotation (VERDICT r8 "Next round" #2): the two new
+# expert-outlier queries and the queries whose code changed this round
+# first, then ALL 27 r6-era refreshes (the r6 remainder VERDICT r8
+# listed — after this round every entry's driver evidence is r7 or
+# newer), then the 16 oldest r7-era entries. The remaining r7 entries
+# stay deprioritized and rotate next round alongside round-10 changes.
 HEAD: tuple[str, ...] = (
-    # NEW in round 8 — never driver-checked
-    "dwca_event_core_roundtrip",  # EventCoreExtractor parity round trip
-    "outlier_store_merge",        # persisted outlier store, inc == full
-    "duplicate_markup_writeback", # per-record duplicate write-back
-    "outlier_assertion_markup",   # assertion replace/revert semantics
-    # behavior changed in round 8 — must re-check first
-    "dedup_incremental_merge",  # merge_dedup_results row_key anti-join
-    "domain_cap_filter",        # cap ordering: nulls-last + content tiebreak
-    "dwca_roundtrip",           # load_archive core-rowType dispatch added
-    # r5-era refreshes (oldest evidence in the registry)
-    "gridref_parse",
-    "expert_outlier_flags",
-    "jackknife_outlier_stats",
-    "maintenance_delete_upsert",
-    "event_sessionization",
-    "media_decode_meta",
-    "assertion_rollup",
-    "interval_containment_groups",
-    "rounding_ladder",
-    "raw_processed_comparison",
-    "attribution_lookup",
-    "distance_parse",
-    "stored_query_replay",
-    "classification_enrich",
-    "semi_join_incremental",
-    "window_representative",
-    "event_user_sessions",
-    "text_quality_stats",
-    "text_token_stats",
-    "distinct_coordinates",
-    "embedding_knn_topk",
-    "part_enrich_agg",
-    "pricing_summary",
-    "projected_scan",
-    "indexed_field_scan",
-    "multiget",
-    "point_lookup",
-    # r6-era refreshes (first 16 of the r6-green set; the other 27 next)
-    "user_assertion_lifecycle",
-    "minhash_near_duplicates",
-    "corpus_curation",
-    "taxon_name_match",
-    "validation_rule_wkt",
-    "media_reference_rollup",
-    "text_embedding_vectors",
-    "bpe_merge_training",
-    "nb_lang_classify",
-    "semantic_decontamination",
-    "facet_counts",
-    "top_k",
-    "set_union",
-    "set_except",
-    "anti_join_obsolete",
-    "distinct_values",
-    # --- 50-slot prefix ends here ---
-)
-
-DEPRIORITIZED: tuple[str, ...] = (
-    # driver-green in CORRECTNESS_r07 (the r7 prefix) or r6 (the r6-era
-    # remainder below) and untouched this round — they yield their
-    # prefix slots to the rotation above.
-    # r6-era remainder (rotate into the prefix in round 9):
+    # NEW in round 9 — never driver-checked
+    "expert_outlier_store_merge",  # persisted expert store, inc == full
+    "expert_outlier_markup",       # distance column + failed/passed/removed
+    # code changed in round 9 — must re-check first
+    "expert_outlier_flags",        # find_outliers uncertainty passthrough
+    "dedup_occurrence_clusters",   # find_group_duplicates kernel A/B
+    "dedup_incremental_merge",     # same kernel under the merge path
+    "sample_layers_enrich",        # vectorized point-in-polygon kernel
+    "bm25_search",                 # top-k plan rewrite (TakeOrdered)
+    # r6-era refreshes (oldest evidence in the registry; bm25_search and
+    # sample_layers_enrich from this set are already above)
     "grouped_stats",
     "event_facet_counts",
     "event_json_extract",
     "event_hourly_histogram",
     "range_filter_facet",
-    "bm25_search",
     "broadcast_enrich_revenue",
     "chain_hybrid",
     "chain_vocab_fields",
@@ -147,9 +95,8 @@ DEPRIORITIZED: tuple[str, ...] = (
     "index_projection_facet",
     "near_dup_components",
     "ngram_decontamination",
-    "sample_layers_enrich",
     "simhash_near_duplicates",
-    # checked green in r7, unchanged in round 8:
+    # r7-era refreshes (the 18 oldest of the r7-green set)
     "histogram_threshold_refined",
     "endemism_density_layers",
     "training_shard_plan",
@@ -168,6 +115,14 @@ DEPRIORITIZED: tuple[str, ...] = (
     "verbatim_coord_parse",
     "text_simhash",
     "text_fingerprint",
+    # --- 50-slot prefix ends here ---
+)
+
+DEPRIORITIZED: tuple[str, ...] = (
+    # driver-green in CORRECTNESS_r08 (the r8 prefix) or r7 (the r7-era
+    # remainder below) and untouched this round — they yield their
+    # prefix slots to the rotation above.
+    # r7-era remainder (rotate into the prefix in round 10):
     "text_language_id",
     "text_quality_score",
     "license_canonicalize",
@@ -195,8 +150,56 @@ DEPRIORITIZED: tuple[str, ...] = (
     "model_quality_gate",
     "snapshot_diff_rollup",
     "gopher_quality_flags",
-    "dedup_occurrence_clusters",
     "fuzzy_date_parse",
+    # checked green in r8 (the r8 prefix), unchanged in round 9:
+    "dwca_event_core_roundtrip",
+    "outlier_store_merge",
+    "duplicate_markup_writeback",
+    "outlier_assertion_markup",
+    "domain_cap_filter",
+    "dwca_roundtrip",
+    "gridref_parse",
+    "jackknife_outlier_stats",
+    "maintenance_delete_upsert",
+    "event_sessionization",
+    "media_decode_meta",
+    "assertion_rollup",
+    "interval_containment_groups",
+    "rounding_ladder",
+    "raw_processed_comparison",
+    "attribution_lookup",
+    "distance_parse",
+    "stored_query_replay",
+    "classification_enrich",
+    "semi_join_incremental",
+    "window_representative",
+    "event_user_sessions",
+    "text_quality_stats",
+    "text_token_stats",
+    "distinct_coordinates",
+    "embedding_knn_topk",
+    "part_enrich_agg",
+    "pricing_summary",
+    "projected_scan",
+    "indexed_field_scan",
+    "multiget",
+    "point_lookup",
+    "user_assertion_lifecycle",
+    "minhash_near_duplicates",
+    "corpus_curation",
+    "taxon_name_match",
+    "validation_rule_wkt",
+    "media_reference_rollup",
+    "text_embedding_vectors",
+    "bpe_merge_training",
+    "nb_lang_classify",
+    "semantic_decontamination",
+    "facet_counts",
+    "top_k",
+    "set_union",
+    "set_except",
+    "anti_join_obsolete",
+    "distinct_values",
 )
 
 

@@ -384,6 +384,258 @@ def expert_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EXPERT_DIST_CTES = """
+        rec AS (
+            SELECT 'c' || CAST(c_custkey AS VARCHAR) AS row_key,
+                   'taxon:' || CAST(c_custkey % 5 AS VARCHAR) AS taxon,
+                   -CAST(c_custkey % 60 AS DOUBLE) - CAST(0.5 AS DOUBLE)
+                       AS lat,
+                   CAST(c_custkey % 40 AS DOUBLE) + CAST(110.25 AS DOUBLE)
+                       AS lon,
+                   CAST(c_custkey % 4 AS DOUBLE) * CAST(20000.0 AS DOUBLE)
+                       AS unc,
+                   CAST(-10.0 AS DOUBLE) * ((c_custkey % 5) + 1) AS y1
+            FROM customer
+            WHERE c_custkey % 5 <> 4
+        ),
+        clamped AS (
+            SELECT *,
+                   LEAST(GREATEST(lon, CAST(110.0 AS DOUBLE)),
+                         CAST(135.0 AS DOUBLE)) AS cx,
+                   LEAST(GREATEST(lat, y1), CAST(0.0 AS DOUBLE)) AS cy,
+                   cos(radians(lat)) AS cos_lat
+            FROM rec
+        ),
+        tested AS (
+            SELECT row_key, taxon, unc,
+                   (lon > 110.0 AND lon < 135.0 AND lat > y1 AND lat < 0.0)
+                       AS in_range,
+                   CASE WHEN lon > 110.0 AND lon < 135.0
+                             AND lat > y1 AND lat < 0.0
+                        THEN CAST(0.0 AS DOUBLE)
+                        ELSE round(sqrt(pow(lon*111320.0*cos_lat
+                                            - cx*111320.0*cos_lat, 2)
+                                        + pow(lat*110540.0 - cy*110540.0, 2)),
+                                   1)
+                   END AS distance_outside_m
+            FROM clamped
+        ),
+        flagged AS (
+            SELECT *,
+                   (round(distance_outside_m) > 0
+                    AND round(distance_outside_m) - unc
+                        > CAST(50000.0 AS DOUBLE)) AS is_outlier
+            FROM tested
+        )
+"""
+
+
+def _expert_dist_records(customer: DataFrame) -> DataFrame:
+    k = F.col("c_custkey")
+    return customer.select(
+        F.concat(F.lit("c"), k.cast("string")).alias("occurrenceID"),
+        F.concat(F.lit("taxon:"), F.pmod(k, F.lit(5)).cast("string")).alias(
+            "taxonConceptID"
+        ),
+        (-F.pmod(k, F.lit(60)).cast("double") - F.lit(0.5)).alias(
+            "decimalLatitude"
+        ),
+        (F.pmod(k, F.lit(40)).cast("double") + F.lit(110.25)).alias(
+            "decimalLongitude"
+        ),
+        (F.pmod(k, F.lit(4)).cast("double") * F.lit(20000.0)).alias(
+            "coordinateUncertaintyInMeters"
+        ),
+        F.when(F.pmod(k, F.lit(7)) == 0, F.lit("2026-02-01"))
+        .otherwise(F.lit("2026-01-01"))
+        .alias("lastModifiedTime"),
+    )
+
+
+def _expert_dist_dim(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [
+            (
+                f"taxon:{t}",
+                f"POLYGON((110 {-10 * (t + 1)}, 135 {-10 * (t + 1)},"
+                f" 135 0, 110 0, 110 {-10 * (t + 1)}))",
+            )
+            for t in range(4)
+        ],
+        "taxonConceptID string, wkt string",
+    )
+
+
+@register(
+    "expert_outlier_store_merge",
+    doc=(
+        "Persisted expert-distribution outlier store with incremental "
+        "merge (operators/outlier_distribution.py expert_outlier_records "
+        "+ outlier_store.merge_outlier_results — tool/"
+        "ExpertDistributionOutlierTool.scala markOutlierOccurrences "
+        ":459-510 and the distribution_outliers column family): a T0 "
+        "store (records modified before the cutoff) is fully tested "
+        "against per-taxon expert ranges, then the T1 ingest's touched "
+        "taxa are re-tested over ALL their records and merged in "
+        "(touched taxa replaced wholesale, untouched pass through). The "
+        "outlier rule folds in coordinate uncertainty: round(distance) "
+        "> 0 AND round(distance) - uncertainty > 50 km (:474-480); "
+        "distance_outside_km is the reference's stored round(m/1000) "
+        "(:487-488), only on outlier rows. The oracle is the FULL-run "
+        "ground truth on the T1 records — the hash asserts incremental "
+        "merge == full recompute."
+    ),
+    oracle=f"""
+        WITH {_EXPERT_DIST_CTES}
+        SELECT row_key, taxon, in_range, distance_outside_m,
+               CASE WHEN is_outlier
+                    THEN CAST(round(distance_outside_m
+                                    / CAST(1000.0 AS DOUBLE)) AS BIGINT)
+               END AS distance_outside_km,
+               is_outlier
+        FROM flagged
+    """,
+)
+def expert_outlier_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.outlier_distribution import (
+        expert_outlier_records,
+    )
+    from biocache_store_spark.operators.outlier_store import (
+        merge_outlier_results,
+    )
+
+    records = _expert_dist_records(read_table(spark, sf_dir, "customer"))
+    dists = _expert_dist_dim(spark)
+    detect = lambda d: expert_outlier_records(d, dists)  # noqa: E731
+    t0 = records.filter(F.col("lastModifiedTime") < "2026-01-15")
+    prev = detect(t0)
+    groups = (
+        records.filter(F.col("lastModifiedTime") >= "2026-01-15")
+        .select(F.col("taxonConceptID").alias("taxon"))
+        .distinct()
+    )
+    inc = detect(
+        records.join(
+            groups, records["taxonConceptID"] == groups["taxon"], "left_semi"
+        )
+    )
+    merged = merge_outlier_results(prev, inc, groups, ["taxon"])
+    return merged.select(
+        "row_key",
+        "taxon",
+        "in_range",
+        "distance_outside_m",
+        "distance_outside_km",
+        "is_outlier",
+    )
+
+
+@register(
+    "expert_outlier_markup",
+    doc=(
+        "Expert-outlier write-back under the external hash gate "
+        "(operators/outlier_distribution.py apply_expert_outlier_markup "
+        "— markOutlierOccurrences :459-528): a synthetic record store "
+        "(every 3rd customer tested; every 15th an outlier) and revert "
+        "list (every 11th untested record) are applied to a store whose "
+        "even records carry a stale pre-existing entry and distance "
+        "column — so the hash pins the km-string distance column, the "
+        "FAILED '<m> metres outside of expert distribution range' "
+        "comment, the PASSED flip on tested non-outliers (with the "
+        "column cleared), the REMOVAL (not flip) on reverts, and "
+        "untouched rows keeping their stale entry and column."
+    ),
+    oracle="""
+        WITH rec AS (
+            SELECT 'c' || CAST(c_custkey AS VARCHAR) AS row_key,
+                   c_custkey % 3 = 0 AS tested,
+                   c_custkey % 15 = 0 AS is_out,
+                   c_custkey % 11 = 0 AND c_custkey % 3 <> 0 AS in_revert,
+                   c_custkey % 2 = 0 AS pre_marked,
+                   CAST(c_custkey % 97 AS DOUBLE) * CAST(987.5 AS DOUBLE)
+                       + CAST(51000.0 AS DOUBLE) AS dist_m
+            FROM customer
+        )
+        SELECT row_key,
+               CASE WHEN is_out
+                        THEN CAST(CAST(round(dist_m / CAST(1000.0 AS DOUBLE))
+                                       AS BIGINT) AS VARCHAR)
+                    WHEN tested OR in_revert THEN NULL
+                    WHEN pre_marked THEN '9' END AS dist_p,
+               CASE WHEN is_out THEN 0
+                    WHEN tested THEN 1
+                    WHEN in_revert THEN NULL
+                    WHEN pre_marked THEN 0 END AS qa_status,
+               CASE WHEN is_out
+                        THEN CAST(CAST(round(dist_m) AS BIGINT) AS VARCHAR)
+                             || ' metres outside of expert distribution range'
+                    WHEN tested THEN ''
+                    WHEN in_revert THEN NULL
+                    WHEN pre_marked THEN 'stale' END AS comment,
+               CAST(tested OR (pre_marked AND NOT in_revert) AS BOOLEAN)
+                   AS has_entry
+        FROM rec
+    """,
+)
+def expert_outlier_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.outlier_distribution import (
+        apply_expert_outlier_markup,
+    )
+    from biocache_store_spark.processors.assertions import AssertionCodes
+    from biocache_store_spark.processors.chain import ASSERTION_TYPE
+
+    code = AssertionCodes.SPECIES_OUTSIDE_EXPERT_RANGE.code
+    name = AssertionCodes.SPECIES_OUTSIDE_EXPERT_RANGE.name
+    customer = read_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    key = F.concat(F.lit("c"), k.cast("string"))
+    # even records carry a stale pre-existing entry + distance column the
+    # markup must REPLACE (outliers), flip (tested passed), REMOVE
+    # (reverts) or leave alone (untouched)
+    pre = F.struct(
+        F.lit(code).alias("code"),
+        F.lit(name).alias("name"),
+        F.lit(0).alias("qa_status"),
+        F.lit("stale").alias("comment"),
+    )
+    store = customer.select(
+        key.alias("row_key"),
+        F.when(F.pmod(k, F.lit(2)) == 0, F.array(pre).cast(ASSERTION_TYPE))
+        .otherwise(F.array().cast(ASSERTION_TYPE))
+        .alias("assertions"),
+        F.when(F.pmod(k, F.lit(2)) == 0, F.lit("9")).alias(
+            "distanceOutsideExpertRange_p"
+        ),
+    )
+    dist_m = F.pmod(k, F.lit(97)).cast("double") * F.lit(987.5) + F.lit(51000.0)
+    rec = customer.filter(F.pmod(k, F.lit(3)) == 0).select(
+        key.alias("row_key"),
+        F.lit("taxon:x").alias("taxon"),
+        (F.pmod(k, F.lit(15)) != 0).alias("in_range"),
+        dist_m.alias("distance_outside_m"),
+        F.when(
+            F.pmod(k, F.lit(15)) == 0,
+            F.round(dist_m / F.lit(1000.0), 0).cast("bigint"),
+        ).alias("distance_outside_km"),
+        (F.pmod(k, F.lit(15)) == 0).alias("is_outlier"),
+    )
+    reverts = customer.filter(
+        (F.pmod(k, F.lit(11)) == 0) & (F.pmod(k, F.lit(3)) != 0)
+    ).select(key.alias("row_key"))
+    marked = apply_expert_outlier_markup(store, rec, reverts, key_col="row_key")
+    entry = F.filter(
+        F.col("assertions"), lambda a: a["code"] == F.lit(code)
+    )
+    first = F.try_element_at(entry, F.lit(1))  # ANSI: empty array -> NULL
+    return marked.select(
+        "row_key",
+        F.col("distanceOutsideExpertRange_p").alias("dist_p"),
+        first["qa_status"].alias("qa_status"),
+        first["comment"].alias("comment"),
+        (F.size(entry) == 1).alias("has_entry"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Maintenance: delete by keys, delete by query, upsert
 # ---------------------------------------------------------------------------

@@ -89,6 +89,53 @@ def stream(occ: DataFrame, fields: list[str]) -> Iterator[list]:
     return stream_records(occ, fields)
 
 
+def get_duplicate_details(dups: DataFrame, uuid: str) -> DataFrame:
+    """Store.getDuplicateDetails (Store.scala:676-681) /
+    DuplicateDAO.getDuplicateInfo: the duplicate-store rows forming the
+    uuid's cluster — the representative plus every member sharing it
+    (the reference's DuplicateRecordDetails carries exactly that: the
+    record, its rowKey link and the associated duplicates). Empty for a
+    unique/untested uuid, matching the reference's empty-details return.
+
+    `dups` is the detect_duplicates output (the persisted duplicate
+    store). The uuid probe is a one-row relation broadcast into the
+    membership join, so the read costs one store scan — partition-pruned
+    when the store is partitioned and the caller pre-filters — never a
+    collect."""
+    rec = dups.filter(
+        (F.col("row_key") == uuid) & (F.col("status") != "U")
+    ).select(
+        F.when(F.col("status") == "R", F.col("row_key"))
+        .otherwise(F.col("duplicate_of"))
+        .alias("__rep")
+    )
+    return dups.join(
+        F.broadcast(rec),
+        (
+            (dups["row_key"] == F.col("__rep"))
+            | (dups["duplicate_of"] == F.col("__rep"))
+        )
+        & (dups["status"] != "U"),
+        "inner",
+    ).drop("__rep")
+
+
+def get_duplicates_for(
+    dups: DataFrame, lsid: str, year: str, month: str, day: str
+) -> DataFrame:
+    """DuplicateDAO.getDuplicatesFor (DuplicateDAOImpl.scala:92-104): the
+    existing duplicate cluster rows for one (taxon, year, month, day)
+    group key — the incremental re-check read. Blank date parts match the
+    store's ''-coalesced group keys."""
+    return dups.filter(
+        (F.col("taxon") == lsid)
+        & (F.col("year") == (year or ""))
+        & (F.col("month") == (month or ""))
+        & (F.col("day") == (day or ""))
+        & (F.col("status") != "U")
+    )
+
+
 # ---------------------------------------------------------------------------
 # User assertions (Store.scala:322-412) — thin façade over
 # operators/user_assertions; the store is a (rowKey, uuid)-keyed DataFrame

@@ -987,3 +987,103 @@ def test_cli_mark_duplicates(spark, tmp_path):
     assert main([
         "mark-duplicates", "--in", store, "--dups", dups, "--out", store,
     ]) == 2
+
+
+def test_cli_expert_outlier_lifecycle(spark, tmp_path):
+    """expert-outlier-detect full -> incremental --since/--prev merge
+    (+ revert + rollup outputs) -> mark-expert-outliers write-back:
+    the CLI composition of ExpertDistributionOutlierTool's run loop."""
+    wkt = "POLYGON((140 -40, 150 -40, 150 -30, 140 -30, 140 -40))"
+    dists = str(tmp_path / "dists")
+    spark.createDataFrame(
+        [("lsid:a", wkt), ("lsid:b", wkt)], "taxonConceptID string, wkt string"
+    ).write.parquet(dists)
+    schema = (
+        "occurrenceID string, taxonConceptID string, decimalLatitude double,"
+        " decimalLongitude double, coordinateUncertaintyInMeters double,"
+        " lastModifiedTime string"
+    )
+    t0_rows = [
+        ("a1", "lsid:a", -35.0, 139.0, None, "2026-01-01"),  # outlier
+        ("a2", "lsid:a", -35.0, 145.0, None, "2026-01-01"),
+        ("b1", "lsid:b", -35.0, 138.0, None, "2026-01-01"),  # untouched outlier
+    ]
+    # a1 re-delivered inside the range; new outlier a3 arrives
+    t1_rows = [
+        ("a1", "lsid:a", -35.0, 145.5, None, "2026-02-01"),
+        ("a2", "lsid:a", -35.0, 145.0, None, "2026-01-01"),
+        ("a3", "lsid:a", -35.0, 137.0, None, "2026-02-01"),
+        ("b1", "lsid:b", -35.0, 138.0, None, "2026-01-01"),
+    ]
+    t0_store = str(tmp_path / "occ_t0")
+    t1_store = str(tmp_path / "occ_t1")
+    spark.createDataFrame(t0_rows, schema).write.parquet(t0_store)
+    spark.createDataFrame(t1_rows, schema).write.parquet(t1_store)
+
+    prev_out = str(tmp_path / "expert_prev")
+    assert main([
+        "expert-outlier-detect", "--in", t0_store,
+        "--distributions", dists, "--out", prev_out,
+    ]) == 0
+    assert {
+        r["row_key"]
+        for r in spark.read.parquet(prev_out).filter("is_outlier").collect()
+    } == {"a1", "b1"}
+
+    inc_out = str(tmp_path / "expert_inc")
+    reverts = str(tmp_path / "expert_reverts")
+    rollup = str(tmp_path / "expert_rollup")
+    assert main([
+        "expert-outlier-detect", "--in", t1_store,
+        "--distributions", dists, "--out", inc_out,
+        "--since", "2026-01-15", "--prev", prev_out,
+        "--revert-out", reverts, "--rollup-out", rollup,
+    ]) == 0
+    merged = spark.read.parquet(inc_out)
+    assert {
+        r["row_key"] for r in merged.filter("is_outlier").collect()
+    } == {"a3", "b1"}
+    assert {r["row_key"] for r in spark.read.parquet(reverts).collect()} == {
+        "a1"
+    }
+    roll = {r["taxon"]: r for r in spark.read.parquet(rollup).collect()}
+    assert roll["lsid:a"]["outlier_row_keys"] == ["a3"]
+    assert roll["lsid:b"]["outlier_row_keys"] == ["b1"]
+
+    # write-back: a3 marked failed + km column; a1 (still tested, now
+    # inside the range) ends PASSED with the column cleared — the
+    # reference removes the old entry then QaPasser marks it passed;
+    # a2 passed
+    from biocache_store_spark.processors.chain import process_records
+
+    raw = spark.createDataFrame(
+        [(k, "dr1", "PreservedSpecimen") for k in ("a1", "a2", "a3", "b1")],
+        ["occurrenceID", "dataResourceUid", "basisOfRecord"],
+    )
+    store = str(tmp_path / "processed")
+    process_records(raw).write.parquet(store)
+    marked = str(tmp_path / "marked")
+    assert main([
+        "mark-expert-outliers", "--in", store, "--outliers", inc_out,
+        "--reverts", reverts, "--out", marked,
+    ]) == 0
+    rows = {r["occurrenceID"]: r for r in spark.read.parquet(marked).collect()}
+    ent = lambda r: [  # noqa: E731
+        a for a in (r["assertions"] or [])
+        if a["name"] == "speciesOutsideExpertRange"
+    ]
+    (a3,) = ent(rows["a3"])
+    assert a3["qa_status"] == 0 and a3["comment"].endswith(
+        "metres outside of expert distribution range"
+    )
+    assert rows["a3"]["distanceOutsideExpertRange_p"] is not None
+    (a1,) = ent(rows["a1"])
+    assert a1["qa_status"] == 1  # removal then QaPasser -> passed entry
+    assert rows["a1"]["distanceOutsideExpertRange_p"] is None
+    (a2,) = ent(rows["a2"])
+    assert a2["qa_status"] == 1  # tested, passed
+    # in-place --out refused
+    assert main([
+        "expert-outlier-detect", "--in", t1_store,
+        "--distributions", dists, "--out", t1_store,
+    ]) == 2

@@ -66,6 +66,213 @@ def test_find_outliers_dimension_size_guard(spark):
     assert len(out) == 1 and out[0]["in_range"]
 
 
+_EXPERT_WKT = "POLYGON((140 -40, 150 -40, 150 -30, 140 -30, 140 -40))"
+
+
+def _expert_dists(spark):
+    return spark.createDataFrame(
+        [("lsid:a", _EXPERT_WKT)], "taxonConceptID string, wkt string"
+    )
+
+
+def test_expert_outlier_records_threshold_rule(spark):
+    """markOutlierOccurrences' outlier rule
+    (ExpertDistributionOutlierTool.scala:474-488): rounded distance > 0
+    AND rounded - uncertainty > threshold; km = round(m/1000) stored only
+    on outlier rows; tested non-outliers stay in the store as the PASSED
+    set; untested records (no range / no coords) are absent."""
+    from biocache_store_spark.operators.outlier_distribution import (
+        expert_outlier_records,
+    )
+
+    records = spark.createDataFrame(
+        [
+            # inside the range: tested, passed
+            ("o1", "lsid:a", -35.0, 145.0, None),
+            # ~91 km west: outlier (unc null -> 0)
+            ("o2", "lsid:a", -35.0, 139.0, None),
+            # ~9 km west: under the 50 km threshold -> passed
+            ("o3", "lsid:a", -35.0, 139.9, None),
+            # ~182 km west but 140 km uncertainty -> 182-140 < 50 -> passed
+            ("o4", "lsid:a", -35.0, 138.0, 140_000.0),
+            # ~182 km west, 50 km uncertainty -> 182-50 > 50 -> outlier
+            ("o5", "lsid:a", -35.0, 138.0, 50_000.0),
+            # no expert range -> untested
+            ("o6", "lsid:b", -35.0, 100.0, None),
+        ],
+        "occurrenceID string, taxonConceptID string, decimalLatitude double,"
+        " decimalLongitude double, coordinateUncertaintyInMeters double",
+    )
+    out = {
+        r["row_key"]: r
+        for r in expert_outlier_records(records, _expert_dists(spark)).collect()
+    }
+    assert set(out) == {"o1", "o2", "o3", "o4", "o5"}
+    assert not out["o1"]["is_outlier"] and out["o1"]["in_range"]
+    assert out["o2"]["is_outlier"]
+    assert out["o2"]["distance_outside_km"] == round(
+        out["o2"]["distance_outside_m"] / 1000
+    )
+    assert not out["o3"]["is_outlier"] and out["o3"]["distance_outside_km"] is None
+    assert not out["o4"]["is_outlier"]  # uncertainty eats the distance
+    assert out["o5"]["is_outlier"]
+
+
+def test_expert_outlier_store_incremental_merge_equals_full(spark):
+    """The versioned-store contract applied to expert outliers: re-testing
+    only the touched taxa and merging equals a full re-test, and the
+    revert diff names exactly the record that left the outlier set."""
+    from biocache_store_spark.operators.outlier_distribution import (
+        expert_outlier_records,
+        obsolete_expert_outliers,
+    )
+    from biocache_store_spark.operators.outlier_store import (
+        merge_outlier_results,
+    )
+
+    dists = spark.createDataFrame(
+        [("lsid:a", _EXPERT_WKT), ("lsid:b", _EXPERT_WKT)],
+        "taxonConceptID string, wkt string",
+    )
+    schema = (
+        "occurrenceID string, taxonConceptID string, decimalLatitude double,"
+        " decimalLongitude double, coordinateUncertaintyInMeters double"
+    )
+    t0_rows = [
+        ("a1", "lsid:a", -35.0, 139.0, None),  # outlier at T0
+        ("a2", "lsid:a", -35.0, 145.0, None),
+        ("b1", "lsid:b", -35.0, 138.0, None),  # untouched taxon's outlier
+    ]
+    # at T1 the record a1 is re-delivered INSIDE the range (corrected
+    # coords) and a new outlier a3 arrives
+    t1_rows = [
+        ("a1", "lsid:a", -35.0, 145.5, None),
+        ("a2", "lsid:a", -35.0, 145.0, None),
+        ("a3", "lsid:a", -35.0, 137.0, None),
+        ("b1", "lsid:b", -35.0, 138.0, None),
+    ]
+    t0 = spark.createDataFrame(t0_rows, schema)
+    t1 = spark.createDataFrame(t1_rows, schema)
+    detect = lambda d: expert_outlier_records(d, dists)  # noqa: E731
+    prev = detect(t0)
+    groups = spark.createDataFrame([("lsid:a",)], "taxon string")
+    inc = detect(t1.join(groups, t1["taxonConceptID"] == groups["taxon"], "left_semi"))
+    merged = merge_outlier_results(prev, inc, groups, ["taxon"])
+    full = detect(t1)
+    key = lambda r: (r["taxon"], r["row_key"])  # noqa: E731
+    assert sorted(map(str, sorted(merged.collect(), key=key))) == sorted(
+        map(str, sorted(full.collect(), key=key))
+    )
+    gone = {
+        r["row_key"] for r in obsolete_expert_outliers(prev, merged).collect()
+    }
+    assert gone == {"a1"}  # b1 (untouched) stays an outlier
+
+
+def test_distribution_outliers_rollup(spark):
+    from biocache_store_spark.operators.outlier_distribution import (
+        distribution_outliers_rollup,
+        expert_outlier_records,
+    )
+
+    records = spark.createDataFrame(
+        [
+            ("o2", "lsid:a", -35.0, 139.0, None),
+            ("o5", "lsid:a", -35.0, 138.0, None),
+            ("o1", "lsid:a", -35.0, 145.0, None),
+        ],
+        "occurrenceID string, taxonConceptID string, decimalLatitude double,"
+        " decimalLongitude double, coordinateUncertaintyInMeters double",
+    )
+    rec = expert_outlier_records(records, _expert_dists(spark))
+    roll = distribution_outliers_rollup(rec).collect()
+    assert len(roll) == 1
+    assert roll[0]["taxon"] == "lsid:a"
+    assert roll[0]["outlier_row_keys"] == ["o2", "o5"]
+    assert roll[0]["outlier_count"] == 2
+
+
+def test_apply_expert_outlier_markup_lifecycle(spark):
+    """The write-back end states (markOutlierOccurrences :459-528):
+    outliers get the km string column + FAILED '<m> metres outside...'
+    assertion replacing any existing entry; tested non-outliers get
+    PASSED + cleared column; reverted records get the column cleared and
+    the assertion REMOVED (not flipped); untouched rows keep theirs."""
+    from pyspark.sql import functions as F
+
+    from biocache_store_spark.operators.outlier_distribution import (
+        apply_expert_outlier_markup,
+    )
+    from biocache_store_spark.processors.assertions import (
+        FAILED,
+        PASSED,
+        AssertionCodes,
+    )
+    from biocache_store_spark.processors.chain import ASSERTION_TYPE
+
+    code = AssertionCodes.SPECIES_OUTSIDE_EXPERT_RANGE.code
+    name = AssertionCodes.SPECIES_OUTSIDE_EXPERT_RANGE.name
+    stale = F.struct(
+        F.lit(code).alias("code"),
+        F.lit(name).alias("name"),
+        F.lit(FAILED).alias("qa_status"),
+        F.lit("stale").alias("comment"),
+    )
+    store = spark.createDataFrame(
+        [("out1",), ("pass1",), ("gone1",), ("other1",), ("nullarr",)],
+        "rowKey string",
+    ).select(
+        "rowKey",
+        F.when(F.col("rowKey") != "nullarr", F.array(stale).cast(ASSERTION_TYPE))
+        .otherwise(F.lit(None).cast(ASSERTION_TYPE))
+        .alias("assertions"),
+        F.when(F.col("rowKey").isin("gone1", "other1"), F.lit("7"))
+        .alias("distanceOutsideExpertRange_p"),
+    )
+    rec = spark.createDataFrame(
+        [
+            ("lsid:a", "out1", False, 91190.2, 91, True),
+            ("lsid:a", "pass1", True, 0.0, None, False),
+            ("lsid:a", "nullarr", False, 191190.2, 191, True),
+        ],
+        "taxon string, row_key string, in_range boolean,"
+        " distance_outside_m double, distance_outside_km long,"
+        " is_outlier boolean",
+    )
+    reverts = spark.createDataFrame([("gone1",)], "row_key string")
+    out = {
+        r["rowKey"]: r
+        for r in apply_expert_outlier_markup(store, rec, reverts).collect()
+    }
+    entry = lambda r: [a for a in (r["assertions"] or []) if a["code"] == code]  # noqa: E731
+
+    o = out["out1"]
+    assert o["distanceOutsideExpertRange_p"] == "91"
+    (a,) = entry(o)
+    assert a["qa_status"] == FAILED
+    assert a["comment"] == "91190 metres outside of expert distribution range"
+    # the stale entry was REPLACED, never duplicated
+    assert len([x for x in o["assertions"] if x["code"] == code]) == 1
+
+    p = out["pass1"]
+    assert p["distanceOutsideExpertRange_p"] is None
+    (a,) = entry(p)
+    assert a["qa_status"] == PASSED
+
+    g = out["gone1"]
+    assert g["distanceOutsideExpertRange_p"] is None
+    assert entry(g) == []  # removed, not flipped
+
+    u = out["other1"]
+    assert u["distanceOutsideExpertRange_p"] == "7"
+    (a,) = entry(u)
+    assert a["comment"] == "stale"  # untouched rows pass through
+
+    n = out["nullarr"]  # null assertions array must not swallow the markup
+    (a,) = entry(n)
+    assert a["qa_status"] == FAILED and n["distanceOutsideExpertRange_p"] == "191"
+
+
 def test_validation_rule_apply_unapply(spark):
     from biocache_store_spark.operators.validation_rules import (
         ValidationRule,

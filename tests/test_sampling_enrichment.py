@@ -151,3 +151,56 @@ def test_sensitivity(spark):
         ).collect()
     }
     assert restored["o1"]["decimalLatitude"] == "-33.123456"
+
+
+def test_points_in_polygon_np_bit_identical_to_scalar():
+    """The vectorized ray cast must reproduce the scalar point_in_polygon
+    EXACTLY — including half-open boundary semantics — across random
+    concave rings, open/closed rings, vertex-latitude alignments and
+    exact on-edge points. The scalar form stays as the parity oracle."""
+    import random
+
+    import numpy as np
+
+    from biocache_store_spark.operators.sampling import (
+        point_in_polygon,
+        points_in_polygon_np,
+    )
+
+    rng = random.Random(9)
+    rings = [
+        # the fixture rectangle
+        [(140.0, -40.0), (150.0, -40.0), (150.0, -30.0), (140.0, -30.0), (140.0, -40.0)],
+        # concave (arrowhead), implicitly closed
+        [(0.0, 0.0), (10.0, 0.0), (5.0, 4.0), (10.0, 8.0), (0.0, 8.0)],
+        # degenerate-ish sliver with a horizontal edge at max latitude
+        [(0.0, 0.0), (8.0, 0.0), (8.0, 6.0), (0.0, 6.0)],
+    ]
+    for _ in range(5):
+        n = rng.randint(3, 12)
+        rings.append(
+            [
+                (round(rng.uniform(-20, 20), 3), round(rng.uniform(-20, 20), 3))
+                for _ in range(n)
+            ]
+        )
+    for ring in rings:
+        pts = [
+            (rng.uniform(-25, 25), rng.uniform(-25, 25)) for _ in range(400)
+        ]
+        # adversarial points: vertices, edge midpoints, vertex-latitude
+        # rays, and exact x_cross hits
+        for (x1, y1), (x2, y2) in zip(ring, ring[1:] + ring[:1]):
+            pts.append((x1, y1))
+            pts.append(((x1 + x2) / 2.0, (y1 + y2) / 2.0))
+            pts.append((x1 - 1.0, y1))
+            if y1 != y2:
+                lat = (y1 + y2) / 2.0
+                x_cross = (x2 - x1) * (lat - y1) / (y2 - y1) + x1
+                pts.append((x_cross, lat))
+        lon = np.array([p[0] for p in pts], dtype="float64")
+        lat = np.array([p[1] for p in pts], dtype="float64")
+        got = points_in_polygon_np(lon, lat, ring)
+        want = [point_in_polygon(p[0], p[1], ring) for p in pts]
+        mism = [i for i in range(len(pts)) if bool(got[i]) != want[i]]
+        assert not mism, (ring, [pts[i] for i in mism[:5]])

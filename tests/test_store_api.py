@@ -112,3 +112,39 @@ def test_validation_rule_store_facade(spark):
     assert S.get_validation_rules(rules, ["vr2"]).count() == 1
     rules = S.delete_validation_rule(rules, "vr1")
     assert [r["rule_id"] for r in rules.collect()] == ["vr2"]
+
+
+def test_get_duplicate_details_and_for(spark):
+    """Store.getDuplicateDetails (Store.scala:681) + the group-key read
+    (DuplicateDAOImpl.getDuplicatesFor): the uuid's whole cluster from
+    either end, empty for unique records."""
+    from biocache_store_spark import store as S
+
+    dups = spark.createDataFrame(
+        [
+            ("t1", "2000", "1", "5", "o1", "R", None, [], 4),
+            ("t1", "2000", "1", "5", "o2", "D1", "o1", [4], 0),
+            ("t1", "2000", "1", "5", "o3", "D2", "o1", [4, 6], 0),
+            ("t1", "2000", "1", "5", "o9", "U", None, [], 0),
+            ("t2", "2001", "", "", "p1", "R", None, [], 4),
+            ("t2", "2001", "", "", "p2", "D1", "p1", [5], 0),
+        ],
+        "taxon string, year string, month string, day string,"
+        " row_key string, status string, duplicate_of string,"
+        " dup_types array<int>, precision int",
+    )
+    # from a duplicate member
+    got = {r["row_key"] for r in S.get_duplicate_details(dups, "o2").collect()}
+    assert got == {"o1", "o2", "o3"}
+    # from the representative
+    got = {r["row_key"] for r in S.get_duplicate_details(dups, "o1").collect()}
+    assert got == {"o1", "o2", "o3"}
+    # unique and unknown uuids -> empty
+    assert S.get_duplicate_details(dups, "o9").count() == 0
+    assert S.get_duplicate_details(dups, "zz").count() == 0
+    # group-key read, blank date parts match the ''-coalesced keys
+    got = {
+        r["row_key"]
+        for r in S.get_duplicates_for(dups, "t2", "2001", None, None).collect()
+    }
+    assert got == {"p1", "p2"}

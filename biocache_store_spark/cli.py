@@ -1002,6 +1002,32 @@ def cmd_stream_outliers(args) -> int:
     return 0
 
 
+def cmd_stream_expert_outliers(args) -> int:
+    """Incremental expert-distribution outlier tick
+    (streaming/incremental.py expert_outlier_stream): append new JSONL
+    occurrence drops to the store, re-test their touched taxa (plus
+    moved records' old taxa) against the expert-range dim over the
+    updated store, merge into the versioned standing store, exit when
+    drained."""
+    spark = _spark(args)
+    from biocache_store_spark.streaming.incremental import (
+        expert_outlier_stream,
+    )
+
+    q = expert_outlier_stream(
+        spark,
+        args.staging,
+        args.store,
+        args.outliers,
+        args.checkpoint,
+        distributions=spark.read.parquet(args.distributions),
+        distance_threshold_m=args.threshold,
+        available_now=True,
+    )
+    q.awaitTermination()
+    return 0
+
+
 def cmd_stream_near_dup(args) -> int:
     """Incremental near-dup tick (streaming/incremental.py
     near_dup_stream): probe new JSONL drops against the persisted LSH
@@ -1957,6 +1983,20 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--group-col", dest="group_col", default="taxonConceptID")
     sp.add_argument("--id-col", dest="id_col", default="occurrenceID")
     sp.add_argument("--cell-col", dest="cell_col", default=None)
+
+    sp = tool(
+        "stream-expert-outliers", cmd_stream_expert_outliers,
+        "availableNow incremental expert-distribution outlier tick",
+    )
+    sp.add_argument("--staging", required=True)
+    sp.add_argument("--store", required=True)
+    sp.add_argument("--outliers", required=True)
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument(
+        "--distributions", required=True,
+        help="expert-range dim parquet (taxonConceptID, wkt)",
+    )
+    sp.add_argument("--threshold", type=float, default=None)
 
     sp = tool(
         "stream-classify", cmd_stream_classify, "availableNow model-gate tick"

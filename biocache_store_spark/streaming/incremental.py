@@ -959,3 +959,90 @@ def occurrence_outlier_stream(
         ),
         available_now=available_now,
     )
+
+
+EXPERT_OUTLIER_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("taxonConceptID", T.StringType()),
+        T.StructField("occurrenceID", T.StringType()),
+        T.StructField("decimalLatitude", T.DoubleType()),
+        T.StructField("decimalLongitude", T.DoubleType()),
+        T.StructField("coordinateUncertaintyInMeters", T.DoubleType()),
+    ]
+)
+
+
+def expert_outlier_stream(
+    spark: SparkSession,
+    staging_dir: str,
+    store_dir: str,
+    outlier_dir: str,
+    checkpoint_dir: str,
+    distributions: DataFrame,
+    schema: T.StructType = EXPERT_OUTLIER_STREAM_SCHEMA,
+    distance_threshold_m: float | None = None,
+    group_col: str = "taxonConceptID",
+    id_col: str = "occurrenceID",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming expert-distribution outlier maintenance — the third
+    `_versioned_maintenance_stream` twin, completing the incremental
+    trilogy (duplicates / jackknife / expert ranges). Each microbatch of
+    arriving records is appended to the occurrence store; the batch's
+    DISTINCT TAXA — unioned with the OLD taxa of any re-delivered record,
+    so a record that moved species gets both species recomputed — are
+    re-tested against the broadcast expert-range dim over ALL their
+    records in the upserted store (expert_outlier_records, the
+    markOutlierOccurrences relation of
+    tool/ExpertDistributionOutlierTool.scala:459-528), and the result
+    merges into the standing versioned store (touched taxa replaced
+    wholesale, moved row_keys scrubbed — merge_outlier_results with
+    group_cols=['taxon']). Taxa without an expert range are never tested
+    (find_outliers' semi-join), so their presence in the touched set
+    replaces nothing with nothing. Same at-least-once safety as the other
+    twins: overwrite-idempotent `batch=<id>` store appends, append-only
+    `v=<batch_id>` versions merged against the strictly-earlier
+    predecessor, checkpoint-epoch guard before any write. Per-microbatch
+    cost is proportional to the touched taxa's records, never the corpus;
+    the range dim broadcasts once per batch (it is driver-collected and
+    guard-capped inside expert_outlier_records)."""
+    from biocache_store_spark.operators.dedup import scope_to_groups
+    from biocache_store_spark.operators.outlier_distribution import (
+        DISTANCE_THRESHOLD_M,
+        expert_outlier_records,
+    )
+    from biocache_store_spark.operators.outlier_store import (
+        merge_outlier_results,
+    )
+
+    threshold = (
+        DISTANCE_THRESHOLD_M
+        if distance_threshold_m is None
+        else float(distance_threshold_m)
+    )
+
+    def detect(store: DataFrame, groups: DataFrame) -> DataFrame:
+        scoped = scope_to_groups(store, groups, group_col)
+        return expert_outlier_records(
+            scoped,
+            distributions,
+            distance_threshold_m=threshold,
+            taxon_col=group_col,
+            id_col=id_col,
+        )
+
+    return _versioned_maintenance_stream(
+        spark,
+        staging_dir,
+        store_dir,
+        outlier_dir,
+        checkpoint_dir,
+        schema,
+        id_col=id_col,
+        group_col=group_col,
+        detect_fn=detect,
+        merge_fn=lambda prev, inc, groups: merge_outlier_results(
+            prev, inc, groups.withColumnRenamed(group_col, "taxon"), ["taxon"]
+        ),
+        available_now=available_now,
+    )

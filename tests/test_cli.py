@@ -467,6 +467,44 @@ def test_cli_streaming_ticks(spark, tmp_path):
     assert (1, 9) in got
 
 
+def test_cli_stream_expert_outliers(spark, tmp_path):
+    """stream-expert-outliers drains a drop against a parquet range dim
+    and lands the versioned record store."""
+    import json as _json
+
+    from biocache_store_spark.cli import main
+    from biocache_store_spark.streaming.incremental import _latest_dup_version
+
+    dist_dir = str(tmp_path / "dists")
+    spark.createDataFrame(
+        [("tA", "POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))")],
+        "taxonConceptID string, wkt string",
+    ).write.parquet(dist_dir)
+    staging = tmp_path / "staging"
+    staging.mkdir()
+    rows = [
+        {"occurrenceID": "in1", "taxonConceptID": "tA",
+         "decimalLatitude": 0.5, "decimalLongitude": 0.5,
+         "coordinateUncertaintyInMeters": None},
+        {"occurrenceID": "outX", "taxonConceptID": "tA",
+         "decimalLatitude": 0.5, "decimalLongitude": 5.0,
+         "coordinateUncertaintyInMeters": None},
+    ]
+    (staging / "d.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in rows)
+    )
+    out_dir = str(tmp_path / "outliers")
+    assert main([
+        "stream-expert-outliers", "--staging", str(staging),
+        "--store", str(tmp_path / "store"), "--outliers", out_dir,
+        "--checkpoint", str(tmp_path / "ck"),
+        "--distributions", dist_dir,
+    ]) == 0
+    got = spark.read.parquet(_latest_dup_version(spark, out_dir))
+    flagged = {r["row_key"] for r in got.filter("is_outlier").collect()}
+    assert flagged == {"outX"}
+
+
 def test_cli_snapshot_diff(spark, tmp_path, capsys):
     import json as _json
 

@@ -1969,6 +1969,89 @@ def test_occurrence_outlier_stream_equals_batch_recompute(spark, tmp_path):
     assert got == {"bX"}  # aX left tA; tB's new extreme flags
 
 
+def test_expert_outlier_stream_equals_batch_recompute(spark, tmp_path):
+    """expert_outlier_stream: after two drops (the second adds a new
+    out-of-range record to one taxon AND moves the first outlier between
+    taxa to an in-range spot), the latest version of the standing store
+    equals a full from-scratch expert_outlier_records over the upserted
+    store, and the moved record's old-taxon rows are scrubbed."""
+    import json
+
+    from pyspark.sql.window import Window as _W
+
+    from biocache_store_spark.operators.outlier_distribution import (
+        expert_outlier_records,
+    )
+    from biocache_store_spark.streaming.incremental import (
+        _latest_dup_version,
+        expert_outlier_stream,
+    )
+
+    dists = spark.createDataFrame(
+        [
+            ("tA", "POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))"),
+            ("tB", "POLYGON((10 10, 11 10, 11 11, 10 11, 10 10))"),
+        ],
+        "taxonConceptID string, wkt string",
+    )
+
+    def rec(oid, taxon, lat, lon, unc=None):
+        return {
+            "occurrenceID": oid, "taxonConceptID": taxon,
+            "decimalLatitude": lat, "decimalLongitude": lon,
+            "coordinateUncertaintyInMeters": unc,
+        }
+
+    staging = tmp_path / "staging"
+    staging.mkdir()
+    drop1 = [rec(f"a{i}", "tA", 0.5, 0.1 * (i + 1)) for i in range(8)]
+    drop1 += [rec(f"b{i}", "tB", 10.5, 10.0 + 0.1 * (i + 1)) for i in range(8)]
+    drop1.append(rec("aX", "tA", 0.5, 5.0))  # ~440 km outside tA's range
+    drop1.append(rec("nR", "noRange", 0.5, 5.0))  # taxon without a range
+    (staging / "d1.jsonl").write_text("\n".join(json.dumps(r) for r in drop1))
+
+    store_dir = str(tmp_path / "store")
+    out_dir = str(tmp_path / "outliers")
+    ckpt = str(tmp_path / "ckpt")
+    q = expert_outlier_stream(
+        spark, str(staging), store_dir, out_dir, ckpt, distributions=dists
+    )
+    q.awaitTermination(120)
+    v0 = spark.read.parquet(_latest_dup_version(spark, out_dir))
+    assert {r["row_key"] for r in v0.filter("is_outlier").collect()} == {"aX"}
+    # untested taxa never land in the store
+    assert v0.filter(F.col("taxon") == "noRange").count() == 0
+
+    # drop 2: tB gains an out-of-range record, and aX is re-delivered
+    # under tB at an in-range spot (taxon move) — tA must be recomputed
+    # too and aX's old tA rows scrubbed
+    drop2 = [rec("bX", "tB", 10.5, 15.0), rec("aX", "tB", 10.5, 10.5)]
+    (staging / "d2.jsonl").write_text("\n".join(json.dumps(r) for r in drop2))
+    q2 = expert_outlier_stream(
+        spark, str(staging), store_dir, out_dir, ckpt, distributions=dists
+    )
+    q2.awaitTermination(120)
+
+    merged = spark.read.parquet(_latest_dup_version(spark, out_dir))
+    raw = spark.read.parquet(store_dir)
+    upserted = (
+        raw.withColumn(
+            "__rn",
+            F.row_number().over(
+                _W.partitionBy("occurrenceID").orderBy(F.col("batch").desc())
+            ),
+        )
+        .filter("__rn = 1")
+        .drop("__rn", "batch")
+    )
+    full = expert_outlier_records(upserted, dists)
+    assert sorted(map(str, merged.collect())) == sorted(map(str, full.collect()))
+    keys = {(r["taxon"], r["row_key"]) for r in merged.collect()}
+    assert ("tB", "aX") in keys and ("tA", "aX") not in keys
+    got = {r["row_key"] for r in merged.filter("is_outlier").collect()}
+    assert got == {"bX"}  # aX moved in-range under tB; tB's new extreme flags
+
+
 def test_dwca_default_value_fields(spark, tmp_path):
     """DwC-text default values (gbif dwca-io supplies them automatically
     in the reference's reader): an index-less field becomes a constant

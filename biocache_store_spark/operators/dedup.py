@@ -203,9 +203,24 @@ def _set_date_types(r: DupRecord, has_year, has_month, has_day):
         r.dup_types.append(MISSING_YEAR)
 
 
-def find_group_duplicates(records: list[DupRecord]) -> list[DupRecord]:
+def find_group_duplicates(
+    records: list[DupRecord],
+    edges: dict[tuple[str, str], list[int]] | None = None,
+) -> list[DupRecord]:
     """checkDuplicates + markRecordsAsDuplicatesAndSetTypes over one
-    (taxon, year, month, day) group. Returns all records with statuses set."""
+    (taxon, year, month, day) group. Returns all records with statuses set.
+
+    `edges` (optional) short-circuits the live pairwise predicate with a
+    precomputed claim map `{(head_key, other_key): [dup types]}` — the
+    JVM-join formulation (detect_duplicates_join) evaluates the
+    spatial/collector/field predicates as Catalyst expressions and hands
+    only the surviving directed pairs here, so this pass degrades to the
+    greedy claim walk over a (typically tiny) edge set. A type append in
+    the live path always implies a claim (every append happens on a
+    True-returning branch of an OR'd predicate), so the edge map captures
+    the live path's mutations exactly. Assumes row_keys are unique within
+    the group (the store upserts by id), which the live path also needs
+    for coherent duplicate_of pointers."""
     # null-tolerant key: detect_duplicates filters id-less records, but
     # this is a public function — a None row_key must not TypeError the
     # whole task
@@ -215,6 +230,13 @@ def find_group_duplicates(records: list[DupRecord]) -> list[DupRecord]:
             continue
         for other in records:
             if other.duplicate_of is not None or other.row_key == record.row_key:
+                continue
+            if edges is not None:
+                types = edges.get((record.row_key, other.row_key))
+                if types is not None:
+                    other.dup_types.extend(types)
+                    other.duplicate_of = record.row_key
+                    record.duplicates.append(other)
                 continue
             if is_spatial_duplicate(record.points, other.points):
                 collector_dup = _is_collector_duplicate(record, other)
@@ -284,6 +306,45 @@ _OUT_FIELDS = [
 ]
 
 
+def _dedup_projection(
+    df: DataFrame,
+    taxon_col: str,
+    year_col: str,
+    month_col: str,
+    day_col: str,
+    lat_col: str,
+    lon_col: str,
+    collector_col: str,
+    record_number_col: str,
+    catalogue_col: str,
+    id_col: str,
+    druid_col: str,
+) -> DataFrame:
+    """Shared input projection of the two duplicate-detection kernels.
+
+    taxon-less (or id-less) records are never dedup-checked: the
+    reference iterates ACTUAL taxon lsids (DuplicationDetection.scala:
+    428-455), so records without one have no group — coalescing them
+    to "" would instead pool every unrelated taxon-less record into
+    one mega-group (false duplicates across species AND a potential
+    O(n^2) single-task group)."""
+    return df.filter(
+        F.col(taxon_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        F.col(taxon_col).cast("string").alias("g_taxon"),
+        F.coalesce(F.col(year_col).cast("string"), F.lit("")).alias("g_year"),
+        F.coalesce(F.col(month_col).cast("string"), F.lit("")).alias("g_month"),
+        F.coalesce(F.col(day_col).cast("string"), F.lit("")).alias("g_day"),
+        F.col(id_col).cast("string").alias("row_key"),
+        F.col(druid_col).cast("string").alias("druid"),
+        F.col(lat_col).cast("string").alias("lat"),
+        F.col(lon_col).cast("string").alias("lon"),
+        F.col(collector_col).cast("string").alias("collector"),
+        F.col(record_number_col).cast("string").alias("record_number"),
+        F.col(catalogue_col).cast("string").alias("catalogue_number"),
+    )
+
+
 def detect_duplicates(
     df: DataFrame,
     taxon_col: str = "taxonConceptID",
@@ -302,30 +363,53 @@ def detect_duplicates(
 
     Records with status 'U' had no duplicates; 'R' is the representative of
     a duplicate cluster; 'D1'/'D2' are its duplicates (same/other resource).
-    """
+
+    Ships the partition-streamed kernel — the round-9 A/B winner
+    (tools/bench_dedup.py; SCALE.md: 3.5x over the per-group
+    applyInPandas form, 5.7x over the JVM self-join form at 2M rows,
+    identical output) — with detect_duplicates_grouped kept as the
+    parity oracle."""
+    return detect_duplicates_streamed(
+        df,
+        taxon_col=taxon_col,
+        year_col=year_col,
+        month_col=month_col,
+        day_col=day_col,
+        lat_col=lat_col,
+        lon_col=lon_col,
+        collector_col=collector_col,
+        record_number_col=record_number_col,
+        catalogue_col=catalogue_col,
+        id_col=id_col,
+        druid_col=druid_col,
+    )
+
+
+def detect_duplicates_grouped(
+    df: DataFrame,
+    taxon_col: str = "taxonConceptID",
+    year_col: str = "year",
+    month_col: str = "month",
+    day_col: str = "day",
+    lat_col: str = "decimalLatitude",
+    lon_col: str = "decimalLongitude",
+    collector_col: str = "recordedBy",
+    record_number_col: str = "recordNumber",
+    catalogue_col: str = "catalogNumber",
+    id_col: str = "occurrenceID",
+    druid_col: str = "dataResourceUid",
+) -> DataFrame:
+    """The original per-group applyInPandas kernel — one Python call and
+    two pandas frames per (taxon, year, month, day) group. Row-identical
+    to the shipped streamed kernel (parity test) but pays ~16 s of pure
+    harness overhead per 2M rows of day-species groups; kept as the
+    parity oracle for the A/B in tools/bench_dedup.py."""
     from biocache_store_spark.util import ensure_package_on_workers
 
     ensure_package_on_workers(df.sparkSession)
-    # taxon-less (or id-less) records are never dedup-checked: the
-    # reference iterates ACTUAL taxon lsids (DuplicationDetection.scala:
-    # 428-455), so records without one have no group — coalescing them
-    # to "" would instead pool every unrelated taxon-less record into
-    # one mega-group (false duplicates across species AND a potential
-    # O(n^2) single-task group)
-    selected = df.filter(
-        F.col(taxon_col).isNotNull() & F.col(id_col).isNotNull()
-    ).select(
-        F.col(taxon_col).cast("string").alias("g_taxon"),
-        F.coalesce(F.col(year_col).cast("string"), F.lit("")).alias("g_year"),
-        F.coalesce(F.col(month_col).cast("string"), F.lit("")).alias("g_month"),
-        F.coalesce(F.col(day_col).cast("string"), F.lit("")).alias("g_day"),
-        F.col(id_col).cast("string").alias("row_key"),
-        F.col(druid_col).cast("string").alias("druid"),
-        F.col(lat_col).cast("string").alias("lat"),
-        F.col(lon_col).cast("string").alias("lon"),
-        F.col(collector_col).cast("string").alias("collector"),
-        F.col(record_number_col).cast("string").alias("record_number"),
-        F.col(catalogue_col).cast("string").alias("catalogue_number"),
+    selected = _dedup_projection(
+        df, taxon_col, year_col, month_col, day_col, lat_col, lon_col,
+        collector_col, record_number_col, catalogue_col, id_col, druid_col,
     )
     schema = T.StructType(
         [
@@ -375,6 +459,350 @@ def detect_duplicates(
 
     return selected.groupBy("g_taxon", "g_year", "g_month", "g_day").applyInPandas(
         run, schema=schema
+    )
+
+
+def detect_duplicates_streamed(
+    df: DataFrame,
+    taxon_col: str = "taxonConceptID",
+    year_col: str = "year",
+    month_col: str = "month",
+    day_col: str = "day",
+    lat_col: str = "decimalLatitude",
+    lon_col: str = "decimalLongitude",
+    collector_col: str = "recordedBy",
+    record_number_col: str = "recordNumber",
+    catalogue_col: str = "catalogNumber",
+    id_col: str = "occurrenceID",
+    druid_col: str = "dataResourceUid",
+) -> DataFrame:
+    """detect_duplicates with the per-GROUP applyInPandas replaced by a
+    per-PARTITION stream: repartition on the group keys, sort within
+    partitions so each (taxon, year, month, day) group is contiguous,
+    then mapInPandas walks the Arrow batches once — a pandas groupby
+    inside each batch dispatches to the SAME live matcher
+    (find_group_duplicates), with a carry buffer for the group that
+    straddles a batch boundary. Row-identical to detect_duplicates (the
+    parity test pins it) at a fraction of the harness cost: applyInPandas
+    pays one Python call + two pandas frames PER GROUP (~125k calls for
+    2M rows of day-species groups — measured 16 s of pure harness
+    overhead at 2M, more than the matcher itself), while this form pays
+    one call per ~10k-row Arrow batch. Same single Exchange + sort plan
+    shape; the per-group memory contract is unchanged (a group must fit
+    in one worker's memory — day-species groups are small; giant-group
+    skew remains the AQE-skew risk flagged in SURVEY §7)."""
+    from biocache_store_spark.util import ensure_package_on_workers
+
+    ensure_package_on_workers(df.sparkSession)
+    selected = _dedup_projection(
+        df, taxon_col, year_col, month_col, day_col, lat_col, lon_col,
+        collector_col, record_number_col, catalogue_col, id_col, druid_col,
+    )
+    keys = ["g_taxon", "g_year", "g_month", "g_day"]
+    arranged = selected.repartition(*keys).sortWithinPartitions(*keys)
+    schema = T.StructType(
+        [
+            T.StructField("taxon", T.StringType()),
+            T.StructField("year", T.StringType()),
+            T.StructField("month", T.StringType()),
+            T.StructField("day", T.StringType()),
+        ]
+        + list(_OUT_FIELDS)
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+            rows = []
+            for (tx, yr, mo, dy), g in pdf.groupby(keys, sort=False):
+                records = [
+                    DupRecord(
+                        row_key=row.row_key,
+                        druid=row.druid,
+                        year=yr or None,
+                        month=mo or None,
+                        day=dy or None,
+                        lat=row.lat,
+                        lon=row.lon,
+                        collector=row.collector,
+                        record_number=row.record_number,
+                        catalogue_number=row.catalogue_number,
+                    )
+                    for row in g.itertuples()
+                ]
+                rows.extend(
+                    {
+                        "taxon": tx,
+                        "year": yr,
+                        "month": mo,
+                        "day": dy,
+                        "row_key": r.row_key,
+                        "status": r.status,
+                        "duplicate_of": r.duplicate_of,
+                        "dup_types": sorted(set(r.dup_types)),
+                        "precision": r.precision,
+                    }
+                    for r in find_group_duplicates(records)
+                )
+            return pd.DataFrame(
+                rows,
+                columns=[
+                    "taxon", "year", "month", "day", "row_key", "status",
+                    "duplicate_of", "dup_types", "precision",
+                ],
+            )
+
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if pdf.empty:
+                continue
+            # the trailing group may continue into the next Arrow batch:
+            # hold it back (rows are key-sorted, so it is the contiguous
+            # tail of rows equal to the last key)
+            last = pdf.iloc[-1]
+            tail = pd.Series(True, index=pdf.index)
+            for k in keys:
+                tail &= pdf[k] == last[k]
+            carry = pdf[tail]
+            body = pdf[~tail]
+            if not body.empty:
+                yield emit(body)
+        if carry is not None and not carry.empty:
+            yield emit(carry)
+
+    return arranged.mapInPandas(run, schema=schema)
+
+
+def _empty_unknown_expr(c: F.Column) -> F.Column:
+    """is_empty_unknown as a Catalyst expression: NULL, '', or exactly
+    'null' / 'UNKNOWN OR ANONYMOUS' (the _UNKNOWN fullmatch alternation
+    has no metacharacters, so it is a two-literal isin)."""
+    return c.isNull() | (c == "") | c.isin("null", "UNKNOWN OR ANONYMOUS")
+
+
+def detect_duplicates_join(
+    df: DataFrame,
+    taxon_col: str = "taxonConceptID",
+    year_col: str = "year",
+    month_col: str = "month",
+    day_col: str = "day",
+    lat_col: str = "decimalLatitude",
+    lon_col: str = "decimalLongitude",
+    collector_col: str = "recordedBy",
+    record_number_col: str = "recordNumber",
+    catalogue_col: str = "catalogNumber",
+    id_col: str = "occurrenceID",
+    druid_col: str = "dataResourceUid",
+) -> DataFrame:
+    """detect_duplicates with the O(n²) pairwise predicate moved to the
+    JVM: a within-group self-join evaluates the spatial-ladder walk
+    (isSpatialDuplicate, DuplicationDetection.scala:1122-1152, unrolled
+    into null-safe-equality whens), the collector test as the BUILT-IN
+    `levenshtein` over the prepared-and-truncated collector strings
+    (:1074-1113), and the exact record/catalogue-number tests — all
+    inside whole-stage codegen — so Python sees only (a) one linear
+    Arrow pass computing the point ladder / prepared collector with the
+    SAME helpers as the live kernel (bit parity by construction) and
+    (b) the greedy claim walk per group over the surviving directed
+    edges (find_group_duplicates(edges=...), typically a handful of
+    rows). Output is identical to detect_duplicates — the parity test
+    pins it — and the A/B at 20M rows decides which kernel ships on the
+    occurrence hot path (SCALE.md).
+
+    Scale shape: both self-join sides shuffle on the same group-key
+    projection (one Exchange, reused), candidate pairs are bounded by
+    the (taxon, day) group sizes exactly like the live kernel's
+    per-group scan — no blocking key weaker than the reference's own
+    grouping is introduced — and the edge relation entering the final
+    cogroup is match-sized, not pair-sized."""
+    import pandas as pd
+
+    from biocache_store_spark.util import ensure_package_on_workers
+
+    ensure_package_on_workers(df.sparkSession)
+    selected = _dedup_projection(
+        df, taxon_col, year_col, month_col, day_col, lat_col, lon_col,
+        collector_col, record_number_col, catalogue_col, id_col, druid_col,
+    )
+
+    prep_schema = T.StructType(
+        list(selected.schema.fields)
+        + [
+            T.StructField("points", T.ArrayType(T.StringType())),
+            T.StructField("prep_collector", T.StringType()),
+            T.StructField("rn_norm", T.StringType()),
+            T.StructField("cat_norm", T.StringType()),
+        ]
+    )
+
+    def prep(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["points"] = [
+                point_ladder(la, lo)
+                for la, lo in zip(pdf["lat"], pdf["lon"])
+            ]
+            pdf["prep_collector"] = [
+                None if c is None else _NON_ALNUM.sub("", c)
+                for c in pdf["collector"]
+            ]
+            pdf["rn_norm"] = [
+                None if v is None else v.strip().lower()
+                for v in pdf["record_number"]
+            ]
+            pdf["cat_norm"] = [
+                None if v is None else v.strip().lower()
+                for v in pdf["catalogue_number"]
+            ]
+            yield pdf
+
+    prepped = selected.mapInPandas(prep, schema=prep_schema)
+
+    a = prepped.select(*[F.col(c).alias(f"a_{c}") for c in prepped.columns])
+    b = prepped.select(*[F.col(c).alias(f"b_{c}") for c in prepped.columns])
+
+    def E(x: F.Column, y: F.Column) -> F.Column:
+        return x.eqNullSafe(y)
+
+    def pa(i: int) -> F.Column:
+        return F.col("a_points")[i]
+
+    def pb(i: int) -> F.Column:
+        return F.col("b_points")[i]
+
+    # isSpatialDuplicate unrolled over the 6 ladder rungs: the walk stops
+    # at the FIRST differing rung; null-safe equality reproduces Python's
+    # None == None. The i+1 look-ahead's cross-ladder asymmetry
+    # (pb(i) vs pa(i+1)) is the reference's own — see is_spatial_duplicate.
+    spatial = F.when(~E(pa(0), pb(0)), F.lit(False))
+    for i in range(1, 5):
+        spatial = spatial.when(
+            ~E(pa(i), pb(i)),
+            (E(pa(i), pa(i - 1)) | E(pb(i), pb(i - 1)))
+            & (E(pa(i), pa(i + 1)) | E(pb(i), pa(i + 1))),
+        )
+    spatial = spatial.when(
+        ~E(pa(5), pb(5)), E(pa(5), pa(4)) | E(pb(5), pb(4))
+    ).otherwise(F.lit(True))
+
+    a_coll_empty = _empty_unknown_expr(F.col("a_collector"))
+    b_coll_empty = _empty_unknown_expr(F.col("b_collector"))
+    trunc_len = F.least(
+        F.length("a_prep_collector"), F.length("b_prep_collector")
+    )
+    lev = F.levenshtein(
+        F.col("a_prep_collector").substr(F.lit(1), trunc_len),
+        F.col("b_prep_collector").substr(F.lit(1), trunc_len),
+    )
+    # type order mirrors the live appends: collector, field, catalogue
+    coll_type = (
+        F.when(b_coll_empty, F.lit(MISSING_COLLECTOR))
+        .when(a_coll_empty, F.lit(None).cast("int"))
+        .when(lev == 0, F.lit(EXACT_COLLECTOR))
+        .when(lev <= COLLECTOR_LEVENSHTEIN_THRESHOLD, F.lit(FUZZY_COLLECTOR))
+    )
+    coll_dup = (
+        a_coll_empty
+        | b_coll_empty
+        | F.coalesce(lev <= COLLECTOR_LEVENSHTEIN_THRESHOLD, F.lit(False))
+    )
+
+    def field_dup(name: str, norm: str) -> F.Column:
+        a_raw, b_raw = F.col(f"a_{name}"), F.col(f"b_{name}")
+        return (
+            a_raw.isNotNull()
+            & b_raw.isNotNull()
+            & ~_empty_unknown_expr(a_raw)
+            & ~_empty_unknown_expr(b_raw)
+            & (F.col(f"a_{norm}") == F.col(f"b_{norm}"))
+        )
+
+    rn_dup = field_dup("record_number", "rn_norm")
+    cat_dup = field_dup("catalogue_number", "cat_norm")
+    types = F.array_compact(
+        F.array(
+            coll_type.cast("int"),
+            F.when(rn_dup, F.lit(EXACT_FIELD_NUMBER)).cast("int"),
+            F.when(cat_dup, F.lit(EXACT_CATALOGUE_NUMBER)).cast("int"),
+        )
+    )
+
+    group_keys = ["g_taxon", "g_year", "g_month", "g_day"]
+    edges = (
+        a.join(
+            b,
+            [F.col(f"a_{k}") == F.col(f"b_{k}") for k in group_keys],
+        )
+        .where(F.col("a_row_key") != F.col("b_row_key"))
+        .where(spatial & (coll_dup | rn_dup | cat_dup))
+        .select(
+            *[F.col(f"a_{k}").alias(k) for k in group_keys],
+            F.col("a_row_key").alias("head_key"),
+            F.col("b_row_key").alias("other_key"),
+            types.alias("types"),
+        )
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("taxon", T.StringType()),
+            T.StructField("year", T.StringType()),
+            T.StructField("month", T.StringType()),
+            T.StructField("day", T.StringType()),
+        ]
+        + list(_OUT_FIELDS)
+    )
+
+    def assemble(records_pdf: pd.DataFrame, edges_pdf: pd.DataFrame) -> pd.DataFrame:
+        records = [
+            DupRecord(
+                row_key=row.row_key,
+                druid=row.druid,
+                year=row.g_year or None,
+                month=row.g_month or None,
+                day=row.g_day or None,
+                lat=row.lat,
+                lon=row.lon,
+            )
+            for row in records_pdf.itertuples()
+        ]
+        edge_map = {
+            (h, o): [int(t) for t in ts]
+            for h, o, ts in zip(
+                edges_pdf["head_key"], edges_pdf["other_key"], edges_pdf["types"]
+            )
+        }
+        out = find_group_duplicates(records, edges=edge_map)
+        return pd.DataFrame(
+            [
+                {
+                    "taxon": records_pdf["g_taxon"].iloc[0],
+                    "year": records_pdf["g_year"].iloc[0],
+                    "month": records_pdf["g_month"].iloc[0],
+                    "day": records_pdf["g_day"].iloc[0],
+                    "row_key": r.row_key,
+                    "status": r.status,
+                    "duplicate_of": r.duplicate_of,
+                    "dup_types": sorted(set(r.dup_types)),
+                    "precision": r.precision,
+                }
+                for r in out
+            ]
+        )
+
+    # the record side of the cogroup is the RAW projection, not `prepped`:
+    # assemble re-ladders each record once in DupRecord.__post_init__
+    # (exactly the live kernel's construction cost), which keeps the
+    # linear Python prep to the two join sides instead of three
+    # evaluations of the mapInPandas subtree
+    return (
+        selected.groupBy(*group_keys)
+        .cogroup(edges.groupBy(*group_keys))
+        .applyInPandas(assemble, schema=schema)
     )
 
 

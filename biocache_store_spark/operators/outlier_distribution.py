@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from biocache_store_spark.operators.sampling import parse_wkt_polygon, point_in_polygon
+from biocache_store_spark.operators.sampling import (
+    parse_wkt_polygon,
+    point_in_polygon,
+    points_in_polygon_np,
+)
 
 _M_PER_DEG_LAT = 110540.0
 _M_PER_DEG_LON = 111320.0
@@ -65,6 +69,56 @@ def distance_outside_m(lon: float, lat: float, ring: list[tuple[float, float]]) 
     return min(
         _point_segment_distance_m(lon, lat, a, b) for a, b in segments
     )
+
+
+def distances_outside_m_np(lon, lat, ring: list[tuple[float, float]]):
+    """Vectorized distance_outside_m over whole NumPy arrays of points —
+    the expert-range twin of points_in_polygon_np (SCALE.md round-9):
+    inside-ness comes from the vectorized ray cast, and for the outside
+    points every boundary segment is evaluated as ~10 vector ops with
+    the SAME operand order as _point_segment_distance_m (projection
+    parameter clamped to [0,1], same equirectangular scaling, np.hypot
+    = math.hypot under one libm), so the two forms agree bit-for-bit
+    (parity test, including on-edge points and degenerate zero-length
+    segments). Replaces a per-record Python loop whose cost grew with
+    ring size; the vector form is flat in it."""
+    import numpy as np
+
+    lon = np.asarray(lon, dtype=float)
+    lat = np.asarray(lat, dtype=float)
+    out = np.zeros(len(lon))
+    outside = ~points_in_polygon_np(lon, lat, ring)
+    if not outside.any():
+        return out
+    if len(ring) < 2:
+        raise ValueError("degenerate ring: need at least 2 vertices")
+    plon, plat = lon[outside], lat[outside]
+    cos_lat = np.cos(np.radians(plat))
+    px = plon * _M_PER_DEG_LON * cos_lat
+    py = plat * _M_PER_DEG_LAT
+    segments = [(ring[i], ring[i + 1]) for i in range(len(ring) - 1)]
+    if ring[0] != ring[-1]:
+        segments.append((ring[-1], ring[0]))
+    best = np.full(plon.shape, np.inf)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for a, b in segments:
+            ax = a[0] * _M_PER_DEG_LON * cos_lat
+            ay = a[1] * _M_PER_DEG_LAT
+            bx = b[0] * _M_PER_DEG_LON * cos_lat
+            by = b[1] * _M_PER_DEG_LAT
+            dx, dy = bx - ax, by - ay
+            denom = dx * dx + dy * dy
+            degenerate = denom == 0.0
+            t = np.clip(((px - ax) * dx + (py - ay) * dy) / denom, 0.0, 1.0)
+            cx, cy = ax + t * dx, ay + t * dy
+            d = np.where(
+                degenerate,
+                np.hypot(px - ax, py - ay),
+                np.hypot(px - cx, py - cy),
+            )
+            best = np.minimum(best, d)
+    out[outside] = best
+    return out
 
 
 def find_outliers(
@@ -152,17 +206,25 @@ def find_outliers(
     schema = T.StructType(fields)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         local = bc.value
         for pdf in batches:
-            dist = [
-                distance_outside_m(lon, lat, local[taxon])
-                for taxon, lat, lon in zip(pdf["taxon"], pdf["lat"], pdf["lon"])
-            ]
+            # one vectorized kernel call per taxon in the batch instead
+            # of a per-record Python ray cast + segment loop — same
+            # values bit-for-bit (distances_outside_m_np parity test);
+            # round() on Python floats, NOT np.round (whose scaled-
+            # multiply rounding can differ on ties)
+            dist = np.zeros(len(pdf))
+            for taxon, idx in pdf.groupby("taxon").indices.items():
+                dist[idx] = distances_outside_m_np(
+                    pdf["lon"].values[idx], pdf["lat"].values[idx], local[taxon]
+                )
             out = {
                 "occurrence_id": pdf["occurrence_id"],
                 "taxon": pdf["taxon"],
                 "in_range": [d == 0.0 for d in dist],
-                "distance_outside_m": [round(d, 1) for d in dist],
+                "distance_outside_m": [round(float(d), 1) for d in dist],
             }
             if uncertainty_col is not None:
                 out["uncertainty_m"] = pdf["uncertainty_m"]

@@ -677,3 +677,48 @@ def test_apply_outlier_assertions_lifecycle(spark):
     base = {a["name"] for r in store.collect()
             if r["occurrenceID"] == "rPlain" for a in r["assertions"]}
     assert {a["name"] for a in rows["rPlain"]["assertions"]} == base
+
+
+def test_distances_outside_m_np_parity():
+    """The vectorized distance kernel is bit-identical to the scalar
+    distance_outside_m over a dense point grid against a rectangle, an
+    octagon, a ring with a duplicate vertex (degenerate zero-length
+    segment), and an unclosed ring (implicit closing edge) — including
+    boundary points, vertices, and far-away points."""
+    import math
+
+    import numpy as np
+
+    from biocache_store_spark.operators.outlier_distribution import (
+        distance_outside_m,
+        distances_outside_m_np,
+    )
+
+    rect = [(110.0, -20.0), (135.0, -20.0), (135.0, 0.0), (110.0, 0.0),
+            (110.0, -20.0)]
+    octagon = [
+        (120.0 + 6.0 * math.cos(k * math.pi / 4),
+         -30.0 + 6.0 * math.sin(k * math.pi / 4))
+        for k in range(8)
+    ]
+    dup_vertex = [(0.0, 0.0), (0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0),
+                  (0.0, 0.0)]
+    open_ring = [(10.0, 10.0), (14.0, 10.0), (14.0, 14.0), (10.0, 14.0)]
+
+    lons = np.array(
+        [l for l in np.linspace(-5.0, 145.0, 61)]
+        + [110.0, 135.0, 122.5, 0.0, 4.0, 10.0, 14.0, 126.0]
+    )
+    lats = np.array(
+        [l for l in np.linspace(-45.0, 20.0, 61)]
+        + [-20.0, 0.0, -10.0, 0.0, 4.0, 10.0, 14.0, -30.0]
+    )
+    for ring in (rect, octagon, dup_vertex, open_ring):
+        vec = distances_outside_m_np(lons, lats, ring)
+        scalar = [
+            distance_outside_m(float(lo), float(la), ring)
+            for lo, la in zip(lons, lats)
+        ]
+        assert vec.tolist() == scalar  # bitwise, not approx
+        assert (vec == 0.0).sum() > 0 or ring is open_ring  # some inside
+        assert (vec > 0.0).sum() > 0  # some outside

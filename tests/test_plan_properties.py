@@ -236,3 +236,28 @@ def test_pq_scoring_stays_jvm_side_with_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert plan.count("MapInPandas") == 1  # encode only; scoring is JVM
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedup_streamed_single_exchange(spark, sf_dir):
+    """The shipped duplicate-detection kernel must keep the per-group
+    form's plan shape — exactly ONE Exchange (the group-key repartition)
+    followed by an in-partition sort and a single MapInPandas; the JVM
+    self-join A/B loser pays three shuffles, and a regression to it (or
+    to a grouped cogroup) would show up here as extra Exchanges."""
+    from biocache_store_spark.operators.dedup import detect_duplicates
+    from biocache_store_spark.io import read_table
+
+    records = read_table(spark, sf_dir, "customer").selectExpr(
+        "cast(c_custkey as string) as occurrenceID",
+        "cast(c_nationkey as string) as taxonConceptID",
+        "'2000' as year", "'01' as month", "'05' as day",
+        "'-35.2' as decimalLatitude", "'144.8' as decimalLongitude",
+        "c_name as recordedBy",
+        "cast(null as string) as recordNumber",
+        "cast(null as string) as catalogNumber",
+        "'dr1' as dataResourceUid",
+    )
+    plan = _plan(detect_duplicates(records))
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("MapInPandas") == 1, plan
+    assert "SortMergeJoin" not in plan and "CoGroup" not in plan, plan

@@ -402,6 +402,12 @@ def cmd_outlier_detect(args) -> int:
     inputs = [args.inp] + ([args.prev] if getattr(args, "prev", None) else [])
     if _refuse_inplace_out("outlier-detect", inputs, args.out):
         return 2
+    # --revert-out is an overwrite target too, and its plan lazily reads
+    # --prev AND the just-written --out — same hazard class
+    if getattr(args, "revert_out", None) and _refuse_inplace_out(
+        "outlier-detect", inputs + [args.out], args.revert_out
+    ):
+        return 2
     spark = _spark(args)
     df = _read(spark, args.inp)
     group_cols = _split(args.group_cols)
@@ -431,9 +437,12 @@ def cmd_outlier_detect(args) -> int:
         groups = changed.select(
             *[F.col(c).cast("string").alias(c) for c in group_cols]
         ).na.drop(subset=group_cols).distinct()
-        # old groups of moved records, from the standing store
+        # old groups of moved records, from the standing store — derived
+        # from the already-filtered `changed` slice (since=None skips the
+        # helper's own modified_since) so the timestamp-validation scan
+        # over the full input runs once, not twice
         changed_ids = touched_record_ids(
-            df, args.since, modified_col=args.modified_col, id_col=args.id_col
+            changed, None, modified_col=args.modified_col, id_col=args.id_col
         )
         old_groups = (
             prev.join(changed_ids, "row_key", "left_semi")
@@ -452,10 +461,15 @@ def cmd_outlier_detect(args) -> int:
         out = merge_outlier_results(prev, inc, groups, group_cols)
         scope = "incremental"
     else:
+        groups = None
         prev = None
         out = detect(df)
         scope = "full"
-    out.write.mode("overwrite").parquet(args.out)
+    try:
+        out.write.mode("overwrite").parquet(args.out)
+    finally:
+        if groups is not None:
+            groups.unpersist()
     if getattr(args, "revert_out", None):
         # the reference's reset list (storeResultsWithStats :382-412):
         # records that stopped being outliers, for assertion/column revert
@@ -543,6 +557,13 @@ def cmd_expert_outlier_detect(args) -> int:
     )
     if _refuse_inplace_out("expert-outlier-detect", inputs, args.out):
         return 2
+    # the aux overwrite targets lazily read --prev and the just-written
+    # --out — same self-overwrite hazard class as the main target
+    for aux in ("revert_out", "rollup_out"):
+        if getattr(args, aux, None) and _refuse_inplace_out(
+            "expert-outlier-detect", inputs + [args.out], getattr(args, aux)
+        ):
+            return 2
     spark = _spark(args)
     df = _read(spark, args.inp)
     dists = _read(spark, args.distributions)
@@ -567,35 +588,34 @@ def cmd_expert_outlier_detect(args) -> int:
         prev = _read(spark, args.prev)
         from biocache_store_spark.operators.dedup import (
             modified_since,
+            reassigned_taxa,
             scope_to_groups,
+            touched_taxa,
         )
 
+        # one filtered slice, reused by both scope derivations (the
+        # helpers' own modified_since is skipped with since=None so the
+        # timestamp-validation scan over the full input runs once);
+        # NULL-taxon rows are never tested, so touched_taxa drops them
         changed = modified_since(df, args.since, args.modified_col)
-        # NULL-taxon rows are never tested, so they never enter the scope
-        groups = (
-            changed.select(F.col(args.taxon_col).cast("string").alias("taxon"))
-            .na.drop(subset=["taxon"])
-            .distinct()
-        )
-        changed_ids = touched_record_ids(
-            df, args.since, modified_col=args.modified_col, id_col=args.id_col
-        )
-        old_groups = (
-            prev.join(changed_ids, "row_key", "left_semi")
-            .select("taxon")
-            .na.drop(subset=["taxon"])
-            .distinct()
-        )
+        groups = touched_taxa(changed, None, taxon_col=args.taxon_col)
+        changed_ids = touched_record_ids(changed, None, id_col=args.id_col)
+        old_groups = reassigned_taxa(prev, changed_ids)
         groups = groups.unionByName(old_groups).distinct().persist()
         scoped = scope_to_groups(df, groups, args.taxon_col, group_col="taxon")
         inc = detect(scoped)
         out = merge_outlier_results(prev, inc, groups, ["taxon"])
         scope = "incremental"
     else:
+        groups = None
         prev = None
         out = detect(df)
         scope = "full"
-    out.write.mode("overwrite").parquet(args.out)
+    try:
+        out.write.mode("overwrite").parquet(args.out)
+    finally:
+        if groups is not None:
+            groups.unpersist()
     current = spark.read.parquet(args.out)
     if getattr(args, "revert_out", None):
         obsolete_expert_outliers(prev, current).write.mode(

@@ -132,8 +132,11 @@ def find_outliers(
     uncertainty_col: str | None = None,
 ) -> DataFrame:
     """records x broadcast expert ranges -> (id, taxon, in_range,
-    distance_outside_m). Records of taxa without an expert range are not
-    tested (reference: only taxa with distributions are checked).
+    distance_outside_m — RAW metres, unrounded: every consumer of the
+    reference applies its own single Math.round to the raw distance,
+    so pre-rounding here would double-round; queries display-round).
+    Records of taxa without an expert range are not tested (reference:
+    only taxa with distributions are checked).
     `uncertainty_col` (optional) passes the record's
     coordinateUncertaintyInMeters through to an `uncertainty_m` output
     column — the outlier-vs-uncertainty test downstream
@@ -212,9 +215,13 @@ def find_outliers(
         for pdf in batches:
             # one vectorized kernel call per taxon in the batch instead
             # of a per-record Python ray cast + segment loop — same
-            # values bit-for-bit (distances_outside_m_np parity test);
-            # round() on Python floats, NOT np.round (whose scaled-
-            # multiply rounding can differ on ties)
+            # values bit-for-bit (distances_outside_m_np parity test).
+            # RAW metres, deliberately unrounded: the reference's outlier
+            # rule and stored km/comment all apply ONE Math.round to the
+            # raw distance (ExpertDistributionOutlierTool.scala:474-488);
+            # pre-rounding here to 0.1 m would double-round and flip
+            # records in the (x.445, x.5) band at the 50 km boundary.
+            # Hash-stability display rounding is the query layer's job.
             dist = np.zeros(len(pdf))
             for taxon, idx in pdf.groupby("taxon").indices.items():
                 dist[idx] = distances_outside_m_np(
@@ -224,7 +231,7 @@ def find_outliers(
                 "occurrence_id": pdf["occurrence_id"],
                 "taxon": pdf["taxon"],
                 "in_range": [d == 0.0 for d in dist],
-                "distance_outside_m": [round(float(d), 1) for d in dist],
+                "distance_outside_m": dist,
             }
             if uncertainty_col is not None:
                 out["uncertainty_m"] = pdf["uncertainty_m"]

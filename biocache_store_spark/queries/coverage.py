@@ -380,7 +380,12 @@ def expert_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "taxonConceptID string, wkt string",
     )
     return find_outliers(records, dists).select(
-        "occurrence_id", "taxon", "in_range", "distance_outside_m"
+        "occurrence_id",
+        "taxon",
+        "in_range",
+        # the store keeps RAW metres (single-round reference rule);
+        # display-round here for the float-hash policy
+        F.round(F.col("distance_outside_m"), 1).alias("distance_outside_m"),
     )
 
 
@@ -413,17 +418,19 @@ _EXPERT_DIST_CTES = """
                    CASE WHEN lon > 110.0 AND lon < 135.0
                              AND lat > y1 AND lat < 0.0
                         THEN CAST(0.0 AS DOUBLE)
-                        ELSE round(sqrt(pow(lon*111320.0*cos_lat
-                                            - cx*111320.0*cos_lat, 2)
-                                        + pow(lat*110540.0 - cy*110540.0, 2)),
-                                   1)
-                   END AS distance_outside_m
+                        ELSE sqrt(pow(lon*111320.0*cos_lat
+                                      - cx*111320.0*cos_lat, 2)
+                                  + pow(lat*110540.0 - cy*110540.0, 2))
+                   END AS dist_raw
             FROM clamped
         ),
         flagged AS (
+            -- the reference rule applies ONE round to the RAW metres
+            -- (:474-480); display rounding happens only in the final
+            -- projection
             SELECT *,
-                   (round(distance_outside_m) > 0
-                    AND round(distance_outside_m) - unc
+                   (round(dist_raw) > 0
+                    AND round(dist_raw) - unc
                         > CAST(50000.0 AS DOUBLE)) AS is_outlier
             FROM tested
         )
@@ -487,9 +494,10 @@ def _expert_dist_dim(spark: SparkSession) -> DataFrame:
     ),
     oracle=f"""
         WITH {_EXPERT_DIST_CTES}
-        SELECT row_key, taxon, in_range, distance_outside_m,
+        SELECT row_key, taxon, in_range,
+               round(dist_raw, 1) AS distance_outside_m,
                CASE WHEN is_outlier
-                    THEN CAST(round(distance_outside_m
+                    THEN CAST(round(dist_raw
                                     / CAST(1000.0 AS DOUBLE)) AS BIGINT)
                END AS distance_outside_km,
                is_outlier
@@ -524,7 +532,7 @@ def expert_outlier_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "row_key",
         "taxon",
         "in_range",
-        "distance_outside_m",
+        F.round(F.col("distance_outside_m"), 1).alias("distance_outside_m"),
         "distance_outside_km",
         "is_outlier",
     )

@@ -693,6 +693,8 @@ def _guard_dup_epoch(
     checkpoint_dir: str,
     batch_id: int,
     prev_dir: str | None,
+    batch: DataFrame | None = None,
+    store_dir: str | None = None,
 ) -> None:
     """Refuse to write into a duplicate store from another checkpoint
     epoch. Batch ids restart at 0 when the checkpoint is wiped; if the
@@ -739,6 +741,41 @@ def _guard_dup_epoch(
                     "fresh store/dup dirs, or restore the original "
                     "checkpoint."
                 )
+            # batch 0 over a single-version legacy store is EITHER a
+            # first-batch crash replay (idempotent) OR a wiped checkpoint
+            # over a store that ran exactly one batch — the on-disk SHAPE
+            # cannot distinguish them, but the CONTENT can: a true replay
+            # re-delivers exactly the rows `store_dir/batch=0` already
+            # holds. Anything else means new data under a new checkpoint
+            # is about to clobber the old epoch's records — refuse.
+            if batch is not None and store_dir is not None:
+                import os as _os
+
+                b0 = _os.path.join(store_dir, "batch=0")
+                bfs, bbase = _hadoop_fs(spark, b0)
+                if bfs.exists(bbase):
+                    existing = spark.read.parquet(b0)
+                    cols = [c for c in existing.columns if c in batch.columns]
+                    if (
+                        batch.select(*cols)
+                        .exceptAll(existing.select(*cols))
+                        .take(1)
+                        or existing.select(*cols)
+                        .exceptAll(batch.select(*cols))
+                        .take(1)
+                    ):
+                        raise RuntimeError(
+                            f"streaming store maintenance: {dup_dir} has "
+                            "v=0 and no epoch marker, and the incoming "
+                            "batch 0 differs from the store's existing "
+                            "batch=0 rows — this is a wiped checkpoint "
+                            "over a kept legacy store, not an at-least-"
+                            "once replay. Start with fresh store/dup "
+                            "dirs, or restore the original checkpoint "
+                            "(a legacy store can also be adopted by "
+                            "manually creating its _epoch_<queryId> "
+                            "marker)."
+                        )
         if query_id is not None:
             fs.mkdirs(
                 spark._jvm.org.apache.hadoop.fs.Path(
@@ -848,7 +885,8 @@ def _versioned_maintenance_stream(
             return
         prev_dir = _latest_dup_version(spark, versioned_dir, before=batch_id)
         _guard_dup_epoch(
-            spark, versioned_dir, checkpoint_dir, batch_id, prev_dir
+            spark, versioned_dir, checkpoint_dir, batch_id, prev_dir,
+            batch=batch, store_dir=store_dir,
         )
         batch.write.mode("overwrite").parquet(
             os.path.join(store_dir, f"batch={batch_id}")

@@ -722,3 +722,31 @@ def test_distances_outside_m_np_parity():
         assert vec.tolist() == scalar  # bitwise, not approx
         assert (vec == 0.0).sum() > 0 or ring is open_ring  # some inside
         assert (vec > 0.0).sum() > 0  # some outside
+
+
+def test_expert_outlier_rule_single_round_boundary(spark):
+    """The outlier rule applies ONE round to the RAW metre distance
+    (ExpertDistributionOutlierTool.scala:474-480). A record whose raw
+    distance is 50000.46 m (uncertainty 0) rounds to 50000 -> NOT an
+    outlier; the old pipeline stored round(d, 1) = 50000.5 first and
+    re-rounded to 50001 -> falsely an outlier. This pins the store
+    keeping raw metres and the rule seeing them."""
+    from biocache_store_spark.operators.outlier_distribution import (
+        expert_outlier_records,
+    )
+
+    records = spark.createDataFrame(
+        [("oBand", "tA", 0.0, 110.44915971972691, None)],
+        "occurrenceID string, taxonConceptID string, decimalLatitude double,"
+        " decimalLongitude double, coordinateUncertaintyInMeters double",
+    )
+    dists = spark.createDataFrame(
+        [("tA", "POLYGON((100 -10, 110 -10, 110 10, 100 10, 100 -10))")],
+        "taxonConceptID string, wkt string",
+    )
+    row = expert_outlier_records(records, dists).collect()[0]
+    # the store holds RAW metres, not a 0.1-pre-rounded value
+    assert abs(row["distance_outside_m"] - 50000.45999999903) < 1e-6
+    assert row["distance_outside_m"] != 50000.5
+    assert row["is_outlier"] is False
+    assert row["distance_outside_km"] is None

@@ -1491,6 +1491,76 @@ def test_occurrence_dedup_stream_epoch_guard(spark, tmp_path):
             raise RuntimeError(str(ex)) from ex
 
 
+def test_legacy_single_version_epoch_guard_content_check(spark, tmp_path):
+    """A legacy (no-marker) store with only v=0 and a batch 0 is EITHER a
+    first-batch crash replay or a wiped checkpoint — the guard
+    distinguishes them by CONTENT: an identical re-delivery is accepted
+    (idempotent self-overwrite), a different batch 0 refuses loudly
+    instead of clobbering the old epoch's records."""
+    import json
+    import shutil
+
+    from py4j.protocol import Py4JJavaError
+
+    from biocache_store_spark.streaming.incremental import (
+        occurrence_dedup_stream,
+    )
+
+    def rec(oid, taxon):
+        return {
+            "occurrenceID": oid, "dataResourceUid": "dr1",
+            "taxonConceptID": taxon, "year": "2000", "month": "01",
+            "day": "05", "decimalLatitude": "-35.2",
+            "decimalLongitude": "144.8", "recordedBy": "Smith, J.",
+            "recordNumber": None, "catalogNumber": None,
+        }
+
+    staging = tmp_path / "staging"
+    staging.mkdir()
+    (staging / "d1.jsonl").write_text(json.dumps(rec("o1", "t1")))
+    store_dir = str(tmp_path / "store")
+    dup_dir = str(tmp_path / "dups")
+    q = occurrence_dedup_stream(
+        spark, str(staging), store_dir, dup_dir, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    # make it a legacy store: drop the epoch marker
+    for d in os.listdir(dup_dir):
+        if d.startswith("_epoch_"):
+            shutil.rmtree(os.path.join(dup_dir, d))
+
+    # identical re-delivery under a fresh checkpoint == the crash-replay
+    # shape: accepted, marker re-stamped, store unchanged
+    q2 = occurrence_dedup_stream(
+        spark, str(staging), store_dir, dup_dir, str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination(120)
+    assert any(d.startswith("_epoch_") for d in os.listdir(dup_dir))
+    got = {r["row_key"] for r in spark.read.parquet(
+        os.path.join(dup_dir, "v=0")).collect()}
+    assert got == {"o1"}
+
+    # DIFFERENT batch 0 over the same (re-legacied) store: refused
+    for d in os.listdir(dup_dir):
+        if d.startswith("_epoch_"):
+            shutil.rmtree(os.path.join(dup_dir, d))
+    staging2 = tmp_path / "staging2"
+    staging2.mkdir()
+    (staging2 / "d1.jsonl").write_text(json.dumps(rec("oNEW", "t9")))
+    q3 = occurrence_dedup_stream(
+        spark, str(staging2), store_dir, dup_dir, str(tmp_path / "ckpt3")
+    )
+    with pytest.raises(Exception, match="differs from the store"):
+        try:
+            q3.awaitTermination(120)
+        except Py4JJavaError as ex:
+            raise RuntimeError(str(ex)) from ex
+    # the old epoch's records survived the refusal
+    survivors = {r["row_key"] for r in spark.read.parquet(
+        os.path.join(dup_dir, "v=0")).collect()}
+    assert survivors == {"o1"}
+
+
 def test_near_dup_stream_matches_direct_probe(spark, tmp_path):
     """Streaming drops probed against the seeded LSH index produce
     exactly the pairs a direct probe_lsh_index call finds, and the

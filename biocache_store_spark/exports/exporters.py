@@ -350,6 +350,69 @@ def export_all_spatial_species(
         ).csv(os.path.join(path, "subspecies"))
 
 
+def export_all_records_facet_filter(
+    index_df: DataFrame,
+    path: str,
+    facet_field: str = "species_guid",
+    fields: list[str] | None = None,
+    filter_expr: str | None = None,
+    min_count: int = 2,
+    subspecies_col: str = "subspecies_guid",
+) -> None:
+    """ExportAllRecordFacetFilter (export/ExportAllRecordFacetFilter
+    .scala:17-86): the facet-driven dump variant with an optional filter
+    and a per-facet-value minimum count — the reference facets the field
+    (optionally under -fq), feeds values through a CountAwareFacetConsumer
+    that only dumps values with >= 2 occurrences, then downloads each
+    value's georeferenced records (fq lat_long:[* TO *]) sorted by
+    (facet, subspecies, row_key) into N thread files plus a subspecies
+    side file.
+
+    Spark shape: ONE job — the filter is a Catalyst predicate pushed to
+    the scan, the min-count gate is a groupBy count (map-side combined)
+    semi-joined back (broadcast when value-count-sized), and the thread
+    shards fall out of repartition(facet) + in-partition sort, the same
+    contract as export_all_spatial_species."""
+    fields = fields or ALL_SPATIAL_SPECIES_FIELDS
+    base = index_df
+    if filter_expr is not None:
+        base = base.filter(filter_expr)
+    base = base.filter(
+        F.col("lat_long").isNotNull() & F.col(facet_field).isNotNull()
+    )
+    present = [f for f in fields if f in base.columns]
+    qualifying = (
+        base.groupBy(facet_field)
+        .count()
+        .filter(F.col("count") >= min_count)
+        .select(facet_field)
+    )
+    gated = base.join(F.broadcast(qualifying), facet_field, "left_semi")
+    sort_keys = [facet_field] + (
+        [subspecies_col] if subspecies_col in base.columns else []
+    )
+    (
+        gated.select(*[F.col(f).cast("string") for f in present])
+        .repartition(F.col(facet_field))
+        .sortWithinPartitions(*sort_keys)
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("delimiter", "\t")
+        .csv(os.path.join(path, "species"))
+    )
+    if subspecies_col in base.columns:
+        (
+            gated.filter(F.col(subspecies_col).isNotNull())
+            .select(*[F.col(f).cast("string") for f in present])
+            .repartition(F.col(subspecies_col))
+            .sortWithinPartitions(subspecies_col)
+            .write.mode("overwrite")
+            .option("header", True)
+            .option("delimiter", "\t")
+            .csv(os.path.join(path, "subspecies"))
+        )
+
+
 def export_avro(df: DataFrame, path: str, fields: list[str] | None = None) -> bool:
     """Avro export (util/AvroUtil.scala:15-100 semantics: the flat index
     row as an Avro record). Spark's avro support is an external module

@@ -434,6 +434,48 @@ def test_export_all_spatial_species(spark, tmp_path):
     assert sub_rows == ["r2"]
 
 
+def test_export_all_records_facet_filter(spark, tmp_path):
+    """ExportAllRecordFacetFilter: optional filter + per-facet-value
+    min-count gate (>= 2 georeferenced records, the reference's
+    CountAwareFacetConsumer threshold) on top of the spatial dump."""
+    import glob
+
+    from biocache_store_spark.exports.exporters import (
+        export_all_records_facet_filter,
+    )
+
+    index = spark.createDataFrame(
+        [
+            ("r1", "sp1", None, "-35.2,144.8", "2000"),
+            ("r2", "sp1", "ssp1", "-35.3,144.9", "2000"),
+            ("r3", "sp2", None, "-30.0,150.0", "2000"),  # single record
+            ("r4", "sp3", None, None, "2000"),  # not georeferenced
+            ("r5", "sp4", None, "-20.0,140.0", "1990"),  # filtered out
+            ("r6", "sp4", None, "-20.1,140.1", "1990"),
+        ],
+        "id string, species_guid string, subspecies_guid string, "
+        "lat_long string, year string",
+    )
+    out = tmp_path / "facet_dump"
+    export_all_records_facet_filter(
+        index, str(out), filter_expr="year = '2000'",
+        fields=["id", "species_guid", "subspecies_guid", "lat_long"],
+    )
+    species_rows = []
+    for f in glob.glob(str(out / "species" / "*.csv")):
+        with open(f) as fh:
+            lines = fh.read().strip().splitlines()
+            species_rows += [ln.split("\t")[0] for ln in lines[1:]]
+    # sp2 (count 1) gated out, sp3 not georeferenced, sp4 filtered
+    assert sorted(species_rows) == ["r1", "r2"]
+    sub_rows = []
+    for f in glob.glob(str(out / "subspecies" / "*.csv")):
+        with open(f) as fh:
+            lines = fh.read().strip().splitlines()
+            sub_rows += [ln.split("\t")[0] for ln in lines[1:]]
+    assert sub_rows == ["r2"]
+
+
 def test_export_avro_or_fallback(spark, tmp_path):
     from biocache_store_spark.exports.exporters import export_avro
 

@@ -146,6 +146,128 @@ def dedup_spans(
     return agg.select(*[F.col(f"__keep.{c}").alias(c) for c in chunks.columns])
 
 
+def repeated_substring_spans(
+    docs: DataFrame,
+    min_len: int = 40,
+    anchor_k: int = 8,
+    anchor_hex_zeros: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document EXACT repeated-substring detection — the
+    suffix-array dedup of Lee et al. 2021 ("Deduplicating Training Data
+    Makes Language Models Better") re-expressed with content-defined
+    anchors so the whole pass is JVM expressions: a position p is an
+    ANCHOR when md5 of the k-gram starting there opens with
+    `anchor_hex_zeros` hex zeros (expected anchor density 16^-z — the
+    mod-p sampling of winnowing/MOSS). Identical content picks identical
+    anchors in EVERY copy, so two copies of a repeated region share all
+    interior anchors and their `min_len`-char windows hash equal — the
+    alignment problem that defeats fixed-stride shingling never arises.
+    Every window whose hash occurs elsewhere in the corpus (or earlier in
+    the same document), EXCEPT the corpus-wide first occurrence by
+    (doc, pos), is a duplicate window; per document, overlapping/adjacent
+    duplicate windows merge into maximal `[span_start, span_end)` cut
+    spans (`remove_spans` applies them).
+
+    Scale shape: anchoring + window hashing are per-row expressions (no
+    shuffle); one shuffle groups window hashes (map-side combined
+    min-struct, the dedup_spans discipline — hot windows collapse before
+    the exchange); the join back broadcasts when the repeated set is
+    small; the interval merge windows per DOCUMENT (no global window).
+    Cost is ~one md5 per character (the same work winnowing does) —
+    embarrassingly parallel, no candidate explosion. Detection is exact
+    (md5-keyed, like dedup_spans); a repeated region is found whenever it
+    fully contains at least one anchor window, i.e. expected-miss only
+    for repeats shorter than ~min_len + 16^z characters."""
+    from pyspark.sql.window import Window
+
+    zeros = "0" * anchor_hex_zeros
+    anchors = F.expr(
+        f"filter(sequence(0, length({text_col}) - {int(min_len)}), "
+        f"p -> substring(md5(substring({text_col}, p + 1, {int(anchor_k)})),"
+        f" 1, {int(anchor_hex_zeros)}) = '{zeros}')"
+    )
+    wins = (
+        docs.filter(F.length(text_col) >= min_len)
+        .select(F.col(id_col), F.explode(anchors).alias("pos"), F.col(text_col))
+        .select(
+            id_col,
+            "pos",
+            F.md5(
+                F.expr(f"substring({text_col}, pos + 1, {int(min_len)})")
+            ).alias("__h"),
+        )
+    )
+    firsts = wins.groupBy("__h").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias(
+            "__first"
+        ),
+        F.count(F.lit(1)).alias("__n"),
+    ).filter(F.col("__n") >= 2)
+    dup_wins = wins.join(firsts, "__h").where(
+        ~(
+            (F.col(id_col) == F.col("__first.i"))
+            & (F.col("pos") == F.col("__first.p"))
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + F.lit(int(min_len))).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_new = (prev_end.isNull() | (F.col("pos") > prev_end)).cast("int")
+    grp = F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        dup_wins.withColumn("__g", grp)
+        .groupBy(id_col, "__g")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(int(min_len))).alias("span_end"),
+        )
+        .select(id_col, "span_start", "span_end")
+    )
+
+
+def remove_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cut `[span_start, span_end)` character ranges (repeated_
+    substring_spans output) out of each document's text — the removal
+    half of the Lee et al. pass. Spans are aggregated per document
+    (sorted, they are disjoint by construction) and the splice is one
+    JVM aggregate over the array: fold the kept gaps between spans with
+    substring concatenation — no Python in the path. Documents without
+    spans pass through verbatim."""
+    agg = spans.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("__spans")
+    )
+    out = docs.join(agg, id_col, "left")
+    # fold: acc = (kept_text, cursor); each span appends the gap before
+    # it and advances the cursor to its end; finish appends the tail
+    spliced = F.expr(
+        f"""aggregate(
+              __spans,
+              named_struct('kept', CAST('' AS STRING), 'cur', 0),
+              (acc, s) -> named_struct(
+                  'kept', concat(acc.kept,
+                                 substring({text_col}, acc.cur + 1,
+                                           s.span_start - acc.cur)),
+                  'cur', CAST(s.span_end AS INT)),
+              acc -> concat(acc.kept, substring({text_col}, acc.cur + 1,
+                                                length({text_col}) - acc.cur))
+        )"""
+    )
+    return out.withColumn(
+        text_col,
+        F.when(F.col("__spans").isNull(), F.col(text_col)).otherwise(spliced),
+    ).drop("__spans")
+
+
 def remove_boilerplate(
     chunks: DataFrame,
     max_doc_freq: int = 2,

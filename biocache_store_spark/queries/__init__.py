@@ -61,6 +61,7 @@ def register(
 # stay deprioritized and rotate next round alongside round-10 changes.
 HEAD: tuple[str, ...] = (
     # NEW in round 9 — never driver-checked
+    "repeated_substring_spans",    # Lee-et-al exact substring cut spans
     "expert_outlier_store_merge",  # persisted expert store, inc == full
     "expert_outlier_markup",       # distance column + failed/passed/removed
     # code changed in round 9 — must re-check first
@@ -114,7 +115,6 @@ HEAD: tuple[str, ...] = (
     "utm_inverse",
     "verbatim_coord_parse",
     "text_simhash",
-    "text_fingerprint",
     # --- 50-slot prefix ends here ---
 )
 
@@ -123,6 +123,7 @@ DEPRIORITIZED: tuple[str, ...] = (
     # remainder below) and untouched this round — they yield their
     # prefix slots to the rotation above.
     # r7-era remainder (rotate into the prefix in round 10):
+    "text_fingerprint",  # yielded its r9 slot to repeated_substring_spans
     "text_language_id",
     "text_quality_score",
     "license_canonicalize",

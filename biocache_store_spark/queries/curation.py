@@ -227,6 +227,82 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "repeated_substring_spans",
+    doc=(
+        "Cross-document exact repeated-substring detection (operators/"
+        "curation.py repeated_substring_spans — the Lee et al. 2021 "
+        "suffix-array dedup re-expressed with content-defined anchors): "
+        "a position anchors when md5 of its 8-gram opens with a hex "
+        "zero (winnowing-style mod-p sampling, so identical content "
+        "anchors identically in every copy and fixed-stride alignment "
+        "misses never arise); every 40-char anchor window whose hash "
+        "repeats anywhere in the corpus, except the corpus-first "
+        "occurrence by (doc_id, pos), is a duplicate window, and "
+        "overlapping/adjacent duplicate windows merge into maximal "
+        "per-document cut spans. All JVM expressions: anchoring/"
+        "hashing map-side, one map-side-combined shuffle on the window "
+        "hash, per-document interval-merge window (never global)."
+    ),
+    oracle="""
+        WITH anch AS (
+            SELECT doc_id, p.pos AS pos,
+                   md5(substr(text, p.pos + 1, 40)) AS h
+            FROM documents,
+                 LATERAL (SELECT unnest(generate_series(
+                     0, CAST(length(text) AS INT) - 40, 1)) AS pos) p
+            WHERE length(text) >= 40
+              AND substr(md5(substr(text, p.pos + 1, 8)), 1, 1) = '0'
+        ),
+        ranked AS (
+            SELECT doc_id, pos,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY h ORDER BY doc_id, pos) AS rn,
+                   COUNT(*) OVER (PARTITION BY h) AS n
+            FROM anch
+        ),
+        dup AS (SELECT doc_id, pos FROM ranked WHERE n >= 2 AND rn > 1),
+        flag AS (
+            SELECT doc_id, pos,
+                   CASE WHEN max(pos + 40) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) IS NULL
+                         OR pos > max(pos + 40) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING)
+                        THEN 1 ELSE 0 END AS is_new
+            FROM dup
+        ),
+        grp AS (
+            SELECT doc_id, pos,
+                   SUM(is_new) OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS g
+            FROM flag
+        )
+        SELECT doc_id,
+               CAST(MIN(pos) AS INT) AS span_start,
+               CAST(MAX(pos) + 40 AS INT) AS span_end
+        FROM grp GROUP BY doc_id, g
+    """,
+)
+def repeated_substring_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.curation import (
+        repeated_substring_spans,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = repeated_substring_spans(
+        docs, min_len=40, anchor_k=8, anchor_hex_zeros=1
+    )
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("int").alias("span_start"),
+        F.col("span_end").cast("int").alias("span_end"),
+    )
+
+
+@register(
     "stratified_sample",
     doc=(
         "Deterministic stratified sampling (operators/curation.py "

@@ -390,3 +390,49 @@ def test_enrich_classification_synonym_rows_no_inflation(spark):
     )
     out = enrich_classification(records, taxa)
     assert out.count() == 1  # synonym rows share the concept: no inflation
+
+
+def test_repeated_substring_spans_exact(spark):
+    """With exhaustive anchoring (anchor_hex_zeros=0, every position —
+    suffix-array density), a 60-char string repeated across/within docs
+    is cut everywhere EXCEPT its corpus-first occurrence, and the merged
+    spans land exactly on the repeated region."""
+    from biocache_store_spark.operators.curation import (
+        remove_spans,
+        repeated_substring_spans,
+    )
+
+    import random
+    import string
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again."
+    assert len(boiler) == 60
+    # aperiodic, pairwise-distinct fillers: a periodic filler would be a
+    # REAL self-repeat (the detector finds it, correctly) and shared
+    # filler context would legitimately extend spans past the boiler
+    rng = random.Random(7)
+    alphabet = string.ascii_letters + string.digits + " "
+    u1, u2, u3, u4 = (
+        "".join(rng.choices(alphabet, k=n)) for n in (80, 50, 45, 18)
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + u1),            # corpus-first copy: untouched
+            (2, u2 + boiler),            # one span at [50, 110)
+            (3, u3 + boiler + u4 + boiler),  # two spans
+        ],
+        "doc_id long, text string",
+    )
+    spans = repeated_substring_spans(
+        docs, min_len=40, anchor_k=8, anchor_hex_zeros=0
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in spans.collect()
+    }
+    assert got == {(2, 50, 110), (3, 45, 105), (3, 123, 183)}
+
+    cleaned = {r["doc_id"]: r["text"] for r in remove_spans(docs, spans).collect()}
+    assert cleaned[1] == boiler + u1  # untouched
+    assert cleaned[2] == u2
+    assert cleaned[3] == u3 + u4

@@ -405,7 +405,8 @@ def cmd_outlier_detect(args) -> int:
     # --revert-out is an overwrite target too, and its plan lazily reads
     # --prev AND the just-written --out — same hazard class
     if getattr(args, "revert_out", None) and _refuse_inplace_out(
-        "outlier-detect", inputs + [args.out], args.revert_out
+        "outlier-detect", inputs + [args.out], args.revert_out,
+        flag="--revert-out",
     ):
         return 2
     spark = _spark(args)
@@ -485,17 +486,20 @@ def cmd_outlier_detect(args) -> int:
     return 0
 
 
-def _refuse_inplace_out(tool: str, inputs: list[str], out: str) -> bool:
-    """True (and an explanatory stderr line) when --out collides with any
-    input path: the plan reads inputs lazily while mode('overwrite')
-    deletes the target — at best Spark's self-overwrite guard trips, at
-    worst a partially-deleted store. realpath, so symlinked aliases of
-    the same directory are caught too."""
+def _refuse_inplace_out(
+    tool: str, inputs: list[str], out: str, flag: str = "--out"
+) -> bool:
+    """True (and an explanatory stderr line) when the `flag` target
+    collides with any input path: the plan reads inputs lazily while
+    mode('overwrite') deletes the target — at best Spark's
+    self-overwrite guard trips, at worst a partially-deleted store.
+    realpath, so symlinked aliases of the same directory are caught
+    too."""
     if any(os.path.realpath(p) == os.path.realpath(out) for p in inputs):
         print(
-            f"{tool}: --out must differ from every input (the plan reads "
-            "them lazily while the overwrite deletes the target; write "
-            "to a fresh directory and swap)",
+            f"{tool}: {flag} must differ from every input and other "
+            "output (the plan reads them lazily while the overwrite "
+            "deletes the target; write to a fresh directory and swap)",
             file=sys.stderr,
         )
         return True
@@ -558,12 +562,19 @@ def cmd_expert_outlier_detect(args) -> int:
     if _refuse_inplace_out("expert-outlier-detect", inputs, args.out):
         return 2
     # the aux overwrite targets lazily read --prev and the just-written
-    # --out — same self-overwrite hazard class as the main target
-    for aux in ("revert_out", "rollup_out"):
-        if getattr(args, aux, None) and _refuse_inplace_out(
-            "expert-outlier-detect", inputs + [args.out], getattr(args, aux)
-        ):
-            return 2
+    # --out — same self-overwrite hazard class as the main target; they
+    # must also differ from EACH OTHER (the rollup write would silently
+    # clobber the just-written revert set)
+    seen_aux: list[str] = []
+    for aux, flag in (("revert_out", "--revert-out"), ("rollup_out", "--rollup-out")):
+        target = getattr(args, aux, None)
+        if target:
+            if _refuse_inplace_out(
+                "expert-outlier-detect", inputs + [args.out] + seen_aux,
+                target, flag=flag,
+            ):
+                return 2
+            seen_aux.append(target)
     spark = _spark(args)
     df = _read(spark, args.inp)
     dists = _read(spark, args.distributions)

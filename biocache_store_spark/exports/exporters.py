@@ -331,23 +331,36 @@ def export_all_spatial_species(
     base = index_df.filter(F.col("lat_long").isNotNull()).select(
         *[F.col(f).cast("string") for f in present]
     )
-    species = (
-        base.filter(F.col(species_col).isNotNull())
-        .repartition(F.col(species_col))
-        .sortWithinPartitions(species_col)
+    _write_sharded_tsv(
+        base.filter(F.col(species_col).isNotNull()),
+        species_col,
+        [species_col],
+        os.path.join(path, "species"),
     )
-    species.write.mode("overwrite").option("header", True).option(
-        "delimiter", "\t"
-    ).csv(os.path.join(path, "species"))
     if subspecies_col in index_df.columns:
-        subspecies = (
-            base.filter(F.col(subspecies_col).isNotNull())
-            .repartition(F.col(subspecies_col))
-            .sortWithinPartitions(subspecies_col)
+        _write_sharded_tsv(
+            base.filter(F.col(subspecies_col).isNotNull()),
+            subspecies_col,
+            [subspecies_col],
+            os.path.join(path, "subspecies"),
         )
-        subspecies.write.mode("overwrite").option("header", True).option(
-            "delimiter", "\t"
-        ).csv(os.path.join(path, "subspecies"))
+
+
+def _write_sharded_tsv(
+    df: DataFrame, part_col: str, sort_cols: list[str], path: str
+) -> None:
+    """The spatial-dump write contract shared by the species/subspecies
+    exports: shards co-located on `part_col` (the reference's N thread
+    files), sorted runs within each shard (the downstream group-iteration
+    contract), headered TSV."""
+    (
+        df.repartition(F.col(part_col))
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("delimiter", "\t")
+        .csv(path)
+    )
 
 
 def export_all_records_facet_filter(
@@ -364,52 +377,47 @@ def export_all_records_facet_filter(
     and a per-facet-value minimum count — the reference facets the field
     (optionally under -fq), feeds values through a CountAwareFacetConsumer
     that only dumps values with >= 2 occurrences, then downloads each
-    value's georeferenced records (fq lat_long:[* TO *]) sorted by
+    value's GEOREFERENCED records (fq lat_long:[* TO *]) sorted by
     (facet, subspecies, row_key) into N thread files plus a subspecies
-    side file.
+    side file. The count gate precedes the georeference filter exactly
+    as in the reference: a value with 2 records of which 1 has
+    coordinates passes the gate and dumps its 1 georeferenced row.
 
     Spark shape: ONE job — the filter is a Catalyst predicate pushed to
     the scan, the min-count gate is a groupBy count (map-side combined)
-    semi-joined back (broadcast when value-count-sized), and the thread
-    shards fall out of repartition(facet) + in-partition sort, the same
-    contract as export_all_spatial_species."""
+    semi-joined back (value-count-sized, so AQE picks broadcast at
+    runtime; no forced broadcast — a pathological near-unique facet must
+    degrade to a shuffle join, not a driver OOM), and the thread shards
+    fall out of _write_sharded_tsv, the same contract as
+    export_all_spatial_species."""
     fields = fields or ALL_SPATIAL_SPECIES_FIELDS
     base = index_df
     if filter_expr is not None:
         base = base.filter(filter_expr)
-    base = base.filter(
-        F.col("lat_long").isNotNull() & F.col(facet_field).isNotNull()
-    )
-    present = [f for f in fields if f in base.columns]
+    base = base.filter(F.col(facet_field).isNotNull())
     qualifying = (
         base.groupBy(facet_field)
         .count()
         .filter(F.col("count") >= min_count)
         .select(facet_field)
     )
-    gated = base.join(F.broadcast(qualifying), facet_field, "left_semi")
+    geo = base.filter(F.col("lat_long").isNotNull())
+    present = [f for f in fields if f in geo.columns]
+    gated = geo.join(qualifying, facet_field, "left_semi").select(
+        *[F.col(f).cast("string") for f in present]
+    )
     sort_keys = [facet_field] + (
-        [subspecies_col] if subspecies_col in base.columns else []
+        [subspecies_col] if subspecies_col in geo.columns else []
     )
-    (
-        gated.select(*[F.col(f).cast("string") for f in present])
-        .repartition(F.col(facet_field))
-        .sortWithinPartitions(*sort_keys)
-        .write.mode("overwrite")
-        .option("header", True)
-        .option("delimiter", "\t")
-        .csv(os.path.join(path, "species"))
+    _write_sharded_tsv(
+        gated, facet_field, sort_keys, os.path.join(path, "species")
     )
-    if subspecies_col in base.columns:
-        (
-            gated.filter(F.col(subspecies_col).isNotNull())
-            .select(*[F.col(f).cast("string") for f in present])
-            .repartition(F.col(subspecies_col))
-            .sortWithinPartitions(subspecies_col)
-            .write.mode("overwrite")
-            .option("header", True)
-            .option("delimiter", "\t")
-            .csv(os.path.join(path, "subspecies"))
+    if subspecies_col in geo.columns:
+        _write_sharded_tsv(
+            gated.filter(F.col(subspecies_col).isNotNull()),
+            subspecies_col,
+            [subspecies_col],
+            os.path.join(path, "subspecies"),
         )
 
 

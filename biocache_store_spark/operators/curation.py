@@ -153,6 +153,7 @@ def repeated_substring_spans(
     anchor_hex_zeros: int = 1,
     id_col: str = "doc_id",
     text_col: str = "text",
+    segment_chars: int = 1 << 16,
 ) -> DataFrame:
     """Cross-document EXACT repeated-substring detection — the
     suffix-array dedup of Lee et al. 2021 ("Deduplicating Training Data
@@ -179,25 +180,48 @@ def repeated_substring_spans(
     embarrassingly parallel, no candidate explosion. Detection is exact
     (md5-keyed, like dedup_spans); a repeated region is found whenever it
     fully contains at least one anchor window, i.e. expected-miss only
-    for repeats shorter than ~min_len + 16^z characters."""
+    for repeats shorter than ~min_len + 16^z characters.
+
+    Long documents are anchored in `segment_chars`-char slices (each
+    carrying min_len-1 chars of lookahead so every window start is
+    covered exactly once): the per-row transient state is then bounded
+    by the segment size, not the document — a multi-MB crawl document
+    must not materialize an O(doc_length) position array (or ride whole
+    through the explode) in one task. Positions stay document-absolute,
+    so the output is independent of segment_chars (pinned by test)."""
     from pyspark.sql.window import Window
 
+    L, k, S = int(min_len), int(anchor_k), int(segment_chars)
+    if S < 1:
+        raise ValueError("segment_chars must be >= 1")
     zeros = "0" * anchor_hex_zeros
-    anchors = F.expr(
-        f"filter(sequence(0, length({text_col}) - {int(min_len)}), "
-        f"p -> substring(md5(substring({text_col}, p + 1, {int(anchor_k)})),"
-        f" 1, {int(anchor_hex_zeros)}) = '{zeros}')"
+    segs = docs.filter(F.length(text_col) >= L).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, length({text_col}) - {L}, {S}), "
+                f"b -> named_struct("
+                f"'base', b, "
+                f"'seg', substring({text_col}, b + 1, {S + L - 1}), "
+                f"'n', least({S}, length({text_col}) - {L} + 1 - b)))"
+            )
+        ).alias("__s"),
     )
-    wins = (
-        docs.filter(F.length(text_col) >= min_len)
-        .select(F.col(id_col), F.explode(anchors).alias("pos"), F.col(text_col))
-        .select(
-            id_col,
-            "pos",
-            F.md5(
-                F.expr(f"substring({text_col}, pos + 1, {int(min_len)})")
-            ).alias("__h"),
-        )
+    wins = segs.select(
+        F.col(id_col),
+        F.col("__s.base").alias("__b"),
+        F.col("__s.seg").alias("__seg"),
+        F.explode(
+            F.expr(
+                f"filter(sequence(0, __s.n - 1), "
+                f"q -> substring(md5(substring(__s.seg, q + 1, {k})), "
+                f"1, {int(anchor_hex_zeros)}) = '{zeros}')"
+            )
+        ).alias("__q"),
+    ).select(
+        id_col,
+        (F.col("__b") + F.col("__q")).alias("pos"),
+        F.md5(F.expr(f"substring(__seg, __q + 1, {L})")).alias("__h"),
     )
     firsts = wins.groupBy("__h").agg(
         F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias(

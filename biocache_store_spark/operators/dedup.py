@@ -893,10 +893,17 @@ def reassigned_taxa(previous: DataFrame, changed_ids: DataFrame) -> DataFrame:
     under the old taxon, and un-recomputed statuses for the records that
     remain there). Union these taxa into the scope so the old species'
     clusters are recomputed too — that is what keeps incremental == full.
-    The semi join broadcasts the changed-id side when it is batch-sized."""
+    The semi join broadcasts the changed-id side when it is batch-sized.
+
+    NULL taxa are dropped: a NULL-group row is never detected, so it must
+    never enter the scope either — merge's null-SAFE anti-join would drop
+    previous NULL-group rows wholesale while the null-UNSAFE scope
+    semi-join/isin re-detects nothing to replace them (silent row loss
+    from an externally supplied store)."""
     ids = changed_ids.select(F.col("row_key").cast("string").alias("row_key"))
     return (
         previous.join(ids, "row_key", "left_semi")
+        .filter(F.col("taxon").isNotNull())
         .select(F.col("taxon").cast("string").alias("taxon"))
         .distinct()
     )

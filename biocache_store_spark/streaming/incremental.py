@@ -753,29 +753,37 @@ def _guard_dup_epoch(
 
                 b0 = _os.path.join(store_dir, "batch=0")
                 bfs, bbase = _hadoop_fs(spark, b0)
-                if bfs.exists(bbase):
+                differs = not bfs.exists(bbase)
+                # v=0 is written strictly AFTER batch=0 in handle(), so a
+                # MISSING batch=0 can never be a crash replay either —
+                # that shape is a fresh/re-pointed store_dir over a kept
+                # legacy dup_dir, and accepting it would merge the new
+                # batch against no predecessor (dropping every untouched
+                # group from the old epoch)
+                if not differs:
                     existing = spark.read.parquet(b0)
                     cols = [c for c in existing.columns if c in batch.columns]
-                    if (
+                    differs = bool(
                         batch.select(*cols)
                         .exceptAll(existing.select(*cols))
                         .take(1)
                         or existing.select(*cols)
                         .exceptAll(batch.select(*cols))
                         .take(1)
-                    ):
-                        raise RuntimeError(
-                            f"streaming store maintenance: {dup_dir} has "
-                            "v=0 and no epoch marker, and the incoming "
-                            "batch 0 differs from the store's existing "
-                            "batch=0 rows — this is a wiped checkpoint "
-                            "over a kept legacy store, not an at-least-"
-                            "once replay. Start with fresh store/dup "
-                            "dirs, or restore the original checkpoint "
-                            "(a legacy store can also be adopted by "
-                            "manually creating its _epoch_<queryId> "
-                            "marker)."
-                        )
+                    )
+                if differs:
+                    raise RuntimeError(
+                        f"streaming store maintenance: {dup_dir} has "
+                        "v=0 and no epoch marker, and the incoming "
+                        "batch 0 does not match the store's existing "
+                        "batch=0 rows — this is a wiped checkpoint "
+                        "over a kept legacy store, not an at-least-"
+                        "once replay. Start with fresh store/dup "
+                        "dirs, or restore the original checkpoint "
+                        "(a legacy store can also be adopted by "
+                        "manually creating its _epoch_<queryId> "
+                        "marker)."
+                    )
         if query_id is not None:
             fs.mkdirs(
                 spark._jvm.org.apache.hadoop.fs.Path(

@@ -436,3 +436,13 @@ def test_repeated_substring_spans_exact(spark):
     assert cleaned[1] == boiler + u1  # untouched
     assert cleaned[2] == u2
     assert cleaned[3] == u3 + u4
+
+    # output is independent of the per-task segmentation: a 64-char
+    # segment forces every doc through multiple slices and boundary
+    # lookaheads, and the spans must not move
+    seg = repeated_substring_spans(
+        docs, min_len=40, anchor_k=8, anchor_hex_zeros=0, segment_chars=64
+    )
+    assert {
+        (r["doc_id"], r["span_start"], r["span_end"]) for r in seg.collect()
+    } == got

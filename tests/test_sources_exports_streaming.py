@@ -452,6 +452,11 @@ def test_export_all_records_facet_filter(spark, tmp_path):
             ("r4", "sp3", None, None, "2000"),  # not georeferenced
             ("r5", "sp4", None, "-20.0,140.0", "1990"),  # filtered out
             ("r6", "sp4", None, "-20.1,140.1", "1990"),
+            # the gate counts PRE-georeference (reference semantics):
+            # sp5 has 2 records, only 1 with coordinates -> passes the
+            # gate, dumps its 1 georeferenced row
+            ("r7", "sp5", None, "-25.0,135.0", "2000"),
+            ("r8", "sp5", None, None, "2000"),
         ],
         "id string, species_guid string, subspecies_guid string, "
         "lat_long string, year string",
@@ -466,8 +471,9 @@ def test_export_all_records_facet_filter(spark, tmp_path):
         with open(f) as fh:
             lines = fh.read().strip().splitlines()
             species_rows += [ln.split("\t")[0] for ln in lines[1:]]
-    # sp2 (count 1) gated out, sp3 not georeferenced, sp4 filtered
-    assert sorted(species_rows) == ["r1", "r2"]
+    # sp2 (count 1) gated out, sp3 not georeferenced, sp4 filtered,
+    # sp5 passes the pre-georeference gate with its one located row
+    assert sorted(species_rows) == ["r1", "r2", "r7"]
     sub_rows = []
     for f in glob.glob(str(out / "subspecies" / "*.csv")):
         with open(f) as fh:
@@ -1592,7 +1598,7 @@ def test_legacy_single_version_epoch_guard_content_check(spark, tmp_path):
     q3 = occurrence_dedup_stream(
         spark, str(staging2), store_dir, dup_dir, str(tmp_path / "ckpt3")
     )
-    with pytest.raises(Exception, match="differs from the store"):
+    with pytest.raises(Exception, match="does not match the store"):
         try:
             q3.awaitTermination(120)
         except Py4JJavaError as ex:
@@ -1601,6 +1607,24 @@ def test_legacy_single_version_epoch_guard_content_check(spark, tmp_path):
     survivors = {r["row_key"] for r in spark.read.parquet(
         os.path.join(dup_dir, "v=0")).collect()}
     assert survivors == {"o1"}
+
+    # a kept legacy dup store with a FRESH/re-pointed record store dir
+    # (no batch=0 to compare against) can never be a crash replay —
+    # v=0 is written strictly after batch=0 — so it must refuse too
+    legacy2 = tmp_path / "dups_fresh_store"
+    legacy2.mkdir()
+    shutil.copytree(
+        os.path.join(dup_dir, "v=0"), str(legacy2 / "v=0")
+    )
+    q4 = occurrence_dedup_stream(
+        spark, str(staging), str(tmp_path / "store_fresh"), str(legacy2),
+        str(tmp_path / "ckpt4"),
+    )
+    with pytest.raises(Exception, match="does not match the store"):
+        try:
+            q4.awaitTermination(120)
+        except Py4JJavaError as ex:
+            raise RuntimeError(str(ex)) from ex
 
 
 def test_near_dup_stream_matches_direct_probe(spark, tmp_path):

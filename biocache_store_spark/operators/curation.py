@@ -189,8 +189,39 @@ def repeated_substring_spans(
     must not materialize an O(doc_length) position array (or ride whole
     through the explode) in one task. Positions stay document-absolute,
     so the output is independent of segment_chars (pinned by test)."""
-    from pyspark.sql.window import Window
+    wins = _anchor_windows(
+        docs, min_len, anchor_k, anchor_hex_zeros, id_col, text_col,
+        segment_chars,
+    )
+    firsts = wins.groupBy("__h").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias(
+            "__first"
+        ),
+        F.count(F.lit(1)).alias("__n"),
+    ).filter(F.col("__n") >= 2)
+    dup_wins = wins.join(firsts, "__h").where(
+        ~(
+            (F.col(id_col) == F.col("__first.i"))
+            & (F.col("pos") == F.col("__first.p"))
+        )
+    )
+    return _merge_window_spans(dup_wins, min_len, id_col)
 
+
+def _anchor_windows(
+    docs: DataFrame,
+    min_len: int,
+    anchor_k: int,
+    anchor_hex_zeros: int,
+    id_col: str,
+    text_col: str,
+    segment_chars: int,
+) -> DataFrame:
+    """(id, pos, __h): every content-defined anchor position with the
+    md5 of its min_len-char window — the shared front end of
+    repeated_substring_spans and substring_decontaminate. Documents are
+    processed in bounded slices with min_len-1 lookahead; positions are
+    document-absolute."""
     L, k, S = int(min_len), int(anchor_k), int(segment_chars)
     if S < 1:
         raise ValueError("segment_chars must be >= 1")
@@ -207,7 +238,7 @@ def repeated_substring_spans(
             )
         ).alias("__s"),
     )
-    wins = segs.select(
+    return segs.select(
         F.col(id_col),
         F.col("__s.base").alias("__b"),
         F.col("__s.seg").alias("__seg"),
@@ -223,18 +254,16 @@ def repeated_substring_spans(
         (F.col("__b") + F.col("__q")).alias("pos"),
         F.md5(F.expr(f"substring(__seg, __q + 1, {L})")).alias("__h"),
     )
-    firsts = wins.groupBy("__h").agg(
-        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias(
-            "__first"
-        ),
-        F.count(F.lit(1)).alias("__n"),
-    ).filter(F.col("__n") >= 2)
-    dup_wins = wins.join(firsts, "__h").where(
-        ~(
-            (F.col(id_col) == F.col("__first.i"))
-            & (F.col("pos") == F.col("__first.p"))
-        )
-    )
+
+
+def _merge_window_spans(
+    wins: DataFrame, min_len: int, id_col: str
+) -> DataFrame:
+    """Merge flagged (id, pos) windows into maximal per-document
+    `[span_start, span_end)` spans — overlapping or adjacent windows
+    coalesce. Windowed per DOCUMENT, never globally."""
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy(id_col).orderBy("pos")
     prev_end = F.max(F.col("pos") + F.lit(int(min_len))).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -242,7 +271,7 @@ def repeated_substring_spans(
     is_new = (prev_end.isNull() | (F.col("pos") > prev_end)).cast("int")
     grp = F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
     return (
-        dup_wins.withColumn("__g", grp)
+        wins.withColumn("__g", grp)
         .groupBy(id_col, "__g")
         .agg(
             F.min("pos").alias("span_start"),
@@ -250,6 +279,43 @@ def repeated_substring_spans(
         )
         .select(id_col, "span_start", "span_end")
     )
+
+
+def substring_decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    min_len: int = 40,
+    anchor_k: int = 8,
+    anchor_hex_zeros: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    segment_chars: int = 1 << 16,
+) -> DataFrame:
+    """Exact-substring eval decontamination (the Lee et al. application
+    of the suffix-array machinery, and the exact-match complement of the
+    token-shingle `ngram_decontamination`): every train-document span
+    sharing a >= min_len-char EXACT substring with ANY eval document is
+    flagged as a `[span_start, span_end)` contamination span — cut them
+    with `remove_spans`, or drop flagged docs wholesale. Both corpora
+    are anchored with the same content-defined rule, so a shared
+    substring anchors identically on both sides and alignment misses
+    never arise.
+
+    Scale shape: eval windows reduce to a DISTINCT hash set (tiny — eval
+    suites are benchmark-sized), the probe is one semi join on the hash
+    (AQE broadcasts the eval side at runtime), and the interval merge
+    windows per train document. The train side is the same one-pass
+    anchor scan as repeated_substring_spans."""
+    tw = _anchor_windows(
+        train, min_len, anchor_k, anchor_hex_zeros, id_col, text_col,
+        segment_chars,
+    )
+    ew = _anchor_windows(
+        eval_docs, min_len, anchor_k, anchor_hex_zeros, id_col, text_col,
+        segment_chars,
+    ).select("__h").distinct()
+    hits = tw.join(ew, "__h", "left_semi")
+    return _merge_window_spans(hits, min_len, id_col)
 
 
 def remove_spans(

@@ -62,6 +62,7 @@ def register(
 HEAD: tuple[str, ...] = (
     # NEW in round 9 — never driver-checked
     "repeated_substring_spans",    # Lee-et-al exact substring cut spans
+    "substring_decontamination",   # exact-overlap eval decontamination
     "expert_outlier_store_merge",  # persisted expert store, inc == full
     "expert_outlier_markup",       # distance column + failed/passed/removed
     # code changed in round 9 — must re-check first
@@ -114,7 +115,6 @@ HEAD: tuple[str, ...] = (
     "tfidf_top_terms",
     "utm_inverse",
     "verbatim_coord_parse",
-    "text_simhash",
     # --- 50-slot prefix ends here ---
 )
 
@@ -124,6 +124,7 @@ DEPRIORITIZED: tuple[str, ...] = (
     # prefix slots to the rotation above.
     # r7-era remainder (rotate into the prefix in round 10):
     "text_fingerprint",  # yielded its r9 slot to repeated_substring_spans
+    "text_simhash",      # yielded its r9 slot to substring_decontamination
     "text_language_id",
     "text_quality_score",
     "license_canonicalize",

@@ -303,6 +303,77 @@ def repeated_substring_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "substring_decontamination",
+    doc=(
+        "Exact-substring eval decontamination (operators/curation.py "
+        "substring_decontaminate — the Lee et al. application of the "
+        "anchor-window machinery, the exact-match complement of the "
+        "token-shingle ngram_decontamination): train docs (doc_id % 17 "
+        "<> 0) whose text shares a >= 40-char exact substring with any "
+        "eval doc (doc_id % 17 = 0) get maximal contamination cut "
+        "spans. Eval windows reduce to a distinct hash set probed by "
+        "one semi join; both sides anchor content-defined, so shared "
+        "substrings align regardless of offset."
+    ),
+    oracle="""
+        WITH anch AS (
+            SELECT doc_id, p.pos AS pos,
+                   md5(substr(text, p.pos + 1, 40)) AS h
+            FROM documents,
+                 LATERAL (SELECT unnest(generate_series(
+                     0, CAST(length(text) AS INT) - 40, 1)) AS pos) p
+            WHERE length(text) >= 40
+              AND substr(md5(substr(text, p.pos + 1, 8)), 1, 1) = '0'
+        ),
+        ev AS (SELECT DISTINCT h FROM anch WHERE doc_id % 17 = 0),
+        hits AS (
+            SELECT doc_id, pos FROM anch
+            WHERE doc_id % 17 <> 0 AND h IN (SELECT h FROM ev)
+        ),
+        flag AS (
+            SELECT doc_id, pos,
+                   CASE WHEN max(pos + 40) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) IS NULL
+                         OR pos > max(pos + 40) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING)
+                        THEN 1 ELSE 0 END AS is_new
+            FROM hits
+        ),
+        grp AS (
+            SELECT doc_id, pos,
+                   SUM(is_new) OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS g
+            FROM flag
+        )
+        SELECT doc_id,
+               CAST(MIN(pos) AS INT) AS span_start,
+               CAST(MAX(pos) + 40 AS INT) AS span_end
+        FROM grp GROUP BY doc_id, g
+    """,
+)
+def substring_decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.curation import (
+        substring_decontaminate,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    train = docs.filter(F.pmod(F.col("doc_id"), F.lit(17)) != 0)
+    eval_docs = docs.filter(F.pmod(F.col("doc_id"), F.lit(17)) == 0)
+    out = substring_decontaminate(
+        train, eval_docs, min_len=40, anchor_k=8, anchor_hex_zeros=1
+    )
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("int").alias("span_start"),
+        F.col("span_end").cast("int").alias("span_end"),
+    )
+
+
+@register(
     "stratified_sample",
     doc=(
         "Deterministic stratified sampling (operators/curation.py "

@@ -446,3 +446,40 @@ def test_repeated_substring_spans_exact(spark):
     assert {
         (r["doc_id"], r["span_start"], r["span_end"]) for r in seg.collect()
     } == got
+
+
+def test_substring_decontaminate(spark):
+    """Train spans sharing a >= min_len exact substring with any eval doc
+    are flagged — including a contaminated region at a DIFFERENT offset
+    than in the eval doc (the alignment case fixed-stride shingles miss)
+    — and clean train docs are untouched."""
+    import random
+    import string
+
+    from biocache_store_spark.operators.curation import (
+        remove_spans,
+        substring_decontaminate,
+    )
+
+    leak = "What is the capital of France? The capital of France is Paris, of course."
+    assert len(leak) >= 60
+    rng = random.Random(11)
+    alphabet = string.ascii_letters + string.digits + " "
+    f1, f2, f3 = ("".join(rng.choices(alphabet, k=n)) for n in (70, 55, 90))
+    train = spark.createDataFrame(
+        [(1, f1 + leak), (2, f2), (3, leak + f3)],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, "Q7: " + leak + " [end]")], "doc_id long, text string"
+    )
+    spans = substring_decontaminate(
+        train, eval_docs, min_len=40, anchor_hex_zeros=0
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"]) for r in spans.collect()
+    }
+    n = len(leak)
+    assert got == {(1, 70, 70 + n), (3, 0, n)}
+    cleaned = {r["doc_id"]: r["text"] for r in remove_spans(train, spans).collect()}
+    assert cleaned == {1: f1, 2: f2, 3: f3}

@@ -293,13 +293,17 @@ def substring_decontaminate(
 ) -> DataFrame:
     """Exact-substring eval decontamination (the Lee et al. application
     of the suffix-array machinery, and the exact-match complement of the
-    token-shingle `ngram_decontamination`): every train-document span
-    sharing a >= min_len-char EXACT substring with ANY eval document is
-    flagged as a `[span_start, span_end)` contamination span — cut them
-    with `remove_spans`, or drop flagged docs wholesale. Both corpora
-    are anchored with the same content-defined rule, so a shared
-    substring anchors identically on both sides and alignment misses
-    never arise.
+    token-shingle `ngram_decontamination`): train-document spans sharing
+    a >= min_len-char EXACT substring with any eval document are flagged
+    as `[span_start, span_end)` contamination spans — cut them with
+    `remove_spans`, or drop flagged docs wholesale. Both corpora are
+    anchored with the same content-defined rule, so a shared substring
+    anchors identically on both sides and alignment misses never arise;
+    recall carries the same anchor-density caveat as
+    repeated_substring_spans (a shared region is found when it fully
+    contains an anchor window — expected miss only for overlaps shorter
+    than ~min_len + 16^anchor_hex_zeros chars; anchor_hex_zeros=0 is
+    exhaustive).
 
     Scale shape: eval windows reduce to a DISTINCT hash set (tiny — eval
     suites are benchmark-sized), the probe is one semi join on the hash

@@ -98,7 +98,9 @@ HEAD: tuple[str, ...] = (
     "near_dup_components",
     "ngram_decontamination",
     "simhash_near_duplicates",
-    # r7-era refreshes (the 18 oldest of the r7-green set)
+    # r7-era refreshes (the 16 oldest of the r7-green set after
+    # text_fingerprint/text_simhash yielded their slots to the two new
+    # round-9 queries above)
     "histogram_threshold_refined",
     "endemism_density_layers",
     "training_shard_plan",

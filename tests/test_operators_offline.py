@@ -215,10 +215,15 @@ def test_detect_duplicates_join_parity(spark):
         ("-35.2166", "144.8106"), ("-35.22", "144.81"),
         ("-20.0", "140.0"), ("20.123", "150.456"),
         (None, "144.8"), ("abc", "144.8"), ("-35.21667", None),
+        ("0", "0"), ("-0.0", "0.00"),
     ]
     collectors = [
         "Smith, J.", "Smyth, J.", "Smith J", "SMITH, J.", "Jones, K.",
         None, "", "UNKNOWN OR ANONYMOUS", "null", "!!!", "Smithson, J.",
+        # unicode collectors: the join form truncates and levenshteins
+        # the prepared strings JVM-side — char-based length/substr/
+        # distance must agree with Python's on non-ASCII letters
+        "смит и", "Ég þú",
     ]
     rns = [None, "RN1", "rn1 ", "RN2", "", "null"]
     cats = [None, "CAT42", "cat42 ", "CAT43", "UNKNOWN OR ANONYMOUS"]

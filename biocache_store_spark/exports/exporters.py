@@ -406,8 +406,15 @@ def export_all_records_facet_filter(
     gated = geo.join(qualifying, facet_field, "left_semi").select(
         *[F.col(f).cast("string") for f in present]
     )
-    sort_keys = [facet_field] + (
-        [subspecies_col] if subspecies_col in geo.columns else []
+    # full reference sort key: (facet, subspecies, row_key) — the row key
+    # ('id' in the index schema) breaks ties so within-shard order is
+    # deterministic, matching the download's sort=<facet> asc,<sub> asc,
+    # row_key asc (ExportAllRecordFacetFilter.scala:75-80)
+    row_key = ["id"] if "id" in present else []
+    sort_keys = (
+        [facet_field]
+        + ([subspecies_col] if subspecies_col in geo.columns else [])
+        + row_key
     )
     _write_sharded_tsv(
         gated, facet_field, sort_keys, os.path.join(path, "species")
@@ -416,7 +423,7 @@ def export_all_records_facet_filter(
         _write_sharded_tsv(
             gated.filter(F.col(subspecies_col).isNotNull()),
             subspecies_col,
-            [subspecies_col],
+            [subspecies_col] + row_key,
             os.path.join(path, "subspecies"),
         )
 

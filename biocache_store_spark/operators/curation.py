@@ -181,6 +181,10 @@ def repeated_substring_spans(
     (md5-keyed, like dedup_spans); a repeated region is found whenever it
     fully contains at least one anchor window, i.e. expected-miss only
     for repeats shorter than ~min_len + 16^z characters.
+    `anchor_hex_zeros=0` is EXACT mode: every position is an anchor, so
+    every repeat of length >= min_len is guaranteed caught (the full
+    Lee et al. recall guarantee) at ~16× the window-hash volume of z=1
+    — the knob for decontamination users who need no-miss semantics.
 
     Long documents are anchored in `segment_chars`-char slices (each
     carrying min_len-1 chars of lookahead so every window start is
@@ -225,6 +229,18 @@ def _anchor_windows(
     L, k, S = int(min_len), int(anchor_k), int(segment_chars)
     if S < 1:
         raise ValueError("segment_chars must be >= 1")
+    if k > L:
+        # segments carry only min_len-1 chars of lookahead, so a k-gram
+        # starting near a segment boundary would truncate differently
+        # than in the unsegmented document — anchor selection (and spans)
+        # would silently depend on segment_chars
+        raise ValueError(
+            f"anchor_k ({k}) must be <= min_len ({L}): the segment "
+            "lookahead only covers min_len-1 chars, so longer anchor "
+            "k-grams would break segmentation invariance"
+        )
+    if anchor_hex_zeros < 0:
+        raise ValueError("anchor_hex_zeros must be >= 0")
     zeros = "0" * anchor_hex_zeros
     segs = docs.filter(F.length(text_col) >= L).select(
         F.col(id_col),
@@ -238,17 +254,24 @@ def _anchor_windows(
             )
         ).alias("__s"),
     )
+    if anchor_hex_zeros == 0:
+        # EXACT mode — every position is an anchor (the Lee et al.
+        # no-miss guarantee: any >= min_len repeat contains a window).
+        # Skip the anchor md5 entirely: the filter predicate
+        # substring(md5(..), 1, 0) = '' is vacuously true, so computing
+        # one extra md5 per character would be pure waste.
+        offsets = F.expr("sequence(0, __s.n - 1)")
+    else:
+        offsets = F.expr(
+            f"filter(sequence(0, __s.n - 1), "
+            f"q -> substring(md5(substring(__s.seg, q + 1, {k})), "
+            f"1, {int(anchor_hex_zeros)}) = '{zeros}')"
+        )
     return segs.select(
         F.col(id_col),
         F.col("__s.base").alias("__b"),
         F.col("__s.seg").alias("__seg"),
-        F.explode(
-            F.expr(
-                f"filter(sequence(0, __s.n - 1), "
-                f"q -> substring(md5(substring(__s.seg, q + 1, {k})), "
-                f"1, {int(anchor_hex_zeros)}) = '{zeros}')"
-            )
-        ).alias("__q"),
+        F.explode(offsets).alias("__q"),
     ).select(
         id_col,
         (F.col("__b") + F.col("__q")).alias("pos"),

@@ -276,7 +276,18 @@ def expert_outlier_records(
     (find_outliers); the store is ingest-proportional (tested records
     only) and merges incrementally via merge_outlier_results with
     group_cols=['taxon'] — the same versioned replace-touched-groups
-    contract the jackknife and duplicate stores use."""
+    contract the jackknife and duplicate stores use.
+
+    UPGRADE NOTE (pre-round-9 stores): stores written before
+    `distance_outside_m` switched to RAW metres hold 0.1-pre-rounded
+    distances and double-rounded is_outlier flags. An incremental merge
+    keeps those stale rows for untouched taxa, so a standing store built
+    with the old kernel needs ONE full (non-incremental) rebuild before
+    resuming incremental merges — a mixed-epoch store would persist
+    wrong flags in the (x.445, x.5) band until every taxon happens to be
+    touched. There is no reliable in-band detector (a raw distance can
+    legitimately have one decimal), so this is a documented operational
+    requirement, echoed in DEPLOY.md."""
     if uncertainty_col not in records.columns:
         records = records.withColumn(
             uncertainty_col, F.lit(None).cast("double")

@@ -448,6 +448,82 @@ def test_repeated_substring_spans_exact(spark):
     } == got
 
 
+def test_substring_exact_mode_recall_bound(spark):
+    """The documented recall bound, made executable: a repeat of length
+    exactly min_len whose only fully-contained window start is NOT a z=1
+    anchor is MISSED at anchor_hex_zeros=1 and CAUGHT at
+    anchor_hex_zeros=0 (exact mode — the Lee et al. no-miss guarantee)."""
+    import hashlib
+    import random
+    import string
+
+    from biocache_store_spark.operators.curation import (
+        repeated_substring_spans,
+        substring_decontaminate,
+    )
+
+    L, k = 40, 8
+    # deterministically find a 40-char repeat whose leading k-gram's md5
+    # does NOT open with '0': for a length-L repeat the only window fully
+    # inside it starts at position 0, so a non-anchor there == a z=1 miss
+    rng = random.Random(23)
+    alphabet = string.ascii_letters + string.digits
+    repeat = None
+    for _ in range(64):
+        cand = "".join(rng.choices(alphabet, k=L))
+        if not hashlib.md5(cand[:k].encode()).hexdigest().startswith("0"):
+            repeat = cand
+            break
+    assert repeat is not None
+    f1, f2 = (
+        "".join(rng.choices(alphabet + " ", k=n)) for n in (65, 72)
+    )
+    docs = spark.createDataFrame(
+        [(1, repeat + f1), (2, f2 + repeat)], "doc_id long, text string"
+    )
+    z1 = repeated_substring_spans(docs, min_len=L, anchor_k=k, anchor_hex_zeros=1)
+    assert z1.count() == 0  # the documented miss, pinned
+    z0 = repeated_substring_spans(docs, min_len=L, anchor_k=k, anchor_hex_zeros=0)
+    got = {(r["doc_id"], r["span_start"], r["span_end"]) for r in z0.collect()}
+    assert got == {(2, 72, 72 + L)}  # corpus-first copy in doc 1 kept
+
+    # same bound on the decontamination side: eval doc carrying the
+    # repeat contaminates train doc 2 only under exact mode
+    eval_docs = spark.createDataFrame(
+        [(100, "q: " + repeat)], "doc_id long, text string"
+    )
+    train = spark.createDataFrame([(2, f2 + repeat)], "doc_id long, text string")
+    assert (
+        substring_decontaminate(
+            train, eval_docs, min_len=L, anchor_k=k, anchor_hex_zeros=1
+        ).count()
+        == 0
+    )
+    d0 = substring_decontaminate(
+        train, eval_docs, min_len=L, anchor_k=k, anchor_hex_zeros=0
+    )
+    assert {
+        (r["doc_id"], r["span_start"], r["span_end"]) for r in d0.collect()
+    } == {(2, 72, 72 + L)}
+
+
+def test_anchor_windows_param_guards(spark):
+    """anchor_k > min_len breaks segmentation invariance (the segment
+    lookahead only covers min_len-1 chars) and must refuse loudly;
+    negative anchor_hex_zeros is nonsense."""
+    import pytest as _pytest
+
+    from biocache_store_spark.operators.curation import (
+        repeated_substring_spans,
+    )
+
+    docs = spark.createDataFrame([(1, "x" * 100)], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="anchor_k"):
+        repeated_substring_spans(docs, min_len=8, anchor_k=9).collect()
+    with _pytest.raises(ValueError, match="anchor_hex_zeros"):
+        repeated_substring_spans(docs, min_len=40, anchor_hex_zeros=-1).collect()
+
+
 def test_substring_decontaminate(spark):
     """Train spans sharing a >= min_len exact substring with any eval doc
     are flagged — including a contaminated region at a DIFFERENT offset

@@ -457,6 +457,10 @@ def test_export_all_records_facet_filter(spark, tmp_path):
             # gate, dumps its 1 georeferenced row
             ("r7", "sp5", None, "-25.0,135.0", "2000"),
             ("r8", "sp5", None, None, "2000"),
+            # rows tied on (facet, subspecies): the row key must break
+            # the tie (reference sort=<facet>,<sub>,row_key — ADVICE r9)
+            ("z2", "sp6", None, "-10.2,130.2", "2000"),
+            ("z1", "sp6", None, "-10.1,130.1", "2000"),
         ],
         "id string, species_guid string, subspecies_guid string, "
         "lat_long string, year string",
@@ -467,13 +471,21 @@ def test_export_all_records_facet_filter(spark, tmp_path):
         fields=["id", "species_guid", "subspecies_guid", "lat_long"],
     )
     species_rows = []
+    sp6_order = []
     for f in glob.glob(str(out / "species" / "*.csv")):
         with open(f) as fh:
             lines = fh.read().strip().splitlines()
-            species_rows += [ln.split("\t")[0] for ln in lines[1:]]
+            for ln in lines[1:]:
+                cells = ln.split("\t")
+                species_rows.append(cells[0])
+                if cells[1] == "sp6":
+                    sp6_order.append(cells[0])
     # sp2 (count 1) gated out, sp3 not georeferenced, sp4 filtered,
     # sp5 passes the pre-georeference gate with its one located row
-    assert sorted(species_rows) == ["r1", "r2", "r7"]
+    assert sorted(species_rows) == ["r1", "r2", "r7", "z1", "z2"]
+    # within-shard determinism: rows tied on (facet, subspecies) come out
+    # row-key sorted, not input-order (input had z2 before z1)
+    assert sp6_order == ["z1", "z2"]
     sub_rows = []
     for f in glob.glob(str(out / "subspecies" / "*.csv")):
         with open(f) as fh:

@@ -253,6 +253,122 @@ def test_detect_duplicates_join_parity(spark):
     assert any("'R'" in r for r in live)
 
 
+def test_dedup_np_kernel_helper_parity():
+    """The round-10 NumPy pair kernel's three primitives are
+    bit-identical to their scalar parity oracles: the vectorized
+    spatial-ladder walk (exhaustive over 2-symbol ladders + seeded
+    None-bearing randoms), the np.char-formatted point ladder (tricky
+    rounding/parse values incl. banker's ties, -0.0, '1_0', 'nan'),
+    and the early-exit Levenshtein>3 predicate."""
+    import itertools
+    import random
+    import string
+
+    import numpy as np
+
+    from biocache_store_spark.operators.dedup import (
+        _lev_gt3,
+        _point_ladder_np,
+        _spatial_dup_np,
+        is_spatial_duplicate,
+        levenshtein,
+        point_ladder,
+    )
+
+    rng = random.Random(42)
+    pairs = [
+        (list(A), list(B))
+        for A in itertools.product(["a", "b"], repeat=6)
+        for B in itertools.product(["a", "b"], repeat=6)
+    ]
+    vals = ["a", "b", None]
+    pairs += [
+        ([rng.choice(vals) for _ in range(6)], [rng.choice(vals) for _ in range(6)])
+        for _ in range(3000)
+    ]
+    Am = np.array([p[0] for p in pairs], dtype=object)
+    Bm = np.array([p[1] for p in pairs], dtype=object)
+    got = _spatial_dup_np(Am, Bm)
+    for g, (a, b) in zip(got, pairs):
+        assert bool(g) == is_spatial_duplicate(a, b), (a, b)
+
+    tricky = [
+        "-35.123456", "0.125", "-0.0", "150", "0.015", "0.545", "", None,
+        "nan", "inf", "1_0", "  -35.5  ", "abc", "-35.44500", "2.675",
+        "-0.2", "1e2", "-1.05e-3", "179.99995", "0.00005",
+    ]
+    la = [a for a in tricky for _ in tricky]
+    lo = [b for _ in tricky for b in tricky]
+    R = _point_ladder_np(np.array(la, dtype=object), np.array(lo, dtype=object))
+    for i, (a, b) in enumerate(zip(la, lo)):
+        assert list(R[i]) == point_ladder(a, b), (a, b)
+
+    for _ in range(2000):
+        a = "".join(rng.choices(string.ascii_lowercase[:5], k=rng.randint(0, 10)))
+        b = "".join(rng.choices(string.ascii_lowercase[:5], k=rng.randint(0, 10)))
+        assert _lev_gt3(a, b) == (levenshtein(a, b) > 3), (a, b)
+
+
+def test_streamed_vectorized_scalar_parity(spark):
+    """detect_duplicates_streamed(vectorized=True) — the round-10 NumPy
+    batch matcher — is row-identical to the scalar emit on the nasty
+    predicate mix, under tiny Arrow batches so carries and group
+    boundaries are exercised too."""
+    import random
+
+    from biocache_store_spark.operators.dedup import (
+        detect_duplicates_streamed,
+    )
+
+    rng = random.Random(7)
+    coords = [
+        ("-35.21667", "144.81060"), ("-35.2", "144.8"),
+        ("-35.2166", "144.8106"), ("-35.22", "144.81"),
+        ("-20.0", "140.0"), ("20.123", "150.456"),
+        (None, "144.8"), ("abc", "144.8"), ("-35.21667", None),
+        ("0", "0"), ("-0.0", "0.00"),
+    ]
+    collectors = [
+        "Smith, J.", "Smyth, J.", "Smith J", "SMITH, J.", "Jones, K.",
+        None, "", "UNKNOWN OR ANONYMOUS", "null", "!!!", "Smithson, J.",
+        "смит и", "Ég þú", "J Smith", "Smith J r",  # shift typos: the
+        # hamming>3-but-lev<=3 pairs that hit the Python DP fallback
+    ]
+    rns = [None, "RN1", "rn1 ", "RN2", "", "null"]
+    cats = [None, "CAT42", "cat42 ", "CAT43", "UNKNOWN OR ANONYMOUS"]
+    dates = [("2000", "01", "05"), ("2000", "01", None), ("2000", None, None)]
+    rows = []
+    for i in range(300):
+        lat, lon = rng.choice(coords)
+        y, m, d = rng.choice(dates)
+        rows.append((
+            f"o{i:03d}", rng.choice(["dr1", "dr2"]),
+            f"lsid:{rng.randrange(4)}", y, m, d, lat, lon,
+            rng.choice(collectors), rng.choice(rns), rng.choice(cats),
+        ))
+    schema = (
+        "occurrenceID string, dataResourceUid string, taxonConceptID string, "
+        "year string, month string, day string, decimalLatitude string, "
+        "decimalLongitude string, recordedBy string, recordNumber string, "
+        "catalogNumber string"
+    )
+    df = spark.createDataFrame(rows, schema).coalesce(1)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "13")
+    try:
+        vec = sorted(map(str, detect_duplicates_streamed(df).collect()))
+        scal = sorted(
+            map(str, detect_duplicates_streamed(df, vectorized=False).collect())
+        )
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert vec == scal
+    assert any("'R'" in r for r in vec)  # non-vacuous
+
+
 def test_detect_duplicates_streamed_batch_boundary(spark):
     """The carry buffer reunites a group that straddles an Arrow batch
     boundary: with maxRecordsPerBatch=7 and 30-row groups, every group

@@ -115,8 +115,14 @@ def main() -> int:
         df = occurrences(spark, n).repartition(64).persist()
         df.count()
         hists = {}
+        import functools
+
         for label, fn in (
-            ("streamed", detect_duplicates_streamed),
+            ("streamed-np", detect_duplicates_streamed),
+            (
+                "streamed-scalar",
+                functools.partial(detect_duplicates_streamed, vectorized=False),
+            ),
             ("jvm-join", detect_duplicates_join),
             ("python-grouped", detect_duplicates_grouped),
         ):

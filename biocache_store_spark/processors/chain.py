@@ -174,6 +174,8 @@ def process_record(
     skip_catalyst_vocab: bool = False,
     skip_event: bool = False,
     skip_location: bool = False,
+    event_memo: dict | None = None,
+    location_memo: dict | None = None,
 ) -> tuple[dict, list]:
     """Run the per-record stages in reference order for one raw record.
 
@@ -182,7 +184,16 @@ def process_record(
     path; the Spark pipeline normally supplies layers via the sampling
     join instead. `last_processed`/`last_assertions`: the previous
     processed version, consumed by the OfflineTestProcessor carry-forward
-    (reprocessing keeps offline dedup/outlier results)."""
+    (reprocessing keeps offline dedup/outlier results).
+
+    `event_memo`/`location_memo`: caller-owned dicts memoizing the two
+    pure stages per distinct input tuple — EventProcessor is a pure
+    function of the 10 date fields (+ today), LocationProcessor of its
+    28 raw fields when no per-record `intersect` is supplied, and real
+    occurrence data repeats both massively. This is the reference's own
+    LRU location cache (Config.scala:165-173) as an explicit argument;
+    memoized results are treated read-only by every consumer (dict
+    .update and list +=)."""
     from biocache_store_spark.processors.identification import (
         process_identification_checks,
         process_identification_qualifier,
@@ -225,18 +236,44 @@ def process_record(
 
     # 7. EventProcessor
     if not skip_event:
-        event_processed, event_assertions = process_event(raw, today)
+        hit = None
+        key = None
+        if event_memo is not None:
+            try:
+                key = tuple(raw.get(f) for f in _EVENT_FIELDS_IN)
+                hit = event_memo.get(key)
+            except TypeError:  # unhashable raw value — run uncached
+                key = None
+        if hit is None:
+            hit = process_event(raw, today)
+            if key is not None:
+                event_memo[key] = hit
+        event_processed, event_assertions = hit
         processed.update(event_processed)
         assertions += event_assertions
 
     # 8. LocationProcessor
     if not skip_location:
-        loc_processed, loc_assertions = process_location(
-            raw,
-            intersect=intersect,
-            species_habitats=species_habitats,
-            default_country=default_country,
-        )
+        hit = None
+        key = None
+        # memo only valid without a per-record intersect callable (its
+        # results could vary per record beyond the raw fields)
+        if location_memo is not None and intersect is None:
+            try:
+                key = tuple(raw.get(f) for f in _LOCATION_FIELDS_IN)
+                hit = location_memo.get(key)
+            except TypeError:
+                key = None
+        if hit is None:
+            hit = process_location(
+                raw,
+                intersect=intersect,
+                species_habitats=species_habitats,
+                default_country=default_country,
+            )
+            if key is not None:
+                location_memo[key] = hit
+        loc_processed, loc_assertions = hit
         processed.update(loc_processed)
         assertions += loc_assertions
 
@@ -279,11 +316,20 @@ def process_records(
     skip_catalyst_vocab: bool = False,
     skip_event: bool = False,
     skip_location: bool = False,
+    memoize_pure_stages: bool = True,
 ) -> DataFrame:
     """raw occurrences DataFrame -> + processed struct, assertions array,
     geospatially_kosher flag. One mapInPandas pass; no shuffle at scale
     (the min-parallelism repartition only fires when the input has fewer
-    splits than cores)."""
+    splits than cores).
+
+    `memoize_pure_stages` (default on) runs EventProcessor and
+    LocationProcessor once per distinct input tuple within each task —
+    the reference's LRU location cache (Config.scala:165-173) — capped
+    at 100k entries per memo so a pathological all-unique corpus stays
+    memory-bounded (it pays one wasted dict probe per record, nothing
+    more). Identical output by construction: the same pure function on
+    the same inputs."""
     from biocache_store_spark.util import (
         ensure_min_parallelism,
         ensure_package_on_workers,
@@ -303,7 +349,13 @@ def process_records(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        event_memo: dict | None = {} if memoize_pure_stages else None
+        location_memo: dict | None = {} if memoize_pure_stages else None
         for pdf in batches:
+            if event_memo is not None and len(event_memo) > 100_000:
+                event_memo.clear()
+            if location_memo is not None and len(location_memo) > 100_000:
+                location_memo.clear()
             processed_col = []
             assertions_col = []
             kosher_col = []
@@ -326,6 +378,8 @@ def process_records(
                     skip_catalyst_vocab=skip_catalyst_vocab,
                     skip_event=skip_event,
                     skip_location=skip_location,
+                    event_memo=event_memo,
+                    location_memo=location_memo,
                 )
                 processed_col.append(
                     {

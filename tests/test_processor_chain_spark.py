@@ -151,6 +151,44 @@ def test_hybrid_chain_equivalent(spark):
         assert full[k]["geospatially_kosher"] == hyb[k]["geospatially_kosher"], k
 
 
+def test_pure_stage_memo_equivalent(spark):
+    """The round-10 per-task event/location memo (memoize_pure_stages)
+    must be invisible in the output: rows sharing date/coordinate tuples
+    (memo hits) and rows with unique tuples produce exactly the
+    unmemoized results, assertions included."""
+    rows = []
+    for i in range(40):
+        # 4 distinct date tuples x 5 distinct coordinate tuples across
+        # 40 records -> heavy memo reuse; a few deliberately dirty
+        rows.append((
+            f"m{i:02d}", "dr1", "PreservedSpecimen", None, None, None,
+            ["1978-12-31", "2000-01-01", "bogus-date", None][i % 4],
+            ["-35.2", "0", "91.0", None, "abc"][i % 5],
+            ["144.8", "0", "200.0", None, "144.8"][i % 5],
+            "WGS84",
+        ))
+    schema = (
+        "occurrenceID string, dataResourceUid string, basisOfRecord string, "
+        "typeStatus string, establishmentMeans string, occurrenceStatus "
+        "string, eventDate string, decimalLatitude string, decimalLongitude "
+        "string, geodeticDatum string"
+    )
+    df = spark.createDataFrame(rows, schema)
+    memo = {r["occurrenceID"]: r
+            for r in process_records(df, today=TODAY).collect()}
+    plain = {r["occurrenceID"]: r
+             for r in process_records(
+                 df, today=TODAY, memoize_pure_stages=False
+             ).collect()}
+    assert memo.keys() == plain.keys()
+    for k in memo:
+        assert memo[k]["processed"].asDict() == plain[k]["processed"].asDict(), k
+        assert [tuple(a) for a in memo[k]["assertions"]] == [
+            tuple(a) for a in plain[k]["assertions"]
+        ], k
+        assert memo[k]["geospatially_kosher"] == plain[k]["geospatially_kosher"], k
+
+
 def test_hybrid_chain_missing_vocab_columns(spark):
     """Hybrid path with none of the vocab columns present in the input:
     occurrenceStatus defaults to present (assumed), others stay null, and

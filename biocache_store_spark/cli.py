@@ -191,6 +191,127 @@ def cmd_index(args) -> int:
     return 0
 
 
+def cmd_index_query(args) -> int:
+    """ReprocessIndexSelect ("index-query",
+    tool/ReprocessIndexSelect.scala:20-63): query the index -> row-key
+    scope file -> reprocess the matching records -> reindex them, as ONE
+    command. `--exist` reuses the saved scope file instead of re-running
+    the query (:32-34, the reference's reprocess_index_rowkeys.out);
+    `--index-only` skips the reprocess (:36-38). The parquet analog of
+    "reindex the list" is a keyed replace: index rows whose key is in
+    scope are rebuilt from the (re)processed store, every other row
+    passes through untouched — and the same replace-scoped-rows contract
+    applies to the processed store when `--prev-processed` is given."""
+    from pyspark.sql import functions as F
+
+    from biocache_store_spark.exports.exporters import write_occurrence_store
+    from biocache_store_spark.operators.index_projection import build_index
+    from biocache_store_spark.pipeline import run_pipeline
+
+    if not args.exist and not args.query:
+        print("index-query: need --query (or --exist with a saved --scope)",
+              file=sys.stderr)
+        return 2
+    if not args.index_only and not (args.raw and args.out):
+        print("index-query: reprocessing needs --raw and --out "
+              "(or pass --index-only)", file=sys.stderr)
+        return 2
+    if args.index_only and not getattr(args, "prev_processed", None):
+        print("index-query: --index-only reindexes from --prev-processed; "
+              "supply it", file=sys.stderr)
+        return 2
+    inputs = [args.index] + [
+        p for p in (args.raw, getattr(args, "prev_processed", None)) if p
+    ]
+    if args.exist:
+        inputs.append(args.scope)
+    for target, flag in (
+        (None if args.exist else args.scope, "--scope"),
+        (None if args.index_only else args.out, "--out"),
+        (args.index_out, "--index-out"),
+    ):
+        if target:
+            if _refuse_inplace_out("index-query", inputs, target, flag=flag):
+                return 2
+            inputs.append(target)
+    spark = _spark(args)
+    index = _read(spark, args.index)
+    if args.exist:
+        keys = _read(spark, args.scope)
+    else:
+        keys = (
+            _apply_query(index, args.query)
+            .select(F.col(args.key_col).cast("string").alias("row_key"))
+            .distinct()
+        )
+        keys.write.mode("overwrite").parquet(args.scope)
+        keys = _read(spark, args.scope)  # read back: one stable snapshot
+    n_scope = keys.count()
+
+    def scoped(df, cols=("occurrenceID", "uuid", "rowKey")):
+        # the index's `id` column aliases to occurrenceID in this engine
+        # (_RAW_ALIASES, operators/index_projection.py), so match that
+        # first; uuid/rowKey cover stores carrying only minted identities
+        key_cols = [c for c in cols if c in df.columns]
+        if not key_cols:
+            raise SystemExit(f"index-query: no key column of {cols} in store")
+        return df.join(
+            keys.select(F.col("row_key").alias("__iq_key")),
+            df[key_cols[0]] == F.col("__iq_key"),
+            "left_semi",
+        )
+
+    if not args.index_only:
+        raw = scoped(_read(spark, args.raw))
+        reprocessed = run_pipeline(
+            raw, _dims_from_args(spark, args), hybrid_chain=not args.no_hybrid
+        )
+        if getattr(args, "prev_processed", None):
+            prev = _read(spark, args.prev_processed)
+            key_cols = [
+                c for c in ("occurrenceID", "uuid", "rowKey")
+                if c in prev.columns
+            ]
+            kept = prev.join(
+                keys.select(F.col("row_key").alias("__iq_key")),
+                prev[key_cols[0]] == F.col("__iq_key"),
+                "left_anti",
+            )
+            merged = kept.unionByName(reprocessed)
+        else:
+            merged = reprocessed
+        partition = (
+            ("dataResourceUid",) if "dataResourceUid" in merged.columns else ()
+        )
+        if partition:
+            write_occurrence_store(merged, args.out, partition_by=partition)
+        else:
+            merged.write.mode("overwrite").parquet(args.out)
+        processed_for_index = _read(spark, args.out)
+    else:
+        processed_for_index = _read(spark, args.prev_processed)
+
+    assertions = _read(spark, args.assertions) if args.assertions else None
+    new_rows = build_index(
+        scoped(processed_for_index), user_assertions=assertions,
+        key_col=args.key_col,
+    )
+    kept_index = index.join(
+        keys.select(F.col("row_key").alias("__iq_key")),
+        index[args.key_col] == F.col("__iq_key"),
+        "left_anti",
+    )
+    kept_index.unionByName(new_rows).write.mode("overwrite").parquet(
+        args.index_out
+    )
+    mode = "reindex-only" if args.index_only else "reprocess+reindex"
+    print(
+        f"index-query ({mode}) {n_scope} records "
+        f"{'[saved scope]' if args.exist else args.query!r} -> {args.index_out}"
+    )
+    return 0
+
+
 def cmd_ingest(args) -> int:
     """IngestTool (Store.ingest, Store.scala:625-638): load -> process ->
     sample -> index in one composed job graph."""
@@ -1691,6 +1812,41 @@ def build_parser() -> argparse.ArgumentParser:
         "outlier-detect with --id-col uuid)",
     )
     sp.add_argument("--include-deleted", action="store_true")
+
+    sp = tool(
+        "index-query", cmd_index_query,
+        "query the index -> reprocess matching records -> reindex them "
+        "(ReprocessIndexSelect)",
+    )
+    sp.add_argument("--index", required=True, help="standing index table")
+    sp.add_argument(
+        "-q", "--query", help="SOLR-syntax index query, e.g. 'year:2001'"
+    )
+    sp.add_argument(
+        "--scope", required=True,
+        help="row-key scope file (written unless --exist reuses it — "
+        "the reference's reprocess_index_rowkeys.out)",
+    )
+    sp.add_argument(
+        "--exist", action="store_true",
+        help="reuse the saved --scope list instead of re-running --query",
+    )
+    sp.add_argument("--raw", help="raw store (needed unless --index-only)")
+    sp.add_argument(
+        "--prev-processed", dest="prev_processed",
+        help="standing processed store; scoped rows are replaced, the "
+        "rest pass through (required with --index-only)",
+    )
+    sp.add_argument("--out", help="merged processed store output")
+    sp.add_argument("--index-out", dest="index_out", required=True)
+    sp.add_argument(
+        "--index-only", dest="index_only", action="store_true",
+        help="reindex only — do not reprocess",
+    )
+    sp.add_argument("--assertions", help="user-assertion store parquet")
+    sp.add_argument("--key-col", dest="key_col", default="id")
+    sp.add_argument("--no-hybrid", action="store_true")
+    dim_opts(sp)
 
     sp = tool("ingest", cmd_ingest, "load -> process -> index")
     sp.add_argument("--archive")

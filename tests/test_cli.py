@@ -1125,3 +1125,91 @@ def test_cli_expert_outlier_lifecycle(spark, tmp_path):
         "expert-outlier-detect", "--in", t1_store,
         "--distributions", dists, "--out", t1_store,
     ]) == 2
+
+
+def test_cli_index_query_reprocess_scope(spark, tmp_path):
+    """`index-query` (ReprocessIndexSelect parity,
+    tool/ReprocessIndexSelect.scala:20-63): query the index for a scope,
+    reprocess ONLY those records from the (edited) raw store, reindex
+    only those index rows — then `--exist` reuses the saved scope and
+    `--index-only` skips the reprocess."""
+    raw1 = str(tmp_path / "raw1")
+    raw2 = str(tmp_path / "raw2")
+    processed0 = str(tmp_path / "processed0")
+    index0 = str(tmp_path / "index0")
+    scope = str(tmp_path / "scope")
+    processed1 = str(tmp_path / "processed1")
+    index1 = str(tmp_path / "index1")
+
+    rows = [
+        ("a1", "2001", "PreservedSpecimen"),
+        ("a2", "2001", "PreservedSpecimen"),
+        ("b1", "2000", "PreservedSpecimen"),
+        ("b2", "2000", "PreservedSpecimen"),
+    ]
+    csv = tmp_path / "occ.csv"
+    csv.write_text(
+        "occurrenceID,year,basisOfRecord\n"
+        + "\n".join(",".join(r) for r in rows)
+        + "\n"
+    )
+    assert main([
+        "load-csv", "--path", str(csv), "--dr", "dr1",
+        "--unique-terms", "occurrenceID", "--out", raw1,
+    ]) == 0
+    assert main(["process", "--in", raw1, "--out", processed0]) == 0
+    assert main(["index", "--in", processed0, "--out", index0]) == 0
+
+    # edit the raw store: flip basisOfRecord on one IN-scope (a1) and one
+    # OUT-of-scope (b1) record — only a1's edit may land
+    raw = spark.read.parquet(raw1)
+    from pyspark.sql import functions as F
+    edited = raw.withColumn(
+        "basisOfRecord",
+        F.when(F.col("occurrenceID").isin("a1", "b1"), "HumanObservation")
+        .otherwise(F.col("basisOfRecord")),
+    )
+    edited.write.mode("overwrite").parquet(raw2)
+
+    assert main([
+        "index-query", "--index", index0, "-q", "year:2001",
+        "--scope", scope, "--raw", raw2, "--prev-processed", processed0,
+        "--out", processed1, "--index-out", index1,
+    ]) == 0
+
+    idx1 = {r["occurrence_id"]: r for r in spark.read.parquet(index1).collect()}
+    assert len(idx1) == 4
+    assert idx1["a1"]["basis_of_record"] == "HumanObservation"  # reindexed
+    assert idx1["a2"]["basis_of_record"] == "PreservedSpecimen"
+    assert idx1["b1"]["basis_of_record"] == "PreservedSpecimen"  # untouched
+    p1 = {r["occurrenceID"]: r for r in spark.read.parquet(processed1).collect()}
+    assert len(p1) == 4
+    assert p1["a1"]["processed"]["basisOfRecord"] == "HumanObservation"
+    assert p1["b1"]["processed"]["basisOfRecord"] == "PreservedSpecimen"
+
+    # scope file persisted: 2 keys
+    assert spark.read.parquet(scope).count() == 2
+
+    # --exist + --index-only: reuse the scope, reindex straight from the
+    # merged processed store, no raw needed
+    index2 = str(tmp_path / "index2")
+    assert main([
+        "index-query", "--index", index1, "--exist", "--scope", scope,
+        "--prev-processed", processed1, "--index-out", index2,
+        "--index-only",
+    ]) == 0
+    idx2 = {r["occurrence_id"]: r for r in spark.read.parquet(index2).collect()}
+    assert len(idx2) == 4
+    assert idx2["a1"]["basis_of_record"] == "HumanObservation"
+
+    # guardrails: --query missing without --exist; in-place --index-out
+    assert main([
+        "index-query", "--index", index1, "--scope", scope,
+        "--prev-processed", processed1, "--index-out", index2,
+        "--index-only",
+    ]) == 2
+    assert main([
+        "index-query", "--index", index1, "--exist", "--scope", scope,
+        "--prev-processed", processed1, "--index-out", index1,
+        "--index-only",
+    ]) == 2

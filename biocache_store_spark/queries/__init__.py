@@ -53,80 +53,28 @@ def register(
 
 
 # The external driver oracle-checks a 50-slot prefix of the registry per
-# round. Round-9 rotation (VERDICT r8 "Next round" #2): the two new
-# expert-outlier queries and the queries whose code changed this round
-# first, then ALL 27 r6-era refreshes (the r6 remainder VERDICT r8
-# listed — after this round every entry's driver evidence is r7 or
-# newer), then the 16 oldest r7-era entries. The remaining r7 entries
-# stay deprioritized and rotate next round alongside round-10 changes.
+# round. Round-10 rotation (VERDICT r9 "Next round" #1): queries whose
+# code changed this round first (the vectorized dedup kernel, the
+# exact-mode substring anchoring, the chain pure-stage memo), then ALL
+# 30 r7-era entries — the last structural evidence debt; after this
+# round no registry entry's driver evidence is older than r8 — then
+# date_precision_reformat (named by task #2) and the 9 oldest r8-era
+# entries. From here the rotation is pure steady-state.
 HEAD: tuple[str, ...] = (
-    # NEW in round 9 — never driver-checked
-    "repeated_substring_spans",    # Lee-et-al exact substring cut spans
-    "substring_decontamination",   # exact-overlap eval decontamination
-    "expert_outlier_store_merge",  # persisted expert store, inc == full
-    "expert_outlier_markup",       # distance column + failed/passed/removed
-    # code changed in round 9 — must re-check first
-    "expert_outlier_flags",        # find_outliers uncertainty passthrough
-    "dedup_occurrence_clusters",   # find_group_duplicates kernel A/B
+    # code changed in round 10 — must re-check first
+    "repeated_substring_spans",    # exact-mode anchoring + param guards
+    "substring_decontamination",   # same shared _anchor_windows front end
+    "dedup_occurrence_clusters",   # NumPy-vectorized streamed kernel
     "dedup_incremental_merge",     # same kernel under the merge path
-    "sample_layers_enrich",        # vectorized point-in-polygon kernel
-    "bm25_search",                 # top-k plan rewrite (TakeOrdered)
-    # r6-era refreshes (oldest evidence in the registry; bm25_search and
-    # sample_layers_enrich from this set are already above)
-    "grouped_stats",
-    "event_facet_counts",
-    "event_json_extract",
-    "event_hourly_histogram",
-    "range_filter_facet",
-    "broadcast_enrich_revenue",
-    "chain_hybrid",
-    "chain_vocab_fields",
-    "collector_name_parse",
-    "coordinate_validation",
-    "countmin_heavy_hitters",
-    "date_precision_reformat",
-    "datum_reprojection",
-    "embedding_ann_topk",
-    "embedding_cosine_near_dup",
-    "embedding_cosine_neighbors",
-    "embedding_ivf_topk",
-    "embedding_label_centroid_norms",
-    "event_rollup_combined",
-    "exact_dedup",
-    "fuzzy_name_pairs",
-    "index_projection_facet",
-    "near_dup_components",
-    "ngram_decontamination",
-    "simhash_near_duplicates",
-    # r7-era refreshes (the 16 oldest of the r7-green set after
-    # text_fingerprint/text_simhash yielded their slots to the two new
-    # round-9 queries above)
-    "histogram_threshold_refined",
-    "endemism_density_layers",
-    "training_shard_plan",
-    "dsir_threshold_select",
-    "dsir_selection",
-    "ngram_jaccard_pairs",
-    "lsh_index_probe",
-    "sds_generalization",
-    "state_centroid_inference",
-    "stored_query_bbox",
-    "streaming_event_windows",
-    "text_redact_pii",
-    "text_repetition_stats",
-    "tfidf_top_terms",
-    "utm_inverse",
-    "verbatim_coord_parse",
-    # --- 50-slot prefix ends here ---
-)
-
-DEPRIORITIZED: tuple[str, ...] = (
-    # driver-green in CORRECTNESS_r08 (the r8 prefix) or r7 (the r7-era
-    # remainder below) and untouched this round — they yield their
-    # prefix slots to the rotation above.
-    # r7-era remainder (rotate into the prefix in round 10):
-    "text_fingerprint",  # yielded its r9 slot to repeated_substring_spans
-    "text_simhash",      # yielded its r9 slot to substring_decontamination
+    "duplicate_markup_writeback",  # consumes the kernel's output
+    "chain_hybrid",                # chain memo (process_records path)
+    "chain_vocab_fields",          # chain memo
+    "index_projection_facet",      # chain-fed index projection
+    "assertion_rollup",            # chain-fed assertion array
+    "corpus_curation",             # pipeline over the memoized chain
+    # ALL 30 r7-era refreshes (the oldest evidence in the registry)
+    "text_fingerprint",
+    "text_simhash",
     "text_language_id",
     "text_quality_score",
     "license_canonicalize",
@@ -155,10 +103,11 @@ DEPRIORITIZED: tuple[str, ...] = (
     "snapshot_diff_rollup",
     "gopher_quality_flags",
     "fuzzy_date_parse",
-    # checked green in r8 (the r8 prefix), unchanged in round 9:
+    # event-stage twin named by VERDICT r9 task #2's done-criteria
+    "date_precision_reformat",
+    # the 9 oldest r8-era entries (steady-state rotation begins)
     "dwca_event_core_roundtrip",
     "outlier_store_merge",
-    "duplicate_markup_writeback",
     "outlier_assertion_markup",
     "domain_cap_filter",
     "dwca_roundtrip",
@@ -166,8 +115,57 @@ DEPRIORITIZED: tuple[str, ...] = (
     "jackknife_outlier_stats",
     "maintenance_delete_upsert",
     "event_sessionization",
+    # --- 50-slot prefix ends here ---
+)
+
+DEPRIORITIZED: tuple[str, ...] = (
+    # driver-green in CORRECTNESS_r09 (the r9 prefix) or r8 and untouched
+    # this round — they yield their prefix slots to the rotation above.
+    # r9-checked, unchanged in round 10:
+    "expert_outlier_store_merge",
+    "expert_outlier_markup",
+    "expert_outlier_flags",
+    "sample_layers_enrich",
+    "bm25_search",
+    "grouped_stats",
+    "event_facet_counts",
+    "event_json_extract",
+    "event_hourly_histogram",
+    "range_filter_facet",
+    "broadcast_enrich_revenue",
+    "collector_name_parse",
+    "coordinate_validation",
+    "countmin_heavy_hitters",
+    "datum_reprojection",
+    "embedding_ann_topk",
+    "embedding_cosine_near_dup",
+    "embedding_cosine_neighbors",
+    "embedding_ivf_topk",
+    "embedding_label_centroid_norms",
+    "event_rollup_combined",
+    "exact_dedup",
+    "fuzzy_name_pairs",
+    "near_dup_components",
+    "ngram_decontamination",
+    "simhash_near_duplicates",
+    "histogram_threshold_refined",
+    "endemism_density_layers",
+    "training_shard_plan",
+    "dsir_threshold_select",
+    "dsir_selection",
+    "ngram_jaccard_pairs",
+    "lsh_index_probe",
+    "sds_generalization",
+    "state_centroid_inference",
+    "stored_query_bbox",
+    "streaming_event_windows",
+    "text_redact_pii",
+    "text_repetition_stats",
+    "tfidf_top_terms",
+    "utm_inverse",
+    "verbatim_coord_parse",
+    # r8-checked, unchanged in round 10:
     "media_decode_meta",
-    "assertion_rollup",
     "interval_containment_groups",
     "rounding_ladder",
     "raw_processed_comparison",
@@ -190,7 +188,6 @@ DEPRIORITIZED: tuple[str, ...] = (
     "point_lookup",
     "user_assertion_lifecycle",
     "minhash_near_duplicates",
-    "corpus_curation",
     "taxon_name_match",
     "validation_rule_wkt",
     "media_reference_rollup",

@@ -1305,6 +1305,8 @@ def cmd_build_corpus(args) -> int:
     for a, b, what in (
         (args.nb_model, args.nb_keep_label, "--nb-model and --nb-keep-label"),
         (args.dsir_target, args.dsir_threshold, "--dsir-target and --dsir-threshold"),
+        (args.decontaminate_eval, args.decontaminate_min_len,
+         "--decontaminate-eval and --decontaminate-min-len"),
     ):
         if (a is None) != (b is None):
             print(
@@ -1328,6 +1330,13 @@ def cmd_build_corpus(args) -> int:
             _read(spark, args.dsir_target) if args.dsir_target else None
         ),
         dsir_threshold=args.dsir_threshold,
+        substring_dedup_min_len=args.substring_dedup,
+        decontaminate_eval=(
+            _read(spark, args.decontaminate_eval)
+            if args.decontaminate_eval else None
+        ),
+        decontaminate_min_len=args.decontaminate_min_len,
+        substring_anchor_hex_zeros=args.anchor_hex_zeros,
     )
     for row in manifest.orderBy("stage", "source").collect():
         print(json.dumps(row.asDict(), default=str))
@@ -2234,6 +2243,24 @@ def build_parser() -> argparse.ArgumentParser:
         help="trusted target corpus store; DSIR gate (with --dsir-threshold)",
     )
     sp.add_argument("--dsir-threshold", dest="dsir_threshold", type=float)
+    sp.add_argument(
+        "--substring-dedup", dest="substring_dedup", type=int,
+        help="cut cross-document exact repeats >= this many chars "
+        "(repeated_substring_spans; Lee et al. pass)",
+    )
+    sp.add_argument(
+        "--decontaminate-eval", dest="decontaminate_eval",
+        help="eval-docs store; cut train spans sharing >= "
+        "--decontaminate-min-len exact chars with any eval doc",
+    )
+    sp.add_argument(
+        "--decontaminate-min-len", dest="decontaminate_min_len", type=int,
+    )
+    sp.add_argument(
+        "--anchor-hex-zeros", dest="anchor_hex_zeros", type=int, default=1,
+        help="substring anchor density (0 = exact mode, the no-miss "
+        "guarantee at ~16x hash volume)",
+    )
 
     sp = tool("train-bpe", cmd_train_bpe, "corpus -> BPE merge-rule table")
     sp.add_argument("--in", dest="inp", required=True)

@@ -262,6 +262,10 @@ def build_corpus(
     nb_keep_label: str | None = None,
     dsir_target=None,
     dsir_threshold: float | None = None,
+    substring_dedup_min_len: int | None = None,
+    decontaminate_eval=None,
+    decontaminate_min_len: int | None = None,
+    substring_anchor_hex_zeros: int = 1,
 ):
     """The end-to-end training-corpus build, composed from the tested
     operators — what a data-engineering user actually runs nightly:
@@ -274,6 +278,14 @@ def build_corpus(
           dsir_threshold — the threshold regime, no total order;
           derive the threshold with histogram_threshold offline)
       3. exact dedup              (md5 groupBy, keep min doc_id)
+      3b. optional substring dedup (repeated_substring_spans +
+          remove_spans: cross-document >= substring_dedup_min_len exact
+          repeats cut everywhere but their corpus-first occurrence —
+          the Lee et al. pass; docs cut to nothing are dropped)
+      3c. optional substring decontamination (substring_decontaminate
+          vs `decontaminate_eval` docs at >= decontaminate_min_len;
+          spans cut, emptied docs dropped — set
+          substring_anchor_hex_zeros=0 for the no-miss exact mode)
       4. near-dup clusters        (MinHash+LSH -> connected components)
          with the highest-QUALITY member kept per cluster
       5. optional mixture sampling (plan_mixture epochs/sample rates,
@@ -308,6 +320,12 @@ def build_corpus(
                 "given together (one without the other silently skips the "
                 "stage)"
             )
+    if (decontaminate_eval is None) != (decontaminate_min_len is None):
+        raise ValueError(
+            "build_corpus: decontaminate_eval and decontaminate_min_len "
+            "must be given together (one without the other silently skips "
+            "the stage)"
+        )
 
     from biocache_store_spark.operators.components import (
         component_representatives,
@@ -412,6 +430,49 @@ def build_corpus(
     docs = docs.join(first.select("doc_id"), "doc_id")
     docs = stage(docs)
     manifests.append(stage_counts(docs, "3_exact_dedup"))
+
+    def cut_spans(df, spans, stage_name):
+        from biocache_store_spark.operators.curation import remove_spans
+
+        cut = remove_spans(df.select("doc_id", "text"), spans).select(
+            "doc_id", F.col("text").alias("__cut_text")
+        )
+        out = (
+            df.join(cut, "doc_id")
+            .withColumn("text", F.col("__cut_text"))
+            .drop("__cut_text")
+            # a doc that was ENTIRELY repeated/contaminated content cuts
+            # to nothing — drop it rather than ship an empty document
+            .filter(F.trim(F.col("text")) != "")
+        )
+        out = stage(out)
+        manifests.append(stage_counts(out, stage_name))
+        return out
+
+    if substring_dedup_min_len is not None:
+        from biocache_store_spark.operators.curation import (
+            repeated_substring_spans,
+        )
+
+        spans = repeated_substring_spans(
+            docs.select("doc_id", "text"),
+            min_len=substring_dedup_min_len,
+            anchor_hex_zeros=substring_anchor_hex_zeros,
+        )
+        docs = cut_spans(docs, spans, "3b_substring_dedup")
+
+    if decontaminate_eval is not None:
+        from biocache_store_spark.operators.curation import (
+            substring_decontaminate,
+        )
+
+        spans = substring_decontaminate(
+            docs.select("doc_id", "text"),
+            decontaminate_eval.select("doc_id", "text"),
+            min_len=decontaminate_min_len,
+            anchor_hex_zeros=substring_anchor_hex_zeros,
+        )
+        docs = cut_spans(docs, spans, "3c_decontaminate")
 
     # max_bucket_size caps viral band-buckets (empty/boilerplate docs all
     # hash to one bucket): uncapped, the posting-list stage collect_lists

@@ -900,6 +900,10 @@ def test_cli_build_corpus_gate_flags(spark, tmp_path, capsys):
         "build-corpus", "--in", docs_store, "--out", str(tmp_path / "x"),
         "--nb-model", model,
     ]) == 2  # half-given pair rejected before any Spark job
+    assert main([
+        "build-corpus", "--in", docs_store, "--out", str(tmp_path / "x"),
+        "--decontaminate-eval", docs_store,
+    ]) == 2  # decontamination pair is validated the same way
 
     capsys.readouterr()
     out = str(tmp_path / "corpus")

@@ -161,6 +161,73 @@ def test_build_corpus_end_to_end(spark, tmp_path):
     assert a == b
 
 
+def test_build_corpus_substring_stages(spark, tmp_path):
+    """The optional 3b/3c substring stages: a cross-document boilerplate
+    repeat is cut everywhere but its corpus-first occurrence, an
+    eval-leaked passage is cut from train docs, docs cut to nothing are
+    dropped, and the manifest gains the two stage rows — gates stay
+    monotone."""
+    import random
+    import string
+
+    from biocache_store_spark.pipeline import build_corpus
+
+    rng = random.Random(5)
+    alphabet = string.ascii_lowercase + " "
+
+    def words(n):
+        return " ".join(
+            "".join(rng.choices(string.ascii_lowercase, k=rng.randint(3, 8)))
+            for _ in range(n)
+        )
+
+    boiler = "subscribe to our newsletter for updates " * 3  # 120 chars
+    leak = "the capital of france is paris and the capital of spain is madrid"
+    rows = []
+    bodies = {}
+    for i in range(12):
+        body = words(40)
+        bodies[i] = body
+        text = body if i % 3 else boiler + body  # every 3rd carries boiler
+        if i == 7:
+            text = body + " " + leak  # one contaminated doc
+        rows.append((i, text, "en", f"src{i % 2}"))
+    rows.append((100, boiler, "en", "src0"))  # pure-boilerplate doc: drops
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    eval_docs = spark.createDataFrame(
+        [(0, "q: " + leak + "?")], "doc_id long, text string"
+    )
+    out = str(tmp_path / "corpus_ss")
+    manifest = build_corpus(
+        spark, docs, out,
+        quality_threshold=0.0,
+        substring_dedup_min_len=40,
+        decontaminate_eval=eval_docs,
+        decontaminate_min_len=40,
+        substring_anchor_hex_zeros=0,  # exact mode: deterministic recall
+    )
+    stages = [r["stage"] for r in manifest.collect()]
+    assert "3b_substring_dedup" in stages and "3c_decontaminate" in stages
+    kept = {r["doc_id"]: r["text"] for r in
+            spark.read.parquet(out + "/documents").collect()}
+    assert 100 not in kept  # cut to nothing -> dropped
+    # only the corpus-first WINDOW of the repeat survives (Lee et al.
+    # window semantics: every later window of the region, even inside
+    # the first document, duplicates an earlier one) — so no kept doc
+    # carries the full boilerplate, while every doc's unique body does
+    assert not any(boiler in t for t in kept.values())
+    for d, body in bodies.items():
+        if d in kept:
+            assert body in kept[d], d
+    assert 7 in kept and leak not in kept[7]  # decontaminated
+    # pair validation
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="decontaminate"):
+        build_corpus(spark, docs, out, decontaminate_eval=eval_docs)
+
+
 def test_build_corpus_null_lang_passes_gate(spark, tmp_path):
     from pyspark.sql import functions as F
 

@@ -506,6 +506,7 @@ def detect_duplicates_streamed(
     id_col: str = "occurrenceID",
     druid_col: str = "dataResourceUid",
     vectorized: bool = True,
+    pair_group_cap: int | None = None,
 ) -> DataFrame:
     """detect_duplicates with the per-GROUP applyInPandas replaced by a
     per-PARTITION stream: repartition on the group keys, sort within
@@ -591,8 +592,8 @@ def detect_duplicates_streamed(
             )
 
         emit = (
-            (lambda pdf: _emit_batch_np(pdf, keys)) if vectorized
-            else emit_scalar
+            (lambda pdf: _emit_batch_np(pdf, keys, pair_group_cap))
+            if vectorized else emit_scalar
         )
         carry = None
         for pdf in batches:
@@ -735,7 +736,15 @@ def _point_ladder_np(lat_s, lon_s):
     return out
 
 
-def _emit_batch_np(pdf, keys):
+#: vectorized-kernel pair-materialization cap: groups larger than this
+#: walk the LIVE per-group matcher instead (m*(m-1) int pairs would be
+#: ~4M at the cap; a pathological 100k-row mega-group would otherwise
+#: allocate O(m^2) index arrays at once where the scalar walk is merely
+#: slow). Day-species groups are ~16 rows; this only fires on skew bugs.
+_NP_PAIR_GROUP_CAP = 2048
+
+
+def _emit_batch_np(pdf, keys, pair_group_cap: int | None = None):
     """The vectorized batch matcher behind detect_duplicates_streamed:
     per key-sorted pandas batch, every pairwise predicate (spatial
     ladder walk, collector empty/prefix/Levenshtein, exact field
@@ -785,17 +794,27 @@ def _emit_batch_np(pdf, keys):
     if not multi.any():
         return fast_frame(np.ones(n, dtype=bool))
 
-    # ordered within-group pair index (i != j), groups of size >= 2 only
-    msz = sizes[multi]
-    mst = starts[multi]
+    # giant-group guard: the vectorized form MATERIALIZES m*(m-1)
+    # ordered pairs per group, so a pathological mega-group (taxon-less
+    # pooling bugs, skewed day-species keys) would allocate O(m^2)
+    # index arrays at once where the scalar walk was merely slow —
+    # route groups past the cap to the live per-group matcher instead
+    # (~4M pairs of transient ints at the default; same output, pinned)
+    cap = _NP_PAIR_GROUP_CAP if pair_group_cap is None else pair_group_cap
+    huge = multi & (sizes > cap)
+    pair_groups = multi & ~huge
+
+    # ordered within-group pair index (i != j), capped groups only
+    msz = sizes[pair_groups]
+    mst = starts[pair_groups]
     reps = msz * (msz - 1)
     total = int(reps.sum())
     pair_start = np.repeat(mst, reps)
     pair_m = np.repeat(msz, reps)
-    excl = np.concatenate([[0], np.cumsum(reps)[:-1]])
+    excl = np.concatenate([[0], np.cumsum(reps)[:-1]]) if len(reps) else reps
     ordinal = np.arange(total) - np.repeat(excl, reps)
-    i_loc = ordinal // (pair_m - 1)
-    j_r = ordinal % (pair_m - 1)
+    i_loc = ordinal // np.maximum(pair_m - 1, 1)
+    j_r = ordinal % np.maximum(pair_m - 1, 1)
     j_loc = j_r + (j_r >= i_loc)
     I = pair_start + i_loc
     J = pair_start + j_loc
@@ -911,7 +930,7 @@ def _emit_batch_np(pdf, keys):
         claim[SP] = coll_dup | rn_dup | cat_dup
 
     cl = np.flatnonzero(claim)
-    if not cl.size:
+    if not cl.size and not huge.any():
         return fast_frame(np.ones(n, dtype=bool))
 
     rk = pdf["row_key"].to_numpy(dtype=object)
@@ -935,37 +954,57 @@ def _emit_batch_np(pdf, keys):
         # the sort never compares the type lists
         lst.sort(key=lambda t: t[0])
 
-    walk_groups = np.unique(gid[I[cl]])
-    walk_mask = np.isin(gid, walk_groups)
+    walk_groups = np.unique(gid[I[cl]]) if cl.size else np.empty(0, dtype=int)
+    live_groups = np.flatnonzero(huge)
+    walk_mask = np.isin(gid, walk_groups) | np.repeat(huge, sizes)
     druid = pdf["druid"].to_numpy(dtype=object)
+    coll_raw_np = pdf["collector"].to_numpy(dtype=object)
+    rn_raw_np = pdf["record_number"].to_numpy(dtype=object)
+    cat_raw_np = pdf["catalogue_number"].to_numpy(dtype=object)
     # ONE columnar accumulator for every walked group — building a
     # pandas frame per group cost more than the matcher itself
     # (measured: 15 s of 41 s at 500k rows before this batching)
     w_tax, w_yr, w_mo, w_dy = [], [], [], []
     w_rk, w_st, w_dof, w_dt, w_pr = [], [], [], [], []
-    for g in walk_groups:
-        s, m = int(starts[g]), int(sizes[g])
-        records = [
-            DupRecord(
-                row_key=rk[r],
-                druid=druid[r],
-                year=key_vals["g_year"][r] or None,
-                month=key_vals["g_month"][r] or None,
-                day=key_vals["g_day"][r] or None,
-                points=[R[r, 5]],
+
+    def walk(groups, live):
+        for g in groups:
+            s, m = int(starts[g]), int(sizes[g])
+            records = [
+                DupRecord(
+                    row_key=rk[r],
+                    druid=druid[r],
+                    year=key_vals["g_year"][r] or None,
+                    month=key_vals["g_month"][r] or None,
+                    day=key_vals["g_day"][r] or None,
+                    # the live matcher re-evaluates every predicate and
+                    # needs the full ladder + raw fields; the adjacency
+                    # walk only reads lat_long (precision phase)
+                    collector=coll_raw_np[r] if live else None,
+                    record_number=rn_raw_np[r] if live else None,
+                    catalogue_number=cat_raw_np[r] if live else None,
+                    points=list(R[r]) if live else [R[r, 5]],
+                )
+                for r in range(s, s + m)
+            ]
+            out = (
+                find_group_duplicates(records)
+                if live
+                else find_group_duplicates(records, adjacency=adj)
             )
-            for r in range(s, s + m)
-        ]
-        for rec in find_group_duplicates(records, adjacency=adj):
-            w_tax.append(key_vals["g_taxon"][s])
-            w_yr.append(key_vals["g_year"][s])
-            w_mo.append(key_vals["g_month"][s])
-            w_dy.append(key_vals["g_day"][s])
-            w_rk.append(rec.row_key)
-            w_st.append(rec.status)
-            w_dof.append(rec.duplicate_of)
-            w_dt.append(sorted(set(rec.dup_types)))
-            w_pr.append(rec.precision)
+            for rec in out:
+                w_tax.append(key_vals["g_taxon"][s])
+                w_yr.append(key_vals["g_year"][s])
+                w_mo.append(key_vals["g_month"][s])
+                w_dy.append(key_vals["g_day"][s])
+                w_rk.append(rec.row_key)
+                w_st.append(rec.status)
+                w_dof.append(rec.duplicate_of)
+                w_dt.append(sorted(set(rec.dup_types)))
+                w_pr.append(rec.precision)
+
+    walk(walk_groups, live=False)
+    walk(live_groups, live=True)
     walked = pd.DataFrame(
         {
             "taxon": w_tax, "year": w_yr, "month": w_mo, "day": w_dy,

@@ -369,6 +369,55 @@ def test_streamed_vectorized_scalar_parity(spark):
     assert any("'R'" in r for r in vec)  # non-vacuous
 
 
+def test_streamed_np_giant_group_cap_parity(spark):
+    """Groups past _NP_PAIR_GROUP_CAP skip the O(m^2) pair
+    materialization and walk the live matcher — output identical to the
+    uncapped vectorized path (pair_group_cap=4 so ordinary test groups
+    trip it — the param threads through the closure, reaching the
+    Python workers where a module monkeypatch would not; 3/12/30-row
+    groups mix capped and uncapped with 7-row Arrow carries active)."""
+    from biocache_store_spark.operators import dedup as d
+
+    rows = []
+    for t in range(3):
+        size = [3, 12, 30][t]  # below / above / far above the test cap
+        for i in range(size):
+            rows.append((
+                f"o{t}_{i:02d}", "dr1", f"lsid:{t}", "2000", "01", "05",
+                "-35.21667" if i % 3 else "-35.2",
+                "144.81060" if i % 3 else "144.8",
+                ["Smith, J.", "Smyth, J.", None][i % 3], None,
+                "CAT1" if i % 4 == 0 else None,
+            ))
+    schema = (
+        "occurrenceID string, dataResourceUid string, taxonConceptID string, "
+        "year string, month string, day string, decimalLatitude string, "
+        "decimalLongitude string, recordedBy string, recordNumber string, "
+        "catalogNumber string"
+    )
+    df = spark.createDataFrame(rows, schema).coalesce(1)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        base = sorted(map(str, d.detect_duplicates_streamed(df).collect()))
+        capped = sorted(
+            map(
+                str,
+                d.detect_duplicates_streamed(df, pair_group_cap=4).collect(),
+            )
+        )
+        scalar = sorted(
+            map(str, d.detect_duplicates_streamed(df, vectorized=False).collect())
+        )
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert base == capped == scalar
+    assert any("'R'" in r for r in base)  # non-vacuous
+
+
 def test_detect_duplicates_streamed_batch_boundary(spark):
     """The carry buffer reunites a group that straddles an Arrow batch
     boundary: with maxRecordsPerBatch=7 and 30-row groups, every group

@@ -248,33 +248,45 @@ def cmd_index_query(args) -> int:
         keys = _read(spark, args.scope)  # read back: one stable snapshot
     n_scope = keys.count()
 
-    def scoped(df, cols=("occurrenceID", "uuid", "rowKey")):
-        # the index's `id` column aliases to occurrenceID in this engine
-        # (_RAW_ALIASES, operators/index_projection.py), so match that
-        # first; uuid/rowKey cover stores carrying only minted identities
-        key_cols = [c for c in cols if c in df.columns]
-        if not key_cols:
-            raise SystemExit(f"index-query: no key column of {cols} in store")
+    # which RECORD-side column holds the index key's values: the index's
+    # `id` and `occurrence_id` columns both alias to occurrenceID in this
+    # engine (_RAW_ALIASES, operators/index_projection.py); a custom
+    # --key-col is tried verbatim first so an index keyed on a raw column
+    # the store carries matches on that column, not on occurrenceID
+    _idx_to_record = {
+        "id": (),
+        "occurrence_id": (),
+    }
+    _key_candidates = _idx_to_record.get(args.key_col, (args.key_col,)) + (
+        "occurrenceID", "uuid", "rowKey",
+    )
+
+    def record_key(df, what):
+        for c in _key_candidates:
+            if c in df.columns:
+                return c
+        raise SystemExit(
+            f"index-query: no key column in {what} — tried "
+            f"{', '.join(_key_candidates)}"
+        )
+
+    def scoped(df, what="store"):
         return df.join(
             keys.select(F.col("row_key").alias("__iq_key")),
-            df[key_cols[0]] == F.col("__iq_key"),
+            df[record_key(df, what)] == F.col("__iq_key"),
             "left_semi",
         )
 
     if not args.index_only:
-        raw = scoped(_read(spark, args.raw))
+        raw = scoped(_read(spark, args.raw), "--raw")
         reprocessed = run_pipeline(
             raw, _dims_from_args(spark, args), hybrid_chain=not args.no_hybrid
         )
         if getattr(args, "prev_processed", None):
             prev = _read(spark, args.prev_processed)
-            key_cols = [
-                c for c in ("occurrenceID", "uuid", "rowKey")
-                if c in prev.columns
-            ]
             kept = prev.join(
                 keys.select(F.col("row_key").alias("__iq_key")),
-                prev[key_cols[0]] == F.col("__iq_key"),
+                prev[record_key(prev, "--prev-processed")] == F.col("__iq_key"),
                 "left_anti",
             )
             merged = kept.unionByName(reprocessed)
@@ -293,7 +305,8 @@ def cmd_index_query(args) -> int:
 
     assertions = _read(spark, args.assertions) if args.assertions else None
     new_rows = build_index(
-        scoped(processed_for_index), user_assertions=assertions,
+        scoped(processed_for_index, "the processed store"),
+        user_assertions=assertions,
         key_col=args.key_col,
     )
     kept_index = index.join(
@@ -1302,6 +1315,17 @@ def cmd_build_corpus(args) -> int:
             kv.split("=")[0]: float(kv.split("=")[1])
             for kv in _split(args.mixture)
         }
+    for v, flag in (
+        (args.substring_dedup, "--substring-dedup"),
+        (args.decontaminate_min_len, "--decontaminate-min-len"),
+    ):
+        if v is not None and v < 8:
+            print(
+                f"build-corpus: {flag} must be >= 8 (the anchor k-gram "
+                "length — shorter spans cannot be anchored)",
+                file=sys.stderr,
+            )
+            return 2
     for a, b, what in (
         (args.nb_model, args.nb_keep_label, "--nb-model and --nb-keep-label"),
         (args.dsir_target, args.dsir_threshold, "--dsir-target and --dsir-threshold"),

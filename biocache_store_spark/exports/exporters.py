@@ -403,6 +403,10 @@ def export_all_records_facet_filter(
     )
     geo = base.filter(F.col("lat_long").isNotNull())
     present = [f for f in fields if f in geo.columns]
+    if facet_field not in present:
+        # the shards are partitioned and sorted on the facet — a custom
+        # fields list cannot drop it from the projection
+        present = [facet_field] + present
     gated = geo.join(qualifying, facet_field, "left_semi").select(
         *[F.col(f).cast("string") for f in present]
     )
@@ -410,16 +414,19 @@ def export_all_records_facet_filter(
     # ('id' in the index schema) breaks ties so within-shard order is
     # deterministic, matching the download's sort=<facet> asc,<sub> asc,
     # row_key asc (ExportAllRecordFacetFilter.scala:75-80)
+    # gate on `present` (the columns gated actually carries), not on the
+    # source frame: a custom `fields` list without the subspecies column
+    # must skip the subspecies sort/side-file, not reference a column
+    # the projection dropped
     row_key = ["id"] if "id" in present else []
+    has_sub = subspecies_col in present
     sort_keys = (
-        [facet_field]
-        + ([subspecies_col] if subspecies_col in geo.columns else [])
-        + row_key
+        [facet_field] + ([subspecies_col] if has_sub else []) + row_key
     )
     _write_sharded_tsv(
         gated, facet_field, sort_keys, os.path.join(path, "species")
     )
-    if subspecies_col in geo.columns:
+    if has_sub:
         _write_sharded_tsv(
             gated.filter(F.col(subspecies_col).isNotNull()),
             subspecies_col,

@@ -326,6 +326,18 @@ def build_corpus(
             "must be given together (one without the other silently skips "
             "the stage)"
         )
+    for v, what in (
+        (substring_dedup_min_len, "substring_dedup_min_len"),
+        (decontaminate_min_len, "decontaminate_min_len"),
+    ):
+        # _anchor_windows refuses anchor_k > min_len; fail HERE, before
+        # stages 1-3 burn a full corpus pass, not mid-build (the stage
+        # uses the operator's default anchor_k=8)
+        if v is not None and v < 8:
+            raise ValueError(
+                f"build_corpus: {what} must be >= 8 (the anchor k-gram "
+                "length — shorter spans cannot be anchored)"
+            )
 
     from biocache_store_spark.operators.components import (
         component_representatives,
@@ -434,17 +446,11 @@ def build_corpus(
     def cut_spans(df, spans, stage_name):
         from biocache_store_spark.operators.curation import remove_spans
 
-        cut = remove_spans(df.select("doc_id", "text"), spans).select(
-            "doc_id", F.col("text").alias("__cut_text")
-        )
-        out = (
-            df.join(cut, "doc_id")
-            .withColumn("text", F.col("__cut_text"))
-            .drop("__cut_text")
-            # a doc that was ENTIRELY repeated/contaminated content cuts
-            # to nothing — drop it rather than ship an empty document
-            .filter(F.trim(F.col("text")) != "")
-        )
+        # remove_spans preserves every input column and passes span-less
+        # docs through verbatim, so the splice applies in place — no
+        # join-back. A doc that was ENTIRELY repeated/contaminated
+        # content cuts to nothing: drop it rather than ship an empty doc.
+        out = remove_spans(df, spans).filter(F.trim(F.col("text")) != "")
         out = stage(out)
         manifests.append(stage_counts(out, stage_name))
         return out

@@ -904,6 +904,10 @@ def test_cli_build_corpus_gate_flags(spark, tmp_path, capsys):
         "build-corpus", "--in", docs_store, "--out", str(tmp_path / "x"),
         "--decontaminate-eval", docs_store,
     ]) == 2  # decontamination pair is validated the same way
+    assert main([
+        "build-corpus", "--in", docs_store, "--out", str(tmp_path / "x"),
+        "--substring-dedup", "7",
+    ]) == 2  # min_len below the anchor k-gram length refused up front
 
     capsys.readouterr()
     out = str(tmp_path / "corpus")

@@ -493,6 +493,20 @@ def test_export_all_records_facet_filter(spark, tmp_path):
             sub_rows += [ln.split("\t")[0] for ln in lines[1:]]
     assert sub_rows == ["r2"]
 
+    # a custom fields list WITHOUT the subspecies column must skip the
+    # subspecies sort key and side file (not reference a dropped column)
+    out2 = tmp_path / "facet_dump_nosub"
+    export_all_records_facet_filter(
+        index, str(out2), filter_expr="year = '2000'",
+        fields=["id", "species_guid", "lat_long"],
+    )
+    rows2 = []
+    for f in glob.glob(str(out2 / "species" / "*.csv")):
+        with open(f) as fh:
+            rows2 += [ln.split("\t")[0] for ln in fh.read().strip().splitlines()[1:]]
+    assert sorted(rows2) == ["r1", "r2", "r7", "z1", "z2"]
+    assert not glob.glob(str(out2 / "subspecies" / "*.csv"))
+
 
 def test_export_avro_or_fallback(spark, tmp_path):
     from biocache_store_spark.exports.exporters import export_avro

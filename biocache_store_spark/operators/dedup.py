@@ -685,29 +685,37 @@ def _point_ladder_np(lat_s, lon_s):
     """(N, 6) object ladder matrix — point_ladder vectorized. Rungs 0-4
     use np.char.mod('%.df'): C printf and Python format are both
     correctly-rounded IEEE decimal conversions, so the digits match
-    f'{round(v, d):.{d}f}' exactly (dense parity test); rows pandas
-    cannot parse but Python float() can ('1_0', 'Infinity', 'nan', odd
-    whitespace) fall back to the scalar point_ladder row-by-row."""
+    f'{round(v, d):.{d}f}' exactly. Parsing stays Python float() per
+    element — pd.to_numeric's fast parser is NOT correctly rounded
+    (hypothesis found a 1-ulp divergence at e+89 magnitudes, which the
+    exact %f expansion then amplifies into different digit strings) —
+    and the caller only passes UNIQUE (lat, lon) pairs, so the scalar
+    parse is off the hot path (dense + property parity tests)."""
     import numpy as np
-    import pandas as pd
 
     n = len(lat_s)
     out = np.empty((n, 6), dtype=object)
     if not n:
         return out
-    latf = pd.to_numeric(pd.Series(lat_s), errors="coerce")
-    lonf = pd.to_numeric(pd.Series(lon_s), errors="coerce")
-    nonempty_lat = np.fromiter(
-        (s is not None and s != "" for s in lat_s), dtype=bool, count=n
-    )
-    nonempty_lon = np.fromiter(
-        (s is not None and s != "" for s in lon_s), dtype=bool, count=n
-    )
-    valid_lat = latf.notna().to_numpy()
-    valid_lon = lonf.notna().to_numpy()
+
+    def parse(arr):
+        vals = np.full(n, np.nan)
+        ok = np.zeros(n, dtype=bool)
+        nonempty = np.zeros(n, dtype=bool)
+        for i, s in enumerate(arr):
+            if s is None or s == "":
+                continue
+            nonempty[i] = True
+            try:
+                vals[i] = float(s)
+            except (TypeError, ValueError):
+                continue
+            ok[i] = True
+        return vals, ok, nonempty
+
+    latv, valid_lat, nonempty_lat = parse(lat_s)
+    lonv, valid_lon, nonempty_lon = parse(lon_s)
     both = valid_lat & valid_lon
-    latv = latf.to_numpy(dtype=float)
-    lonv = lonf.to_numpy(dtype=float)
     for d in range(5):
         col = np.empty(n, dtype=object)
         col[:] = None
@@ -728,11 +736,6 @@ def _point_ladder_np(lat_s, lon_s):
                                        np.asarray(lon_s, dtype=object)[m5])
         ]
     out[:, 5] = col5
-    # scalar fallback: a non-empty string pandas refused but float()
-    # might accept — recompute the whole row with the scalar ladder
-    fb = np.flatnonzero((nonempty_lat & ~valid_lat) | (nonempty_lon & ~valid_lon))
-    for r in fb:
-        out[r, :] = point_ladder(lat_s[r], lon_s[r])
     return out
 
 

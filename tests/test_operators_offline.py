@@ -309,6 +309,67 @@ def test_dedup_np_kernel_helper_parity():
         assert _lev_gt3(a, b) == (levenshtein(a, b) > 3), (a, b)
 
 
+def test_np_helper_parity_hypothesis():
+    """Property-based widening of the dense parity tests: arbitrary
+    coordinate strings (incl. float-repr noise, exponents, whitespace,
+    garbage) through _point_ladder_np vs point_ladder; arbitrary
+    None-bearing ladders through _spatial_dup_np vs the scalar walk."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+
+    from biocache_store_spark.operators.dedup import (
+        _point_ladder_np,
+        _spatial_dup_np,
+        is_spatial_duplicate,
+        point_ladder,
+    )
+
+    coord = st.one_of(
+        st.none(),
+        st.just(""),
+        st.floats(allow_nan=True, allow_infinity=True).map(repr),
+        st.floats(min_value=-180, max_value=180).map(lambda v: f"{v:.6f}"),
+        st.text(
+            alphabet="0123456789.-+eE_ ", min_size=0, max_size=14
+        ),
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(st.tuples(coord, coord), min_size=1, max_size=20))
+    def ladder_case(pairs):
+        la = np.array([p[0] for p in pairs], dtype=object)
+        lo = np.array([p[1] for p in pairs], dtype=object)
+        R = _point_ladder_np(la, lo)
+        for i, (a, b) in enumerate(pairs):
+            assert list(R[i]) == point_ladder(a, b), (a, b)
+
+    ladder_case()
+
+    rung = st.one_of(st.none(), st.sampled_from(["a", "b", "c"]))
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.tuples(rung, rung, rung, rung, rung, rung),
+                st.tuples(rung, rung, rung, rung, rung, rung),
+            ),
+            min_size=1,
+            max_size=50,
+        )
+    )
+    def spatial_case(pairs):
+        A = np.array([list(p[0]) for p in pairs], dtype=object)
+        B = np.array([list(p[1]) for p in pairs], dtype=object)
+        got = _spatial_dup_np(A, B)
+        for g, (a, b) in zip(got, pairs):
+            assert bool(g) == is_spatial_duplicate(list(a), list(b)), (a, b)
+
+    spatial_case()
+
+
 def test_streamed_vectorized_scalar_parity(spark):
     """detect_duplicates_streamed(vectorized=True) — the round-10 NumPy
     batch matcher — is row-identical to the scalar emit on the nasty

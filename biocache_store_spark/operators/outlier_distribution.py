@@ -45,11 +45,22 @@ def _point_segment_distance_m(
     ax, ay = to_xy(a)
     bx, by = to_xy(b)
     dx, dy = bx - ax, by - ay
-    if dx == 0 and dy == 0:
-        return math.hypot(px - ax, py - ay)
-    t = max(0.0, min(1.0, ((px - ax) * dx + (py - ay) * dy) / (dx * dx + dy * dy)))
+    d2 = dx * dx + dy * dy
+    # guard on the DENOMINATOR, not the deltas: subnormal deltas can be
+    # nonzero while dx*dx + dy*dy underflows to 0.0 (hypothesis-found);
+    # the vectorized twin already branches on denom == 0
+    if d2 == 0:
+        return math.sqrt((px - ax) * (px - ax) + (py - ay) * (py - ay))
+    t = max(0.0, min(1.0, ((px - ax) * dx + (py - ay) * dy) / d2))
     cx, cy = ax + t * dx, ay + t * dy
-    return math.hypot(px - cx, py - cy)
+    # explicit sqrt(x*x + y*y), NOT math.hypot: CPython's hypot is
+    # correctly rounded while np.hypot is libm (1 ulp apart on ~1/50k
+    # inputs, hypothesis-found) — the explicit form is the same IEEE op
+    # sequence in both kernels, so parity is by construction. Metre
+    # magnitudes (<~1e8 for real coordinates) are nowhere near the
+    # squared-overflow regime hypot exists to dodge.
+    ex, ey = px - cx, py - cy
+    return math.sqrt(ex * ex + ey * ey)
 
 
 def distance_outside_m(lon: float, lat: float, ring: list[tuple[float, float]]) -> float:
@@ -77,8 +88,10 @@ def distances_outside_m_np(lon, lat, ring: list[tuple[float, float]]):
     inside-ness comes from the vectorized ray cast, and for the outside
     points every boundary segment is evaluated as ~10 vector ops with
     the SAME operand order as _point_segment_distance_m (projection
-    parameter clamped to [0,1], same equirectangular scaling, np.hypot
-    = math.hypot under one libm), so the two forms agree bit-for-bit
+    parameter clamped to [0,1], same equirectangular scaling, explicit
+    sqrt(x*x + y*y) on both sides — np.hypot and math.hypot are NOT the
+    same function: CPython's is correctly rounded), so the two agree
+    bit-for-bit
     (parity test, including on-edge points and degenerate zero-length
     segments). Replaces a per-record Python loop whose cost grew with
     ring size; the vector form is flat in it."""
@@ -111,10 +124,14 @@ def distances_outside_m_np(lon, lat, ring: list[tuple[float, float]]):
             degenerate = denom == 0.0
             t = np.clip(((px - ax) * dx + (py - ay) * dy) / denom, 0.0, 1.0)
             cx, cy = ax + t * dx, ay + t * dy
+            # explicit sqrt(x*x + y*y) mirrors the scalar kernel op
+            # for op (np.hypot is libm, 1 ulp off CPython's hypot)
+            gx, gy = px - ax, py - ay
+            ex, ey = px - cx, py - cy
             d = np.where(
                 degenerate,
-                np.hypot(px - ax, py - ay),
-                np.hypot(px - cx, py - cy),
+                np.sqrt(gx * gx + gy * gy),
+                np.sqrt(ex * ex + ey * ey),
             )
             best = np.minimum(best, d)
     out[outside] = best

@@ -204,3 +204,53 @@ def test_points_in_polygon_np_bit_identical_to_scalar():
         want = [point_in_polygon(p[0], p[1], ring) for p in pts]
         mism = [i for i in range(len(pts)) if bool(got[i]) != want[i]]
         assert not mism, (ring, [pts[i] for i in mism[:5]])
+
+
+def test_geometry_kernels_hypothesis_parity():
+    """Property widening of the dense geometry parity tests: arbitrary
+    rings (tiny/huge coordinates, duplicate vertices, collinear edges)
+    and arbitrary points through both vectorized kernels vs their scalar
+    oracles — the same class of check that caught the 1-ulp ladder
+    parse divergence."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from biocache_store_spark.operators.outlier_distribution import (
+        distance_outside_m,
+        distances_outside_m_np,
+    )
+    from biocache_store_spark.operators.sampling import (
+        point_in_polygon,
+        points_in_polygon_np,
+    )
+
+    coord = st.one_of(
+        st.floats(min_value=-180.0, max_value=180.0, allow_nan=False),
+        st.integers(min_value=-20, max_value=20).map(float),
+        st.floats(
+            min_value=-1e12, max_value=1e12, allow_nan=False
+        ),
+    )
+    ring_st = st.lists(st.tuples(coord, coord), min_size=3, max_size=9)
+    pts_st = st.lists(st.tuples(coord, coord), min_size=1, max_size=40)
+
+    @settings(max_examples=200, deadline=None)
+    @given(ring_st, pts_st)
+    def case(ring, pts):
+        # adversarial extras: ring vertices and edge midpoints as points
+        pts = pts + ring[:3] + [
+            ((x1 + x2) / 2.0, (y1 + y2) / 2.0)
+            for (x1, y1), (x2, y2) in zip(ring, ring[1:])
+        ]
+        lon = np.array([p[0] for p in pts], dtype=float)
+        lat = np.array([p[1] for p in pts], dtype=float)
+        vec_in = points_in_polygon_np(lon, lat, ring)
+        vec_d = distances_outside_m_np(lon, lat, ring)
+        for i, (lo, la) in enumerate(pts):
+            assert bool(vec_in[i]) == point_in_polygon(lo, la, ring), (ring, lo, la)
+            sd = distance_outside_m(lo, la, ring)
+            vd = float(vec_d[i])
+            assert vd == sd or (np.isnan(vd) and np.isnan(sd)), (ring, lo, la, vd, sd)
+
+    case()

@@ -349,3 +349,58 @@ def test_date_parser_year_range(y1, y2):
     assert r is not None
     assert r.start_year == str(y1) and r.end_year == str(y2)
     assert parse_date(f"{y1}-{y2}") is None or y2 <= 12  # '-' is not a range
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    s=st.one_of(
+        st.text(min_size=0, max_size=60),
+        # parser-shaped garbage reaches deeper branches than uniform
+        # unicode: near-coordinates, near-dates, near-grid-refs
+        st.text(
+            alphabet="0123456789.,-/:&deg'\"NSEWnsew mM kKft() Tto",
+            min_size=1,
+            max_size=40,
+        ),
+        st.text(alphabet="NHSTOIJ0123456789ABCDEFGHKLMNPQRSTUVWXYZ", max_size=14),
+    )
+)
+def test_parsers_never_raise_on_arbitrary_text(s):
+    """Crash-resistance contract: every public scalar parser consumes
+    ARBITRARY text (dirty archive fields) and returns a value or None —
+    it must never raise. A parser that throws inside the Arrow batch
+    kills the whole task at ingest scale."""
+    from biocache_store_spark.operators.dedup import (
+        determine_precision,
+        point_ladder,
+    )
+    from biocache_store_spark.parsers import collector, distance, latlon
+    from biocache_store_spark.parsers.dates import (
+        parse_date,
+        parse_string_to_datetime,
+    )
+    from biocache_store_spark.parsers.gridref import (
+        grid_ref_as_resolutions,
+        grid_reference_to_easting_northing,
+        process_grid_reference,
+    )
+    from biocache_store_spark.parsers.license import match_license
+    from biocache_store_spark.parsers.stemmer import stem
+    from biocache_store_spark.parsers.vocab import normalize
+
+    parse_date(s)
+    parse_string_to_datetime(s)
+    latlon.parse(s)
+    latlon.parse_with_direction(s)
+    distance.parse(s)
+    distance.parse_metres(s)
+    collector.parse(s)
+    collector.parse_for_list(s)
+    grid_reference_to_easting_northing(s)
+    process_grid_reference(s)
+    grid_ref_as_resolutions(s)
+    match_license(s)
+    normalize(s)
+    stem(s)
+    determine_precision(s)
+    point_ladder(s, s)

@@ -24,6 +24,8 @@ giant groups are the AQE-skew risk called out in SURVEY §7.
 
 from __future__ import annotations
 
+import decimal as _decimal
+import math
 import re
 from dataclasses import dataclass, field
 
@@ -65,16 +67,43 @@ def levenshtein(a: str, b: str) -> int:
     return previous[-1]
 
 
+#: enough precision for any double's shortest repr quantized to 4 dp
+#: (17 significant digits + e±308 exponent never exceeds ~330 digits)
+_DEC_CTX = _decimal.Context(prec=400)
+_DEC_Q = [_decimal.Decimal(1).scaleb(-d) for d in range(8)]
+
+
 def lat_long_rounded(value: str | float | None, decimals: int) -> str | None:
-    """One rung of the point ladder (IndexDAO.getLatLongString semantics:
-    DecimalFormat '#.#...' — HALF_EVEN rounding, trailing zeros dropped)."""
+    """One rung of the point ladder — IndexDAO.getLatLongString semantics
+    EXACTLY (IndexDAO.scala:170-185): java DecimalFormat with an explicit
+    RoundingMode.HALF_UP (the reference overrides the HALF_EVEN default,
+    with a comment mocking it), applied to the double's SHORTEST decimal
+    representation (DecimalFormat formats Double.toString's digits, not
+    the exact binary expansion — so 0.35, whose exact double value is
+    0.34999..., still rounds UP to 0.4), trailing zeros dropped. Python
+    mirror: Decimal(repr(v)) — repr is the same shortest round-trip
+    decimal as Double.toString — quantized HALF_UP. Spark's F.round goes
+    through BigDecimal.valueOf(double) (= Double.toString) with HALF_UP
+    too, so the Catalyst index ladder (_rounded_point) and this kernel
+    agree with the reference AND each other, ties included. Rounds <= 7
+    decimals (the ladder uses 0-4)."""
     if value is None or value == "":
         return None
     try:
         v = float(value)
     except (TypeError, ValueError):
         return None
-    s = f"{round(v, decimals):.{decimals}f}"
+    if math.isfinite(v):
+        q = _DEC_Q[decimals] if decimals < len(_DEC_Q) else (
+            _decimal.Decimal(1).scaleb(-decimals)
+        )
+        s = str(
+            _decimal.Decimal(repr(v)).quantize(
+                q, rounding=_decimal.ROUND_HALF_UP, context=_DEC_CTX
+            )
+        )
+    else:
+        s = f"{v:.{decimals}f}"  # nan/inf: no ties; keep printf's spelling
     if "." in s:
         s = s.rstrip("0").rstrip(".")
     return s
@@ -682,15 +711,14 @@ def _spatial_dup_np(A, B):
 
 
 def _point_ladder_np(lat_s, lon_s):
-    """(N, 6) object ladder matrix — point_ladder vectorized. Rungs 0-4
-    use np.char.mod('%.df'): C printf and Python format are both
-    correctly-rounded IEEE decimal conversions, so the digits match
-    f'{round(v, d):.{d}f}' exactly. Parsing stays Python float() per
-    element — pd.to_numeric's fast parser is NOT correctly rounded
-    (hypothesis found a 1-ulp divergence at e+89 magnitudes, which the
-    exact %f expansion then amplifies into different digit strings) —
-    and the caller only passes UNIQUE (lat, lon) pairs, so the scalar
-    parse is off the hot path (dense + property parity tests)."""
+    """(N, 6) object ladder matrix — point_ladder batched with a
+    per-unique-SIDE memo: the rounded rungs go through the SAME
+    lat_long_rounded as the scalar kernel (parity by construction — two
+    earlier vectorizations each hid a 1-ulp divergence: pd.to_numeric's
+    fast parser, and printf's exact-value HALF_EVEN vs the reference's
+    shortest-repr HALF_UP), evaluated once per distinct coordinate
+    STRING. The caller already deduplicates (lat, lon) pairs, so this
+    pays the Decimal quantize on side-uniques only."""
     import numpy as np
 
     n = len(lat_s)
@@ -698,44 +726,28 @@ def _point_ladder_np(lat_s, lon_s):
     if not n:
         return out
 
-    def parse(arr):
-        vals = np.full(n, np.nan)
-        ok = np.zeros(n, dtype=bool)
-        nonempty = np.zeros(n, dtype=bool)
-        for i, s in enumerate(arr):
-            if s is None or s == "":
-                continue
-            nonempty[i] = True
-            try:
-                vals[i] = float(s)
-            except (TypeError, ValueError):
-                continue
-            ok[i] = True
-        return vals, ok, nonempty
+    memo: dict = {}
 
-    latv, valid_lat, nonempty_lat = parse(lat_s)
-    lonv, valid_lon, nonempty_lon = parse(lon_s)
-    both = valid_lat & valid_lon
-    for d in range(5):
-        col = np.empty(n, dtype=object)
-        col[:] = None
-        if both.any():
-            sa = np.char.mod(f"%.{d}f", latv[both])
-            sb = np.char.mod(f"%.{d}f", lonv[both])
-            if d > 0:
-                sa = np.char.rstrip(np.char.rstrip(sa, "0"), ".")
-                sb = np.char.rstrip(np.char.rstrip(sb, "0"), ".")
-            col[both] = np.char.add(np.char.add(sa, ","), sb).astype(object)
-        out[:, d] = col
-    col5 = np.empty(n, dtype=object)
-    col5[:] = None
-    m5 = nonempty_lat & nonempty_lon
-    if m5.any():
-        col5[m5] = [
-            f"{a},{b}" for a, b in zip(np.asarray(lat_s, dtype=object)[m5],
-                                       np.asarray(lon_s, dtype=object)[m5])
-        ]
-    out[:, 5] = col5
+    def side(s):
+        hit = memo.get(s)
+        if hit is None:
+            hit = tuple(lat_long_rounded(s, d) for d in range(5))
+            memo[s] = hit
+        return hit
+
+    for i in range(n):
+        la = lat_s[i]
+        lo = lon_s[i]
+        ra = side(la)
+        rb = side(lo)
+        for d in range(5):
+            a, b = ra[d], rb[d]
+            out[i, d] = f"{a},{b}" if a is not None and b is not None else None
+        out[i, 5] = (
+            f"{la},{lo}"
+            if la not in (None, "") and lo not in (None, "")
+            else None
+        )
     return out
 
 

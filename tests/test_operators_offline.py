@@ -97,6 +97,26 @@ def test_point_ladder():
     assert pts[5] == "-35.21667,144.81060"
 
 
+def test_point_ladder_half_up_on_shortest_repr():
+    """Reference tie semantics (IndexDAO.getLatLongString:170-185): java
+    DecimalFormat with EXPLICIT RoundingMode.HALF_UP over Double.toString
+    digits — 0.35 (exact double value 0.34999...) still rounds UP because
+    the formatter sees the shortest repr '0.35'; negatives round away
+    from zero. Spark's F.round (BigDecimal.valueOf = Double.toString +
+    HALF_UP) agrees, so the Catalyst index ladder and this kernel match
+    the reference and each other on ties."""
+    from biocache_store_spark.operators.dedup import lat_long_rounded
+
+    assert lat_long_rounded("0.35", 1) == "0.4"
+    assert lat_long_rounded("-35.25", 1) == "-35.3"
+    assert lat_long_rounded("0.125", 2) == "0.13"
+    assert lat_long_rounded("-0.125", 2) == "-0.13"
+    assert lat_long_rounded("0.5", 0) == "1"
+    assert lat_long_rounded("-0.5", 0) == "-1"
+    assert lat_long_rounded("-0.04", 1) == "-0"
+    assert point_ladder("-35.25", "0.35")[1] == "-35.3,0.4"
+
+
 def test_determine_precision():
     assert determine_precision("-35.21667,144.8106") == 5
     assert determine_precision("-35,144") == 0

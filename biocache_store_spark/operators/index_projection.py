@@ -47,7 +47,11 @@ def _stepped_point(lat: Column, lon: Column, step: float) -> Column:
     step (e.g. 0.02), formatted with trailing zeros stripped."""
 
     def fmt(c: Column) -> Column:
-        stepped = F.round(c / step) * step
+        # java Math.round(d) = floor(d + 0.5) — toward +inf on ties, NOT
+        # Spark round's away-from-zero: Math.round(-2.5) is -2 while
+        # F.round gives -3, so southern-hemisphere coordinates landing
+        # exactly between steps must use the floor form (IndexDAO:192)
+        stepped = F.floor(c / step + F.lit(0.5)) * step
         s = F.format_number(F.round(stepped, 2), 2)
         s = F.regexp_replace(s, ",", "")
         s = _strip_fraction_zeros(s)

@@ -992,6 +992,29 @@ def test_rounded_point_keeps_integer_digits(spark):
     assert out[2]["p1"] == "0,100"
 
 
+def test_stepped_point_java_math_round_ties(spark):
+    """getLatLongStringStep uses java Math.round = floor(x + 0.5): a
+    negative coordinate exactly between steps rounds toward +inf
+    (Math.round(-0.5) = 0), where Spark's F.round would go away from
+    zero. step 0.25 makes the tie exactly representable."""
+    from pyspark.sql import functions as F
+
+    from biocache_store_spark.operators.index_projection import (
+        _stepped_point,
+    )
+
+    df = spark.createDataFrame(
+        [(-0.125, 0.125), (-0.375, 0.375)], "lat double, lon double"
+    )
+    out = df.select(
+        _stepped_point(F.col("lat"), F.col("lon"), 0.25).alias("p")
+    ).collect()
+    # -0.125/0.25 = -0.5 -> Math.round 0 -> 0; 0.125/0.25 = 0.5 -> 1 -> 0.25
+    assert out[0]["p"] == "0,0.25"
+    # -0.375/0.25 = -1.5 -> Math.round -1 -> -0.25; 0.375 -> 2 -> 0.5
+    assert out[1]["p"] == "-0.25,0.5"
+
+
 def test_snapshot_diff_statuses(spark):
     from biocache_store_spark.operators.maintenance import snapshot_diff
 

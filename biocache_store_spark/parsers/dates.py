@@ -516,8 +516,16 @@ def parse_date(s: str | None, current_year: int | None = None) -> EventDate | No
 
     Memoized (EventDate is frozen): archive date strings are massively
     repetitive, and the reference fronts parsing with LRU caches too.
-    """
+
+    Non-ASCII input is unparseable by contract: every reference format
+    is an ASCII DateTimeFormatter pattern under Locale.US, and java
+    parses digits via the DecimalStyle '0' zero — Python regexes would
+    otherwise accept unicode digits ('\\d' matches '٢٠٠٠') and unicode
+    whitespace the reference's trim() never removes, silently parsing
+    strings the reference rejects."""
     if s is None:
+        return None
+    if not s.isascii():
         return None
     s = s.strip()
     if s.startswith("/") or s.startswith("-"):

@@ -24,23 +24,32 @@ from biocache_store_spark.processors.assertions import QualityAssertion as QA
 _FIRST_FLEET = (1788, 1, 26)
 
 
+def _java_parse_int(s) -> int | None:
+    """Integer.parseInt semantics for the raw day/month/year fields:
+    Python's int() additionally accepts underscore separators ('2_0' ->
+    20) and non-ASCII digits, both of which java rejects — a dirty year
+    like '2_0' must be an invalid date, not year 20."""
+    t = str(s).strip()
+    if not t or "_" in t or not t.isascii():
+        return None
+    try:
+        return int(t)
+    except (ValueError, TypeError):
+        return None
+
+
 def _validate_number(s, predicate):
     """validateNumber: (parsed value, predicate ok); (-1, False) on parse error."""
     if s is None or str(s).strip() == "":
         return -1, False
-    try:
-        v = int(str(s).strip())
-    except ValueError:
+    v = _java_parse_int(s)
+    if v is None:
         return -1, False
     return v, predicate(v)
 
 
 def _is_int(s) -> bool:
-    try:
-        int(str(s).strip())
-        return True
-    except (ValueError, TypeError):
-        return False
+    return s is not None and _java_parse_int(s) is not None
 
 
 def run_year_validation(

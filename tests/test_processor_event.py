@@ -263,3 +263,29 @@ def test_precision_matrix_determined(start, end, precision, want):
     p, _ = process_event(raw, TODAY)
     for k, v in want.items():
         assert p.get(k) == v, (start, end, precision, k, p.get(k))
+
+
+def test_java_integer_parse_semantics():
+    """Integer.parseInt parity: Python's int() leniencies (underscore
+    separators, non-ASCII digits) must NOT make dirty day/month/year
+    fields valid — '2_0' is an invalid year, not year 20."""
+    from biocache_store_spark.processors.event import process_event
+
+    processed, assertions = process_event(
+        {"year": "2_0", "month": "0_1", "day": "1_0"}
+    )
+    assert "year" not in processed and "eventDate" not in processed
+    processed, _ = process_event({"year": "٢٠٠٠", "month": "01", "day": "05"})
+    assert "year" not in processed
+
+
+def test_parse_date_rejects_non_ascii():
+    """Every reference date format is an ASCII Locale.US pattern; unicode
+    digits/whitespace must be unparseable, not silently accepted by
+    Python's unicode-aware regexes."""
+    from biocache_store_spark.parsers.dates import parse_date
+
+    assert parse_date("٢٠٠٠-٠١-٠٥") is None
+    assert parse_date("2000-01-05\u00a0") is None  # NBSP: java trim() keeps it
+    ev = parse_date("2000-01-05")
+    assert ev is not None and ev.start_date == "2000-01-05"

@@ -304,9 +304,17 @@ def cmd_index_query(args) -> int:
         processed_for_index = _read(spark, args.prev_processed)
 
     assertions = _read(spark, args.assertions) if args.assertions else None
+    outliers = (
+        _read(spark, args.outliers) if getattr(args, "outliers", None) else None
+    )
+    # the rebuilt rows must carry the SAME schema as the standing index:
+    # an index built with --outliers/--include-deleted needs the same
+    # overlays here or the unionByName fails after the reprocess ran
     new_rows = build_index(
         scoped(processed_for_index, "the processed store"),
+        include_deleted=args.include_deleted,
         user_assertions=assertions,
+        outliers=outliers,
         key_col=args.key_col,
     )
     kept_index = index.join(
@@ -1326,6 +1334,12 @@ def cmd_build_corpus(args) -> int:
                 file=sys.stderr,
             )
             return 2
+    if args.anchor_hex_zeros < 0:
+        print(
+            "build-corpus: --anchor-hex-zeros must be >= 0 (0 = exact mode)",
+            file=sys.stderr,
+        )
+        return 2
     for a, b, what in (
         (args.nb_model, args.nb_keep_label, "--nb-model and --nb-keep-label"),
         (args.dsir_target, args.dsir_threshold, "--dsir-target and --dsir-threshold"),
@@ -1877,6 +1891,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="reindex only — do not reprocess",
     )
     sp.add_argument("--assertions", help="user-assertion store parquet")
+    sp.add_argument(
+        "--outliers",
+        help="persisted outlier store parquet (as for `index --outliers`; "
+        "required when the standing index was built with it, or the "
+        "rebuilt rows' schema cannot union)",
+    )
+    sp.add_argument("--include-deleted", dest="include_deleted",
+                    action="store_true")
     sp.add_argument("--key-col", dest="key_col", default="id")
     sp.add_argument("--no-hybrid", action="store_true")
     dim_opts(sp)

@@ -757,6 +757,11 @@ def _point_ladder_np(lat_s, lon_s):
 #: allocate O(m^2) index arrays at once where the scalar walk is merely
 #: slow). Day-species groups are ~16 rows; this only fires on skew bugs.
 _NP_PAIR_GROUP_CAP = 2048
+#: ...and the WHOLE BATCH is bounded too: several near-cap groups in one
+#: Arrow batch would otherwise multiply the per-group bound (~5 x 4.2M
+#: pairs x 8 int64 arrays > 1 GB transient per task); groups whose pairs
+#: would push the batch past this budget also fall back to the live walk
+_NP_PAIR_BATCH_BUDGET = 8_000_000
 
 
 def _emit_batch_np(pdf, keys, pair_group_cap: int | None = None):
@@ -816,7 +821,14 @@ def _emit_batch_np(pdf, keys, pair_group_cap: int | None = None):
     # route groups past the cap to the live per-group matcher instead
     # (~4M pairs of transient ints at the default; same output, pinned)
     cap = _NP_PAIR_GROUP_CAP if pair_group_cap is None else pair_group_cap
-    huge = multi & (sizes > cap)
+    base_huge = sizes > cap
+    # batch-level budget: demote further groups (in batch order) once the
+    # cumulative pair count would exceed it — the per-group cap alone
+    # does not bound a batch of several near-cap groups
+    reps_all = sizes * (sizes - 1)
+    counted = np.where(multi & ~base_huge, reps_all, 0)
+    over_budget = np.cumsum(counted) > _NP_PAIR_BATCH_BUDGET
+    huge = multi & (base_huge | over_budget)
     pair_groups = multi & ~huge
 
     # ordered within-group pair index (i != j), capped groups only

@@ -338,6 +338,11 @@ def build_corpus(
                 f"build_corpus: {what} must be >= 8 (the anchor k-gram "
                 "length — shorter spans cannot be anchored)"
             )
+    if substring_anchor_hex_zeros < 0:
+        raise ValueError(
+            "build_corpus: substring_anchor_hex_zeros must be >= 0 "
+            "(0 = exact mode) — failing here, not after stages 1-3 ran"
+        )
 
     from biocache_store_spark.operators.components import (
         component_representatives,
@@ -449,8 +454,23 @@ def build_corpus(
         # remove_spans preserves every input column and passes span-less
         # docs through verbatim, so the splice applies in place — no
         # join-back. A doc that was ENTIRELY repeated/contaminated
-        # content cuts to nothing: drop it rather than ship an empty doc.
-        out = remove_spans(df, spans).filter(F.trim(F.col("text")) != "")
+        # content cuts to nothing: drop it rather than ship an empty
+        # doc — but only docs that actually HAD spans; a doc that was
+        # already empty/whitespace must not vanish because an unrelated
+        # optional stage was enabled (its fate belongs to the quality
+        # gate, not here).
+        cut_ids = spans.select("doc_id").distinct().withColumn(
+            "__had_spans", F.lit(True)
+        )
+        out = (
+            remove_spans(df, spans)
+            .join(cut_ids, "doc_id", "left")
+            .filter(
+                F.col("__had_spans").isNull()
+                | (F.trim(F.col("text")) != "")
+            )
+            .drop("__had_spans")
+        )
         out = stage(out)
         manifests.append(stage_counts(out, stage_name))
         return out

@@ -338,6 +338,11 @@ def process_records(
     ensure_package_on_workers(df.sparkSession)
     df = ensure_min_parallelism(df)
     defaults = default_values_by_resource or {}
+    # resolve `today` ONCE per job: the per-record default would resolve
+    # date.today() per call, so the event/location memo (keyed on raw
+    # fields only) could freeze a pre-midnight verdict for post-midnight
+    # records in the same task — one job, one date, deterministic output
+    today = today or _dt.date.today()
     input_cols = df.columns
     schema = T.StructType(
         list(df.schema.fields)
@@ -641,6 +646,9 @@ def process_records_hybrid(
     reference order). geospatially_kosher is unaffected: neither event nor
     vocabulary stages emit geospatial codes.
     """
+    today = today or _dt.date.today()  # one job, one date (see
+    # process_records — the distinct-tuple event map has the same
+    # midnight-drift hazard as the memo)
     added_cols = []
     for col, _ in _CATALYST_VOCAB_STAGES:
         if col not in df.columns:

@@ -33,9 +33,15 @@ def _java_parse_int(s) -> int | None:
     if not t or "_" in t or not t.isascii():
         return None
     try:
-        return int(t)
+        v = int(t)
     except (ValueError, TypeError):
         return None
+    # Integer.parseInt throws past the 32-bit range; without this an
+    # overflowing day like '9999999999' would reach the day > 31 branch
+    # and emit an assertion the reference never produces
+    if not -(2**31) <= v <= 2**31 - 1:
+        return None
+    return v
 
 
 def _validate_number(s, predicate):

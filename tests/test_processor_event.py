@@ -277,6 +277,15 @@ def test_java_integer_parse_semantics():
     assert "year" not in processed and "eventDate" not in processed
     processed, _ = process_event({"year": "٢٠٠٠", "month": "01", "day": "05"})
     assert "year" not in processed
+    # Integer.parseInt throws past 32 bits: an overflowing day must be a
+    # PARSE error ((-1, False) -> no day>31 assertion), not day=9999999999
+    processed, assertions = process_event(
+        {"year": "2000", "month": "01", "day": "9999999999"}
+    )
+    assert "day" not in processed
+    assert not any(
+        a.comment == "Invalid day supplied" for a in assertions
+    )
 
 
 def test_parse_date_rejects_non_ascii():

@@ -601,10 +601,17 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = count_min_sketch(tok, "term")
     exact = tok.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
     # the exact ranking side exists only to pick verification probes — at
-    # corpus scale you'd probe candidate terms straight through the sketch
+    # corpus scale you'd probe candidate terms straight through the sketch.
+    # Top-20 as orderBy().limit(20) — TakeOrderedAndProject per-partition
+    # heaps — NOT a global row_number window over the whole distinct-term
+    # relation (vocabulary-sized at corpus scale, all in ONE task). The
+    # single-partition window then ranks only the 20 survivors
+    # (bm25_search's pattern, queries/text.py).
     w = Window.orderBy(F.col("exact_cnt").desc(), F.col("term"))
-    top = exact.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= 20
+    top = (
+        exact.orderBy(F.col("exact_cnt").desc(), F.col("term"))
+        .limit(20)
+        .withColumn("rank", F.row_number().over(w))
     )
     est = estimate_counts(sketch, top, "term")
     return est.select("term", "exact_cnt", "cms_est", "rank")

@@ -70,6 +70,19 @@ def test_bm25_top_k_is_take_ordered_not_global_window(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_countmin_probe_top_20_is_take_ordered_not_global_window(spark, sf_dir):
+    from biocache_store_spark.queries import load_all
+
+    q = load_all()["countmin_heavy_hitters"]
+    plan = _plan(q.spark_fn(spark, sf_dir))
+    # the exact-ranking probe side must pick its top-20 via
+    # TakeOrderedAndProject, not a row_number window over the entire
+    # distinct-term relation (vocabulary-sized at corpus scale, all
+    # funneled through ONE task). The remaining window ranks only the
+    # 20 survivors.
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_projected_scan_prunes_columns_and_pushes_filters(spark, sf_dir):
     from biocache_store_spark.io import read_table
     from pyspark.sql import functions as F

@@ -212,6 +212,15 @@ def cmd_index_query(args) -> int:
         print("index-query: need --query (or --exist with a saved --scope)",
               file=sys.stderr)
         return 2
+    if args.exist and args.query:
+        # the reference's exist/query flags are mutually exclusive
+        # (ReprocessIndexSelect.scala:32-34): silently preferring the
+        # saved scope would reprocess the WRONG records for a user who
+        # edited the query but forgot to drop --exist
+        print("index-query: --exist and --query are mutually exclusive "
+              "(--exist replays the saved --scope; drop one)",
+              file=sys.stderr)
+        return 2
     if not args.index_only and not (args.raw and args.out):
         print("index-query: reprocessing needs --raw and --out "
               "(or pass --index-only)", file=sys.stderr)

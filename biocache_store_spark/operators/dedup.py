@@ -24,14 +24,21 @@ giant groups are the AQE-skew risk called out in SURVEY §7.
 
 from __future__ import annotations
 
-import decimal as _decimal
-import math
 import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# the point ladder is SHARED with the Catalyst index projection — one
+# module (functions/points.py) holds both engines' implementations plus
+# the parity property test, so a rounding fix can never drift them apart
+from biocache_store_spark.functions.points import (  # noqa: F401 — re-exported API
+    lat_long_rounded,
+    point_ladder,
+)
+from biocache_store_spark.functions.points import point_ladder_np as _point_ladder_np
 
 COLLECTOR_LEVENSHTEIN_THRESHOLD = 3
 
@@ -65,59 +72,6 @@ def levenshtein(a: str, b: str) -> int:
             )
         previous = current
     return previous[-1]
-
-
-#: enough precision for any double's shortest repr quantized to 4 dp
-#: (17 significant digits + e±308 exponent never exceeds ~330 digits)
-_DEC_CTX = _decimal.Context(prec=400)
-_DEC_Q = [_decimal.Decimal(1).scaleb(-d) for d in range(8)]
-
-
-def lat_long_rounded(value: str | float | None, decimals: int) -> str | None:
-    """One rung of the point ladder — IndexDAO.getLatLongString semantics
-    EXACTLY (IndexDAO.scala:170-185): java DecimalFormat with an explicit
-    RoundingMode.HALF_UP (the reference overrides the HALF_EVEN default,
-    with a comment mocking it), applied to the double's SHORTEST decimal
-    representation (DecimalFormat formats Double.toString's digits, not
-    the exact binary expansion — so 0.35, whose exact double value is
-    0.34999..., still rounds UP to 0.4), trailing zeros dropped. Python
-    mirror: Decimal(repr(v)) — repr is the same shortest round-trip
-    decimal as Double.toString — quantized HALF_UP. Spark's F.round goes
-    through BigDecimal.valueOf(double) (= Double.toString) with HALF_UP
-    too, so the Catalyst index ladder (_rounded_point) and this kernel
-    agree with the reference AND each other, ties included. Rounds <= 7
-    decimals (the ladder uses 0-4)."""
-    if value is None or value == "":
-        return None
-    try:
-        v = float(value)
-    except (TypeError, ValueError):
-        return None
-    if math.isfinite(v):
-        q = _DEC_Q[decimals] if decimals < len(_DEC_Q) else (
-            _decimal.Decimal(1).scaleb(-decimals)
-        )
-        s = str(
-            _decimal.Decimal(repr(v)).quantize(
-                q, rounding=_decimal.ROUND_HALF_UP, context=_DEC_CTX
-            )
-        )
-    else:
-        s = f"{v:.{decimals}f}"  # nan/inf: no ties; keep printf's spelling
-    if "." in s:
-        s = s.rstrip("0").rstrip(".")
-    return s
-
-
-def point_ladder(lat, lon) -> list[str | None]:
-    """point1, point0_1, point0_01, point0_001, point0_0001, latLong."""
-    out = []
-    for d in (0, 1, 2, 3, 4):
-        la = lat_long_rounded(lat, d)
-        lo = lat_long_rounded(lon, d)
-        out.append(f"{la},{lo}" if la is not None and lo is not None else None)
-    out.append(f"{lat},{lon}" if lat not in (None, "") and lon not in (None, "") else None)
-    return out
 
 
 def determine_precision(lat_long: str | None) -> int:
@@ -710,47 +664,6 @@ def _spatial_dup_np(A, B):
     return res
 
 
-def _point_ladder_np(lat_s, lon_s):
-    """(N, 6) object ladder matrix — point_ladder batched with a
-    per-unique-SIDE memo: the rounded rungs go through the SAME
-    lat_long_rounded as the scalar kernel (parity by construction — two
-    earlier vectorizations each hid a 1-ulp divergence: pd.to_numeric's
-    fast parser, and printf's exact-value HALF_EVEN vs the reference's
-    shortest-repr HALF_UP), evaluated once per distinct coordinate
-    STRING. The caller already deduplicates (lat, lon) pairs, so this
-    pays the Decimal quantize on side-uniques only."""
-    import numpy as np
-
-    n = len(lat_s)
-    out = np.empty((n, 6), dtype=object)
-    if not n:
-        return out
-
-    memo: dict = {}
-
-    def side(s):
-        hit = memo.get(s)
-        if hit is None:
-            hit = tuple(lat_long_rounded(s, d) for d in range(5))
-            memo[s] = hit
-        return hit
-
-    for i in range(n):
-        la = lat_s[i]
-        lo = lon_s[i]
-        ra = side(la)
-        rb = side(lo)
-        for d in range(5):
-            a, b = ra[d], rb[d]
-            out[i, d] = f"{a},{b}" if a is not None and b is not None else None
-        out[i, 5] = (
-            f"{la},{lo}"
-            if la not in (None, "") and lo not in (None, "")
-            else None
-        )
-    return out
-
-
 #: vectorized-kernel pair-materialization cap: groups larger than this
 #: walk the LIVE per-group matcher instead (m*(m-1) int pairs would be
 #: ~4M at the cap; a pathological 100k-row mega-group would otherwise
@@ -917,10 +830,23 @@ def _emit_batch_np(pdf, keys, pair_group_cap: int | None = None):
                 cols = np.arange(flat.size) - np.repeat(offs, plen)
                 CM[rows, cols] = flat
                 Lp = np.minimum(lens[pi], lens[pj])
-                neq = CM[remap[pi]] != CM[remap[pj]]
-                neq &= np.arange(W)[None, :] < Lp[:, None]
-                prefix_eq = ~neq.any(axis=1)
-                ham = neq.sum(axis=1)
+                # pair-axis comparisons materialize two (pairs x W)
+                # uint32 copies plus a bool matrix — the participant
+                # budget alone doesn't bound them (ADVICE r10: a
+                # 2048-row group of ~32k-char collectors passes
+                # budget_ok with millions of pairs). Chunk the pair
+                # axis so each transient stays within the same
+                # 2^26-element budget as CM itself.
+                prefix_eq = np.empty(ne.size, dtype=bool)
+                ham = np.empty(ne.size, dtype=np.int64)
+                colmask = np.arange(W)[None, :]
+                step = max(1, (1 << 26) // W)
+                for s0 in range(0, int(ne.size), step):
+                    sl = slice(s0, s0 + step)
+                    neq = CM[remap[pi[sl]]] != CM[remap[pj[sl]]]
+                    neq &= colmask < Lp[sl][:, None]
+                    prefix_eq[sl] = ~neq.any(axis=1)
+                    ham[sl] = neq.sum(axis=1)
                 fuzzy = ~prefix_eq & (ham <= 3)
                 hard = np.flatnonzero(~prefix_eq & (ham > 3))
             else:
@@ -961,7 +887,12 @@ def _emit_batch_np(pdf, keys, pair_group_cap: int | None = None):
         return fast_frame(np.ones(n, dtype=bool))
 
     rk = pdf["row_key"].to_numpy(dtype=object)
-    adj: dict[str, list[tuple[str, list[int]]]] = {}
+    # per-GROUP claim maps: row_key uniqueness is only a per-group
+    # contract, so a batch-global map keyed by bare row_key would leak
+    # edges across groups whenever a dirty occurrenceID recurs under two
+    # (taxon, date) keys in one Arrow batch (ADVICE r10); each group's
+    # walk sees only its own slice
+    adj: dict[int, dict[str, list[tuple[str, list[int]]]]] = {}
     for p in cl:
         types: list[int] = []
         if t_miss_c[p]:
@@ -974,12 +905,15 @@ def _emit_batch_np(pdf, keys, pair_group_cap: int | None = None):
             types.append(EXACT_FIELD_NUMBER)
         if t_cat[p]:
             types.append(EXACT_CATALOGUE_NUMBER)
-        adj.setdefault(rk[I[p]], []).append((rk[J[p]], types))
-    for lst in adj.values():
-        # the walk must visit others in row-key order (the generic walk
-        # probes `records` sorted); keys are unique within a group so
-        # the sort never compares the type lists
-        lst.sort(key=lambda t: t[0])
+        adj.setdefault(int(gid[I[p]]), {}).setdefault(rk[I[p]], []).append(
+            (rk[J[p]], types)
+        )
+    for gadj in adj.values():
+        for lst in gadj.values():
+            # the walk must visit others in row-key order (the generic
+            # walk probes `records` sorted); keys are unique within a
+            # group so the sort never compares the type lists
+            lst.sort(key=lambda t: t[0])
 
     walk_groups = np.unique(gid[I[cl]]) if cl.size else np.empty(0, dtype=int)
     live_groups = np.flatnonzero(huge)
@@ -1017,7 +951,9 @@ def _emit_batch_np(pdf, keys, pair_group_cap: int | None = None):
             out = (
                 find_group_duplicates(records)
                 if live
-                else find_group_duplicates(records, adjacency=adj)
+                else find_group_duplicates(
+                    records, adjacency=adj.get(int(g), {})
+                )
             )
             for rec in out:
                 w_tax.append(key_vals["g_taxon"][s])

@@ -17,49 +17,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-
-def _rounded_point(lat: Column, lon: Column, decimals: int) -> Column:
-    """One rung of the point ladder as 'lat,lon' with trailing zeros
-    stripped (IndexDAO.getLatLongStringStep semantics, IndexDAO.scala:170-210)."""
-
-    def fmt(c: Column) -> Column:
-        s = F.format_number(F.round(c, decimals), decimals)
-        s = F.regexp_replace(s, ",", "")  # format_number groups thousands
-        s = _strip_fraction_zeros(s)
-        return s
-
-    return F.when(
-        lat.isNotNull() & lon.isNotNull(), F.concat(fmt(lat), F.lit(","), fmt(lon))
-    )
-
-
-def _strip_fraction_zeros(s: Column) -> Column:
-    """DecimalFormat('#.##')-style trimming: drop trailing zeros of the
-    FRACTIONAL part only, then a bare trailing dot. A dot-anchored
-    pattern — a bare `0+$` strip would eat real integer digits
-    ('-30' -> '-3', '150' -> '15') exactly on round coordinates."""
-    s = F.regexp_replace(s, r"(\.\d*?)0+$", r"$1")
-    return F.regexp_replace(s, r"\.$", "")
-
-
-def _stepped_point(lat: Column, lon: Column, step: float) -> Column:
-    """getLatLongStringStep (IndexDAO.scala:181-196): round to the nearest
-    step (e.g. 0.02), formatted with trailing zeros stripped."""
-
-    def fmt(c: Column) -> Column:
-        # java Math.round(d) = floor(d + 0.5) — toward +inf on ties, NOT
-        # Spark round's away-from-zero: Math.round(-2.5) is -2 while
-        # F.round gives -3, so southern-hemisphere coordinates landing
-        # exactly between steps must use the floor form (IndexDAO:192)
-        stepped = F.floor(c / step + F.lit(0.5)) * step
-        s = F.format_number(F.round(stepped, 2), 2)
-        s = F.regexp_replace(s, ",", "")
-        s = _strip_fraction_zeros(s)
-        return s
-
-    return F.when(
-        lat.isNotNull() & lon.isNotNull(), F.concat(fmt(lat), F.lit(","), fmt(lon))
-    )
+# the ladder rungs are SHARED with the Python dedup kernels — one module
+# (functions/points.py) holds both engines' implementations plus the
+# parity property test, so a rounding fix can never drift them apart
+from biocache_store_spark.functions.points import (
+    rounded_point as _rounded_point,
+    stepped_point as _stepped_point,
+)
 
 
 def _qa_names(assertions: Column, status: int) -> Column:

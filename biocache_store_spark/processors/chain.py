@@ -318,10 +318,9 @@ def process_records(
     skip_location: bool = False,
     memoize_pure_stages: bool = True,
 ) -> DataFrame:
-    """raw occurrences DataFrame -> + processed struct, assertions array,
-    geospatially_kosher flag. One mapInPandas pass; no shuffle at scale
-    (the min-parallelism repartition only fires when the input has fewer
-    splits than cores).
+    """raw occurrences -> + processed struct, assertions array, kosher flag; pure stages memoized per task (memoize_pure_stages=True, 100k cap).
+    One mapInPandas pass; no shuffle at scale (the min-parallelism
+    repartition only fires when the input has fewer splits than cores).
 
     `memoize_pure_stages` (default on) runs EventProcessor and
     LocationProcessor once per distinct input tuple within each task —

@@ -1221,3 +1221,10 @@ def test_cli_index_query_reprocess_scope(spark, tmp_path):
         "--prev-processed", processed1, "--index-out", index1,
         "--index-only",
     ]) == 2
+    # --exist + --query are mutually exclusive (the reference's flags):
+    # silently preferring the saved scope would reprocess the wrong keys
+    assert main([
+        "index-query", "--index", index1, "--exist", "-q", "year:2001",
+        "--scope", scope, "--prev-processed", processed1,
+        "--index-out", str(tmp_path / "index3"), "--index-only",
+    ]) == 2

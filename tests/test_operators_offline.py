@@ -450,6 +450,57 @@ def test_streamed_vectorized_scalar_parity(spark):
     assert any("'R'" in r for r in vec)  # non-vacuous
 
 
+def test_streamed_np_no_cross_group_edge_leak(spark):
+    """row_key uniqueness is a PER-GROUP contract: the same dirty
+    occurrenceID may recur under two (taxon, date) keys inside one Arrow
+    batch. The vectorized kernel's claim map must be keyed per group
+    (ADVICE r10) — here 'dupA' claims 'dupB' in taxon 1 (same point,
+    same collector) while in taxon 2 the same two keys sit far apart
+    and must stay REPRESENTATIVE; taxon 2 still has its own claim pair
+    so its group IS walked (a claim-free group would never consult the
+    map and the leak could hide)."""
+    from biocache_store_spark.operators.dedup import (
+        detect_duplicates_streamed,
+    )
+
+    rows = [
+        # taxon 1: dupA claims dupB (identical point, same collector)
+        ("dupA", "dr1", "lsid:1", "2000", "01", "05",
+         "-35.2", "144.8", "Smith, J.", None, None),
+        ("dupB", "dr1", "lsid:1", "2000", "01", "05",
+         "-35.2", "144.8", "Smith, J.", None, None),
+        # taxon 2: same two row_keys, far apart -> NOT duplicates...
+        ("dupA", "dr1", "lsid:2", "2000", "01", "05",
+         "-35.2", "144.8", "Smith, J.", None, None),
+        ("dupB", "dr1", "lsid:2", "2000", "01", "05",
+         "20.0", "100.0", "Smith, J.", None, None),
+        # ...but the group has its own claim edge, so it gets walked
+        ("othC", "dr1", "lsid:2", "2000", "01", "05",
+         "-10.0", "130.0", "Jones, K.", None, None),
+        ("othD", "dr1", "lsid:2", "2000", "01", "05",
+         "-10.0", "130.0", "Jones, K.", None, None),
+    ]
+    schema = (
+        "occurrenceID string, dataResourceUid string, taxonConceptID string, "
+        "year string, month string, day string, decimalLatitude string, "
+        "decimalLongitude string, recordedBy string, recordNumber string, "
+        "catalogNumber string"
+    )
+    df = spark.createDataFrame(rows, schema).coalesce(1)
+    vec = sorted(map(str, detect_duplicates_streamed(df).collect()))
+    scal = sorted(
+        map(str, detect_duplicates_streamed(df, vectorized=False).collect())
+    )
+    assert vec == scal
+    t2 = {
+        (r["row_key"], r["status"])
+        for r in detect_duplicates_streamed(df).collect()
+        if r["taxon"] == "lsid:2"
+    }
+    assert ("dupB", "U") in t2  # not claimed by taxon 1's edge
+    assert ("othD", "D1") in t2  # the group WAS walked
+
+
 def test_streamed_np_giant_group_cap_parity(spark):
     """Groups past _NP_PAIR_GROUP_CAP skip the O(m^2) pair
     materialization and walk the live matcher — output identical to the
@@ -1013,6 +1064,54 @@ def test_stepped_point_java_math_round_ties(spark):
     assert out[0]["p"] == "0,0.25"
     # -0.375/0.25 = -1.5 -> Math.round -1 -> -0.25; 0.375 -> 2 -> 0.5
     assert out[1]["p"] == "-0.25,0.5"
+
+
+def test_point_ladder_catalyst_scalar_parity(spark):
+    """functions/points.py holds BOTH ladder engines — the Catalyst
+    index-projection rungs and the Python dedup scalar — so this test is
+    the drift gate: every rung over a dense tie-heavy grid (HALF_UP ties
+    at each precision: 0.35, 0.00005-multiples, banker's-tie magnets
+    0.125/2.675) plus -0.0 and non-finite coordinates (the reference's
+    NaN guard, IndexDAO.scala:171: both engines must yield NULL, never
+    'NaN,NaN')."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from biocache_store_spark.functions.points import (
+        point_ladder,
+        rounded_point,
+    )
+
+    vals = [k * 0.05 for k in range(-3620, 3621, 7)]  # coarse-rung ties
+    vals += [k * 0.00005 for k in range(-40000, 40001, 101)]  # 4dp ties
+    vals += [
+        0.0, -0.0, 0.125, -0.125, 2.675, -2.675, 179.99995, -179.99995,
+        float("nan"), float("inf"), float("-inf"),
+    ]
+    rows = [(v, v if math.isnan(v) else -v) for v in vals]
+    df = spark.createDataFrame(rows, "lat double, lon double")
+    out = df.select(
+        "lat",
+        "lon",
+        *[
+            rounded_point(F.col("lat"), F.col("lon"), d).alias(f"p{d}")
+            for d in range(5)
+        ],
+    ).collect()
+    for r in out:
+        expect = point_ladder(r["lat"], r["lon"])[:5]
+        got = [r[f"p{d}"] for d in range(5)]
+        assert got == expect, (r["lat"], r["lon"], got, expect)
+
+
+def test_lat_long_rounded_nonfinite_is_none():
+    """NaN/inf coordinates produce NO rung (reference NaN guard), not a
+    printf spelling like 'nan' — ADVICE r10."""
+    from biocache_store_spark.functions.points import lat_long_rounded
+
+    for bad in (float("nan"), float("inf"), float("-inf"), "nan", "inf", "-inf"):
+        assert lat_long_rounded(bad, 1) is None, bad
 
 
 def test_snapshot_diff_statuses(spark):

@@ -571,6 +571,173 @@ def frame_sample_plan(media_df: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def exif_coordinates(
+    lat_dms: tuple[float, float, float] | None,
+    lon_dms: tuple[float, float, float] | None,
+    lat_ref: str | None,
+    lon_ref: str | None,
+    corrected: bool = False,
+) -> tuple[float, float] | None:
+    """EXIF.extractCoordinates' DMS->decimal arithmetic, EXACTLY
+    (util/EXIF.scala:34-60): latitude takes abs() of each rational
+    component and negates on lat_ref == 'S'; longitude does NOT abs its
+    components, and — a genuine reference bug kept for parity — its sign
+    test reads the LATITUDE ref (`if(latitudeRef == "W")`,
+    EXIF.scala:57), which is only ever N/S, so western longitudes are
+    never actually negated. `corrected=True` uses lon_ref, the intended
+    behavior, for pipelines that want true coordinates."""
+    if lat_dms is None or lon_dms is None:
+        return None
+    la_deg, la_min, la_sec = (abs(float(v)) for v in lat_dms)
+    lat = (la_deg + ((la_min * 60 + la_sec) / 3600.0)) * (
+        -1.0 if lat_ref == "S" else 1.0
+    )
+    lo_deg, lo_min, lo_sec = (float(v) for v in lon_dms)
+    sign_ref = lon_ref if corrected else lat_ref
+    lon = (lo_deg + ((lo_min * 60 + lo_sec) / 3600.0)) * (
+        -1.0 if sign_ref == "W" else 1.0
+    )
+    return lat, lon
+
+
+def _fake_exif(content: bytes):
+    """Deterministic fake EXIF directory from the content digest —
+    byte-stable and SQL-reproducible (the oracle recomputes the sha256
+    nibble arithmetic in DuckDB), same stubbing contract as
+    _decode_bytes. Returns (lat_dms, lon_dms, lat_ref, lon_ref,
+    datetime_original) or None when the 'GPS directory' is absent
+    (digest byte 0 % 4 == 0 — the reference returns None there,
+    EXIF.scala:64-66)."""
+    b = hashlib.sha256(content or b"").digest()
+    if b[0] % 4 == 0:
+        return None
+    lat_ref = "S" if b[1] % 2 else "N"
+    lon_ref = "W" if b[2] % 2 else "E"
+    lat_dms = (float(b[3] % 90), float(b[4] % 60), float(b[5] % 60))
+    lon_dms = (float(b[6] % 180), float(b[7] % 60), float(b[8] % 60))
+    # DateTimeOriginal may be missing with the GPS directory present —
+    # the reference still returns Some((lat, lon, null))
+    ts = None
+    if b[9] % 5 != 0:
+        ts = "%04d-%02d-%02d %02d:%02d:%02d" % (
+            2000 + b[10] % 20, 1 + b[11] % 12, 1 + b[12] % 28,
+            b[13] % 24, b[14] % 60, b[15] % 60,
+        )
+    return lat_dms, lon_dms, lat_ref, lon_ref, ts
+
+
+def _pillow_exif(image_mod, content: bytes):
+    """Real EXIF read via Pillow: GPSInfo IFD (tag 34853) rationals +
+    refs, DateTimeOriginal (tag 36867) — the same directories
+    metadata-extractor reads in the reference. Returns the _fake_exif
+    tuple shape, or None when the GPS IFD is absent."""
+    import io
+
+    img = image_mod.open(io.BytesIO(content))
+    exif = img.getexif()
+    gps = exif.get_ifd(0x8825) if exif else None
+    if not gps:
+        return None
+    try:
+        lat_dms = tuple(float(v) for v in gps[2])
+        lon_dms = tuple(float(v) for v in gps[4])
+    except (KeyError, TypeError, ValueError):
+        return None
+    lat_ref = gps.get(1)
+    lon_ref = gps.get(3)
+    sub = exif.get_ifd(0x8769)
+    raw_ts = sub.get(0x9003) if sub else None  # DateTimeOriginal
+    ts = None
+    if raw_ts:
+        # EXIF spells it 'YYYY:MM:DD HH:MM:SS'; normalize the date colons
+        p = str(raw_ts).split(" ")
+        ts = p[0].replace(":", "-") + (" " + p[1] if len(p) > 1 else "")
+    return lat_dms, lon_dms, lat_ref, lon_ref, ts
+
+
+def exif_metadata(
+    media_df: DataFrame,
+    real_extract: bool = False,
+    corrected: bool = False,
+) -> DataFrame:
+    """GPS coordinate + timestamp extraction from image metadata
+    (util/EXIF.scala:34-60) as a media column op: adds `exif_latitude`,
+    `exif_longitude` (doubles, EXIF.scala's exact DMS arithmetic incl.
+    the latitudeRef longitude-sign bug — see exif_coordinates),
+    `exif_datetime` (string, 'YYYY-MM-DD HH:MM:SS') and `has_gps`; all
+    null when the GPS directory is absent. One mapInPandas pass over the
+    binary content column — embarrassingly parallel, no shuffle, same
+    plumbing as decode_media. Default is the deterministic digest-driven
+    fake (oracle-checked); `real_extract=True` uses Pillow's EXIF reader
+    when importable and raises NotImplementedError otherwise, mirroring
+    the decode gating."""
+    from biocache_store_spark.util import (
+        ensure_min_parallelism,
+        ensure_package_on_workers,
+    )
+
+    ensure_package_on_workers(media_df.sparkSession)
+    media_df = ensure_min_parallelism(media_df)
+    schema = T.StructType(
+        list(media_df.schema.fields)
+        + [
+            T.StructField("has_gps", T.BooleanType()),
+            T.StructField("exif_latitude", T.DoubleType()),
+            T.StructField("exif_longitude", T.DoubleType()),
+            T.StructField("exif_datetime", T.StringType()),
+        ]
+    )
+
+    def extract_one(content, media_type):
+        if real_extract:
+            if media_type != "image":
+                raise NotImplementedError(
+                    f"EXIF extraction from media_type={media_type!r} is "
+                    "not implemented (only images)"
+                )
+            image_mod = _pillow_or_none()
+            if image_mod is None:
+                raise NotImplementedError(
+                    "real EXIF extraction requires image libraries not "
+                    "present in this environment; only the deterministic "
+                    "fake extractor is available"
+                )
+            try:
+                d = _pillow_exif(image_mod, content or b"")
+            except Exception:
+                d = None  # undecodable bytes: log-and-skip, like decode
+        else:
+            d = _fake_exif(content or b"")
+        if d is None:
+            return False, None, None, None
+        lat_dms, lon_dms, lat_ref, lon_ref, ts = d
+        coords = exif_coordinates(
+            lat_dms, lon_dms, lat_ref, lon_ref, corrected=corrected
+        )
+        if coords is None:
+            return False, None, None, None
+        return True, coords[0], coords[1], ts
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            cols = [
+                extract_one(c, t)
+                for c, t in zip(pdf["content"], pdf["media_type"])
+            ]
+            out["has_gps"] = [c[0] for c in cols]
+            out["exif_latitude"] = pd.array(
+                [c[1] for c in cols], dtype="float64"
+            )
+            out["exif_longitude"] = pd.array(
+                [c[2] for c in cols], dtype="float64"
+            )
+            out["exif_datetime"] = [c[3] for c in cols]
+            yield out
+
+    return media_df.mapInPandas(run, schema=schema)
+
+
 def unpack_associated_media(col: F.Column) -> F.Column:
     """Split a DwC associatedMedia string into its media URL/path list.
 

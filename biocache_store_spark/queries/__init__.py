@@ -53,121 +53,27 @@ def register(
 
 
 # The external driver oracle-checks a 50-slot prefix of the registry per
-# round. Round-10 rotation (VERDICT r9 "Next round" #1): queries whose
-# code changed this round first (the vectorized dedup kernel, the
-# exact-mode substring anchoring, the chain pure-stage memo), then ALL
-# 30 r7-era entries — the last structural evidence debt; after this
-# round no registry entry's driver evidence is older than r8 — then
-# date_precision_reformat (named by task #2) and the 9 oldest r8-era
-# entries. From here the rotation is pure steady-state.
+# round. Round-11 rotation (VERDICT r10 "Next round" #3): queries whose
+# code changed this round first (the new EXIF op, the countmin top-20
+# plan fix, the unified point ladder feeding the index projection and
+# the dedup kernels, the pair-chunked + group-keyed vectorized dedup),
+# then ALL 36 remaining r8-era entries — after this round no registry
+# entry's driver evidence is older than r9 — then the 8 oldest r9-era
+# entries. Steady-state: each round re-checks changed queries plus the
+# oldest standing evidence.
 HEAD: tuple[str, ...] = (
-    # code changed in round 10 — must re-check first
-    "repeated_substring_spans",    # exact-mode anchoring + param guards
-    "substring_decontamination",   # same shared _anchor_windows front end
-    "dedup_occurrence_clusters",   # NumPy-vectorized streamed kernel
-    "dedup_incremental_merge",     # same kernel under the merge path
-    "duplicate_markup_writeback",  # consumes the kernel's output
-    "chain_hybrid",                # chain memo (process_records path)
-    "chain_vocab_fields",          # chain memo
-    "index_projection_facet",      # chain-fed index projection
-    "assertion_rollup",            # chain-fed assertion array
-    "corpus_curation",             # pipeline over the memoized chain
-    # ALL 30 r7-era refreshes (the oldest evidence in the registry)
-    "text_fingerprint",
-    "text_simhash",
-    "text_language_id",
-    "text_quality_score",
-    "license_canonicalize",
-    "salted_skew_join",
-    "doc_chunking",
-    "stratified_sample",
-    "span_dedup",
-    "sequence_packing",
-    "embedding_quantize",
-    "bpe_token_stats",
-    "coordinate_uncertainty_check",
-    "grouped_percentiles",
-    "habitat_biome_match",
-    "media_thumbnail_sizes",
-    "lang_mismatch_report",
-    "corpus_mixture_plan",
-    "dup_inflation_by_source",
-    "boilerplate_removal",
-    "semantic_dedup",
-    "bigram_lm_score",
-    "dedup_representative",
-    "embedding_pq_topk",
-    "kmeans_cells",
-    "facet_rollup",
-    "model_quality_gate",
-    "snapshot_diff_rollup",
-    "gopher_quality_flags",
-    "fuzzy_date_parse",
-    # event-stage twin named by VERDICT r9 task #2's done-criteria
-    "date_precision_reformat",
-    # the 9 oldest r8-era entries (steady-state rotation begins)
-    "dwca_event_core_roundtrip",
-    "outlier_store_merge",
-    "outlier_assertion_markup",
-    "domain_cap_filter",
-    "dwca_roundtrip",
-    "gridref_parse",
-    "jackknife_outlier_stats",
-    "maintenance_delete_upsert",
-    "event_sessionization",
-    # --- 50-slot prefix ends here ---
-)
-
-DEPRIORITIZED: tuple[str, ...] = (
-    # driver-green in CORRECTNESS_r09 (the r9 prefix) or r8 and untouched
-    # this round — they yield their prefix slots to the rotation above.
-    # r9-checked, unchanged in round 10:
-    "expert_outlier_store_merge",
-    "expert_outlier_markup",
-    "expert_outlier_flags",
-    "sample_layers_enrich",
-    "bm25_search",
-    "grouped_stats",
-    "event_facet_counts",
-    "event_json_extract",
-    "event_hourly_histogram",
-    "range_filter_facet",
-    "broadcast_enrich_revenue",
-    "collector_name_parse",
-    "coordinate_validation",
-    "countmin_heavy_hitters",
-    "datum_reprojection",
-    "embedding_ann_topk",
-    "embedding_cosine_near_dup",
-    "embedding_cosine_neighbors",
-    "embedding_ivf_topk",
-    "embedding_label_centroid_norms",
-    "event_rollup_combined",
-    "exact_dedup",
-    "fuzzy_name_pairs",
-    "near_dup_components",
-    "ngram_decontamination",
-    "simhash_near_duplicates",
-    "histogram_threshold_refined",
-    "endemism_density_layers",
-    "training_shard_plan",
-    "dsir_threshold_select",
-    "dsir_selection",
-    "ngram_jaccard_pairs",
-    "lsh_index_probe",
-    "sds_generalization",
-    "state_centroid_inference",
-    "stored_query_bbox",
-    "streaming_event_windows",
-    "text_redact_pii",
-    "text_repetition_stats",
-    "tfidf_top_terms",
-    "utm_inverse",
-    "verbatim_coord_parse",
-    # r8-checked, unchanged in round 10:
+    # code new or changed in round 11 — must (re-)check first
+    "exif_metadata",               # new operator + query (EXIF.scala)
+    "countmin_heavy_hitters",      # TakeOrdered top-20 plan fix
+    "rounding_ladder",             # unified ladder: -0 sign + NaN guard
+    "index_projection_facet",      # ladder feeds the projection
+    "dedup_occurrence_clusters",   # shared ladder scalar + pair-chunk +
+    "dedup_incremental_merge",     #   per-group claim maps in the
+    "duplicate_markup_writeback",  #   vectorized kernel
+    # ALL 36 remaining r8-era refreshes (oldest standing evidence) —
+    # rounding_ladder above is the 36th
     "media_decode_meta",
     "interval_containment_groups",
-    "rounding_ladder",
     "raw_processed_comparison",
     "attribution_lookup",
     "distance_parse",
@@ -201,6 +107,103 @@ DEPRIORITIZED: tuple[str, ...] = (
     "set_except",
     "anti_join_obsolete",
     "distinct_values",
+    # the 8 oldest r9-era entries (steady-state rotation continues)
+    "expert_outlier_store_merge",
+    "expert_outlier_markup",
+    "expert_outlier_flags",
+    "sample_layers_enrich",
+    "bm25_search",
+    "grouped_stats",
+    "event_facet_counts",
+    "event_json_extract",
+    # --- 50-slot prefix ends here ---
+)
+
+DEPRIORITIZED: tuple[str, ...] = (
+    # driver-green in CORRECTNESS_r10 (the r10 prefix) or r9 and
+    # untouched this round — they yield their prefix slots to the
+    # rotation above.
+    # r10-checked, unchanged in round 11:
+    "repeated_substring_spans",
+    "substring_decontamination",
+    "chain_hybrid",
+    "chain_vocab_fields",
+    "assertion_rollup",
+    "corpus_curation",
+    "text_fingerprint",
+    "text_simhash",
+    "text_language_id",
+    "text_quality_score",
+    "license_canonicalize",
+    "salted_skew_join",
+    "doc_chunking",
+    "stratified_sample",
+    "span_dedup",
+    "sequence_packing",
+    "embedding_quantize",
+    "bpe_token_stats",
+    "coordinate_uncertainty_check",
+    "grouped_percentiles",
+    "habitat_biome_match",
+    "media_thumbnail_sizes",
+    "lang_mismatch_report",
+    "corpus_mixture_plan",
+    "dup_inflation_by_source",
+    "boilerplate_removal",
+    "semantic_dedup",
+    "bigram_lm_score",
+    "dedup_representative",
+    "embedding_pq_topk",
+    "kmeans_cells",
+    "facet_rollup",
+    "model_quality_gate",
+    "snapshot_diff_rollup",
+    "gopher_quality_flags",
+    "fuzzy_date_parse",
+    "date_precision_reformat",
+    "dwca_event_core_roundtrip",
+    "outlier_store_merge",
+    "outlier_assertion_markup",
+    "domain_cap_filter",
+    "dwca_roundtrip",
+    "gridref_parse",
+    "jackknife_outlier_stats",
+    "maintenance_delete_upsert",
+    "event_sessionization",
+    # r9-checked, unchanged in rounds 10-11:
+    "event_hourly_histogram",
+    "range_filter_facet",
+    "broadcast_enrich_revenue",
+    "collector_name_parse",
+    "coordinate_validation",
+    "datum_reprojection",
+    "embedding_ann_topk",
+    "embedding_cosine_near_dup",
+    "embedding_cosine_neighbors",
+    "embedding_ivf_topk",
+    "embedding_label_centroid_norms",
+    "event_rollup_combined",
+    "exact_dedup",
+    "fuzzy_name_pairs",
+    "near_dup_components",
+    "ngram_decontamination",
+    "simhash_near_duplicates",
+    "histogram_threshold_refined",
+    "endemism_density_layers",
+    "training_shard_plan",
+    "dsir_threshold_select",
+    "dsir_selection",
+    "ngram_jaccard_pairs",
+    "lsh_index_probe",
+    "sds_generalization",
+    "state_centroid_inference",
+    "stored_query_bbox",
+    "streaming_event_windows",
+    "text_redact_pii",
+    "text_repetition_stats",
+    "tfidf_top_terms",
+    "utm_inverse",
+    "verbatim_coord_parse",
 )
 
 

@@ -2304,6 +2304,93 @@ def media_thumbnail_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "exif_metadata",
+    doc=(
+        "EXIF GPS coordinate + timestamp extraction "
+        "(operators/multimodal.py exif_metadata — util/EXIF.scala:34-60) "
+        "as an Arrow-batched media column op: documents' text bytes as "
+        "image content, the deterministic digest-driven fake EXIF "
+        "directory (byte 0 gates the GPS directory, reference returns "
+        "None without one), then the reference's EXACT DMS arithmetic — "
+        "abs() on latitude components, S-ref negation, and the "
+        "longitude-sign bug kept for parity (EXIF.scala:57 reads the "
+        "LATITUDE ref, which is never 'W', so longitude is never "
+        "negated). The oracle recomputes the sha256 byte extraction and "
+        "the arithmetic in SQL, so any drift in the formula or the "
+        "directory gating breaks the hash."
+    ),
+    oracle="""
+        WITH media AS (
+            SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+                   sha256(text) AS h
+            FROM documents
+        ),
+        b AS (
+            SELECT media_id,
+                   list_transform(range(1, 17),
+                       i -> (strpos('0123456789abcdef', h[2*i-1:2*i-1]) - 1) * 16
+                            + strpos('0123456789abcdef', h[2*i:2*i]) - 1) AS bt
+            FROM media
+        ),
+        gps AS (
+            SELECT media_id, bt,
+                   bt[1] % 4 <> 0 AS has_gps,
+                   CASE WHEN bt[2] % 2 = 1 THEN 'S' ELSE 'N' END AS lat_ref,
+                   CAST(bt[4] % 90 AS DOUBLE) AS la_deg,
+                   CAST(bt[5] % 60 AS DOUBLE) AS la_min,
+                   CAST(bt[6] % 60 AS DOUBLE) AS la_sec,
+                   CAST(bt[7] % 180 AS DOUBLE) AS lo_deg,
+                   CAST(bt[8] % 60 AS DOUBLE) AS lo_min,
+                   CAST(bt[9] % 60 AS DOUBLE) AS lo_sec
+            FROM b
+        )
+        SELECT media_id,
+               has_gps,
+               CASE WHEN has_gps THEN
+                   (la_deg + ((la_min * 60 + la_sec) / CAST(3600 AS DOUBLE)))
+                   * (CASE WHEN lat_ref = 'S' THEN CAST(-1 AS DOUBLE)
+                           ELSE CAST(1 AS DOUBLE) END)
+               END AS exif_latitude,
+               -- the reference's longitude sign reads the LATITUDE ref
+               -- (EXIF.scala:57), which is only ever N/S: always +1
+               CASE WHEN has_gps THEN
+                   lo_deg + ((lo_min * 60 + lo_sec) / CAST(3600 AS DOUBLE))
+               END AS exif_longitude,
+               CASE WHEN has_gps AND bt[10] % 5 <> 0 THEN
+                   strftime(make_timestamp(
+                       2000 + bt[11] % 20, 1 + bt[12] % 12, 1 + bt[13] % 28,
+                       bt[14] % 24, bt[15] % 60, CAST(bt[16] % 60 AS DOUBLE)),
+                       '%Y-%m-%d %H:%M:%S')
+               END AS exif_datetime
+        FROM gps
+    """,
+)
+def exif_metadata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.multimodal import exif_metadata
+
+    docs = read_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.concat(F.lit("r"), F.col("doc_id").cast("string")).alias("record_id"),
+        F.lit("image").alias("media_type"),
+        F.lit("image/jpeg").alias("mime_type"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.struct(
+            F.lit(None).cast("string").alias("url"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit(None).cast("string").alias("creator"),
+            F.lit(None).cast("string").alias("license"),
+        ).alias("metadata"),
+    )
+    return exif_metadata(media).select(
+        "media_id", "has_gps", "exif_latitude", "exif_longitude",
+        "exif_datetime",
+    )
+
+
+@register(
     "dwca_roundtrip",
     doc=(
         "Darwin Core Archive round trip under the external hash gate, "

@@ -226,6 +226,131 @@ def test_pillow_decode_features_with_fake_module():
     assert feats == _pillow_decode_features(FakeImageModule, b"whatever")
 
 
+def test_exif_coordinates_reference_semantics():
+    """util/EXIF.scala:34-60 arithmetic, case for case: latitude abs()es
+    each rational and negates on ref 'S'; longitude does NOT abs and —
+    the reference bug kept for parity — reads the LATITUDE ref for its
+    sign (EXIF.scala:57), so lon_ref 'W' never negates. corrected=True
+    is the intended behavior."""
+    from biocache_store_spark.operators.multimodal import exif_coordinates
+
+    # 35 deg 30 min 36 sec = 35 + (30*60 + 36)/3600 = 35.51
+    assert exif_coordinates((35, 30, 36), (144, 0, 0), "N", "E") == (35.51, 144.0)
+    assert exif_coordinates((35, 30, 36), (144, 0, 0), "S", "E") == (-35.51, 144.0)
+    # latitude components abs()ed (negative rationals in dirty EXIF)
+    assert exif_coordinates((-35, -30, -36), (144, 0, 0), "N", "E") == (35.51, 144.0)
+    # the bug: western longitude NOT negated (sign reads latitude ref)
+    assert exif_coordinates((35, 0, 0), (144, 30, 36), "N", "W") == (35.0, 144.51)
+    # ...a pathological latitude ref 'W' DOES negate longitude
+    assert exif_coordinates((35, 0, 0), (144, 0, 0), "W", "E") == (35.0, -144.0)
+    # corrected mode uses the longitude ref, the intended semantics
+    assert exif_coordinates(
+        (35, 0, 0), (144, 30, 36), "N", "W", corrected=True
+    ) == (35.0, -144.51)
+    # longitude components NOT abs()ed — the reference passes them raw
+    assert exif_coordinates((35, 0, 0), (-144, 0, 0), "N", "E") == (35.0, -144.0)
+    assert exif_coordinates(None, (144, 0, 0), "N", "E") is None
+    assert exif_coordinates((35, 0, 0), None, "N", "E") is None
+
+
+def test_exif_metadata_fake_deterministic(spark):
+    """The digest-driven fake EXIF pass: per-row outputs equal the
+    scalar pipeline recomputed driver-side, GPS-less rows (digest byte
+    0 % 4 == 0) carry has_gps=False and nulls, and the pass is
+    byte-stable across runs."""
+    from biocache_store_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _fake_exif,
+        exif_coordinates,
+        exif_metadata,
+    )
+
+    rows = [
+        (f"m{i}", "r1", "image", "image/jpeg", f"payload-{i}".encode(),
+         (None, None, None, None, None, None))
+        for i in range(40)
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in exif_metadata(media).collect()}
+    saw_gpsless = saw_tsless = False
+    for i in range(40):
+        r = got[f"m{i}"]
+        d = _fake_exif(f"payload-{i}".encode())
+        if d is None:
+            assert r["has_gps"] is False
+            assert r["exif_latitude"] is None
+            assert r["exif_longitude"] is None
+            assert r["exif_datetime"] is None
+            saw_gpsless = True
+        else:
+            lat, lon = exif_coordinates(d[0], d[1], d[2], d[3])
+            assert r["has_gps"] is True
+            assert r["exif_latitude"] == lat
+            assert r["exif_longitude"] == lon
+            assert r["exif_datetime"] == d[4]
+            assert lon >= 0.0  # the parity bug: never negated
+            if d[4] is None:
+                saw_tsless = True
+    assert saw_gpsless and saw_tsless  # the gates are non-vacuous at n=40
+    again = {r["media_id"]: r for r in exif_metadata(media).collect()}
+    assert all(str(again[k]) == str(got[k]) for k in got)
+
+
+def test_exif_metadata_real_gated(spark):
+    from biocache_store_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        exif_metadata,
+    )
+
+    media = spark.createDataFrame(_media_rows(), MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="NotImplementedError|real EXIF|not implemented"):
+        exif_metadata(media, real_extract=True).collect()
+
+
+def test_pillow_exif_with_fake_module():
+    """The Pillow-backed real EXIF path with a duck-typed fake module:
+    GPS IFD rationals + refs and DateTimeOriginal flow through the same
+    reference arithmetic; a missing GPS IFD returns None (the reference
+    returns None without a GpsDirectory, EXIF.scala:64-66)."""
+    from biocache_store_spark.operators.multimodal import (
+        _pillow_exif,
+        exif_coordinates,
+    )
+
+    class FakeExif(dict):
+        def __init__(self, gps, sub):
+            super().__init__({1: 1})
+            self._ifds = {0x8825: gps, 0x8769: sub}
+
+        def get_ifd(self, tag):
+            return self._ifds.get(tag, {})
+
+    class FakeImg:
+        def __init__(self, exif):
+            self._exif = exif
+
+        def getexif(self):
+            return self._exif
+
+    def module_for(exif):
+        class FakeImageModule:
+            @staticmethod
+            def open(buf):
+                return FakeImg(exif)
+
+        return FakeImageModule
+
+    gps = {1: "S", 2: (35, 30, 36), 3: "W", 4: (144, 0, 0)}
+    sub = {0x9003: "2015:06:07 08:09:10"}
+    d = _pillow_exif(module_for(FakeExif(gps, sub)), b"x")
+    assert d is not None
+    lat_dms, lon_dms, lat_ref, lon_ref, ts = d
+    assert ts == "2015-06-07 08:09:10"
+    assert exif_coordinates(lat_dms, lon_dms, lat_ref, lon_ref) == (-35.51, 144.0)
+    # no GPS IFD -> None, even with a DateTimeOriginal present
+    assert _pillow_exif(module_for(FakeExif({}, sub)), b"x") is None
+
+
 def test_minhash_shingle_cap(spark):
     """max_shingles bounds the per-document set payload in the verification
     join: an adversarial mega-doc carries at most the cap, small docs are

@@ -1,0 +1,183 @@
+"""ANN quality measurement: recall@10 vs brute-force cosine.
+
+The IVF/PQ paths are hash-exact (their *outputs* are pinned by oracle
+queries) but approximate-by-design vs the true neighbor set — the first
+question a real 100-TB similarity deployment asks is "what recall am I
+buying at which nprobe/codebook size". This tool measures it on
+synthetic clustered vectors:
+
+  * corpus: `n` unit vectors in `dim` dims drawn around `n_clusters`
+    Gaussian cluster centers (the realistic regime for embedding
+    corpora — IVF on uniform noise is uninformative);
+  * ground truth: exact cosine top-k per query, computed in NumPy on
+    the driver (it is the oracle, not the system under test);
+  * `ivf_topk` recall@k across an nprobe sweep, with kmeans_train
+    centroids (the engine's own deterministic trainer);
+  * `pq_topk` recall@k (asymmetric-distance re-rank over 8 subspaces,
+    codebook = the same trained centroids) — on unit vectors L2 and
+    cosine rank identically, so the cosine ground truth applies.
+
+Usage: python tools/bench_ann_recall.py [n] [n_queries]
+Defaults: 200_000 vectors (the 1M point in SCALE.md was run with
+n=1_000_000), 50 queries (PQ scores min(n_queries, 20) — one driver
+job per query). Prints per-config recall rows + one JSON line.
+Results are recorded in SCALE.md ("ANN recall" section).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def make_corpus(n: int, dim: int, n_clusters: int, noise: float, seed: int):
+    rng = np.random.RandomState(seed)
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.randint(0, n_clusters, size=n)
+    V = centers[assign] + noise * rng.standard_normal((n, dim))
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    return V.astype(np.float64)
+
+
+def ground_truth_topk(V: np.ndarray, q_ids: np.ndarray, k: int):
+    """Exact cosine top-k per query (self excluded), NumPy on the driver."""
+    gt = {}
+    for qid in q_ids:
+        sims = V @ V[qid]
+        sims[qid] = -np.inf
+        top = np.argpartition(-sims, k)[:k]
+        # tie-break identically to the engine: sim desc, then id asc
+        gt[int(qid)] = set(
+            int(i) for i in sorted(top, key=lambda i: (-sims[i], i))[:k]
+        )
+    return gt
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    dim, n_clusters, noise, k = 64, 256, 0.35, 10
+    kmeans_k, kmeans_iters = 256, 2
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from biocache_store_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_train,
+        pq_encode,
+        pq_topk,
+    )
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+    t0 = time.time()
+    V = make_corpus(n, dim, n_clusters, noise, seed=7)
+    q_ids = np.linspace(0, n - 1, n_queries, dtype=np.int64)
+    gt = ground_truth_topk(V, q_ids, k)
+    print(f"corpus {n}x{dim}, gt for {n_queries} queries: "
+          f"{time.time() - t0:.0f}s", flush=True)
+
+    # ship the corpus through parquet so Spark gets real partitions
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    tmp = tempfile.mkdtemp(prefix="ann_recall_")
+    path = os.path.join(tmp, "vectors.parquet")
+    table = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(V.ravel(), type=pa.float64()), dim
+            ).cast(pa.list_(pa.float64())),
+        }
+    )
+    pq_mod.write_table(table, path, row_group_size=50_000)
+    vectors = spark.read.parquet(path)
+    queries_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in V[i]]) for i in q_ids],
+        "query_id long, embedding array<double>",
+    )
+
+    t0 = time.time()
+    cells, centroids, _assigned = kmeans_train(
+        vectors, k=kmeans_k, iters=kmeans_iters
+    )
+    cent_df = spark.createDataFrame(
+        [(j, centroids[j]) for j in range(len(centroids))],
+        "cell_id long, centroid array<double>",
+    ).cache()
+    cent_df.count()
+    print(f"kmeans k={kmeans_k} iters={kmeans_iters} "
+          f"({len(centroids)} surviving cells): {time.time() - t0:.0f}s",
+          flush=True)
+
+    results: dict[str, float] = {}
+    for nprobe in (1, 2, 4, 8, 16):
+        t0 = time.time()
+        out = ivf_topk(
+            vectors, queries_df, cent_df, k=k, nprobe=nprobe
+        ).collect()
+        got: dict[int, set[int]] = {}
+        for r in out:
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        rec = float(
+            np.mean([len(got.get(q, set()) & gt[q]) / k for q in gt])
+        )
+        results[f"ivf_nprobe_{nprobe}"] = round(rec, 4)
+        print(f"ivf nprobe={nprobe:>2}: recall@{k} = {rec:.4f} "
+              f"({time.time() - t0:.0f}s)", flush=True)
+
+    # PQ: codebook = trained centroids (full-dim rows; per-subspace
+    # slices form the subspace codebooks, pq_encode's convention)
+    book_df = cent_df.select(
+        F.col("cell_id").alias("j"), F.col("centroid").alias("embedding")
+    )
+    encoded = pq_encode(vectors, book_df, n_subspaces=8).select(
+        "vec_id", "codes"
+    ).cache()
+    encoded.count()
+    pq_queries = [int(q) for q in q_ids[: min(n_queries, 20)]]
+    t0 = time.time()
+    hits = []
+    book_rows = [centroids[j] for j in range(len(centroids))]
+    for qid in pq_queries:
+        out = pq_topk(
+            encoded.filter(F.col("vec_id") != qid),
+            [float(x) for x in V[qid]],
+            book_rows,
+            k=k,
+            n_subspaces=8,
+        ).collect()
+        ids = {r["vec_id"] for r in out}
+        hits.append(len(ids & gt[qid]) / k)
+    results["pq_8x%d" % len(book_rows)] = round(float(np.mean(hits)), 4)
+    print(f"pq 8 subspaces x {len(book_rows)} codewords: recall@{k} = "
+          f"{np.mean(hits):.4f} over {len(pq_queries)} queries "
+          f"({time.time() - t0:.0f}s)", flush=True)
+
+    print(json.dumps({
+        "metric": "ann_recall_at_10", "n": n, "dim": dim,
+        "n_clusters": n_clusters, "noise": noise,
+        "n_queries": n_queries, "recall": results,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

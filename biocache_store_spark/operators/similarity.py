@@ -349,6 +349,7 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     embedding_col: str = "embedding",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe the query's `nprobe` nearest cells,
     exact-cosine re-rank within them.
@@ -357,10 +358,19 @@ def ivf_topk(
     controlled by nprobe instead of bit flips, and at 100 TB the assigned
     table is written partitioned by cell_id so a query batch prunes its
     scan to the probed cells. query_vectors: (query_id, embedding).
-    Returns (query_id, vec_id, cos_sim, rank)."""
+    Returns (query_id, vec_id, cos_sim, rank).
+
+    `assigned` (optional) short-circuits the per-call cell assignment
+    with a precomputed `vectors + cell_id` relation (ivf_assign /
+    ivf_assign_bulk output, bit-identical by contract) — the
+    index-built-once-queried-many production shape, and what the nprobe
+    recall sweep in tools/bench_ann_recall.py reuses across configs;
+    write_ivf_index/query_ivf_index is the persisted, partition-pruned
+    form of the same split."""
     from pyspark.sql.window import Window
 
-    assigned = ivf_assign(vectors, centroids, id_col, embedding_col)
+    if assigned is None:
+        assigned = ivf_assign(vectors, centroids, id_col, embedding_col)
     probes = _query_probes(query_vectors, centroids, nprobe, embedding_col)
     sim = cosine_similarity_arrow(F.col(embedding_col), F.col("__q_emb"))
     candidates = (

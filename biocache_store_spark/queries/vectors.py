@@ -547,6 +547,153 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(encoded, qvec, book, k=_IVF_K, n_subspaces=_PQ_SUBSPACES)
 
 
+_IVFPQ_CELLS = 4
+_IVFPQ_BOOK_LO = 4
+_IVFPQ_BOOK_HI = 20
+
+
+def _pq_resid_dist_sql(e: str, cent: str, cb: str, s: str) -> str:
+    """Squared-L2 between subspace `s` slices of a RESIDUAL (e − cent)
+    and a codeword, as the explicit left-associative chain
+    pq_encode_residual / ivfpq_topk use — engine-exact doubles."""
+    terms = []
+    for i in range(1, _PQ_DS + 1):
+        idx = f"{s}*{_PQ_DS}+{i}"
+        t = (
+            f"(({e}[{idx}]::DOUBLE - {cent}[{idx}]::DOUBLE)"
+            f" - {cb}[{idx}]::DOUBLE)"
+        )
+        terms.append(f"{t} * {t}")
+    return " + ".join(terms)
+
+
+@register(
+    "embedding_ivfpq_topk",
+    doc=(
+        "IVFADC top-k (operators/similarity.py pq_encode_residual/"
+        "ivfpq_topk — Jegou et al. §IV): vectors are assigned to IVF "
+        "cells (argmax cosine, first-4-vector centroids as the "
+        "deterministic stand-in) and product-quantized on the RESIDUAL "
+        "v - centroid[cell]; the query probes its nprobe=2 nearest "
+        "cells, builds one ADC table per cell from its per-cell "
+        "residual, and scores candidates via a cell-dispatched "
+        "when-chain of table lookups — pure JVM expressions, top-k as "
+        "TakeOrderedAndProject. Residual encoding is what keeps PQ "
+        "usable at density: standalone PQ ties all members of a tight "
+        "cell on identical codes (recall@10 0.105 at 1M, SCALE.md). "
+        "The oracle replays assignment, residual encoding, probing and "
+        "the ADC sums in SQL with the same left-associative chains."
+    ),
+    oracle=f"""
+        WITH cents AS (
+            SELECT vec_id AS cell_id, embedding AS centroid
+            FROM embeddings WHERE vec_id < {_IVFPQ_CELLS}
+        ),
+        book AS (
+            SELECT vec_id AS j, embedding AS cw
+            FROM embeddings
+            WHERE vec_id >= {_IVFPQ_BOOK_LO} AND vec_id < {_IVFPQ_BOOK_HI}
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, cell_id, centroid FROM (
+                SELECT e.vec_id, e.embedding, c.cell_id, c.centroid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(
+                               e.embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+                               c.cell_id ASC) AS rn
+                FROM embeddings e, cents c
+                WHERE e.vec_id <> {_QUERY_VEC_ID}
+            ) WHERE rn = 1
+        ),
+        sub AS (SELECT unnest(generate_series(0, {_PQ_SUBSPACES - 1})) AS s),
+        enc AS (
+            SELECT vec_id, cell_id, s, j FROM (
+                SELECT a.vec_id, a.cell_id, sub.s, b.j,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY a.vec_id, sub.s
+                           ORDER BY {_pq_resid_dist_sql('a.embedding', 'a.centroid', 'b.cw', 'sub.s')} ASC,
+                                    b.j ASC) AS rn
+                FROM assigned a CROSS JOIN sub CROSS JOIN book b
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT cell_id, centroid FROM (
+                SELECT c.cell_id, c.centroid,
+                       ROW_NUMBER() OVER (
+                           ORDER BY list_cosine_similarity(
+                               q.embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+                               c.cell_id ASC) AS rn
+                FROM (SELECT embedding FROM embeddings
+                      WHERE vec_id = {_QUERY_VEC_ID}) q, cents c
+            ) WHERE rn <= {_IVF_NPROBE}
+        ),
+        qt AS (
+            SELECT p.cell_id, sub.s, b.j,
+                   {_pq_resid_dist_sql('q.embedding', 'p.centroid', 'b.cw', 'sub.s')} AS t
+            FROM (SELECT embedding FROM embeddings
+                  WHERE vec_id = {_QUERY_VEC_ID}) q
+            CROSS JOIN probes p CROSS JOIN sub CROSS JOIN book b
+        ),
+        joined AS (
+            SELECT enc.vec_id, enc.s, qt.t
+            FROM enc JOIN qt
+              ON qt.cell_id = enc.cell_id AND qt.s = enc.s AND qt.j = enc.j
+        ),
+        piv AS (
+            SELECT vec_id,
+                   {", ".join(f"MAX(CASE WHEN s={s} THEN t END) AS t{s}" for s in range(_PQ_SUBSPACES))}
+            FROM joined GROUP BY vec_id
+        ),
+        scored AS (
+            SELECT vec_id, {" + ".join(f"t{s}" for s in range(_PQ_SUBSPACES))} AS approx
+            FROM piv
+        )
+        SELECT vec_id, ROUND(approx, 6) AS approx_dist,
+               CAST(rnk AS INTEGER) AS "rank"
+        FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY approx ASC, vec_id ASC) AS rnk
+              FROM scored)
+        WHERE rnk <= {_IVF_K}
+    """,
+)
+def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_encode_residual,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < _IVFPQ_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    book = emb.filter(
+        (F.col("vec_id") >= _IVFPQ_BOOK_LO) & (F.col("vec_id") < _IVFPQ_BOOK_HI)
+    ).select(F.col("vec_id").alias("j"), "embedding")
+    encoded = pq_encode_residual(
+        emb.filter(F.col("vec_id") != _QUERY_VEC_ID).select("vec_id", "embedding"),
+        cents,
+        book,
+        n_subspaces=_PQ_SUBSPACES,
+    )
+    # 1-row query vector + the two small dims — accepted driver-side
+    # materializations (cf. embedding_pq_topk)
+    qvec = (
+        emb.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select("embedding").collect()[0][0]
+    )
+    cent_rows = [
+        (r["cell_id"], r["centroid"])
+        for r in sorted(cents.collect(), key=lambda r: r["cell_id"])
+    ]
+    book_rows = [
+        r["embedding"] for r in sorted(book.collect(), key=lambda r: r["j"])
+    ]
+    return ivfpq_topk(
+        encoded, qvec, cent_rows, book_rows,
+        k=_IVF_K, nprobe=_IVF_NPROBE, n_subspaces=_PQ_SUBSPACES,
+    )
+
+
 _KM_K = 8
 _KM_SCALE = 1000000
 

@@ -238,6 +238,78 @@ def test_ann_recall_floor_ivf_and_pq(spark):
     assert float(np.mean(hits)) >= 0.2, hits
 
 
+def test_pq_encode_residual_parity_with_composed_path(spark):
+    """The fused IVFADC encoder (assign + residual + encode in one
+    Arrow pass) is bit-identical to the composed path — ivf_assign_bulk,
+    driver-side residual subtraction, pq_encode — on real embeddings,
+    and ivfpq_topk's rank-1 neighbor beats standalone pq_topk's ADC
+    distance degeneracy check: probed-cell candidates only."""
+    import numpy as np
+
+    from biocache_store_spark.operators.similarity import (
+        ivf_assign_bulk,
+        ivfpq_topk,
+        pq_encode,
+        pq_encode_residual,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    book = emb.filter((F.col("vec_id") >= 4) & (F.col("vec_id") < 20)).select(
+        F.col("vec_id").alias("j"), "embedding"
+    )
+    body = emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
+    fused = {r["vec_id"]: r for r in pq_encode_residual(body, cents, book).collect()}
+
+    assigned = ivf_assign_bulk(body, cents).collect()
+    cmap = {r["cell_id"]: np.asarray(r["centroid"]) for r in cents.collect()}
+    resid = spark.createDataFrame(
+        [
+            (r["vec_id"],
+             [float(x) for x in np.asarray(r["embedding"]) - cmap[r["cell_id"]]])
+            for r in assigned
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    composed_codes = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(resid, book, n_subspaces=8).collect()
+    }
+    composed_cells = {r["vec_id"]: r["cell_id"] for r in assigned}
+    for v, r in fused.items():
+        assert list(r["codes"]) == composed_codes[v], v
+        assert r["cell_id"] == composed_cells[v], v
+
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    cent_rows = [
+        (r["cell_id"], r["centroid"])
+        for r in sorted(cents.collect(), key=lambda r: r["cell_id"])
+    ]
+    book_rows = [
+        r["embedding"] for r in sorted(book.collect(), key=lambda r: r["j"])
+    ]
+    enc_df = pq_encode_residual(body, cents, book)
+    out = ivfpq_topk(enc_df, qvec, cent_rows, book_rows, k=10, nprobe=2)
+    rows = out.collect()
+    assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == list(
+        range(1, 11)
+    )
+    # candidates come only from the 2 probed cells
+    probed = set()
+    qa = np.asarray(qvec)
+    cs = {
+        c: float(qa @ np.asarray(v) / (np.linalg.norm(qa) * np.linalg.norm(v)))
+        for c, v in cent_rows
+    }
+    probed = {c for c in sorted(cs, key=lambda c: (-cs[c], c))[:2]}
+    cells_of = {v: r["cell_id"] for v, r in fused.items()}
+    assert all(cells_of[r["vec_id"]] in probed for r in rows)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_arrow_cosine_bit_identical_to_hof(spark):
     """The Arrow tier must reproduce the HOF tier bit-for-bit: identical
     per-dimension left-assoc accumulation order (functions/vectors.py),

@@ -197,6 +197,157 @@ def main() -> int:
           f"exact re-rank of the ADC top-{shortlist}, over "
           f"{len(pq_queries)} queries ({time.time() - t0:.0f}s)", flush=True)
 
+    # IVFADC: product-quantize the RESIDUAL v - centroid[cell] with a
+    # codebook trained on the residuals themselves (second kmeans pass),
+    # then probe + cell-dispatched ADC (ivfpq_topk). This is the 100-TB
+    # production shape — it breaks standalone PQ's same-code tie
+    # degeneracy at density.
+    from biocache_store_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_encode_residual,
+    )
+
+    t0 = time.time()
+    cell_of = {
+        r["vec_id"]: r["cell_id"]
+        for r in assigned.select("vec_id", "cell_id").collect()
+    }
+    C = np.asarray(centroids, dtype=np.float64)
+    cells_arr = np.asarray(
+        [cell_of[i] for i in range(n)], dtype=np.int64
+    )
+    cell_pos = {c: p for p, c in enumerate(cells)}
+    Rm = V - C[[cell_pos[c] for c in cells_arr]]
+    rpath = os.path.join(tmp, "residuals.parquet")
+    rtable = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(Rm.ravel(), type=pa.float64()), dim
+            ).cast(pa.list_(pa.float64())),
+        }
+    )
+    pq_mod.write_table(rtable, rpath, row_group_size=50_000)
+    _rc, rbook, _ra = kmeans_train(
+        spark.read.parquet(rpath), k=kmeans_k, iters=kmeans_iters
+    )
+    print(f"residual codebook kmeans: {time.time() - t0:.0f}s", flush=True)
+
+    t0 = time.time()
+    rbook_df = spark.createDataFrame(
+        [(j, rbook[j]) for j in range(len(rbook))],
+        "j long, embedding array<double>",
+    )
+    enc_r = pq_encode_residual(vectors, cent_df.select(
+        "cell_id", "centroid"
+    ), rbook_df, n_subspaces=8).select("vec_id", "cell_id", "codes").cache()
+    enc_r.count()
+    print(f"ivfadc encode: {time.time() - t0:.0f}s", flush=True)
+
+    cent_rows = [
+        (r["cell_id"], r["centroid"])
+        for r in sorted(cent_df.collect(), key=lambda r: r["cell_id"])
+    ]
+    t0 = time.time()
+    hits_adc = []
+    hits_adc_rr = []
+    for qid in pq_queries:
+        out = ivfpq_topk(
+            enc_r.filter(F.col("vec_id") != qid),
+            [float(x) for x in V[qid]],
+            cent_rows,
+            rbook,
+            k=shortlist,
+            nprobe=4,
+            n_subspaces=8,
+        ).collect()
+        ranked = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
+        hits_adc.append(len(set(ranked[:k]) & gt[qid]) / k)
+        cand = np.asarray(ranked, dtype=np.int64)
+        sims = V[cand] @ V[qid]
+        order = cand[np.lexsort((cand, -sims))][:k]
+        hits_adc_rr.append(len(set(int(i) for i in order) & gt[qid]) / k)
+    results["ivfadc_nprobe4_8x%d" % len(rbook)] = round(
+        float(np.mean(hits_adc)), 4
+    )
+    results["ivfadc_nprobe4_8x%d_rerank%d" % (len(rbook), shortlist)] = round(
+        float(np.mean(hits_adc_rr)), 4
+    )
+    print(f"ivfadc nprobe=4, 8 subspaces x {len(rbook)} residual codewords: "
+          f"recall@{k} = {np.mean(hits_adc):.4f} raw, "
+          f"{np.mean(hits_adc_rr):.4f} with exact re-rank of the ADC "
+          f"top-{shortlist}, over {len(pq_queries)} queries "
+          f"({time.time() - t0:.0f}s)", flush=True)
+
+    # per-subspace residual codebooks — the REAL product quantizer
+    # (Jegou et al. train each subspace independently; the shared
+    # full-dim codebook above correlates slices and wastes most of the
+    # 256^8 product space). Stitch subspace-s centroid j into codeword
+    # j's slice s, which is exactly pq convention's full-dim-row shape.
+    t0 = time.time()
+    ds = dim // 8
+    sub_books = []
+    for s in range(8):
+        spath = os.path.join(tmp, f"resid_s{s}.parquet")
+        stable = pa.table(
+            {
+                "vec_id": pa.array(np.arange(n), type=pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(
+                        Rm[:, s * ds:(s + 1) * ds].ravel(), type=pa.float64()
+                    ),
+                    ds,
+                ).cast(pa.list_(pa.float64())),
+            }
+        )
+        pq_mod.write_table(stable, spath, row_group_size=100_000)
+        _c, sb, _a = kmeans_train(
+            spark.read.parquet(spath), k=kmeans_k, iters=kmeans_iters
+        )
+        sub_books.append(sb)
+    Kp = min(len(b) for b in sub_books)
+    rbook_ps = [
+        [x for s in range(8) for x in sub_books[s][j]] for j in range(Kp)
+    ]
+    print(f"per-subspace residual codebooks (K={Kp}): "
+          f"{time.time() - t0:.0f}s", flush=True)
+
+    rbook_ps_df = spark.createDataFrame(
+        [(j, rbook_ps[j]) for j in range(Kp)],
+        "j long, embedding array<double>",
+    )
+    enc_ps = pq_encode_residual(vectors, cent_df.select(
+        "cell_id", "centroid"
+    ), rbook_ps_df, n_subspaces=8).select("vec_id", "cell_id", "codes").cache()
+    enc_ps.count()
+    t0 = time.time()
+    hits_ps = []
+    hits_ps_rr = []
+    for qid in pq_queries:
+        out = ivfpq_topk(
+            enc_ps.filter(F.col("vec_id") != qid),
+            [float(x) for x in V[qid]],
+            cent_rows,
+            rbook_ps,
+            k=shortlist,
+            nprobe=4,
+            n_subspaces=8,
+        ).collect()
+        ranked = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
+        hits_ps.append(len(set(ranked[:k]) & gt[qid]) / k)
+        cand = np.asarray(ranked, dtype=np.int64)
+        sims = V[cand] @ V[qid]
+        order = cand[np.lexsort((cand, -sims))][:k]
+        hits_ps_rr.append(len(set(int(i) for i in order) & gt[qid]) / k)
+    results["ivfadc_ps_nprobe4_8x%d" % Kp] = round(float(np.mean(hits_ps)), 4)
+    results["ivfadc_ps_nprobe4_8x%d_rerank%d" % (Kp, shortlist)] = round(
+        float(np.mean(hits_ps_rr)), 4
+    )
+    print(f"ivfadc per-subspace nprobe=4, 8 x {Kp} codewords: recall@{k} = "
+          f"{np.mean(hits_ps):.4f} raw, {np.mean(hits_ps_rr):.4f} with "
+          f"exact re-rank of the ADC top-{shortlist} "
+          f"({time.time() - t0:.0f}s)", flush=True)
+
     print(json.dumps({
         "metric": "ann_recall_at_10", "n": n, "dim": dim,
         "n_clusters": n_clusters, "noise": noise,

@@ -675,6 +675,12 @@ _NP_PAIR_GROUP_CAP = 2048
 #: pairs x 8 int64 arrays > 1 GB transient per task); groups whose pairs
 #: would push the batch past this budget also fall back to the live walk
 _NP_PAIR_BATCH_BUDGET = 8_000_000
+#: element budget for the collector codepoint matrices: caps BOTH the
+#: participant matrix (rows x W <= budget, else the per-pair Python
+#: prefix/_lev_gt3 fallback) and each transient pair-axis comparison
+#: chunk (chunk x W <= budget). Module-level so the chunk-invariance
+#: test can shrink it in-process; workers see the default.
+_NP_CMP_ELEM_BUDGET = 1 << 26
 
 
 def _emit_batch_np(pdf, keys, pair_group_cap: int | None = None):
@@ -816,7 +822,7 @@ def _emit_batch_np(pdf, keys, pair_group_cap: int | None = None):
             part = np.unique(np.concatenate([pi, pj]))
             plen = lens[part]
             W = int(plen.max()) if part.size else 0
-            budget_ok = W * part.size <= (1 << 26)
+            budget_ok = W * part.size <= _NP_CMP_ELEM_BUDGET
             if W and budget_ok:
                 remap = np.full(n, -1, dtype=np.int64)
                 remap[part] = np.arange(part.size)
@@ -840,7 +846,7 @@ def _emit_batch_np(pdf, keys, pair_group_cap: int | None = None):
                 prefix_eq = np.empty(ne.size, dtype=bool)
                 ham = np.empty(ne.size, dtype=np.int64)
                 colmask = np.arange(W)[None, :]
-                step = max(1, (1 << 26) // W)
+                step = max(1, _NP_CMP_ELEM_BUDGET // W)
                 for s0 in range(0, int(ne.size), step):
                     sl = slice(s0, s0 + step)
                     neq = CM[remap[pi[sl]]] != CM[remap[pj[sl]]]

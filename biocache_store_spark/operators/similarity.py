@@ -999,6 +999,70 @@ def query_ivf_index(
     )
 
 
+def write_ivfpq_index(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    path: str,
+    n_subspaces: int = 8,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the IVFADC index: residual-PQ codes (pq_encode_residual,
+    one fused Arrow pass) written PARTITIONED BY cell_id under `codes/`
+    — 8 small ints per vector instead of the embedding, the ~64x
+    compression that keeps a 100 TB corpus' index a ~1.5 TB store —
+    plus the centroid and codebook dims under `centroids/` /
+    `codebook/`. mode='append' adds a split's codes (encode with the
+    SAME centroid + codebook stores). The compressed twin of
+    write_ivf_index: queries prune to probed cell directories AND never
+    read the raw embeddings."""
+    encoded = pq_encode_residual(
+        vectors.select(id_col, embedding_col), centroids, codebook,
+        n_subspaces=n_subspaces, id_col=id_col, embedding_col=embedding_col,
+    ).select(id_col, "cell_id", "codes")
+    encoded.write.mode(mode).partitionBy("cell_id").parquet(path + "/codes")
+    if mode == "overwrite":
+        centroids.write.mode(mode).parquet(path + "/centroids")
+        codebook.write.mode(mode).parquet(path + "/codebook")
+
+
+def query_ivfpq_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    n_subspaces: int = 8,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k against the persisted IVFADC index: the centroid and
+    codebook dims are read once (small by contract), the query's probed
+    cells land in the scan as a cell_id IN (...) filter — directory
+    pruning, test-asserted — and scoring reads ONLY the int codes.
+    Returns (id, approx_dist, rank), identical to ivfpq_topk over the
+    same encoded relation (equivalence-tested). A deployment re-ranks
+    the returned shortlist by exact similarity against the probed
+    cells' raw vectors (SCALE.md 'ANN recall': re-rank lifted 1M
+    recall@10 0.28 -> 0.735 at per-subspace codebooks)."""
+    centroids = spark.read.parquet(path + "/centroids")
+    codebook = spark.read.parquet(path + "/codebook")
+    cent_rows = [
+        (r["cell_id"], r["centroid"])
+        for r in sorted(centroids.collect(), key=lambda r: r["cell_id"])
+    ]
+    book_rows = [
+        r["embedding"]
+        for r in sorted(codebook.collect(), key=lambda r: r["j"])
+    ]
+    encoded = spark.read.parquet(path + "/codes").dropDuplicates([id_col])
+    return ivfpq_topk(
+        encoded, query_vec, cent_rows, book_rows,
+        k=k, nprobe=nprobe, n_subspaces=n_subspaces, id_col=id_col,
+    )
+
+
 def centroids_df(
     spark, cells: list, book: list[list[float]], id_type=None
 ) -> DataFrame:

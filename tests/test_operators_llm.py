@@ -1181,6 +1181,60 @@ def test_ivf_index_append_split(spark, tmp_path):
     assert n == emb.count()
 
 
+def test_ivfpq_index_persist_prunes_and_matches(spark, tmp_path):
+    """query_ivfpq_index == ivfpq_topk over the same encoded relation,
+    the codes store reads ONLY the probed cells' partition directories,
+    and mode='append' adds a split encoded with the same dims."""
+    from biocache_store_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_encode_residual,
+        query_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    book = emb.filter((F.col("vec_id") >= 4) & (F.col("vec_id") < 20)).select(
+        F.col("vec_id").alias("j"), "embedding"
+    )
+    body = emb.filter(F.col("vec_id") != 0)
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(body, cents, book, path)
+
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    stored = query_ivfpq_index(spark, path, qvec, k=5, nprobe=2)
+    cent_rows = [
+        (r["cell_id"], r["centroid"])
+        for r in sorted(cents.collect(), key=lambda r: r["cell_id"])
+    ]
+    book_rows = [
+        r["embedding"] for r in sorted(book.collect(), key=lambda r: r["j"])
+    ]
+    direct = ivfpq_topk(
+        pq_encode_residual(body.select("vec_id", "embedding"), cents, book),
+        qvec, cent_rows, book_rows, k=5, nprobe=2,
+    )
+    a = {(r["vec_id"], r["approx_dist"], r["rank"]) for r in stored.collect()}
+    b = {(r["vec_id"], r["approx_dist"], r["rank"]) for r in direct.collect()}
+    assert a == b and a
+
+    # directory pruning on the codes store
+    probed = spark.read.parquet(path + "/codes").filter(
+        F.col("cell_id").isin([0, 1])
+    )
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    pf = plan[plan.index("PartitionFilters"):].splitlines()[0]
+    assert "cell_id" in pf
+    assert probed.count() < spark.read.parquet(path + "/codes").count()
+
+    # append a split encoded with the same dims; queries see both
+    extra = emb.filter(F.col("vec_id") == 0)  # re-add the held-out row
+    write_ivfpq_index(extra, cents, book, path, mode="append")
+    assert spark.read.parquet(path + "/codes").count() == emb.count()
+
+
 def test_component_representatives_string_ids(spark):
     """String ids must work (no numeric negation) with the same
     lowest-id-on-ties rule."""

@@ -501,6 +501,63 @@ def test_streamed_np_no_cross_group_edge_leak(spark):
     assert ("othD", "D1") in t2  # the group WAS walked
 
 
+def test_np_pair_chunking_invariant(monkeypatch):
+    """The pair-axis chunking added for the r10 ADVICE memory gate must
+    be result-invariant to the chunk size: _emit_batch_np (called
+    in-process — it is a pure pandas function) produces row-identical
+    output under the default budget, a budget so small every chunk is
+    ONE pair, and a budget below the participant gate (which flips the
+    whole comparison to the per-pair Python fallback path)."""
+    import pandas as pd
+
+    from biocache_store_spark.operators import dedup as d
+
+    rows = []
+    collectors = [
+        "Smith, John Albert", "Smith; John Albert", "Smyth, John Albert",
+        "Jones, K.", "SMITH JOHN ALBERT", "Smith J A", "Smithson, J.",
+    ]
+    for i in range(24):
+        rows.append({
+            "g_taxon": "lsid:1", "g_year": "2000", "g_month": "01",
+            "g_day": "05", "row_key": f"o{i:02d}", "druid": "dr1",
+            "lat": "-35.2", "lon": "144.8",
+            "collector": collectors[i % len(collectors)],
+            "record_number": None, "catalogue_number": None,
+        })
+    # a second group so group offsets are exercised too
+    for i in range(8):
+        rows.append({
+            "g_taxon": "lsid:2", "g_year": "2000", "g_month": "01",
+            "g_day": "05", "row_key": f"p{i:02d}", "druid": "dr1",
+            "lat": "-20.0", "lon": "140.0",
+            "collector": collectors[(i * 3) % len(collectors)],
+            "record_number": "RN1" if i % 2 else None,
+            "catalogue_number": None,
+        })
+    pdf = pd.DataFrame(rows)
+    keys = ["g_taxon", "g_year", "g_month", "g_day"]
+
+    def run():
+        out = d._emit_batch_np(pdf, keys)
+        return sorted(
+            out.assign(dup_types=out["dup_types"].map(tuple))
+            .itertuples(index=False, name=None)
+        )
+
+    base = run()
+    assert any(r for r in base if r[5] in ("R", "D1", "D2"))  # non-vacuous
+    # multi-chunk: W=15 (longest cleaned collector), ~32 participants
+    # -> W*part ~ 480 passes the gate at budget 600, while ~300 pairs
+    # give step = 600//15 = 40 -> ~8 pair chunks
+    monkeypatch.setattr(d, "_NP_CMP_ELEM_BUDGET", 600)
+    assert run() == base
+    # below the participant gate: W * part.size > budget -> the whole
+    # codepoint-matrix path yields to the per-pair prefix/_lev_gt3 walk
+    monkeypatch.setattr(d, "_NP_CMP_ELEM_BUDGET", 1)
+    assert run() == base
+
+
 def test_streamed_np_giant_group_cap_parity(spark):
     """Groups past _NP_PAIR_GROUP_CAP skip the O(m^2) pair
     materialization and walk the live matcher — output identical to the

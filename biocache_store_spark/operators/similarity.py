@@ -222,6 +222,46 @@ def ivf_assign(
     )
 
 
+def _argmax_cosine_positions(A, matrix):
+    """Per-row argmax-cosine cell POSITION for a stacked float64 batch
+    `A` (n x d) against the centroid matrix `matrix` (k x d list) — the
+    ONE assignment kernel behind ivf_assign_bulk and pq_encode_residual
+    (shared so the tie/accumulation semantics can never drift, the
+    point-ladder lesson). Dots/norms accumulate dimension-by-dimension
+    left-to-right exactly like functions/vectors.py
+    `_accumulate_sequential`; the strictly-greater update keeps the
+    LOWEST position on ties (the join form's cs DESC, cell_id ASC
+    order)."""
+    import numpy as np
+
+    M = np.asarray(matrix, dtype=np.float64)  # k x d
+    k, d = M.shape
+    nb = []
+    for j in range(k):
+        acc = M[j, 0] * M[j, 0]
+        for i in range(1, d):
+            acc = acc + M[j, i] * M[j, i]
+        nb.append(acc)
+    na = A[:, 0] * A[:, 0]
+    for i in range(1, d):
+        na = na + A[:, i] * A[:, i]
+    sqrt_na = np.sqrt(na)
+    best_cs = None
+    best = np.zeros(len(A), dtype=np.int64)
+    for j in range(k):
+        dot = A[:, 0] * M[j, 0]
+        for i in range(1, d):
+            dot = dot + A[:, i] * M[j, i]
+        cs = dot / (sqrt_na * np.sqrt(nb[j]))
+        if best_cs is None:
+            best_cs = cs
+        else:
+            upd = cs > best_cs  # strict: ties keep lowest cell_id
+            best_cs = np.where(upd, cs, best_cs)
+            best = np.where(upd, j, best)
+    return best
+
+
 def ivf_assign_bulk(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -268,16 +308,6 @@ def ivf_assign_bulk(
     def run(batches):
         import numpy as np
 
-        M = np.asarray(matrix, dtype=np.float64)  # k x d
-        k, d = M.shape
-        # per-centroid |m|^2, accumulated left-to-right in scalar doubles —
-        # the same IEEE op sequence the arrow tier applies per row
-        nb = []
-        for j in range(k):
-            acc = M[j, 0] * M[j, 0]
-            for i in range(1, d):
-                acc = acc + M[j, i] * M[j, i]
-            nb.append(acc)
         for pdf in batches:
             out = pdf[in_cols].copy()
             emb = pdf[embedding_col]
@@ -285,24 +315,7 @@ def ivf_assign_bulk(
             best_idx = np.zeros(len(pdf), dtype=np.int64)
             if mask.any():
                 A = np.stack(emb[mask].to_numpy()).astype(np.float64)
-                na = A[:, 0] * A[:, 0]
-                for i in range(1, d):
-                    na = na + A[:, i] * A[:, i]
-                sqrt_na = np.sqrt(na)
-                best_cs = None
-                best = np.zeros(len(A), dtype=np.int64)
-                for j in range(k):
-                    dot = A[:, 0] * M[j, 0]
-                    for i in range(1, d):
-                        dot = dot + A[:, i] * M[j, i]
-                    cs = dot / (sqrt_na * np.sqrt(nb[j]))
-                    if best_cs is None:
-                        best_cs = cs
-                    else:
-                        upd = cs > best_cs  # strict: ties keep lowest cell_id
-                        best_cs = np.where(upd, cs, best_cs)
-                        best = np.where(upd, j, best)
-                best_idx[mask] = best
+                best_idx[mask] = _argmax_cosine_positions(A, matrix)
             out["cell_id"] = pd.Series(
                 [cell_ids[j] for j in best_idx], index=pdf.index
             )
@@ -755,14 +768,7 @@ def pq_encode_residual(
 
         M = np.asarray(cmat, dtype=np.float64)  # ncell x dim
         B = np.asarray(book, dtype=np.float64)  # K x dim
-        ncell, d = M.shape
         K = B.shape[0]
-        nb = []
-        for j in range(ncell):
-            acc = M[j, 0] * M[j, 0]
-            for i in range(1, d):
-                acc = acc + M[j, i] * M[j, i]
-            nb.append(acc)
         for pdf in batches:
             out = pdf[in_cols].copy()
             emb = pdf[embedding_col]
@@ -772,23 +778,7 @@ def pq_encode_residual(
             if mask.any():
                 A = np.stack(emb[mask].to_numpy()).astype(np.float64)
                 n = len(A)
-                na = A[:, 0] * A[:, 0]
-                for i in range(1, d):
-                    na = na + A[:, i] * A[:, i]
-                sqrt_na = np.sqrt(na)
-                best_cs = None
-                best = np.zeros(n, dtype=np.int64)
-                for j in range(ncell):
-                    dot = A[:, 0] * M[j, 0]
-                    for i in range(1, d):
-                        dot = dot + A[:, i] * M[j, i]
-                    cs = dot / (sqrt_na * np.sqrt(nb[j]))
-                    if best_cs is None:
-                        best_cs = cs
-                    else:
-                        upd = cs > best_cs  # strict: ties keep lowest cell_id
-                        best_cs = np.where(upd, cs, best_cs)
-                        best = np.where(upd, j, best)
+                best = _argmax_cosine_positions(A, cmat)
                 best_idx[mask] = best
                 R = A - M[best]  # the residuals PQ actually encodes
                 codes = np.zeros((n, n_subspaces), dtype=np.int32)
@@ -820,6 +810,38 @@ def pq_encode_residual(
     return vectors.mapInPandas(run, out_schema)
 
 
+def _ivfpq_probe_cells(q, centroid_rows, nprobe):
+    """The query's nprobe nearest cells by exact cosine — driver-side
+    (the centroid table is a dimension), left-to-right accumulation,
+    ties to the lowest cell_id. Shared by ivfpq_topk and
+    query_ivfpq_index so the persisted path can pre-filter the codes
+    SCAN with the probed set (partition pruning) before any
+    shuffle-bearing operator. Returns [(cos, cell_id, centroid)]."""
+    import math
+
+    if nprobe < 1:
+        raise ValueError("ivfpq probe: nprobe must be >= 1")
+    if not centroid_rows:
+        raise ValueError("ivfpq probe: empty centroid table")
+    dim = len(q)
+
+    def dot_l2r(a, b):
+        acc = a[0] * b[0]
+        for i in range(1, len(a)):
+            acc = acc + a[i] * b[i]
+        return acc
+
+    nq = math.sqrt(dot_l2r(q, q))
+    scored_cells = []
+    for cell_id, cent in centroid_rows:
+        c = [float(x) for x in cent]
+        if len(c) != dim:
+            raise ValueError("ivfpq probe: centroid dim differs from query dim")
+        cs = dot_l2r(q, c) / (nq * math.sqrt(dot_l2r(c, c)))
+        scored_cells.append((cs, cell_id, c))
+    return sorted(scored_cells, key=lambda t: (-t[0], t[1]))[:nprobe]
+
+
 def ivfpq_topk(
     encoded: DataFrame,
     query_vec: list[float],
@@ -846,8 +868,6 @@ def ivfpq_topk(
     pq_encode_residual collected (codes are positions in that order).
     All per-subspace sums accumulate left-to-right (engine-exact).
     Returns (id, approx_dist rounded 6dp, rank)."""
-    import math
-
     from pyspark.sql.window import Window
 
     q = [float(x) for x in query_vec]
@@ -858,22 +878,7 @@ def ivfpq_topk(
     if any(len(cw) != dim for cw in book):
         raise ValueError("ivfpq_topk: codebook dim differs from query dim")
     ds = dim // n_subspaces
-
-    def dot_l2r(a, b):
-        acc = a[0] * b[0]
-        for i in range(1, len(a)):
-            acc = acc + a[i] * b[i]
-        return acc
-
-    nq = math.sqrt(dot_l2r(q, q))
-    scored_cells = []
-    for cell_id, cent in centroid_rows:
-        c = [float(x) for x in cent]
-        if len(c) != dim:
-            raise ValueError("ivfpq_topk: centroid dim differs from query dim")
-        cs = dot_l2r(q, c) / (nq * math.sqrt(dot_l2r(c, c)))
-        scored_cells.append((cs, cell_id, c))
-    probed = sorted(scored_cells, key=lambda t: (-t[0], t[1]))[:nprobe]
+    probed = _ivfpq_probe_cells(q, centroid_rows, nprobe)
 
     approx = None
     for _cs, cell_id, cent in probed:
@@ -1056,7 +1061,19 @@ def query_ivfpq_index(
         r["embedding"]
         for r in sorted(codebook.collect(), key=lambda r: r["j"])
     ]
-    encoded = spark.read.parquet(path + "/codes").dropDuplicates([id_col])
+    # probe FIRST and filter the scan before the defensive
+    # dropDuplicates: an aggregate above the filter would block the
+    # cell_id IN (...) predicate from reaching PartitionFilters and the
+    # whole codes store would be read + shuffled (the pruning is
+    # test-asserted on this function's actual plan)
+    probed = _ivfpq_probe_cells(
+        [float(x) for x in query_vec], cent_rows, nprobe
+    )
+    encoded = (
+        spark.read.parquet(path + "/codes")
+        .filter(F.col("cell_id").isin([c for _s, c, _v in probed]))
+        .dropDuplicates([id_col])
+    )
     return ivfpq_topk(
         encoded, query_vec, cent_rows, book_rows,
         k=k, nprobe=nprobe, n_subspaces=n_subspaces, id_col=id_col,

@@ -58,7 +58,7 @@ def register(
 # plan fix, the unified point ladder feeding the index projection and
 # the dedup kernels, the pair-chunked + group-keyed vectorized dedup),
 # then ALL 36 remaining r8-era entries — after this round no registry
-# entry's driver evidence is older than r9 — then the 8 oldest r9-era
+# entry's driver evidence is older than r9 — then the 7 oldest r9-era
 # entries. Steady-state: each round re-checks changed queries plus the
 # oldest standing evidence.
 HEAD: tuple[str, ...] = (
@@ -108,7 +108,7 @@ HEAD: tuple[str, ...] = (
     "set_except",
     "anti_join_obsolete",
     "distinct_values",
-    # the 8 oldest r9-era entries (steady-state rotation continues)
+    # the 7 oldest r9-era entries (steady-state rotation continues)
     "expert_outlier_store_merge",
     "expert_outlier_markup",
     "expert_outlier_flags",

@@ -1220,14 +1220,13 @@ def test_ivfpq_index_persist_prunes_and_matches(spark, tmp_path):
     b = {(r["vec_id"], r["approx_dist"], r["rank"]) for r in direct.collect()}
     assert a == b and a
 
-    # directory pruning on the codes store
-    probed = spark.read.parquet(path + "/codes").filter(
-        F.col("cell_id").isin([0, 1])
-    )
-    plan = probed._jdf.queryExecution().executedPlan().toString()
+    # directory pruning on the ACTUAL query plan: the probed-cell
+    # filter must land in PartitionFilters below the defensive
+    # dropDuplicates (an aggregate above the filter would block the
+    # pushdown and scan every cell directory)
+    plan = stored._jdf.queryExecution().executedPlan().toString()
     pf = plan[plan.index("PartitionFilters"):].splitlines()[0]
-    assert "cell_id" in pf
-    assert probed.count() < spark.read.parquet(path + "/codes").count()
+    assert "cell_id" in pf, pf
 
     # append a split encoded with the same dims; queries see both
     extra = emb.filter(F.col("vec_id") == 0)  # re-add the held-out row

@@ -213,11 +213,14 @@ def main() -> int:
         for r in assigned.select("vec_id", "cell_id").collect()
     }
     C = np.asarray(centroids, dtype=np.float64)
+    # cent_df's cell_id IS the position into `centroids` (built with
+    # enumerate above), so assigned ids index C directly — mapping
+    # through kmeans seed ids would mis-subtract whenever a seed cell
+    # was dropped
     cells_arr = np.asarray(
         [cell_of[i] for i in range(n)], dtype=np.int64
     )
-    cell_pos = {c: p for p, c in enumerate(cells)}
-    Rm = V - C[[cell_pos[c] for c in cells_arr]]
+    Rm = V - C[cells_arr]
     rpath = os.path.join(tmp, "residuals.parquet")
     rtable = pa.table(
         {

@@ -183,7 +183,15 @@ def main() -> None:
     variants = None  # None = all four
     if "--variants" in args:
         i = args.index("--variants")
+        if i + 1 >= len(args):
+            raise SystemExit("--variants needs a comma-separated list, "
+                             "e.g. --variants full,hybrid")
         variants = set(args[i + 1].split(","))
+        known = {"full", "full_nomemo", "hybrid", "hybrid_loc"}
+        unknown = variants - known
+        if unknown:
+            raise SystemExit(f"unknown variants {sorted(unknown)}; "
+                             f"choose from {sorted(known)}")
         del args[i:i + 2]
     if len(args) > 1 and args[0] == "--rows":
         n_rows = int(float(args[1]))

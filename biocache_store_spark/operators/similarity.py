@@ -1004,6 +1004,64 @@ def query_ivf_index(
     )
 
 
+def train_pq_codebook(
+    vectors: DataFrame,
+    n_subspaces: int = 8,
+    k: int = 256,
+    iters: int = 1,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> list[list[float]]:
+    """The REAL product quantizer's training pass (Jegou et al. §II):
+    one independent k-means per subspace SLICE, stitched back into
+    full-dimension codebook rows (codeword j's subspace-s slice =
+    subspace-s centroid j — exactly the row shape pq_encode /
+    pq_encode_residual consume). A single full-dimension k-means
+    correlates the slices and wastes most of the k^m product space:
+    measured at 1M residual vectors, per-subspace training lifted
+    IVFADC re-rank recall@10 from 0.57 to 0.735 at identical
+    compression (SCALE.md 'ANN recall').
+
+    Train it on RESIDUALS (v − centroid[cell]) for IVFADC, on raw
+    vectors for plain PQ. Each subspace trains with the engine's
+    deterministic fixed-point kmeans_train (integer-sum updates, no
+    RNG), so the codebook is reproducible under any partitioning.
+    Per subspace: one F.slice projection (JVM-side) + the kmeans
+    passes; m * (iters + 1) map passes total, only k x dim stats ever
+    reach the driver. If subspaces drop empty cells unevenly the
+    codebook is truncated to the smallest surviving count (production
+    reseeds; truncation keeps the trace deterministic)."""
+    if dim is None:
+        first = vectors.select(embedding_col).filter(
+            F.col(embedding_col).isNotNull()
+        ).first()
+        if first is None:
+            raise ValueError("train_pq_codebook: no non-null embeddings")
+        dim = len(first[0])
+    if dim % n_subspaces:
+        raise ValueError(
+            f"train_pq_codebook: dim {dim} not divisible by {n_subspaces}"
+        )
+    ds = dim // n_subspaces
+    sub_books: list[list[list[float]]] = []
+    for s in range(n_subspaces):
+        sliced = vectors.select(
+            F.col(id_col),
+            F.slice(F.col(embedding_col), s * ds + 1, ds).alias(embedding_col),
+        )
+        _cells, book, _assigned = kmeans_train(
+            sliced, k=k, iters=iters, id_col=id_col,
+            embedding_col=embedding_col,
+        )
+        sub_books.append(book)
+    k_min = min(len(b) for b in sub_books)
+    return [
+        [x for s in range(n_subspaces) for x in sub_books[s][j]]
+        for j in range(k_min)
+    ]
+
+
 def write_ivfpq_index(
     vectors: DataFrame,
     centroids: DataFrame,

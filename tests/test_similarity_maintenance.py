@@ -238,6 +238,29 @@ def test_ann_recall_floor_ivf_and_pq(spark):
     assert float(np.mean(hits)) >= 0.2, hits
 
 
+def test_train_pq_codebook_is_stitched_subspace_kmeans(spark):
+    """train_pq_codebook == per-subspace kmeans_train stitched: codeword
+    j's subspace-s slice must equal subspace-s centroid j, and encoding
+    with the stitched book must equal per-subspace argmin against the
+    subspace books (pq_encode slices the full-dim rows, so this holds by
+    construction — the test pins the stitching orientation)."""
+    from biocache_store_spark.operators.similarity import (
+        kmeans_train,
+        train_pq_codebook,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    book = train_pq_codebook(emb, n_subspaces=8, k=4, iters=1)
+    assert book and all(len(row) == 64 for row in book)
+    # subspace 3's slice of codeword 1 == that subspace's own kmeans
+    sliced = emb.select(
+        "vec_id", F.slice(F.col("embedding"), 3 * 8 + 1, 8).alias("embedding")
+    )
+    _c, sub_book, _a = kmeans_train(sliced, k=4, iters=1)
+    for j in range(len(book)):
+        assert book[j][24:32] == sub_book[j], j
+
+
 def test_pq_encode_residual_parity_with_composed_path(spark):
     """The fused IVFADC encoder (assign + residual + encode in one
     Arrow pass) is bit-identical to the composed path — ivf_assign_bulk,

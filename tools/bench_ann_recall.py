@@ -288,30 +288,13 @@ def main() -> int:
     # 256^8 product space). Stitch subspace-s centroid j into codeword
     # j's slice s, which is exactly pq convention's full-dim-row shape.
     t0 = time.time()
-    ds = dim // 8
-    sub_books = []
-    for s in range(8):
-        spath = os.path.join(tmp, f"resid_s{s}.parquet")
-        stable = pa.table(
-            {
-                "vec_id": pa.array(np.arange(n), type=pa.int64()),
-                "embedding": pa.FixedSizeListArray.from_arrays(
-                    pa.array(
-                        Rm[:, s * ds:(s + 1) * ds].ravel(), type=pa.float64()
-                    ),
-                    ds,
-                ).cast(pa.list_(pa.float64())),
-            }
-        )
-        pq_mod.write_table(stable, spath, row_group_size=100_000)
-        _c, sb, _a = kmeans_train(
-            spark.read.parquet(spath), k=kmeans_k, iters=kmeans_iters
-        )
-        sub_books.append(sb)
-    Kp = min(len(b) for b in sub_books)
-    rbook_ps = [
-        [x for s in range(8) for x in sub_books[s][j]] for j in range(Kp)
-    ]
+    from biocache_store_spark.operators.similarity import train_pq_codebook
+
+    rbook_ps = train_pq_codebook(
+        spark.read.parquet(rpath), n_subspaces=8, k=kmeans_k,
+        iters=kmeans_iters, dim=dim,
+    )
+    Kp = len(rbook_ps)
     print(f"per-subspace residual codebooks (K={Kp}): "
           f"{time.time() - t0:.0f}s", flush=True)
 

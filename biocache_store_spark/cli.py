@@ -1521,6 +1521,89 @@ def cmd_ivf_index(args) -> int:
     return 0
 
 
+def cmd_ivfpq_index(args) -> int:
+    """Build or append the persisted IVFADC index
+    (operators/similarity.py write_ivfpq_index): residual-PQ codes
+    partitioned by cell — ~64x smaller than the embeddings. The
+    codebook is either a stored (j, embedding) parquet (--codebook) or
+    trained in-engine on the residuals (--train-codebook K: assign,
+    subtract the cell centroid JVM-side, then one deterministic kmeans
+    per subspace via train_pq_codebook)."""
+    from pyspark.sql import functions as F
+
+    spark = _spark(args)
+    from biocache_store_spark.operators.similarity import (
+        ivf_assign_bulk,
+        train_pq_codebook,
+        write_ivfpq_index,
+    )
+
+    if bool(args.codebook) == bool(args.train_codebook):
+        print("ivfpq-index: supply exactly one of --codebook / "
+              "--train-codebook K", file=sys.stderr)
+        return 2
+    vectors = _read(spark, args.inp)
+    centroids = _read(spark, args.centroids)
+    if args.codebook:
+        codebook = _read(spark, args.codebook)
+    else:
+        assigned = ivf_assign_bulk(vectors, centroids)
+        residuals = assigned.join(
+            F.broadcast(centroids.select("cell_id", "centroid")), "cell_id"
+        ).select(
+            "vec_id",
+            F.zip_with(
+                F.col("embedding"), F.col("centroid"), lambda a, b: a - b
+            ).alias("embedding"),
+        )
+        book = train_pq_codebook(
+            residuals, n_subspaces=args.subspaces, k=args.train_codebook
+        )
+        codebook = spark.createDataFrame(
+            [(j, book[j]) for j in range(len(book))],
+            "j long, embedding array<double>",
+        )
+    write_ivfpq_index(
+        vectors, centroids, codebook, args.index,
+        n_subspaces=args.subspaces,
+        mode="append" if args.append else "overwrite",
+    )
+    return 0
+
+
+def cmd_ivfpq_query(args) -> int:
+    """ADC top-k against the persisted IVFADC index (query_ivfpq_index,
+    probe-pruned codes scan); query vectors come from an embeddings
+    store by --query-ids, one search per id."""
+    from pyspark.sql import functions as F
+
+    spark = _spark(args)
+    from biocache_store_spark.operators.similarity import query_ivfpq_index
+
+    ids = [int(v) for v in _split(args.query_ids)]
+    emb = _read(spark, args.queries)
+    frames = []
+    for qid in ids:
+        row = emb.filter(F.col("vec_id") == qid).select("embedding").first()
+        if row is None:
+            print(f"ivfpq-query: query id {qid} not in {args.queries}",
+                  file=sys.stderr)
+            return 2
+        out = query_ivfpq_index(
+            spark, args.index, list(row[0]), k=args.k, nprobe=args.nprobe,
+            n_subspaces=args.subspaces,
+        ).withColumn("query_id", F.lit(qid))
+        frames.append(out.select("query_id", "vec_id", "approx_dist", "rank"))
+    result = frames[0]
+    for f in frames[1:]:
+        result = result.unionByName(f)
+    if args.out:
+        result.write.mode("overwrite").parquet(args.out)
+    for row in result.orderBy("query_id", "rank").collect():
+        print(json.dumps(row.asDict()))
+    return 0
+
+
 def cmd_ann_query(args) -> int:
     """Top-k similarity search against the persisted IVF index
     (query_ivf_index, probe-pruned scan); query vectors come from a
@@ -2379,6 +2462,27 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--centroids", required=True)
     sp.add_argument("--index", required=True)
     sp.add_argument("--append", action="store_true")
+
+    sp = tool("ivfpq-index", cmd_ivfpq_index,
+              "embeddings -> persisted IVFADC (residual-PQ) index")
+    sp.add_argument("--in", dest="inp", required=True)
+    sp.add_argument("--centroids", required=True)
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--codebook", help="stored (j, embedding) parquet")
+    sp.add_argument("--train-codebook", dest="train_codebook", type=int,
+                    help="train K codewords per subspace on the residuals")
+    sp.add_argument("--subspaces", type=int, default=8)
+    sp.add_argument("--append", action="store_true")
+
+    sp = tool("ivfpq-query", cmd_ivfpq_query,
+              "ADC top-k against the IVFADC index")
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--queries", required=True, help="embeddings store")
+    sp.add_argument("--query-ids", dest="query_ids", required=True)
+    sp.add_argument("--k", type=int, default=10)
+    sp.add_argument("--nprobe", type=int, default=2)
+    sp.add_argument("--subspaces", type=int, default=8)
+    sp.add_argument("--out")
 
     sp = tool("ann-query", cmd_ann_query, "top-k against the IVF index")
     sp.add_argument("--index", required=True)

@@ -590,6 +590,47 @@ def test_cli_ann_pipeline(spark, tmp_path, capsys):
     assert all(1 <= r["rank"] <= 3 for r in rows)
 
 
+def test_cli_ivfpq_pipeline(spark, tmp_path, capsys):
+    """kmeans-train -> ivfpq-index (in-engine residual codebook
+    training) -> ivfpq-query: the compressed similarity lifecycle
+    through the CLI, plus the codebook-source guard."""
+    import json as _json
+
+    from biocache_store_spark.cli import main
+
+    emb_store = str(tmp_path / "emb")
+    spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).write.parquet(emb_store)
+    cents = str(tmp_path / "cents")
+    assert main(["kmeans-train", "--in", emb_store, "--out", cents, "--k", "4"]) == 0
+    index = str(tmp_path / "ivfpq")
+    # exactly one codebook source required
+    assert main([
+        "ivfpq-index", "--in", emb_store, "--centroids", cents,
+        "--index", index,
+    ]) == 2
+    assert main([
+        "ivfpq-index", "--in", emb_store, "--centroids", cents,
+        "--index", index, "--train-codebook", "4",
+    ]) == 0
+    capsys.readouterr()
+    assert main([
+        "ivfpq-query", "--index", index, "--queries", emb_store,
+        "--query-ids", "0,1", "--k", "3",
+    ]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()
+            if l.startswith("{") and "query_id" in l]
+    assert {r["query_id"] for r in rows} == {0, 1}
+    assert all(1 <= r["rank"] <= 3 for r in rows)
+    assert all(r["approx_dist"] >= 0 for r in rows)
+    # unknown query id -> clear error
+    assert main([
+        "ivfpq-query", "--index", index, "--queries", emb_store,
+        "--query-ids", "999999",
+    ]) == 2
+
+
 def test_cli_migrate_media_and_references(spark, tmp_path, capsys):
     """migrate-media (dry-run count + real run) -> media-references
     rebuild + overlay (MigrateMedia / LoadMediaReferences tools)."""

@@ -689,6 +689,12 @@ def exif_metadata(
     )
 
     def extract_one(content, media_type):
+        if not real_extract and media_type != "image":
+            # EXIF is image metadata; audio/video rows carry none. The
+            # real path below refuses non-images loudly — the fake path
+            # mirrors that as a clean no-GPS row so mixed-media frames
+            # don't mint phantom coordinates.
+            return False, None, None, None
         if real_extract:
             if media_type != "image":
                 raise NotImplementedError(

@@ -867,7 +867,14 @@ def ivfpq_topk(
     `codebook_rows`: codeword vectors in the SAME sorted-by-j order
     pq_encode_residual collected (codes are positions in that order).
     All per-subspace sums accumulate left-to-right (engine-exact).
-    Returns (id, approx_dist rounded 6dp, rank)."""
+    Returns (id, approx_dist rounded 6dp, rank).
+
+    Plan-size bound: the when-chain embeds nprobe x n_subspaces x K
+    double literals (nprobe=16, K=256, m=8 -> ~32k — fine; Janino
+    method limits start to bite around ~64 KiB of generated code per
+    expression). For nprobe x K far beyond that, probe in batches of
+    cells and union the per-batch top-k, or store the tables as a
+    broadcast (cell, s, code) -> dist relation and join."""
     from pyspark.sql.window import Window
 
     q = [float(x) for x in query_vec]

@@ -295,6 +295,16 @@ def test_exif_metadata_fake_deterministic(spark):
     again = {r["media_id"]: r for r in exif_metadata(media).collect()}
     assert all(str(again[k]) == str(got[k]) for k in got)
 
+    # non-image rows carry no EXIF even in fake mode (the real path
+    # refuses them loudly; the fake mirrors it as a clean no-GPS row)
+    mixed = spark.createDataFrame(
+        [("v1", "r1", "video", "video/mp4", b"has-gps-digest-anyway",
+          (None, None, None, None, None, None))],
+        MEDIA_SCHEMA,
+    )
+    [vrow] = exif_metadata(mixed).collect()
+    assert vrow["has_gps"] is False and vrow["exif_latitude"] is None
+
 
 def test_exif_metadata_real_gated(spark):
     from biocache_store_spark.operators.multimodal import (

@@ -1011,6 +1011,101 @@ def query_ivf_index(
     )
 
 
+def ivfpq_topk_batch(
+    encoded: DataFrame,
+    query_vectors: DataFrame,
+    centroid_rows: list[tuple],
+    codebook_rows: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    n_subspaces: int = 8,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batch IVFADC: one job for a whole query batch. ivfpq_topk's
+    when-chain embeds nprobe x m x K double literals PER QUERY — right
+    for a single search, plan-explosive for a batch. Here the ADC
+    tables become a broadcast RELATION (query_id, cell_id, s, code,
+    dist): |Q| x nprobe x m x K rows (50 queries x 4 x 8 x 256 = 409k
+    doubles — trivially broadcastable), joined against the probed
+    cells' codes exploded to (id, cell_id, s, code). Per-(query, id)
+    scores are reassembled by subspace PIVOT — one F.sum per subspace
+    over exactly ONE matching row, then a left-to-right t0+..+t(m-1)
+    chain — so the ADC sum stays engine-exact, bit-identical per query
+    to ivfpq_topk (equivalence-tested). Probe selection runs
+    driver-side per collected query through the same _ivfpq_probe_cells
+    (query batches are dimension-sized by contract, like every ann_*
+    broadcast). Self-matches are excluded (ivf_topk's convention).
+
+    query_vectors: (query_id, embedding). Returns
+    (query_id, id, approx_dist rounded 6dp, rank 1..k per query)."""
+    from pyspark.sql.window import Window
+
+    book = [[float(x) for x in row] for row in codebook_rows]
+    if not book:
+        raise ValueError("ivfpq_topk_batch: empty codebook")
+    dim = len(book[0])
+    if dim % n_subspaces:
+        raise ValueError(
+            f"ivfpq_topk_batch: dim {dim} not divisible by {n_subspaces}"
+        )
+    ds = dim // n_subspaces
+    qrows = query_vectors.select("query_id", "embedding").collect()
+    if not qrows:
+        raise ValueError("ivfpq_topk_batch: empty query batch")
+    spark = encoded.sparkSession
+    tbl_rows = []
+    for qr in qrows:
+        qid = qr["query_id"]
+        q = [float(x) for x in qr["embedding"]]
+        for _cs, cell_id, cent in _ivfpq_probe_cells(q, centroid_rows, nprobe):
+            rq = [q[i] - cent[i] for i in range(dim)]
+            for s in range(n_subspaces):
+                lo = s * ds
+                for j, cw in enumerate(book):
+                    d0 = rq[lo] - cw[lo]
+                    d = d0 * d0
+                    for i in range(1, ds):
+                        di = rq[lo + i] - cw[lo + i]
+                        d = d + di * di
+                    tbl_rows.append((qid, cell_id, s, j, d))
+    cell_sql = encoded.schema["cell_id"].dataType.simpleString()
+    tbl = spark.createDataFrame(
+        tbl_rows,
+        f"query_id long, cell_id {cell_sql}, s int, code int, dist double",
+    )
+    probed_cells = sorted({r[1] for r in tbl_rows})
+    exploded = (
+        encoded.filter(
+            F.col("cell_id").isin(probed_cells) & F.col("codes").isNotNull()
+        )
+        .select(id_col, "cell_id", F.posexplode("codes").alias("s", "code"))
+    )
+    cand = exploded.join(F.broadcast(tbl), ["cell_id", "s", "code"]).filter(
+        F.col(id_col).cast("string") != F.col("query_id").cast("string")
+    )
+    piv = cand.groupBy("query_id", id_col).agg(
+        *[
+            F.sum(F.when(F.col("s") == s, F.col("dist"))).alias(f"t{s}")
+            for s in range(n_subspaces)
+        ]
+    )
+    approx = F.col("t0")
+    for s in range(1, n_subspaces):
+        approx = approx + F.col(f"t{s}")
+    scored = piv.select("query_id", id_col, approx.alias("__approx"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__approx").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", id_col,
+            F.round("__approx", 6).alias("approx_dist"), "rank",
+        )
+    )
+
+
 def train_pq_codebook(
     vectors: DataFrame,
     n_subspaces: int = 8,

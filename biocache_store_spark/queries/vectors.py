@@ -694,6 +694,127 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_ivfpq_batch",
+    doc=(
+        "Batch IVFADC top-k (operators/similarity.py ivfpq_topk_batch): "
+        "the per-query when-chain becomes a broadcast ADC-table RELATION "
+        "(query_id, cell_id, s, code, dist) joined against the probed "
+        "cells' codes exploded to (id, s, code); per-(query, id) scores "
+        "reassemble by subspace pivot (one F.sum per subspace over "
+        "exactly one row, then a left-to-right chain — engine-exact), "
+        "ranked per query. ONE job for the whole batch — the production "
+        "query path when searches arrive in batches; plan size is "
+        "independent of |Q| x K. The oracle replays assignment, residual "
+        "encoding, per-query probing and the joined ADC sums in SQL."
+    ),
+    oracle=f"""
+        WITH cents AS (
+            SELECT vec_id AS cell_id, embedding AS centroid
+            FROM embeddings WHERE vec_id < {_IVFPQ_CELLS}
+        ),
+        book AS (
+            SELECT vec_id AS j, embedding AS cw
+            FROM embeddings
+            WHERE vec_id >= {_IVFPQ_BOOK_LO} AND vec_id < {_IVFPQ_BOOK_HI}
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, cell_id, centroid FROM (
+                SELECT e.vec_id, e.embedding, c.cell_id, c.centroid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(
+                               e.embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+                               c.cell_id ASC) AS rn
+                FROM embeddings e, cents c
+            ) WHERE rn = 1
+        ),
+        sub AS (SELECT unnest(generate_series(0, {_PQ_SUBSPACES - 1})) AS s),
+        enc AS (
+            SELECT vec_id, cell_id, s, j FROM (
+                SELECT a.vec_id, a.cell_id, sub.s, b.j,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY a.vec_id, sub.s
+                           ORDER BY {_pq_resid_dist_sql('a.embedding', 'a.centroid', 'b.cw', 'sub.s')} ASC,
+                                    b.j ASC) AS rn
+                FROM assigned a CROSS JOIN sub CROSS JOIN book b
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT query_id, q_emb, cell_id, centroid FROM (
+                SELECT q.vec_id AS query_id, q.embedding AS q_emb,
+                       c.cell_id, c.centroid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(
+                               q.embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+                               c.cell_id ASC) AS rn
+                FROM embeddings q, cents c
+                WHERE q.vec_id < 3
+            ) WHERE rn <= {_IVF_NPROBE}
+        ),
+        qt AS (
+            SELECT p.query_id, p.cell_id, sub.s, b.j,
+                   {_pq_resid_dist_sql('p.q_emb', 'p.centroid', 'b.cw', 'sub.s')} AS t
+            FROM probes p CROSS JOIN sub CROSS JOIN book b
+        ),
+        joined AS (
+            SELECT qt.query_id, enc.vec_id, enc.s, qt.t
+            FROM enc JOIN qt
+              ON qt.cell_id = enc.cell_id AND qt.s = enc.s AND qt.j = enc.j
+            WHERE enc.vec_id <> qt.query_id
+        ),
+        piv AS (
+            SELECT query_id, vec_id,
+                   {", ".join(f"MAX(CASE WHEN s={s} THEN t END) AS t{s}" for s in range(_PQ_SUBSPACES))}
+            FROM joined GROUP BY query_id, vec_id
+        ),
+        scored AS (
+            SELECT query_id, vec_id,
+                   {" + ".join(f"t{s}" for s in range(_PQ_SUBSPACES))} AS approx
+            FROM piv
+        )
+        SELECT query_id, vec_id, ROUND(approx, 6) AS approx_dist,
+               CAST(rnk AS INTEGER) AS "rank"
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY query_id ORDER BY approx ASC, vec_id ASC) AS rnk
+              FROM scored)
+        WHERE rnk <= {_IVF_K}
+    """,
+)
+def embedding_ivfpq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.similarity import (
+        ivfpq_topk_batch,
+        pq_encode_residual,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < _IVFPQ_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    book = emb.filter(
+        (F.col("vec_id") >= _IVFPQ_BOOK_LO) & (F.col("vec_id") < _IVFPQ_BOOK_HI)
+    ).select(F.col("vec_id").alias("j"), "embedding")
+    encoded = pq_encode_residual(
+        emb.select("vec_id", "embedding"), cents, book,
+        n_subspaces=_PQ_SUBSPACES,
+    )
+    cent_rows = [
+        (r["cell_id"], r["centroid"])
+        for r in sorted(cents.collect(), key=lambda r: r["cell_id"])
+    ]
+    book_rows = [
+        r["embedding"] for r in sorted(book.collect(), key=lambda r: r["j"])
+    ]
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_topk_batch(
+        encoded, queries, cent_rows, book_rows,
+        k=_IVF_K, nprobe=_IVF_NPROBE, n_subspaces=_PQ_SUBSPACES,
+    )
+
+
 _KM_K = 8
 _KM_SCALE = 1000000
 

@@ -238,6 +238,54 @@ def test_ann_recall_floor_ivf_and_pq(spark):
     assert float(np.mean(hits)) >= 0.2, hits
 
 
+def test_ivfpq_batch_matches_single_query_form(spark):
+    """ivfpq_topk_batch (broadcast ADC-table relation + subspace pivot)
+    is bit-identical per query to ivfpq_topk's when-chain form — the
+    pivot's one-row-per-subspace F.sum must not introduce any
+    accumulation-order drift."""
+    from biocache_store_spark.operators.similarity import (
+        ivfpq_topk,
+        ivfpq_topk_batch,
+        pq_encode_residual,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    book = emb.filter((F.col("vec_id") >= 4) & (F.col("vec_id") < 20)).select(
+        F.col("vec_id").alias("j"), "embedding"
+    )
+    enc = pq_encode_residual(emb.select("vec_id", "embedding"), cents, book)
+    cent_rows = [
+        (r["cell_id"], r["centroid"])
+        for r in sorted(cents.collect(), key=lambda r: r["cell_id"])
+    ]
+    book_rows = [
+        r["embedding"] for r in sorted(book.collect(), key=lambda r: r["j"])
+    ]
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch = {
+        (r["query_id"], r["vec_id"], r["approx_dist"], r["rank"])
+        for r in ivfpq_topk_batch(
+            enc, queries, cent_rows, book_rows, k=5, nprobe=2
+        ).collect()
+    }
+    assert len(batch) == 15
+    for qid in range(3):
+        qvec = emb.filter(F.col("vec_id") == qid).select("embedding").collect()[0][0]
+        single = {
+            (qid, r["vec_id"], r["approx_dist"], r["rank"])
+            for r in ivfpq_topk(
+                enc.filter(F.col("vec_id") != qid), qvec, cent_rows,
+                book_rows, k=5, nprobe=2,
+            ).collect()
+        }
+        assert single == {t for t in batch if t[0] == qid}, qid
+
+
 def test_train_pq_codebook_is_stitched_subspace_kmeans(spark):
     """train_pq_codebook == per-subspace kmeans_train stitched: codeword
     j's subspace-s slice must equal subspace-s centroid j, and encoding

@@ -58,13 +58,14 @@ def register(
 # plan fix, the unified point ladder feeding the index projection and
 # the dedup kernels, the pair-chunked + group-keyed vectorized dedup),
 # then ALL 36 remaining r8-era entries — after this round no registry
-# entry's driver evidence is older than r9 — then the 7 oldest r9-era
+# entry's driver evidence is older than r9 — then the 6 oldest r9-era
 # entries. Steady-state: each round re-checks changed queries plus the
 # oldest standing evidence.
 HEAD: tuple[str, ...] = (
     # code new or changed in round 11 — must (re-)check first
     "exif_metadata",               # new operator + query (EXIF.scala)
     "embedding_ivfpq_topk",        # new operator + query (IVFADC)
+    "embedding_ivfpq_batch",       # new query (batch IVFADC form)
     "countmin_heavy_hitters",      # TakeOrdered top-20 plan fix
     "rounding_ladder",             # unified ladder: -0 sign + NaN guard
     "index_projection_facet",      # ladder feeds the projection
@@ -108,14 +109,13 @@ HEAD: tuple[str, ...] = (
     "set_except",
     "anti_join_obsolete",
     "distinct_values",
-    # the 7 oldest r9-era entries (steady-state rotation continues)
+    # the 6 oldest r9-era entries (steady-state rotation continues)
     "expert_outlier_store_merge",
     "expert_outlier_markup",
     "expert_outlier_flags",
     "sample_layers_enrich",
     "bm25_search",
     "grouped_stats",
-    "event_facet_counts",
     # --- 50-slot prefix ends here ---
 )
 
@@ -171,6 +171,7 @@ DEPRIORITIZED: tuple[str, ...] = (
     "maintenance_delete_upsert",
     "event_sessionization",
     # r9-checked, unchanged in rounds 10-11:
+    "event_facet_counts",
     "event_json_extract",
     "event_hourly_histogram",
     "range_filter_facet",

@@ -1538,11 +1538,32 @@ def cmd_ivfpq_index(args) -> int:
         write_ivfpq_index,
     )
 
+    vectors = _read(spark, args.inp)
+    if args.append:
+        # an append MUST encode with the dims already in the index —
+        # codes written against a retrained codebook would silently
+        # decode wrong under the stored one (write_ivfpq_index's own
+        # contract). The index supplies both dims.
+        if args.codebook or args.train_codebook or args.centroids:
+            print("ivfpq-index: --append encodes with the index's own "
+                  "stored centroids + codebook; drop --centroids / "
+                  "--codebook / --train-codebook", file=sys.stderr)
+            return 2
+        centroids = _read(spark, args.index + "/centroids")
+        codebook = _read(spark, args.index + "/codebook")
+        write_ivfpq_index(
+            vectors, centroids, codebook, args.index,
+            n_subspaces=args.subspaces, mode="append",
+        )
+        return 0
+    if not args.centroids:
+        print("ivfpq-index: --centroids required (except with --append)",
+              file=sys.stderr)
+        return 2
     if bool(args.codebook) == bool(args.train_codebook):
         print("ivfpq-index: supply exactly one of --codebook / "
               "--train-codebook K", file=sys.stderr)
         return 2
-    vectors = _read(spark, args.inp)
     centroids = _read(spark, args.centroids)
     if args.codebook:
         codebook = _read(spark, args.codebook)
@@ -1555,48 +1576,58 @@ def cmd_ivfpq_index(args) -> int:
             F.zip_with(
                 F.col("embedding"), F.col("centroid"), lambda a, b: a - b
             ).alias("embedding"),
-        )
-        book = train_pq_codebook(
-            residuals, n_subspaces=args.subspaces, k=args.train_codebook
-        )
+        ).persist()  # train_pq_codebook runs ~2 actions per subspace —
+        # uncached, each would replay the full assignment lineage
+        try:
+            book = train_pq_codebook(
+                residuals, n_subspaces=args.subspaces,
+                k=args.train_codebook,
+            )
+        finally:
+            residuals.unpersist()
         codebook = spark.createDataFrame(
             [(j, book[j]) for j in range(len(book))],
             "j long, embedding array<double>",
         )
     write_ivfpq_index(
         vectors, centroids, codebook, args.index,
-        n_subspaces=args.subspaces,
-        mode="append" if args.append else "overwrite",
+        n_subspaces=args.subspaces, mode="overwrite",
     )
     return 0
 
 
 def cmd_ivfpq_query(args) -> int:
-    """ADC top-k against the persisted IVFADC index (query_ivfpq_index,
-    probe-pruned codes scan); query vectors come from an embeddings
-    store by --query-ids, one search per id."""
+    """ADC top-k against the persisted IVFADC index
+    (query_ivfpq_index_batch: one probe-pruned batch job for every
+    requested id, self-matches excluded); query vectors come from an
+    embeddings store by --query-ids."""
     from pyspark.sql import functions as F
 
     spark = _spark(args)
-    from biocache_store_spark.operators.similarity import query_ivfpq_index
+    from biocache_store_spark.operators.similarity import (
+        query_ivfpq_index_batch,
+    )
 
     ids = [int(v) for v in _split(args.query_ids)]
+    if not ids:
+        return 0  # empty batch, empty answer (ann-query's behavior)
     emb = _read(spark, args.queries)
-    frames = []
-    for qid in ids:
-        row = emb.filter(F.col("vec_id") == qid).select("embedding").first()
-        if row is None:
-            print(f"ivfpq-query: query id {qid} not in {args.queries}",
-                  file=sys.stderr)
-            return 2
-        out = query_ivfpq_index(
-            spark, args.index, list(row[0]), k=args.k, nprobe=args.nprobe,
-            n_subspaces=args.subspaces,
-        ).withColumn("query_id", F.lit(qid))
-        frames.append(out.select("query_id", "vec_id", "approx_dist", "rank"))
-    result = frames[0]
-    for f in frames[1:]:
-        result = result.unionByName(f)
+    # ONE isin scan fetches every query vector; ONE batch job answers
+    # them all (0.14 s/query at 1M vs 5.4 s/query per-query plans,
+    # SCALE.md). Self-matches are excluded, like ann-query.
+    queries = emb.filter(F.col("vec_id").isin(ids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    found = {r["query_id"] for r in queries.select("query_id").collect()}
+    missing = sorted(set(ids) - found)
+    if missing:
+        print(f"ivfpq-query: query ids {missing} not in {args.queries}",
+              file=sys.stderr)
+        return 2
+    result = query_ivfpq_index_batch(
+        spark, args.index, queries, k=args.k, nprobe=args.nprobe,
+        n_subspaces=args.subspaces,
+    )
     if args.out:
         result.write.mode("overwrite").parquet(args.out)
     for row in result.orderBy("query_id", "rank").collect():
@@ -2466,7 +2497,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp = tool("ivfpq-index", cmd_ivfpq_index,
               "embeddings -> persisted IVFADC (residual-PQ) index")
     sp.add_argument("--in", dest="inp", required=True)
-    sp.add_argument("--centroids", required=True)
+    sp.add_argument("--centroids")  # required except with --append
     sp.add_argument("--index", required=True)
     sp.add_argument("--codebook", help="stored (j, embedding) parquet")
     sp.add_argument("--train-codebook", dest="train_codebook", type=int,

@@ -1048,6 +1048,8 @@ def ivfpq_topk_batch(
         raise ValueError(
             f"ivfpq_topk_batch: dim {dim} not divisible by {n_subspaces}"
         )
+    if any(len(cw) != dim for cw in book):
+        raise ValueError("ivfpq_topk_batch: ragged codebook rows")
     ds = dim // n_subspaces
     qrows = query_vectors.select("query_id", "embedding").collect()
     if not qrows:
@@ -1057,6 +1059,11 @@ def ivfpq_topk_batch(
     for qr in qrows:
         qid = qr["query_id"]
         q = [float(x) for x in qr["embedding"]]
+        if len(q) != dim:
+            raise ValueError(
+                f"ivfpq_topk_batch: query {qid!r} dim {len(q)} differs "
+                f"from codebook dim {dim}"
+            )
         for _cs, cell_id, cent in _ivfpq_probe_cells(q, centroid_rows, nprobe):
             rq = [q[i] - cent[i] for i in range(dim)]
             for s in range(n_subspaces):
@@ -1069,9 +1076,11 @@ def ivfpq_topk_batch(
                         d = d + di * di
                     tbl_rows.append((qid, cell_id, s, j, d))
     cell_sql = encoded.schema["cell_id"].dataType.simpleString()
+    qid_sql = query_vectors.schema["query_id"].dataType.simpleString()
     tbl = spark.createDataFrame(
         tbl_rows,
-        f"query_id long, cell_id {cell_sql}, s int, code int, dist double",
+        f"query_id {qid_sql}, cell_id {cell_sql}, s int, code int, "
+        "dist double",
     )
     probed_cells = sorted({r[1] for r in tbl_rows})
     exploded = (
@@ -1201,6 +1210,7 @@ def query_ivfpq_index(
     nprobe: int = 2,
     n_subspaces: int = 8,
     id_col: str = "vec_id",
+    exclude_ids: DataFrame | None = None,
 ) -> DataFrame:
     """ADC top-k against the persisted IVFADC index: the centroid and
     codebook dims are read once (small by contract), the query's probed
@@ -1234,8 +1244,62 @@ def query_ivfpq_index(
         .filter(F.col("cell_id").isin([c for _s, c, _v in probed]))
         .dropDuplicates([id_col])
     )
+    if exclude_ids is not None:
+        # the never-match contract shared with query_ivf_index's
+        # exclude_ids (e.g. a query from the indexed corpus excluding
+        # ITSELF so top-k is k real neighbors, not rank-1 = itself)
+        encoded = encoded.join(
+            exclude_ids.select(F.col(exclude_ids.columns[0]).alias(id_col)),
+            id_col,
+            "left_anti",
+        )
     return ivfpq_topk(
         encoded, query_vec, cent_rows, book_rows,
+        k=k, nprobe=nprobe, n_subspaces=n_subspaces, id_col=id_col,
+    )
+
+
+def query_ivfpq_index_batch(
+    spark,
+    path: str,
+    query_vectors: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    n_subspaces: int = 8,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batch ADC top-k against the persisted IVFADC index: ONE job for
+    the whole query batch (ivfpq_topk_batch's broadcast table-relation
+    join — 0.14 s/query at 1M vs 5.4 s/query for per-query plans,
+    SCALE.md). The union of every query's probed cells lands in the
+    codes scan as cell_id IN (...) BEFORE the defensive dropDuplicates,
+    so partition pruning holds; self-matches are excluded by the batch
+    kernel (ivf_topk's convention). query_vectors: (query_id,
+    embedding). Returns (query_id, id, approx_dist, rank)."""
+    centroids = spark.read.parquet(path + "/centroids")
+    codebook = spark.read.parquet(path + "/codebook")
+    cent_rows = [
+        (r["cell_id"], r["centroid"])
+        for r in sorted(centroids.collect(), key=lambda r: r["cell_id"])
+    ]
+    book_rows = [
+        r["embedding"]
+        for r in sorted(codebook.collect(), key=lambda r: r["j"])
+    ]
+    probed_cells = sorted({
+        cell
+        for qr in query_vectors.select("query_id", "embedding").collect()
+        for _cs, cell, _c in _ivfpq_probe_cells(
+            [float(x) for x in qr["embedding"]], cent_rows, nprobe
+        )
+    })
+    encoded = (
+        spark.read.parquet(path + "/codes")
+        .filter(F.col("cell_id").isin(probed_cells))
+        .dropDuplicates([id_col])
+    )
+    return ivfpq_topk_batch(
+        encoded, query_vectors, cent_rows, book_rows,
         k=k, nprobe=nprobe, n_subspaces=n_subspaces, id_col=id_col,
     )
 

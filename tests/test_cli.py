@@ -624,11 +624,24 @@ def test_cli_ivfpq_pipeline(spark, tmp_path, capsys):
     assert {r["query_id"] for r in rows} == {0, 1}
     assert all(1 <= r["rank"] <= 3 for r in rows)
     assert all(r["approx_dist"] >= 0 for r in rows)
+    # self-matches excluded (ann-query's convention): a query drawn
+    # from the indexed corpus never appears in its own top-k
+    assert all(r["vec_id"] != r["query_id"] for r in rows)
     # unknown query id -> clear error
     assert main([
         "ivfpq-query", "--index", index, "--queries", emb_store,
         "--query-ids", "999999",
     ]) == 2
+    # --append must reuse the index's own dims: retraining (or passing
+    # any dim) is refused — codes against a fresh codebook would decode
+    # wrong under the stored one
+    assert main([
+        "ivfpq-index", "--in", emb_store, "--index", index,
+        "--append", "--train-codebook", "4",
+    ]) == 2
+    assert main([
+        "ivfpq-index", "--in", emb_store, "--index", index, "--append",
+    ]) == 0
 
 
 def test_cli_migrate_media_and_references(spark, tmp_path, capsys):

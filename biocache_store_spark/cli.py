@@ -1551,10 +1551,19 @@ def cmd_ivfpq_index(args) -> int:
             return 2
         centroids = _read(spark, args.index + "/centroids")
         codebook = _read(spark, args.index + "/codebook")
-        write_ivfpq_index(
-            vectors, centroids, codebook, args.index,
-            n_subspaces=args.subspaces, mode="append",
-        )
+        try:
+            # store_vectors follows the index's meta (None); an explicit
+            # --store-vectors on an index built without one raises cleanly
+            write_ivfpq_index(
+                vectors, centroids, codebook, args.index,
+                n_subspaces=args.subspaces, mode="append",
+                store_vectors=True if args.store_vectors else None,
+            )
+        except ValueError as e:
+            # dims drift (wrong --subspaces / codebook dim vs the stored
+            # meta) is an argument error, not a traceback (ADVICE r11 #4)
+            print(f"ivfpq-index: {e}", file=sys.stderr)
+            return 2
         return 0
     if not args.centroids:
         print("ivfpq-index: --centroids required (except with --append)",
@@ -1565,34 +1574,42 @@ def cmd_ivfpq_index(args) -> int:
               "--train-codebook K", file=sys.stderr)
         return 2
     centroids = _read(spark, args.centroids)
-    if args.codebook:
-        codebook = _read(spark, args.codebook)
-    else:
-        assigned = ivf_assign_bulk(vectors, centroids)
-        residuals = assigned.join(
-            F.broadcast(centroids.select("cell_id", "centroid")), "cell_id"
-        ).select(
-            "vec_id",
-            F.zip_with(
-                F.col("embedding"), F.col("centroid"), lambda a, b: a - b
-            ).alias("embedding"),
-        ).persist()  # train_pq_codebook runs ~2 actions per subspace —
-        # uncached, each would replay the full assignment lineage
-        try:
-            book = train_pq_codebook(
-                residuals, n_subspaces=args.subspaces,
-                k=args.train_codebook,
+    try:
+        if args.codebook:
+            codebook = _read(spark, args.codebook)
+        else:
+            assigned = ivf_assign_bulk(vectors, centroids)
+            residuals = assigned.join(
+                F.broadcast(centroids.select("cell_id", "centroid")), "cell_id"
+            ).select(
+                "vec_id",
+                F.zip_with(
+                    F.col("embedding"), F.col("centroid"), lambda a, b: a - b
+                ).alias("embedding"),
+            ).persist()  # train_pq_codebook runs ~2 actions total (seeds +
+            # per-iter stats) — uncached, each would replay the full
+            # assignment lineage
+            try:
+                book = train_pq_codebook(
+                    residuals, n_subspaces=args.subspaces,
+                    k=args.train_codebook,
+                )
+            finally:
+                residuals.unpersist()
+            codebook = spark.createDataFrame(
+                [(j, book[j]) for j in range(len(book))],
+                "j long, embedding array<double>",
             )
-        finally:
-            residuals.unpersist()
-        codebook = spark.createDataFrame(
-            [(j, book[j]) for j in range(len(book))],
-            "j long, embedding array<double>",
+        write_ivfpq_index(
+            vectors, centroids, codebook, args.index,
+            n_subspaces=args.subspaces, mode="overwrite",
+            store_vectors=args.store_vectors,
         )
-    write_ivfpq_index(
-        vectors, centroids, codebook, args.index,
-        n_subspaces=args.subspaces, mode="overwrite",
-    )
+    except ValueError as e:
+        # dim-not-divisible / empty-embedding problems from the trainer or
+        # writer follow the CLI's message-plus-exit-2 convention
+        print(f"ivfpq-index: {e}", file=sys.stderr)
+        return 2
     return 0
 
 
@@ -1624,10 +1641,16 @@ def cmd_ivfpq_query(args) -> int:
         print(f"ivfpq-query: query ids {missing} not in {args.queries}",
               file=sys.stderr)
         return 2
-    result = query_ivfpq_index_batch(
-        spark, args.index, queries, k=args.k, nprobe=args.nprobe,
-        n_subspaces=args.subspaces,
-    )
+    try:
+        result = query_ivfpq_index_batch(
+            spark, args.index, queries, k=args.k, nprobe=args.nprobe,
+            n_subspaces=args.subspaces, rerank_shortlist=args.rerank,
+        )
+    except ValueError as e:
+        # wrong --subspaces vs the stored meta, or --rerank against an
+        # index built without store_vectors: argument errors, exit 2
+        print(f"ivfpq-query: {e}", file=sys.stderr)
+        return 2
     if args.out:
         result.write.mode("overwrite").parquet(args.out)
     for row in result.orderBy("query_id", "rank").collect():
@@ -2504,6 +2527,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="train K codewords per subspace on the residuals")
     sp.add_argument("--subspaces", type=int, default=8)
     sp.add_argument("--append", action="store_true")
+    sp.add_argument("--store-vectors", dest="store_vectors",
+                    action="store_true",
+                    help="also persist cell-partitioned raw vectors for "
+                         "--rerank queries")
 
     sp = tool("ivfpq-query", cmd_ivfpq_query,
               "ADC top-k against the IVFADC index")
@@ -2513,6 +2540,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--k", type=int, default=10)
     sp.add_argument("--nprobe", type=int, default=2)
     sp.add_argument("--subspaces", type=int, default=8)
+    sp.add_argument("--rerank", type=int, default=None, metavar="SHORTLIST",
+                    help="exact-cosine re-rank of the ADC top-SHORTLIST "
+                         "(needs an index built with --store-vectors)")
     sp.add_argument("--out")
 
     sp = tool("ann-query", cmd_ann_query, "top-k against the IVF index")

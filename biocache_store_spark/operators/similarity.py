@@ -593,17 +593,20 @@ def pq_topk(
         approx = term if approx is None else (approx + term)
     from pyspark.sql.window import Window
 
-    # null codes (pq_encode's null-embedding convention) are unscoreable;
-    # without the filter Spark's ASC NULLS FIRST would rank them 1..m and
-    # displace real neighbors
-    scored = encoded.filter(F.col("codes").isNotNull()).select(
-        F.col(id_col), approx.alias("__approx")
-    )
+    # null codes (pq_encode's null-embedding convention) are unscoreable,
+    # and a code array whose length differs from n_subspaces (a store
+    # written under different dims) would make codes[s] — and therefore
+    # the whole score — NULL; both are filtered out, and the ordering is
+    # additionally NULLS LAST so a malformed row can never displace a
+    # real neighbor under ASC NULLS FIRST
+    scored = encoded.filter(
+        F.col("codes").isNotNull() & (F.size("codes") == n_subspaces)
+    ).select(F.col(id_col), approx.alias("__approx"))
     # rank over the UNROUNDED score (rounding could merge distinct values
     # and reorder ties); the single-partition window runs over k rows only
-    w = Window.orderBy(F.col("__approx").asc(), F.col(id_col).asc())
+    w = Window.orderBy(F.col("__approx").asc_nulls_last(), F.col(id_col).asc())
     return (
-        scored.orderBy(F.col("__approx").asc(), F.col(id_col).asc())
+        scored.orderBy(F.col("__approx").asc_nulls_last(), F.col(id_col).asc())
         .limit(k)
         .withColumn("rank", F.row_number().over(w))
         .select(id_col, F.round("__approx", 6).alias("approx_dist"), "rank")
@@ -918,12 +921,16 @@ def ivfpq_topk(
         encoded.filter(
             F.col("cell_id").isin([c for _s, c, _v in probed])
             & F.col("codes").isNotNull()
+            # wrong-length codes (a store written under different dims)
+            # would make codes[s] NULL and the whole score NULL; filter
+            # them and keep NULLS LAST so they can never rank as top-k
+            & (F.size("codes") == n_subspaces)
         )
         .select(F.col(id_col), approx.alias("__approx"))
     )
-    w = Window.orderBy(F.col("__approx").asc(), F.col(id_col).asc())
+    w = Window.orderBy(F.col("__approx").asc_nulls_last(), F.col(id_col).asc())
     return (
-        scored.orderBy(F.col("__approx").asc(), F.col(id_col).asc())
+        scored.orderBy(F.col("__approx").asc_nulls_last(), F.col(id_col).asc())
         .limit(k)
         .withColumn("rank", F.row_number().over(w))
         .select(id_col, F.round("__approx", 6).alias("approx_dist"), "rank")
@@ -1020,6 +1027,7 @@ def ivfpq_topk_batch(
     nprobe: int = 2,
     n_subspaces: int = 8,
     id_col: str = "vec_id",
+    qrows: list | None = None,
 ) -> DataFrame:
     """Batch IVFADC: one job for a whole query batch. ivfpq_topk's
     when-chain embeds nprobe x m x K double literals PER QUERY — right
@@ -1037,7 +1045,14 @@ def ivfpq_topk_batch(
     broadcast). Self-matches are excluded (ivf_topk's convention).
 
     query_vectors: (query_id, embedding). Returns
-    (query_id, id, approx_dist rounded 6dp, rank 1..k per query)."""
+    (query_id, id, approx_dist rounded 6dp, rank 1..k per query).
+
+    `qrows` (optional) supplies the query batch as already-collected Rows
+    so a caller that needed them earlier (query_ivfpq_index_batch probes
+    the cell set before building the pruned scan) hands the SAME snapshot
+    down instead of collecting a possibly non-deterministic relation
+    twice — a second collect could probe cells absent from the scan
+    filter and silently truncate results."""
     from pyspark.sql.window import Window
 
     book = [[float(x) for x in row] for row in codebook_rows]
@@ -1051,9 +1066,18 @@ def ivfpq_topk_batch(
     if any(len(cw) != dim for cw in book):
         raise ValueError("ivfpq_topk_batch: ragged codebook rows")
     ds = dim // n_subspaces
-    qrows = query_vectors.select("query_id", "embedding").collect()
+    if qrows is None:
+        qrows = query_vectors.select("query_id", "embedding").collect()
     if not qrows:
         raise ValueError("ivfpq_topk_batch: empty query batch")
+    qids = [r["query_id"] for r in qrows]
+    if len(set(qids)) != len(qids):
+        # a duplicated query_id would emit its ADC-table rows twice, the
+        # join would match both, and the per-subspace F.sum would DOUBLE
+        # every approx_dist for that query (ranking survives, reported
+        # distances don't) — refuse rather than silently mis-report
+        dupes = sorted({q for q in qids if qids.count(q) > 1})
+        raise ValueError(f"ivfpq_topk_batch: duplicate query_id rows {dupes}")
     spark = encoded.sparkSession
     tbl_rows = []
     for qr in qrows:
@@ -1085,7 +1109,11 @@ def ivfpq_topk_batch(
     probed_cells = sorted({r[1] for r in tbl_rows})
     exploded = (
         encoded.filter(
-            F.col("cell_id").isin(probed_cells) & F.col("codes").isNotNull()
+            F.col("cell_id").isin(probed_cells)
+            & F.col("codes").isNotNull()
+            # wrong-length codes (dims mismatch) must not reach the pivot:
+            # a missing subspace would leave t{s} NULL and a NULL approx
+            & (F.size("codes") == n_subspaces)
         )
         .select(id_col, "cell_id", F.posexplode("codes").alias("s", "code"))
     )
@@ -1103,7 +1131,7 @@ def ivfpq_topk_batch(
         approx = approx + F.col(f"t{s}")
     scored = piv.select("query_id", id_col, approx.alias("__approx"))
     w = Window.partitionBy("query_id").orderBy(
-        F.col("__approx").asc(), F.col(id_col).asc()
+        F.col("__approx").asc_nulls_last(), F.col(id_col).asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -1115,6 +1143,289 @@ def ivfpq_topk_batch(
     )
 
 
+def ivfpq_topk_rerank(
+    encoded: DataFrame,
+    vectors: DataFrame,
+    query_vec: list[float],
+    centroid_rows: list[tuple],
+    codebook_rows: list[list[float]],
+    k: int = 10,
+    shortlist: int = 100,
+    nprobe: int = 2,
+    n_subspaces: int = 8,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC with exact re-rank — the production recipe (Jegou et al.
+    §V-A "IVFADC + R"): the ADC scan prunes the corpus to a `shortlist`
+    of candidates (coarse, from the int8 codes only), then the shortlist
+    joins back to the RAW vectors and the final top-k ranks by exact
+    cosine. The shortlist is what buys the recall: at 1M clustered
+    vectors, ADC-only recall@10 is 0.28 while re-ranking the ADC top-100
+    reaches 0.735 with per-subspace codebooks (SCALE.md 'ANN recall') —
+    this operator makes that measured quality reachable through the
+    engine surface instead of only via tools/bench_ann_recall.py.
+
+    Scale shape: the ADC stage reads ONLY codes (probed cells, see
+    ivfpq_topk); the shortlist is <= `shortlist` rows and is BROADCAST
+    into the raw-vector join, so the exact-cosine stage touches one scan
+    of `vectors` with no shuffle (and when `vectors` is the index's
+    cell-partitioned raw store, query_ivfpq_index prunes that scan to
+    the probed cells first). Re-rank order: cosine DESC, id ASC — the
+    exact tie-break the LSH/IVF in-plan re-ranks use.
+
+    Returns (id, cos_sim rounded 4dp, rank 1..k)."""
+    from pyspark.sql.window import Window
+
+    if shortlist < k:
+        raise ValueError(
+            f"ivfpq_topk_rerank: shortlist {shortlist} smaller than k {k}"
+        )
+    short = ivfpq_topk(
+        encoded, query_vec, centroid_rows, codebook_rows,
+        k=shortlist, nprobe=nprobe, n_subspaces=n_subspaces, id_col=id_col,
+    )
+    q_lit = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_similarity_arrow(F.col(embedding_col), F.col("__q_emb"))
+    cand = (
+        vectors.select(id_col, embedding_col)
+        .join(F.broadcast(short.select(id_col)), id_col)
+        .withColumn("__q_emb", q_lit)
+        .withColumn("__cs", sim)
+    )
+    w = Window.orderBy(F.col("__cs").desc_nulls_last(), F.col(id_col).asc())
+    return (
+        cand.orderBy(F.col("__cs").desc_nulls_last(), F.col(id_col).asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+        .select(id_col, F.round("__cs", 4).alias("cos_sim"), "rank")
+    )
+
+
+def ivfpq_topk_batch_rerank(
+    encoded: DataFrame,
+    vectors: DataFrame,
+    query_vectors: DataFrame,
+    centroid_rows: list[tuple],
+    codebook_rows: list[list[float]],
+    k: int = 10,
+    shortlist: int = 100,
+    nprobe: int = 2,
+    n_subspaces: int = 8,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    qrows: list | None = None,
+) -> DataFrame:
+    """Batch IVFADC + exact re-rank: ivfpq_topk_batch's one-job ADC
+    shortlist (|Q| x shortlist rows — 50 x 400 = 20k, trivially
+    broadcastable) joined back to the raw vectors, each query's
+    candidates re-scored by exact cosine against its own embedding
+    (a second |Q|-row broadcast), ranked per query. Still ONE job for
+    the whole batch; the exact stage adds one raw-vector scan and no
+    shuffle. Per query, bit-identical to ivfpq_topk_rerank
+    (equivalence-tested). Returns (query_id, id, cos_sim, rank)."""
+    from pyspark.sql.window import Window
+
+    if shortlist < k:
+        raise ValueError(
+            f"ivfpq_topk_batch_rerank: shortlist {shortlist} smaller than k {k}"
+        )
+    short = ivfpq_topk_batch(
+        encoded, query_vectors, centroid_rows, codebook_rows,
+        k=shortlist, nprobe=nprobe, n_subspaces=n_subspaces, id_col=id_col,
+        qrows=qrows,
+    )
+    qemb = query_vectors.select(
+        "query_id", F.col(embedding_col).alias("__q_emb")
+    )
+    sim = cosine_similarity_arrow(F.col(embedding_col), F.col("__q_emb"))
+    cand = (
+        vectors.select(id_col, embedding_col)
+        .join(F.broadcast(short.select("query_id", id_col)), id_col)
+        .join(F.broadcast(qemb), "query_id")
+        .withColumn("__cs", sim)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__cs").desc_nulls_last(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", id_col, F.round("__cs", 4).alias("cos_sim"), "rank"
+        )
+    )
+
+
+def _pq_reseed_pool(
+    vectors: DataFrame, k: int, id_col: str, embedding_col: str
+) -> list[list[float]]:
+    """Deterministic reseed pool for subspaces whose k-means dropped
+    cells: up to `k` member vectors in HASH order (xxhash64 of the id,
+    ties to the id) — a pseudo-random but run-stable sample spread
+    across the corpus, fetched with one TakeOrdered pass (never a full
+    sort). Collected once and sliced per subspace, so the sequential and
+    single-pass trainers reseed identically by construction."""
+    rows = (
+        vectors.select(id_col, embedding_col)
+        .filter(F.col(embedding_col).isNotNull())
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    return [[float(x) for x in r[embedding_col]] for r in rows]
+
+
+def _reseed_sub_books(
+    sub_books: list[list[list[float]]],
+    pool: list[list[float]],
+    k: int,
+    ds: int,
+) -> None:
+    """Top every subspace codebook up to exactly `k` codewords (in
+    place) with slices of the hash-ordered reseed pool, cycling the pool
+    if the corpus is smaller than the deficit. Keeping K uniform across
+    subspaces preserves the full K^m product code space — the k_min
+    truncation this replaces let the WORST subspace shrink every other
+    one (VERDICT r11 #4). A reseeded codeword that duplicates a trained
+    one is harmless: argmin ties keep the lowest j, so duplicates are
+    simply never assigned."""
+    for s, book in enumerate(sub_books):
+        if len(book) >= k or not pool:
+            continue
+        need = k - len(book)
+        for t in range(need):
+            v = pool[t % len(pool)]
+            book.append([float(x) for x in v[s * ds:(s + 1) * ds]])
+
+
+def _train_pq_codebook_single_pass(
+    vectors: DataFrame,
+    n_subspaces: int,
+    k: int,
+    iters: int,
+    dim: int,
+    ds: int,
+    id_col: str,
+    embedding_col: str,
+    scale: int = 10**6,
+) -> list[list[list[float]]]:
+    """All m subspace k-means trained in ONE pass per iteration: a
+    single mapInPandas assignment computes every subspace's argmin
+    position per row (the pq_encode kernel over slices of the same
+    float64 batch — identical per-dimension left-to-right accumulation,
+    so positions are bit-identical to m separate kmeans_train calls),
+    then ONE grouped integer-sum aggregation keyed by (subspace, cell,
+    dim) replaces m separate stats shuffles. Cuts vector-relation scans
+    from m x (iters + 1) (each kmeans_train: iters stats passes + a
+    final assignment the codebook path never used) to iters, with the
+    same total aggregated volume (N x dim exploded rows per pass,
+    partial-agg'd map-side to <= m*k*ds groups). Returns the per-subspace
+    books (possibly < k entries where cells dropped empty — the caller
+    reseeds)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    seed_rows = sorted(
+        vectors.select(id_col, embedding_col).orderBy(id_col).limit(k).collect(),
+        key=lambda r: r[id_col],
+    )
+    if not seed_rows:
+        raise ValueError("train_pq_codebook: empty input")
+    full = [[float(x) for x in r[embedding_col]] for r in seed_rows]
+    books = [
+        [v[s * ds:(s + 1) * ds] for v in full] for s in range(n_subspaces)
+    ]
+
+    emb_type = vectors.schema[embedding_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(embedding_col, emb_type),
+            T.StructField("poss", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def make_assign(current_books):
+        def run(batches):
+            import numpy as np
+
+            Bs = [np.asarray(b, dtype=np.float64) for b in current_books]
+            for pdf in batches:
+                emb = pdf[embedding_col]
+                mask = emb.notna().to_numpy()
+                poss_col = [None] * len(pdf)
+                if mask.any():
+                    A = np.stack(emb[mask].to_numpy()).astype(np.float64)
+                    n = A.shape[0]
+                    poss = np.zeros((n, n_subspaces), dtype=np.int32)
+                    for s in range(n_subspaces):
+                        lo = s * ds
+                        B = Bs[s]
+                        best_d = None
+                        best = np.zeros(n, dtype=np.int32)
+                        for j in range(B.shape[0]):
+                            d0 = A[:, lo] - B[j, 0]
+                            acc = d0 * d0
+                            for i in range(1, ds):
+                                di = A[:, lo + i] - B[j, i]
+                                acc = acc + di * di
+                            if best_d is None:
+                                best_d = acc
+                            else:
+                                upd = acc < best_d  # ties keep lowest j
+                                best_d = np.where(upd, acc, best_d)
+                                best = np.where(upd, j, best)
+                        poss[:, s] = best
+                    it = iter(poss.tolist())
+                    poss_col = [next(it) if m else None for m in mask]
+                out = pdf[[embedding_col]].copy()
+                out["poss"] = pd.Series(poss_col, index=pdf.index, dtype="object")
+                yield out
+
+        return run
+
+    for _ in range(iters):
+        enc = vectors.select(embedding_col).mapInPandas(
+            make_assign(books), out_schema
+        )
+        ex = (
+            enc.select("poss", F.posexplode(embedding_col).alias("ig", "x"))
+            .withColumn("s", F.floor(F.col("ig") / ds).cast("int"))
+            .withColumn("i", (F.col("ig") % ds).cast("int"))
+            .withColumn("pos", F.element_at(F.col("poss"), F.col("s") + 1))
+            # the EXACT fixed-point quantization kmeans_train uses, so the
+            # integer sums — and therefore the centroids — are bit-equal
+            .withColumn(
+                "qx",
+                F.round(F.col("x").cast("double") * scale, 0).cast("long"),
+            )
+        )
+        stats = (
+            ex.groupBy("s", "pos", "i")
+            .agg(F.sum("qx").alias("sm"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_s: dict = {}
+        for r in stats:
+            by_s.setdefault(r["s"], {}).setdefault(r["pos"], {})[r["i"]] = (
+                r["sm"],
+                r["n"],
+            )
+        new_books = []
+        for s in range(n_subspaces):
+            by_pos = by_s.get(s, {})
+            nb = []
+            for pos in sorted(by_pos):  # empty cells drop, like kmeans_train
+                dims = by_pos[pos]
+                nb.append(
+                    [dims[i][0] / (scale * dims[i][1]) for i in range(ds)]
+                )
+            new_books.append(nb)
+        books = new_books
+    return books
+
+
 def train_pq_codebook(
     vectors: DataFrame,
     n_subspaces: int = 8,
@@ -1123,6 +1434,7 @@ def train_pq_codebook(
     dim: int | None = None,
     id_col: str = "vec_id",
     embedding_col: str = "embedding",
+    single_pass: bool = True,
 ) -> list[list[float]]:
     """The REAL product quantizer's training pass (Jegou et al. §II):
     one independent k-means per subspace SLICE, stitched back into
@@ -1135,14 +1447,23 @@ def train_pq_codebook(
     compression (SCALE.md 'ANN recall').
 
     Train it on RESIDUALS (v − centroid[cell]) for IVFADC, on raw
-    vectors for plain PQ. Each subspace trains with the engine's
-    deterministic fixed-point kmeans_train (integer-sum updates, no
-    RNG), so the codebook is reproducible under any partitioning.
-    Per subspace: one F.slice projection (JVM-side) + the kmeans
-    passes; m * (iters + 1) map passes total, only k x dim stats ever
-    reach the driver. If subspaces drop empty cells unevenly the
-    codebook is truncated to the smallest surviving count (production
-    reseeds; truncation keeps the trace deterministic)."""
+    vectors for plain PQ. Training is the engine's deterministic
+    fixed-point k-means (integer-sum updates, no RNG), so the codebook
+    is reproducible under any partitioning. `single_pass=True` (the
+    default, VERDICT r11 #5) trains all m subspaces together — ONE
+    assignment-plus-stats pass per iteration instead of m scans per
+    iteration plus m discarded final assignments, bit-identical output
+    (parity-tested) — so at 100 TB the vector relation is read `iters`
+    times total. `single_pass=False` keeps the m-sequential
+    kmeans_train form for cross-checking.
+
+    Subspaces whose k-means dropped empty cells are RESEEDED back to
+    exactly `k` codewords from a hash-ordered member pool (VERDICT r11
+    #4 — the previous k_min truncation let the worst subspace shrink
+    the whole product space), so every subspace codebook has k entries
+    and the stitched result is always k full-dimension rows (corpus
+    permitting: an input smaller than k still yields k rows by cycling
+    the pool)."""
     if dim is None:
         first = vectors.select(embedding_col).filter(
             F.col(embedding_col).isNotNull()
@@ -1155,22 +1476,56 @@ def train_pq_codebook(
             f"train_pq_codebook: dim {dim} not divisible by {n_subspaces}"
         )
     ds = dim // n_subspaces
-    sub_books: list[list[list[float]]] = []
-    for s in range(n_subspaces):
-        sliced = vectors.select(
-            F.col(id_col),
-            F.slice(F.col(embedding_col), s * ds + 1, ds).alias(embedding_col),
+    if single_pass:
+        sub_books = _train_pq_codebook_single_pass(
+            vectors, n_subspaces, k, iters, dim, ds, id_col, embedding_col
         )
-        _cells, book, _assigned = kmeans_train(
-            sliced, k=k, iters=iters, id_col=id_col,
-            embedding_col=embedding_col,
-        )
-        sub_books.append(book)
-    k_min = min(len(b) for b in sub_books)
+    else:
+        sub_books = []
+        for s in range(n_subspaces):
+            sliced = vectors.select(
+                F.col(id_col),
+                F.slice(
+                    F.col(embedding_col), s * ds + 1, ds
+                ).alias(embedding_col),
+            )
+            _cells, book, _assigned = kmeans_train(
+                sliced, k=k, iters=iters, id_col=id_col,
+                embedding_col=embedding_col,
+            )
+            sub_books.append(book)
+    if any(len(b) < k for b in sub_books):
+        pool = _pq_reseed_pool(vectors, k, id_col, embedding_col)
+        _reseed_sub_books(sub_books, pool, k, ds)
+    k_out = min(len(b) for b in sub_books)  # == k unless the corpus is empty-ish
     return [
         [x for s in range(n_subspaces) for x in sub_books[s][j]]
-        for j in range(k_min)
+        for j in range(k_out)
     ]
+
+
+def _ivfpq_meta(spark, path: str) -> dict | None:
+    """The index's stored dims contract (meta/ parquet, one row:
+    n_subspaces, dim, has_vectors) or None for a pre-meta index. Without
+    it a query or append run with the wrong --subspaces would produce
+    codes[s] = NULL for every candidate and silently return arbitrary
+    ids as top-k (ADVICE r11 #1) — every reader validates against it."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = spark.read.parquet(path + "/meta").collect()
+    except AnalysisException:
+        return None
+    return rows[0].asDict() if rows else None
+
+
+def _write_ivfpq_meta(
+    spark, path: str, n_subspaces: int, dim: int, has_vectors: bool
+) -> None:
+    spark.createDataFrame(
+        [(int(n_subspaces), int(dim), bool(has_vectors))],
+        "n_subspaces int, dim int, has_vectors boolean",
+    ).write.mode("overwrite").parquet(path + "/meta")
 
 
 def write_ivfpq_index(
@@ -1182,24 +1537,128 @@ def write_ivfpq_index(
     id_col: str = "vec_id",
     embedding_col: str = "embedding",
     mode: str = "overwrite",
+    store_vectors: bool | None = None,
 ) -> None:
     """Persist the IVFADC index: residual-PQ codes (pq_encode_residual,
     one fused Arrow pass) written PARTITIONED BY cell_id under `codes/`
     — 8 small ints per vector instead of the embedding, the ~64x
     compression that keeps a 100 TB corpus' index a ~1.5 TB store —
     plus the centroid and codebook dims under `centroids/` /
-    `codebook/`. mode='append' adds a split's codes (encode with the
-    SAME centroid + codebook stores). The compressed twin of
+    `codebook/` and a one-row `meta/` contract (n_subspaces, dim,
+    has_vectors) every reader and append validates against.
+    mode='append' adds a split's codes (encode with the SAME centroid +
+    codebook stores; a mismatched n_subspaces or dim raises instead of
+    silently writing mixed-length code arrays). The compressed twin of
     write_ivf_index: queries prune to probed cell directories AND never
-    read the raw embeddings."""
+    read the raw embeddings.
+
+    `store_vectors=True` additionally persists the raw vectors under
+    `vectors/`, cell-partitioned like the codes (a second map-only
+    assignment pass — bit-identical cells by the shared argmax kernel)
+    so query_ivfpq_index(rerank_shortlist=...) can exact-re-rank the ADC
+    shortlist from a probe-pruned scan. Default None follows the index's
+    stored meta on append (an append may not silently stop maintaining a
+    raw store that re-rank queries depend on) and False on overwrite."""
+    spark = vectors.sparkSession
+    first = codebook.select(F.size(F.col(embedding_col)).alias("d")).first()
+    if first is None:
+        raise ValueError("write_ivfpq_index: empty codebook")
+    dim = int(first["d"])
+    if dim % n_subspaces:
+        raise ValueError(
+            f"write_ivfpq_index: codebook dim {dim} not divisible by "
+            f"n_subspaces {n_subspaces}"
+        )
+    if mode == "append":
+        meta = _ivfpq_meta(spark, path)
+        if meta is not None:
+            if int(meta["n_subspaces"]) != int(n_subspaces):
+                raise ValueError(
+                    f"write_ivfpq_index: index at {path!r} stores "
+                    f"n_subspaces={meta['n_subspaces']}, append requested "
+                    f"{n_subspaces} — mixed code lengths would corrupt it"
+                )
+            if int(meta["dim"]) != dim:
+                raise ValueError(
+                    f"write_ivfpq_index: index at {path!r} stores dim="
+                    f"{meta['dim']}, append codebook has dim {dim}"
+                )
+            if store_vectors is None:
+                store_vectors = bool(meta["has_vectors"])
+            elif bool(store_vectors) != bool(meta["has_vectors"]):
+                raise ValueError(
+                    f"write_ivfpq_index: index at {path!r} has "
+                    f"has_vectors={meta['has_vectors']}; an append must "
+                    "match (a diverging raw-vector store would silently "
+                    "break rerank queries)"
+                )
+    store_vectors = bool(store_vectors)
     encoded = pq_encode_residual(
         vectors.select(id_col, embedding_col), centroids, codebook,
         n_subspaces=n_subspaces, id_col=id_col, embedding_col=embedding_col,
     ).select(id_col, "cell_id", "codes")
     encoded.write.mode(mode).partitionBy("cell_id").parquet(path + "/codes")
+    if store_vectors:
+        # a second assignment pass rather than caching the encode output:
+        # at corpus scale two map-only scans beat persisting N embeddings,
+        # and ivf_assign_bulk shares pq_encode_residual's argmax kernel so
+        # the cells are identical by construction
+        assigned = ivf_assign_bulk(
+            vectors.select(id_col, embedding_col), centroids,
+            id_col, embedding_col,
+        )
+        assigned.write.mode(mode).partitionBy("cell_id").parquet(
+            path + "/vectors"
+        )
     if mode == "overwrite":
         centroids.write.mode(mode).parquet(path + "/centroids")
         codebook.write.mode(mode).parquet(path + "/codebook")
+    # meta is (re)written on overwrite and back-filled on a legacy append
+    if mode == "overwrite" or _ivfpq_meta(spark, path) is None:
+        _write_ivfpq_meta(spark, path, n_subspaces, dim, store_vectors)
+
+
+def _validate_ivfpq_subspaces(spark, path: str, n_subspaces: int) -> None:
+    """Refuse a query whose n_subspaces disagrees with the index's
+    stored meta — mismatched subspace counts make codes[s] NULL for
+    every candidate, which (pre-guard) silently returned arbitrary ids
+    as top-k (ADVICE r11 #1). Pre-meta indexes skip the check (the
+    in-plan F.size(codes) == n_subspaces filter still applies)."""
+    meta = _ivfpq_meta(spark, path)
+    if meta is not None and int(meta["n_subspaces"]) != int(n_subspaces):
+        raise ValueError(
+            f"ivfpq query: index at {path!r} stores n_subspaces="
+            f"{meta['n_subspaces']}, query requested {n_subspaces}"
+        )
+
+
+def _ivfpq_rerank_vectors(
+    spark, path: str, probe_cells: list, id_col: str,
+    exclude_ids: DataFrame | None,
+) -> DataFrame:
+    """The probe-pruned raw-vector relation the re-rank stage scores
+    against: the index's cell-partitioned `vectors/` store filtered to
+    the probed cells (directory pruning, same placement discipline as
+    the codes scan: filter BELOW the defensive dropDuplicates), with the
+    same crash-replay dedup and exclude_ids contract as the ADC side."""
+    meta = _ivfpq_meta(spark, path)
+    if meta is not None and not meta.get("has_vectors"):
+        raise ValueError(
+            f"ivfpq rerank: index at {path!r} has no raw-vector store; "
+            "build it with write_ivfpq_index(store_vectors=True)"
+        )
+    vec = (
+        spark.read.parquet(path + "/vectors")
+        .filter(F.col("cell_id").isin(probe_cells))
+        .dropDuplicates([id_col])
+    )
+    if exclude_ids is not None:
+        vec = vec.join(
+            exclude_ids.select(F.col(exclude_ids.columns[0]).alias(id_col)),
+            id_col,
+            "left_anti",
+        )
+    return vec
 
 
 def query_ivfpq_index(
@@ -1211,16 +1670,24 @@ def query_ivfpq_index(
     n_subspaces: int = 8,
     id_col: str = "vec_id",
     exclude_ids: DataFrame | None = None,
+    rerank_shortlist: int | None = None,
 ) -> DataFrame:
     """ADC top-k against the persisted IVFADC index: the centroid and
     codebook dims are read once (small by contract), the query's probed
     cells land in the scan as a cell_id IN (...) filter — directory
     pruning, test-asserted — and scoring reads ONLY the int codes.
-    Returns (id, approx_dist, rank), identical to ivfpq_topk over the
-    same encoded relation (equivalence-tested). A deployment re-ranks
-    the returned shortlist by exact similarity against the probed
-    cells' raw vectors (SCALE.md 'ANN recall': re-rank lifted 1M
-    recall@10 0.28 -> 0.735 at per-subspace codebooks)."""
+    n_subspaces is validated against the index's stored meta (a
+    mismatch raises instead of silently returning arbitrary ids).
+
+    Default: (id, approx_dist, rank), identical to ivfpq_topk over the
+    same encoded relation (equivalence-tested). With
+    `rerank_shortlist=S` the ADC stage returns its top-S shortlist and
+    the final top-k is EXACT cosine over the index's cell-partitioned
+    raw-vector store (write_ivfpq_index(store_vectors=True)), also
+    probe-pruned — the measured-recall production recipe (SCALE.md 'ANN
+    recall': re-rank lifted 1M recall@10 0.28 -> 0.735 at per-subspace
+    codebooks), returning (id, cos_sim, rank)."""
+    _validate_ivfpq_subspaces(spark, path, n_subspaces)
     centroids = spark.read.parquet(path + "/centroids")
     codebook = spark.read.parquet(path + "/codebook")
     cent_rows = [
@@ -1239,9 +1706,10 @@ def query_ivfpq_index(
     probed = _ivfpq_probe_cells(
         [float(x) for x in query_vec], cent_rows, nprobe
     )
+    probe_cells = [c for _s, c, _v in probed]
     encoded = (
         spark.read.parquet(path + "/codes")
-        .filter(F.col("cell_id").isin([c for _s, c, _v in probed]))
+        .filter(F.col("cell_id").isin(probe_cells))
         .dropDuplicates([id_col])
     )
     if exclude_ids is not None:
@@ -1253,9 +1721,18 @@ def query_ivfpq_index(
             id_col,
             "left_anti",
         )
-    return ivfpq_topk(
-        encoded, query_vec, cent_rows, book_rows,
-        k=k, nprobe=nprobe, n_subspaces=n_subspaces, id_col=id_col,
+    if rerank_shortlist is None:
+        return ivfpq_topk(
+            encoded, query_vec, cent_rows, book_rows,
+            k=k, nprobe=nprobe, n_subspaces=n_subspaces, id_col=id_col,
+        )
+    vectors = _ivfpq_rerank_vectors(
+        spark, path, probe_cells, id_col, exclude_ids
+    )
+    return ivfpq_topk_rerank(
+        encoded, vectors, query_vec, cent_rows, book_rows,
+        k=k, shortlist=rerank_shortlist, nprobe=nprobe,
+        n_subspaces=n_subspaces, id_col=id_col,
     )
 
 
@@ -1267,6 +1744,7 @@ def query_ivfpq_index_batch(
     nprobe: int = 2,
     n_subspaces: int = 8,
     id_col: str = "vec_id",
+    rerank_shortlist: int | None = None,
 ) -> DataFrame:
     """Batch ADC top-k against the persisted IVFADC index: ONE job for
     the whole query batch (ivfpq_topk_batch's broadcast table-relation
@@ -1274,8 +1752,15 @@ def query_ivfpq_index_batch(
     SCALE.md). The union of every query's probed cells lands in the
     codes scan as cell_id IN (...) BEFORE the defensive dropDuplicates,
     so partition pruning holds; self-matches are excluded by the batch
-    kernel (ivf_topk's convention). query_vectors: (query_id,
-    embedding). Returns (query_id, id, approx_dist, rank)."""
+    kernel (ivf_topk's convention); n_subspaces is validated against
+    the stored meta. The query batch is collected ONCE and that
+    snapshot feeds both the probe-cell union and the ADC tables (a
+    second collect of a non-deterministic relation could probe cells
+    absent from the scan filter — ADVICE r11 #2). query_vectors:
+    (query_id, embedding). Returns (query_id, id, approx_dist, rank),
+    or (query_id, id, cos_sim, rank) with `rerank_shortlist=S` (exact
+    cosine over the raw-vector store, as query_ivfpq_index)."""
+    _validate_ivfpq_subspaces(spark, path, n_subspaces)
     centroids = spark.read.parquet(path + "/centroids")
     codebook = spark.read.parquet(path + "/codebook")
     cent_rows = [
@@ -1286,9 +1771,10 @@ def query_ivfpq_index_batch(
         r["embedding"]
         for r in sorted(codebook.collect(), key=lambda r: r["j"])
     ]
+    qrows = query_vectors.select("query_id", "embedding").collect()
     probed_cells = sorted({
         cell
-        for qr in query_vectors.select("query_id", "embedding").collect()
+        for qr in qrows
         for _cs, cell, _c in _ivfpq_probe_cells(
             [float(x) for x in qr["embedding"]], cent_rows, nprobe
         )
@@ -1298,9 +1784,22 @@ def query_ivfpq_index_batch(
         .filter(F.col("cell_id").isin(probed_cells))
         .dropDuplicates([id_col])
     )
-    return ivfpq_topk_batch(
-        encoded, query_vectors, cent_rows, book_rows,
-        k=k, nprobe=nprobe, n_subspaces=n_subspaces, id_col=id_col,
+    # rebuild the query relation from the SAME collected snapshot so the
+    # ADC tables can never diverge from the probe-cell filter above
+    snapshot = spark.createDataFrame(
+        qrows, query_vectors.select("query_id", "embedding").schema
+    )
+    if rerank_shortlist is None:
+        return ivfpq_topk_batch(
+            encoded, snapshot, cent_rows, book_rows,
+            k=k, nprobe=nprobe, n_subspaces=n_subspaces, id_col=id_col,
+            qrows=qrows,
+        )
+    vectors = _ivfpq_rerank_vectors(spark, path, probed_cells, id_col, None)
+    return ivfpq_topk_batch_rerank(
+        encoded, vectors, snapshot, cent_rows, book_rows,
+        k=k, shortlist=rerank_shortlist, nprobe=nprobe,
+        n_subspaces=n_subspaces, id_col=id_col, qrows=qrows,
     )
 
 

@@ -53,27 +53,83 @@ def register(
 
 
 # The external driver oracle-checks a 50-slot prefix of the registry per
-# round. Round-11 rotation (VERDICT r10 "Next round" #3): queries whose
-# code changed this round first (the new EXIF op, the countmin top-20
-# plan fix, the unified point ladder feeding the index projection and
-# the dedup kernels, the pair-chunked + group-keyed vectorized dedup),
-# then ALL 36 remaining r8-era entries — after this round no registry
-# entry's driver evidence is older than r9 — then the 6 oldest r9-era
-# entries. Steady-state: each round re-checks changed queries plus the
-# oldest standing evidence.
+# round. Round-12 rotation (VERDICT r11 "Next round" #2): queries whose
+# code changed this round first (the new IVFADC exact-re-rank operator
+# and its query, plus every ADC consumer of the hardened
+# pq_topk/ivfpq_topk/ivfpq_topk_batch kernels — size-guard + NULLS LAST
+# + duplicate-query guard), then ALL 35 remaining r9-era entries —
+# after this round no registry entry's driver evidence is older than
+# r10 — then the 11 oldest r10-era entries. Steady-state: each round
+# re-checks changed queries plus the oldest standing evidence.
 HEAD: tuple[str, ...] = (
-    # code new or changed in round 11 — must (re-)check first
-    "exif_metadata",               # new operator + query (EXIF.scala)
-    "embedding_ivfpq_topk",        # new operator + query (IVFADC)
-    "embedding_ivfpq_batch",       # new query (batch IVFADC form)
-    "countmin_heavy_hitters",      # TakeOrdered top-20 plan fix
-    "rounding_ladder",             # unified ladder: -0 sign + NaN guard
-    "index_projection_facet",      # ladder feeds the projection
-    "dedup_occurrence_clusters",   # shared ladder scalar + pair-chunk +
-    "dedup_incremental_merge",     #   per-group claim maps in the
-    "duplicate_markup_writeback",  #   vectorized kernel
-    # ALL 36 remaining r8-era refreshes (oldest standing evidence) —
-    # rounding_ladder above is the 36th
+    # code new or changed in round 12 — must (re-)check first
+    "embedding_ivfpq_rerank",      # NEW operator + query (IVFADC+R)
+    "embedding_ivfpq_topk",        # ivfpq_topk: size guard + NULLS LAST
+    "embedding_ivfpq_batch",       # batch kernel: dup guard + size guard
+    "embedding_pq_topk",           # pq_topk: size guard + NULLS LAST
+    # ALL 35 remaining r9-era refreshes (oldest standing evidence)
+    "broadcast_enrich_revenue",
+    "collector_name_parse",
+    "coordinate_validation",
+    "datum_reprojection",
+    "dsir_selection",
+    "dsir_threshold_select",
+    "embedding_ann_topk",
+    "embedding_cosine_near_dup",
+    "embedding_cosine_neighbors",
+    "embedding_ivf_topk",
+    "embedding_label_centroid_norms",
+    "endemism_density_layers",
+    "event_facet_counts",
+    "event_json_extract",
+    "event_hourly_histogram",
+    "event_rollup_combined",
+    "exact_dedup",
+    "fuzzy_name_pairs",
+    "histogram_threshold_refined",
+    "lsh_index_probe",
+    "near_dup_components",
+    "ngram_decontamination",
+    "ngram_jaccard_pairs",
+    "range_filter_facet",
+    "sds_generalization",
+    "simhash_near_duplicates",
+    "state_centroid_inference",
+    "stored_query_bbox",
+    "streaming_event_windows",
+    "text_redact_pii",
+    "text_repetition_stats",
+    "tfidf_top_terms",
+    "training_shard_plan",
+    "utm_inverse",
+    "verbatim_coord_parse",
+    # the 11 oldest r10-era entries (steady-state rotation continues)
+    "repeated_substring_spans",
+    "substring_decontamination",
+    "chain_hybrid",
+    "chain_vocab_fields",
+    "assertion_rollup",
+    "corpus_curation",
+    "text_fingerprint",
+    "text_simhash",
+    "text_language_id",
+    "text_quality_score",
+    "license_canonicalize",
+    # --- 50-slot prefix ends here ---
+)
+
+DEPRIORITIZED: tuple[str, ...] = (
+    # driver-green in CORRECTNESS_r11 (the r11 prefix) or r10 and
+    # untouched this round — they yield their prefix slots to the
+    # rotation above.
+    # r11-checked, unchanged in round 12:
+    "exif_metadata",
+    "countmin_heavy_hitters",
+    "rounding_ladder",
+    "index_projection_facet",
+    "dedup_occurrence_clusters",
+    "dedup_incremental_merge",
+    "duplicate_markup_writeback",
     "media_decode_meta",
     "interval_containment_groups",
     "raw_processed_comparison",
@@ -109,32 +165,13 @@ HEAD: tuple[str, ...] = (
     "set_except",
     "anti_join_obsolete",
     "distinct_values",
-    # the 6 oldest r9-era entries (steady-state rotation continues)
     "expert_outlier_store_merge",
     "expert_outlier_markup",
     "expert_outlier_flags",
     "sample_layers_enrich",
     "bm25_search",
     "grouped_stats",
-    # --- 50-slot prefix ends here ---
-)
-
-DEPRIORITIZED: tuple[str, ...] = (
-    # driver-green in CORRECTNESS_r10 (the r10 prefix) or r9 and
-    # untouched this round — they yield their prefix slots to the
-    # rotation above.
-    # r10-checked, unchanged in round 11:
-    "repeated_substring_spans",
-    "substring_decontamination",
-    "chain_hybrid",
-    "chain_vocab_fields",
-    "assertion_rollup",
-    "corpus_curation",
-    "text_fingerprint",
-    "text_simhash",
-    "text_language_id",
-    "text_quality_score",
-    "license_canonicalize",
+    # r10-checked, unchanged in rounds 11-12:
     "salted_skew_join",
     "doc_chunking",
     "stratified_sample",
@@ -153,7 +190,6 @@ DEPRIORITIZED: tuple[str, ...] = (
     "semantic_dedup",
     "bigram_lm_score",
     "dedup_representative",
-    "embedding_pq_topk",
     "kmeans_cells",
     "facet_rollup",
     "model_quality_gate",
@@ -170,42 +206,6 @@ DEPRIORITIZED: tuple[str, ...] = (
     "jackknife_outlier_stats",
     "maintenance_delete_upsert",
     "event_sessionization",
-    # r9-checked, unchanged in rounds 10-11:
-    "event_facet_counts",
-    "event_json_extract",
-    "event_hourly_histogram",
-    "range_filter_facet",
-    "broadcast_enrich_revenue",
-    "collector_name_parse",
-    "coordinate_validation",
-    "datum_reprojection",
-    "embedding_ann_topk",
-    "embedding_cosine_near_dup",
-    "embedding_cosine_neighbors",
-    "embedding_ivf_topk",
-    "embedding_label_centroid_norms",
-    "event_rollup_combined",
-    "exact_dedup",
-    "fuzzy_name_pairs",
-    "near_dup_components",
-    "ngram_decontamination",
-    "simhash_near_duplicates",
-    "histogram_threshold_refined",
-    "endemism_density_layers",
-    "training_shard_plan",
-    "dsir_threshold_select",
-    "dsir_selection",
-    "ngram_jaccard_pairs",
-    "lsh_index_probe",
-    "sds_generalization",
-    "state_centroid_inference",
-    "stored_query_bbox",
-    "streaming_event_windows",
-    "text_redact_pii",
-    "text_repetition_stats",
-    "tfidf_top_terms",
-    "utm_inverse",
-    "verbatim_coord_parse",
 )
 
 

@@ -567,24 +567,13 @@ def _pq_resid_dist_sql(e: str, cent: str, cb: str, s: str) -> str:
     return " + ".join(terms)
 
 
-@register(
-    "embedding_ivfpq_topk",
-    doc=(
-        "IVFADC top-k (operators/similarity.py pq_encode_residual/"
-        "ivfpq_topk — Jegou et al. §IV): vectors are assigned to IVF "
-        "cells (argmax cosine, first-4-vector centroids as the "
-        "deterministic stand-in) and product-quantized on the RESIDUAL "
-        "v - centroid[cell]; the query probes its nprobe=2 nearest "
-        "cells, builds one ADC table per cell from its per-cell "
-        "residual, and scores candidates via a cell-dispatched "
-        "when-chain of table lookups — pure JVM expressions, top-k as "
-        "TakeOrderedAndProject. Residual encoding is what keeps PQ "
-        "usable at density: standalone PQ ties all members of a tight "
-        "cell on identical codes (recall@10 0.105 at 1M, SCALE.md). "
-        "The oracle replays assignment, residual encoding, probing and "
-        "the ADC sums in SQL with the same left-associative chains."
-    ),
-    oracle=f"""
+def _ivfpq_single_query_ctes() -> str:
+    """The CTE chain shared by the single-query IVFADC oracles
+    (embedding_ivfpq_topk and embedding_ivfpq_rerank): assignment,
+    residual encoding, probing, ADC table and the per-candidate summed
+    `scored(vec_id, approx)` relation — all with the same
+    left-associative double chains the engine uses."""
+    return f"""
         WITH cents AS (
             SELECT vec_id AS cell_id, embedding AS centroid
             FROM embeddings WHERE vec_id < {_IVFPQ_CELLS}
@@ -649,6 +638,27 @@ def _pq_resid_dist_sql(e: str, cent: str, cb: str, s: str) -> str:
             SELECT vec_id, {" + ".join(f"t{s}" for s in range(_PQ_SUBSPACES))} AS approx
             FROM piv
         )
+    """
+
+
+@register(
+    "embedding_ivfpq_topk",
+    doc=(
+        "IVFADC top-k (operators/similarity.py pq_encode_residual/"
+        "ivfpq_topk — Jegou et al. §IV): vectors are assigned to IVF "
+        "cells (argmax cosine, first-4-vector centroids as the "
+        "deterministic stand-in) and product-quantized on the RESIDUAL "
+        "v - centroid[cell]; the query probes its nprobe=2 nearest "
+        "cells, builds one ADC table per cell from its per-cell "
+        "residual, and scores candidates via a cell-dispatched "
+        "when-chain of table lookups — pure JVM expressions, top-k as "
+        "TakeOrderedAndProject. Residual encoding is what keeps PQ "
+        "usable at density: standalone PQ ties all members of a tight "
+        "cell on identical codes (recall@10 0.105 at 1M, SCALE.md). "
+        "The oracle replays assignment, residual encoding, probing and "
+        "the ADC sums in SQL with the same left-associative chains."
+    ),
+    oracle=_ivfpq_single_query_ctes() + f"""
         SELECT vec_id, ROUND(approx, 6) AS approx_dist,
                CAST(rnk AS INTEGER) AS "rank"
         FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY approx ASC, vec_id ASC) AS rnk
@@ -691,6 +701,83 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(
         encoded, qvec, cent_rows, book_rows,
         k=_IVF_K, nprobe=_IVF_NPROBE, n_subspaces=_PQ_SUBSPACES,
+    )
+
+
+_IVFPQ_SHORTLIST = 20
+
+
+@register(
+    "embedding_ivfpq_rerank",
+    doc=(
+        "IVFADC + exact re-rank (operators/similarity.py "
+        "ivfpq_topk_rerank — Jegou et al. §V-A 'IVFADC+R'): the ADC "
+        "stage prunes the probed cells to a top-20 shortlist from the "
+        "int codes alone, the shortlist is broadcast back onto the raw "
+        "vectors, and the final top-10 ranks by EXACT cosine (DESC, id "
+        "ASC — the LSH/IVF in-plan re-rank tie-break). This is the "
+        "production recipe whose recall the ANN ladder pins (SCALE.md "
+        "'ANN recall': re-rank lifted 1M recall@10 0.28 -> 0.735), now "
+        "reachable through the engine surface. The oracle replays the "
+        "full chain: assignment, residual encoding, probing, ADC sums, "
+        "shortlist cut, exact-cosine re-rank."
+    ),
+    oracle=_ivfpq_single_query_ctes() + f"""
+        , short AS (
+            SELECT vec_id FROM (
+                SELECT vec_id, ROW_NUMBER() OVER (
+                    ORDER BY approx ASC, vec_id ASC) AS srnk
+                FROM scored)
+            WHERE srnk <= {_IVFPQ_SHORTLIST}
+        ),
+        rr AS (
+            SELECT s.vec_id,
+                   list_cosine_similarity(e.embedding::DOUBLE[],
+                                          q.embedding::DOUBLE[]) AS cs
+            FROM short s
+            JOIN embeddings e ON e.vec_id = s.vec_id
+            CROSS JOIN (SELECT embedding FROM embeddings
+                        WHERE vec_id = {_QUERY_VEC_ID}) q
+        )
+        SELECT vec_id, ROUND(cs, 4) AS cos_sim,
+               CAST(rnk AS INTEGER) AS "rank"
+        FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY cs DESC, vec_id ASC) AS rnk
+              FROM rr)
+        WHERE rnk <= {_IVF_K}
+    """,
+)
+def embedding_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biocache_store_spark.operators.similarity import (
+        ivfpq_topk_rerank,
+        pq_encode_residual,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < _IVFPQ_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    book = emb.filter(
+        (F.col("vec_id") >= _IVFPQ_BOOK_LO) & (F.col("vec_id") < _IVFPQ_BOOK_HI)
+    ).select(F.col("vec_id").alias("j"), "embedding")
+    body = emb.filter(F.col("vec_id") != _QUERY_VEC_ID).select(
+        "vec_id", "embedding"
+    )
+    encoded = pq_encode_residual(body, cents, book, n_subspaces=_PQ_SUBSPACES)
+    qvec = (
+        emb.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select("embedding").collect()[0][0]
+    )
+    cent_rows = [
+        (r["cell_id"], r["centroid"])
+        for r in sorted(cents.collect(), key=lambda r: r["cell_id"])
+    ]
+    book_rows = [
+        r["embedding"] for r in sorted(book.collect(), key=lambda r: r["j"])
+    ]
+    return ivfpq_topk_rerank(
+        encoded, body, qvec, cent_rows, book_rows,
+        k=_IVF_K, shortlist=_IVFPQ_SHORTLIST, nprobe=_IVF_NPROBE,
+        n_subspaces=_PQ_SUBSPACES,
     )
 
 

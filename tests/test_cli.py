@@ -642,6 +642,50 @@ def test_cli_ivfpq_pipeline(spark, tmp_path, capsys):
     assert main([
         "ivfpq-index", "--in", emb_store, "--index", index, "--append",
     ]) == 0
+    # dims that disagree with the stored meta: message + exit 2, not a
+    # traceback (ADVICE r11 #1/#4) — for append AND query
+    assert main([
+        "ivfpq-index", "--in", emb_store, "--index", index, "--append",
+        "--subspaces", "4",
+    ]) == 2
+    assert main([
+        "ivfpq-query", "--index", index, "--queries", emb_store,
+        "--query-ids", "0", "--subspaces", "4",
+    ]) == 2
+    # --rerank against an index built without --store-vectors: exit 2
+    assert main([
+        "ivfpq-query", "--index", index, "--queries", emb_store,
+        "--query-ids", "0", "--rerank", "10",
+    ]) == 2
+    # a trainer argument error (64 dims not divisible by 7 subspaces)
+    # follows the same convention
+    assert main([
+        "ivfpq-index", "--in", emb_store, "--centroids", cents,
+        "--index", str(tmp_path / "bad"), "--train-codebook", "4",
+        "--subspaces", "7",
+    ]) == 2
+
+    # the re-rank lifecycle: --store-vectors index, --rerank query
+    index2 = str(tmp_path / "ivfpq_rr")
+    assert main([
+        "ivfpq-index", "--in", emb_store, "--centroids", cents,
+        "--index", index2, "--train-codebook", "4", "--store-vectors",
+    ]) == 0
+    capsys.readouterr()
+    assert main([
+        "ivfpq-query", "--index", index2, "--queries", emb_store,
+        "--query-ids", "0,1", "--k", "3", "--rerank", "10",
+    ]) == 0
+    rr = [_json.loads(l) for l in capsys.readouterr().out.splitlines()
+          if l.startswith("{") and "query_id" in l]
+    assert {r["query_id"] for r in rr} == {0, 1}
+    assert all("cos_sim" in r and 1 <= r["rank"] <= 3 for r in rr)
+    # re-ranked output is ordered by exact cosine, descending per query
+    for qid in (0, 1):
+        mine = sorted((r for r in rr if r["query_id"] == qid),
+                      key=lambda r: r["rank"])
+        assert all(a["cos_sim"] >= b["cos_sim"]
+                   for a, b in zip(mine, mine[1:]))
 
 
 def test_cli_migrate_media_and_references(spark, tmp_path, capsys):

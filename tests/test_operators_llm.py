@@ -1244,6 +1244,121 @@ def test_ivfpq_index_persist_prunes_and_matches(spark, tmp_path):
     assert spark.read.parquet(path + "/codes").count() == emb.count()
 
 
+def test_ivfpq_index_meta_guards(spark, tmp_path):
+    """The meta/ contract (ADVICE r11 #1): a query or append whose
+    n_subspaces disagrees with the stored index raises instead of
+    silently scoring NULL (which, pre-guard, returned k arbitrary ids);
+    a legacy-style append backfills meta; dims are validated before any
+    write so a failed append can't corrupt the store."""
+    from biocache_store_spark.operators.similarity import (
+        query_ivfpq_index,
+        query_ivfpq_index_batch,
+        write_ivfpq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    book = emb.filter((F.col("vec_id") >= 2) & (F.col("vec_id") < 10)).select(
+        F.col("vec_id").alias("j"), "embedding"
+    )
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(emb, cents, book, path, n_subspaces=8)
+    meta = spark.read.parquet(path + "/meta").collect()[0]
+    assert (meta["n_subspaces"], meta["dim"], meta["has_vectors"]) == (
+        8, 64, False,
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    with pytest.raises(ValueError, match="n_subspaces"):
+        query_ivfpq_index(spark, path, qvec, n_subspaces=4)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="n_subspaces"):
+        query_ivfpq_index_batch(spark, path, q, n_subspaces=4)
+    with pytest.raises(ValueError, match="mixed code lengths"):
+        write_ivfpq_index(emb, cents, book, path, n_subspaces=4, mode="append")
+    # codes store untouched by the refused append
+    assert spark.read.parquet(path + "/codes").count() == emb.count()
+    # rerank against an index built without store_vectors: clear refusal
+    with pytest.raises(ValueError, match="raw-vector store"):
+        query_ivfpq_index(spark, path, qvec, k=3, rerank_shortlist=10)
+
+
+def test_ivfpq_index_rerank_prunes_and_matches(spark, tmp_path):
+    """query_ivfpq_index(rerank_shortlist=S) over a store_vectors=True
+    index == ivfpq_topk_rerank over the in-memory relations, BOTH scans
+    (codes and raw vectors) prune to the probed cell directories, and
+    append maintains the raw-vector store alongside the codes."""
+    from biocache_store_spark.operators.similarity import (
+        ivfpq_topk_rerank,
+        pq_encode_residual,
+        query_ivfpq_index,
+        query_ivfpq_index_batch,
+        write_ivfpq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    book = emb.filter((F.col("vec_id") >= 4) & (F.col("vec_id") < 20)).select(
+        F.col("vec_id").alias("j"), "embedding"
+    )
+    body = emb.filter(F.col("vec_id") != 0)
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(body, cents, book, path, store_vectors=True)
+    assert spark.read.parquet(path + "/meta").collect()[0]["has_vectors"]
+
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    stored = query_ivfpq_index(
+        spark, path, qvec, k=5, nprobe=2, rerank_shortlist=20
+    )
+    cent_rows = [
+        (r["cell_id"], r["centroid"])
+        for r in sorted(cents.collect(), key=lambda r: r["cell_id"])
+    ]
+    book_rows = [
+        r["embedding"] for r in sorted(book.collect(), key=lambda r: r["j"])
+    ]
+    direct = ivfpq_topk_rerank(
+        pq_encode_residual(body.select("vec_id", "embedding"), cents, book),
+        body.select("vec_id", "embedding"),
+        qvec, cent_rows, book_rows, k=5, shortlist=20, nprobe=2,
+    )
+    a = {(r["vec_id"], r["cos_sim"], r["rank"]) for r in stored.collect()}
+    b = {(r["vec_id"], r["cos_sim"], r["rank"]) for r in direct.collect()}
+    assert a == b and len(a) == 5
+
+    # BOTH index scans (codes for ADC, vectors for the exact re-rank)
+    # keep their probed-cell filter in PartitionFilters
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    pruned = [
+        seg.splitlines()[0]
+        for seg in plan.split("PartitionFilters")[1:]
+    ]
+    with_cell = [p for p in pruned if "cell_id" in p]
+    assert len(with_cell) >= 2, plan
+
+    # append keeps the raw-vector store in lockstep with the codes
+    extra = emb.filter(F.col("vec_id") == 0)
+    write_ivfpq_index(extra, cents, book, path, mode="append")
+    assert spark.read.parquet(path + "/codes").count() == emb.count()
+    assert spark.read.parquet(path + "/vectors").count() == emb.count()
+
+    # batch rerank on the persisted index: k rows per query, exact
+    # cosine ordering per query, self excluded
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    outb = query_ivfpq_index_batch(
+        spark, path, queries, k=5, nprobe=2, rerank_shortlist=20
+    ).collect()
+    assert len(outb) == 15
+    assert all(r["vec_id"] != r["query_id"] for r in outb)
+
+
 def test_component_representatives_string_ids(spark):
     """String ids must work (no numeric negation) with the same
     lowest-id-on-ties rule."""

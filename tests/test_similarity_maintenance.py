@@ -286,6 +286,187 @@ def test_ivfpq_batch_matches_single_query_form(spark):
         assert single == {t for t in batch if t[0] == qid}, qid
 
 
+def test_ivfpq_rerank_recovers_exact_topk_at_full_shortlist(spark):
+    """ivfpq_topk_rerank (ADC shortlist -> exact-cosine re-rank, Jegou
+    §V-A IVFADC+R): with nprobe = all cells and shortlist = the whole
+    corpus, the re-ranked top-k must equal the brute-force cosine top-k
+    exactly — the ADC stage then only prunes nothing and the exact stage
+    is the whole ranking. Also pins the output contract (cos_sim 4dp,
+    rank 1..k, shortlist < k refused)."""
+    from biocache_store_spark.functions.vectors import cosine_similarity_arrow
+    from biocache_store_spark.operators.similarity import (
+        ivfpq_topk_rerank,
+        pq_encode_residual,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    book = emb.filter((F.col("vec_id") >= 4) & (F.col("vec_id") < 20)).select(
+        F.col("vec_id").alias("j"), "embedding"
+    )
+    body = emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
+    enc = pq_encode_residual(body, cents, book)
+    cent_rows = [
+        (r["cell_id"], r["centroid"])
+        for r in sorted(cents.collect(), key=lambda r: r["cell_id"])
+    ]
+    book_rows = [
+        r["embedding"] for r in sorted(book.collect(), key=lambda r: r["j"])
+    ]
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    n = body.count()
+    out = ivfpq_topk_rerank(
+        enc, body, qvec, cent_rows, book_rows, k=5, shortlist=n, nprobe=4
+    ).collect()
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == [
+        1, 2, 3, 4, 5,
+    ]
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    exact = (
+        body.crossJoin(F.broadcast(q))
+        .withColumn(
+            "cs", cosine_similarity_arrow(F.col("embedding"), F.col("q_emb"))
+        )
+        .orderBy(F.col("cs").desc(), F.col("vec_id").asc())
+        .limit(5)
+        .collect()
+    )
+    assert [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])] == [
+        r["vec_id"] for r in exact
+    ]
+    assert all(abs(a["cos_sim"] - round(b["cs"], 4)) < 1e-12
+               for a, b in zip(sorted(out, key=lambda r: r["rank"]), exact))
+    with pytest.raises(ValueError, match="shortlist"):
+        ivfpq_topk_rerank(
+            enc, body, qvec, cent_rows, book_rows, k=5, shortlist=3
+        )
+
+
+def test_ivfpq_batch_rerank_matches_single_form(spark):
+    """ivfpq_topk_batch_rerank is bit-identical per query to
+    ivfpq_topk_rerank — the broadcast shortlist join and per-query
+    exact re-rank must not drift from the single-query composition."""
+    from biocache_store_spark.operators.similarity import (
+        ivfpq_topk_batch_rerank,
+        ivfpq_topk_rerank,
+        pq_encode_residual,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    book = emb.filter((F.col("vec_id") >= 4) & (F.col("vec_id") < 20)).select(
+        F.col("vec_id").alias("j"), "embedding"
+    )
+    allv = emb.select("vec_id", "embedding")
+    enc = pq_encode_residual(allv, cents, book)
+    cent_rows = [
+        (r["cell_id"], r["centroid"])
+        for r in sorted(cents.collect(), key=lambda r: r["cell_id"])
+    ]
+    book_rows = [
+        r["embedding"] for r in sorted(book.collect(), key=lambda r: r["j"])
+    ]
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch = {
+        (r["query_id"], r["vec_id"], r["cos_sim"], r["rank"])
+        for r in ivfpq_topk_batch_rerank(
+            enc, allv, queries, cent_rows, book_rows,
+            k=5, shortlist=20, nprobe=2,
+        ).collect()
+    }
+    assert len(batch) == 15
+    for qid in range(3):
+        qvec = (
+            emb.filter(F.col("vec_id") == qid)
+            .select("embedding").collect()[0][0]
+        )
+        single = {
+            (qid, r["vec_id"], r["cos_sim"], r["rank"])
+            for r in ivfpq_topk_rerank(
+                enc.filter(F.col("vec_id") != qid), allv, qvec,
+                cent_rows, book_rows, k=5, shortlist=20, nprobe=2,
+            ).collect()
+        }
+        assert single == {t for t in batch if t[0] == qid}, qid
+
+
+def test_ivfpq_batch_rejects_duplicate_query_ids(spark):
+    """A duplicated query_id would double every approx_dist through the
+    per-subspace F.sum (two identical ADC-table rows match the join) —
+    the batch kernel refuses instead of silently mis-reporting."""
+    from biocache_store_spark.operators.similarity import (
+        ivfpq_topk_batch,
+        pq_encode_residual,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    book = emb.filter((F.col("vec_id") >= 2) & (F.col("vec_id") < 10)).select(
+        F.col("vec_id").alias("j"), "embedding"
+    )
+    enc = pq_encode_residual(emb.select("vec_id", "embedding"), cents, book)
+    cent_rows = [
+        (r["cell_id"], r["centroid"])
+        for r in sorted(cents.collect(), key=lambda r: r["cell_id"])
+    ]
+    book_rows = [
+        r["embedding"] for r in sorted(book.collect(), key=lambda r: r["j"])
+    ]
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="duplicate query_id"):
+        ivfpq_topk_batch(
+            enc, q.union(q), cent_rows, book_rows, k=3, nprobe=1
+        )
+
+
+def test_train_pq_codebook_single_pass_parity_and_reseed(spark):
+    """VERDICT r11 #4/#5: (a) the single-pass trainer (one assignment +
+    stats job per iteration for all m subspaces) is bit-identical to the
+    m-sequential kmeans_train form; (b) a degenerate subspace (constant
+    slice -> every cell but one drops empty) is reseeded back to the
+    full K instead of truncating every other subspace to k_min — and the
+    reseed is itself deterministic (both trainers agree)."""
+    from biocache_store_spark.operators.similarity import train_pq_codebook
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    seq = train_pq_codebook(emb, n_subspaces=8, k=4, iters=2, single_pass=False)
+    one = train_pq_codebook(emb, n_subspaces=8, k=4, iters=2, single_pass=True)
+    assert seq == one and len(one) == 4
+
+    # constant first subspace: its k-means collapses to one cell
+    degenerate = emb.select(
+        "vec_id",
+        F.concat(
+            F.array(*[F.lit(0.5)] * 8), F.slice("embedding", 9, 56)
+        ).alias("embedding"),
+    )
+    d_seq = train_pq_codebook(
+        degenerate, n_subspaces=8, k=4, iters=1, single_pass=False
+    )
+    d_one = train_pq_codebook(
+        degenerate, n_subspaces=8, k=4, iters=1, single_pass=True
+    )
+    assert len(d_one) == 4  # full K despite the collapsed subspace
+    assert d_seq == d_one
+    # the healthy subspaces (identical slices in both inputs) kept their
+    # trained centroids — reseeding one subspace must not perturb others
+    healthy = train_pq_codebook(emb, n_subspaces=8, k=4, iters=1)
+    for j in range(4):
+        assert d_one[j][8:] == healthy[j][8:], j
+
+
 def test_train_pq_codebook_is_stitched_subspace_kmeans(spark):
     """train_pq_codebook == per-subspace kmeans_train stitched: codeword
     j's subspace-s slice must equal subspace-s centroid j, and encoding

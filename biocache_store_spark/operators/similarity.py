@@ -1745,6 +1745,7 @@ def query_ivfpq_index_batch(
     n_subspaces: int = 8,
     id_col: str = "vec_id",
     rerank_shortlist: int | None = None,
+    exclude_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Batch ADC top-k against the persisted IVFADC index: ONE job for
     the whole query batch (ivfpq_topk_batch's broadcast table-relation
@@ -1784,6 +1785,15 @@ def query_ivfpq_index_batch(
         .filter(F.col("cell_id").isin(probed_cells))
         .dropDuplicates([id_col])
     )
+    if exclude_ids is not None:
+        # the never-match contract shared with query_ivfpq_index (e.g. a
+        # streaming microbatch excluding ITSELF so a crash-replay after
+        # its own append reports identical neighbors)
+        encoded = encoded.join(
+            exclude_ids.select(F.col(exclude_ids.columns[0]).alias(id_col)),
+            id_col,
+            "left_anti",
+        )
     # rebuild the query relation from the SAME collected snapshot so the
     # ADC tables can never diverge from the probe-cell filter above
     snapshot = spark.createDataFrame(
@@ -1795,7 +1805,9 @@ def query_ivfpq_index_batch(
             k=k, nprobe=nprobe, n_subspaces=n_subspaces, id_col=id_col,
             qrows=qrows,
         )
-    vectors = _ivfpq_rerank_vectors(spark, path, probed_cells, id_col, None)
+    vectors = _ivfpq_rerank_vectors(
+        spark, path, probed_cells, id_col, exclude_ids
+    )
     return ivfpq_topk_batch_rerank(
         encoded, vectors, snapshot, cent_rows, book_rows,
         k=k, shortlist=rerank_shortlist, nprobe=nprobe,

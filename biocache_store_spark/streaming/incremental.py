@@ -469,6 +469,98 @@ def semantic_dedup_stream(
     return writer.start()
 
 
+def ivfpq_index_stream(
+    spark: SparkSession,
+    staging_dir: str,
+    index_path: str,
+    neighbors_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType = EMBEDDING_STREAM_SCHEMA,
+    k: int = 10,
+    nprobe: int = 2,
+    rerank_shortlist: int | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming IVFADC index maintenance (VERDICT r11 #6) — the
+    compressed twin of `semantic_dedup_stream`: each microbatch of
+    arriving vectors (JSONL drops) is first searched against the
+    persisted IVFADC index (query_ivfpq_index_batch — ONE probe-pruned
+    batch job; ADC, or ADC + exact re-rank with `rerank_shortlist`),
+    writing each arrival's current top-k under `neighbors_dir`
+    partitioned by batch, then the batch's residual-PQ codes are
+    appended so the codes store stays current — per-batch cost
+    proportional to the batch and its probed cells, never the corpus.
+
+    Dims are NEVER re-derived per batch: the append encodes with the
+    index's own stored centroids + codebook and n_subspaces from its
+    meta (write_ivfpq_index re-validates — a drifted store raises
+    rather than writing mixed-length codes). Replay semantics match
+    near_dup_stream: the neighbor report overwrites a batch-scoped
+    subdirectory, the append is marker-guarded (a crash between append
+    and marker can double a batch's codes once — the probe path dedups
+    on read), and the batch excludes its OWN ids from candidates so a
+    replayed handler after its own append reports identical neighbors.
+    Seed the index with write_ivfpq_index first (store_vectors=True if
+    re-ranked streaming search is wanted); ids must be unique across
+    the corpus and all batches."""
+    import os
+
+    from biocache_store_spark.operators.similarity import (
+        _ivfpq_meta,
+        query_ivfpq_index_batch,
+        write_ivfpq_index,
+    )
+
+    if not _index_dir_exists(spark, index_path, "codes"):
+        raise ValueError(
+            f"ivfpq_index_stream: no IVFADC index at {index_path!r}; seed "
+            "it with write_ivfpq_index on the initial corpus before "
+            "streaming"
+        )
+    raw = spark.readStream.schema(schema).json(staging_dir)
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        batch = batch.persist()
+        try:
+            meta = _ivfpq_meta(spark, index_path)
+            n_sub = int(meta["n_subspaces"]) if meta else 8
+            queries = batch.select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            )
+            report = query_ivfpq_index_batch(
+                spark,
+                index_path,
+                queries,
+                k=k,
+                nprobe=nprobe,
+                n_subspaces=n_sub,
+                rerank_shortlist=rerank_shortlist,
+                exclude_ids=batch.select("vec_id"),
+            )
+            report.write.mode("overwrite").parquet(
+                os.path.join(neighbors_dir, f"batch={batch_id}")
+            )
+            if not _marker_exists(spark, index_path, batch_id):
+                centroids = spark.read.parquet(index_path + "/centroids")
+                codebook = spark.read.parquet(index_path + "/codebook")
+                write_ivfpq_index(
+                    batch, centroids, codebook, index_path,
+                    n_subspaces=n_sub, mode="append",
+                )
+                _commit_marker(spark, index_path, batch_id)
+        finally:
+            batch.unpersist()
+
+    writer = raw.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def classify_stream(
     spark: SparkSession,
     staging_dir: str,

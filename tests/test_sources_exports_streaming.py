@@ -1840,6 +1840,108 @@ def test_semantic_dedup_stream(spark, tmp_path):
     assert got[20] is False  # matched vector 11 from the previous drop
 
 
+def test_ivfpq_index_stream_equals_batch_rebuild(spark, tmp_path):
+    """Streaming IVFADC maintenance (VERDICT r11 #6): embedding drops
+    append their residual-PQ codes (and the raw-vector store) to the
+    persisted index; after two drops the index answers queries
+    IDENTICALLY to a batch rebuild over the full corpus — including a
+    cross-batch probe whose neighbors span the seed and both drops —
+    and each drop's neighbor report excludes its own ids while seeing
+    the PREVIOUS drop's appended vectors."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from biocache_store_spark.operators.similarity import (
+        query_ivfpq_index_batch,
+        write_ivfpq_index,
+    )
+    from biocache_store_spark.streaming.incremental import ivfpq_index_stream
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    book = emb.filter((F.col("vec_id") >= 2) & (F.col("vec_id") < 10)).select(
+        F.col("vec_id").alias("j"), "embedding"
+    )
+    seed = emb.filter(F.col("vec_id") < 30)
+    b1 = emb.filter((F.col("vec_id") >= 30) & (F.col("vec_id") < 45))
+    b2 = emb.filter(F.col("vec_id") >= 45)
+    index = str(tmp_path / "ivfpq_stream")
+    write_ivfpq_index(seed, cents, book, index, store_vectors=True)
+
+    staging = tmp_path / "staging"
+    staging.mkdir()
+    neighbors = str(tmp_path / "neighbors")
+
+    def drop(df, name):
+        (staging / name).write_text("\n".join(
+            _json.dumps({
+                "vec_id": r["vec_id"],
+                "embedding": [float(x) for x in r["embedding"]],
+                "label": r["label"],
+            })
+            for r in df.collect()
+        ))
+
+    drop(b1, "d1.jsonl")
+    q = ivfpq_index_stream(
+        spark, str(staging), index, neighbors, str(tmp_path / "ckpt"),
+        k=5, nprobe=2,
+    )
+    q.awaitTermination(120)
+    drop(b2, "d2.jsonl")
+    q2 = ivfpq_index_stream(
+        spark, str(staging), index, neighbors, str(tmp_path / "ckpt"),
+        k=5, nprobe=2,
+    )
+    q2.awaitTermination(120)
+
+    n_all = emb.count()
+    assert spark.read.parquet(index + "/codes").count() == n_all
+    # the raw-vector store is maintained in lockstep (meta has_vectors)
+    assert spark.read.parquet(index + "/vectors").count() == n_all
+
+    # streaming-maintained index == batch rebuild over the full corpus,
+    # probed by queries whose neighbors span seed + both drops
+    rebuilt = str(tmp_path / "ivfpq_rebuild")
+    write_ivfpq_index(emb, cents, book, rebuilt, store_vectors=True)
+    queries = emb.filter(F.col("vec_id").isin([0, 35, 50])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for kwargs in ({}, {"rerank_shortlist": 12}):
+        streamed = {
+            tuple(r)
+            for r in query_ivfpq_index_batch(
+                spark, index, queries, k=5, nprobe=2, **kwargs
+            ).collect()
+        }
+        batch = {
+            tuple(r)
+            for r in query_ivfpq_index_batch(
+                spark, rebuilt, queries, k=5, nprobe=2, **kwargs
+            ).collect()
+        }
+        assert streamed == batch and len(streamed) == 15, kwargs
+
+    # per-drop neighbor reports: own ids excluded; the second drop can
+    # see the first drop's appended vectors (cross-batch probing)
+    rep = spark.read.parquet(neighbors).withColumn(
+        "batch",
+        F.regexp_extract(F.input_file_name(), r"batch=(\d+)", 1).cast("int"),
+    )
+    rows = rep.collect()
+    b1_ids = {r["vec_id"] for r in b1.select("vec_id").collect()}
+    b2_ids = {r["vec_id"] for r in b2.select("vec_id").collect()}
+    first = [r for r in rows if r["batch"] == 0]
+    second = [r for r in rows if r["batch"] == 1]
+    assert first and second
+    assert not {r["vec_id"] for r in first} & b1_ids
+    assert not {r["vec_id"] for r in second} & b2_ids
+    assert not {r["vec_id"] for r in first} & b2_ids  # b2 not yet appended
+
+
 def test_jsonl_loader_mixed_id_types_stay_string(spark, tmp_path):
     """An alias seen with BOTH numeric and string values in the head must
     be typed string so string ids survive (numeric ones re-mint)."""

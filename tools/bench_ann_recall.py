@@ -334,6 +334,70 @@ def main() -> int:
           f"exact re-rank of the ADC top-{shortlist} "
           f"({time.time() - t0:.0f}s)", flush=True)
 
+    # --- quality-lever sweep (VERDICT r11 #3): shortlist x nprobe on the
+    # per-subspace IVFADC config, BATCH form (one job per nprobe for all
+    # queries, k = the largest shortlist; smaller shortlists are prefixes
+    # of the same ADC ranking, so each job yields the whole row).
+    from biocache_store_spark.operators.similarity import (
+        ivfpq_topk_batch,
+        ivfpq_topk_batch_rerank,
+    )
+
+    sweep_queries_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in V[i]]) for i in pq_queries],
+        "query_id long, embedding array<double>",
+    )
+    shortlists = (100, 400, 1000)
+    for nprobe in (4, 8, 16):
+        t0 = time.time()
+        out = ivfpq_topk_batch(
+            enc_ps, sweep_queries_df, cent_rows, rbook_ps,
+            k=max(shortlists), nprobe=nprobe, n_subspaces=8,
+        ).collect()
+        ranked_by_q: dict[int, list[int]] = {}
+        for r in sorted(out, key=lambda r: (r["query_id"], r["rank"])):
+            ranked_by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+        dt = time.time() - t0
+        for sl in shortlists:
+            hits_sl = []
+            for qid in pq_queries:
+                cand = np.asarray(ranked_by_q.get(qid, [])[:sl], dtype=np.int64)
+                if len(cand) == 0:
+                    hits_sl.append(0.0)
+                    continue
+                sims = V[cand] @ V[qid]
+                order = cand[np.lexsort((cand, -sims))][:k]
+                hits_sl.append(len(set(int(i) for i in order) & gt[qid]) / k)
+            key = "ivfadc_ps_nprobe%d_rerank%d" % (nprobe, sl)
+            results[key] = round(float(np.mean(hits_sl)), 4)
+            print(f"sweep nprobe={nprobe:>2} shortlist={sl:>4}: "
+                  f"recall@{k} = {results[key]:.4f} "
+                  f"(batch job {dt:.0f}s)", flush=True)
+
+    # --- the same recipe through the ENGINE surface (ivfpq_topk_batch_rerank
+    # — the operator a deployment calls), one job: must reproduce the
+    # numpy-prefix re-rank for its config exactly.
+    eng_nprobe, eng_sl = 8, 400
+    t0 = time.time()
+    eng = ivfpq_topk_batch_rerank(
+        enc_ps, vectors, sweep_queries_df, cent_rows, rbook_ps,
+        k=k, shortlist=eng_sl, nprobe=eng_nprobe, n_subspaces=8,
+    ).collect()
+    eng_by_q: dict[int, set[int]] = {}
+    for r in eng:
+        eng_by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    eng_rec = float(np.mean(
+        [len(eng_by_q.get(qid, set()) & gt[qid]) / k for qid in pq_queries]
+    ))
+    results["engine_rerank_nprobe%d_sl%d" % (eng_nprobe, eng_sl)] = round(
+        eng_rec, 4
+    )
+    ref = results.get("ivfadc_ps_nprobe%d_rerank%d" % (eng_nprobe, eng_sl))
+    print(f"ENGINE ivfpq_topk_batch_rerank nprobe={eng_nprobe} "
+          f"shortlist={eng_sl}: recall@{k} = {eng_rec:.4f} "
+          f"(numpy replay: {ref}) in {time.time() - t0:.0f}s "
+          f"for {len(pq_queries)} queries", flush=True)
+
     print(json.dumps({
         "metric": "ann_recall_at_10", "n": n, "dim": dim,
         "n_clusters": n_clusters, "noise": noise,

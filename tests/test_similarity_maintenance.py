@@ -237,6 +237,62 @@ def test_ann_recall_floor_ivf_and_pq(spark):
         hits.append(len({r["vec_id"] for r in out} & gt[qid]) / k)
     assert float(np.mean(hits)) >= 0.2, hits
 
+    # IVFADC + exact re-rank floor (VERDICT r11 #3, the engine-surface
+    # recipe): per-subspace residual codebook, nprobe=2, re-rank of the
+    # ADC top-100 — measured 0.93 on this config (raw ADC 0.41); floors
+    # at 0.8 / 0.25 leave margin for ground-truth BLAS-order ties. The
+    # 1M sweep (SCALE.md round 12) shows the same shape: shortlist is
+    # the binding lever, re-rank must beat raw ADC decisively.
+    from biocache_store_spark.operators.similarity import (
+        ivfpq_topk_batch,
+        ivfpq_topk_batch_rerank,
+        pq_encode_residual,
+        train_pq_codebook,
+    )
+
+    C = np.asarray(centroids)
+    cell_of = {
+        r["vec_id"]: r["cell_id"]
+        for r in assigned.select("vec_id", "cell_id").collect()
+    }
+    R = V - C[[cell_of[i] for i in range(n)]]
+    resid = spark.createDataFrame(
+        [(int(i), [float(x) for x in R[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    rbook = train_pq_codebook(resid, n_subspaces=8, k=16, iters=2)
+    rbook_df = spark.createDataFrame(
+        [(j, rbook[j]) for j in range(len(rbook))],
+        "j long, embedding array<double>",
+    )
+    enc_r = pq_encode_residual(
+        vectors, cent_df.select("cell_id", "centroid"), rbook_df,
+        n_subspaces=8,
+    ).select("vec_id", "cell_id", "codes").cache()
+    cent_rows = [
+        (r["cell_id"], r["centroid"])
+        for r in sorted(cent_df.collect(), key=lambda r: r["cell_id"])
+    ]
+
+    def batch_recall(df):
+        got: dict[int, set[int]] = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return float(
+            np.mean([len(got.get(q, set()) & gt[q]) / k for q in gt])
+        )
+
+    raw_adc = batch_recall(ivfpq_topk_batch(
+        enc_r, queries, cent_rows, rbook, k=k, nprobe=2, n_subspaces=8
+    ))
+    reranked = batch_recall(ivfpq_topk_batch_rerank(
+        enc_r, vectors, queries, cent_rows, rbook,
+        k=k, shortlist=100, nprobe=2, n_subspaces=8,
+    ))
+    assert raw_adc >= 0.25, raw_adc
+    assert reranked >= 0.8, reranked
+    assert reranked > raw_adc, (reranked, raw_adc)
+
 
 def test_ivfpq_batch_matches_single_query_form(spark):
     """ivfpq_topk_batch (broadcast ADC-table relation + subspace pivot)

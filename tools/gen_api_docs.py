@@ -28,7 +28,7 @@ def main() -> None:
         "# API reference (auto-generated — tools/gen_api_docs.py)",
         "",
         "Public entry points per module; full semantics live in each",
-        "docstring (with reference file:line citations). The 107-query",
+        "docstring (with reference file:line citations). The 132-query",
         "registry is documented separately in SURVEY.md §8.",
         "",
     ]

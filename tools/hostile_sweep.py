@@ -11,7 +11,7 @@ classic silent-corruption classes before the driver can find them:
 
 The pytest suite runs the same comparisons under the standard local[32]
 session; this sweep is the same gate under the adversarial session.
-Last full run: 106/106 green in 115 s (round 5).
+Last full run: 132/132 green in 151 s (round 12).
 
 Usage: python tools/hostile_sweep.py [sf_dir]
 """

@@ -1230,14 +1230,21 @@ def ivfpq_topk_batch_rerank(
         raise ValueError(
             f"ivfpq_topk_batch_rerank: shortlist {shortlist} smaller than k {k}"
         )
+    # collect the query batch ONCE here: the ADC shortlist and the
+    # exact-cosine stage must score the SAME embeddings — re-evaluating
+    # a non-deterministic query relation for qemb would exact-score
+    # candidates shortlisted under different vectors (the double-eval
+    # class ADVICE r11 #2 closed on the probe/scan split)
+    if qrows is None:
+        qrows = query_vectors.select("query_id", "embedding").collect()
     short = ivfpq_topk_batch(
         encoded, query_vectors, centroid_rows, codebook_rows,
         k=shortlist, nprobe=nprobe, n_subspaces=n_subspaces, id_col=id_col,
         qrows=qrows,
     )
-    qemb = query_vectors.select(
-        "query_id", F.col(embedding_col).alias("__q_emb")
-    )
+    qemb = encoded.sparkSession.createDataFrame(
+        qrows, query_vectors.select("query_id", "embedding").schema
+    ).select("query_id", F.col("embedding").alias("__q_emb"))
     sim = cosine_similarity_arrow(F.col(embedding_col), F.col("__q_emb"))
     cand = (
         vectors.select(id_col, embedding_col)
@@ -1528,6 +1535,16 @@ def _write_ivfpq_meta(
     ).write.mode("overwrite").parquet(path + "/meta")
 
 
+def _hadoop_delete(spark, path: str) -> None:
+    """Recursive delete through the Hadoop FileSystem API (works on any
+    Hadoop-visible store, not just the local filesystem)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
 def write_ivfpq_index(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -1569,8 +1586,8 @@ def write_ivfpq_index(
             f"write_ivfpq_index: codebook dim {dim} not divisible by "
             f"n_subspaces {n_subspaces}"
         )
+    meta = _ivfpq_meta(spark, path) if mode == "append" else None
     if mode == "append":
-        meta = _ivfpq_meta(spark, path)
         if meta is not None:
             if int(meta["n_subspaces"]) != int(n_subspaces):
                 raise ValueError(
@@ -1592,6 +1609,18 @@ def write_ivfpq_index(
                     "match (a diverging raw-vector store would silently "
                     "break rerank queries)"
                 )
+        elif store_vectors:
+            # a vectors/ store born from an append would hold ONLY this
+            # split — a later rerank query would silently drop every
+            # seed-corpus candidate at the raw-vector join
+            raise ValueError(
+                f"write_ivfpq_index: index at {path!r} predates the meta "
+                "contract; a raw-vector store cannot be added via append "
+                "(it would miss the seed corpus) — rebuild with "
+                "mode='overwrite', store_vectors=True"
+            )
+        else:
+            store_vectors = False
     store_vectors = bool(store_vectors)
     encoded = pq_encode_residual(
         vectors.select(id_col, embedding_col), centroids, codebook,
@@ -1607,41 +1636,60 @@ def write_ivfpq_index(
             vectors.select(id_col, embedding_col), centroids,
             id_col, embedding_col,
         )
+        if mode == "append":
+            # one canonical element type per store: a float32 drop into a
+            # float64 store (or vice versa) must not silently mix schemas
+            # for parquet's widening read to paper over
+            stored_type = (
+                spark.read.parquet(path + "/vectors")
+                .schema[embedding_col].dataType
+            )
+            assigned = assigned.withColumn(
+                embedding_col, F.col(embedding_col).cast(stored_type)
+            )
         assigned.write.mode(mode).partitionBy("cell_id").parquet(
             path + "/vectors"
         )
+    elif mode == "overwrite":
+        # a rebuild WITHOUT the raw store must not leave the previous
+        # vectors/ (the ~64x-larger artifact) stranded on disk — meta
+        # says has_vectors=False so nothing would ever read or reclaim it
+        _hadoop_delete(spark, path + "/vectors")
     if mode == "overwrite":
-        centroids.write.mode(mode).parquet(path + "/centroids")
-        codebook.write.mode(mode).parquet(path + "/codebook")
+        centroids.write.mode("overwrite").parquet(path + "/centroids")
+        codebook.write.mode("overwrite").parquet(path + "/codebook")
     # meta is (re)written on overwrite and back-filled on a legacy append
-    if mode == "overwrite" or _ivfpq_meta(spark, path) is None:
+    # (with the store_vectors=False this path enforces above)
+    if mode == "overwrite" or meta is None:
         _write_ivfpq_meta(spark, path, n_subspaces, dim, store_vectors)
 
 
-def _validate_ivfpq_subspaces(spark, path: str, n_subspaces: int) -> None:
+def _validate_ivfpq_subspaces(spark, path: str, n_subspaces: int) -> dict | None:
     """Refuse a query whose n_subspaces disagrees with the index's
     stored meta — mismatched subspace counts make codes[s] NULL for
     every candidate, which (pre-guard) silently returned arbitrary ids
     as top-k (ADVICE r11 #1). Pre-meta indexes skip the check (the
-    in-plan F.size(codes) == n_subspaces filter still applies)."""
+    in-plan F.size(codes) == n_subspaces filter still applies).
+    Returns the meta dict (or None) so callers read it once."""
     meta = _ivfpq_meta(spark, path)
     if meta is not None and int(meta["n_subspaces"]) != int(n_subspaces):
         raise ValueError(
             f"ivfpq query: index at {path!r} stores n_subspaces="
             f"{meta['n_subspaces']}, query requested {n_subspaces}"
         )
+    return meta
 
 
 def _ivfpq_rerank_vectors(
     spark, path: str, probe_cells: list, id_col: str,
-    exclude_ids: DataFrame | None,
+    exclude_ids: DataFrame | None, meta: dict | None,
 ) -> DataFrame:
     """The probe-pruned raw-vector relation the re-rank stage scores
     against: the index's cell-partitioned `vectors/` store filtered to
     the probed cells (directory pruning, same placement discipline as
     the codes scan: filter BELOW the defensive dropDuplicates), with the
-    same crash-replay dedup and exclude_ids contract as the ADC side."""
-    meta = _ivfpq_meta(spark, path)
+    same crash-replay dedup and exclude_ids contract as the ADC side.
+    `meta` is the caller's already-loaded index meta (None = pre-meta)."""
     if meta is not None and not meta.get("has_vectors"):
         raise ValueError(
             f"ivfpq rerank: index at {path!r} has no raw-vector store; "
@@ -1687,7 +1735,7 @@ def query_ivfpq_index(
     probe-pruned — the measured-recall production recipe (SCALE.md 'ANN
     recall': re-rank lifted 1M recall@10 0.28 -> 0.735 at per-subspace
     codebooks), returning (id, cos_sim, rank)."""
-    _validate_ivfpq_subspaces(spark, path, n_subspaces)
+    meta = _validate_ivfpq_subspaces(spark, path, n_subspaces)
     centroids = spark.read.parquet(path + "/centroids")
     codebook = spark.read.parquet(path + "/codebook")
     cent_rows = [
@@ -1727,7 +1775,7 @@ def query_ivfpq_index(
             k=k, nprobe=nprobe, n_subspaces=n_subspaces, id_col=id_col,
         )
     vectors = _ivfpq_rerank_vectors(
-        spark, path, probe_cells, id_col, exclude_ids
+        spark, path, probe_cells, id_col, exclude_ids, meta
     )
     return ivfpq_topk_rerank(
         encoded, vectors, query_vec, cent_rows, book_rows,
@@ -1761,7 +1809,7 @@ def query_ivfpq_index_batch(
     (query_id, embedding). Returns (query_id, id, approx_dist, rank),
     or (query_id, id, cos_sim, rank) with `rerank_shortlist=S` (exact
     cosine over the raw-vector store, as query_ivfpq_index)."""
-    _validate_ivfpq_subspaces(spark, path, n_subspaces)
+    meta = _validate_ivfpq_subspaces(spark, path, n_subspaces)
     centroids = spark.read.parquet(path + "/centroids")
     codebook = spark.read.parquet(path + "/codebook")
     cent_rows = [
@@ -1806,7 +1854,7 @@ def query_ivfpq_index_batch(
             qrows=qrows,
         )
     vectors = _ivfpq_rerank_vectors(
-        spark, path, probed_cells, id_col, exclude_ids
+        spark, path, probed_cells, id_col, exclude_ids, meta
     )
     return ivfpq_topk_batch_rerank(
         encoded, vectors, snapshot, cent_rows, book_rows,

@@ -520,12 +520,30 @@ def ivfpq_index_stream(
     raw = spark.readStream.schema(schema).json(staging_dir)
 
     def handle(batch: DataFrame, batch_id: int) -> None:
+        # sanitize BEFORE anything driver-side: a null embedding or a
+        # duplicated vec_id inside one tick (producer retries staging the
+        # same record twice) would otherwise raise deterministically in
+        # the batch query's collect and wedge the stream on that batch
+        # forever — the sibling streams tolerate both, so must this one
+        batch = (
+            batch.filter(F.col("embedding").isNotNull())
+            .dropDuplicates(["vec_id"])
+        )
         if not batch.take(1):
             return
         batch = batch.persist()
         try:
             meta = _ivfpq_meta(spark, index_path)
-            n_sub = int(meta["n_subspaces"]) if meta else 8
+            if meta is None:
+                # guessing a subspace count for a pre-meta index could
+                # append wrong-length codes that silently eclipse the
+                # seed corpus (size-filtered out of every later query)
+                raise ValueError(
+                    f"ivfpq_index_stream: index at {index_path!r} has no "
+                    "meta/ contract; re-seed it with write_ivfpq_index "
+                    "(which writes meta) before streaming"
+                )
+            n_sub = int(meta["n_subspaces"])
             queries = batch.select(
                 F.col("vec_id").alias("query_id"), "embedding"
             )

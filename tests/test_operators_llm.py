@@ -1285,6 +1285,51 @@ def test_ivfpq_index_meta_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="raw-vector store"):
         query_ivfpq_index(spark, path, qvec, k=3, rerank_shortlist=10)
 
+    # a PRE-meta index (meta/ deleted to simulate a legacy store) must
+    # refuse store_vectors via append: the born-from-append vectors/
+    # would miss the whole seed corpus and silently starve rerank joins
+    import shutil
+
+    shutil.rmtree(path + "/meta")
+    with pytest.raises(ValueError, match="rebuild"):
+        write_ivfpq_index(
+            emb, cents, book, path, mode="append", store_vectors=True
+        )
+    # ...and a plain legacy append back-fills meta with
+    # has_vectors=False, never True
+    write_ivfpq_index(
+        emb.filter(F.col("vec_id") == 0), cents, book, path, mode="append"
+    )
+    assert spark.read.parquet(path + "/meta").collect()[0]["has_vectors"] is False
+
+    # a rebuild WITHOUT store_vectors must reclaim a stale vectors/
+    # (the ~64x-larger artifact) left by a previous store_vectors build
+    import os
+
+    path2 = str(tmp_path / "ivfpq2")
+    write_ivfpq_index(emb, cents, book, path2, store_vectors=True)
+    assert os.path.isdir(path2 + "/vectors")
+    write_ivfpq_index(emb, cents, book, path2, mode="overwrite")
+    assert not os.path.isdir(path2 + "/vectors")
+    assert spark.read.parquet(path2 + "/meta").collect()[0]["has_vectors"] is False
+
+    # appended raw vectors are cast to the store's element type: a
+    # float64 drop into a float32-seeded store must not mix schemas
+    path3 = str(tmp_path / "ivfpq3")
+    write_ivfpq_index(
+        emb.filter(F.col("vec_id") > 0), cents, book, path3,
+        store_vectors=True,
+    )
+    seed_type = spark.read.parquet(path3 + "/vectors").schema["embedding"].dataType
+    as_double = emb.filter(F.col("vec_id") == 0).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    write_ivfpq_index(as_double, cents, book, path3, mode="append")
+    assert (
+        spark.read.parquet(path3 + "/vectors").schema["embedding"].dataType
+        == seed_type
+    )
+
 
 def test_ivfpq_index_rerank_prunes_and_matches(spark, tmp_path):
     """query_ivfpq_index(rerank_shortlist=S) over a store_vectors=True

@@ -1941,6 +1941,30 @@ def test_ivfpq_index_stream_equals_batch_rebuild(spark, tmp_path):
     assert not {r["vec_id"] for r in second} & b2_ids
     assert not {r["vec_id"] for r in first} & b2_ids  # b2 not yet appended
 
+    # a dirty drop — duplicated vec_id (producer retry) and a
+    # null-embedding line — must not wedge the stream: sanitized rows
+    # flow, the duplicate appends once, the null row is skipped
+    dirty = [
+        {"vec_id": 900, "embedding": [float(x) for x in
+                                      b1.limit(1).collect()[0]["embedding"]],
+         "label": 1},
+        {"vec_id": 900, "embedding": [float(x) for x in
+                                      b1.limit(1).collect()[0]["embedding"]],
+         "label": 1},
+        {"vec_id": 901, "embedding": None, "label": 1},
+    ]
+    (staging / "d3.jsonl").write_text(
+        "\n".join(_json.dumps(d) for d in dirty)
+    )
+    q3 = ivfpq_index_stream(
+        spark, str(staging), index, neighbors, str(tmp_path / "ckpt"),
+        k=5, nprobe=2,
+    )
+    q3.awaitTermination(120)
+    codes = spark.read.parquet(index + "/codes")
+    assert codes.filter(F.col("vec_id") == 900).count() == 1
+    assert codes.filter(F.col("vec_id") == 901).count() == 0
+
 
 def test_jsonl_loader_mixed_id_types_stay_string(spark, tmp_path):
     """An alias seen with BOTH numeric and string values in the head must

@@ -1230,6 +1230,36 @@ def cmd_stream_near_dup(args) -> int:
     return 0
 
 
+def cmd_stream_ivfpq(args) -> int:
+    """Incremental IVFADC maintenance tick (streaming/incremental.py
+    ivfpq_index_stream): search new JSONL embedding drops against the
+    persisted IVFADC index (one batch job; --rerank for exact re-rank),
+    write per-drop neighbor reports, append the drops' residual-PQ
+    codes (and raw vectors when the index stores them), exit when
+    drained."""
+    spark = _spark(args)
+    from biocache_store_spark.streaming.incremental import ivfpq_index_stream
+
+    try:
+        q = ivfpq_index_stream(
+            spark,
+            args.staging,
+            args.index,
+            args.neighbors,
+            args.checkpoint,
+            k=args.k,
+            nprobe=args.nprobe,
+            rerank_shortlist=args.rerank,
+            available_now=True,
+        )
+    except ValueError as e:
+        # unseeded or pre-meta index: argument error, exit 2
+        print(f"stream-ivfpq: {e}", file=sys.stderr)
+        return 2
+    q.awaitTermination()
+    return 0
+
+
 def cmd_stream_dedup_occ(args) -> int:
     """Incremental duplication-detection tick (streaming/incremental.py
     occurrence_dedup_stream): append new JSONL occurrence drops to the
@@ -2349,6 +2379,18 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--pairs", required=True)
     sp.add_argument("--checkpoint", required=True)
     sp.add_argument("--threshold", type=float, default=0.5)
+
+    sp = tool(
+        "stream-ivfpq", cmd_stream_ivfpq,
+        "availableNow IVFADC index-maintenance tick",
+    )
+    sp.add_argument("--staging", required=True)
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--neighbors", required=True)
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--k", type=int, default=10)
+    sp.add_argument("--nprobe", type=int, default=2)
+    sp.add_argument("--rerank", type=int, default=None, metavar="SHORTLIST")
 
     sp = tool(
         "stream-dedup-occ", cmd_stream_dedup_occ,

@@ -467,6 +467,53 @@ def test_cli_streaming_ticks(spark, tmp_path):
     assert (1, 9) in got
 
 
+def test_cli_stream_ivfpq(spark, tmp_path):
+    """stream-ivfpq drains an embedding drop against a seeded IVFADC
+    index (neighbor report + marker-guarded code append) and exits;
+    an unseeded index path is an argument error."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from biocache_store_spark.cli import main
+    from biocache_store_spark.operators.similarity import write_ivfpq_index
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    book = emb.filter((F.col("vec_id") >= 2) & (F.col("vec_id") < 10)).select(
+        F.col("vec_id").alias("j"), "embedding"
+    )
+    seed = emb.filter(F.col("vec_id") < 40)
+    index = str(tmp_path / "ivfpq")
+    write_ivfpq_index(seed, cents, book, index)
+    staging = tmp_path / "estage"
+    staging.mkdir()
+    drop = emb.filter(F.col("vec_id") >= 40).collect()
+    (staging / "d.jsonl").write_text("\n".join(
+        _json.dumps({"vec_id": r["vec_id"],
+                     "embedding": [float(x) for x in r["embedding"]],
+                     "label": r["label"]})
+        for r in drop
+    ))
+    neighbors = str(tmp_path / "nbrs")
+    assert main([
+        "stream-ivfpq", "--staging", str(staging), "--index", index,
+        "--neighbors", neighbors, "--checkpoint", str(tmp_path / "ck3"),
+        "--k", "3",
+    ]) == 0
+    assert spark.read.parquet(index + "/codes").count() == emb.count()
+    rep = spark.read.parquet(neighbors)
+    assert rep.count() == 3 * len(drop)
+    # unseeded index -> message + exit 2
+    assert main([
+        "stream-ivfpq", "--staging", str(staging),
+        "--index", str(tmp_path / "missing"),
+        "--neighbors", neighbors, "--checkpoint", str(tmp_path / "ck4"),
+    ]) == 2
+
+
 def test_cli_stream_expert_outliers(spark, tmp_path):
     """stream-expert-outliers drains a drop against a parquet range dim
     and lands the versioned record store."""

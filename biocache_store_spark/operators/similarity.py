@@ -1535,14 +1535,6 @@ def _write_ivfpq_meta(
     ).write.mode("overwrite").parquet(path + "/meta")
 
 
-def _hadoop_delete(spark, path: str) -> None:
-    """Recursive delete through the Hadoop FileSystem API (works on any
-    Hadoop-visible store, not just the local filesystem)."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    if fs.exists(p):
-        fs.delete(p, True)
 
 
 def write_ivfpq_index(
@@ -1654,7 +1646,9 @@ def write_ivfpq_index(
         # a rebuild WITHOUT the raw store must not leave the previous
         # vectors/ (the ~64x-larger artifact) stranded on disk — meta
         # says has_vectors=False so nothing would ever read or reclaim it
-        _hadoop_delete(spark, path + "/vectors")
+        from biocache_store_spark.util import hadoop_delete
+
+        hadoop_delete(spark, path + "/vectors")
     if mode == "overwrite":
         centroids.write.mode("overwrite").parquet(path + "/centroids")
         codebook.write.mode("overwrite").parquet(path + "/codebook")

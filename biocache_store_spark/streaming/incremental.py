@@ -263,26 +263,22 @@ def _index_dir_exists(spark: SparkSession, index_path: str, sub: str) -> bool:
     """Seed-index existence check through the Hadoop FileSystem API —
     os.path.isdir would reject a perfectly good s3a:// or hdfs:// index
     the local filesystem never sees."""
-    jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(index_path, sub)
-    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    return fs.exists(path)
+    from biocache_store_spark.util import hadoop_exists
+
+    return hadoop_exists(spark, index_path.rstrip("/") + "/" + sub)
 
 
 def _marker_path(spark: SparkSession, index_path: str, batch_id: int):
-    """(FileSystem, Path) for the per-batch append marker, resolved via
-    the Hadoop FileSystem API so the idempotence guard works on any
+    """(FileSystem, Path) for the per-batch append marker (shared
+    util.hadoop_fs accessor), so the idempotence guard works on any
     Hadoop-visible filesystem (local, HDFS, s3a) — a local open() would
     silently never guard an object-store index path. The underscore
     prefix keeps Spark's parquet discovery ignoring the marker."""
-    jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(
-        index_path, f"_batch_{batch_id}_appended"
+    from biocache_store_spark.util import hadoop_fs
+
+    return hadoop_fs(
+        spark, index_path.rstrip("/") + f"/_batch_{batch_id}_appended"
     )
-    fs = path.getFileSystem(
-        spark.sparkContext._jsc.hadoopConfiguration()
-    )
-    return fs, path
 
 
 def _marker_exists(spark: SparkSession, index_path: str, batch_id: int) -> bool:
@@ -517,33 +513,55 @@ def ivfpq_index_stream(
             "it with write_ivfpq_index on the initial corpus before "
             "streaming"
         )
+    # resolve the dims contract at CONSTRUCTION time, next to the seed
+    # check: a pre-meta index must fail here as an argument error (where
+    # the CLI can catch it), not as a StreamingQueryException escaping
+    # from inside the first foreachBatch tick — and guessing a subspace
+    # count instead could append wrong-length codes that silently
+    # eclipse the seed corpus (size-filtered out of every later query)
+    meta = _ivfpq_meta(spark, index_path)
+    if meta is None:
+        raise ValueError(
+            f"ivfpq_index_stream: index at {index_path!r} has no meta/ "
+            "contract; re-seed it with write_ivfpq_index (which writes "
+            "meta) before streaming"
+        )
+    n_sub = int(meta["n_subspaces"])
+    exp_dim = int(meta["dim"])
+    if rerank_shortlist is not None:
+        if rerank_shortlist < k:
+            raise ValueError(
+                f"ivfpq_index_stream: rerank_shortlist {rerank_shortlist} "
+                f"smaller than k {k}"
+            )
+        if not meta.get("has_vectors"):
+            raise ValueError(
+                f"ivfpq_index_stream: index at {index_path!r} has no "
+                "raw-vector store; build it with "
+                "write_ivfpq_index(store_vectors=True) for re-ranked "
+                "streaming search"
+            )
     raw = spark.readStream.schema(schema).json(staging_dir)
 
     def handle(batch: DataFrame, batch_id: int) -> None:
-        # sanitize BEFORE anything driver-side: a null embedding or a
-        # duplicated vec_id inside one tick (producer retries staging the
-        # same record twice) would otherwise raise deterministically in
-        # the batch query's collect and wedge the stream on that batch
-        # forever — the sibling streams tolerate both, so must this one
-        batch = (
-            batch.filter(F.col("embedding").isNotNull())
-            .dropDuplicates(["vec_id"])
+        # sanitize BEFORE anything driver-side: a null/missing vec_id, a
+        # null, wrong-dimension or null-element embedding, or a
+        # duplicated vec_id inside one tick (producer retries staging
+        # the same record twice) would otherwise raise deterministically
+        # in the batch query's collect — and a deterministic per-batch
+        # failure wedges the checkpoint on that batch forever
+        clean = batch.filter(
+            F.col("vec_id").isNotNull()
+            & F.col("embedding").isNotNull()
+            & (F.size("embedding") == exp_dim)
+            & F.forall("embedding", lambda x: x.isNotNull())
         )
-        if not batch.take(1):
+        # emptiness probe on the pre-dedup relation (same emptiness, no
+        # shuffle); dropDuplicates runs once inside the persisted plan
+        if not clean.take(1):
             return
-        batch = batch.persist()
+        batch = clean.dropDuplicates(["vec_id"]).persist()
         try:
-            meta = _ivfpq_meta(spark, index_path)
-            if meta is None:
-                # guessing a subspace count for a pre-meta index could
-                # append wrong-length codes that silently eclipse the
-                # seed corpus (size-filtered out of every later query)
-                raise ValueError(
-                    f"ivfpq_index_stream: index at {index_path!r} has no "
-                    "meta/ contract; re-seed it with write_ivfpq_index "
-                    "(which writes meta) before streaming"
-                )
-            n_sub = int(meta["n_subspaces"])
             queries = batch.select(
                 F.col("vec_id").alias("query_id"), "embedding"
             )

@@ -86,3 +86,25 @@ def ensure_min_parallelism(df: "DataFrame") -> "DataFrame":
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def hadoop_fs(spark: "SparkSession", path: str):
+    """(FileSystem, Path) for `path` via the Hadoop FileSystem API — the
+    one shared accessor behind every store-side exists/delete/marker
+    helper, so path handling works identically on local, HDFS and s3a
+    stores (an os.path call would silently never see an object store)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), p
+
+
+def hadoop_exists(spark: "SparkSession", path: str) -> bool:
+    fs, p = hadoop_fs(spark, path)
+    return fs.exists(p)
+
+
+def hadoop_delete(spark: "SparkSession", path: str) -> None:
+    """Recursive delete; a missing path is a no-op."""
+    fs, p = hadoop_fs(spark, path)
+    if fs.exists(p):
+        fs.delete(p, True)

@@ -1941,17 +1941,20 @@ def test_ivfpq_index_stream_equals_batch_rebuild(spark, tmp_path):
     assert not {r["vec_id"] for r in second} & b2_ids
     assert not {r["vec_id"] for r in first} & b2_ids  # b2 not yet appended
 
-    # a dirty drop — duplicated vec_id (producer retry) and a
-    # null-embedding line — must not wedge the stream: sanitized rows
-    # flow, the duplicate appends once, the null row is skipped
+    # a dirty drop — duplicated vec_id (producer retry), null embedding,
+    # wrong-dimension embedding, an embedding with a null element, and a
+    # missing vec_id — must not wedge the stream: sanitized rows flow,
+    # the duplicate appends once, every malformed row is skipped (each
+    # would otherwise raise deterministically in the driver-side collect
+    # and pin the checkpoint on this batch forever)
+    good_emb = [float(x) for x in b1.limit(1).collect()[0]["embedding"]]
     dirty = [
-        {"vec_id": 900, "embedding": [float(x) for x in
-                                      b1.limit(1).collect()[0]["embedding"]],
-         "label": 1},
-        {"vec_id": 900, "embedding": [float(x) for x in
-                                      b1.limit(1).collect()[0]["embedding"]],
-         "label": 1},
+        {"vec_id": 900, "embedding": good_emb, "label": 1},
+        {"vec_id": 900, "embedding": good_emb, "label": 1},
         {"vec_id": 901, "embedding": None, "label": 1},
+        {"vec_id": 902, "embedding": [0.1, 0.2], "label": 1},
+        {"vec_id": 903, "embedding": [None] + good_emb[1:], "label": 1},
+        {"embedding": good_emb, "label": 1},
     ]
     (staging / "d3.jsonl").write_text(
         "\n".join(_json.dumps(d) for d in dirty)
@@ -1963,7 +1966,25 @@ def test_ivfpq_index_stream_equals_batch_rebuild(spark, tmp_path):
     q3.awaitTermination(120)
     codes = spark.read.parquet(index + "/codes")
     assert codes.filter(F.col("vec_id") == 900).count() == 1
-    assert codes.filter(F.col("vec_id") == 901).count() == 0
+    assert codes.filter(
+        F.col("vec_id").isin([901, 902, 903]) | F.col("vec_id").isNull()
+    ).count() == 0
+
+    # construction-time argument errors: a shortlist below k and a
+    # pre-meta index both fail BEFORE the stream starts (CLI-catchable),
+    # not as a StreamingQueryException from inside the first tick
+    import shutil
+
+    with pytest.raises(ValueError, match="smaller than k"):
+        ivfpq_index_stream(
+            spark, str(staging), index, neighbors, str(tmp_path / "ck_rr"),
+            k=10, rerank_shortlist=2,
+        )
+    shutil.rmtree(index + "/meta")
+    with pytest.raises(ValueError, match="meta"):
+        ivfpq_index_stream(
+            spark, str(staging), index, neighbors, str(tmp_path / "ck_pm"),
+        )
 
 
 def test_jsonl_loader_mixed_id_types_stay_string(spark, tmp_path):

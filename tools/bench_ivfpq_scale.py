@@ -14,10 +14,12 @@ Measures the full production lifecycle at n vectors:
     the persisted index (query_ivfpq_index_batch), with recall@10 vs
     exact-cosine ground truth.
 
-Usage: python tools/bench_ivfpq_scale.py [n] [n_queries]
-Defaults: 10_000_000, 50. Driver memory via ANN_DRIVER_MEM (default
-48g — the corpus, its arrow staging and local-mode tasks share one
-JVM+python). Results recorded in SCALE.md (round 12).
+Usage: python tools/bench_ivfpq_scale.py [n] [n_queries] [m] [nprobe] [shortlist]
+Defaults: 10_000_000, 50, 8, 4, 400. Driver memory via ANN_DRIVER_MEM
+(default 48g — the corpus, its arrow staging and local-mode tasks share
+one JVM+python). Results recorded in SCALE.md (round 12): the m=8
+lifecycle row, and the m=16/nprobe=16/shortlist=1000 configuration the
+density rule calls for.
 """
 
 from __future__ import annotations
@@ -46,10 +48,12 @@ def du_gb(path: str) -> float:
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    n_subspaces = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    nprobe = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+    shortlist = int(sys.argv[5]) if len(sys.argv) > 5 else 400
     dim, noise, k = 64, 0.15, 10
     n_clusters = max(256, n // 10_000)   # cluster structure grows with n
     k_cells = n_clusters                 # cells track the cluster count
-    nprobe, shortlist = 4, 400
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -141,7 +145,7 @@ def main() -> int:
 
     t0 = time.time()
     book = train_pq_codebook(
-        spark.read.parquet(rpath), n_subspaces=8, k=256, iters=1,
+        spark.read.parquet(rpath), n_subspaces=n_subspaces, k=256, iters=1,
     )
     timings["codebook_train_single_pass"] = round(time.time() - t0, 1)
     print(f"per-subspace codebook (single-pass, K={len(book)}): "
@@ -154,7 +158,8 @@ def main() -> int:
     t0 = time.time()
     index = os.path.join(tmp, "index")
     write_ivfpq_index(
-        vectors, cent_df, book_df, index, n_subspaces=8, store_vectors=True
+        vectors, cent_df, book_df, index, n_subspaces=n_subspaces,
+        store_vectors=True,
     )
     timings["write_index_codes_and_vectors"] = round(time.time() - t0, 1)
     timings["index_build_total"] = round(time.time() - build_t0, 1)
@@ -178,6 +183,7 @@ def main() -> int:
     t0 = time.time()
     adc = query_ivfpq_index_batch(
         spark, index, queries_df, k=k, nprobe=nprobe,
+        n_subspaces=n_subspaces,
     ).collect()
     timings["batch_adc_50q"] = round(time.time() - t0, 1)
     adc_recall = recall(adc)
@@ -188,7 +194,7 @@ def main() -> int:
     t0 = time.time()
     rr = query_ivfpq_index_batch(
         spark, index, queries_df, k=k, nprobe=nprobe,
-        rerank_shortlist=shortlist,
+        n_subspaces=n_subspaces, rerank_shortlist=shortlist,
     ).collect()
     timings["batch_rerank_50q"] = round(time.time() - t0, 1)
     rr_recall = recall(rr)
@@ -199,6 +205,7 @@ def main() -> int:
     print(json.dumps({
         "metric": "ivfpq_scale_point", "n": n, "dim": dim,
         "n_clusters": n_clusters, "k_cells": len(cents),
+        "n_subspaces": n_subspaces,
         "nprobe": nprobe, "shortlist": shortlist,
         "n_queries": n_queries,
         "timings_sec": timings, "sizes": sizes,

@@ -1230,6 +1230,36 @@ def cmd_stream_near_dup(args) -> int:
     return 0
 
 
+def cmd_stream_semantic_dedup(args) -> int:
+    """Incremental semantic-dedup tick (streaming/incremental.py
+    semantic_dedup_stream): score new JSONL embedding drops against the
+    persisted IVF index, write per-drop keep/prune decisions, append
+    the drops' vectors so future arrivals dedup against them, exit when
+    drained."""
+    spark = _spark(args)
+    from biocache_store_spark.streaming.incremental import (
+        semantic_dedup_stream,
+    )
+
+    try:
+        q = semantic_dedup_stream(
+            spark,
+            args.staging,
+            args.index,
+            args.decisions,
+            args.checkpoint,
+            threshold=args.threshold,
+            nprobe=args.nprobe,
+            available_now=True,
+        )
+    except ValueError as e:
+        # unseeded index: argument error, exit 2
+        print(f"stream-semantic-dedup: {e}", file=sys.stderr)
+        return 2
+    q.awaitTermination()
+    return 0
+
+
 def cmd_stream_ivfpq(args) -> int:
     """Incremental IVFADC maintenance tick (streaming/incremental.py
     ivfpq_index_stream): search new JSONL embedding drops against the
@@ -2379,6 +2409,17 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--pairs", required=True)
     sp.add_argument("--checkpoint", required=True)
     sp.add_argument("--threshold", type=float, default=0.5)
+
+    sp = tool(
+        "stream-semantic-dedup", cmd_stream_semantic_dedup,
+        "availableNow semantic-dedup tick",
+    )
+    sp.add_argument("--staging", required=True)
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--decisions", required=True)
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--threshold", type=float, default=0.5)
+    sp.add_argument("--nprobe", type=int, default=1)
 
     sp = tool(
         "stream-ivfpq", cmd_stream_ivfpq,

@@ -467,6 +467,49 @@ def test_cli_streaming_ticks(spark, tmp_path):
     assert (1, 9) in got
 
 
+def test_cli_stream_semantic_dedup(spark, tmp_path):
+    """stream-semantic-dedup drains an embedding drop against a seeded
+    IVF index and lands keep/prune decisions; an unseeded index path is
+    an argument error."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from biocache_store_spark.cli import main
+    from biocache_store_spark.operators.similarity import write_ivf_index
+
+    seed = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [0.0, 1.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    cents = seed.select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    index = str(tmp_path / "ivf")
+    write_ivf_index(seed, cents, index)
+    staging = tmp_path / "sstage"
+    staging.mkdir()
+    (staging / "d.jsonl").write_text(_json.dumps(
+        {"vec_id": 10, "embedding": [0.99, 0.01], "label": 1}  # dup of 0
+    ) + "\n" + _json.dumps(
+        {"vec_id": 11, "embedding": [-1.0, 0.2], "label": 1}   # novel
+    ))
+    decisions = str(tmp_path / "decisions")
+    assert main([
+        "stream-semantic-dedup", "--staging", str(staging),
+        "--index", index, "--decisions", decisions,
+        "--checkpoint", str(tmp_path / "ckd"), "--threshold", "0.9",
+    ]) == 0
+    got = {r["vec_id"]: r["keep"]
+           for r in spark.read.parquet(decisions).collect()}
+    assert got == {10: False, 11: True}
+    assert main([
+        "stream-semantic-dedup", "--staging", str(staging),
+        "--index", str(tmp_path / "missing"), "--decisions", decisions,
+        "--checkpoint", str(tmp_path / "ckd2"),
+    ]) == 2
+
+
 def test_cli_stream_ivfpq(spark, tmp_path):
     """stream-ivfpq drains an embedding drop against a seeded IVFADC
     index (neighbor report + marker-guarded code append) and exits;

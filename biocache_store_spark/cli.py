@@ -1718,6 +1718,53 @@ def cmd_ivfpq_query(args) -> int:
     return 0
 
 
+def cmd_ivfpq_delete(args) -> int:
+    """Tombstone ids out of the persisted IVFADC index
+    (delete_from_ivfpq_index): deleted vectors stop matching every
+    query immediately; run ivfpq-vacuum to reclaim the space."""
+    spark = _spark(args)
+    from pyspark.sql import functions as F
+
+    from biocache_store_spark.operators.similarity import (
+        delete_from_ivfpq_index,
+    )
+
+    ids = [int(v) for v in _split(args.ids)]
+    if not ids:
+        print("ivfpq-delete: no ids supplied", file=sys.stderr)
+        return 2
+    # warn on ids the index has never seen (a typo'd id would otherwise
+    # tombstone nothing, silently)
+    codes = _read(spark, args.index + "/codes")
+    present = {
+        r["vec_id"]
+        for r in codes.filter(F.col("vec_id").isin(ids))
+        .select("vec_id").distinct().collect()
+    }
+    missing = sorted(set(ids) - present)
+    if missing:
+        print(f"ivfpq-delete: ids {missing} not in the index (tombstoned "
+              "anyway)", file=sys.stderr)
+    delete_from_ivfpq_index(
+        spark,
+        args.index,
+        spark.createDataFrame([(i,) for i in ids], "vec_id long"),
+    )
+    print(json.dumps({"tombstoned": len(ids), "not_present": len(missing)}))
+    return 0
+
+
+def cmd_ivfpq_vacuum(args) -> int:
+    """Physically remove tombstoned ids from the IVFADC index
+    (vacuum_ivfpq_index): rewrite codes/ (and vectors/) without them,
+    clear deleted/."""
+    spark = _spark(args)
+    from biocache_store_spark.operators.similarity import vacuum_ivfpq_index
+
+    print(json.dumps(vacuum_ivfpq_index(spark, args.index)))
+    return 0
+
+
 def cmd_ann_query(args) -> int:
     """Top-k similarity search against the persisted IVF index
     (query_ivf_index, probe-pruned scan); query vectors come from a
@@ -2627,6 +2674,15 @@ def build_parser() -> argparse.ArgumentParser:
                     help="exact-cosine re-rank of the ADC top-SHORTLIST "
                          "(needs an index built with --store-vectors)")
     sp.add_argument("--out")
+
+    sp = tool("ivfpq-delete", cmd_ivfpq_delete,
+              "tombstone ids out of the IVFADC index")
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--ids", required=True, help="comma-separated ids")
+
+    sp = tool("ivfpq-vacuum", cmd_ivfpq_vacuum,
+              "physically remove tombstoned ids")
+    sp.add_argument("--index", required=True)
 
     sp = tool("ann-query", cmd_ann_query, "top-k against the IVF index")
     sp.add_argument("--index", required=True)

@@ -1568,6 +1568,8 @@ def write_ivfpq_index(
     shortlist from a probe-pruned scan. Default None follows the index's
     stored meta on append (an append may not silently stop maintaining a
     raw store that re-rank queries depend on) and False on overwrite."""
+    from biocache_store_spark.util import hadoop_delete
+
     spark = vectors.sparkSession
     first = codebook.select(F.size(F.col(embedding_col)).alias("d")).first()
     if first is None:
@@ -1646,16 +1648,87 @@ def write_ivfpq_index(
         # a rebuild WITHOUT the raw store must not leave the previous
         # vectors/ (the ~64x-larger artifact) stranded on disk — meta
         # says has_vectors=False so nothing would ever read or reclaim it
-        from biocache_store_spark.util import hadoop_delete
-
         hadoop_delete(spark, path + "/vectors")
     if mode == "overwrite":
         centroids.write.mode("overwrite").parquet(path + "/centroids")
         codebook.write.mode("overwrite").parquet(path + "/codebook")
+        # a full rebuild starts with a clean slate: tombstones refer to
+        # the PREVIOUS corpus and would silently hide rebuilt rows
+        hadoop_delete(spark, path + "/deleted")
     # meta is (re)written on overwrite and back-filled on a legacy append
     # (with the store_vectors=False this path enforces above)
     if mode == "overwrite" or meta is None:
         _write_ivfpq_meta(spark, path, n_subspaces, dim, store_vectors)
+
+
+def delete_from_ivfpq_index(
+    spark, path: str, ids: DataFrame, id_col: str = "vec_id"
+) -> None:
+    """Tombstone deletion from the persisted IVFADC index — the ANN
+    tier's member of the engine's delete family (the reference deletes
+    records everywhere; an embedding index must honor the same request,
+    e.g. a takedown or consent withdrawal). `ids` (first column = the
+    ids to delete) appends to a tiny `deleted/` store; EVERY query path
+    anti-joins it, so deleted vectors stop matching immediately without
+    touching the cell-partitioned codes. Physical removal is
+    `vacuum_ivfpq_index` (run it once tombstones grow past a broadcast-
+    comfortable size, or on the maintenance cadence). NOTE: a tombstone
+    hides ALL rows with that id — re-adding a deleted id requires a
+    vacuum first (the append would land but stay invisible)."""
+    (
+        ids.select(F.col(ids.columns[0]).alias(id_col))
+        .dropDuplicates()
+        .write.mode("append")
+        .parquet(path + "/deleted")
+    )
+
+
+def _ivfpq_tombstones(spark, path: str, id_col: str) -> DataFrame | None:
+    """The index's deleted-id relation (None when nothing was ever
+    deleted) — id-typed, deduplicated, broadcast-sized by the vacuum
+    contract."""
+    from biocache_store_spark.util import hadoop_exists
+
+    if not hadoop_exists(spark, path + "/deleted"):
+        return None
+    return spark.read.parquet(path + "/deleted").select(
+        F.col(id_col)
+    ).dropDuplicates()
+
+
+def vacuum_ivfpq_index(spark, path: str, id_col: str = "vec_id") -> dict:
+    """Physically remove tombstoned ids: rewrite `codes/` (and
+    `vectors/` when the index stores raw vectors) without them, then
+    clear `deleted/`. Rewrites land in a `__vacuum` sibling first and
+    swap in via rename, so a crash mid-rewrite leaves the original
+    store intact; the one non-atomic window (between the old store's
+    delete and the rename) is recoverable by renaming the `__vacuum`
+    directory into place by hand. Returns per-store removed counts."""
+    from biocache_store_spark.util import hadoop_delete, hadoop_fs
+
+    tomb = _ivfpq_tombstones(spark, path, id_col)
+    if tomb is None:
+        return {"removed_codes": 0, "removed_vectors": 0}
+    meta = _ivfpq_meta(spark, path)
+    stores = ["codes"]
+    if meta is not None and meta.get("has_vectors"):
+        stores.append("vectors")
+    removed = {}
+    for store in stores:
+        full = path + "/" + store
+        df = spark.read.parquet(full)
+        before = df.count()
+        keep = df.join(F.broadcast(tomb), id_col, "left_anti")
+        keep.write.partitionBy("cell_id").parquet(full + "__vacuum")
+        after = spark.read.parquet(full + "__vacuum").count()
+        fs, dst = hadoop_fs(spark, full)
+        hadoop_delete(spark, full)
+        _fs2, src = hadoop_fs(spark, full + "__vacuum")
+        fs.rename(src, dst)
+        removed[f"removed_{store}"] = before - after
+    removed.setdefault("removed_vectors", 0)
+    hadoop_delete(spark, path + "/deleted")
+    return removed
 
 
 def _validate_ivfpq_subspaces(spark, path: str, n_subspaces: int) -> dict | None:
@@ -1763,6 +1836,13 @@ def query_ivfpq_index(
             id_col,
             "left_anti",
         )
+    tomb = _ivfpq_tombstones(spark, path, id_col)
+    if tomb is not None:
+        # tombstoned ids stop matching immediately; excluding them from
+        # the ADC side suffices for the rerank path too (its raw-vector
+        # join is an inner join on the shortlist, which can't resurrect
+        # an id absent here)
+        encoded = encoded.join(F.broadcast(tomb), id_col, "left_anti")
     if rerank_shortlist is None:
         return ivfpq_topk(
             encoded, query_vec, cent_rows, book_rows,
@@ -1836,6 +1916,11 @@ def query_ivfpq_index_batch(
             id_col,
             "left_anti",
         )
+    tomb = _ivfpq_tombstones(spark, path, id_col)
+    if tomb is not None:
+        # see query_ivfpq_index: the ADC-side anti-join covers the
+        # rerank path too (inner join on the shortlist)
+        encoded = encoded.join(F.broadcast(tomb), id_col, "left_anti")
     # rebuild the query relation from the SAME collected snapshot so the
     # ADC tables can never diverge from the probe-cell filter above
     snapshot = spark.createDataFrame(

@@ -777,6 +777,28 @@ def test_cli_ivfpq_pipeline(spark, tmp_path, capsys):
         assert all(a["cos_sim"] >= b["cos_sim"]
                    for a, b in zip(mine, mine[1:]))
 
+    # delete lifecycle: tombstone the first query's rank-1 neighbor,
+    # re-query (gone), vacuum (physically removed), unknown id warns
+    victim = min(r["vec_id"] for r in rr if r["query_id"] == 0)
+    capsys.readouterr()
+    assert main([
+        "ivfpq-delete", "--index", index2, "--ids", f"{victim},999999",
+    ]) == 0
+    out = capsys.readouterr()
+    assert "999999" in out.err  # not-present warning
+    assert _json.loads(out.out.splitlines()[-1])["tombstoned"] == 2
+    assert main([
+        "ivfpq-query", "--index", index2, "--queries", emb_store,
+        "--query-ids", "0", "--k", "3", "--rerank", "10",
+    ]) == 0
+    rows2 = [_json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{") and "query_id" in l]
+    assert victim not in {r["vec_id"] for r in rows2}
+    capsys.readouterr()
+    assert main(["ivfpq-vacuum", "--index", index2]) == 0
+    vac = _json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert vac == {"removed_codes": 1, "removed_vectors": 1}
+
 
 def test_cli_migrate_media_and_references(spark, tmp_path, capsys):
     """migrate-media (dry-run count + real run) -> media-references

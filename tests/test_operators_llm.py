@@ -1404,6 +1404,86 @@ def test_ivfpq_index_rerank_prunes_and_matches(spark, tmp_path):
     assert all(r["vec_id"] != r["query_id"] for r in outb)
 
 
+def test_ivfpq_delete_and_vacuum(spark, tmp_path):
+    """Tombstone deletion (the ANN tier's member of the delete family):
+    deleted ids vanish from ADC, re-ranked and batch queries immediately
+    without touching the codes store; vacuum physically rewrites both
+    stores minus the tombstones and clears deleted/, after which query
+    results are unchanged; an overwrite rebuild resets tombstones."""
+    import os
+
+    from biocache_store_spark.operators.similarity import (
+        delete_from_ivfpq_index,
+        query_ivfpq_index,
+        query_ivfpq_index_batch,
+        vacuum_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    book = emb.filter((F.col("vec_id") >= 4) & (F.col("vec_id") < 20)).select(
+        F.col("vec_id").alias("j"), "embedding"
+    )
+    body = emb.filter(F.col("vec_id") != 0)
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(body, cents, book, path, store_vectors=True)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+
+    before = query_ivfpq_index(spark, path, qvec, k=5, nprobe=4).collect()
+    victims = [r["vec_id"] for r in sorted(before, key=lambda r: r["rank"])][:2]
+    delete_from_ivfpq_index(
+        spark, path,
+        spark.createDataFrame([(v,) for v in victims], "vec_id long"),
+    )
+    for kwargs in ({}, {"rerank_shortlist": 20}):
+        got = {
+            r["vec_id"]
+            for r in query_ivfpq_index(
+                spark, path, qvec, k=5, nprobe=4, **kwargs
+            ).collect()
+        }
+        assert not got & set(victims), kwargs
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch_ids = {
+        r["vec_id"]
+        for r in query_ivfpq_index_batch(
+            spark, path, queries, k=5, nprobe=4
+        ).collect()
+    }
+    assert not batch_ids & set(victims)
+
+    tombstoned = query_ivfpq_index(spark, path, qvec, k=5, nprobe=4).collect()
+    n = body.count()
+    removed = vacuum_ivfpq_index(spark, path)
+    assert removed == {"removed_codes": 2, "removed_vectors": 2}
+    assert spark.read.parquet(path + "/codes").count() == n - 2
+    assert spark.read.parquet(path + "/vectors").count() == n - 2
+    assert not os.path.isdir(path + "/deleted")
+    after = query_ivfpq_index(spark, path, qvec, k=5, nprobe=4).collect()
+    assert {tuple(r) for r in after} == {tuple(r) for r in tombstoned}
+    # idempotent: vacuuming a clean index is a no-op
+    assert vacuum_ivfpq_index(spark, path) == {
+        "removed_codes": 0, "removed_vectors": 0,
+    }
+
+    # an overwrite rebuild clears stale tombstones (they refer to the
+    # previous corpus)
+    delete_from_ivfpq_index(
+        spark, path, spark.createDataFrame([(1,)], "vec_id long")
+    )
+    write_ivfpq_index(body, cents, book, path, store_vectors=True)
+    assert not os.path.isdir(path + "/deleted")
+    assert 1 in {
+        r["vec_id"]
+        for r in query_ivfpq_index(spark, path, qvec, k=n, nprobe=4).collect()
+    }
+
+
 def test_component_representatives_string_ids(spark):
     """String ids must work (no numeric negation) with the same
     lowest-id-on-ties rule."""

@@ -1729,22 +1729,25 @@ def cmd_ivfpq_delete(args) -> int:
         delete_from_ivfpq_index,
     )
 
-    ids = [int(v) for v in _split(args.ids)]
+    ids = sorted({int(v) for v in _split(args.ids)})
     if not ids:
         print("ivfpq-delete: no ids supplied", file=sys.stderr)
         return 2
-    # warn on ids the index has never seen (a typo'd id would otherwise
-    # tombstone nothing, silently)
-    codes = _read(spark, args.index + "/codes")
-    present = {
-        r["vec_id"]
-        for r in codes.filter(F.col("vec_id").isin(ids))
-        .select("vec_id").distinct().collect()
-    }
-    missing = sorted(set(ids) - present)
-    if missing:
-        print(f"ivfpq-delete: ids {missing} not in the index (tombstoned "
-              "anyway)", file=sys.stderr)
+    missing: list[int] = []
+    if args.check_present:
+        # opt-in: catching a typo'd id costs a scan of the codes store
+        # (vec_id is not the partition column, so nothing prunes) —
+        # wrong as a default at a 1.5 TB codes store, useful on demand
+        codes = _read(spark, args.index + "/codes")
+        present = {
+            r["vec_id"]
+            for r in codes.filter(F.col("vec_id").isin(ids))
+            .select("vec_id").distinct().collect()
+        }
+        missing = sorted(set(ids) - present)
+        if missing:
+            print(f"ivfpq-delete: ids {missing} not in the index "
+                  "(tombstoned anyway)", file=sys.stderr)
     delete_from_ivfpq_index(
         spark,
         args.index,
@@ -2679,6 +2682,10 @@ def build_parser() -> argparse.ArgumentParser:
               "tombstone ids out of the IVFADC index")
     sp.add_argument("--index", required=True)
     sp.add_argument("--ids", required=True, help="comma-separated ids")
+    sp.add_argument("--check-present", dest="check_present",
+                    action="store_true",
+                    help="warn on ids the index has never seen (costs a "
+                         "codes-store scan)")
 
     sp = tool("ivfpq-vacuum", cmd_ivfpq_vacuum,
               "physically remove tombstoned ids")

@@ -1675,8 +1675,12 @@ def delete_from_ivfpq_index(
     comfortable size, or on the maintenance cadence). NOTE: a tombstone
     hides ALL rows with that id — re-adding a deleted id requires a
     vacuum first (the append would land but stay invisible)."""
+    # stored under a FIXED column name: the query-time id_col must not
+    # have to match whatever id_col the deleter happened to use (a
+    # mismatch would otherwise poison every query with a resolution
+    # error until deleted/ was fixed by hand)
     (
-        ids.select(F.col(ids.columns[0]).alias(id_col))
+        ids.select(F.col(ids.columns[0]).alias("id"))
         .dropDuplicates()
         .write.mode("append")
         .parquet(path + "/deleted")
@@ -1685,25 +1689,33 @@ def delete_from_ivfpq_index(
 
 def _ivfpq_tombstones(spark, path: str, id_col: str) -> DataFrame | None:
     """The index's deleted-id relation (None when nothing was ever
-    deleted) — id-typed, deduplicated, broadcast-sized by the vacuum
+    deleted) — stored under the fixed column `id`, surfaced under the
+    caller's id_col; deduplicated, broadcast-sized by the vacuum
     contract."""
     from biocache_store_spark.util import hadoop_exists
 
     if not hadoop_exists(spark, path + "/deleted"):
         return None
     return spark.read.parquet(path + "/deleted").select(
-        F.col(id_col)
+        F.col("id").alias(id_col)
     ).dropDuplicates()
 
 
 def vacuum_ivfpq_index(spark, path: str, id_col: str = "vec_id") -> dict:
     """Physically remove tombstoned ids: rewrite `codes/` (and
     `vectors/` when the index stores raw vectors) without them, then
-    clear `deleted/`. Rewrites land in a `__vacuum` sibling first and
-    swap in via rename, so a crash mid-rewrite leaves the original
-    store intact; the one non-atomic window (between the old store's
-    delete and the rename) is recoverable by renaming the `__vacuum`
-    directory into place by hand. Returns per-store removed counts."""
+    clear `deleted/`. Rewrites land in a `__vacuum` sibling first
+    (mode=overwrite, so a crashed prior attempt's leftovers never block
+    a retry) and swap in via rename with the RESULT CHECKED — Hadoop
+    signals rename failure by returning false, and an unchecked false
+    after the old store's delete would silently destroy the index.
+    A vacuum that would empty the codes store entirely is refused
+    (an all-rows-deleted index should be rebuilt, and an empty
+    partitioned store is unreadable anyway). The one non-atomic window
+    (between a store's delete and its rename) is recoverable by
+    renaming the `__vacuum` directory into place by hand; `deleted/`
+    is cleared only after EVERY store swapped. Returns per-store
+    removed counts."""
     from biocache_store_spark.util import hadoop_delete, hadoop_fs
 
     tomb = _ivfpq_tombstones(spark, path, id_col)
@@ -1718,14 +1730,29 @@ def vacuum_ivfpq_index(spark, path: str, id_col: str = "vec_id") -> dict:
         full = path + "/" + store
         df = spark.read.parquet(full)
         before = df.count()
+        n_removed = df.join(
+            F.broadcast(tomb), id_col, "left_semi"
+        ).count()
+        if store == "codes" and n_removed >= before:
+            raise ValueError(
+                f"vacuum_ivfpq_index: every row of {full!r} is "
+                "tombstoned — rebuild the index instead of vacuuming "
+                "it empty"
+            )
         keep = df.join(F.broadcast(tomb), id_col, "left_anti")
-        keep.write.partitionBy("cell_id").parquet(full + "__vacuum")
-        after = spark.read.parquet(full + "__vacuum").count()
+        keep.write.mode("overwrite").partitionBy("cell_id").parquet(
+            full + "__vacuum"
+        )
         fs, dst = hadoop_fs(spark, full)
         hadoop_delete(spark, full)
         _fs2, src = hadoop_fs(spark, full + "__vacuum")
-        fs.rename(src, dst)
-        removed[f"removed_{store}"] = before - after
+        if not fs.rename(src, dst):
+            raise RuntimeError(
+                f"vacuum_ivfpq_index: rename {full}__vacuum -> {full} "
+                "failed; the rewritten store is intact at the __vacuum "
+                "path — move it into place and re-run"
+            )
+        removed[f"removed_{store}"] = n_removed
     removed.setdefault("removed_vectors", 0)
     hadoop_delete(spark, path + "/deleted")
     return removed

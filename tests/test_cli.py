@@ -782,10 +782,12 @@ def test_cli_ivfpq_pipeline(spark, tmp_path, capsys):
     victim = min(r["vec_id"] for r in rr if r["query_id"] == 0)
     capsys.readouterr()
     assert main([
-        "ivfpq-delete", "--index", index2, "--ids", f"{victim},999999",
+        "ivfpq-delete", "--index", index2,
+        "--ids", f"{victim},{victim},999999", "--check-present",
     ]) == 0
     out = capsys.readouterr()
-    assert "999999" in out.err  # not-present warning
+    assert "999999" in out.err  # opt-in not-present warning
+    # duplicated input id counted once
     assert _json.loads(out.out.splitlines()[-1])["tombstoned"] == 2
     assert main([
         "ivfpq-query", "--index", index2, "--queries", emb_store,

@@ -1483,6 +1483,31 @@ def test_ivfpq_delete_and_vacuum(spark, tmp_path):
         for r in query_ivfpq_index(spark, path, qvec, k=n, nprobe=4).collect()
     }
 
+    # vacuuming the index EMPTY is refused (an empty partitioned store
+    # is unreadable; rebuild instead) and leaves everything intact
+    delete_from_ivfpq_index(spark, path, body.select("vec_id"))
+    with pytest.raises(ValueError, match="rebuild"):
+        vacuum_ivfpq_index(spark, path)
+    assert spark.read.parquet(path + "/codes").count() == n
+    assert os.path.isdir(path + "/deleted")  # tombstones NOT cleared
+    # a leftover __vacuum sibling from a crashed attempt never blocks a
+    # retry (the staging write overwrites it)
+    os.makedirs(path + "/codes__vacuum", exist_ok=True)
+    delete_from_ivfpq_index(  # shrink the tombstone set to one id
+        spark, path,
+        spark.createDataFrame([(2,)], "vec_id long"),
+    )
+    # deleted/ currently holds ALL ids + id 2 -> clear and re-tombstone
+    import shutil
+
+    shutil.rmtree(path + "/deleted")
+    delete_from_ivfpq_index(
+        spark, path, spark.createDataFrame([(2,)], "vec_id long")
+    )
+    assert vacuum_ivfpq_index(spark, path) == {
+        "removed_codes": 1, "removed_vectors": 1,
+    }
+
 
 def test_component_representatives_string_ids(spark):
     """String ids must work (no numeric negation) with the same

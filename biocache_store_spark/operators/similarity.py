@@ -957,6 +957,11 @@ def write_ivf_index(
     assigned.write.mode(mode).partitionBy("cell_id").parquet(path + "/cells")
     if mode == "overwrite":
         centroids.write.mode(mode).parquet(path + "/centroids")
+        # a full rebuild starts with a clean slate: tombstones refer to
+        # the PREVIOUS corpus and would silently hide rebuilt rows
+        from biocache_store_spark.util import hadoop_delete
+
+        hadoop_delete(vectors.sparkSession, path + "/deleted")
 
 
 def query_ivf_index(
@@ -1002,6 +1007,12 @@ def query_ivf_index(
             id_col,
             "left_anti",
         )
+    tomb = _ivfpq_tombstones(spark, path, id_col)
+    if tomb is not None:
+        # delete_from_ivf_index tombstones: deleted vectors stop
+        # matching (and stop pruning semantic_dedup_stream arrivals)
+        # immediately; vacuum_ivf_index reclaims the rows
+        cells = cells.join(F.broadcast(tomb), id_col, "left_anti")
     sim = cosine_similarity_arrow(F.col(embedding_col), F.col("__q_emb"))
     candidates = (
         cells.join(F.broadcast(probes), "cell_id")
@@ -1661,6 +1672,20 @@ def write_ivfpq_index(
         _write_ivfpq_meta(spark, path, n_subspaces, dim, store_vectors)
 
 
+def _tombstone_ids(ids: DataFrame, path: str) -> None:
+    """Append deduplicated ids to the index's `deleted/` store under a
+    FIXED column name — the query-time id_col must not have to match
+    whatever id_col the deleter happened to use (a mismatch would
+    otherwise poison every query with a resolution error until
+    deleted/ was fixed by hand)."""
+    (
+        ids.select(F.col(ids.columns[0]).alias("id"))
+        .dropDuplicates()
+        .write.mode("append")
+        .parquet(path + "/deleted")
+    )
+
+
 def delete_from_ivfpq_index(
     spark, path: str, ids: DataFrame, id_col: str = "vec_id"
 ) -> None:
@@ -1675,16 +1700,18 @@ def delete_from_ivfpq_index(
     comfortable size, or on the maintenance cadence). NOTE: a tombstone
     hides ALL rows with that id — re-adding a deleted id requires a
     vacuum first (the append would land but stay invisible)."""
-    # stored under a FIXED column name: the query-time id_col must not
-    # have to match whatever id_col the deleter happened to use (a
-    # mismatch would otherwise poison every query with a resolution
-    # error until deleted/ was fixed by hand)
-    (
-        ids.select(F.col(ids.columns[0]).alias("id"))
-        .dropDuplicates()
-        .write.mode("append")
-        .parquet(path + "/deleted")
-    )
+    _tombstone_ids(ids, path)
+
+
+def delete_from_ivf_index(
+    spark, path: str, ids: DataFrame, id_col: str = "vec_id"
+) -> None:
+    """Tombstone deletion from the persisted IVF index (the uncompressed
+    sibling of delete_from_ivfpq_index, same contract): deleted vectors
+    stop matching query_ivf_index — and therefore stop pruning arrivals
+    in semantic_dedup_stream — immediately; vacuum_ivf_index physically
+    removes them from `cells/`."""
+    _tombstone_ids(ids, path)
 
 
 def _ivfpq_tombstones(spark, path: str, id_col: str) -> DataFrame | None:
@@ -1701,30 +1728,27 @@ def _ivfpq_tombstones(spark, path: str, id_col: str) -> DataFrame | None:
     ).dropDuplicates()
 
 
-def vacuum_ivfpq_index(spark, path: str, id_col: str = "vec_id") -> dict:
-    """Physically remove tombstoned ids: rewrite `codes/` (and
-    `vectors/` when the index stores raw vectors) without them, then
-    clear `deleted/`. Rewrites land in a `__vacuum` sibling first
-    (mode=overwrite, so a crashed prior attempt's leftovers never block
-    a retry) and swap in via rename with the RESULT CHECKED — Hadoop
-    signals rename failure by returning false, and an unchecked false
-    after the old store's delete would silently destroy the index.
-    A vacuum that would empty the codes store entirely is refused
-    (an all-rows-deleted index should be rebuilt, and an empty
-    partitioned store is unreadable anyway). The one non-atomic window
-    (between a store's delete and its rename) is recoverable by
-    renaming the `__vacuum` directory into place by hand; `deleted/`
-    is cleared only after EVERY store swapped. Returns per-store
-    removed counts."""
+def _vacuum_index_stores(
+    spark, path: str, stores: list[str], primary: str, id_col: str
+) -> dict:
+    """The shared vacuum core: rewrite each cell-partitioned store under
+    `path` without the tombstoned ids, then clear `deleted/`. Rewrites
+    land in a `__vacuum` sibling first (mode=overwrite, so a crashed
+    prior attempt's leftovers never block a retry) and swap in via
+    rename with the RESULT CHECKED — Hadoop signals rename failure by
+    returning false, and an unchecked false after the old store's
+    delete would silently destroy the index. A vacuum that would empty
+    the `primary` store entirely is refused (an all-rows-deleted index
+    should be rebuilt, and an empty partitioned store is unreadable
+    anyway). The one non-atomic window (between a store's delete and
+    its rename) is recoverable by renaming the `__vacuum` directory
+    into place by hand; `deleted/` is cleared only after EVERY store
+    swapped. Returns per-store removed counts."""
     from biocache_store_spark.util import hadoop_delete, hadoop_fs
 
     tomb = _ivfpq_tombstones(spark, path, id_col)
     if tomb is None:
-        return {"removed_codes": 0, "removed_vectors": 0}
-    meta = _ivfpq_meta(spark, path)
-    stores = ["codes"]
-    if meta is not None and meta.get("has_vectors"):
-        stores.append("vectors")
+        return {f"removed_{s}": 0 for s in stores}
     removed = {}
     for store in stores:
         full = path + "/" + store
@@ -1733,11 +1757,10 @@ def vacuum_ivfpq_index(spark, path: str, id_col: str = "vec_id") -> dict:
         n_removed = df.join(
             F.broadcast(tomb), id_col, "left_semi"
         ).count()
-        if store == "codes" and n_removed >= before:
+        if store == primary and n_removed >= before:
             raise ValueError(
-                f"vacuum_ivfpq_index: every row of {full!r} is "
-                "tombstoned — rebuild the index instead of vacuuming "
-                "it empty"
+                f"index vacuum: every row of {full!r} is tombstoned — "
+                "rebuild the index instead of vacuuming it empty"
             )
         keep = df.join(F.broadcast(tomb), id_col, "left_anti")
         keep.write.mode("overwrite").partitionBy("cell_id").parquet(
@@ -1748,14 +1771,34 @@ def vacuum_ivfpq_index(spark, path: str, id_col: str = "vec_id") -> dict:
         _fs2, src = hadoop_fs(spark, full + "__vacuum")
         if not fs.rename(src, dst):
             raise RuntimeError(
-                f"vacuum_ivfpq_index: rename {full}__vacuum -> {full} "
-                "failed; the rewritten store is intact at the __vacuum "
-                "path — move it into place and re-run"
+                f"index vacuum: rename {full}__vacuum -> {full} failed; "
+                "the rewritten store is intact at the __vacuum path — "
+                "move it into place and re-run"
             )
         removed[f"removed_{store}"] = n_removed
-    removed.setdefault("removed_vectors", 0)
     hadoop_delete(spark, path + "/deleted")
     return removed
+
+
+def vacuum_ivfpq_index(spark, path: str, id_col: str = "vec_id") -> dict:
+    """Physically remove tombstoned ids from the IVFADC index: rewrite
+    `codes/` (and `vectors/` when the index stores raw vectors) without
+    them, then clear `deleted/` — the shared `_vacuum_index_stores`
+    safety contract (staged rewrite, checked rename, refuses emptying
+    the codes store). Returns per-store removed counts."""
+    meta = _ivfpq_meta(spark, path)
+    stores = ["codes"]
+    if meta is not None and meta.get("has_vectors"):
+        stores.append("vectors")
+    removed = _vacuum_index_stores(spark, path, stores, "codes", id_col)
+    removed.setdefault("removed_vectors", 0)
+    return removed
+
+
+def vacuum_ivf_index(spark, path: str, id_col: str = "vec_id") -> dict:
+    """Physically remove tombstoned ids from the IVF index's `cells/`
+    store (same safety contract as vacuum_ivfpq_index)."""
+    return _vacuum_index_stores(spark, path, ["cells"], "cells", id_col)
 
 
 def _validate_ivfpq_subspaces(spark, path: str, n_subspaces: int) -> dict | None:

@@ -1561,6 +1561,60 @@ def test_query_ivf_index_excludes_and_dedups(spark, tmp_path):
     assert 1 not in [r["vec_id"] for r in out2]
 
 
+def test_ivf_index_delete_and_vacuum(spark, tmp_path):
+    """The IVF index honors the same delete contract as its IVFADC
+    sibling: tombstoned ids vanish from query_ivf_index immediately,
+    vacuum_ivf_index physically removes them from cells/, and an
+    overwrite rebuild clears stale tombstones."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from biocache_store_spark.operators.similarity import (
+        delete_from_ivf_index,
+        query_ivf_index,
+        vacuum_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.8, 0.2]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    cents = emb.limit(1).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, cents, path)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assert 1 in {
+        r["vec_id"] for r in query_ivf_index(spark, path, q, k=3).collect()
+    }
+    delete_from_ivf_index(
+        spark, path, spark.createDataFrame([(1,)], "vec_id long")
+    )
+    assert 1 not in {
+        r["vec_id"] for r in query_ivf_index(spark, path, q, k=3).collect()
+    }
+    assert vacuum_ivf_index(spark, path) == {"removed_cells": 1}
+    assert spark.read.parquet(path + "/cells").count() == 3
+    assert not os.path.isdir(path + "/deleted")
+    assert 1 not in {
+        r["vec_id"] for r in query_ivf_index(spark, path, q, k=3).collect()
+    }
+    # overwrite rebuild clears stale tombstones
+    delete_from_ivf_index(
+        spark, path, spark.createDataFrame([(2,)], "vec_id long")
+    )
+    write_ivf_index(emb, cents, path)
+    assert not os.path.isdir(path + "/deleted")
+    assert 2 in {
+        r["vec_id"] for r in query_ivf_index(spark, path, q, k=3).collect()
+    }
+
+
 def test_banded_keys_rejects_non_dividing_bands(spark):
     from biocache_store_spark.operators.minhash import banded_keys, signatures
 

@@ -2672,7 +2672,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--query-ids", dest="query_ids", required=True)
     sp.add_argument("--k", type=int, default=10)
     sp.add_argument("--nprobe", type=int, default=2)
-    sp.add_argument("--subspaces", type=int, default=8)
+    sp.add_argument("--subspaces", type=int, default=None,
+                    help="defaults to the index's stored meta; an "
+                         "explicit mismatch errors")
     sp.add_argument("--rerank", type=int, default=None, metavar="SHORTLIST",
                     help="exact-cosine re-rank of the ADC top-SHORTLIST "
                          "(needs an index built with --store-vectors)")

@@ -1801,20 +1801,27 @@ def vacuum_ivf_index(spark, path: str, id_col: str = "vec_id") -> dict:
     return _vacuum_index_stores(spark, path, ["cells"], "cells", id_col)
 
 
-def _validate_ivfpq_subspaces(spark, path: str, n_subspaces: int) -> dict | None:
-    """Refuse a query whose n_subspaces disagrees with the index's
-    stored meta — mismatched subspace counts make codes[s] NULL for
-    every candidate, which (pre-guard) silently returned arbitrary ids
-    as top-k (ADVICE r11 #1). Pre-meta indexes skip the check (the
-    in-plan F.size(codes) == n_subspaces filter still applies).
-    Returns the meta dict (or None) so callers read it once."""
+def _resolve_ivfpq_subspaces(
+    spark, path: str, n_subspaces: int | None
+) -> tuple[dict | None, int]:
+    """Resolve a query's subspace count against the index's stored
+    meta: None (the default) takes the meta value — so an m=16 index
+    just works without the caller re-stating its geometry — and an
+    explicit value that disagrees RAISES (mismatched subspace counts
+    make codes[s] NULL for every candidate, which pre-guard silently
+    returned arbitrary ids as top-k, ADVICE r11 #1). Pre-meta indexes
+    fall back to 8 / skip the check (the in-plan F.size(codes) filter
+    still applies). Returns (meta, n_subspaces) so callers read the
+    meta parquet once."""
     meta = _ivfpq_meta(spark, path)
+    if n_subspaces is None:
+        return meta, (int(meta["n_subspaces"]) if meta is not None else 8)
     if meta is not None and int(meta["n_subspaces"]) != int(n_subspaces):
         raise ValueError(
             f"ivfpq query: index at {path!r} stores n_subspaces="
             f"{meta['n_subspaces']}, query requested {n_subspaces}"
         )
-    return meta
+    return meta, int(n_subspaces)
 
 
 def _ivfpq_rerank_vectors(
@@ -1852,7 +1859,7 @@ def query_ivfpq_index(
     query_vec: list[float],
     k: int = 10,
     nprobe: int = 2,
-    n_subspaces: int = 8,
+    n_subspaces: int | None = None,
     id_col: str = "vec_id",
     exclude_ids: DataFrame | None = None,
     rerank_shortlist: int | None = None,
@@ -1861,8 +1868,9 @@ def query_ivfpq_index(
     codebook dims are read once (small by contract), the query's probed
     cells land in the scan as a cell_id IN (...) filter — directory
     pruning, test-asserted — and scoring reads ONLY the int codes.
-    n_subspaces is validated against the index's stored meta (a
-    mismatch raises instead of silently returning arbitrary ids).
+    n_subspaces defaults to the index's stored meta (an explicit
+    mismatching value raises instead of silently returning arbitrary
+    ids).
 
     Default: (id, approx_dist, rank), identical to ivfpq_topk over the
     same encoded relation (equivalence-tested). With
@@ -1872,7 +1880,7 @@ def query_ivfpq_index(
     probe-pruned — the measured-recall production recipe (SCALE.md 'ANN
     recall': re-rank lifted 1M recall@10 0.28 -> 0.735 at per-subspace
     codebooks), returning (id, cos_sim, rank)."""
-    meta = _validate_ivfpq_subspaces(spark, path, n_subspaces)
+    meta, n_subspaces = _resolve_ivfpq_subspaces(spark, path, n_subspaces)
     centroids = spark.read.parquet(path + "/centroids")
     codebook = spark.read.parquet(path + "/codebook")
     cent_rows = [
@@ -1934,7 +1942,7 @@ def query_ivfpq_index_batch(
     query_vectors: DataFrame,
     k: int = 10,
     nprobe: int = 2,
-    n_subspaces: int = 8,
+    n_subspaces: int | None = None,
     id_col: str = "vec_id",
     rerank_shortlist: int | None = None,
     exclude_ids: DataFrame | None = None,
@@ -1945,15 +1953,15 @@ def query_ivfpq_index_batch(
     SCALE.md). The union of every query's probed cells lands in the
     codes scan as cell_id IN (...) BEFORE the defensive dropDuplicates,
     so partition pruning holds; self-matches are excluded by the batch
-    kernel (ivf_topk's convention); n_subspaces is validated against
-    the stored meta. The query batch is collected ONCE and that
+    kernel (ivf_topk's convention); n_subspaces defaults to the stored
+    meta (an explicit mismatch raises). The query batch is collected ONCE and that
     snapshot feeds both the probe-cell union and the ADC tables (a
     second collect of a non-deterministic relation could probe cells
     absent from the scan filter — ADVICE r11 #2). query_vectors:
     (query_id, embedding). Returns (query_id, id, approx_dist, rank),
     or (query_id, id, cos_sim, rank) with `rerank_shortlist=S` (exact
     cosine over the raw-vector store, as query_ivfpq_index)."""
-    meta = _validate_ivfpq_subspaces(spark, path, n_subspaces)
+    meta, n_subspaces = _resolve_ivfpq_subspaces(spark, path, n_subspaces)
     centroids = spark.read.parquet(path + "/centroids")
     codebook = spark.read.parquet(path + "/codebook")
     cent_rows = [

@@ -102,6 +102,20 @@ def norm_arrow(a: pd.Series) -> pd.Series:
     return out
 
 
+# Single-evaluation variant for call sites that FILTER directly on the
+# UDF's output column. Catalyst pushes such a filter below the projection
+# that computes the column and, as of Spark 4, duplicates the UDF instead
+# of moving it: one ArrowEvalPython below the filter plus a second one
+# re-computing the survivors for the final projection (guide-documented
+# optimizer behavior; observed in this repo's threshold-similarity plans).
+# asNondeterministic() forbids the optimizer from duplicating/reordering
+# the expression, collapsing the plan to ONE ArrowEvalPython; the function
+# itself is pure, so results are unchanged. Keep using the plain variant
+# anywhere the output is only projected or window-ordered (no duplication
+# there, and nondeterminism would block legitimate filter pushdown).
+cosine_similarity_arrow_once = cosine_similarity_arrow.asNondeterministic()
+
+
 def euclidean_distance(a: Column, b: Column) -> Column:
     """L2 distance of two array columns (double)."""
     return F.sqrt(

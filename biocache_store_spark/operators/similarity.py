@@ -26,7 +26,10 @@ import struct
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from biocache_store_spark.functions.vectors import cosine_similarity_arrow
+from biocache_store_spark.functions.vectors import (
+    cosine_similarity_arrow,
+    cosine_similarity_arrow_once,
+)
 
 DEFAULT_PLANES = 8
 
@@ -177,10 +180,13 @@ def cosine_near_duplicates(
         F.col(id_col).alias("id_b"),
         F.col(embedding_col).alias("__emb_b"),
     )
-    sim = cosine_similarity_arrow(F.col("__emb_a"), F.col("__emb_b"))
+    # _once variant (guide §4.4): the threshold filter consumes the UDF
+    # column, which otherwise duplicates ArrowEvalPython — every candidate
+    # pair scored once for the filter and survivors again for the output.
     # coalesce keeps the threshold filter null-tolerant so the optimizer
     # never needs to duplicate the (Python-evaluated) cosine into an
     # inferred notnull filter below the join
+    sim = cosine_similarity_arrow_once(F.col("__emb_a"), F.col("__emb_b"))
     return (
         a.join(b.hint("shuffle_hash"), ["bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -448,7 +454,9 @@ def semantic_dedup(
         F.col(id_col).alias("__id_b"),
         F.col(embedding_col).alias("__emb_b"),
     )
-    sim = cosine_similarity_arrow(F.col("__emb_a"), F.col("__emb_b"))
+    # _once variant (guide §4.4): the threshold filter consumes the UDF
+    # column — the plain UDF would be duplicated around the pushed filter
+    sim = cosine_similarity_arrow_once(F.col("__emb_a"), F.col("__emb_b"))
     pruned = (
         a.join(b.hint("shuffle_hash"), ["cell_id"])
         .filter(F.col("__id_a") < F.col("__id_b"))

@@ -15,7 +15,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from biocache_store_spark.functions.vectors import cosine_similarity_arrow
+from biocache_store_spark.functions.vectors import (
+    cosine_similarity_arrow,
+    cosine_similarity_arrow_once,
+)
 from biocache_store_spark.io import read_table
 from biocache_store_spark.queries import register
 
@@ -46,7 +49,9 @@ def embedding_cosine_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") == _QUERY_VEC_ID)
         .select(F.col("embedding").alias("q_emb"))
     )
-    sim = cosine_similarity_arrow(F.col("embedding"), F.col("q_emb"))
+    # _once variant: the threshold filter consumes the UDF column, which
+    # otherwise duplicates ArrowEvalPython (every row scored twice)
+    sim = cosine_similarity_arrow_once(F.col("embedding"), F.col("q_emb"))
     return (
         emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
         .crossJoin(F.broadcast(q))

@@ -239,7 +239,7 @@ def near_duplicates(
     text_col: str = "text",
     max_bucket_size: int | None = None,
     max_shingles: int | None = None,
-    persist_signatures: bool = False,
+    materialize_signatures: bool = False,
 ) -> DataFrame:
     """LSH candidates verified with exact shingle-set Jaccard >= threshold.
 
@@ -250,19 +250,31 @@ def near_duplicates(
     caps hot band-buckets (see lsh_candidates); `max_shingles` caps the
     per-document set payload in the verification join (see signatures).
 
-    The signature relation feeds three consumers (banding + both sides of
-    the verification join) and Spark does not reuse the exchange across
-    them. `persist_signatures` materializes it once (MEMORY_AND_DISK)
-    instead of recomputing 3x — measured a WIN only when the signature
-    stage dominates (long documents / large n / expensive text), and a
-    LOSS at bench scale where the cache materialization barrier costs more
-    than two cheap recomputes; hence off by default.
+    The signature relation feeds FOUR plan branches (banding, the
+    bucket-count gate, and both sides of the verification join); AQE
+    reuses the canonically-identical shuffle stages among them at
+    runtime, so only the post-exchange final aggregations and the
+    branch-specific prunings of the shingle pass recompute per branch.
+    `materialize_signatures` instead cuts the relation to a single
+    computation with a LAZY localCheckpoint (blocks freed by the
+    ContextCleaner once the result is unreferenced — unlike persist(),
+    which pins the plan in the CacheManager until an explicit unpersist
+    a lazily-returned DataFrame can never safely issue). Measured r12 at
+    sf0.1 both ways, hence OFF by default: isolated warm sessions gain
+    ~10-15% (1.26-1.39 s -> 1.08-1.24 s min-of-3), but under bench/
+    multi-query session pressure the serialization of the heavyweight
+    shingle-set rows into block storage costs MORE than the AQE-assisted
+    recompute (bench min-of-3 2.75-3.40 s vs 1.89-2.30 s plain). Turn it
+    on when the signature stage dominates (long documents, large n,
+    expensive normalization) and the job owns the session; it also
+    trades fault-tolerance of the intermediate for speed (executor loss
+    = job retry, the connected-components trade documented in
+    operators/components.py). Streaming inputs skip the checkpoint
+    automatically (illegal on a streaming plan).
     """
     sig = signatures(docs, num_hashes, n, id_col, text_col, max_shingles)
-    if persist_signatures:
-        from pyspark import StorageLevel
-
-        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    if materialize_signatures and not docs.isStreaming:
+        sig = sig.localCheckpoint(eager=False)
     cand = lsh_candidates(sig, num_hashes, bands, id_col, max_bucket_size)
     return _verify_pairs(
         cand, sig.select(id_col, "n_sh", "shs"), threshold, id_col

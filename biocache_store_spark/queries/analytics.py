@@ -44,28 +44,35 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = read_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
     )
-    a = customer.alias("a")
-    b = customer.alias("b")
+    # POSTING-LIST shape (the lsh_candidates/ngram discipline, r12): ONE
+    # exchange on the blocking key + in-block pair generation, replacing
+    # the self-join that shuffled the customer relation twice and probed a
+    # hash table per row. Singleton blocks (most of them) drop before any
+    # pair work. Blocks stay O(1000) rows by the 15-char-prefix component
+    # (see the register doc), so the per-block collect_list buffer is as
+    # bounded as the join's per-key hash bucket was. Measured at sf0.1:
+    # 0.62-0.68s -> 0.46-0.55s isolated, identical 17k pairs.
+    blocked = (
+        customer.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.substring("c_name", 1, 15).alias("__pfx"),
+        )
+        .agg(F.collect_list(F.struct("c_custkey", "c_name")).alias("rows"))
+        .filter(F.size("rows") >= 2)
+    )
+    pairs = (
+        blocked.select(F.explode("rows").alias("a"), "rows")
+        .select("a", F.explode("rows").alias("b"))
+        .filter(F.col("a.c_custkey") < F.col("b.c_custkey"))
+    )
     # threshold variant early-exits the DP once the bound is exceeded
     # (returns -1 above threshold); same result set, ~25% faster at sf0.1
     dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), _LEV_THRESHOLD)
-    return (
-        a.join(
-            b.hint("shuffle_hash"),
-            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-            & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
-            & (
-                F.substring(F.col("a.c_name"), 1, 15)
-                == F.substring(F.col("b.c_name"), 1, 15)
-            )
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-        )
-        .filter(dist >= 0)
-        .select(
-            F.col("a.c_custkey").alias("cust_a"),
-            F.col("b.c_custkey").alias("cust_b"),
-            dist.alias("name_distance"),
-        )
+    return pairs.filter(dist >= 0).select(
+        F.col("a.c_custkey").alias("cust_a"),
+        F.col("b.c_custkey").alias("cust_b"),
+        dist.alias("name_distance"),
     )
 
 

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from biocache_store_spark.io import read_table
 from biocache_store_spark.queries import register
@@ -384,17 +383,24 @@ def grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").asc()
-    )
+    # argmax as max_by over a lexicographic key struct, NOT a row_number
+    # window (r12): the aggregation runs with map-side partials, so the
+    # exchange moves one candidate row per (group x input partition)
+    # instead of every order row, and the per-partition sort the window
+    # needed disappears. (o_orderdate DESC, o_orderkey ASC) becomes the
+    # struct (o_orderdate, -o_orderkey) under max_by — bit-identical
+    # representative per group (row-identical at sf0.1, oracle-checked).
+    # Measured isolated at sf0.1: 0.39-0.48s -> 0.28-0.39s.
+    key = F.struct(F.col("o_orderdate"), (-F.col("o_orderkey")).alias("nk"))
+    val = F.struct("o_orderkey", "o_totalprice", "o_orderdate")
     return (
-        orders.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        orders.groupBy("o_custkey")
+        .agg(F.max_by(val, key).alias("v"))
         .select(
             "o_custkey",
-            F.col("o_orderkey").alias("latest_orderkey"),
-            F.col("o_totalprice").alias("latest_totalprice"),
-            F.col("o_orderdate").alias("latest_orderdate"),
+            F.col("v.o_orderkey").alias("latest_orderkey"),
+            F.col("v.o_totalprice").alias("latest_totalprice"),
+            F.col("v.o_orderdate").alias("latest_orderdate"),
         )
     )
 

@@ -416,8 +416,6 @@ def probe_lsh_index(
     band-bucket fan-in), never the corpus. The hot-bucket cap applies to
     the combined band table, same trade as lsh_candidates.
     """
-    from pyspark import StorageLevel
-
     _check_index_meta(
         spark,
         path,
@@ -425,13 +423,20 @@ def probe_lsh_index(
         "probe_lsh_index",
         allow_legacy,
     )
-    # persist: the batch signature plan feeds banding AND the set union,
-    # and the candidate plan feeds the id-restriction union twice plus
-    # the verification join — unpersisted, the most expensive stages of
-    # the per-ingest probe re-run ~3x
+    # materialize: the batch signature plan feeds banding AND the set
+    # union, and the candidate plan feeds the id-restriction union twice
+    # plus the verification join — unmaterialized, the most expensive
+    # stages of the per-ingest probe re-run ~3x. LAZY localCheckpoint,
+    # not persist() (r12): a lazily-returned operator can never safely
+    # unpersist, so a long-lived ingest session probing every batch
+    # accumulated one CacheManager entry (plan + pinned blocks) per call
+    # forever; checkpoint blocks are freed by the ContextCleaner as soon
+    # as the returned DataFrame is unreferenced. Both relations are
+    # batch-sized (never corpus-sized), so the serialization cost the
+    # near_duplicates docstring warns about does not bind here.
     new_sig = signatures(
         new_docs, num_hashes, n, id_col, text_col, max_shingles
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=False)
     new_banded = banded_keys(new_sig, num_hashes, bands, id_col).withColumn(
         "is_new", F.lit(True)
     )
@@ -461,7 +466,7 @@ def probe_lsh_index(
             F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_b"),
         )
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     stored_sig = spark.read.parquet(path + "/sig").select(id_col, "n_sh", "shs")
     sets = stored_sig.unionByName(

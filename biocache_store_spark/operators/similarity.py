@@ -435,7 +435,13 @@ def semantic_dedup(
     # persist: the assignment feeds four plan branches (sizes, both sides
     # of the self-join, the keep-flag join-back) whose projections differ,
     # so without it the numpy scoring pass re-runs per branch — the exact
-    # cost the bulk path exists to avoid
+    # cost the bulk path exists to avoid. Kept as persist() after an r12
+    # A/B against a ContextCleaner-managed lazy localCheckpoint: the
+    # checkpoint serializes the embedding-carrying rows and measured
+    # 1.52 -> 1.94 s at sf0.1, and unlike probe_lsh_index this operator
+    # is not on a per-microbatch streaming path (semantic_dedup_stream
+    # goes through query_ivf_index), so the CacheManager entry a lazy
+    # return cannot unpersist accrues per direct call only.
     assigned = ivf_assign_bulk(
         vectors.select(id_col, embedding_col), centroids, id_col, embedding_col
     ).persist()

@@ -1439,36 +1439,48 @@ def duplicate_markup(dup_results: DataFrame) -> DataFrame:
     representative's id, and duplicationType = its dup-type ids (the
     reference stores a JSON array string; here pipe-joined, which the
     index projection's multivalue splitter consumes directly).
-    Untested/unique records ('U') produce no markup row."""
-    dups = dup_results.filter(F.col("status").isin("D1", "D2"))
-    reps = dup_results.filter(F.col("status") == "R")
-    # rename the grouped key: members shares lineage with reps (both
-    # derive from dup_results), and a same-named join column would
-    # resolve ambiguously
-    members = dups.groupBy(
-        F.col("duplicate_of").alias("__rep_key")
-    ).agg(
-        F.array_join(F.sort_array(F.collect_list("row_key")), "|").alias(
-            "associatedOccurrences"
-        )
+    Untested/unique records ('U') produce no markup row.
+
+    SINGLE-PASS shape (r12): the earlier form split dup_results into
+    three plan branches (members aggregation, the rep join, the dup
+    projection), so the expensive detection kernel feeding it recomputed
+    per branch — measured 3x the kernel cost in duplicate_markup_writeback
+    at sf0.1. One window over the cluster key (`coalesce(duplicate_of,
+    row_key)`: R rows carry duplicate_of=NULL and D rows point at their
+    representative, the kernel's realignment invariant) computes the
+    member list alongside every row, so dup_results is consumed by
+    exactly ONE plan branch and the join disappears. Row-identical to
+    the join form: an R row whose cluster has no D members gets a NULL
+    member list (the left-join-miss semantics), never ''."""
+    from pyspark.sql.window import Window
+
+    base = dup_results.filter(F.col("status").isin("R", "D1", "D2")).withColumn(
+        "__cluster", F.coalesce("duplicate_of", "row_key")
     )
-    rep_m = reps.join(
-        members, reps["row_key"] == F.col("__rep_key"), "left"
-    ).select(
-        reps["row_key"].alias("row_key"),
-        F.lit("R").alias("duplicationStatus"),
-        F.col("associatedOccurrences"),
-        F.lit(None).cast("string").alias("duplicationType"),
+    members = F.sort_array(
+        F.collect_list(
+            F.when(F.col("status") != "R", F.col("row_key"))
+        ).over(Window.partitionBy("__cluster"))
     )
-    dup_m = dups.select(
+    is_rep = F.col("status") == "R"
+    return base.withColumn("__members", members).select(
         "row_key",
-        F.lit("D").alias("duplicationStatus"),
-        F.col("duplicate_of").alias("associatedOccurrences"),
-        F.array_join(
-            F.transform(F.col("dup_types"), lambda t: t.cast("string")), "|"
+        F.when(is_rep, F.lit("R")).otherwise(F.lit("D")).alias(
+            "duplicationStatus"
+        ),
+        F.when(
+            is_rep,
+            F.when(F.size("__members") > 0, F.array_join("__members", "|")),
+        )
+        .otherwise(F.col("duplicate_of"))
+        .alias("associatedOccurrences"),
+        F.when(
+            ~is_rep,
+            F.array_join(
+                F.transform(F.col("dup_types"), lambda t: t.cast("string")), "|"
+            ),
         ).alias("duplicationType"),
     )
-    return rep_m.unionByName(dup_m)
 
 
 def obsolete_duplicate_records(

@@ -528,8 +528,21 @@ def match_names_spark(
     bounds them the way the dedup operator's blocking keys do), and the
     levenshtein scoring is built-in expressions evaluated lazily only for
     records the earlier tiers missed.
+
+    The record side is fanned out to the session's default parallelism
+    first (ensure_min_parallelism, the shingle_df discipline): the ladder
+    is a map-only chain of broadcast joins, so its per-row cost — the
+    fuzzy tier's interpreted lambda + levenshtein scoring above all —
+    lands on however many tasks the SCAN produced, and a small record
+    table read as one parquet split ran the whole ladder on ONE core
+    (measured r12: 5.8 -> 1.9 s at sf0.1). No-op at real scale where the
+    scan has more splits than cores.
     """
     from pyspark.sql import functions as F
+
+    from biocache_store_spark.util import ensure_min_parallelism
+
+    records = ensure_min_parallelism(records)
 
     def keyed_dim(key_expr):
         per_kingdom = (

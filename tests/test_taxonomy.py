@@ -199,6 +199,30 @@ def test_match_names_spark_fuzzy_tier(spark):
     assert off["r5"]["match_type"] == "exactMatch"
 
 
+def test_match_names_spark_fans_out_single_partition_records(spark):
+    # r12 optimization guard: the ladder's per-row cost (interpreted
+    # fuzzy-tier lambdas + levenshtein) is map-only, so a record side read
+    # as ONE split would run the whole ladder on one core. The operator
+    # must fan the record side out to the session's default parallelism
+    # (no-op when the scan already has more splits than cores).
+    from biocache_store_spark.processors.taxonomy import match_names_spark
+
+    names = spark.createDataFrame(
+        [("l1", "Osphranter rufus", "Animalia")],
+        "lsid string, scientificName string, kingdom string",
+    )
+    records = spark.createDataFrame(
+        [(f"r{i}", "Osphranter rufus", None, None, None) for i in range(10)],
+        "id string, scientificName string, genus string, "
+        "specificEpithet string, kingdom string",
+    ).coalesce(1)
+    assert records.rdd.getNumPartitions() == 1
+    out = match_names_spark(records, names)
+    expected = spark.sparkContext.defaultParallelism
+    assert out.rdd.getNumPartitions() == expected
+    assert out.count() == 10
+
+
 def test_constructed_name_from_higher_classification():
     # ClassificationDAO.scala:60-86 name construction
     assert construct_scientific_name(

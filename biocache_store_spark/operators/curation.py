@@ -691,6 +691,11 @@ def bigram_lm_score(
     Returns (id, n_bigrams, n_hits, hit_rate, lm_score): hit_rate is the
     fraction of bigram occurrences seen in the reference at all.
     """
+    # NOTE (r12): an ensure_min_parallelism fan-out of both bigrams()
+    # inputs was measured (A/B/A, sf0.1 isolated min) at 1.41 s -> 1.92 s:
+    # the added exchanges (train side + the ref side consumed twice by
+    # c2/c1) cost more than the single-task explode they parallelize.
+    # Rejected; the map-side (doc,w1,w2,m) collapse stays as-is.
     def bigrams(df: DataFrame) -> DataFrame:
         toks = df.select(F.col(id_col), words(F.col(text_col)).alias("toks"))
         toks = toks.filter((F.size("toks") > 1) & (F.col("toks")[0] != ""))
@@ -752,7 +757,16 @@ def hashed_feature_buckets(
     explode so callers never join row attributes (e.g. a training
     label) back onto the occurrence-scale relation. Documents with no
     tokens contribute no rows."""
+    from biocache_store_spark.util import ensure_min_parallelism
+
     carried = [F.col(c) for c in carry_cols]
+    # Fan out before tokenize+explode so the per-occurrence feature work
+    # parallelizes even when the corpus arrives as a single scan split
+    # (no-op at real scale); project to only the needed columns first so
+    # the fan-out shuffle moves nothing extra (guide §2.3).
+    docs = ensure_min_parallelism(
+        docs.select(F.col(id_col), *carried, F.col(text_col))
+    )
     toks = F.filter(words(F.col(text_col)), lambda t: t != "")
     with_toks = docs.select(F.col(id_col), *carried, toks.alias("__toks"))
     uni = F.transform(F.col("__toks"), lambda t: F.concat(F.lit("u|"), t))

@@ -153,8 +153,12 @@ def train_bpe_merges(
         words = words.select(
             "freq", _merge_pair(F.col("syms"), left, right).alias("syms")
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        merges, "rank int, left string, right string, merged string, pair_count long"
+    from biocache_store_spark.util import local_rows_df
+
+    return local_rows_df(
+        spark,
+        "rank int, left string, right string, merged string, pair_count long",
+        merges,
     )
 
 
@@ -243,7 +247,9 @@ def bpe_vocab(
     """The tokenizer's symbol vocabulary: base symbols (ASCII letters
     under the default regex + the end-of-word marker) plus one merged
     symbol per rule, with the rank that minted it (-1 = base)."""
+    from biocache_store_spark.util import local_rows_df
+
     base = [(s, -1) for s in "abcdefghijklmnopqrstuvwxyz"] + [(END_OF_WORD, -1)]
-    base_df = spark.createDataFrame(base, "symbol string, rank int")
+    base_df = local_rows_df(spark, "symbol string, rank int", base)
     merged = merges.select(F.col("merged").alias("symbol"), "rank")
     return base_df.unionByName(merged)

@@ -189,9 +189,11 @@ def write_nb_model(
     spark = model.sparkSession
     model.coalesce(1).write.mode("overwrite").parquet(path + "/model")
     labels.coalesce(1).write.mode("overwrite").parquet(path + "/labels")
-    spark.createDataFrame(
-        [(n_hex, label_col)], _NB_META_SCHEMA
-    ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+    from biocache_store_spark.util import local_rows_df
+
+    local_rows_df(spark, _NB_META_SCHEMA, [(n_hex, label_col)]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(path + "/meta")
 
 
 def read_nb_model(spark, path: str) -> tuple[DataFrame, DataFrame, int]:

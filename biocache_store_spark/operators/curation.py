@@ -1037,7 +1037,9 @@ def write_dsir_stats(
     raw.groupBy("bucket").agg(F.count(F.lit(1)).alias("cq")).coalesce(
         1
     ).write.mode("overwrite").parquet(path + "/cq/part=seed")
-    spark.createDataFrame([(n_hex,)], _DSIR_META_SCHEMA).coalesce(
+    from biocache_store_spark.util import local_rows_df
+
+    local_rows_df(spark, _DSIR_META_SCHEMA, [(n_hex,)]).coalesce(
         1
     ).write.mode("overwrite").parquet(path + "/meta")
 

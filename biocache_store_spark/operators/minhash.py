@@ -338,9 +338,17 @@ _META_SCHEMA = "num_hashes int, bands int, n int"
 def _write_index_meta(spark, path: str, meta: dict) -> None:
     """One-row parquet dimension under `<index>/meta` — written with the
     Spark writer so object-store index paths work end to end. Always
-    overwrite: append re-writes identical params (validated first)."""
-    spark.createDataFrame(
-        [(meta["num_hashes"], meta["bands"], meta["n"])], _META_SCHEMA
+    overwrite: append re-writes identical params (validated first).
+
+    Built as a JVM literal relation (util.local_rows_df), not
+    createDataFrame: the pickled-RDD scan behind a Python-list
+    createDataFrame made this one-row write cost 4.5-7 s — most of the
+    index-build wall clock at sf0.1 and a per-microbatch tax on the
+    streaming ingest path."""
+    from biocache_store_spark.util import local_rows_df
+
+    local_rows_df(
+        spark, _META_SCHEMA, [(meta["num_hashes"], meta["bands"], meta["n"])]
     ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
 
 

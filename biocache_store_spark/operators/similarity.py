@@ -30,6 +30,7 @@ from biocache_store_spark.functions.vectors import (
     cosine_similarity_arrow,
     cosine_similarity_arrow_once,
 )
+from biocache_store_spark.util import arrow_rows_df, local_rows_df
 
 DEFAULT_PLANES = 8
 
@@ -672,9 +673,10 @@ def kmeans_train(
     spark = vectors.sparkSession
 
     def encode(current_book):
-        book_df = spark.createDataFrame(
-            [(j, current_book[j]) for j in range(len(current_book))],
+        book_df = arrow_rows_df(
+            spark,
             f"j long, {embedding_col} array<double>",
+            [(j, current_book[j]) for j in range(len(current_book))],
         )
         return pq_encode(
             vectors.select(id_col, embedding_col), book_df, n_subspaces=1,
@@ -1126,10 +1128,11 @@ def ivfpq_topk_batch(
                     tbl_rows.append((qid, cell_id, s, j, d))
     cell_sql = encoded.schema["cell_id"].dataType.simpleString()
     qid_sql = query_vectors.schema["query_id"].dataType.simpleString()
-    tbl = spark.createDataFrame(
-        tbl_rows,
+    tbl = arrow_rows_df(
+        spark,
         f"query_id {qid_sql}, cell_id {cell_sql}, s int, code int, "
         "dist double",
+        tbl_rows,
     )
     probed_cells = sorted({r[1] for r in tbl_rows})
     exploded = (
@@ -1267,8 +1270,10 @@ def ivfpq_topk_batch_rerank(
         k=shortlist, nprobe=nprobe, n_subspaces=n_subspaces, id_col=id_col,
         qrows=qrows,
     )
-    qemb = encoded.sparkSession.createDataFrame(
-        qrows, query_vectors.select("query_id", "embedding").schema
+    qemb = arrow_rows_df(
+        encoded.sparkSession,
+        query_vectors.select("query_id", "embedding").schema,
+        qrows,
     ).select("query_id", F.col("embedding").alias("__q_emb"))
     sim = cosine_similarity_arrow(F.col(embedding_col), F.col("__q_emb"))
     cand = (
@@ -1554,9 +1559,10 @@ def _ivfpq_meta(spark, path: str) -> dict | None:
 def _write_ivfpq_meta(
     spark, path: str, n_subspaces: int, dim: int, has_vectors: bool
 ) -> None:
-    spark.createDataFrame(
-        [(int(n_subspaces), int(dim), bool(has_vectors))],
+    local_rows_df(
+        spark,
         "n_subspaces int, dim int, has_vectors boolean",
+        [(int(n_subspaces), int(dim), bool(has_vectors))],
     ).write.mode("overwrite").parquet(path + "/meta")
 
 
@@ -2015,8 +2021,8 @@ def query_ivfpq_index_batch(
         encoded = encoded.join(F.broadcast(tomb), id_col, "left_anti")
     # rebuild the query relation from the SAME collected snapshot so the
     # ADC tables can never diverge from the probe-cell filter above
-    snapshot = spark.createDataFrame(
-        qrows, query_vectors.select("query_id", "embedding").schema
+    snapshot = arrow_rows_df(
+        spark, query_vectors.select("query_id", "embedding").schema, qrows
     )
     if rerank_shortlist is None:
         return ivfpq_topk_batch(
@@ -2057,7 +2063,7 @@ def centroids_df(
             T.StructField("centroid", T.ArrayType(T.DoubleType())),
         ]
     )
-    return spark.createDataFrame(list(zip(cells, book)), schema)
+    return arrow_rows_df(spark, schema, list(zip(cells, book)))
 
 
 def semantic_decontamination(

@@ -299,7 +299,10 @@ def histogram_threshold(
                 lo2 if lo2 is not None and math.isfinite(lo2)
                 else float("-inf")
             )
-    return values.sparkSession.createDataFrame(
-        [(float(threshold), int(covered), int(total))],
+    from biocache_store_spark.util import local_rows_df
+
+    return local_rows_df(
+        values.sparkSession,
         "threshold double, covered long, total long",
+        [(float(threshold), int(covered), int(total))],
     )

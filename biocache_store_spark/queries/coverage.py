@@ -25,6 +25,7 @@ from pyspark.sql import types as T
 
 from biocache_store_spark.io import read_table
 from biocache_store_spark.queries import register
+from biocache_store_spark.util import local_rows_df
 
 
 def _apply_parser(df: DataFrame, in_col: str, out_fields: list, fn) -> DataFrame:
@@ -150,12 +151,13 @@ def sample_layers_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lat_idx").cast("double").alias("lat_bin"),
         F.col("lon_idx").cast("double").alias("lon_bin"),
     )
-    cl_layers = spark.createDataFrame(
+    cl_layers = local_rows_df(
+        spark,
+        "layerID string, name string, wkt string",
         [
             ("cl1", "Southern band", "POLYGON((0 -71, 140 -71, 140 -35, 0 -35, 0 -71))"),
             ("cl2", "East box", "POLYGON((70 -71, 140 -71, 140 0, 70 0, 70 -71))"),
         ],
-        "layerID string, name string, wkt string",
     )
     pts = distinct_points(records)
     samples = sample_points(
@@ -368,7 +370,9 @@ def expert_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decimalLongitude"
         ),
     )
-    dists = spark.createDataFrame(
+    dists = local_rows_df(
+        spark,
+        "taxonConceptID string, wkt string",
         [
             (
                 f"taxon:{t}",
@@ -377,7 +381,6 @@ def expert_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for t in range(4)
         ],
-        "taxonConceptID string, wkt string",
     )
     return find_outliers(records, dists).select(
         "occurrence_id",
@@ -460,7 +463,9 @@ def _expert_dist_records(customer: DataFrame) -> DataFrame:
 
 
 def _expert_dist_dim(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
+        "taxonConceptID string, wkt string",
         [
             (
                 f"taxon:{t}",
@@ -469,7 +474,6 @@ def _expert_dist_dim(spark: SparkSession) -> DataFrame:
             )
             for t in range(4)
         ],
-        "taxonConceptID string, wkt string",
     )
 
 

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from biocache_store_spark.io import read_table
 from biocache_store_spark.queries import register
+from biocache_store_spark.util import local_rows_df
 
 # words(text) in DuckDB — keep in sync with functions/text.py `words`
 _TOKS = r"string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')"
@@ -1590,8 +1591,8 @@ def domain_cap_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             k.cast("string"),
         ).alias("url"),
     )
-    blocklist = spark.createDataFrame(
-        [("d0.example.com",), ("d5.example.com",)], "domain string"
+    blocklist = local_rows_df(
+        spark, "domain string", [("d0.example.com",), ("d5.example.com",)]
     )
     out = cap_per_domain(filter_blocked_domains(urls, blocklist), 30)
     return out.select("doc_id", extract_domain("url").alias("domain"))

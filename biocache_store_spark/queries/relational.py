@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from biocache_store_spark.io import read_table
 from biocache_store_spark.queries import register
+from biocache_store_spark.util import local_rows_df
 
 _Q1_CUTOFF = "1998-09-02"
 
@@ -495,7 +496,9 @@ _SIZE_GROUP_VALUES = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _SIZE_GRO
 )
 def interval_containment_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = read_table(spark, sf_dir, "part")
-    groups = spark.createDataFrame(_SIZE_GROUPS, "group_name string, lo int, hi int")
+    groups = local_rows_df(
+        spark, "group_name string, lo int, hi int", _SIZE_GROUPS
+    )
     return (
         part.join(
             F.broadcast(groups),
@@ -588,9 +591,10 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = read_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice", "l_discount"
     )
-    dim = spark.createDataFrame(
-        [("A", "accepted"), ("N", "none"), ("R", "returned")],
+    dim = local_rows_df(
+        spark,
         "l_returnflag string, flag_label string",
+        [("A", "accepted"), ("N", "none"), ("R", "returned")],
     )
     joined = salted_join(lineitem, dim, "l_returnflag", salt=8)
     return joined.groupBy("flag_label").agg(

@@ -176,7 +176,11 @@ def delete_user_assertion(
     )
 
     spark = assertions.sparkSession
-    keys = spark.createDataFrame([(row_key, assertion_uuid)], ["rowKey", "uuid"])
+    from biocache_store_spark.util import local_rows_df
+
+    keys = local_rows_df(
+        spark, "rowKey string, uuid string", [(row_key, assertion_uuid)]
+    )
     return delete_user_assertions(assertions, keys)
 
 
@@ -196,15 +200,18 @@ VALIDATION_RULE_COLUMNS = [
 def upsert_validation_rule(rules: DataFrame, rule) -> DataFrame:
     """Store.addValidationRule (upsert by rule_id)."""
     spark = rules.sparkSession
-    row = spark.createDataFrame(
+    from biocache_store_spark.util import local_rows_df
+
+    row = local_rows_df(
+        spark,
+        "rule_id string, query string, assertion_code int, "
+        "assertion_name string, comment string, wkt string, "
+        "bbox array<double>",
         [(
             rule.rule_id, rule.query, rule.assertion_code,
             rule.assertion_name, rule.comment, rule.wkt,
             list(rule.bbox) if rule.bbox is not None else None,
         )],
-        "rule_id string, query string, assertion_code int, "
-        "assertion_name string, comment string, wkt string, "
-        "bbox array<double>",
     )
     # shared upsert primitive (null-safe on the key — a plain != filter
     # would silently drop any NULL-keyed row on every unrelated upsert)

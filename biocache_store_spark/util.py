@@ -69,6 +69,83 @@ def ensure_package_on_workers(spark: SparkSession) -> None:
         pass
 
 
+def local_rows_df(spark, schema: str, rows) -> "DataFrame":
+    """Small literal relation built JVM-side instead of createDataFrame.
+
+    `spark.createDataFrame(list)` always takes the pickled-RDD path (the
+    Arrow fast path only covers pandas inputs), so the relation scans
+    through a Python worker on EVERY action: measured 4.5-7 s per one-row
+    parquet write and ~0.26 s per broadcast-hash-join build at sf0.1.
+    Building the same rows as plan literals (range(1) -> explode(array(
+    struct(...)))) keeps them in the JVM: 0.18 s / ~0.12 s for the same
+    two shapes (guide §4 — eliminate the Python boundary).
+
+    Intended for dimension/metadata relations of O(100) rows whose values
+    are plain Python scalars, lists, or None — every row is cast to the
+    declared DDL `schema` field-by-field, so types match createDataFrame's
+    exactly. Large collected relations (thousands of rows) should NOT go
+    through literals (plan bloat); convert those via pandas (Arrow path)
+    instead."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    st = StructType.fromDDL(schema)
+    if not rows:
+        return spark.createDataFrame([], schema)
+    structs = [
+        F.struct(
+            *[
+                F.lit(v).cast(f.dataType).alias(f.name)
+                for f, v in zip(st.fields, r)
+            ]
+        )
+        for r in rows
+    ]
+    # numPartitions=1: the default spark.range(1) fans the single seed row
+    # over defaultParallelism partitions, costing ~31 empty tasks per action
+    one = spark.range(0, 1, 1, 1)
+    if len(structs) == 1:
+        return one.select(
+            *[
+                F.lit(v).cast(f.dataType).alias(f.name)
+                for f, v in zip(st.fields, rows[0])
+            ]
+        )
+    return (
+        one.select(F.explode(F.array(*structs)).alias("__r"))
+        .select("__r.*")
+    )
+
+
+def arrow_rows_df(spark, schema, rows) -> "DataFrame":
+    """Collected-relation constructor through pandas/Arrow.
+
+    For relations too large for plan literals (ADC tables, codebooks,
+    collected query batches), `createDataFrame(pandas_df, schema)` takes
+    the Arrow fast path and plans as a JVM LocalTableScan, while
+    `createDataFrame(list)` plans as a pickled-RDD scan that round-trips
+    through a Python worker on every action (measured 0.28-0.33 s vs
+    0.07 s per noop pass on a 6k-row table, and the gap is per-ACTION,
+    not per-construction). Columns are built with dtype=object so pandas
+    never coerces (an int column with a None would otherwise become
+    float64 and corrupt large ids); Spark casts per-column to the
+    declared `schema` (DDL string or StructType), same as the list path.
+    """
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    st = schema if isinstance(schema, StructType) else StructType.fromDDL(schema)
+    rows = list(rows)
+    if not rows:
+        return spark.createDataFrame([], st)
+    names = [f.name for f in st.fields]
+    pdf = pd.DataFrame(
+        {n: pd.Series([r[i] for r in rows], dtype=object) for i, n in enumerate(names)},
+        columns=names,
+    )
+    return spark.createDataFrame(pdf, schema=st)
+
+
 def ensure_min_parallelism(df: "DataFrame") -> "DataFrame":
     """Repartition up to the cluster's default parallelism when the input
     has fewer partitions — typically a small parquet table read as one

@@ -466,14 +466,16 @@ def cmd_dedup_detect(args) -> int:
     spark = _spark(args)
     df = _read(spark, args.inp)
     taxa = None
+    from biocache_store_spark.util import arrow_rows_df
+
     if getattr(args, "lsids", None):
-        taxa = spark.createDataFrame(
-            [(x,) for x in _split(args.lsids)], "taxon string"
+        taxa = arrow_rows_df(
+            spark, "taxon string", [(x,) for x in _split(args.lsids)]
         )
     elif getattr(args, "lsid_file", None):
         with open(args.lsid_file) as fh:
             ids = [line.strip() for line in fh if line.strip()]
-        taxa = spark.createDataFrame([(x,) for x in ids], "taxon string")
+        taxa = arrow_rows_df(spark, "taxon string", [(x,) for x in ids])
     elif getattr(args, "since", None):
         taxa = touched_taxa(df, args.since, modified_col=args.modified_col)
         if getattr(args, "prev", None):
@@ -850,8 +852,10 @@ def cmd_delete(args) -> int:
     spark = _spark(args)
     df = _read(spark, args.inp)
     if args.keys:
-        keys_df = spark.createDataFrame(
-            [(k,) for k in _split(args.keys)], f"{args.key_col} string"
+        from biocache_store_spark.util import arrow_rows_df
+
+        keys_df = arrow_rows_df(
+            spark, f"{args.key_col} string", [(k,) for k in _split(args.keys)]
         )
         kept, dellog = delete_by_keys(df, keys_df, key_col=args.key_col)
     elif args.query:
@@ -1656,9 +1660,12 @@ def cmd_ivfpq_index(args) -> int:
                 )
             finally:
                 residuals.unpersist()
-            codebook = spark.createDataFrame(
-                [(j, book[j]) for j in range(len(book))],
+            from biocache_store_spark.util import arrow_rows_df
+
+            codebook = arrow_rows_df(
+                spark,
                 "j long, embedding array<double>",
+                [(j, book[j]) for j in range(len(book))],
             )
         write_ivfpq_index(
             vectors, centroids, codebook, args.index,
@@ -1748,10 +1755,12 @@ def cmd_ivfpq_delete(args) -> int:
         if missing:
             print(f"ivfpq-delete: ids {missing} not in the index "
                   "(tombstoned anyway)", file=sys.stderr)
+    from biocache_store_spark.util import arrow_rows_df
+
     delete_from_ivfpq_index(
         spark,
         args.index,
-        spark.createDataFrame([(i,) for i in ids], "vec_id long"),
+        arrow_rows_df(spark, "vec_id long", [(i,) for i in ids]),
     )
     print(json.dumps({"tombstoned": len(ids), "not_present": len(missing)}))
     return 0

@@ -242,7 +242,18 @@ def _anchor_windows(
     if anchor_hex_zeros < 0:
         raise ValueError("anchor_hex_zeros must be >= 0")
     zeros = "0" * anchor_hex_zeros
-    segs = docs.filter(F.length(text_col) >= L).select(
+    # Fan the anchor scan out before the segment explode: the per-row
+    # cost here (~one md5 per character through interpreted HOF lambdas)
+    # lands on however many tasks the scan produced — one, for a small
+    # single-file corpus — the same input-skew shape as the name-match
+    # ladder and hashed-feature passes. Projected first so the fan-out
+    # exchange moves only (id, text); no-op at real scale.
+    from biocache_store_spark.util import ensure_min_parallelism
+
+    base = ensure_min_parallelism(
+        docs.filter(F.length(text_col) >= L).select(id_col, text_col)
+    )
+    segs = base.select(
         F.col(id_col),
         F.explode(
             F.expr(

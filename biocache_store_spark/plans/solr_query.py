@@ -398,7 +398,9 @@ class QidStore:
                 _dt.datetime.now(tz=_dt.timezone.utc).replace(tzinfo=None),
             )
         ]
-        self.spark.createDataFrame(row, self._SCHEMA).write.mode("append").parquet(
+        from biocache_store_spark.util import local_rows_df
+
+        local_rows_df(self.spark, self._SCHEMA, row).write.mode("append").parquet(
             self.path
         )
         return Qid(qid.q, tuple(qid.fqs), qid.wkt, qid.bbox, qid.max_age, row_key)

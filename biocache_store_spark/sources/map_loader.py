@@ -42,5 +42,11 @@ def load_map_records(
         tuple(None if r.get(c) is None else str(r.get(c)) for c in columns)
         for r in canonical
     ]
-    df = spark.createDataFrame(rows, schema)
+    # Arrow path (util.arrow_rows_df): a Python-list createDataFrame
+    # plans as a pickled-RDD scan that re-crosses the Python boundary on
+    # every downstream action — a real tax once the loaded batch feeds
+    # dedup/enrichment chains.
+    from biocache_store_spark.util import arrow_rows_df
+
+    df = arrow_rows_df(spark, schema, rows)
     return add_record_identity(df, data_resource_uid, unique_terms)

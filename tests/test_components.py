@@ -524,6 +524,25 @@ def test_anchor_windows_param_guards(spark):
         repeated_substring_spans(docs, min_len=40, anchor_hex_zeros=-1).collect()
 
 
+def test_anchor_windows_fan_out_single_partition_corpus(spark):
+    # r12 optimization guard: the anchor scan's per-row cost (~one md5
+    # per character through interpreted HOF lambdas) is map-only, so a
+    # corpus read as ONE split would serialize the whole pass on one
+    # core. _anchor_windows must fan the projected (id, text) rows out
+    # to the session's default parallelism (no-op when the scan already
+    # has more splits than cores).
+    from biocache_store_spark.operators.curation import _anchor_windows
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} " + "abcdefgh" * 20) for i in range(10)],
+        "doc_id long, text string",
+    ).coalesce(1)
+    assert docs.rdd.getNumPartitions() == 1
+    wins = _anchor_windows(docs, 40, 8, 1, "doc_id", "text", 1 << 16)
+    expected = spark.sparkContext.defaultParallelism
+    assert wins.rdd.getNumPartitions() == expected
+
+
 def test_substring_decontaminate(spark):
     """Train spans sharing a >= min_len exact substring with any eval doc
     are flagged — including a contaminated region at a DIFFERENT offset

@@ -262,8 +262,10 @@ def cleanup_columns(
             .agg(F.count(F.lit(1)).alias("records_cleared"))
         )
     else:
-        report = table.sparkSession.createDataFrame(
-            [], "column string, records_cleared long"
+        from biocache_store_spark.util import empty_df
+
+        report = empty_df(
+            table.sparkSession, "column string, records_cleared long"
         )
     return rewritten, report
 

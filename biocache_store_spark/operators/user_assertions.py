@@ -63,7 +63,12 @@ USER_ASSERTION_SCHEMA = T.StructType(
 
 
 def empty_store(spark) -> DataFrame:
-    return spark.createDataFrame([], USER_ASSERTION_SCHEMA)
+    # optimizer-visible empty relation: the seeded union in
+    # add_user_assertions prunes away instead of carrying an opaque
+    # empty-RDD scan branch through every lifecycle plan
+    from biocache_store_spark.util import empty_df
+
+    return empty_df(spark, USER_ASSERTION_SCHEMA)
 
 
 def add_user_assertions(store: DataFrame, new_assertions: DataFrame) -> DataFrame:

@@ -69,6 +69,29 @@ def ensure_package_on_workers(spark: SparkSession) -> None:
         pass
 
 
+def empty_df(spark, schema) -> "DataFrame":
+    """Zero-row relation that the optimizer can SEE is empty.
+
+    `spark.createDataFrame([], schema)` plans as a pickled-RDD scan of an
+    empty RDD — an opaque node, so a union/join against it keeps both
+    branches in the plan. Building it as typed-null literals filtered by
+    `false` optimizes to an empty LocalRelation, and
+    PropagateEmptyRelation then prunes the seeded union/join branch
+    outright (measured: add_user_assertions(empty_store, rows) loses the
+    Union and the empty-side scan)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    st = schema if isinstance(schema, StructType) else StructType.fromDDL(schema)
+    return (
+        spark.range(0, 1, 1, 1)
+        .select(
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in st.fields]
+        )
+        .where(F.lit(False))
+    )
+
+
 def local_rows_df(spark, schema: str, rows) -> "DataFrame":
     """Small literal relation built JVM-side instead of createDataFrame.
 
@@ -91,7 +114,7 @@ def local_rows_df(spark, schema: str, rows) -> "DataFrame":
 
     st = StructType.fromDDL(schema)
     if not rows:
-        return spark.createDataFrame([], schema)
+        return empty_df(spark, st)
     structs = [
         F.struct(
             *[
@@ -137,7 +160,7 @@ def arrow_rows_df(spark, schema, rows) -> "DataFrame":
     st = schema if isinstance(schema, StructType) else StructType.fromDDL(schema)
     rows = list(rows)
     if not rows:
-        return spark.createDataFrame([], st)
+        return empty_df(spark, st)
     names = [f.name for f in st.fields]
     pdf = pd.DataFrame(
         {n: pd.Series([r[i] for r in rows], dtype=object) for i, n in enumerate(names)},

@@ -13,7 +13,7 @@ from pyspark.sql import Row
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from biocache_store_spark.util import arrow_rows_df, local_rows_df
+from biocache_store_spark.util import arrow_rows_df, empty_df, local_rows_df
 
 
 def _sorted_rows(df):
@@ -64,6 +64,26 @@ def test_empty_rows(spark):
         df = fn(spark, "a int, b string", [])
         assert df.count() == 0
         assert [f.name for f in df.schema.fields] == ["a", "b"]
+
+
+def test_empty_df_is_optimizer_visible(spark):
+    # the point of empty_df over createDataFrame([]): the optimizer must
+    # SEE the relation is empty so PropagateEmptyRelation prunes the
+    # seeded union/join branch (empty_store in every assertion-lifecycle
+    # plan) instead of scanning an opaque empty RDD per branch.
+    base = spark.range(3).select(
+        F.col("id").cast("int").alias("a"), F.lit("x").alias("b")
+    )
+    e = empty_df(spark, "a int, b string")
+    assert e.count() == 0
+    plan = (
+        e.unionByName(base, allowMissingColumns=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Union" not in plan
+    assert "ExistingRDD" not in plan
 
 
 def test_large_ids_not_coerced_to_float(spark):

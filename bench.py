@@ -102,6 +102,15 @@ def main() -> int:
         "value_first_pass": round(sum(first_pass.values()), 3),
         "queries_first_pass": first_pass,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # effective-parallelism audit fields (additions only — the metric
+        # name and every pre-existing field are unchanged): the r12 driver
+        # inferred "cpus ignored" from flat 8-vs-32-core ratios that are
+        # really sf0.1 per-action fixed-cost dominance; printing what the
+        # session ACTUALLY ran with makes that check direct instead of
+        # inferred.
+        "cpus": spark.sparkContext.defaultParallelism,
+        "master": spark.sparkContext.master,
+        "data_dir": data_dir,
     }
     print(json.dumps(result))
     return 0

@@ -75,12 +75,21 @@ def connected_components(
     """(node, component) for every endpoint in `edges`; component is the
     minimum node id reachable from the node.
 
-    Convergence is detected when a round leaves the edge set's
-    (count, sum(xxhash64)) fingerprint unchanged — one small driver action
-    per round, never the edges themselves. `max_iter` is an honest guard
-    (the paper bounds rounds by O(log^2 n); hitting 30 means ~2^30-node
-    pathological chains, i.e. a bug), raising instead of silently emitting
-    a half-contracted graph.
+    Convergence is detected ON the round's own output, without running a
+    confirming extra round: a fixed point of the large-star/small-star
+    alternation is exactly a star forest rooted at component minima
+    (Kiveris et al. §3 — the alternation strictly contracts any other
+    edge set), and small_star output always orients v < u, so the star
+    test reduces to two properties checkable with one small aggregation
+    action per round: every u has out-degree 1, and no u appears as a v
+    (roots have no parents). The former fingerprint scheme
+    ((count, sum(xxhash64)) equality vs the previous round) needed one
+    FULL extra star round purely to confirm stability — one more
+    window-shuffle + checkpoint per call at any scale (round-13
+    optimization; union-find parity tests pin the equivalence).
+    `max_iter` is an honest guard (the paper bounds rounds by
+    O(log^2 n); hitting 30 means ~2^30-node pathological chains, i.e. a
+    bug), raising instead of silently emitting a half-contracted graph.
     """
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -103,25 +112,31 @@ def connected_components(
     # about executor loss mid-computation, swap for reliable checkpoint()
     # with a checkpoint dir — same call shape.
     cur = e.localCheckpoint(eager=True)
-    prev_sig = None
     converged = False
     for _ in range(max_iter):
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
-        # decimal(38,0) accumulator: a plain long sum of 64-bit hashes
-        # overflows under ANSI mode (vanilla sessions run ANSI-on)
-        row = nxt.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(
-                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
-                F.lit(0).cast("decimal(38,0)"),
-            ).alias("h"),
-        ).collect()[0]
-        sig = (row["n"], row["h"])
         cur = nxt
-        if sig == prev_sig:
+        # star-forest test (see docstring): tag each node occurrence with
+        # which side it came from, then one grouped pass — out-degree
+        # (sum of u-side tags) and both-sides presence per node, reduced
+        # to two scalars. Reads the just-checkpointed edges twice, both
+        # reads from block storage (no recompute).
+        row = (
+            nxt.select(F.col("u").alias("x"), F.lit(1).alias("us"), F.lit(0).alias("vs"))
+            .union(nxt.select("v", F.lit(0), F.lit(1)))
+            .groupBy("x")
+            .agg(F.sum("us").alias("deg"), F.max("vs").alias("isv"))
+            .agg(
+                F.max(F.col("deg")).alias("maxdeg"),
+                F.max(
+                    F.when((F.col("deg") > 0) & (F.col("isv") == 1), 1).otherwise(0)
+                ).alias("overlap"),
+            )
+            .collect()[0]
+        )
+        if (row["maxdeg"] or 0) <= 1 and (row["overlap"] or 0) == 0:
             converged = True
             break
-        prev_sig = sig
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"

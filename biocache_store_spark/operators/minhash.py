@@ -409,6 +409,7 @@ def probe_lsh_index(
     max_bucket_size: int | None = None,
     max_shingles: int | None = None,
     allow_legacy: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs of `new_docs` against the persisted index AND
     within the new batch, without touching stored text: only the new
@@ -417,6 +418,16 @@ def probe_lsh_index(
     doc_b; stored-vs-stored pairs are the index owner's history and are
     not re-emitted. Ids must be unique across the stored corpus and the
     batch.
+
+    `new_docs` must be a BATCH DataFrame (the streaming path hands the
+    operator foreachBatch microbatches, never an unbounded stream).
+    `materialize=True` (default) cuts the re-computation of the shared
+    signature/candidate plans via lazy localCheckpoints, which truncates
+    lineage: an executor/block loss mid-probe fails the per-ingest job
+    (idempotent — the caller replays the microbatch) instead of
+    recomputing the lost stage. Pass materialize=False to keep full
+    lineage on deployments where per-ingest job retries are costlier
+    than the ~3x plan re-execution (see DEPLOY.md).
 
     Together with write_lsh_index(mode="append") this is incremental
     near-dup maintenance: probe the batch, emit its pairs, append its
@@ -442,9 +453,14 @@ def probe_lsh_index(
     # as the returned DataFrame is unreferenced. Both relations are
     # batch-sized (never corpus-sized), so the serialization cost the
     # near_duplicates docstring warns about does not bind here.
-    new_sig = signatures(
-        new_docs, num_hashes, n, id_col, text_col, max_shingles
-    ).localCheckpoint(eager=False)
+    if new_docs.isStreaming:
+        raise ValueError(
+            "probe_lsh_index: new_docs must be a batch DataFrame "
+            "(use near_dup_stream/foreachBatch for streaming ingest)"
+        )
+    new_sig = signatures(new_docs, num_hashes, n, id_col, text_col, max_shingles)
+    if materialize:
+        new_sig = new_sig.localCheckpoint(eager=False)
     new_banded = banded_keys(new_sig, num_hashes, bands, id_col).withColumn(
         "is_new", F.lit(True)
     )
@@ -474,8 +490,9 @@ def probe_lsh_index(
             F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_b"),
         )
         .distinct()
-        .localCheckpoint(eager=False)
     )
+    if materialize:
+        cand = cand.localCheckpoint(eager=False)
     stored_sig = spark.read.parquet(path + "/sig").select(id_col, "n_sh", "shs")
     sets = stored_sig.unionByName(
         new_sig.select(id_col, "n_sh", "shs")

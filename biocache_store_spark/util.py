@@ -78,7 +78,15 @@ def empty_df(spark, schema) -> "DataFrame":
     `false` optimizes to an empty LocalRelation, and
     PropagateEmptyRelation then prunes the seeded union/join branch
     outright (measured: add_user_assertions(empty_store, rows) loses the
-    Union and the empty-side scan)."""
+    Union and the empty-side scan).
+
+    Nullability caveat (shared with `local_rows_df`/`arrow_rows_df`): the
+    literal construction marks every field nullable, whereas
+    `createDataFrame([], schema)` honored declared non-nullable fields.
+    No caller declares non-nullable schemas and the driver comparator
+    ignores nullability (simpleString parity is pinned by
+    tests/test_util_local_rows.py); revisit only if a strict-schema
+    consumer appears."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
@@ -92,7 +100,7 @@ def empty_df(spark, schema) -> "DataFrame":
     )
 
 
-def local_rows_df(spark, schema: str, rows) -> "DataFrame":
+def local_rows_df(spark, schema, rows) -> "DataFrame":
     """Small literal relation built JVM-side instead of createDataFrame.
 
     `spark.createDataFrame(list)` always takes the pickled-RDD path (the
@@ -105,16 +113,23 @@ def local_rows_df(spark, schema: str, rows) -> "DataFrame":
 
     Intended for dimension/metadata relations of O(100) rows whose values
     are plain Python scalars, lists, or None — every row is cast to the
-    declared DDL `schema` field-by-field, so types match createDataFrame's
-    exactly. Large collected relations (thousands of rows) should NOT go
-    through literals (plan bloat); convert those via pandas (Arrow path)
-    instead."""
+    declared `schema` (DDL string or StructType) field-by-field, so types
+    match createDataFrame's exactly (nullability excepted — see
+    `empty_df`). Large collected relations (thousands of rows) should NOT
+    go through literals (plan bloat); convert those via pandas (Arrow
+    path) instead."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
-    st = StructType.fromDDL(schema)
+    st = schema if isinstance(schema, StructType) else StructType.fromDDL(schema)
     if not rows:
         return empty_df(spark, st)
+    for r in rows:
+        if len(r) != len(st.fields):
+            # zip() would silently truncate where createDataFrame raises
+            raise ValueError(
+                f"row arity {len(r)} != schema arity {len(st.fields)}: {r!r}"
+            )
     structs = [
         F.struct(
             *[

@@ -119,3 +119,37 @@ def test_local_rows_df_plans_without_python_worker(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # the whole point: no pickled-RDD scan (ExistingRDD / Scan ExistingRDD)
     assert "ExistingRDD" not in plan
+
+
+def test_local_rows_df_rejects_arity_mismatch(spark):
+    # zip() would silently truncate a short/long row into a relation
+    # missing columns where createDataFrame raises; the constructor must
+    # raise too (round-12 advisor finding).
+    import pytest
+
+    with pytest.raises(ValueError, match="arity"):
+        local_rows_df(spark, "a int, b string", [(1,)])
+    with pytest.raises(ValueError, match="arity"):
+        local_rows_df(spark, "a int, b string", [(1, "x", 3)])
+
+
+def test_local_rows_df_accepts_structtype(spark):
+    st = T.StructType(
+        [T.StructField("a", T.IntegerType()), T.StructField("b", T.StringType())]
+    )
+    df = local_rows_df(spark, st, [(1, "x")])
+    assert df.schema.simpleString() == st.simpleString()
+    assert df.collect() == [Row(a=1, b="x")]
+
+
+def test_nullability_parity_documented(spark):
+    # empty_df/local_rows_df/arrow_rows_df do NOT preserve declared
+    # non-nullable flags (null literals are nullable; value literals are
+    # non-nullable); the driver comparator and every call site compare on
+    # simpleString, which ignores nullability. This test pins the
+    # DOCUMENTED divergence so a future strict-schema consumer finds the
+    # caveat instead of a surprise.
+    st = T.StructType([T.StructField("a", T.IntegerType(), nullable=False)])
+    e = empty_df(spark, st)
+    assert e.schema["a"].nullable is True  # widened — documented in util.py
+    assert e.schema.simpleString() == st.simpleString()

@@ -53,126 +53,49 @@ def register(
 
 
 # The external driver oracle-checks a 50-slot prefix of the registry per
-# round. Round-12 rotation (VERDICT r11 "Next round" #2): queries whose
-# code changed this round first (the new IVFADC exact-re-rank operator
-# and its query, plus every ADC consumer of the hardened
-# pq_topk/ivfpq_topk/ivfpq_topk_batch kernels — size-guard + NULLS LAST
-# + duplicate-query guard), then ALL 35 remaining r9-era entries —
-# after this round no registry entry's driver evidence is older than
-# r10 — then the 11 oldest r10-era entries. Steady-state: each round
-# re-checks changed queries plus the oldest standing evidence.
+# round. Round-13 rotation (VERDICT r12 "Next round" #3 plus this round's
+# touched set): first every query whose code changed in round 13 — the 9
+# analyzed-plan consumers of the rewritten arrow_udf cosine/norm kernels,
+# the simhash candidate-tail rewrite, the two connected-components
+# consumers of the folded convergence check, and lsh_index_probe (probe
+# materialize flag) — then the 12 queries VERDICT r12 flagged as
+# rewritten-in-r12 but never driver-checked post-rewrite
+# (window_representative and duplicate_markup_writeback are the two
+# highest-risk: argmax and single-window rewrites whose driver rows
+# predate the rewrite), then the oldest standing driver evidence (the
+# r10-era entries). Steady-state: each round re-checks changed queries
+# plus the oldest standing evidence. (event_sessionization is the one
+# r10-era entry left outside the prefix — bench-flagged, code untouched
+# since r10, hostile-sweep-checked every round.)
 HEAD: tuple[str, ...] = (
-    # code new or changed in round 12 — must (re-)check first
-    "embedding_ivfpq_rerank",      # NEW operator + query (IVFADC+R)
-    "embedding_ivfpq_topk",        # ivfpq_topk: size guard + NULLS LAST
-    "embedding_ivfpq_batch",       # batch kernel: dup guard + size guard
-    "embedding_pq_topk",           # pq_topk: size guard + NULLS LAST
-    # ALL 35 remaining r9-era refreshes (oldest standing evidence)
-    "broadcast_enrich_revenue",
-    "collector_name_parse",
-    "coordinate_validation",
-    "datum_reprojection",
-    "dsir_selection",
-    "dsir_threshold_select",
-    "embedding_ann_topk",
-    "embedding_cosine_near_dup",
+    # code changed in round 13 — must (re-)check first
     "embedding_cosine_neighbors",
-    "embedding_ivf_topk",
-    "embedding_label_centroid_norms",
-    "endemism_density_layers",
-    "event_facet_counts",
-    "event_json_extract",
-    "event_hourly_histogram",
-    "event_rollup_combined",
-    "exact_dedup",
-    "fuzzy_name_pairs",
-    "histogram_threshold_refined",
-    "lsh_index_probe",
-    "near_dup_components",
-    "ngram_decontamination",
-    "ngram_jaccard_pairs",
-    "range_filter_facet",
-    "sds_generalization",
-    "simhash_near_duplicates",
-    "state_centroid_inference",
-    "stored_query_bbox",
-    "streaming_event_windows",
-    "text_redact_pii",
-    "text_repetition_stats",
-    "tfidf_top_terms",
-    "training_shard_plan",
-    "utm_inverse",
-    "verbatim_coord_parse",
-    # the 11 oldest r10-era entries (steady-state rotation continues)
-    "repeated_substring_spans",
-    "substring_decontamination",
-    "chain_hybrid",
-    "chain_vocab_fields",
-    "assertion_rollup",
-    "corpus_curation",
-    "text_fingerprint",
-    "text_simhash",
-    "text_language_id",
-    "text_quality_score",
-    "license_canonicalize",
-    # --- 50-slot prefix ends here ---
-)
-
-DEPRIORITIZED: tuple[str, ...] = (
-    # driver-green in CORRECTNESS_r11 (the r11 prefix) or r10 and
-    # untouched this round — they yield their prefix slots to the
-    # rotation above.
-    # r11-checked, unchanged in round 12:
-    "exif_metadata",
-    "countmin_heavy_hitters",
-    "rounding_ladder",
-    "index_projection_facet",
-    "dedup_occurrence_clusters",
-    "dedup_incremental_merge",
-    "duplicate_markup_writeback",
-    "media_decode_meta",
-    "interval_containment_groups",
-    "raw_processed_comparison",
-    "attribution_lookup",
-    "distance_parse",
-    "stored_query_replay",
-    "classification_enrich",
-    "semi_join_incremental",
-    "window_representative",
-    "event_user_sessions",
-    "text_quality_stats",
-    "text_token_stats",
-    "distinct_coordinates",
+    "embedding_cosine_near_dup",
     "embedding_knn_topk",
-    "part_enrich_agg",
-    "pricing_summary",
-    "projected_scan",
-    "indexed_field_scan",
-    "multiget",
-    "point_lookup",
+    "embedding_ann_topk",
+    "embedding_ivf_topk",
+    "embedding_ivfpq_rerank",
+    "embedding_label_centroid_norms",
+    "semantic_dedup",
+    "semantic_decontamination",
+    "simhash_near_duplicates",
+    "near_dup_components",
+    "dedup_representative",
+    "lsh_index_probe",
+    # r12-rewritten, no post-rewrite driver row yet (VERDICT r12 #3)
+    "window_representative",
+    "duplicate_markup_writeback",
+    "taxon_name_match",
+    "classification_enrich",
     "user_assertion_lifecycle",
     "minhash_near_duplicates",
-    "taxon_name_match",
-    "validation_rule_wkt",
-    "media_reference_rollup",
-    "text_embedding_vectors",
-    "bpe_merge_training",
-    "nb_lang_classify",
-    "semantic_decontamination",
-    "facet_counts",
-    "top_k",
-    "set_union",
-    "set_except",
-    "anti_join_obsolete",
-    "distinct_values",
-    "expert_outlier_store_merge",
-    "expert_outlier_markup",
-    "expert_outlier_flags",
-    "sample_layers_enrich",
-    "bm25_search",
-    "grouped_stats",
-    # r10-checked, unchanged in rounds 11-12:
     "salted_skew_join",
+    "kmeans_cells",
+    "domain_cap_filter",
+    "maintenance_delete_upsert",
+    "snapshot_diff_rollup",
+    "bigram_lm_score",
+    # oldest standing driver evidence (r10-era entries)
     "doc_chunking",
     "stratified_sample",
     "span_dedup",
@@ -187,24 +110,107 @@ DEPRIORITIZED: tuple[str, ...] = (
     "corpus_mixture_plan",
     "dup_inflation_by_source",
     "boilerplate_removal",
-    "semantic_dedup",
-    "bigram_lm_score",
-    "dedup_representative",
-    "kmeans_cells",
     "facet_rollup",
     "model_quality_gate",
-    "snapshot_diff_rollup",
     "gopher_quality_flags",
     "fuzzy_date_parse",
     "date_precision_reformat",
     "dwca_event_core_roundtrip",
     "outlier_store_merge",
     "outlier_assertion_markup",
-    "domain_cap_filter",
     "dwca_roundtrip",
     "gridref_parse",
     "jackknife_outlier_stats",
-    "maintenance_delete_upsert",
+    # --- 50-slot prefix ends here ---
+)
+
+DEPRIORITIZED: tuple[str, ...] = (
+    # driver-green in CORRECTNESS_r12 (the r12 prefix) or r11/r10 and
+    # untouched this round — they yield their prefix slots to the
+    # rotation above.
+    # r12-checked, unchanged in round 13:
+    "embedding_ivfpq_topk",
+    "embedding_ivfpq_batch",
+    "embedding_pq_topk",
+    "broadcast_enrich_revenue",
+    "collector_name_parse",
+    "coordinate_validation",
+    "datum_reprojection",
+    "dsir_selection",
+    "dsir_threshold_select",
+    "endemism_density_layers",
+    "event_facet_counts",
+    "event_json_extract",
+    "event_hourly_histogram",
+    "event_rollup_combined",
+    "exact_dedup",
+    "fuzzy_name_pairs",
+    "histogram_threshold_refined",
+    "ngram_decontamination",
+    "ngram_jaccard_pairs",
+    "range_filter_facet",
+    "sds_generalization",
+    "state_centroid_inference",
+    "stored_query_bbox",
+    "streaming_event_windows",
+    "text_redact_pii",
+    "text_repetition_stats",
+    "tfidf_top_terms",
+    "training_shard_plan",
+    "utm_inverse",
+    "verbatim_coord_parse",
+    "repeated_substring_spans",
+    "substring_decontamination",
+    "chain_hybrid",
+    "chain_vocab_fields",
+    "assertion_rollup",
+    "corpus_curation",
+    "text_fingerprint",
+    "text_simhash",
+    "text_language_id",
+    "text_quality_score",
+    "license_canonicalize",
+    # r11/r10-checked, unchanged since:
+    "exif_metadata",
+    "countmin_heavy_hitters",
+    "rounding_ladder",
+    "index_projection_facet",
+    "dedup_occurrence_clusters",
+    "dedup_incremental_merge",
+    "media_decode_meta",
+    "interval_containment_groups",
+    "raw_processed_comparison",
+    "attribution_lookup",
+    "distance_parse",
+    "stored_query_replay",
+    "semi_join_incremental",
+    "event_user_sessions",
+    "text_quality_stats",
+    "text_token_stats",
+    "distinct_coordinates",
+    "part_enrich_agg",
+    "pricing_summary",
+    "projected_scan",
+    "indexed_field_scan",
+    "multiget",
+    "point_lookup",
+    "validation_rule_wkt",
+    "media_reference_rollup",
+    "text_embedding_vectors",
+    "bpe_merge_training",
+    "nb_lang_classify",
+    "facet_counts",
+    "top_k",
+    "set_union",
+    "set_except",
+    "anti_join_obsolete",
+    "distinct_values",
+    "expert_outlier_store_merge",
+    "expert_outlier_markup",
+    "expert_outlier_flags",
+    "sample_layers_enrich",
+    "bm25_search",
+    "grouped_stats",
     "event_sessionization",
 )
 

@@ -2219,3 +2219,29 @@ def test_real_pillow_decode_and_thumbnail(spark):
     # the 'large' edge (650) exceeds both dims: copy-unchanged branch
     assert not thumbs["large"]["resized"]
     assert bytes(thumbs["large"]["content"]) == png
+
+
+def test_simhash_packed_hamming_matches_string_hamming(spark):
+    """The packed-long Hamming path (conv base-2 + bit_count(xor), the
+    round-13 candidate-tail rewrite) must equal per-character string
+    Hamming for arbitrary fingerprints, including all-ones (sign/overflow
+    guard for the 32-bit value in a long)."""
+    from pyspark.sql import functions as F
+
+    fps = [
+        ("0" * 32, "1" * 32, 32),
+        ("1" * 32, "1" * 32, 0),
+        ("10" * 16, "01" * 16, 32),
+        ("1" + "0" * 31, "0" * 32, 1),
+        ("11110000" * 4, "11110001" * 4, 4),
+    ]
+    df = spark.createDataFrame(fps, "a string, b string, want int")
+    got = df.select(
+        "want",
+        F.bit_count(
+            F.conv(F.col("a"), 2, 10)
+            .cast("long")
+            .bitwiseXOR(F.conv(F.col("b"), 2, 10).cast("long"))
+        ).alias("got"),
+    ).collect()
+    assert all(r["got"] == r["want"] for r in got)

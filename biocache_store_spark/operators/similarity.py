@@ -269,6 +269,26 @@ def _argmax_cosine_positions(A, matrix):
     return best
 
 
+def _arrow_emb_matrix(arr):
+    """(validity mask as np bool vector, (n_valid, dim) float64 matrix or
+    None) from an Arrow list-of-float column — the mapInArrow input form
+    of the functions/vectors.py extraction: the list batch's contiguous
+    values buffer reshapes straight into a matrix (no pandas conversion,
+    no per-row ndarray boxing, no np.stack), which is the whole point of
+    the round-13 mapInPandas→mapInArrow kernel migration."""
+    import numpy as np
+    import pyarrow as pa
+
+    from biocache_store_spark.functions.vectors import _matrix_f64, _valid_mask
+
+    mask = _valid_mask(arr)
+    if not mask.any():
+        return mask, None
+    if mask.all():
+        return mask, _matrix_f64(arr)
+    return mask, _matrix_f64(arr.take(pa.array(np.flatnonzero(mask))))
+
+
 def ivf_assign_bulk(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -283,9 +303,12 @@ def ivf_assign_bulk(
     corpus (k ~ N), making that intermediate quadratic (measured: 5x data
     -> 19x wall-clock at 100k vectors x 800 cells). This variant collects
     the centroid table once (it is a dimension by contract — k rows of d
-    doubles), ships it into ONE mapInPandas pass, and scores every
+    doubles), ships it into ONE mapInArrow pass, and scores every
     centroid against the whole Arrow batch with numpy — no joined
-    intermediate, no shuffle, argmax inside the batch.
+    intermediate, no shuffle, argmax inside the batch, and the input
+    columns pass through as Arrow arrays untouched (the former
+    mapInPandas form paid an Arrow→pandas conversion + np.stack boxing
+    of every embedding + a full pandas copy of the batch per pass).
 
     Bit-identical to `ivf_assign`: dots/norms accumulate dimension-by-
     dimension left-to-right exactly like functions/vectors.py
@@ -294,9 +317,8 @@ def ivf_assign_bulk(
     Null embeddings take the lowest cell_id, matching the join form's
     all-null ordering. Output schema: input columns + cell_id.
     """
-    import pandas as pd
-
     from pyspark.sql import types as T
+    from pyspark.sql.pandas.types import to_arrow_type
 
     cent_rows = sorted(
         centroids.select("cell_id", "centroid").collect(),
@@ -311,24 +333,25 @@ def ivf_assign_bulk(
         list(vectors.schema.fields) + [T.StructField("cell_id", cell_type)]
     )
     in_cols = list(vectors.columns)
+    emb_idx = in_cols.index(embedding_col)
+    arrow_cell_type = to_arrow_type(cell_type)
 
     def run(batches):
         import numpy as np
+        import pyarrow as pa
 
-        for pdf in batches:
-            out = pdf[in_cols].copy()
-            emb = pdf[embedding_col]
-            mask = emb.notna().to_numpy()
-            best_idx = np.zeros(len(pdf), dtype=np.int64)
-            if mask.any():
-                A = np.stack(emb[mask].to_numpy()).astype(np.float64)
+        cid = np.asarray(cell_ids)
+        for rb in batches:
+            mask, A = _arrow_emb_matrix(rb.column(emb_idx))
+            best_idx = np.zeros(rb.num_rows, dtype=np.int64)
+            if A is not None:
                 best_idx[mask] = _argmax_cosine_positions(A, matrix)
-            out["cell_id"] = pd.Series(
-                [cell_ids[j] for j in best_idx], index=pdf.index
+            cells = pa.array(cid[best_idx], type=arrow_cell_type)
+            yield pa.RecordBatch.from_arrays(
+                list(rb.columns) + [cells], names=in_cols + ["cell_id"]
             )
-            yield out
 
-    return vectors.mapInPandas(run, out_schema)
+    return vectors.mapInArrow(run, out_schema)
 
 
 def _query_probes(
@@ -499,14 +522,13 @@ def pq_encode(
     subspace slices form the per-subspace codebooks (the deterministic
     stand-in for the offline per-subspace k-means pass, same convention
     as the IVF centroids). It is a dimension by contract and is collected
-    once; encoding is ONE mapInPandas pass, no join, no shuffle —
-    distances accumulate dimension-by-dimension left-to-right (the
-    functions/vectors.py discipline) so codes are engine-exact. Ties
-    break to the lowest codeword index. Output: input columns + `codes`
-    array<int>.
+    once; encoding is ONE mapInArrow pass (input columns pass through as
+    Arrow arrays, embeddings reshape zero-copy — no pandas boxing), no
+    join, no shuffle — distances accumulate dimension-by-dimension
+    left-to-right (the functions/vectors.py discipline) so codes are
+    engine-exact. Ties break to the lowest codeword index. Output:
+    input columns + `codes` array<int>.
     """
-    import pandas as pd
-
     from pyspark.sql import types as T
 
     rows = sorted(codebook.select("j", embedding_col).collect(), key=lambda r: r["j"])
@@ -522,19 +544,18 @@ def pq_encode(
         + [T.StructField("codes", T.ArrayType(T.IntegerType()))]
     )
     in_cols = list(vectors.columns)
+    emb_idx = in_cols.index(embedding_col)
 
     def run(batches):
         import numpy as np
+        import pyarrow as pa
 
         B = np.asarray(book, dtype=np.float64)  # K x dim
         K = B.shape[0]
-        for pdf in batches:
-            out = pdf[in_cols].copy()
-            emb = pdf[embedding_col]
-            mask = emb.notna().to_numpy()
-            codes_col = [None] * len(pdf)
-            if mask.any():
-                A = np.stack(emb[mask].to_numpy()).astype(np.float64)
+        for rb in batches:
+            mask, A = _arrow_emb_matrix(rb.column(emb_idx))
+            codes_col = [None] * rb.num_rows
+            if A is not None:
                 n = A.shape[0]
                 codes = np.zeros((n, n_subspaces), dtype=np.int32)
                 for s in range(n_subspaces):
@@ -556,10 +577,12 @@ def pq_encode(
                     codes[:, s] = best
                 it = iter(codes.tolist())
                 codes_col = [next(it) if m else None for m in mask]
-            out["codes"] = pd.Series(codes_col, index=pdf.index, dtype="object")
-            yield out
+            codes_arr = pa.array(codes_col, type=pa.list_(pa.int32()))
+            yield pa.RecordBatch.from_arrays(
+                list(rb.columns) + [codes_arr], names=in_cols + ["codes"]
+            )
 
-    return vectors.mapInPandas(run, out_schema)
+    return vectors.mapInArrow(run, out_schema)
 
 
 def pq_topk(
@@ -740,15 +763,16 @@ def pq_encode_residual(
     of a tight cell shares all codes, so ADC distances tie (measured
     recall@10 0.105 at 1M vectors — SCALE.md 'ANN recall'). Residuals
     spread each cell across the whole codebook and break the degeneracy.
-    ONE mapInPandas pass; both tables are collected once (dims by
-    contract); every distance accumulates dimension-by-dimension
-    left-to-right, so codes are engine-exact. Null embeddings take the
-    lowest cell_id and null codes (the ivf_assign_bulk / pq_encode
-    conventions). Output: input columns + cell_id + codes — write it
-    partitioned by cell_id for the probe-pruned 100 TB layout."""
-    import pandas as pd
-
+    ONE mapInArrow pass (zero-copy embedding reshape + Arrow passthrough
+    of the input columns, no pandas boxing); both tables are collected
+    once (dims by contract); every distance accumulates
+    dimension-by-dimension left-to-right, so codes are engine-exact.
+    Null embeddings take the lowest cell_id and null codes (the
+    ivf_assign_bulk / pq_encode conventions). Output: input columns +
+    cell_id + codes — write it partitioned by cell_id for the
+    probe-pruned 100 TB layout."""
     from pyspark.sql import types as T
+    from pyspark.sql.pandas.types import to_arrow_type
 
     cent_rows = sorted(
         centroids.select("cell_id", "centroid").collect(),
@@ -781,21 +805,22 @@ def pq_encode_residual(
         ]
     )
     in_cols = list(vectors.columns)
+    emb_idx = in_cols.index(embedding_col)
+    arrow_cell_type = to_arrow_type(cell_type)
 
     def run(batches):
         import numpy as np
+        import pyarrow as pa
 
         M = np.asarray(cmat, dtype=np.float64)  # ncell x dim
         B = np.asarray(book, dtype=np.float64)  # K x dim
         K = B.shape[0]
-        for pdf in batches:
-            out = pdf[in_cols].copy()
-            emb = pdf[embedding_col]
-            mask = emb.notna().to_numpy()
-            best_idx = np.zeros(len(pdf), dtype=np.int64)
-            codes_col = [None] * len(pdf)
-            if mask.any():
-                A = np.stack(emb[mask].to_numpy()).astype(np.float64)
+        cid = np.asarray(cell_ids)
+        for rb in batches:
+            mask, A = _arrow_emb_matrix(rb.column(emb_idx))
+            best_idx = np.zeros(rb.num_rows, dtype=np.int64)
+            codes_col = [None] * rb.num_rows
+            if A is not None:
                 n = len(A)
                 best = _argmax_cosine_positions(A, cmat)
                 best_idx[mask] = best
@@ -820,13 +845,14 @@ def pq_encode_residual(
                     codes[:, s] = bj
                 it = iter(codes.tolist())
                 codes_col = [next(it) if m else None for m in mask]
-            out["cell_id"] = pd.Series(
-                [cell_ids[j] for j in best_idx], index=pdf.index
+            cells = pa.array(cid[best_idx], type=arrow_cell_type)
+            codes_arr = pa.array(codes_col, type=pa.list_(pa.int32()))
+            yield pa.RecordBatch.from_arrays(
+                list(rb.columns) + [cells, codes_arr],
+                names=in_cols + ["cell_id", "codes"],
             )
-            out["codes"] = pd.Series(codes_col, index=pdf.index, dtype="object")
-            yield out
 
-    return vectors.mapInPandas(run, out_schema)
+    return vectors.mapInArrow(run, out_schema)
 
 
 def _ivfpq_probe_cells(q, centroid_rows, nprobe):
@@ -1348,7 +1374,7 @@ def _train_pq_codebook_single_pass(
     scale: int = 10**6,
 ) -> list[list[list[float]]]:
     """All m subspace k-means trained in ONE pass per iteration: a
-    single mapInPandas assignment computes every subspace's argmin
+    single mapInArrow assignment computes every subspace's argmin
     position per row (the pq_encode kernel over slices of the same
     float64 batch — identical per-dimension left-to-right accumulation,
     so positions are bit-identical to m separate kmeans_train calls),
@@ -1360,8 +1386,6 @@ def _train_pq_codebook_single_pass(
     partial-agg'd map-side to <= m*k*ds groups). Returns the per-subspace
     books (possibly < k entries where cells dropped empty — the caller
     reseeds)."""
-    import pandas as pd
-
     from pyspark.sql import types as T
 
     seed_rows = sorted(
@@ -1386,14 +1410,13 @@ def _train_pq_codebook_single_pass(
     def make_assign(current_books):
         def run(batches):
             import numpy as np
+            import pyarrow as pa
 
             Bs = [np.asarray(b, dtype=np.float64) for b in current_books]
-            for pdf in batches:
-                emb = pdf[embedding_col]
-                mask = emb.notna().to_numpy()
-                poss_col = [None] * len(pdf)
-                if mask.any():
-                    A = np.stack(emb[mask].to_numpy()).astype(np.float64)
+            for rb in batches:
+                mask, A = _arrow_emb_matrix(rb.column(0))
+                poss_col = [None] * rb.num_rows
+                if A is not None:
                     n = A.shape[0]
                     poss = np.zeros((n, n_subspaces), dtype=np.int32)
                     for s in range(n_subspaces):
@@ -1416,14 +1439,15 @@ def _train_pq_codebook_single_pass(
                         poss[:, s] = best
                     it = iter(poss.tolist())
                     poss_col = [next(it) if m else None for m in mask]
-                out = pdf[[embedding_col]].copy()
-                out["poss"] = pd.Series(poss_col, index=pdf.index, dtype="object")
-                yield out
+                poss_arr = pa.array(poss_col, type=pa.list_(pa.int32()))
+                yield pa.RecordBatch.from_arrays(
+                    [rb.column(0), poss_arr], names=[embedding_col, "poss"]
+                )
 
         return run
 
     for _ in range(iters):
-        enc = vectors.select(embedding_col).mapInPandas(
+        enc = vectors.select(embedding_col).mapInArrow(
             make_assign(books), out_schema
         )
         ex = (

@@ -82,6 +82,9 @@ HEAD: tuple[str, ...] = (
     "near_dup_components",
     "dedup_representative",
     "lsh_index_probe",
+    "embedding_pq_topk",
+    "embedding_ivfpq_topk",
+    "embedding_ivfpq_batch",
     # r12-rewritten, no post-rewrite driver row yet (VERDICT r12 #3)
     "window_representative",
     "duplicate_markup_writeback",
@@ -118,9 +121,6 @@ HEAD: tuple[str, ...] = (
     "dwca_event_core_roundtrip",
     "outlier_store_merge",
     "outlier_assertion_markup",
-    "dwca_roundtrip",
-    "gridref_parse",
-    "jackknife_outlier_stats",
     # --- 50-slot prefix ends here ---
 )
 
@@ -129,9 +129,6 @@ DEPRIORITIZED: tuple[str, ...] = (
     # untouched this round — they yield their prefix slots to the
     # rotation above.
     # r12-checked, unchanged in round 13:
-    "embedding_ivfpq_topk",
-    "embedding_ivfpq_batch",
-    "embedding_pq_topk",
     "broadcast_enrich_revenue",
     "collector_name_parse",
     "coordinate_validation",
@@ -212,6 +209,12 @@ DEPRIORITIZED: tuple[str, ...] = (
     "bm25_search",
     "grouped_stats",
     "event_sessionization",
+    # r10-era entries displaced from the prefix by the round-13
+    # mapInArrow kernel consumers (parser/roundtrip entries with heavy
+    # unit + hostile-sweep coverage):
+    "dwca_roundtrip",
+    "gridref_parse",
+    "jackknife_outlier_stats",
 )
 
 

@@ -196,9 +196,9 @@ def test_ngram_budget_overflow_degrades_to_min_tier(spark, tmp_path):
 def test_semantic_dedup_assignment_is_map_only(spark, sf_dir):
     """semantic_dedup (r5) must keep the matrix-form assignment: no
     broadcast join materializing N x k scored rows (the measured
-    quadratic in the k~N regime) — assignment is a single mapInPandas
-    pass; the only joins are the cell-blocked pairing and the keep-flag
-    join-back."""
+    quadratic in the k~N regime) — assignment is a single mapInArrow
+    pass (r13: formerly mapInPandas); the only joins are the
+    cell-blocked pairing and the keep-flag join-back."""
     from biocache_store_spark.io import read_table
     from biocache_store_spark.operators.similarity import semantic_dedup
     from pyspark.sql import functions as F
@@ -208,7 +208,8 @@ def test_semantic_dedup_assignment_is_map_only(spark, sf_dir):
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
     )
     plan = _plan(semantic_dedup(emb, cents, threshold=0.5))
-    assert "MapInPandas" in plan          # bulk assignment
+    assert "MapInArrow" in plan           # bulk assignment (arrow, r13)
+    assert "MapInPandas" not in plan      # the pandas-boxing form is gone
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan           # no argmax window either
 
@@ -232,7 +233,7 @@ def test_boilerplate_removal_is_anti_join_on_hash(spark, sf_dir):
 
 def test_pq_scoring_stays_jvm_side_with_take_ordered(spark, sf_dir):
     """pq_topk (r5): ADC scoring must be pure JVM expression work over
-    the codes (no Python in the scoring stage — encode's MapInPandas is
+    the codes (no Python in the scoring stage — encode's MapInArrow is
     the only Python) and the top-k must be TakeOrderedAndProject."""
     from biocache_store_spark.io import read_table
     from biocache_store_spark.operators.similarity import pq_encode, pq_topk
@@ -247,7 +248,8 @@ def test_pq_scoring_stays_jvm_side_with_take_ordered(spark, sf_dir):
     enc = pq_encode(emb.select("vec_id", "embedding"), book_df)
     plan = _plan(pq_topk(enc, qvec, book, k=10))
     assert "TakeOrderedAndProject" in plan
-    assert plan.count("MapInPandas") == 1  # encode only; scoring is JVM
+    assert plan.count("MapInArrow") == 1  # encode only; scoring is JVM
+    assert "MapInPandas" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 

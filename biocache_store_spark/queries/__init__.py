@@ -85,6 +85,8 @@ HEAD: tuple[str, ...] = (
     "embedding_pq_topk",
     "embedding_ivfpq_topk",
     "embedding_ivfpq_batch",
+    "dsir_selection",
+    "dsir_threshold_select",
     # r12-rewritten, no post-rewrite driver row yet (VERDICT r12 #3)
     "window_representative",
     "duplicate_markup_writeback",
@@ -118,9 +120,7 @@ HEAD: tuple[str, ...] = (
     "gopher_quality_flags",
     "fuzzy_date_parse",
     "date_precision_reformat",
-    "dwca_event_core_roundtrip",
     "outlier_store_merge",
-    "outlier_assertion_markup",
     # --- 50-slot prefix ends here ---
 )
 
@@ -133,8 +133,6 @@ DEPRIORITIZED: tuple[str, ...] = (
     "collector_name_parse",
     "coordinate_validation",
     "datum_reprojection",
-    "dsir_selection",
-    "dsir_threshold_select",
     "endemism_density_layers",
     "event_facet_counts",
     "event_json_extract",
@@ -210,11 +208,13 @@ DEPRIORITIZED: tuple[str, ...] = (
     "grouped_stats",
     "event_sessionization",
     # r10-era entries displaced from the prefix by the round-13
-    # mapInArrow kernel consumers (parser/roundtrip entries with heavy
-    # unit + hostile-sweep coverage):
+    # mapInArrow/DSIR-restructure consumers (roundtrip/markup/parser
+    # entries with heavy unit + hostile-sweep coverage):
     "dwca_roundtrip",
     "gridref_parse",
     "jackknife_outlier_stats",
+    "dwca_event_core_roundtrip",
+    "outlier_assertion_markup",
 )
 
 
